@@ -1,0 +1,192 @@
+"""N-Triples encoder/decoder as pure column expressions.
+
+Reference behavior covered (SURVEY.md §2A A9/A10/A21):
+  * serialize: n3 Store → N-Triples lines, trimmed, empties dropped
+    (/root/reference/lib/rdfa-extractor.js:103-114)
+  * parse: one line → quad, parse error → invalid
+    (/root/reference/lib/validateTriple.js:10-25, lib/fixTriple.js:10-17)
+  * escaping: sparqlEscape* equivalents (reference uses the mu template's
+    escape helpers; here the N-Triples string escape rules)
+
+Everything is `pyspark.sql.functions` — JVM-side, whole-stage-codegen
+friendly; no Python UDFs. The decoder is a regex over `spark.read.text`
+lines, which at scale means a parallel scan with no Python boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from harvesting_extract_to_ttl_service_spark.schema import (
+    OT_BNODE,
+    OT_IRI,
+    OT_LITERAL,
+    RDF_LANGSTRING,
+    XSD_STRING,
+)
+
+# Sentinel used to make backslash-escape substitution order-correct in a
+# chain of regexp_replace calls (no lookaround state machine needed).
+_SENT = "\x00"
+
+
+def escape_literal(col: Column) -> Column:
+    """Escape a lexical form for inclusion in an N-Triples double-quoted
+    literal: backslash, quote, LF, CR, TAB."""
+    c = F.regexp_replace(col, r"\\", r"\\\\")
+    c = F.regexp_replace(c, '"', '\\\\"')
+    c = F.regexp_replace(c, "\n", "\\\\n")
+    c = F.regexp_replace(c, "\r", "\\\\r")
+    c = F.regexp_replace(c, "\t", "\\\\t")
+    return c
+
+
+def unescape_literal(col: Column) -> Column:
+    """Inverse of :func:`escape_literal` (two-pass with sentinel so that
+    ``\\\\n`` decodes to backslash+n, not backslash+LF)."""
+    c = F.regexp_replace(col, r"\\\\", _SENT)
+    c = F.regexp_replace(c, r"\\n", "\n")
+    c = F.regexp_replace(c, r"\\r", "\r")
+    c = F.regexp_replace(c, r"\\t", "\t")
+    c = F.regexp_replace(c, r'\\"', '"')
+    c = F.regexp_replace(c, _SENT, r"\\")
+    return c
+
+
+def term_to_nt(value: Column, object_type: Column, datatype: Column,
+               language: Column) -> Column:
+    """Render one term as its N-Triples token.
+
+    Plain / xsd:string literals are written bare (n3's Writer does the
+    same); langString carries ``@tag``; other datatypes ``^^<iri>``.
+    """
+    literal = F.concat(F.lit('"'), escape_literal(value), F.lit('"'))
+    literal = (
+        F.when(
+            (datatype == RDF_LANGSTRING) & (F.coalesce(language, F.lit("")) != ""),
+            F.concat(literal, F.lit("@"), language),
+        )
+        .when(
+            datatype.isNotNull() & (datatype != XSD_STRING) & (datatype != RDF_LANGSTRING),
+            F.concat(literal, F.lit("^^<"), datatype, F.lit(">")),
+        )
+        .otherwise(literal)
+    )
+    return (
+        F.when(object_type == OT_IRI, F.concat(F.lit("<"), value, F.lit(">")))
+        .when(object_type == OT_BNODE, value)  # value already '_:b0'-style
+        .otherwise(literal)
+    )
+
+
+def subject_to_nt(subject: Column) -> Column:
+    """Subjects are IRIs unless they carry the '_:' bnode prefix."""
+    return F.when(subject.startswith("_:"), subject).otherwise(
+        F.concat(F.lit("<"), subject, F.lit(">"))
+    )
+
+
+def encode_ntriples(df: DataFrame, out_col: str = "nt") -> DataFrame:
+    """Add a column with the full N-Triples line for each triple row
+    (reference: rdfSerializer application/n-triples + trim + drop-empty,
+    /root/reference/lib/rdfa-extractor.js:108-113)."""
+    line = F.concat_ws(
+        " ",
+        subject_to_nt(F.col("subject")),
+        F.concat(F.lit("<"), F.col("predicate"), F.lit(">")),
+        term_to_nt(F.col("object_value"), F.col("object_type"),
+                   F.col("datatype"), F.col("language")),
+        F.lit("."),
+    )
+    return df.withColumn(out_col, line)
+
+
+# One regex, evaluated per capture group. Groups:
+#  1 subject IRI   2 subject bnode
+#  3 predicate IRI
+#  4 object IRI    5 object bnode
+#  6 object literal lexical (escaped)  7 language tag  8 datatype IRI
+_NT_LINE = (
+    r'^\s*(?:<([^<>"\s]*)>|(_:\S+))'
+    r'\s+<([^<>"\s]*)>'
+    r'\s+(?:<([^<>"\s]*)>|(_:\S+)|"((?:[^"\\]|\\.)*)"(?:@([A-Za-z][A-Za-z0-9-]*)|\^\^<([^<>"\s]*)>)?)'
+    r"\s*\.\s*$"
+)
+
+
+# Group separator for the single-pass group extraction below; U+0001 cannot
+# appear in conforming N-Triples source text.
+_GSEP = "\x01"
+
+
+def decode_ntriples(lines: DataFrame, col: str = "value",
+                    graph: str | None = None,
+                    keep_errors: bool = False) -> DataFrame:
+    """Parse a DataFrame of N-Triples text lines into TRIPLE_SCHEMA columns.
+
+    A line that does not match the grammar gets ``parse_ok = false`` and
+    null terms — the reference treats a parse error as an invalid triple
+    (/root/reference/lib/validateTriple.js:13-15), so downstream triage
+    maps ``parse_ok = false`` → dropped.
+
+    Perf note: the grammar regex is evaluated ONCE per row (all eight
+    capture groups are spliced into a single ``_g`` array via
+    regexp_replace + split). Evaluating ``regexp_extract`` per group
+    instead blows generated code past the JVM 64 KB method limit and drops
+    the stage out of whole-stage codegen — observed, not hypothetical.
+    """
+    c = F.col(col)
+    repl = _GSEP.join(f"${i}" for i in range(1, 9))
+    lines = (
+        lines.withColumn("parse_ok", c.rlike(_NT_LINE))
+        .withColumn("_g", F.split(F.regexp_replace(c, _NT_LINE, repl), _GSEP))
+    )
+    g = lambda i: F.col("_g").getItem(i - 1)  # noqa: E731
+    parsed = (
+        lines.withColumn(
+            "subject",
+            F.when(F.col("parse_ok"),
+                   F.when(g(2) != "", g(2)).otherwise(g(1))),
+        )
+        .withColumn("predicate", F.when(F.col("parse_ok"), g(3)))
+        .withColumn(
+            "object_type",
+            F.when(~F.col("parse_ok"), F.lit(None).cast("string"))
+            .when(g(4) != "", F.lit(OT_IRI))
+            .when(g(5) != "", F.lit(OT_BNODE))
+            .otherwise(F.lit(OT_LITERAL)),
+        )
+        .withColumn(
+            "object_value",
+            F.when(~F.col("parse_ok"), F.lit(None).cast("string"))
+            .when(g(4) != "", g(4))
+            .when(g(5) != "", g(5))
+            .otherwise(unescape_literal(g(6))),
+        )
+        .withColumn(
+            "language",
+            F.when(F.col("parse_ok") & (g(7) != ""), g(7)),
+        )
+        .withColumn(
+            "datatype",
+            F.when(~F.col("parse_ok"), F.lit(None).cast("string"))
+            .when(g(7) != "", F.lit(RDF_LANGSTRING))
+            .when(g(8) != "", g(8))
+            .otherwise(F.lit(None).cast("string")),
+        )
+        .withColumn("graph", F.lit(graph).cast("string"))
+        .drop("_g")
+    )
+    if not keep_errors:
+        parsed = parsed.filter(F.col("parse_ok"))
+    return parsed
+
+
+def read_ntriples(spark, path: str, graph: str | None = None) -> DataFrame:
+    """Scan `.nt` files (gz handled by extension — reference gunzips
+    explicitly at /root/reference/lib/rdfa-extractor.js:65-68; Spark's text
+    source selects the codec from the filename)."""
+    lines = spark.read.text(path)
+    lines = lines.filter(F.trim(F.col("value")) != "")
+    return decode_ntriples(lines, "value", graph=graph)

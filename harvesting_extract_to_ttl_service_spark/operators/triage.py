@@ -1,0 +1,274 @@
+"""Triple validation, repair, and 3-way triage — the reference's semantic
+heart, compiled to Catalyst column expressions (no UDFs).
+
+Reference parity (SURVEY.md §1.2 / §2A A13-A15):
+  * validateTriple / validateTerm   /root/reference/lib/validateTriple.js:9-139
+  * fixTriple / fixTerm (+fixers)   /root/reference/lib/fixTriple.js:9-214
+  * 3-way triage split              /root/reference/lib/pipeline-import.js:220-241
+
+Divergence (deliberate, documented per SURVEY.md §1.2 "quirks"): the
+reference repairs dates/dateTimes through JS ``new Date`` and re-emits
+non-zero-padded local-time components (e.g. ``2023-5-7T9:5:3``). We
+normalize to canonical zero-padded UTC forms instead (the survey's
+recommended default). Everything else — including the ``Number()`` quirk
+that lets floats pass xsd:integer validation and the first-occurrence-only
+``https``→``http`` substitution in WKT CRS repair — is replicated.
+
+Triage invariants (pipeline-import.js:229-239):
+  valid     = passed-first-pass ∪ repaired   (repaired in fixed form)
+  invalid   = everything that failed the first pass (original form)
+  corrected = originals of the repaired subset  (⊆ invalid)
+  dropped   = invalid ∖ corrected
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from harvesting_extract_to_ttl_service_spark.schema import (
+    GEO_WKT,
+    OT_BNODE,
+    OT_LITERAL,
+    RDF_HTML,
+    RDF_LANGSTRING,
+    RDF_XMLLITERAL,
+    RDFS_LITERAL,
+    XSD_BOOLEAN,
+    XSD_DATE,
+    XSD_DATETIME,
+    XSD_INT,
+    XSD_INTEGER,
+    XSD_STRING,
+)
+
+# JS regexes from validateTriple.js:111-112 and 124-125, translated verbatim
+# (4+ year digits, optional offset/Z; dateTime adds T HH:MM:SS[.frac]).
+DATE_RE = r"^-?[0-9]{4,}-[0-9]{2}-[0-9]{2}(([-+][0-9]{2}:[0-9]{2})|Z)?$"
+DATETIME_RE = (
+    r"^-?[0-9]{4,}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}"
+    r"(\.[0-9]+)?(([-+][0-9]{2}:[0-9]{2})|Z)?$"
+)
+
+# Formats tried (in order) when repairing a broken date/dateTime literal,
+# after separator normalization ('/'→'-', 'date time'→'dateTtime'). JS
+# `new Date()` accepts a menagerie; these cover the realistic harvest
+# inputs (slash dates, datetimes missing T/seconds, US month names). The
+# list is kept deliberately short: every format adds a generated-code
+# DateTimeFormatter and the repair chain must stay within the JVM's 64 KB
+# method limit to keep whole-stage codegen alive.
+_DATE_FIX_FMTS = ["yyyy-MM-dd", "MM-dd-yyyy", "MMMM d, yyyy"]
+_DATETIME_FIX_FMTS = [
+    "yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd'T'HH:mm", "yyyy-MM-dd",
+]
+
+
+def _norm_datetime_sep(v: Column) -> Column:
+    """'2023/05/07 09:05' → '2023-05-07T09:05' so one format list covers
+    slash/space variants."""
+    c = F.regexp_replace(F.trim(v), "/", "-")
+    return F.regexp_replace(c, r"^(-?\d{4,}-\d{2}-\d{2})\s+", "$1T")
+
+
+def _is_numeric_js(value: Column) -> Column:
+    """JS ``!isNaN(Number(v))`` (validateTriple.js:136-139): empty/blank
+    strings coerce to 0 (valid); otherwise any float syntax passes."""
+    return (F.trim(value) == "") | F.trim(value).try_cast("double").isNotNull()
+
+
+def _wkt_crs(value: Column) -> Column:
+    """Extract the ``<http(s)://…>`` CRS URL embedded in a WKT literal
+    (validateTriple.js:77)."""
+    return F.regexp_extract(value, r"<(https?://[^\s>]+)>", 1)
+
+
+def is_valid_object(object_type: Column, object_value: Column,
+                    datatype: Column, language: Column) -> Column:
+    """validateTerm for the object position (validateTriple.js:33-69)."""
+    v = object_value
+    return (
+        F.when(object_type == OT_BNODE, F.lit(False))
+        .when(object_type != OT_LITERAL, F.lit(True))      # IRI: no datatype
+        .when(datatype.isNull(), F.lit(True))               # plain literal
+        .when(datatype == RDFS_LITERAL, F.lit(False))
+        .when(datatype == RDF_LANGSTRING,
+              F.coalesce(language, F.lit("")) != "")
+        .when(datatype == XSD_STRING, F.lit(True))
+        .when(datatype == RDF_HTML, F.lit(True))
+        .when(datatype == RDF_XMLLITERAL, F.lit(False))
+        .when(datatype == XSD_BOOLEAN, v.isin("true", "false"))
+        .when(datatype == XSD_DATE, v.rlike(DATE_RE))
+        .when(datatype == XSD_DATETIME, v.rlike(DATETIME_RE))
+        .when(datatype == XSD_INTEGER, _is_numeric_js(v))
+        .when(datatype == GEO_WKT,
+              (F.length(F.coalesce(v, F.lit(""))) > 0)
+              & ((_wkt_crs(v) == "") | _wkt_crs(v).startswith("http://")))
+        .otherwise(F.lit(False))                            # unknown datatype
+    )
+
+
+def is_valid_triple(subject: Column, object_type: Column, object_value: Column,
+                    datatype: Column, language: Column,
+                    parse_ok: Column | None = None) -> Column:
+    """validateTriple (validateTriple.js:9-26): parse error → false; any
+    BlankNode term → false; subjects/predicates are IRIs (always valid),
+    so the object decides."""
+    valid = (
+        ~subject.startswith("_:")
+        & is_valid_object(object_type, object_value, datatype, language)
+    )
+    if parse_ok is not None:
+        valid = parse_ok & valid
+    return valid
+
+
+def _replace_first(value: Column, find: str, repl: str) -> Column:
+    """JS ``String.replace(substr, r)`` replaces only the FIRST occurrence
+    (fixTriple.js:109) — Spark's regexp_replace replaces all, so splice via
+    instr/substring."""
+    pos = F.instr(value, find)
+    return F.when(pos == 0, value).otherwise(
+        F.concat(
+            F.substring(value, F.lit(1), pos - 1),
+            F.lit(repl),
+            F.substr(value, pos + len(find)),
+        )
+    )
+
+
+def _fix_date(v: Column) -> Column:
+    n = _norm_datetime_sep(v)
+    ts = F.coalesce(*[F.try_to_timestamp(n, F.lit(f)) for f in _DATE_FIX_FMTS])
+    return F.date_format(ts, "yyyy-MM-dd")
+
+
+def _fix_datetime(v: Column) -> Column:
+    n = _norm_datetime_sep(v)
+    ts = F.coalesce(*[F.try_to_timestamp(n, F.lit(f))
+                      for f in _DATETIME_FIX_FMTS])
+    return F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss")
+
+
+def fix_object(object_type: Column, object_value: Column, datatype: Column,
+               language: Column) -> Column:
+    """fixTerm for an invalid object (fixTriple.js:60-96). Returns a single
+    struct column ``(value, datatype)``; value null ⇔ unrepairable
+    (repaired literals never carry a language tag — fixLiteral recasts
+    langString to xsd:string).
+
+    One when-chain producing a struct — not three parallel chains — so the
+    repair logic appears exactly once in the generated code. Only consulted
+    where first-pass validation failed, mirroring fixTerm's
+    ``if (validateTerm(term)) return term`` short-circuit.
+    """
+    v = object_value
+    null_s = F.lit(None).cast("string")
+
+    def fix(val: Column, dt: Column) -> Column:
+        return F.struct(val.alias("value"), F.when(val.isNotNull(), dt).alias("datatype"))
+
+    no_fix = fix(null_s, null_s)
+    return (
+        F.when(object_type == OT_BNODE, no_fix)
+        .when(datatype.isNull() | (object_type != OT_LITERAL), no_fix)
+        # fixLiteral: rdfs:Literal / langString / XMLLiteral → xsd:string
+        .when(datatype.isin(RDFS_LITERAL, RDF_LANGSTRING, RDF_XMLLITERAL),
+              fix(v, F.lit(XSD_STRING)))
+        # fixBoolean: lowercase then re-check (fixTriple.js:130-140)
+        .when(datatype == XSD_BOOLEAN,
+              fix(F.when(F.lower(v).isin("true", "false"), F.lower(v)),
+                  F.lit(XSD_BOOLEAN)))
+        # fixDate / fixDateTime: reparse + canonicalize (normalized mode)
+        .when(datatype == XSD_DATE, fix(_fix_date(v), F.lit(XSD_DATE)))
+        .when(datatype == XSD_DATETIME,
+              fix(_fix_datetime(v), F.lit(XSD_DATETIME)))
+        # fixInteger: xsd:int → xsd:integer when numeric (fixTriple.js:86-89)
+        .when(datatype == XSD_INT,
+              fix(F.when(_is_numeric_js(v), v), F.lit(XSD_INTEGER)))
+        # fixWktLiteral: first 'https' → 'http' (fixTriple.js:98-123)
+        .when((datatype == GEO_WKT) & (F.length(F.coalesce(v, F.lit(""))) > 0),
+              fix(F.when(_wkt_crs(v) != "", _replace_first(v, "https", "http"))
+                  .otherwise(v),
+                  F.lit(GEO_WKT)))
+        .otherwise(no_fix)
+    )
+
+
+def triage(df: DataFrame) -> DataFrame:
+    """Annotate a TRIPLE_SCHEMA DataFrame with triage columns
+    (correctAndRepairTriples, pipeline-import.js:220-241):
+
+      is_valid        first-pass validateTriple verdict
+      verdict         'valid' | 'fixed' | 'dropped'
+      fixed_object_value / fixed_datatype / fixed_language
+                      repaired object term (only for verdict='fixed')
+
+    One projection — Catalyst folds the whole thing into a single
+    whole-stage-codegen stage over the scan. Over a parquet-backed triple
+    table (the at-scale path) the stage compiles well inside the JVM 64 KB
+    method limit; only the fully-fused corner case of text-decode + triage
+    + select-every-column in one plan falls back to interpreted eval.
+    """
+    parse_ok = F.col("parse_ok") if "parse_ok" in df.columns else None
+    valid = is_valid_triple(F.col("subject"), F.col("object_type"),
+                            F.col("object_value"), F.col("datatype"),
+                            F.col("language"), parse_ok)
+    df = df.withColumn("is_valid", valid)
+
+    fixed = fix_object(F.col("object_type"), F.col("object_value"),
+                       F.col("datatype"), F.col("language"))
+    # a triple with a bnode subject is unrepairable (fixTriple.js:25-27)
+    fixable = ~F.col("subject").startswith("_:")
+    if parse_ok is not None:
+        fixable = F.col("parse_ok") & fixable
+    df = (
+        df.withColumn("_fix", F.when(~F.col("is_valid") & fixable, fixed))
+        .withColumn("fixed_object_value", F.col("_fix.value"))
+        .withColumn("fixed_datatype", F.col("_fix.datatype"))
+        .withColumn("fixed_language", F.lit(None).cast("string"))
+        .drop("_fix")
+        .withColumn(
+            "verdict",
+            F.when(F.col("is_valid"), F.lit("valid"))
+            .when(F.col("fixed_object_value").isNotNull(), F.lit("fixed"))
+            .otherwise(F.lit("dropped")))
+    )
+    return df
+
+
+def _as_triples(df: DataFrame) -> list[str]:
+    return [c for c in df.columns
+            if c in ("subject", "predicate", "object_value", "object_type",
+                     "datatype", "language", "graph")]
+
+
+def valid_triples(triaged: DataFrame) -> DataFrame:
+    """valid = passed ∪ repaired, repaired rows in their fixed form
+    (pipeline-import.js:236)."""
+    cols = _as_triples(triaged)
+    fixed_form = {
+        "object_value": F.coalesce(F.col("fixed_object_value"), F.col("object_value")),
+        "datatype": F.when(F.col("verdict") == "fixed", F.col("fixed_datatype"))
+                     .otherwise(F.col("datatype")),
+        "language": F.when(F.col("verdict") == "fixed", F.col("fixed_language"))
+                     .otherwise(F.col("language")),
+    }
+    out = triaged.filter(F.col("verdict").isin("valid", "fixed"))
+    return out.select(*[
+        fixed_form.get(c, F.col(c)).alias(c) for c in cols
+    ])
+
+
+def invalid_triples(triaged: DataFrame) -> DataFrame:
+    """invalid = all first-pass failures, original form
+    (pipeline-import.js:229-230)."""
+    return triaged.filter(~F.col("is_valid")).select(*_as_triples(triaged))
+
+
+def corrected_triples(triaged: DataFrame) -> DataFrame:
+    """corrected = originals of the repaired subset (pipeline-import.js:237)."""
+    return triaged.filter(F.col("verdict") == "fixed").select(*_as_triples(triaged))
+
+
+def dropped_triples(triaged: DataFrame) -> DataFrame:
+    return triaged.filter(F.col("verdict") == "dropped").select(*_as_triples(triaged))

@@ -1,0 +1,117 @@
+"""Golden triage cases — one per row of the SURVEY.md §1.2 datatype table
+(FIXTURES.md §B4), asserting validateTriple.js + fixTriple.js semantics,
+plus the triage partition invariants and fix-idempotence property."""
+
+from pyspark.sql import functions as F
+
+from harvesting_extract_to_ttl_service_spark.operators.triage import (
+    corrected_triples,
+    dropped_triples,
+    invalid_triples,
+    triage,
+    valid_triples,
+)
+from harvesting_extract_to_ttl_service_spark.schema import (
+    GEO_WKT,
+    RDF_HTML,
+    RDF_LANGSTRING,
+    RDF_XMLLITERAL,
+    RDFS_LITERAL,
+    TRIPLE_SCHEMA,
+    XSD_BOOLEAN,
+    XSD_DATE,
+    XSD_DATETIME,
+    XSD_INT,
+    XSD_INTEGER,
+    XSD_STRING,
+)
+
+S, P = "http://s", "http://p"
+
+# (case_id-as-subject, object_value, object_type, datatype, language)
+#   → expected verdict, expected fixed object (value, datatype) or None
+CASES = [
+    ("iri-ok", "http://b", "iri", None, None, "valid", None),
+    ("bnode-obj", "_:b0", "bnode", None, None, "dropped", None),
+    ("plain-ok", "x", "literal", None, None, "valid", None),
+    ("string-ok", "x", "literal", XSD_STRING, None, "valid", None),
+    ("langstring-ok", "x", "literal", RDF_LANGSTRING, "nl", "valid", None),
+    ("langstring-empty", "x", "literal", RDF_LANGSTRING, None, "fixed",
+     ("x", XSD_STRING)),
+    ("rdfs-literal", "x", "literal", RDFS_LITERAL, None, "fixed", ("x", XSD_STRING)),
+    ("xmlliteral", "<x/>", "literal", RDF_XMLLITERAL, None, "fixed",
+     ("<x/>", XSD_STRING)),
+    ("html-ok", "<p>x</p>", "literal", RDF_HTML, None, "valid", None),
+    ("bool-ok", "true", "literal", XSD_BOOLEAN, None, "valid", None),
+    ("bool-case", "TRUE", "literal", XSD_BOOLEAN, None, "fixed",
+     ("true", XSD_BOOLEAN)),
+    ("bool-bad", "yes", "literal", XSD_BOOLEAN, None, "dropped", None),
+    ("date-ok", "2023-05-07", "literal", XSD_DATE, None, "valid", None),
+    ("date-tz-ok", "2023-05-07Z", "literal", XSD_DATE, None, "valid", None),
+    ("date-fixable", "2023/05/07", "literal", XSD_DATE, None, "fixed",
+     ("2023-05-07", XSD_DATE)),
+    ("date-bad", "notadate", "literal", XSD_DATE, None, "dropped", None),
+    ("datetime-ok", "2023-05-07T09:05:03Z", "literal", XSD_DATETIME, None,
+     "valid", None),
+    ("datetime-frac-ok", "2023-05-07T09:05:03.123+02:00", "literal",
+     XSD_DATETIME, None, "valid", None),
+    ("datetime-fixable", "2023/05/07 09:05:03", "literal", XSD_DATETIME, None,
+     "fixed", ("2023-05-07T09:05:03", XSD_DATETIME)),
+    ("integer-ok", "42", "literal", XSD_INTEGER, None, "valid", None),
+    # Number() quirk: floats pass xsd:integer (validateTriple.js:136-139)
+    ("integer-float-quirk", "4.2", "literal", XSD_INTEGER, None, "valid", None),
+    ("integer-bad", "four", "literal", XSD_INTEGER, None, "dropped", None),
+    ("int-recast", "42", "literal", XSD_INT, None, "fixed", ("42", XSD_INTEGER)),
+    ("int-bad", "four", "literal", XSD_INT, None, "dropped", None),
+    ("wkt-ok", "POINT(1 2)", "literal", GEO_WKT, None, "valid", None),
+    ("wkt-http-ok", "<http://crs.org/x> POINT(1 2)", "literal", GEO_WKT, None,
+     "valid", None),
+    ("wkt-https", "<https://crs.org/x> POINT(1 2)", "literal", GEO_WKT, None,
+     "fixed", ("<http://crs.org/x> POINT(1 2)", GEO_WKT)),
+    ("wkt-empty", "", "literal", GEO_WKT, None, "dropped", None),
+    ("unknown-datatype", "x", "literal", "http://example/custom", None,
+     "dropped", None),
+]
+
+
+def _df(spark):
+    rows = [(f"http://case/{cid}", P, ov, ot, dt, lang, None)
+            for cid, ov, ot, dt, lang, _, _ in CASES]
+    # bnode subject case (any position → dropped, fixTriple.js:25-27)
+    rows.append(("_:bsub", P, "x", "literal", None, None, None))
+    return spark.createDataFrame(rows, TRIPLE_SCHEMA)
+
+
+def test_golden_verdicts(spark):
+    out = triage(_df(spark)).collect()
+    by_subject = {r.subject: r for r in out}
+    for cid, _ov, _ot, _dt, _lang, want_verdict, want_fix in CASES:
+        r = by_subject[f"http://case/{cid}"]
+        assert r.verdict == want_verdict, (cid, r.verdict, want_verdict)
+        if want_fix is not None:
+            assert (r.fixed_object_value, r.fixed_datatype) == want_fix, (
+                cid, (r.fixed_object_value, r.fixed_datatype), want_fix)
+    assert by_subject["_:bsub"].verdict == "dropped"
+
+
+def test_triage_invariants(spark):
+    t = triage(_df(spark))
+    n = t.count()
+    valid = valid_triples(t)
+    invalid = invalid_triples(t)
+    corrected = corrected_triples(t)
+    dropped = dropped_triples(t)
+    n_pass = t.filter(F.col("verdict") == "valid").count()
+    assert valid.count() == n_pass + corrected.count()
+    assert invalid.count() == corrected.count() + dropped.count()
+    assert n == n_pass + invalid.count()
+    # corrected ⊆ invalid (original forms)
+    assert corrected.exceptAll(invalid).count() == 0
+
+
+def test_fix_idempotent(spark):
+    """A repaired triple must validate (validate∘fix property)."""
+    t = triage(_df(spark))
+    repaired = valid_triples(t)  # fixed rows now in fixed form
+    re_triaged = triage(repaired)
+    assert re_triaged.filter(F.col("verdict") != "valid").count() == 0
