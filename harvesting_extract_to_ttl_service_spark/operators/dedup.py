@@ -1,0 +1,258 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup (SURVEY.md §2C extension surface).
+
+Design for 100 TB:
+  * exact dedup is a single hash-shuffle on a content fingerprint (never on
+    the raw text — shuffle the 16-byte hash, not the document);
+  * near-dup avoids the O(n²) pair space via LSH banding — candidate pairs
+    come from an equi-join on (band, band_signature), which Spark executes
+    as a shuffled hash join keyed on small ints;
+  * all hash primitives are md5/xxhash64-based column expressions —
+    deterministic across runs AND across engines (md5 is bit-identical in
+    DuckDB, which is what lets the oracle verify MinHash signatures).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from harvesting_extract_to_ttl_service_spark.operators.text import fingerprint, tokens
+
+# Mersenne prime 2^31-1: modulus for the portable universal-hash family
+# h_i(x) = (a_i * x + b_i) mod P used by the MinHash signatures. With
+# x < 2^32 and a < 2^31 the product stays under 2^63 — no int64 overflow in
+# any engine — while the mod genuinely wraps (a modulus that never wraps
+# would make every permutation monotonic and collapse the signature to a
+# function of the single global min-hash).
+_P = (1 << 31) - 1
+
+
+def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Fixed pseudo-random (a_i, b_i) universal-hash coefficients
+    (seed 42 — deterministic across runs and mirrored by the DuckDB
+    oracle generator)."""
+    import random
+
+    rng = random.Random(42)
+    return [(rng.randrange(1, _P), rng.randrange(0, _P))
+            for _ in range(num_hashes)]
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of the lowercased text (array column)."""
+    t = tokens(F.lower(text))
+    cnt = F.size(t)
+    idx = F.sequence(F.lit(1), F.greatest(cnt - n + 1, F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+    )
+
+
+def _portable_hash64(s: Column) -> Column:
+    """First 15 hex chars of md5 as a non-negative int64 — identical in any
+    engine with md5/substr/hex-parse, unlike xxhash64/murmur."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def _portable_hash32(s: Column) -> Column:
+    """First 8 hex chars of md5 as an int64 in [0, 2^32) — small enough
+    that the universal-hash multiply below cannot overflow int64 (Spark
+    wraps silently on overflow, DuckDB raises; staying under 2^63 keeps
+    the arithmetic identical everywhere)."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signature(text: Column, num_hashes: int = 32, shingle_n: int = 3) -> Column:
+    """MinHash signature (array<long> of length ``num_hashes``) over word
+    shingles. Permutation i is the universal hash (a_i*h + b_i) mod P with
+    fixed odd constants — deterministic, seedless, engine-portable."""
+    base = F.transform(shingles(text, shingle_n), _portable_hash32)
+
+    def perm(a: int, b: int):
+        # factory, not default-arg closure: PySpark introspects lambda
+        # arity and a `lambda h, a=a, b=b` is seen as a 3-ary lambda
+        return lambda h: (F.lit(a) * h + F.lit(b)) % _P
+
+    sig = [F.array_min(F.transform(base, perm(a, b)))
+           for a, b in _minhash_coeffs(num_hashes)]
+    return F.array(*sig)
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content fingerprint: one row per duplicate group
+    with the canonical (min-id) representative and group size. The groupBy
+    shuffles only (fingerprint, id) pairs."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("canonical_id"),
+             F.count("*").alias("group_size"))
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id row per identical (normalized) text."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", num_hashes: int = 32,
+                           bands: int = 8, shingle_n: int = 3) -> DataFrame:
+    """LSH banding: split the MinHash signature into ``bands`` bands of
+    ``num_hashes/bands`` rows; docs agreeing on any full band become a
+    candidate pair. Returns distinct (id_a < id_b) candidate pairs.
+
+    Scale path: the self-join is keyed on (band_index, band_hash) — small
+    fixed-width keys; hot buckets (boilerplate docs) are the skew risk, so
+    AQE skew-join stays on in the session config.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(F.col(id_col).alias("id"),
+                    minhash_signature(F.col(text_col), num_hashes, shingle_n)
+                    .alias("sig"))
+    banded = sig.select(
+        "id",
+        F.posexplode(F.array(*[
+            F.md5(F.concat_ws(",", *[
+                F.col("sig").getItem(b * rows_per_band + r).cast("string")
+                for r in range(rows_per_band)]))
+            for b in range(bands)
+        ])).alias("band", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_similarity(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 32,
+                       bands: int = 8, shingle_n: int = 3,
+                       threshold: float = 0.5) -> DataFrame:
+    """Candidate pairs + estimated Jaccard (fraction of agreeing MinHash
+    rows), filtered to ``threshold``."""
+    sig = df.select(F.col(id_col).alias("id"),
+                    minhash_signature(F.col(text_col), num_hashes, shingle_n)
+                    .alias("sig"))
+    cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands,
+                                  shingle_n)
+    a = sig.alias("sa")
+    b = sig.alias("sb")
+    est = (
+        cand.join(a, cand.id_a == F.col("sa.id"))
+        .join(b, cand.id_b == F.col("sb.id"))
+        .select(
+            "id_a", "id_b",
+            F.size(F.filter(F.zip_with("sa.sig", "sb.sig", lambda x, y: x == y),
+                            lambda eq: eq)).alias("_agree"),
+        )
+        .withColumn("est_jaccard", F.col("_agree") / F.lit(num_hashes))
+        .drop("_agree")
+    )
+    return est.filter(F.col("est_jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", shingle_n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard near-dup: explode distinct shingles, self-join
+    on shingle to get intersection sizes (only pairs sharing ≥1 shingle —
+    never the full O(n²) space), then |A∩B| / (|A|+|B|−|A∩B|)."""
+    sh = df.select(F.col(id_col).alias("id"),
+                   shingles(F.col(text_col), shingle_n).alias("sh"))
+    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    exploded = sh.select("id", F.explode("sh").alias("g"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, inter.id_a == F.col("sa.id"))
+        .join(sb, inter.id_b == F.col("sb.id"))
+        .select(
+            "id_a", "id_b",
+            (F.col("inter")
+             / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("inter")))
+            .alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(text: Column, bits: int = 64, shingle_n: int = 2) -> Column:
+    """SimHash: per-bit majority vote over shingle hashes. Bit k of the
+    fingerprint is 1 iff more shingle hashes have bit k set than not.
+    Entirely `aggregate`/`transform` expressions (no UDF)."""
+    hashes = F.transform(shingles(text, shingle_n), _portable_hash64)
+
+    def bits_of(h):
+        # literal shift amounts (shiftright needs a Python int, not a
+        # lambda-bound Column) — unrolled, still one codegen'd expression
+        return F.array(*[
+            F.when(F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1)).cast("long")
+            for k in range(bits)
+        ])
+
+    # counts[k] = Σ_sh (bit k of hash(sh) ? +1 : -1)
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(acc, bits_of(h), lambda a, d: a + d),
+    )
+    powers = F.array(*[F.lit(1 << k).cast("long") for k in range(bits)])
+    bit_vals = F.zip_with(
+        counts, powers,
+        lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long")))
+    return F.aggregate(bit_vals, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def simhash_candidates(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", bits: int = 64,
+                       max_hamming: int = 3, blocks: int = 4) -> DataFrame:
+    """SimHash near-dup candidates: split the fingerprint into ``blocks``
+    bit-blocks (pigeonhole: pairs within ``max_hamming`` ≤ blocks-1 bit
+    diffs must agree on ≥1 block), equi-join per block, then exact Hamming
+    filter via bit_count(xor)."""
+    block_bits = bits // blocks
+    mask = (1 << block_bits) - 1
+    sh = df.select(F.col(id_col).alias("id"),
+                   simhash(F.col(text_col), bits).alias("sh"))
+    blocked = sh.select(
+        "id", "sh",
+        F.posexplode(F.array(*[
+            F.shiftright("sh", i * block_bits).bitwiseAND(mask)
+            for i in range(blocks)
+        ])).alias("blk", "blk_val"),
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.blk_val") == F.col("b.blk_val"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+                .alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns (SURVEY.md §2C extension
+surface): brute-force cosine top-k as the exact baseline, plus LSH- and
+IVF-bucketed approximate variants as the scale path.
+
+The dot products are `zip_with`/`aggregate` column expressions — JVM-side,
+no Python. At 100 TB the brute-force path is a single scan per query
+vector (fine for few queries); the bucketed paths cut the candidate set by
+orders of magnitude for query workloads, trading recall.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    # cast to double BEFORE the multiply: float32 products then double
+    # accumulation is engine-dependent; double all the way is deterministic
+    # and matches the DuckDB oracle bit-for-bit.
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact brute-force cosine top-k against a constant query vector.
+    One scan; per-row work is a fused fold over the array — no shuffle
+    except the final top-k (orderBy + limit → TakeOrdered, which keeps
+    only k rows per partition)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.select(F.col(id_col),
+                  F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_self_join_topk(df: DataFrame, k: int = 5, vec_col: str = "embedding",
+                          id_col: str = "vec_id") -> DataFrame:
+    """All-pairs exact top-k neighbours per vector (small/medium corpora;
+    the LSH/IVF variants below are the at-scale answer)."""
+    from pyspark.sql import Window
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") != F.col("id_b")).select(
+        "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
+    w = Window.partitionBy("id_a").orderBy(F.col("cos_sim").desc(), F.col("id_b"))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (seedless LCG on
+    (plane, dim) — reproducible across runs, no RNG state)."""
+    planes = []
+    for p in range(n_planes):
+        v = []
+        for d in range(dim):
+            x = math.sin(1.0 + 37.0 * p + 101.0 * d) * 43758.5453
+            v.append(2.0 * (x - math.floor(x)) - 1.0)
+        planes.append(v)
+    return planes
+
+
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
+    """Random-hyperplane (sign) LSH bucket id: bit p = sign(vec · plane_p).
+    Cosine-similar vectors collide with high probability."""
+    bucket = F.lit(0)
+    for p, plane in enumerate(_hyperplanes(dim, n_planes)):
+        pv = F.array(*[F.lit(x) for x in plane])
+        bucket = bucket + F.when(dot(vec, pv) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 n_planes: int = 8) -> DataFrame:
+    """Approximate top-k: restrict the scan to the query's LSH bucket, then
+    exact cosine inside it. At scale the table is stored partitioned by
+    bucket → partition pruning turns this into a sub-percent scan."""
+    dim = len(query_vec)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qbucket = None
+    for p, plane in enumerate(_hyperplanes(dim, n_planes)):
+        s = sum(a * b for a, b in zip(query_vec, plane))
+        bit = 1 << p if s > 0 else 0
+        qbucket = bit if qbucket is None else qbucket | bit
+    return (
+        df.withColumn("_bucket", lsh_bucket(F.col(vec_col), dim, n_planes))
+        .filter(F.col("_bucket") == qbucket)
+        .select(F.col(id_col),
+                F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_assign(df: DataFrame, centroids: list[list[float]],
+               vec_col: str = "embedding") -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest centroid
+    (argmax cosine). Centroids are a driver-side list (trained elsewhere,
+    e.g. on a sample via k-means); assignment is a pure column expression."""
+    best = F.struct(F.lit(-2.0).alias("sim"), F.lit(-1).alias("centroid"))
+    for i, c in enumerate(centroids):
+        cv = F.array(*[F.lit(float(x)) for x in c])
+        sim = cosine(F.col(vec_col), cv)
+        best = F.when(sim > best.getField("sim"),
+                      F.struct(sim.alias("sim"), F.lit(i).alias("centroid"))
+                      ).otherwise(best)
+    return df.withColumn("ivf_cell", best.getField("centroid"))

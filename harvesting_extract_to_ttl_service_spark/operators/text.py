@@ -1,0 +1,145 @@
+"""Text-analysis operators for large-scale training-data pipelines
+(SURVEY.md §2C extension surface; no reference counterpart — the reference
+only scrubs U+FFFD chars, /root/reference/lib/rdfa-extractor.js:72).
+
+All pure `pyspark.sql.functions` column expressions — language ID, quality
+scoring, token counting, fingerprinting run JVM-side inside whole-stage
+codegen; no Python boundary, so a 100 TB corpus scan is I/O-bound, not
+serde-bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker lists for the n-gram/stopword-hit
+# language-ID heuristic. Deliberately small and deterministic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "für"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "un", "une", "dans", "pour"],
+    "es": ["el", "la", "los", "las", "es", "no", "un", "una", "por", "para"],
+    "nl": ["de", "het", "een", "en", "van", "is", "niet", "met", "voor", "aan"],
+}
+
+EN_STOPWORDS = LANG_MARKERS["en"] + ["a", "an", "as", "at", "by", "on", "or"]
+
+# BPE-ish token heuristic: word pieces, numbers, or single non-space symbols
+# — a cheap proxy for subword token counts.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (empty-string-safe)."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Count of BPE-ish matches (letters runs + digit runs + symbols)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def avg_token_len(text: Column) -> Column:
+    t = tokens(text)
+    return F.when(F.size(t) > 0,
+                  F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+                  / F.size(t))
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    sw = [s.lower() for s in (stopwords or EN_STOPWORDS)]
+    t = tokens(F.lower(text))
+    hits = F.size(F.filter(t, lambda x: x.isin(sw)))
+    return F.when(F.size(t) > 0, hits / F.size(t)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    punct = n - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return F.when(n > 0, punct / n).otherwise(F.lit(0.0))
+
+
+def uppercase_ratio(text: Column) -> Column:
+    n = F.length(text)
+    upper = n - F.length(F.regexp_replace(text, "[A-Z]", ""))
+    return F.when(n > 0, upper / n).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite heuristic document-quality score in [0, 1]: rewards
+    mid-length docs with sane word lengths and some stopwords, penalizes
+    punctuation soup. Weights are arbitrary but fixed (training-data
+    filtering heuristics in the C4/Gopher tradition)."""
+    tc = token_count(text)
+    len_ok = F.when((tc >= 10) & (tc <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    awl = F.coalesce(avg_token_len(text), F.lit(0.0))
+    wordlen_ok = F.when((awl >= 2.0) & (awl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    sw = stopword_ratio(text)
+    sw_ok = F.when(sw >= 0.01, F.lit(1.0)).otherwise(F.lit(0.0))
+    p = punct_ratio(text)
+    punct_ok = F.when(p <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    return (0.3 * len_ok + 0.2 * wordlen_ok + 0.3 * sw_ok + 0.2 * punct_ok)
+
+
+def lang_id(text: Column, markers: dict[str, list[str]] | None = None) -> Column:
+    """Stopword-marker language ID: pick the language with the most marker
+    hits; 'und' (undetermined) when nothing matches. Deterministic
+    tie-break: language code ascending."""
+    markers = markers or LANG_MARKERS
+    t = tokens(F.lower(text))
+    scored = F.array(*[
+        F.struct(
+            F.size(F.filter(t, lambda x: x.isin([w.lower() for w in words])))
+            .alias("hits"),
+            F.lit(-rank).alias("neg_rank"),  # max(neg_rank) ⇒ first language code
+            F.lit(lang).alias("lang"),
+        )
+        for rank, (lang, words) in enumerate(sorted(markers.items()))
+    ])
+    best = F.array_max(F.filter(scored, lambda s: s.hits > 0))
+    return F.when(best.isNull(), F.lit("und")).otherwise(best.getField("lang"))
+
+
+def fingerprint(text: Column, n_hex: int = 16) -> Column:
+    """Deterministic document fingerprint: md5 over the normalized text
+    (lowercased, whitespace-collapsed), truncated to ``n_hex`` hex chars.
+    Content-derived, so stable across runs/engines (SURVEY.md §7 hard
+    part d: prefer content hashes over uuids)."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.substring(F.md5(norm), 1, n_hex)
+
+
+def rolling_hashes(text: Column, window: int = 8) -> Column:
+    """Winnowing-style shingle hashes: md5 of each ``window``-word shingle
+    (array column). Basis for robust near-dup fingerprints."""
+    t = tokens(F.lower(text))
+    n = F.size(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
+    return F.transform(
+        idx, lambda i: F.substring(F.md5(F.concat_ws(" ", F.slice(t, i, window))), 1, 16)
+    )
+
+
+def annotate_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text-analysis projection over a documents table."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        F.round(F.coalesce(avg_token_len(t), F.lit(0.0)), 4).alias("avg_token_len"),
+        F.round(stopword_ratio(t), 4).alias("stopword_ratio"),
+        F.round(punct_ratio(t), 4).alias("punct_ratio"),
+        F.round(quality_score(t), 4).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fingerprint"),
+    )

@@ -1,0 +1,564 @@
+"""Core relational query catalog: SURVEY.md §2C joins / aggregates /
+windows / set-ops / scalar fns / time buckets over the TPC-H-ish fixtures,
+each paired with an ANSI-SQL DuckDB oracle.
+
+Conventions (driver contract, /root/repo/__spark_entry__.py):
+  * every computed column aliased identically in Spark and SQL;
+  * double aggregates rounded (2 dp money, 4 dp ratios) so
+    floating-point summation order can't flip the value hash;
+  * timestamps rendered as strings (Spark reads the fixture timestamps as
+    NTZ; DuckDB as naive — string rendering is identical).
+
+Scale notes are inline — each query states its shuffle/broadcast shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from harvesting_extract_to_ttl_service_spark.plans.tables import load
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style aggregates & joins
+# --------------------------------------------------------------------------
+
+@q("q1_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                   AS sum_qty,
+       round(sum(l_extendedprice), 2)                              AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4)                                   AS avg_qty,
+       round(avg(l_extendedprice), 4)                              AS avg_price,
+       round(avg(l_discount), 4)                                   AS avg_disc,
+       count(*)                                                    AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape. One scan + one partial/final hash aggregate on a
+    6-group key — Catalyst plans map-side combine; no join."""
+    li = load(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@q("q3_shipping_priority", """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate,
+       o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""")
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → join fact → top-k.
+    customer is the small side → broadcast; lineitem⋈orders shuffles on
+    orderkey; final top-10 is TakeOrdered (no global sort)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .select("l_orderkey", "revenue",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+                "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@q("q5_region_revenue", """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders   ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              JOIN nation   ON s_nationkey = n_nationkey
+              JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+""")
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join. nation/region/supplier are small →
+    broadcast; the only shuffles are lineitem⋈orders (orderkey) and the
+    customer join (custkey). Flagship query (`entry`)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01"))
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
+              & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+
+
+@q("q6_forecast_revenue", """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""")
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan+filter+agg — every predicate pushes to parquet."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") >= "1997-01-01")
+                  & (F.col("l_shipdate") < "1998-01-01")
+                  & (F.col("l_discount").between(0.03, 0.07))
+                  & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             .alias("revenue"))
+    )
+
+
+@q("top_customers_by_revenue", """
+SELECT c_custkey, c_name,
+       round(sum(o_totalprice), 2) AS total_spent,
+       count(*)                    AS n_orders
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spent DESC, c_custkey
+LIMIT 25
+""")
+def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+             F.count("*").alias("n_orders"))
+        .orderBy(F.col("total_spent").desc(), "c_custkey")
+        .limit(25)
+    )
+
+
+@q("segment_order_stats", """
+SELECT c_mktsegment,
+       count(*)                     AS n_orders,
+       round(sum(o_totalprice), 2)  AS total,
+       round(avg(o_totalprice), 4)  AS avg_price,
+       count(DISTINCT o_custkey)    AS n_customers
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""")
+def segment_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈broadcast-dim + multi-agg incl. count distinct."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"),
+             F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+             F.count_distinct("o_custkey").alias("n_customers"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+
+@q("window_top3_orders_per_customer", """
+SELECT o_custkey, o_orderkey, rank, round(o_totalprice, 2) AS totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+) WHERE rank <= 3
+""")
+def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: one shuffle on the partition key; rank prunes
+    before anything else touches the rows."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(),
+                                                F.col("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "rank",
+                F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+@q("window_running_supplier_revenue", """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       round(sum(l_extendedprice) OVER (
+         PARTITION BY l_suppkey
+         ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_revenue
+FROM lineitem
+WHERE l_suppkey % 50 = 0
+""")
+def window_running_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum with a total (unique-key) ordering so the frame is
+    deterministic."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") % 50 == 0)
+    w = (Window.partitionBy("l_suppkey")
+         .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return li.select(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        F.round(F.sum("l_extendedprice").over(w), 2).alias("running_revenue"))
+
+
+@q("window_order_gap_days", """
+SELECT o_custkey, o_orderkey,
+       date_diff('day',
+                 lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey),
+                 o_orderdate) AS gap_days
+FROM orders
+WHERE o_custkey % 10 = 0
+""")
+def window_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.datediff(F.col("o_orderdate"), prev).cast("long").alias("gap_days"))
+
+
+@q("sessionize_events", """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, count(DISTINCT session_id) AS n_sessions,
+       round(CAST(count(*) AS DOUBLE) / count(DISTINCT session_id), 4)
+         AS avg_events_per_session
+FROM sess GROUP BY user_id
+""")
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min gap): lag + cumulative-sum session ids
+    — the batch twin of streaming `session_window` (streaming/ module)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = (Window.partitionBy("user_id").orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)))
+    sess = flagged.withColumn("session_id", F.sum("new_session").over(wrun))
+    return (
+        sess.groupBy("user_id")
+        .agg(F.count_distinct("session_id").alias("n_sessions"),
+             F.round(F.count("*") / F.count_distinct("session_id"), 4)
+             .alias("avg_events_per_session"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Rollup / cube / pivot / set ops
+# --------------------------------------------------------------------------
+
+@q("rollup_flag_status", """
+SELECT l_returnflag, l_linestatus,
+       grouping(l_returnflag, l_linestatus) AS gid,
+       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.grouping_id().alias("gid"),
+             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.count("*").alias("n"))
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
+    )
+
+
+@q("cube_status_priority", """
+SELECT o_orderstatus, o_orderpriority,
+       grouping(o_orderstatus, o_orderpriority) AS gid,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.grouping_id().alias("gid"),
+             F.count("*").alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
+    )
+
+
+@q("pivot_status_by_segment", """
+SELECT c_mktsegment,
+       round(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0), 2) AS status_o,
+       round(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0), 2) AS status_f,
+       round(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0), 2) AS status_p
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""")
+def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load(spark, sf_dir, "orders")
+    piv = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.sum("o_totalprice"))
+    )
+    return piv.select(
+        "c_mktsegment",
+        F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("status_o"),
+        F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("status_f"),
+        F.round(F.coalesce(F.col("P"), F.lit(0.0)), 2).alias("status_p"))
+
+
+@q("setop_active_rich_customers", """
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+""")
+def setop_active_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT — Catalyst executes both as aggregated joins
+    (left-semi / left-anti on distinct sets)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    active = (
+        o.filter((F.col("o_orderdate") >= "1997-01-01")
+                 & (F.col("o_orderdate") < "1998-01-01"))
+        .select(F.col("o_custkey").alias("c_custkey")))
+    failed = (o.filter(F.col("o_orderstatus") == "F")
+              .select(F.col("o_custkey").alias("c_custkey")))
+    return rich.intersect(active).exceptAll(failed.distinct()).distinct()
+
+
+# --------------------------------------------------------------------------
+# Scalar functions / JSON / time buckets
+# --------------------------------------------------------------------------
+
+@q("json_event_values", """
+SELECT event_type,
+       count(*)                                        AS n,
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       round(avg(value), 4)                            AS avg_value
+FROM events
+GROUP BY event_type
+""")
+def json_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction (`get_json_object`) stays JVM-side."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+             F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+@q("part_string_funcs", """
+SELECT p_partkey,
+       upper(substr(p_name, 1, 8))                       AS name_prefix,
+       length(p_name)                                    AS name_len,
+       concat(p_brand, ':', p_type)                      AS brand_type,
+       replace(p_type, ' ', '_')                         AS type_slug,
+       round(p_retailprice * 1.1, 2)                     AS marked_up
+FROM part WHERE p_partkey % 20 = 0
+""")
+def part_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 20 == 0)
+    return p.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 8)).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_slug"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("marked_up"))
+
+
+@q("event_time_buckets", """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+""")
+def event_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h aggregation — the batch twin of the streaming
+    tumbling-window query (streaming/windows.py)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_format(F.date_trunc("hour", "ts"),
+                                "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+                  "event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@q("event_sliding_windows", """
+SELECT strftime(make_timestamp(CAST((floor(epoch(ts) / 1800) - off.o) * 1800 AS BIGINT)
+                               * 1000000),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n
+FROM events CROSS JOIN (VALUES (0), (1)) off(o)
+GROUP BY 1
+""")
+def event_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h size / 30min slide) in batch: `F.window`
+    assigns each event to its ⌈size/slide⌉ = 2 windows."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
+                .alias("window_start"), "n")
+    )
+
+
+@q("asof_join_signup_purchase", """
+SELECT p.event_id, p.user_id,
+       strftime(max(s.ts), '%Y-%m-%d %H:%M:%S') AS last_signup_ts
+FROM events p LEFT JOIN events s
+  ON s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts <= p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id
+""")
+def asof_join_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one): union both streams, sort
+    within user, carry the last signup ts forward with
+    last(ignorenulls) — one shuffle on user_id, no O(n²) pair join.
+    The oracle states the same semantics as join+max."""
+    e = load(spark, sf_dir, "events")
+    tagged = e.filter(F.col("event_type").isin("signup", "purchase")).select(
+        "event_id", "user_id", "ts", "event_type",
+        F.when(F.col("event_type") == "signup", F.col("ts")).alias("signup_ts"))
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts"),
+                  F.when(F.col("event_type") == "signup", F.lit(0)).otherwise(F.lit(1)),
+                  F.col("event_id"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = tagged.withColumn(
+        "last_signup", F.last("signup_ts", ignorenulls=True).over(w))
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id",
+                F.date_format("last_signup", "yyyy-MM-dd HH:mm:ss")
+                .alias("last_signup_ts"))
+    )
+
+
+@q("range_join_error_burst", """
+SELECT e.event_id, count(f.event_id) AS events_within_1h
+FROM events e LEFT JOIN events f
+  ON f.user_id = e.user_id AND f.ts > e.ts
+ AND f.ts <= e.ts + INTERVAL 1 HOUR
+WHERE e.event_type = 'error'
+GROUP BY e.event_id
+""")
+def range_join_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join: equi on user_id + range on ts. Catalyst executes
+    the equi part as the join key and the range as a post-filter, so the
+    pair space is bounded per user."""
+    e = load(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"), F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"))
+    f = e.select(F.col("event_id").alias("f_id"), F.col("user_id").alias("f_user"),
+                 F.col("ts").alias("f_ts"))
+    return (
+        err.join(f, (F.col("f_user") == F.col("e_user"))
+                 & (F.col("f_ts") > F.col("e_ts"))
+                 & (F.col("f_ts") <= F.col("e_ts") + F.expr("INTERVAL 1 HOUR")),
+                 "left")
+        .groupBy(F.col("e_id").alias("event_id"))
+        .agg(F.count("f_id").alias("events_within_1h"))
+    )
+
+
+@q("dedup_events_first_per_key", """
+SELECT user_id, event_type, event_id AS first_event_id
+FROM (
+  SELECT user_id, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+""")
+def dedup_events_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup keeping the earliest row — the deterministic batch twin
+    of streaming dropDuplicates-within-watermark."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", F.col("event_id").alias("first_event_id"))
+    )

@@ -1,0 +1,367 @@
+"""LLM-data-pipeline query catalog (SURVEY.md §2C): dedup (exact, MinHash
+LSH, SimHash, n-gram Jaccard), embedding similarity search, text analysis,
+multimodal plumbing — over the `documents` / `embeddings` fixtures.
+
+Every hash primitive here is md5-derived specifically so the DuckDB oracle
+can recompute signatures bit-for-bit (engine-portable determinism); the
+oracle SQL for the MinHash/SimHash pipelines is generated from the same
+coefficient tables the Spark operators use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+    _minhash_coeffs,
+    _P,
+    exact_duplicates,
+    minhash_signature,
+    minhash_similarity,
+    ngram_jaccard_pairs,
+    simhash_candidates,
+)
+from harvesting_extract_to_ttl_service_spark.operators.multimodal import (
+    documents_as_media,
+    extract_image_features,
+)
+from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+    cosine_topk,
+    lsh_ann_topk,
+)
+from harvesting_extract_to_ttl_service_spark.operators.text import (
+    EN_STOPWORDS,
+    LANG_MARKERS,
+    annotate_documents,
+)
+from harvesting_extract_to_ttl_service_spark.plans.tables import load
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# --- shared SQL fragments (DuckDB) ----------------------------------------
+
+_WORDS = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != '')"
+_WORDS_RAW = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')"
+
+
+def _grams_sql(n: int) -> str:
+    """DuckDB twin of operators.text shingles(): distinct n-word shingles
+    over the list column `w`."""
+    return (f"list_distinct([array_to_string(w[i:i+{n - 1}], ' ') "
+            f"for i in range(1, greatest(len(w) - {n - 1}, 1) + 1)])")
+
+
+_HASH32 = "CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT)"
+_HASH60 = "CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)"
+_NORM_TEXT = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+def _minhash_sig_sql(num_hashes: int) -> str:
+    items = ", ".join(
+        f"list_min([({a} * h + {b}) % {_P} for h in hs])"
+        for a, b in _minhash_coeffs(num_hashes)
+    )
+    return f"[{items}]"
+
+
+# --------------------------------------------------------------------------
+# Dedup
+# --------------------------------------------------------------------------
+
+@q("dedup_exact_docs", f"""
+SELECT substr(md5({_NORM_TEXT}), 1, 16) AS fp,
+       min(doc_id) AS canonical_id,
+       count(*)    AS group_size
+FROM documents GROUP BY 1
+""")
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a 16-hex content fingerprint — shuffles 24 bytes per
+    row, never the document text."""
+    return exact_duplicates(load(spark, sf_dir, "documents"))
+
+
+@q("dedup_ngram_jaccard", f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS} AS w FROM documents WHERE doc_id % 2 = 0
+), g AS (
+  SELECT doc_id, unnest({_grams_sql(3)}) AS g FROM w
+), sz AS (
+  SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard
+FROM inter
+JOIN sz sa ON id_a = sa.doc_id
+JOIN sz sb ON id_b = sb.doc_id
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.2
+""")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs ≥ 0.2: shingle-explode + equi-join on the
+    shingle — only pairs sharing a shingle are materialized, never O(n²)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@q("minhash_signatures", f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS} AS w FROM documents WHERE doc_id % 20 = 0
+), hsrc AS (
+  SELECT doc_id, list_transform({_grams_sql(3)}, g -> {_HASH32}) AS hs FROM w
+), sig AS (
+  SELECT doc_id, {_minhash_sig_sql(8)} AS sig FROM hsrc
+)
+SELECT doc_id, sig[1] AS h0, sig[2] AS h1, sig[3] AS h2, sig[4] AS h3
+FROM sig
+""")
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures verified value-for-value against an independent
+    SQL recomputation (same universal-hash coefficients, seed 42)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    sig = docs.select(
+        "doc_id", minhash_signature(F.col("text"), num_hashes=8).alias("sig"))
+    return sig.select(
+        "doc_id",
+        F.col("sig").getItem(0).alias("h0"), F.col("sig").getItem(1).alias("h1"),
+        F.col("sig").getItem(2).alias("h2"), F.col("sig").getItem(3).alias("h3"))
+
+
+def _minhash_lsh_oracle(num_hashes: int = 32, bands: int = 8,
+                        threshold: float = 0.3) -> str:
+    rows = num_hashes // bands
+    return f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS} AS w FROM documents
+), hsrc AS (
+  SELECT doc_id, list_transform({_grams_sql(3)}, g -> {_HASH32}) AS hs FROM w
+), sig AS (
+  SELECT doc_id, {_minhash_sig_sql(num_hashes)} AS sig FROM hsrc
+), banded AS (
+  SELECT doc_id, b,
+         md5(array_to_string(sig[{rows}*b+1:{rows}*b+{rows}], ',')) AS bh
+  FROM sig, (SELECT unnest(range(0, {bands})) AS b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+), est AS (
+  SELECT id_a, id_b,
+         CAST(list_reduce(list_transform(list_zip(sa.sig, sb.sig),
+                     z -> CASE WHEN z[1] = z[2] THEN 1 ELSE 0 END),
+                     (x, y) -> x + y) AS DOUBLE) / {num_hashes} AS est_jaccard
+  FROM cand JOIN sig sa ON id_a = sa.doc_id JOIN sig sb ON id_b = sb.doc_id
+)
+SELECT id_a, id_b, round(est_jaccard, 4) AS est_jaccard
+FROM est WHERE est_jaccard >= {threshold}
+"""
+
+
+@q("minhash_lsh_pairs", _minhash_lsh_oracle())
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash→banding→candidate-join→estimate pipeline; the oracle
+    re-derives every stage in SQL from the same coefficients."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_similarity(docs, threshold=0.3)
+    return pairs.select("id_a", "id_b",
+                        F.round("est_jaccard", 4).alias("est_jaccard"))
+
+
+@q("simhash_pairs", f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS} AS w FROM documents
+), g AS (
+  SELECT doc_id, unnest({_grams_sql(2)}) AS g FROM w
+), hh AS (
+  SELECT doc_id, {_HASH60} AS hv FROM g
+), bits AS (
+  SELECT doc_id, k,
+         sum(CASE WHEN (hv >> k) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hh, (SELECT unnest(range(0, 60)) AS k)
+  GROUP BY doc_id, k
+), sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS v
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.v, b.v)) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.v, b.v)) <= 6
+""")
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 60-bit fingerprints, pigeonhole block join
+    (hamming ≤ 6 needs 7 blocks for exactness ⇒ blocks=7 ... but 60 bits /
+    7 doesn't divide; use blocks=10, block 6 bits: hamming ≤ 6 < 10 blocks
+    still guarantees ≥1 agreeing block). The oracle brute-forces all pairs
+    — valid because the pigeonhole candidate set is provably complete, so
+    blocked and brute-force answers are identical sets."""
+    docs = load(spark, sf_dir, "documents")
+    return simhash_candidates(docs, bits=60, max_hamming=6, blocks=10)
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+_COS_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(
+         list_reduce(list_transform(list_zip(e.embedding, q.qv),
+                     z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
+                     (a, b) -> a + b)
+         / (sqrt(list_reduce(list_transform(e.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                     (a, b) -> a + b))
+            * sqrt(list_reduce(list_transform(q.qv,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                     (a, b) -> a + b))), 6) AS cos_sim
+FROM embeddings e, q
+WHERE e.vec_id <> 0
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT 10
+"""
+
+
+@q("embedding_cosine_topk", _COS_SQL)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 vs the vec_id=0 embedding. The
+    fold runs in double precision in identical order in both engines, so
+    even unrounded values are bit-equal."""
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return cosine_topk(emb.filter(F.col("vec_id") != 0), list(qvec), k=10)
+
+
+@q("lsh_ann_topk")  # approximate: rows-only check (no SQL oracle by design)
+def lsh_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN: restrict to the query's random-hyperplane LSH
+    bucket, exact cosine inside. Approximate recall ⇒ no SQL oracle."""
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return lsh_ann_topk(emb.filter(F.col("vec_id") != 0), list(qvec), k=10)
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+def _lang_pred_sql() -> str:
+    langs = sorted(LANG_MARKERS)
+    hits = {
+        lang: ("len(list_filter(wl, x -> list_contains(["
+               + ", ".join(f"'{w.lower()}'" for w in LANG_MARKERS[lang])
+               + "], x)))")
+        for lang in langs
+    }
+    m = "greatest(" + ", ".join(hits[lang] for lang in langs) + ")"
+    cases = " ".join(
+        f"WHEN {hits[lang]} = {m} THEN '{lang}'" for lang in langs
+    )
+    return f"CASE WHEN {m} = 0 THEN 'und' {cases} ELSE 'und' END"
+
+
+_SW_LIST = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+
+_TEXT_STATS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         {_WORDS_RAW} AS w,
+         {_WORDS} AS wl
+  FROM documents
+), m AS (
+  SELECT *,
+    len(w) AS n_tokens,
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+    CASE WHEN len(w) > 0 THEN
+      CAST(list_reduce(list_transform(w, x -> length(x)), (a, b) -> a + b)
+           AS DOUBLE) / len(w)
+    ELSE CAST(0.0 AS DOUBLE) END AS _awl,
+    CASE WHEN len(wl) > 0 THEN
+      CAST(len(list_filter(wl, x -> list_contains({_SW_LIST}, x)))
+           AS DOUBLE) / len(wl)
+    ELSE CAST(0.0 AS DOUBLE) END AS _swr,
+    CASE WHEN length(text) > 0 THEN
+      CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+           AS DOUBLE) / length(text)
+    ELSE CAST(0.0 AS DOUBLE) END AS _pr
+  FROM base
+)
+SELECT doc_id, text, lang, source, n_chars, n_tokens, n_bpe_tokens,
+       round(_awl, 4) AS avg_token_len,
+       round(_swr, 4) AS stopword_ratio,
+       round(_pr, 4)  AS punct_ratio,
+       round(CAST(
+             0.3 * (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+           + 0.2 * (CASE WHEN _awl >= 2.0 AND _awl <= 12.0 THEN 1.0 ELSE 0.0 END)
+           + 0.3 * (CASE WHEN _swr >= 0.01 THEN 1.0 ELSE 0.0 END)
+           + 0.2 * (CASE WHEN _pr <= 0.2 THEN 1.0 ELSE 0.0 END) AS DOUBLE), 4)
+         AS quality,
+       {_lang_pred_sql()} AS lang_pred,
+       substr(md5({_NORM_TEXT}), 1, 16) AS fingerprint
+FROM m
+"""
+
+
+@q("text_stats", _TEXT_STATS_SQL)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full text-analysis projection (token counts, quality, lang-id,
+    fingerprint) — single codegen'd scan, oracle restates every formula."""
+    return annotate_documents(load(spark, sf_dir, "documents"))
+
+
+@q("docs_by_source_lang", """
+SELECT source, lang, count(*) AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars,
+       CAST(sum(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                x -> x != ''))) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY source, lang
+""")
+def docs_by_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harvesting_extract_to_ttl_service_spark.operators.text import token_count
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source", "lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+             F.sum(token_count(F.col("text"))).alias("total_tokens"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing
+# --------------------------------------------------------------------------
+
+@q("multimodal_image_meta", """
+SELECT doc_id AS media_id,
+       64 + octet_length(encode(text)) % 512        AS width,
+       64 + (octet_length(encode(text)) // 7) % 512 AS height,
+       octet_length(encode(text))                   AS n_bytes,
+       substr(md5(text), 1, 8)                      AS checksum
+FROM documents
+""")
+def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode plumbing: documents wrapped as opaque payloads,
+    features extracted through the Arrow `mapInPandas` kernel (deterministic
+    fake decoder — the real one is stubbed, see operators/multimodal.py)."""
+    media = documents_as_media(load(spark, sf_dir, "documents"))
+    feats = extract_image_features(media)
+    return feats.select("media_id", "width", "height", "n_bytes", "checksum")

@@ -1,0 +1,382 @@
+"""Triple-model query catalog: the reference's locally-executed dataflow
+(SURVEY.md §2A — N-Triples codec, triage) and SPARQL-delegated query shapes
+(§2B — star/chain joins, count-distinct, upsert, semi-join, fan-out),
+exercised over a triple set deterministically derived from the TPC-H
+fixtures so every query has a DuckDB oracle.
+
+The derivation (`tpch_triples` below ↔ `_CTE` SQL) maps rows to triples:
+  nation   → (urn:nation:K,   urn:p:name,    n_name)            literal
+             (urn:nation:K,   urn:p:region,  urn:region:K)      iri
+  region   → (urn:region:K,   urn:p:name,    r_name)            literal
+  customer → (urn:customer:K, urn:p:nation,  urn:nation:K)      iri
+             (urn:customer:K, urn:p:segment, c_mktsegment)      literal
+             (urn:customer:K, urn:p:acctbal, str(c_acctbal))    ^^xsd:integer
+  orders   → (urn:order:K,    urn:p:customer, urn:customer:K)   iri
+             (urn:order:K,    urn:p:status,  o_orderstatus)     literal
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from harvesting_extract_to_ttl_service_spark.functions.ntriples import (
+    decode_ntriples,
+    encode_ntriples,
+)
+from harvesting_extract_to_ttl_service_spark.operators.relational import (
+    semi_join,
+    star_join,
+    upsert,
+)
+from harvesting_extract_to_ttl_service_spark.operators.triage import triage
+from harvesting_extract_to_ttl_service_spark.plans.tables import load
+from harvesting_extract_to_ttl_service_spark.schema import (
+    RDF_LANGSTRING,
+    XSD_BOOLEAN,
+    XSD_DATE,
+    XSD_INT,
+    XSD_INTEGER,
+    XSD_STRING,
+)
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+GRAPH = "urn:g:tpch"
+
+_CTE = """
+WITH triples(subject, predicate, object_value, object_type, datatype, language, graph) AS (
+  SELECT 'urn:nation:' || n_nationkey, 'urn:p:name', n_name,
+         'literal', NULL, NULL, 'urn:g:tpch' FROM nation
+  UNION ALL
+  SELECT 'urn:nation:' || n_nationkey, 'urn:p:region', 'urn:region:' || n_regionkey,
+         'iri', NULL, NULL, 'urn:g:tpch' FROM nation
+  UNION ALL
+  SELECT 'urn:region:' || r_regionkey, 'urn:p:name', r_name,
+         'literal', NULL, NULL, 'urn:g:tpch' FROM region
+  UNION ALL
+  SELECT 'urn:customer:' || c_custkey, 'urn:p:nation', 'urn:nation:' || c_nationkey,
+         'iri', NULL, NULL, 'urn:g:tpch' FROM customer
+  UNION ALL
+  SELECT 'urn:customer:' || c_custkey, 'urn:p:segment', c_mktsegment,
+         'literal', NULL, NULL, 'urn:g:tpch' FROM customer
+  UNION ALL
+  SELECT 'urn:customer:' || c_custkey, 'urn:p:acctbal', CAST(c_acctbal AS VARCHAR),
+         'literal', 'http://www.w3.org/2001/XMLSchema#integer', NULL, 'urn:g:tpch'
+  FROM customer
+  UNION ALL
+  SELECT 'urn:order:' || o_orderkey, 'urn:p:customer', 'urn:customer:' || o_custkey,
+         'iri', NULL, NULL, 'urn:g:tpch' FROM orders
+  UNION ALL
+  SELECT 'urn:order:' || o_orderkey, 'urn:p:status', o_orderstatus,
+         'literal', NULL, NULL, 'urn:g:tpch' FROM orders
+)
+"""
+
+
+def _lit_triple(subject, predicate, value, datatype=None, language=None,
+                object_type="literal"):
+    return [
+        subject.alias("subject"),
+        F.lit(predicate).alias("predicate"),
+        value.alias("object_value"),
+        F.lit(object_type).alias("object_type"),
+        (datatype if isinstance(datatype, F.Column) else F.lit(datatype))
+        .cast("string").alias("datatype"),
+        F.lit(language).cast("string").alias("language"),
+        F.lit(GRAPH).alias("graph"),
+    ]
+
+
+def tpch_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of `_CTE` — triple view over nation/region/customer/orders."""
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    nk = F.concat(F.lit("urn:nation:"), F.col("n_nationkey"))
+    parts = [
+        nation.select(*_lit_triple(nk, "urn:p:name", F.col("n_name"))),
+        nation.select(*_lit_triple(
+            nk, "urn:p:region",
+            F.concat(F.lit("urn:region:"), F.col("n_regionkey")),
+            object_type="iri")),
+        region.select(*_lit_triple(
+            F.concat(F.lit("urn:region:"), F.col("r_regionkey")),
+            "urn:p:name", F.col("r_name"))),
+        customer.select(*_lit_triple(
+            F.concat(F.lit("urn:customer:"), F.col("c_custkey")),
+            "urn:p:nation",
+            F.concat(F.lit("urn:nation:"), F.col("c_nationkey")),
+            object_type="iri")),
+        customer.select(*_lit_triple(
+            F.concat(F.lit("urn:customer:"), F.col("c_custkey")),
+            "urn:p:segment", F.col("c_mktsegment"))),
+        customer.select(*_lit_triple(
+            F.concat(F.lit("urn:customer:"), F.col("c_custkey")),
+            "urn:p:acctbal", F.col("c_acctbal").cast("string"),
+            datatype=XSD_INTEGER)),
+        orders.select(*_lit_triple(
+            F.concat(F.lit("urn:order:"), F.col("o_orderkey")),
+            "urn:p:customer",
+            F.concat(F.lit("urn:customer:"), F.col("o_custkey")),
+            object_type="iri")),
+        orders.select(*_lit_triple(
+            F.concat(F.lit("urn:order:"), F.col("o_orderkey")),
+            "urn:p:status", F.col("o_orderstatus"))),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# --------------------------------------------------------------------------
+# A9/A10 — N-Triples codec
+# --------------------------------------------------------------------------
+
+@q("ntriples_encode", _CTE + """
+SELECT '<' || subject || '> <' || predicate || '> "' || object_value || '" .' AS nt
+FROM triples WHERE predicate = 'urn:p:name'
+""")
+def ntriples_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tpch_triples(spark, sf_dir).filter(F.col("predicate") == "urn:p:name")
+    return encode_ntriples(t).select("nt")
+
+
+@q("ntriples_decode_roundtrip", _CTE + """
+SELECT subject, predicate, object_value, object_type
+FROM triples WHERE predicate IN ('urn:p:segment', 'urn:p:customer')
+""")
+def ntriples_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """encode → decode must reproduce the source triples (property test at
+    fixture scale, oracle-checked against the relational origin)."""
+    t = tpch_triples(spark, sf_dir).filter(
+        F.col("predicate").isin("urn:p:segment", "urn:p:customer"))
+    lines = encode_ntriples(t).select(F.col("nt").alias("value"))
+    return decode_ntriples(lines).select(
+        "subject", "predicate", "object_value", "object_type")
+
+
+# --------------------------------------------------------------------------
+# A13-A15 — triage over a deterministic dirty-literal mixture
+# --------------------------------------------------------------------------
+
+@q("triage_dirty_literals", """
+SELECT 'urn:order:' || o_orderkey AS subject,
+  CASE o_orderkey % 8
+    WHEN 0 THEN 'valid'
+    WHEN 1 THEN CASE WHEN o_orderstatus = 'O' THEN 'fixed' ELSE 'valid' END
+    WHEN 2 THEN 'valid'
+    WHEN 3 THEN 'fixed'
+    WHEN 4 THEN 'valid'
+    WHEN 5 THEN 'fixed'
+    WHEN 6 THEN 'fixed'
+    ELSE 'dropped' END AS verdict,
+  CASE o_orderkey % 8
+    WHEN 1 THEN CASE WHEN o_orderstatus = 'O' THEN 'true' END
+    WHEN 3 THEN strftime(o_orderdate, '%Y-%m-%d')
+    WHEN 5 THEN CAST(o_custkey AS VARCHAR)
+    WHEN 6 THEN o_orderstatus END AS fixed_object_value,
+  CASE o_orderkey % 8
+    WHEN 1 THEN CASE WHEN o_orderstatus = 'O'
+                     THEN 'http://www.w3.org/2001/XMLSchema#boolean' END
+    WHEN 3 THEN 'http://www.w3.org/2001/XMLSchema#date'
+    WHEN 5 THEN 'http://www.w3.org/2001/XMLSchema#integer'
+    WHEN 6 THEN 'http://www.w3.org/2001/XMLSchema#string' END AS fixed_datatype
+FROM orders
+""")
+def triage_dirty_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dirty mixture over orders — one datatype-rule class
+    per o_orderkey % 8 (SURVEY.md §1.2 table):
+      0 plain literal             → valid
+      1 xsd:boolean 'TRUE'/'true' → fixed (case) / valid
+      2 xsd:date ISO              → valid
+      3 xsd:date slash form       → fixed (canonicalized)
+      4 xsd:integer               → valid
+      5 xsd:int                   → fixed (recast to xsd:integer)
+      6 rdf:langString, no tag    → fixed (recast to xsd:string)
+      7 unknown datatype          → dropped
+    The oracle restates the EXPECTED verdicts independently in SQL."""
+    o = load(spark, sf_dir, "orders")
+    cls = F.col("o_orderkey") % 8
+    value = (
+        F.when(cls == 0, F.col("o_orderstatus"))
+        .when(cls == 1, F.when(F.col("o_orderstatus") == "O", "TRUE").otherwise("true"))
+        .when(cls == 2, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .when(cls == 3, F.date_format("o_orderdate", "yyyy/MM/dd"))
+        .when(cls == 4, F.col("o_custkey").cast("string"))
+        .when(cls == 5, F.col("o_custkey").cast("string"))
+        .when(cls == 6, F.col("o_orderstatus"))
+        .otherwise(F.col("o_orderstatus"))
+    )
+    datatype = (
+        F.when(cls == 1, XSD_BOOLEAN)
+        .when(cls == 2, XSD_DATE)
+        .when(cls == 3, XSD_DATE)
+        .when(cls == 4, XSD_INTEGER)
+        .when(cls == 5, XSD_INT)
+        .when(cls == 6, RDF_LANGSTRING)
+        .when(cls == 7, "urn:dt:custom")
+    )
+    dirty = o.select(
+        F.concat(F.lit("urn:order:"), F.col("o_orderkey")).alias("subject"),
+        F.lit("urn:p:dirty").alias("predicate"),
+        value.alias("object_value"),
+        F.lit("literal").alias("object_type"),
+        datatype.cast("string").alias("datatype"),
+        F.lit(None).cast("string").alias("language"),
+        F.lit(GRAPH).alias("graph"),
+    )
+    return triage(dirty).select("subject", "verdict", "fixed_object_value",
+                                "fixed_datatype")
+
+
+# --------------------------------------------------------------------------
+# B3/B4/B5 — star join, chain join, count-distinct
+# --------------------------------------------------------------------------
+
+@q("b3_star_join_customers", _CTE + """
+SELECT 'urn:customer:' || c_custkey AS subject,
+       'urn:nation:' || c_nationkey AS nation,
+       c_mktsegment                 AS segment,
+       CAST(c_acctbal AS VARCHAR)   AS acctbal
+FROM customer
+""")
+def b3_star_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Task-load star query shape (/root/reference/lib/task.js:83-100):
+    pivot = one shuffle for the whole star, vs N-1 self-joins."""
+    t = tpch_triples(spark, sf_dir)
+    return star_join(
+        t,
+        {"nation": "urn:p:nation", "segment": "urn:p:segment",
+         "acctbal": "urn:p:acctbal"},
+        required=["nation", "segment", "acctbal"],
+        graph=GRAPH,
+    ).filter(F.col("subject").startswith("urn:customer:"))
+
+
+@q("b4_chain_join_customer_region", _CTE + """
+SELECT DISTINCT t1.subject AS customer, t3.object_value AS region_name
+FROM triples t1
+JOIN triples t2 ON t1.object_value = t2.subject AND t2.predicate = 'urn:p:region'
+JOIN triples t3 ON t2.object_value = t3.subject AND t3.predicate = 'urn:p:name'
+WHERE t1.predicate = 'urn:p:nation'
+""")
+def b4_chain_join_customer_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-enumeration chain-join shape
+    (/root/reference/lib/pipeline-import.js:129-139), generalized to all
+    start subjects: customer →nation →region →name, DISTINCT. The
+    reference's LIMIT/OFFSET pagination loop collapses into one scan."""
+    t = tpch_triples(spark, sf_dir)
+    c2n = t.filter(F.col("predicate") == "urn:p:nation").select(
+        F.col("subject").alias("customer"), F.col("object_value").alias("n"))
+    n2r = t.filter(F.col("predicate") == "urn:p:region").select(
+        F.col("subject").alias("n2"), F.col("object_value").alias("r"))
+    r2name = t.filter(F.col("predicate") == "urn:p:name").select(
+        F.col("subject").alias("r2"), F.col("object_value").alias("region_name"))
+    return (
+        c2n.join(n2r, c2n.n == n2r.n2)
+        .join(r2name, n2r.r == r2name.r2)
+        .select("customer", "region_name")
+        .distinct()
+    )
+
+
+@q("b5_count_distinct_nations", _CTE + """
+SELECT count(DISTINCT object_value) AS count
+FROM triples WHERE predicate = 'urn:p:nation'
+""")
+def b5_count_distinct_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harvesting_extract_to_ttl_service_spark.operators.relational import (
+        count_distinct_objects,
+    )
+
+    t = tpch_triples(spark, sf_dir)
+    return count_distinct_objects(t, "urn:p:nation", graph=GRAPH)
+
+
+# --------------------------------------------------------------------------
+# B7/B8/B9 — upsert, semi-join, fan-out
+# --------------------------------------------------------------------------
+
+@q("b7_upsert_status", _CTE + """
+SELECT CASE WHEN o_totalprice > 200000 THEN 'archived' ELSE o_orderstatus END
+         AS status,
+       count(*) AS n
+FROM orders GROUP BY 1
+""")
+def b7_upsert_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status upsert (DELETE+INSERT WHERE,
+    /root/reference/lib/task.js:158-187): anti-join out matched rows,
+    union replacements; verified via the post-upsert status distribution."""
+    orders = load(spark, sf_dir, "orders")
+    current = tpch_triples(spark, sf_dir).filter(
+        F.col("predicate") == "urn:p:status")
+    updates = orders.filter(F.col("o_totalprice") > 200000).select(
+        F.concat(F.lit("urn:order:"), F.col("o_orderkey")).alias("subject"),
+        F.lit("urn:p:status").alias("predicate"),
+        F.lit("archived").alias("object_value"),
+        F.lit("literal").alias("object_type"),
+        F.lit(None).cast("string").alias("datatype"),
+        F.lit(None).cast("string").alias("language"),
+        F.lit(GRAPH).alias("graph"),
+    )
+    merged = upsert(current, updates, ["subject", "predicate"])
+    return (merged.groupBy(F.col("object_value").alias("status"))
+            .agg(F.count("*").alias("n")))
+
+
+@q("b8_semi_join_customers_with_orders", _CTE + """
+SELECT DISTINCT t.subject AS customer
+FROM triples t
+WHERE t.predicate = 'urn:p:segment'
+  AND EXISTS (SELECT 1 FROM triples o
+              WHERE o.predicate = 'urn:p:customer'
+                AND o.object_value = t.subject)
+""")
+def b8_semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence check as left-semi join
+    (/root/reference/lib/task.js:65-78 general form)."""
+    t = tpch_triples(spark, sf_dir)
+    customers = t.filter(F.col("predicate") == "urn:p:segment").select(
+        F.col("subject").alias("customer")).distinct()
+    order_edges = t.filter(F.col("predicate") == "urn:p:customer").select(
+        F.col("object_value").alias("customer"))
+    return semi_join(customers, order_edges, ["customer"])
+
+
+@q("b9_fanout_customer_orders", _CTE + """
+SELECT object_value AS customer,
+       count(*) AS n_orders,
+       string_agg(subject, ',' ORDER BY subject) AS order_list
+FROM triples
+WHERE predicate = 'urn:p:customer'
+  AND CAST(replace(object_value, 'urn:customer:', '') AS BIGINT) % 25 = 0
+GROUP BY object_value
+""")
+def b9_fanout_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hasMany fan-out (/root/reference/lib/task.js:110-155) grouped in one
+    pass; the member list is sorted so the aggregate is deterministic."""
+    t = tpch_triples(spark, sf_dir)
+    edges = t.filter(
+        (F.col("predicate") == "urn:p:customer")
+        & (F.replace(F.col("object_value"), F.lit("urn:customer:"), F.lit(""))
+           .cast("long") % 25 == 0))
+    return (
+        edges.groupBy(F.col("object_value").alias("customer"))
+        .agg(F.count("*").alias("n_orders"),
+             F.array_join(F.array_sort(F.collect_list("subject")), ",")
+             .alias("order_list"))
+    )

@@ -1,0 +1,90 @@
+"""Local mirror of the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() on DuckDB over the same parquet dir,
+compare row count, column names, and order-insensitive values."""
+
+import math
+import os
+from decimal import Decimal
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from harvesting_extract_to_ttl_service_spark.plans.tables import TABLES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 6)
+    if isinstance(v, Decimal):
+        # should not happen: oracles must CAST to DOUBLE/BIGINT; surface it
+        raise AssertionError(f"oracle produced Decimal {v} — add a CAST")
+    if isinstance(v, (int, str, bool)):
+        return v
+    return str(v)
+
+
+def _sort_key(row):
+    return tuple((v is None, str(v)) for v in row)
+
+
+def _norm_rows(cols, rows):
+    return sorted(
+        (tuple(_norm_cell(v) for v in row) for row in rows), key=_sort_key
+    )
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(spark, duck, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    ores = duck.execute(ORACLES[name])
+    ocols = [d[0] for d in ores.description]
+    orows = ores.fetchall()
+
+    assert sorted(scols) == sorted(ocols), (
+        f"{name}: column mismatch spark={scols} duck={ocols}")
+    assert len(srows) == len(orows), (
+        f"{name}: row count spark={len(srows)} duck={len(orows)}")
+
+    # order-insensitive compare on name-sorted columns (driver semantics)
+    sidx = [scols.index(c) for c in sorted(scols)]
+    oidx = [ocols.index(c) for c in sorted(ocols)]
+    snorm = _norm_rows(scols, [[r[i] for i in sidx] for r in srows])
+    onorm = _norm_rows(ocols, [[r[i] for i in oidx] for r in orows])
+    if snorm != onorm:
+        diffs = [(a, b) for a, b in zip(snorm, onorm) if a != b][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+def test_rows_only_queries_run(spark):
+    for name in sorted(set(QUERIES) - set(ORACLES)):
+        df = QUERIES[name](spark, SF_DIR)
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert len(df.columns) >= 2
