@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Driver bench contract: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line:
+
+    {"metric": "headline_wall_sec", "value": N, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is executed to completion through the `noop` sink (full plan
+runs — scan, shuffle, aggregate — but no driver-side collect, so the
+measurement is engine time, not result-transfer time).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from harvesting_extract_to_ttl_service_spark import get_spark  # noqa: E402
+import __spark_entry__ as entry_mod  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative slice of SURVEY.md §2: relational core (scan/agg, joins,
+# windows, sessionize, as-of/range), triple-store shapes (codec+triage,
+# star/chain joins), and the LLM-pipeline operators (dedup, LSH, ANN, text).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "segment_order_stats",
+    "window_top3_orders_per_customer",
+    "sessionize_events",
+    "asof_join_signup_purchase",
+    "range_join_error_burst",
+    "triage_dirty_literals",
+    "b3_star_join_customers",
+    "b4_chain_join_customer_region",
+    "dedup_exact_docs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "embedding_cosine_topk",
+    "text_stats",
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    m = re.search(r"sf([0-9.]+)", d)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    queries = entry_mod.queries()
+    spark = get_spark("bench")
+    # Warm the JVM/codegen paths so the first measured query doesn't pay
+    # session-startup costs.
+    spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+
+    print(json.dumps({
+        "metric": "headline_wall_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": _sf_from_dir(SF_DIR),
+    }))
+
+
+if __name__ == "__main__":
+    main()
