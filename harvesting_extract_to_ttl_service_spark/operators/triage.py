@@ -53,13 +53,16 @@ DATETIME_RE = (
 # Formats tried (in order) when repairing a broken date/dateTime literal,
 # after separator normalization ('/'→'-', 'date time'→'dateTtime'). JS
 # `new Date()` accepts a menagerie; these cover the realistic harvest
-# inputs (slash dates, datetimes missing T/seconds, US month names). The
-# list is kept deliberately short: every format adds a generated-code
+# inputs (slash dates, single-digit components, datetimes missing
+# T/seconds, US month names). Single-letter pattern fields (y/M/d/H/m/s)
+# are lenient — they match both '5' and '05' — so one format covers the
+# reference's non-padded JS-Date outputs too. The list is kept
+# deliberately short: every format adds a generated-code
 # DateTimeFormatter and the repair chain must stay within the JVM's 64 KB
 # method limit to keep whole-stage codegen alive.
-_DATE_FIX_FMTS = ["yyyy-MM-dd", "MM-dd-yyyy", "MMMM d, yyyy"]
+_DATE_FIX_FMTS = ["y-M-d", "M-d-y", "MMMM d, y"]
 _DATETIME_FIX_FMTS = [
-    "yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd'T'HH:mm", "yyyy-MM-dd",
+    "y-M-d'T'H:m:s", "y-M-d'T'H:m", "y-M-d",
 ]
 
 
@@ -67,7 +70,7 @@ def _norm_datetime_sep(v: Column) -> Column:
     """'2023/05/07 09:05' → '2023-05-07T09:05' so one format list covers
     slash/space variants."""
     c = F.regexp_replace(F.trim(v), "/", "-")
-    return F.regexp_replace(c, r"^(-?\d{4,}-\d{2}-\d{2})\s+", "$1T")
+    return F.regexp_replace(c, r"^(-?\d{4,}-\d{1,2}-\d{1,2})\s+", "$1T")
 
 
 def _is_numeric_js(value: Column) -> Column:

@@ -50,12 +50,18 @@ CASES = [
     ("date-tz-ok", "2023-05-07Z", "literal", XSD_DATE, None, "valid", None),
     ("date-fixable", "2023/05/07", "literal", XSD_DATE, None, "fixed",
      ("2023-05-07", XSD_DATE)),
+    # single-digit components: the reference repairs these via the lax JS
+    # Date parser (fixTriple.js:148-162); we canonicalize to zero-padded
+    ("date-short", "2023-5-7", "literal", XSD_DATE, None, "fixed",
+     ("2023-05-07", XSD_DATE)),
     ("date-bad", "notadate", "literal", XSD_DATE, None, "dropped", None),
     ("datetime-ok", "2023-05-07T09:05:03Z", "literal", XSD_DATETIME, None,
      "valid", None),
     ("datetime-frac-ok", "2023-05-07T09:05:03.123+02:00", "literal",
      XSD_DATETIME, None, "valid", None),
     ("datetime-fixable", "2023/05/07 09:05:03", "literal", XSD_DATETIME, None,
+     "fixed", ("2023-05-07T09:05:03", XSD_DATETIME)),
+    ("datetime-short", "2023-5-7T9:5:3", "literal", XSD_DATETIME, None,
      "fixed", ("2023-05-07T09:05:03", XSD_DATETIME)),
     ("integer-ok", "42", "literal", XSD_INTEGER, None, "valid", None),
     # Number() quirk: floats pass xsd:integer (validateTriple.js:136-139)
