@@ -24,11 +24,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from harvesting_extract_to_ttl_service_spark.plans import (  # noqa: E402
     catalog_core,
+    catalog_extract,
     catalog_llm,
     catalog_triples,
 )
 
-_CATALOGS = (catalog_core, catalog_triples, catalog_llm)
+_CATALOGS = (catalog_core, catalog_triples, catalog_llm, catalog_extract)
 
 
 def entry(spark: SparkSession) -> DataFrame:

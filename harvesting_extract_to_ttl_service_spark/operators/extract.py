@@ -1,0 +1,384 @@
+"""RDFa extraction: HTML documents → triple DataFrame.
+
+This is the one operator the reference delegates to an opaque library
+(`@lblod/graph-rdfa-processor` + jsdom, /root/reference/lib/rdfa-extractor.js:72-84)
+and therefore the one place this engine crosses into Python. Everything
+around it — provenance injection, content spill, triage — is DataFrame-side.
+
+Coverage (a documented RDFa 1.1 Lite subset, fixture-driven per SURVEY.md
+§7 "hard parts"): ``vocab``, ``prefix``, ``about``, ``resource``, ``href``,
+``src``, ``typeof``, ``property``, ``rel``, ``content``, ``datatype``,
+``lang``/``xml:lang`` with inheritance, bnodes for ``typeof`` without
+``about``. The ``specialHtmlPredicates`` rewrite (``prov:value`` →
+``extractedDecisionContent`` for ``rdf:HTML``-typed objects,
+rdfa-extractor.js:76-84) happens inside the extractor, as in the reference.
+
+Scale design: the extractor runs as ``mapInPandas`` — Arrow-batched, one
+Python worker per core, no driver involvement. A failed parse yields an
+``error`` row instead of failing the job (the reference's per-page
+try/continue, pipeline-import.js:63-70). Pages are independent rows, so a
+100 TB corpus parallelizes to however many executors hold the scan.
+"""
+
+from __future__ import annotations
+
+import html.parser
+import re
+from collections.abc import Iterator
+from urllib.parse import urljoin
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from harvesting_extract_to_ttl_service_spark.schema import (
+    EXTRACTED_DECISION_CONTENT,
+    OT_BNODE,
+    OT_IRI,
+    OT_LITERAL,
+    PROV_VALUE,
+    PROV_WAS_DERIVED_FROM,
+    RDF_HTML,
+    RDF_LANGSTRING,
+    RDF_TYPE,
+)
+
+# --------------------------------------------------------------------------
+# Pure-Python RDFa subset processor (runs inside the Arrow batch UDF)
+# --------------------------------------------------------------------------
+
+_VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+# RDFa initial-context prefixes commonly used by the harvested corpus; the
+# `prefix` attribute can add/override.
+_DEFAULT_PREFIXES = {
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+    "prov": "http://www.w3.org/ns/prov#",
+    "dct": "http://purl.org/dc/terms/",
+    "dcterms": "http://purl.org/dc/terms/",
+    "foaf": "http://xmlns.com/foaf/0.1/",
+    "schema": "http://schema.org/",
+    "skos": "http://www.w3.org/2004/02/skos/core#",
+    "besluit": "http://data.vlaanderen.be/ns/besluit#",
+    "mandaat": "http://data.vlaanderen.be/ns/mandaat#",
+    "eli": "http://data.europa.eu/eli/ontology#",
+}
+
+
+class _Elem:
+    __slots__ = ("tag", "attrs", "children")
+
+    def __init__(self, tag: str, attrs: dict[str, str]):
+        self.tag = tag
+        self.attrs = attrs
+        self.children: list[_Elem | str] = []
+
+
+class _TreeBuilder(html.parser.HTMLParser):
+    """Minimal DOM builder (stdlib only — the container has no lxml/bs4)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = _Elem("#root", {})
+        self._stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        el = _Elem(tag, {k: (v if v is not None else "") for k, v in attrs})
+        self._stack[-1].children.append(el)
+        if tag not in _VOID_TAGS:
+            self._stack.append(el)
+
+    def handle_startendtag(self, tag, attrs):
+        self._stack[-1].children.append(
+            _Elem(tag, {k: (v if v is not None else "") for k, v in attrs}))
+
+    def handle_endtag(self, tag):
+        for i in range(len(self._stack) - 1, 0, -1):
+            if self._stack[i].tag == tag:
+                del self._stack[i:]
+                break
+
+    def handle_data(self, data):
+        if data:
+            self._stack[-1].children.append(data)
+
+
+def _text_of(el: _Elem) -> str:
+    parts: list[str] = []
+    stack: list[_Elem | str] = [el]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, str):
+            parts.append(n)
+        else:
+            stack.extend(reversed(n.children))
+    return "".join(parts)
+
+
+def _html_of(el: _Elem) -> str:
+    """Serialize children back to HTML (inner HTML, for rdf:HTML objects)."""
+    out: list[str] = []
+
+    def ser(n: _Elem | str) -> None:
+        if isinstance(n, str):
+            out.append(n)
+            return
+        attrs = "".join(f' {k}="{v}"' for k, v in n.attrs.items())
+        if n.tag in _VOID_TAGS and not n.children:
+            out.append(f"<{n.tag}{attrs}/>")
+        else:
+            out.append(f"<{n.tag}{attrs}>")
+            for c in n.children:
+                ser(c)
+            out.append(f"</{n.tag}>")
+
+    for c in el.children:
+        ser(c)
+    return "".join(out)
+
+
+_ABS_IRI = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+
+
+class _RdfaExtractor:
+    def __init__(self, base_uri: str):
+        self.base = base_uri
+        self.bnode_n = 0
+        self.triples: list[tuple] = []
+
+    def _bnode(self) -> str:
+        self.bnode_n += 1
+        return f"_:b{self.bnode_n - 1}"
+
+    def _resolve_term(self, term: str, prefixes: dict, vocab: str | None):
+        """CURIE/term → IRI for property/typeof/rel/datatype positions."""
+        if not term:
+            return None
+        if ":" in term:
+            pfx, rest = term.split(":", 1)
+            if pfx in prefixes and not rest.startswith("//"):
+                return prefixes[pfx] + rest
+            if _ABS_IRI.match(term):
+                return term
+            return None
+        if vocab:
+            return vocab + term
+        return None
+
+    def _resolve_ref(self, ref: str, prefixes: dict):
+        """about/resource/href/src → IRI (CURIE allowed in about/resource)."""
+        if ref.startswith("[") and ref.endswith("]"):  # safe CURIE
+            ref = ref[1:-1]
+        if ref.startswith("_:"):
+            return ref
+        if ":" in ref:
+            pfx, rest = ref.split(":", 1)
+            if pfx in prefixes and not rest.startswith("//"):
+                return prefixes[pfx] + rest
+        return urljoin(self.base, ref)
+
+    def _emit(self, s, p, o, ot, dt=None, lang=None):
+        self.triples.append((s, p, o, ot, dt, lang))
+
+    def walk(self, el: _Elem, subject: str, lang, vocab, prefixes) -> None:
+        a = el.attrs
+        if "prefix" in a:
+            prefixes = dict(prefixes)
+            toks = a["prefix"].split()
+            for i in range(0, len(toks) - 1, 2):
+                if toks[i].endswith(":"):
+                    prefixes[toks[i][:-1]] = toks[i + 1]
+        if "vocab" in a and a["vocab"]:
+            vocab = a["vocab"]
+        lang = a.get("lang") or a.get("xml:lang") or lang
+
+        properties = [t for t in a.get("property", "").split() if t]
+        rels = [t for t in a.get("rel", "").split() if t]
+        typeof = [t for t in a.get("typeof", "").split() if "typeof" in a]
+        res_ref = a.get("resource") or a.get("href") or a.get("src")
+
+        # --- new subject resolution (RDFa Lite subset) ---
+        if "about" in a:
+            new_subject = self._resolve_ref(a["about"], prefixes)
+        elif res_ref is not None and not properties and not rels:
+            new_subject = self._resolve_ref(res_ref, prefixes)
+        elif typeof:
+            new_subject = self._bnode()
+        else:
+            new_subject = subject
+
+        for t in typeof:
+            iri = self._resolve_term(t, prefixes, vocab)
+            if iri:
+                self._emit(new_subject, RDF_TYPE, iri, OT_IRI)
+
+        # --- rel: subject → linked IRI(s) on the same element ---
+        if rels and res_ref is not None:
+            obj = self._resolve_ref(res_ref, prefixes)
+            for r in rels:
+                iri = self._resolve_term(r, prefixes, vocab)
+                if iri:
+                    self._emit(new_subject, iri, obj,
+                               OT_BNODE if obj.startswith("_:") else OT_IRI)
+
+        # --- property ---
+        for pterm in properties:
+            pred = self._resolve_term(pterm, prefixes, vocab)
+            if not pred:
+                continue
+            dt_attr = a.get("datatype")
+            dt = (self._resolve_term(dt_attr, prefixes, vocab)
+                  if dt_attr else None)
+            if "content" in a:
+                obj, ot, langv = a["content"], OT_LITERAL, lang
+            elif res_ref is not None and not rels and dt_attr is None:
+                obj = self._resolve_ref(res_ref, prefixes)
+                ot, dt, langv = OT_IRI, None, None
+            elif dt == RDF_HTML:
+                obj, ot, langv = _html_of(el), OT_LITERAL, None
+            else:
+                obj, ot, langv = _text_of(el).strip(), OT_LITERAL, lang
+            if ot == OT_LITERAL and dt is None and langv:
+                dt = RDF_LANGSTRING
+            # specialHtmlPredicates rewrite (rdfa-extractor.js:76-84)
+            if pred == PROV_VALUE and dt == RDF_HTML:
+                pred = EXTRACTED_DECISION_CONTENT
+            self._emit(new_subject, pred, obj, ot, dt,
+                       langv if dt == RDF_LANGSTRING else None)
+
+        for c in el.children:
+            if isinstance(c, _Elem):
+                self.walk(c, new_subject, lang, vocab, prefixes)
+
+
+def extract_rdfa(html_text: str, base_uri: str) -> list[tuple]:
+    """One document → [(subject, predicate, object_value, object_type,
+    datatype, language)]. U+FFFD chars are scrubbed before parse
+    (rdfa-extractor.js:72)."""
+    builder = _TreeBuilder()
+    builder.feed(html_text.replace("�", ""))
+    ex = _RdfaExtractor(base_uri)
+    ex.walk(builder.root, base_uri, None, None, dict(_DEFAULT_PREFIXES))
+    return ex.triples
+
+
+# --------------------------------------------------------------------------
+# DataFrame operators
+# --------------------------------------------------------------------------
+
+EXTRACT_SCHEMA = T.StructType([
+    T.StructField("page_uri", T.StringType(), True),
+    T.StructField("url", T.StringType(), True),
+    T.StructField("subject", T.StringType(), True),
+    T.StructField("predicate", T.StringType(), True),
+    T.StructField("object_value", T.StringType(), True),
+    T.StructField("object_type", T.StringType(), True),
+    T.StructField("datatype", T.StringType(), True),
+    T.StructField("language", T.StringType(), True),
+    T.StructField("error", T.StringType(), True),
+])
+
+
+def extract_pages(pages: DataFrame) -> DataFrame:
+    """PAGE_SCHEMA DataFrame → extracted triples (+``error`` column).
+
+    ``mapInPandas`` so each Arrow batch of pages is processed by one Python
+    worker; output rows are triples, so one page fans out to N rows without
+    an explode. Extraction failure → one row with ``error`` set and null
+    terms (per-page fault isolation, pipeline-import.js:63-70)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            for page_uri, url, html_text in zip(
+                    pdf["page_uri"], pdf["url"], pdf["html"]):
+                try:
+                    if html_text is None:
+                        raise ValueError("null html body")
+                    for t in extract_rdfa(html_text, url):
+                        rows.append((page_uri, url, *t, None))
+                except Exception as e:  # noqa: BLE001 — fault isolation
+                    rows.append((page_uri, url, None, None, None, None,
+                                 None, None, f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(rows, columns=[f.name for f in EXTRACT_SCHEMA])
+
+    return pages.select("page_uri", "url", "html").mapInPandas(
+        run, schema=EXTRACT_SCHEMA)
+
+
+def inject_provenance(extracted: DataFrame) -> DataFrame:
+    """Add one ``(s, prov:wasDerivedFrom, url)`` per distinct subject per
+    page (SourceAwareStoreWriter, rdfa-extractor.js:45-54). Set-oriented:
+    ``distinct()`` replaces the reference's first-seen array scan."""
+    prov = (
+        extracted.filter(F.col("subject").isNotNull())
+        .select("page_uri", "url", "subject").distinct()
+        .select(
+            "page_uri", "url", "subject",
+            F.lit(PROV_WAS_DERIVED_FROM).alias("predicate"),
+            F.col("url").alias("object_value"),
+            F.lit(OT_IRI).alias("object_type"),
+            F.lit(None).cast("string").alias("datatype"),
+            F.lit(None).cast("string").alias("language"),
+            F.lit(None).cast("string").alias("error"),
+        )
+    )
+    return extracted.unionByName(prov)
+
+
+# Deterministic content-addressed file id (SURVEY.md §7 hard part (d):
+# content hashes, not uuids, so golden files and oracle runs are stable).
+def _content_file_uri() -> F.Column:
+    return F.concat(
+        F.lit("http://data.lblod.info/id/files/"),
+        F.sha2(F.col("object_value"), 256).substr(1, 32),
+    )
+
+
+def spill_html_content(extracted: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split out oversized ``extractedDecisionContent`` HTML literals
+    (SourceAwareStoreWriter branch, rdfa-extractor.js:26-44): the content
+    moves to a side file (second return value: ``file_uri, content, url``)
+    and the triple's object becomes the file IRI."""
+    is_spill = (
+        (F.col("predicate") == EXTRACTED_DECISION_CONTENT)
+        & (F.col("datatype") == RDF_HTML)
+    )
+    spilled = (
+        extracted.filter(is_spill)
+        .select(
+            _content_file_uri().alias("file_uri"),
+            F.col("object_value").alias("content"),
+            F.lit("content.html").alias("name"),
+            F.col("url").alias("source"),
+            F.lit("text/html").alias("content_type"),
+            F.lit("html").alias("extension"),
+        )
+        .distinct()
+    )
+    main = (
+        extracted.withColumn(
+            "object_value",
+            F.when(is_spill, _content_file_uri()).otherwise(F.col("object_value")))
+        .withColumn("object_type",
+                    F.when(is_spill, F.lit(OT_IRI)).otherwise(F.col("object_type")))
+        .withColumn("datatype",
+                    F.when(is_spill, F.lit(None).cast("string"))
+                    .otherwise(F.col("datatype")))
+    )
+    return main, spilled
+
+
+def extraction_pipeline(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """pages → (triples+error DF, spilled-content DF): extract, rewrite +
+    spill special HTML content, inject provenance. The result feeds
+    ``operators.triage.triage`` and the TTL sinks."""
+    extracted = extract_pages(pages)
+    main, spilled = spill_html_content(extracted)
+    return inject_provenance(main), spilled

@@ -43,7 +43,11 @@ RDF_TYPE = RDF + "type"
 
 PROV_WAS_DERIVED_FROM = PROV + "wasDerivedFrom"
 PROV_VALUE = PROV + "value"
-EXTRACTED_DECISION_CONTENT = BESLUIT + "extractedDecisionContent"
+# NOT the besluit# namespace — the reference hard-codes this exact IRI
+# (/root/reference/lib/rdfa-extractor.js:13-14)
+EXTRACTED_DECISION_CONTENT = (
+    "http://lblod.data.gift/vocabularies/besluit/extractedDecisionContent"
+)
 
 # --- task/status constants (/root/reference/constants.js:6-31) ------------
 STATUS_SCHEDULED = "http://redpencil.data.gift/id/concept/JobStatus/scheduled"

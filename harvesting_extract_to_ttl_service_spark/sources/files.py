@@ -1,0 +1,135 @@
+"""Page/file source and TTL file sink — the reference's file plumbing
+(/root/reference/lib/file-helpers.js) re-expressed as DataFrame reads and
+partitioned writes.
+
+Reference behavior covered:
+  * read page file, gunzip by extension     rdfa-extractor.js:64-70
+    → Spark's text source picks the codec from the filename; ``wholetext``
+    yields one row per file, so a page is a row (no driver loop).
+  * share:// ↔ /share/ scheme swap          file-helpers.js:35,91
+  * basename extraction                     file-helpers.js:16-18
+  * TTL file sink + metadata registration   file-helpers.js:80-148
+    → one partitioned text write for the lines; file metadata is a
+    DataFrame of triples (B10 append shape), not SPARQL INSERTs.
+
+Scale: one text write with ``partitionBy`` lays out /share/-style output
+directories in a single distributed job; metadata triples are built from
+the same DataFrame, so there is no per-file driver round-trip (the
+reference pays ≥1 SPARQL round-trip per file, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from harvesting_extract_to_ttl_service_spark.functions.ntriples import encode_ntriples
+from harvesting_extract_to_ttl_service_spark.schema import (
+    DCT,
+    NFO,
+    NIE,
+    OT_IRI,
+    OT_LITERAL,
+    XSD_DATETIME,
+    XSD_INTEGER,
+)
+
+SHARE_SCHEME = "share://"
+
+
+def share_to_path(uri: Column, share_root: str = "/share/") -> Column:
+    """share://<id>.ttl → /share/<id>.ttl (file-helpers.js:35)."""
+    return F.regexp_replace(uri, f"^{SHARE_SCHEME}", share_root)
+
+
+def path_to_share(path: Column, share_root: str = "/share/") -> Column:
+    """Inverse mapping (file-helpers.js:91)."""
+    return F.regexp_replace(path, f"^{share_root}", SHARE_SCHEME)
+
+
+def basename(path: Column) -> Column:
+    """Filename without extension (file-helpers.js:16-18)."""
+    return F.regexp_extract(path, r"([^/]+?)(\.[^./]*)?$", 1)
+
+
+def read_pages(spark: SparkSession, path: str,
+               base_url_prefix: str = "http://example.org/page/") -> DataFrame:
+    """Read HTML page files (plain or .gz — codec chosen per file by
+    extension, matching the reference's explicit gunzip branch) into the
+    PAGE_SCHEMA shape. One file = one row via ``wholetext``."""
+    raw = (
+        spark.read.text(path, wholetext=True)
+        .select(
+            F.input_file_name().alias("path"),
+            F.col("value").alias("html"),
+        )
+    )
+    return raw.select(
+        path_to_share(F.col("path")).alias("page_uri"),
+        F.concat(F.lit(base_url_prefix), basename(F.col("path"))).alias("url"),
+        "path",
+        "html",
+    )
+
+
+def pages_from_table(spark: SparkSession, path: str) -> DataFrame:
+    """PAGE_SCHEMA rows stored as parquet (FIXTURES.md §B3)."""
+    return spark.read.parquet(path)
+
+
+def _file_id(content_hash: Column) -> Column:
+    return F.concat(F.lit("http://data.lblod.info/id/files/"), content_hash)
+
+
+def file_metadata_triples(files: DataFrame, graph: str | None = None) -> DataFrame:
+    """Logical-file / physical-file metadata block as TRIPLE_SCHEMA rows
+    (file-helpers.js:108-139): name, format, size, extension, created, and
+    the nie:dataSource link physical→logical.
+
+    Input columns: ``file_uri`` (logical id), ``filename``, ``format``,
+    ``size`` (bytes), ``extension``, ``created`` (timestamp), ``source``
+    (nie:url). Ids are content/caller-derived, never random (SURVEY.md §7
+    hard part (d))."""
+    phys = F.concat(F.lit(SHARE_SCHEME),
+                    F.regexp_extract("file_uri", r"([^/]+)$", 1),
+                    F.lit("."), F.col("extension"))
+
+    def lit_t(s, p, o, ot=OT_LITERAL, dt=None):
+        return files.select(
+            s.alias("subject"), F.lit(p).alias("predicate"),
+            o.cast("string").alias("object_value"),
+            F.lit(ot).alias("object_type"),
+            F.lit(dt).cast("string").alias("datatype"),
+            F.lit(None).cast("string").alias("language"),
+            F.lit(graph).cast("string").alias("graph"),
+        )
+
+    lf, pf = F.col("file_uri"), phys
+    created = F.date_format("created", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    parts = [
+        lit_t(lf, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+              F.lit(NFO + "FileDataObject"), OT_IRI),
+        lit_t(lf, NFO + "fileName", F.col("filename")),
+        lit_t(lf, DCT + "format", F.col("format")),
+        lit_t(lf, NFO + "fileSize", F.col("size"), OT_LITERAL, XSD_INTEGER),
+        lit_t(lf, DCT + "created", created, OT_LITERAL, XSD_DATETIME),
+        lit_t(lf, NIE + "url", F.col("source"), OT_IRI),
+        lit_t(pf, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+              F.lit(NFO + "FileDataObject"), OT_IRI),
+        lit_t(pf, NIE + "dataSource", lf, OT_IRI),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def write_ttl(triples: DataFrame, out_dir: str,
+              partition_cols: tuple[str, ...] = ("page_uri",)) -> None:
+    """Write triple rows as N-Triples text partitioned by page/task
+    (file-helpers.js:80-97's per-page .ttl files → one distributed
+    partitioned write)."""
+    nt = encode_ntriples(triples)
+    (nt.select(*partition_cols, "nt")
+       .write.partitionBy(*partition_cols).mode("overwrite")
+       .text(out_dir))

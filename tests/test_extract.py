@@ -1,0 +1,163 @@
+"""Extraction-surface tests (FIXTURES.md §B3/§B5): RDFa subset extractor,
+provenance injection, special-HTML content spill, fault isolation, and the
+file source/sink plumbing."""
+
+import gzip
+import os
+
+from pyspark.sql import functions as F
+
+from harvesting_extract_to_ttl_service_spark.operators.extract import (
+    extract_pages,
+    extract_rdfa,
+    extraction_pipeline,
+    inject_provenance,
+)
+from harvesting_extract_to_ttl_service_spark.schema import (
+    EXTRACTED_DECISION_CONTENT,
+    PAGE_SCHEMA,
+    PROV_WAS_DERIVED_FROM,
+    RDF_HTML,
+    RDF_LANGSTRING,
+    RDF_TYPE,
+)
+from harvesting_extract_to_ttl_service_spark.sources.files import (
+    file_metadata_triples,
+    read_pages,
+    write_ttl,
+)
+
+BASE = "http://example.org/doc/1"
+
+RDFA_BODY = """
+<html><body>
+  <div about="http://ex/decision/1" typeof="besluit:Besluit"
+       prefix="ex: http://ex/ns#">
+    <span property="dct:title">Budget 2024</span>
+    <span property="ex:amount" content="1000"
+          datatype="xsd:integer">one thousand</span>
+    <span property="dct:description" lang="nl">Begroting</span>
+    <a rel="dct:source" href="/source.html">src</a>
+  </div>
+</body></html>
+"""
+
+
+def test_extract_rdfa_subset():
+    triples = extract_rdfa(RDFA_BODY, BASE)
+    tset = {(s, p, o, ot, dt, lang) for s, p, o, ot, dt, lang in triples}
+    S = "http://ex/decision/1"
+    assert (S, RDF_TYPE, "http://data.vlaanderen.be/ns/besluit#Besluit",
+            "iri", None, None) in tset
+    assert (S, "http://purl.org/dc/terms/title", "Budget 2024",
+            "literal", None, None) in tset
+    assert (S, "http://ex/ns#amount", "1000", "literal",
+            "http://www.w3.org/2001/XMLSchema#integer", None) in tset
+    assert (S, "http://purl.org/dc/terms/description", "Begroting",
+            "literal", RDF_LANGSTRING, "nl") in tset
+    # href resolved against the document base
+    assert (S, "http://purl.org/dc/terms/source",
+            "http://example.org/source.html", "iri", None, None) in tset
+
+
+def test_extract_scrubs_replacement_chars():
+    body = '<div about="http://ex/s"><span property="dct:title">a�b</span></div>'
+    triples = extract_rdfa(body, BASE)
+    assert ("http://ex/s", "http://purl.org/dc/terms/title", "ab",
+            "literal", None, None) in triples
+
+
+def _pages_df(spark, rows):
+    return spark.createDataFrame(rows, PAGE_SCHEMA)
+
+
+def test_extract_pages_and_provenance(spark):
+    pages = _pages_df(spark, [
+        ("share://p1.html", "http://ex/page/1", "/share/p1.html", RDFA_BODY),
+        ("share://p2.html", "http://ex/page/2", "/share/p2.html",
+         '<div about="http://ex/decision/1"><span property="dct:title">Other</span></div>'),
+    ])
+    out = inject_provenance(extract_pages(pages))
+    prov = out.filter(F.col("predicate") == PROV_WAS_DERIVED_FROM)
+    # one prov triple per distinct subject per page (FIXTURES.md §B5);
+    # the same subject on two pages gets one per page
+    rows = {(r.subject, r.object_value) for r in prov.collect()}
+    assert ("http://ex/decision/1", "http://ex/page/1") in rows
+    assert ("http://ex/decision/1", "http://ex/page/2") in rows
+    assert prov.count() == prov.select("page_uri", "subject").distinct().count()
+
+
+def test_extract_fault_isolation(spark):
+    pages = _pages_df(spark, [
+        ("share://ok.html", "http://ex/page/ok", None,
+         '<div about="http://ex/s"><span property="dct:title">T</span></div>'),
+        ("share://bad.html", "http://ex/page/bad", None, None),  # null body
+    ])
+    out = extract_pages(pages)
+    errs = out.filter(F.col("error").isNotNull())
+    assert errs.count() == 1
+    assert errs.first().page_uri == "share://bad.html"
+    # the good page still extracted — failure is row-local, not job-fatal
+    assert out.filter(F.col("error").isNull()).count() >= 1
+
+
+def test_content_spill(spark):
+    body = (
+        '<div about="http://ex/decision/9">'
+        '<div property="prov:value" datatype="rdf:HTML"><p>Full decision</p></div>'
+        "</div>"
+    )
+    pages = _pages_df(spark, [
+        ("share://p9.html", "http://ex/page/9", "/share/p9.html", body)])
+    triples, spilled = extraction_pipeline(pages)
+
+    spill_rows = spilled.collect()
+    assert len(spill_rows) == 1
+    assert "<p>Full decision</p>" in spill_rows[0].content
+    file_uri = spill_rows[0].file_uri
+
+    main = triples.filter(F.col("predicate") == EXTRACTED_DECISION_CONTENT)
+    row = main.first()
+    # predicate rewritten prov:value → extractedDecisionContent, object
+    # swapped to the (content-addressed) file IRI, datatype cleared
+    assert row.object_value == file_uri
+    assert row.object_type == "iri"
+    assert row.datatype is None
+    assert triples.filter(F.col("datatype") == RDF_HTML).count() == 0
+
+
+def test_read_pages_gz_and_sink(spark, tmp_path):
+    d = tmp_path / "share"
+    d.mkdir()
+    (d / "a.html").write_text(RDFA_BODY)
+    with gzip.open(d / "b.html.gz", "wt") as f:
+        f.write('<div about="http://ex/s2"><span property="dct:title">B</span></div>')
+
+    pages = read_pages(spark, str(d))
+    assert pages.count() == 2
+    assert {r.html[:4] for r in pages.collect()} == {"\n<ht", "<div"}
+
+    triples, _ = extraction_pipeline(pages)
+    ok = triples.filter(F.col("error").isNull()).drop("error")
+    out_dir = str(tmp_path / "out")
+    write_ttl(ok.withColumn("graph", F.lit(None).cast("string")), out_dir)
+    parts = [p for p in os.listdir(out_dir) if p.startswith("page_uri=")]
+    assert len(parts) == 2  # one output dir per page
+
+
+def test_file_metadata_triples(spark):
+    files = spark.createDataFrame(
+        [("http://data.lblod.info/id/files/abc", "content.html", "text/html",
+          1234, "html", "http://ex/page/1")],
+        "file_uri string, filename string, format string, size long, "
+        "extension string, source string",
+    ).withColumn("created", F.lit("2024-01-02 03:04:05").cast("timestamp"))
+    md = file_metadata_triples(files)
+    rows = {(r.subject, r.predicate, r.object_value) for r in md.collect()}
+    assert ("http://data.lblod.info/id/files/abc",
+            "http://www.semanticdesktop.org/ontologies/2007/03/22/nfo#fileSize",
+            "1234") in rows
+    assert ("share://abc.html",
+            "http://www.semanticdesktop.org/ontologies/2007/01/19/nie#dataSource",
+            "http://data.lblod.info/id/files/abc") in rows
+    assert md.count() == 8
