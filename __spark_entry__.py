@@ -26,10 +26,12 @@ from harvesting_extract_to_ttl_service_spark.plans import (  # noqa: E402
     catalog_core,
     catalog_extract,
     catalog_llm,
+    catalog_streaming,
     catalog_triples,
 )
 
-_CATALOGS = (catalog_core, catalog_triples, catalog_llm, catalog_extract)
+_CATALOGS = (catalog_core, catalog_triples, catalog_llm, catalog_extract,
+             catalog_streaming)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,112 @@
+"""Streaming-surface catalog entries (SURVEY.md §2A A1-A3 + §2C streaming).
+
+The delta-changeset decode is oracle-checked: changeset JSON is built
+deterministically from ``orders`` with Spark, parsed back through the real
+DELTA_SCHEMA ``from_json`` path, and DuckDB restates the expected task list
+directly from ``orders``. The windowed operators run the *streaming* code
+path (readStream → watermark → window → memory sink via availableNow);
+their aggregation semantics are oracle-covered by the batch twins in
+catalog_core, so they register as rows-only checks here.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from harvesting_extract_to_ttl_service_spark.plans.tables import load
+from harvesting_extract_to_ttl_service_spark.schema import STATUS_SCHEDULED
+from harvesting_extract_to_ttl_service_spark.streaming.delta_stream import (
+    ADMS_STATUS,
+    parse_delta_lines,
+    scheduled_task_uris,
+)
+from harvesting_extract_to_ttl_service_spark.streaming.windows import (
+    session_aggregate,
+    tumbling_counts,
+)
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@q("delta_scheduled_tasks", f"""
+SELECT 'urn:task:' || o_orderkey AS task_uri
+FROM orders
+WHERE o_orderkey % 5 = 0 AND o_orderstatus = 'O'
+""")
+def delta_scheduled_tasks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → synthetic delta-changeset JSON lines → real from_json
+    decode → flatten/filter/project (lib/delta.js:9-17). Open orders with
+    key % 5 == 0 carry the scheduled-status insert; everything else is
+    noise the filter must reject."""
+    o = load(spark, sf_dir, "orders")
+    status_obj = F.when(
+        (F.col("o_orderkey") % 5 == 0) & (F.col("o_orderstatus") == "O"),
+        STATUS_SCHEDULED,
+    ).otherwise("urn:status:other")
+    line = F.to_json(F.struct(
+        F.array(F.struct(
+            F.struct(F.lit("uri").alias("type"),
+                     F.concat(F.lit("urn:task:"), "o_orderkey").alias("value"),
+                     ).alias("subject"),
+            F.struct(F.lit("uri").alias("type"),
+                     F.lit(ADMS_STATUS).alias("value")).alias("predicate"),
+            F.struct(F.lit("uri").alias("type"),
+                     status_obj.alias("value")).alias("object"),
+        )).alias("inserts"),
+        F.array().alias("deletes"),
+    ))
+    lines = o.select(line.alias("value"))
+    return scheduled_task_uris(parse_delta_lines(lines))
+
+
+def _run_available_now(sdf: DataFrame, spark: SparkSession) -> DataFrame:
+    name = "q" + uuid.uuid4().hex
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    query = (sdf.writeStream.format("memory").queryName(name)
+             .outputMode("complete").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+    query.awaitTermination(300)
+    return spark.table(name)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage the events fixture into a streamable directory. The fixture is
+    one parquet file with a nanosecond INT64 ``ts`` — the file-stream
+    source wants a directory and the vectorized reader wants µs timestamps,
+    so re-materialize once through the batch reader (which converts)."""
+    batch = load(spark, sf_dir, "events")
+    staged = tempfile.mkdtemp(prefix="events_stream_")
+    batch.write.mode("overwrite").parquet(staged)
+    return spark.readStream.schema(batch.schema).parquet(staged)
+
+
+@q("streaming_tumbling_counts")
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True streaming execution (file stream → watermark → tumbling window
+    → memory sink). Batch twin with oracle: catalog_core
+    event_time_buckets."""
+    return _run_available_now(
+        tumbling_counts(_events_stream(spark, sf_dir)), spark)
+
+
+@q("streaming_session_aggregate")
+def streaming_session_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session_window per user. Batch twin with oracle:
+    catalog_core sessionize_events."""
+    return _run_available_now(
+        session_aggregate(_events_stream(spark, sf_dir)), spark)
