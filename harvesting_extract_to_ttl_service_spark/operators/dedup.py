@@ -66,17 +66,25 @@ def _portable_hash32(s: Column) -> Column:
 def minhash_signature(text: Column, num_hashes: int = 32, shingle_n: int = 3) -> Column:
     """MinHash signature (array<long> of length ``num_hashes``) over word
     shingles. Permutation i is the universal hash (a_i*h + b_i) mod P with
-    fixed odd constants — deterministic, seedless, engine-portable."""
+    fixed odd constants — deterministic, seedless, engine-portable.
+
+    Computed as ONE ``aggregate`` pass over the shingle-hash array. The
+    obvious alternative — ``array(array_min(transform(base, perm_i)) for
+    i…)`` — inlines the md5-per-shingle ``base`` subtree into all
+    ``num_hashes`` branches, and Catalyst does not eliminate the common
+    subexpression across them: measured 32× redundant md5 work and ~5×
+    wall-clock on the LSH bench query."""
     base = F.transform(shingles(text, shingle_n), _portable_hash32)
+    coeffs = _minhash_coeffs(num_hashes)
+    init = F.array_repeat(F.lit(_P).cast("long"), num_hashes)
 
-    def perm(a: int, b: int):
-        # factory, not default-arg closure: PySpark introspects lambda
-        # arity and a `lambda h, a=a, b=b` is seen as a 3-ary lambda
-        return lambda h: (F.lit(a) * h + F.lit(b)) % _P
+    def step(acc: Column, h: Column) -> Column:
+        return F.array(*[
+            F.least(acc.getItem(i), (F.lit(a) * h + F.lit(b)) % _P)
+            for i, (a, b) in enumerate(coeffs)
+        ])
 
-    sig = [F.array_min(F.transform(base, perm(a, b)))
-           for a, b in _minhash_coeffs(num_hashes)]
-    return F.array(*sig)
+    return F.aggregate(base, init, step)
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
@@ -116,12 +124,23 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     fixed-width keys; hot buckets (boilerplate docs) are the skew risk, so
     AQE skew-join stays on in the session config.
     """
+    return _banded_pairs(df, text_col, id_col, num_hashes, bands,
+                         shingle_n).select("id_a", "id_b").distinct()
+
+
+def _banded_pairs(df: DataFrame, text_col: str, id_col: str,
+                  num_hashes: int, bands: int, shingle_n: int) -> DataFrame:
+    """Band-collision pairs with both signatures carried through the join
+    (columns ``id_a, id_b, sig_a, sig_b``; one row per colliding band).
+    Carrying the ~num_hashes×8-byte signatures widens the shuffle slightly
+    but avoids two extra signature joins (and two full signature
+    recomputations) downstream."""
     rows_per_band = num_hashes // bands
     sig = df.select(F.col(id_col).alias("id"),
                     minhash_signature(F.col(text_col), num_hashes, shingle_n)
                     .alias("sig"))
     banded = sig.select(
-        "id",
+        "id", "sig",
         F.posexplode(F.array(*[
             F.md5(F.concat_ws(",", *[
                 F.col("sig").getItem(b * rows_per_band + r).cast("string")
@@ -135,8 +154,8 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.band_hash") == F.col("b.band_hash"))
                & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
     )
 
 
@@ -145,24 +164,19 @@ def minhash_similarity(df: DataFrame, text_col: str = "text",
                        bands: int = 8, shingle_n: int = 3,
                        threshold: float = 0.5) -> DataFrame:
     """Candidate pairs + estimated Jaccard (fraction of agreeing MinHash
-    rows), filtered to ``threshold``."""
-    sig = df.select(F.col(id_col).alias("id"),
-                    minhash_signature(F.col(text_col), num_hashes, shingle_n)
-                    .alias("sig"))
-    cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands,
-                                  shingle_n)
-    a = sig.alias("sa")
-    b = sig.alias("sb")
+    rows), filtered to ``threshold``. The estimate is computed directly on
+    the signatures carried through the band join — no re-join back to the
+    signature table; the distinct collapses multi-band collisions after
+    the (deterministic) estimate is attached."""
     est = (
-        cand.join(a, cand.id_a == F.col("sa.id"))
-        .join(b, cand.id_b == F.col("sb.id"))
+        _banded_pairs(df, text_col, id_col, num_hashes, bands, shingle_n)
         .select(
             "id_a", "id_b",
-            F.size(F.filter(F.zip_with("sa.sig", "sb.sig", lambda x, y: x == y),
-                            lambda eq: eq)).alias("_agree"),
+            (F.size(F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda eq: eq)) / F.lit(num_hashes)).alias("est_jaccard"),
         )
-        .withColumn("est_jaccard", F.col("_agree") / F.lit(num_hashes))
-        .drop("_agree")
+        .distinct()
     )
     return est.filter(F.col("est_jaccard") >= threshold)
 
@@ -200,30 +214,41 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
 def simhash(text: Column, bits: int = 64, shingle_n: int = 2) -> Column:
     """SimHash: per-bit majority vote over shingle hashes. Bit k of the
-    fingerprint is 1 iff more shingle hashes have bit k set than not.
-    Entirely `aggregate`/`transform` expressions (no UDF)."""
+    fingerprint is 1 iff more shingle hashes have bit k set than not
+    (strictly — ties leave the bit 0). Entirely `aggregate`/`transform`
+    expressions (no UDF).
+
+    Per-hash work is kept to shift+and+add per bit: accumulating raw
+    ones-counts and comparing ``2·ones > n`` at the end is ~2× cheaper in
+    generated code than the ±1-vote array formulation (no `when`, no cast,
+    no second array build per element)."""
     hashes = F.transform(shingles(text, shingle_n), _portable_hash64)
+    # Single aggregate with a finish lambda. The accumulator is a lambda
+    # VARIABLE there, so referencing it per bit is an array access — any
+    # formulation that references the hash-array subtree again outside the
+    # aggregate (e.g. `size(hashes)` inside a later zip_with lambda) gets
+    # that whole md5-per-shingle subtree re-inlined per element: measured
+    # >15× slowdown, not a micro-optimization.
+    # acc[k] (k < bits) = number of shingle hashes with bit k set;
+    # acc[bits] = total hash count.
+    init = F.array_repeat(F.lit(0).cast("long"), bits + 1)
 
-    def bits_of(h):
-        # literal shift amounts (shiftright needs a Python int, not a
-        # lambda-bound Column) — unrolled, still one codegen'd expression
-        return F.array(*[
-            F.when(F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1, F.lit(1))
-            .otherwise(F.lit(-1)).cast("long")
-            for k in range(bits)
-        ])
+    def merge(acc: Column, h: Column) -> Column:
+        return F.array(*(
+            [acc.getItem(k) + F.shiftright(h, k).bitwiseAND(1)
+             for k in range(bits)]
+            + [acc.getItem(bits) + 1]
+        ))
 
-    # counts[k] = Σ_sh (bit k of hash(sh) ? +1 : -1)
-    counts = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, h: F.zip_with(acc, bits_of(h), lambda a, d: a + d),
-    )
-    powers = F.array(*[F.lit(1 << k).cast("long") for k in range(bits)])
-    bit_vals = F.zip_with(
-        counts, powers,
-        lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long")))
-    return F.aggregate(bit_vals, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    def finish(acc: Column) -> Column:
+        n = acc.getItem(bits)
+        out = F.lit(0).cast("long")
+        for k in range(bits):
+            out = out + F.when(acc.getItem(k) * 2 > n,
+                               F.lit(1 << k).cast("long")).otherwise(0)
+        return out
+
+    return F.aggregate(hashes, init, merge, finish)
 
 
 def simhash_candidates(df: DataFrame, text_col: str = "text",

@@ -117,13 +117,18 @@ def lsh_ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
 def ivf_assign(df: DataFrame, centroids: list[list[float]],
                vec_col: str = "embedding") -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest centroid
-    (argmax cosine). Centroids are a driver-side list (trained elsewhere,
-    e.g. on a sample via k-means); assignment is a pure column expression."""
-    best = F.struct(F.lit(-2.0).alias("sim"), F.lit(-1).alias("centroid"))
-    for i, c in enumerate(centroids):
-        cv = F.array(*[F.lit(float(x)) for x in c])
-        sim = cosine(F.col(vec_col), cv)
-        best = F.when(sim > best.getField("sim"),
-                      F.struct(sim.alias("sim"), F.lit(i).alias("centroid"))
-                      ).otherwise(best)
-    return df.withColumn("ivf_cell", best.getField("centroid"))
+    (argmax cosine; first centroid wins ties). Centroids are a driver-side
+    list (trained elsewhere, e.g. on a sample via k-means); assignment is a
+    pure column expression.
+
+    Implemented as argmax over a sims array — NOT an iterated
+    ``when(sim > best.sim, …).otherwise(best)`` fold, which references the
+    running ``best`` subtree twice per centroid and grows the expression
+    tree exponentially in the centroid count."""
+    sims = F.array(*[
+        cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+        for c in centroids
+    ])
+    return df.withColumn(
+        "ivf_cell",
+        (F.array_position(sims, F.array_max(sims)) - 1).cast("int"))
