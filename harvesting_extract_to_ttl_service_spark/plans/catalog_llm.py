@@ -258,6 +258,38 @@ def lsh_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb.filter(F.col("vec_id") != 0), list(qvec), k=10)
 
 
+@q("embedding_cosine_neardup", """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(
+           CAST(a.embedding AS DOUBLE[]),
+           CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 200 AND b.vec_id < 200
+  AND round(list_cosine_similarity(
+        CAST(a.embedding AS DOUBLE[]),
+        CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+""")
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup category #5): exact
+    pairwise cosine over a bounded id range, thresholded. The at-scale
+    path blocks candidates by sign-LSH bucket first (lsh_ann_topk); this
+    is the exact form the oracle can restate."""
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        cosine,
+    )
+
+    emb = (load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+           .select("vec_id", "embedding"))
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.4)
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------

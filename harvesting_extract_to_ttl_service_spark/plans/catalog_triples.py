@@ -380,3 +380,111 @@ def b9_fanout_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.array_join(F.array_sort(F.collect_list("subject")), ",")
              .alias("order_list"))
     )
+
+
+# --------------------------------------------------------------------------
+# B1/B2/B6/B10/B11 — point lookup, distinct projection, VALUES filter,
+# INSERT DATA append, graph scoping
+# --------------------------------------------------------------------------
+
+@q("b1_point_lookup", _CTE + """
+SELECT subject FROM triples
+WHERE predicate = 'urn:p:nation' AND object_value = 'urn:nation:7'
+ORDER BY subject LIMIT 1
+""")
+def b1_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup with LIMIT 1 (/root/reference/lib/file-helpers.js:20-31).
+    Ordered so the single row is deterministic (the reference takes
+    whichever binding Virtuoso returns first)."""
+    from harvesting_extract_to_ttl_service_spark.operators.relational import (
+        point_lookup,
+    )
+
+    t = tpch_triples(spark, sf_dir)
+    return point_lookup(t, "urn:p:nation", "urn:nation:7",
+                        graph=GRAPH).orderBy("subject").limit(1)
+
+
+@q("b2_distinct_projection", _CTE + """
+SELECT DISTINCT object_value AS url FROM triples
+WHERE subject = 'urn:customer:42' AND predicate = 'urn:p:nation'
+""")
+def b2_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT ?url (/root/reference/lib/file-helpers.js:40-63)."""
+    from harvesting_extract_to_ttl_service_spark.operators.relational import (
+        object_values,
+    )
+
+    t = tpch_triples(spark, sf_dir)
+    return object_values(t, "urn:customer:42", "urn:p:nation",
+                         graph=GRAPH).withColumnRenamed("object_value", "url")
+
+
+@q("b6_values_filter", _CTE + """
+SELECT object_value AS segment, count(*) AS n
+FROM triples
+WHERE predicate = 'urn:p:segment'
+  AND object_value IN ('BUILDING', 'MACHINERY')
+GROUP BY object_value
+""")
+def b6_values_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUES ?operation { … } IN-list filter
+    (/root/reference/lib/task.js:47-50,94-97)."""
+    from harvesting_extract_to_ttl_service_spark.operators.relational import (
+        values_filter,
+    )
+
+    t = tpch_triples(spark, sf_dir).filter(F.col("predicate") == "urn:p:segment")
+    return (values_filter(t, "object_value", ["BUILDING", "MACHINERY"])
+            .groupBy(F.col("object_value").alias("segment"))
+            .agg(F.count("*").alias("n")))
+
+
+@q("b10_insert_append", _CTE + """
+SELECT predicate, count(*) AS n FROM (
+  SELECT subject, predicate, object_value FROM triples
+  WHERE predicate = 'urn:p:status'
+  UNION ALL
+  SELECT 'urn:order:' || o_orderkey, 'urn:p:indexed', 'true'
+  FROM orders WHERE o_orderkey % 10 = 0
+) GROUP BY predicate
+""")
+def b10_insert_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT DATA append (/root/reference/lib/pipeline-import.js:182-218):
+    constant-built rows unioned onto an existing triple set."""
+    from harvesting_extract_to_ttl_service_spark.operators.relational import (
+        append_rows,
+    )
+
+    t = tpch_triples(spark, sf_dir).filter(F.col("predicate") == "urn:p:status")
+    new_rows = (
+        load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+        .select(*_lit_triple(
+            F.concat(F.lit("urn:order:"), F.col("o_orderkey")),
+            "urn:p:indexed", F.lit("true")))
+    )
+    return (append_rows(t, new_rows)
+            .groupBy("predicate").agg(F.count("*").alias("n")))
+
+
+@q("b11_graph_scoped_match", _CTE + """
+SELECT graph, count(*) AS n FROM (
+  SELECT * FROM triples
+  UNION ALL
+  SELECT subject, predicate, object_value, object_type, datatype, language,
+         'urn:g:other' FROM triples WHERE predicate = 'urn:p:name'
+) WHERE graph = 'urn:g:tpch' GROUP BY graph
+""")
+def b11_graph_scoped_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH-scoped match (/root/reference/constants.js:33-36 named-graph
+    wrapping → a plain filter on the graph column; wildcard graph = no
+    filter but the column is carried through)."""
+    from harvesting_extract_to_ttl_service_spark.operators.relational import (
+        graph_scope,
+    )
+
+    t = tpch_triples(spark, sf_dir)
+    other = (t.filter(F.col("predicate") == "urn:p:name")
+             .withColumn("graph", F.lit("urn:g:other")))
+    return (graph_scope(t.unionByName(other), GRAPH)
+            .groupBy("graph").agg(F.count("*").alias("n")))
