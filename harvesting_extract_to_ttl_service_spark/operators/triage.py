@@ -239,16 +239,19 @@ def triage(df: DataFrame) -> DataFrame:
     return df
 
 
-def _as_triples(df: DataFrame) -> list[str]:
-    return [c for c in df.columns
-            if c in ("subject", "predicate", "object_value", "object_type",
-                     "datatype", "language", "graph")]
+def _as_triples(df: DataFrame, extra_cols: tuple[str, ...] = ()) -> list[str]:
+    keep = tuple(extra_cols) + (
+        "subject", "predicate", "object_value", "object_type",
+        "datatype", "language", "graph")
+    return [c for c in df.columns if c in keep]
 
 
-def valid_triples(triaged: DataFrame) -> DataFrame:
+def valid_triples(triaged: DataFrame,
+                  extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """valid = passed ∪ repaired, repaired rows in their fixed form
-    (pipeline-import.js:236)."""
-    cols = _as_triples(triaged)
+    (pipeline-import.js:236). ``extra_cols`` (e.g. task/page keys for
+    partitioned writes) ride along unchanged."""
+    cols = _as_triples(triaged, extra_cols)
     fixed_form = {
         "object_value": F.coalesce(F.col("fixed_object_value"), F.col("object_value")),
         "datatype": F.when(F.col("verdict") == "fixed", F.col("fixed_datatype"))
@@ -262,16 +265,22 @@ def valid_triples(triaged: DataFrame) -> DataFrame:
     ])
 
 
-def invalid_triples(triaged: DataFrame) -> DataFrame:
+def invalid_triples(triaged: DataFrame,
+                    extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """invalid = all first-pass failures, original form
     (pipeline-import.js:229-230)."""
-    return triaged.filter(~F.col("is_valid")).select(*_as_triples(triaged))
+    return triaged.filter(~F.col("is_valid")).select(
+        *_as_triples(triaged, extra_cols))
 
 
-def corrected_triples(triaged: DataFrame) -> DataFrame:
+def corrected_triples(triaged: DataFrame,
+                      extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """corrected = originals of the repaired subset (pipeline-import.js:237)."""
-    return triaged.filter(F.col("verdict") == "fixed").select(*_as_triples(triaged))
+    return triaged.filter(F.col("verdict") == "fixed").select(
+        *_as_triples(triaged, extra_cols))
 
 
-def dropped_triples(triaged: DataFrame) -> DataFrame:
-    return triaged.filter(F.col("verdict") == "dropped").select(*_as_triples(triaged))
+def dropped_triples(triaged: DataFrame,
+                    extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    return triaged.filter(F.col("verdict") == "dropped").select(
+        *_as_triples(triaged, extra_cols))

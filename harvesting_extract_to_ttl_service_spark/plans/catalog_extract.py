@@ -74,6 +74,62 @@ def _doc_html() -> F.Column:
     )
 
 
+@q("import_pipeline_e2e")  # composed job; each stage is oracle-checked solo
+def import_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full §3.1 pipeline over a synthetic control graph + document
+    pages: scheduled-task star join → page enumeration → extraction →
+    triage → valid triples with provenance. Rows-only check; the stages
+    are individually oracle-checked (b3/b4 join shapes, rdfa_extract_docs,
+    triage_dirty_literals)."""
+    from harvesting_extract_to_ttl_service_spark.plans.pipeline_import import (
+        ADMS_STATUS,
+        TASK_HAS_FILE,
+        TASK_INPUT_CONTAINER,
+        TASK_OPERATION,
+        run_import_pipeline,
+    )
+    from harvesting_extract_to_ttl_service_spark.schema import (
+        EXTRACTING_OPERATION,
+        RDF_TYPE,
+        STATUS_SCHEDULED,
+        TASK_TYPE,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_DOCS)
+    g = "urn:g:jobs"
+
+    def const_triples(s, p, o):
+        return docs.select(
+            s.alias("subject"), F.lit(p).alias("predicate"), o.alias("object_value"),
+            F.lit("iri").alias("object_type"),
+            F.lit(None).cast("string").alias("datatype"),
+            F.lit(None).cast("string").alias("language"),
+            F.lit(g).alias("graph"),
+        )
+
+    task = F.concat(F.lit("urn:task:"), (F.col("doc_id") % 4).cast("string"))
+    container = F.concat(F.lit("urn:container:"),
+                         (F.col("doc_id") % 4).cast("string"))
+    page = F.concat(F.lit("share://doc"), F.col("doc_id"), F.lit(".html"))
+    control = (
+        const_triples(task, RDF_TYPE, F.lit(TASK_TYPE))
+        .unionByName(const_triples(task, ADMS_STATUS, F.lit(STATUS_SCHEDULED)))
+        .unionByName(const_triples(task, TASK_OPERATION,
+                                   F.lit(EXTRACTING_OPERATION)))
+        .unionByName(const_triples(task, TASK_INPUT_CONTAINER, container))
+        .unionByName(const_triples(container, TASK_HAS_FILE, page))
+        .distinct()
+    )
+    bodies = docs.select(
+        page.alias("page_uri"),
+        F.concat(F.lit("http://ex/page/"), "doc_id").alias("url"),
+        _doc_html().alias("html"),
+    )
+    res = run_import_pipeline(control, bodies, graph=g)
+    return res["valid"].select("task_uri", "subject", "predicate",
+                               "object_value", "object_type")
+
+
 @q("rdfa_extract_docs", _EXTRACT_ORACLE)
 def rdfa_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → synthetic RDFa pages → real extraction pipeline

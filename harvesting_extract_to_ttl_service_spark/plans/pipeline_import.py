@@ -1,0 +1,166 @@
+"""The composed import pipeline — the reference's ``runImportPipeline``
+(/root/reference/lib/pipeline-import.js:22-122) as ONE set-oriented Spark
+job over all tasks at once.
+
+Reference trace (SURVEY.md §3.1) → engine step:
+  1  load scheduled tasks (4 SPARQL SELECTs, lib/task.js:80-156)
+     → one ``star_join`` pivot over the control triples
+  2  status → busy (lib/pipeline-import.js:33)
+     → a status-update DataFrame (busy rows) the caller upserts
+  3  page enumeration (COUNT + LIMIT/OFFSET loop, lines 124-178)
+     → one task⋈container⋈hasFile join, no pagination
+  4  per-page read/extract/triage (lines 44-107, sequential loop)
+     → pages joined to bodies, Arrow-batched extraction, column triage;
+       a page that fails to parse yields an error row, not a loop break
+  5  write valid(.+debug) TTLs + register files (lines 75-106)
+     → partitioned N-Triples writes keyed by (task, page)
+  6  status → success (line 109)
+     → success rows in the returned status updates (a task with zero
+       successfully-extracted pages still succeeds, as in the reference,
+       where per-page failures only ``continue``)
+
+Everything returned is a DataFrame; nothing iterates per task or per page
+on the driver. At 100 TB: tasks/pages are control-plane-sized (broadcast),
+documents dominate and stream through the extract stage partition-wise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from harvesting_extract_to_ttl_service_spark.operators.extract import (
+    extraction_pipeline,
+)
+from harvesting_extract_to_ttl_service_spark.operators.relational import (
+    graph_scope,
+    star_join,
+    values_filter,
+)
+from harvesting_extract_to_ttl_service_spark.operators.triage import (
+    corrected_triples,
+    invalid_triples,
+    triage,
+    valid_triples,
+)
+from harvesting_extract_to_ttl_service_spark.schema import (
+    ADMS,
+    EXTRACTING_OPERATION,
+    IMPORTING_OPERATION,
+    RDF_TYPE,
+    STATUS_BUSY,
+    STATUS_SCHEDULED,
+    STATUS_SUCCESS,
+    TASK,
+    TASK_TYPE,
+)
+from harvesting_extract_to_ttl_service_spark.sources.files import write_ttl
+
+ADMS_STATUS = ADMS + "status"
+TASK_OPERATION = TASK + "operation"
+TASK_INPUT_CONTAINER = TASK + "inputContainer"
+TASK_HAS_FILE = TASK + "hasFile"
+
+
+def load_scheduled_tasks(control: DataFrame,
+                         graph: str | None = None) -> DataFrame:
+    """Step 1: the task-load star (lib/task.js:83-100) + the scheduled /
+    operation filters the reference applies before running a task
+    (lib/pipeline-import.js:30, lib/task.js:94-97). One pivot — not one
+    query per pattern."""
+    tasks = star_join(
+        control,
+        {"task_type": RDF_TYPE, "status": ADMS_STATUS,
+         "operation": TASK_OPERATION, "input_container": TASK_INPUT_CONTAINER},
+        required=["task_type", "status", "operation", "input_container"],
+        graph=graph,
+    ).withColumnRenamed("subject", "task_uri")
+    tasks = tasks.filter(F.col("task_type") == TASK_TYPE)
+    tasks = tasks.filter(F.col("status") == STATUS_SCHEDULED)
+    return values_filter(tasks, "operation",
+                         [IMPORTING_OPERATION, EXTRACTING_OPERATION])
+
+
+def enumerate_pages(tasks: DataFrame, control: DataFrame,
+                    graph: str | None = None) -> DataFrame:
+    """Step 3: ``task task:inputContainer ?c . ?c task:hasFile ?page``
+    (lib/pipeline-import.js:129-139) for ALL tasks in one join; DISTINCT
+    replaces the reference's Set-dedup across LIMIT/OFFSET windows."""
+    has_file = (
+        graph_scope(control, graph)
+        .filter(F.col("predicate") == TASK_HAS_FILE)
+        .select(F.col("subject").alias("input_container"),
+                F.col("object_value").alias("page_uri"))
+    )
+    return (
+        tasks.select("task_uri", "input_container")
+        .join(has_file, "input_container")
+        .select("task_uri", "page_uri")
+        .distinct()
+    )
+
+
+def run_import_pipeline(control: DataFrame, page_bodies: DataFrame,
+                        out_dir: str | None = None,
+                        graph: str | None = None,
+                        write_debug_ttls: bool = False,
+                        now_iso: str = "1970-01-01T00:00:00Z",
+                        ) -> dict[str, DataFrame]:
+    """The whole §3.1 flow. ``control`` is the task/job triple set;
+    ``page_bodies`` maps page_uri → (url, html). Returns every output as a
+    DataFrame; when ``out_dir`` is set, also writes the
+    valid(/original/invalid/corrected) N-Triples trees partitioned by
+    (task, page) — 4 files per page only in debug mode, matching
+    WRITE_DEBUG_TTLS (constants.js:37-38, lib/pipeline-import.js:75-106)."""
+    tasks = load_scheduled_tasks(control, graph)
+    task_pages = enumerate_pages(tasks, control, graph)
+
+    pages = (
+        task_pages
+        .join(page_bodies.select("page_uri", "url", "html"), "page_uri")
+        .select("task_uri", "page_uri", "url", "html")
+    )
+    extracted, spilled = extraction_pipeline(pages)
+    # re-attach the task: extraction keys rows by page_uri
+    extracted = extracted.join(
+        F.broadcast(task_pages), "page_uri").withColumn(
+        "graph", F.lit(graph).cast("string"))
+
+    errors = (extracted.filter(F.col("error").isNotNull())
+              .select("task_uri", "page_uri", "error"))
+    triaged = triage(extracted.filter(F.col("error").isNull()))
+
+    # valid/invalid/corrected keep the (task, page) keys for partitioning
+    keys = ("task_uri", "page_uri")
+    valid = valid_triples(triaged, extra_cols=keys)
+    invalid = invalid_triples(triaged, extra_cols=keys)
+    corrected = corrected_triples(triaged, extra_cols=keys)
+
+    status_updates = (
+        tasks.select("task_uri")
+        .withColumn("status", F.lit(STATUS_SUCCESS))
+        .withColumn("modified", F.lit(now_iso))
+    )
+    busy_updates = status_updates.withColumn("status", F.lit(STATUS_BUSY))
+
+    if out_dir is not None:
+        write_ttl(valid, f"{out_dir}/valid", keys)
+        if write_debug_ttls:
+            original = triaged.select(
+                *keys, "subject", "predicate", "object_value", "object_type",
+                "datatype", "language", "graph")
+            write_ttl(original, f"{out_dir}/original", keys)
+            write_ttl(invalid, f"{out_dir}/invalid", keys)
+            write_ttl(corrected, f"{out_dir}/corrected", keys)
+
+    return {
+        "tasks": tasks,
+        "task_pages": task_pages,
+        "valid": valid,
+        "invalid": invalid,
+        "corrected": corrected,
+        "spilled": spilled,
+        "errors": errors,
+        "busy_updates": busy_updates,
+        "status_updates": status_updates,
+    }

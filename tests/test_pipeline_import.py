@@ -1,0 +1,112 @@
+"""End-to-end import pipeline (§3.1): control triples → scheduled tasks →
+page enumeration → extraction → triage → partitioned TTL writes + status
+updates, as one set-oriented job."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from harvesting_extract_to_ttl_service_spark.plans.pipeline_import import (
+    ADMS_STATUS,
+    TASK_HAS_FILE,
+    TASK_INPUT_CONTAINER,
+    TASK_OPERATION,
+    run_import_pipeline,
+)
+from harvesting_extract_to_ttl_service_spark.schema import (
+    EXTRACTING_OPERATION,
+    RDF_TYPE,
+    STATUS_SCHEDULED,
+    STATUS_SUCCESS,
+    TASK_TYPE,
+    TRIPLE_SCHEMA,
+)
+
+G = "urn:g:jobs"
+
+
+def _control(spark):
+    def t(s, p, o, ot="iri"):
+        return (s, p, o, ot, None, None, G)
+
+    rows = [
+        # task 1: scheduled, extracting, container c1 with two pages
+        t("urn:task:1", RDF_TYPE, TASK_TYPE),
+        t("urn:task:1", ADMS_STATUS, STATUS_SCHEDULED),
+        t("urn:task:1", TASK_OPERATION, EXTRACTING_OPERATION),
+        t("urn:task:1", TASK_INPUT_CONTAINER, "urn:container:1"),
+        t("urn:container:1", TASK_HAS_FILE, "share://p1.html"),
+        t("urn:container:1", TASK_HAS_FILE, "share://p2.html"),
+        # task 2: scheduled but wrong operation → filtered out
+        t("urn:task:2", RDF_TYPE, TASK_TYPE),
+        t("urn:task:2", ADMS_STATUS, STATUS_SCHEDULED),
+        t("urn:task:2", TASK_OPERATION, "urn:op:other"),
+        t("urn:task:2", TASK_INPUT_CONTAINER, "urn:container:2"),
+        t("urn:container:2", TASK_HAS_FILE, "share://p3.html"),
+        # task 3: right operation but already success → filtered out
+        t("urn:task:3", RDF_TYPE, TASK_TYPE),
+        t("urn:task:3", ADMS_STATUS, STATUS_SUCCESS),
+        t("urn:task:3", TASK_OPERATION, EXTRACTING_OPERATION),
+        t("urn:task:3", TASK_INPUT_CONTAINER, "urn:container:3"),
+    ]
+    return spark.createDataFrame(rows, TRIPLE_SCHEMA)
+
+
+def _bodies(spark):
+    ok = ('<div about="http://ex/d1">'
+          '<span property="dct:title">T1</span>'
+          '<span property="dct:date" content="2024/1/2" datatype="xsd:date">x</span>'
+          "</div>")
+    return spark.createDataFrame(
+        [("share://p1.html", "http://ex/page/1", ok),
+         ("share://p2.html", "http://ex/page/2", None),  # extraction error
+         ("share://p3.html", "http://ex/page/3", ok)],
+        "page_uri string, url string, html string")
+
+
+def test_run_import_pipeline(spark, tmp_path):
+    out_dir = str(tmp_path / "out")
+    res = run_import_pipeline(_control(spark), _bodies(spark),
+                              out_dir=out_dir, graph=G,
+                              write_debug_ttls=True, now_iso="t1")
+
+    # only task 1 qualifies (scheduled + valid operation)
+    assert [r.task_uri for r in res["tasks"].collect()] == ["urn:task:1"]
+    assert {r.page_uri for r in res["task_pages"].collect()} == {
+        "share://p1.html", "share://p2.html"}
+
+    # page 2 failed extraction → error row, page-local
+    errs = res["errors"].collect()
+    assert len(errs) == 1 and errs[0].page_uri == "share://p2.html"
+
+    valid = res["valid"]
+    vals = {(r.subject, r.predicate, r.object_value) for r in valid.collect()}
+    # date repaired to canonical form; provenance attached
+    assert ("http://ex/d1", "http://purl.org/dc/terms/date", "2024-01-02") in vals
+    assert ("http://ex/d1", "http://www.w3.org/ns/prov#wasDerivedFrom",
+            "http://ex/page/1") in vals
+    # corrected = original (broken) form of the repaired triple
+    corr = {(r.object_value,) for r in res["corrected"].collect()}
+    assert ("2024/1/2",) in corr
+
+    # status: busy then success for the processed task
+    assert [(r.task_uri, r.status) for r in res["status_updates"].collect()] \
+        == [("urn:task:1", STATUS_SUCCESS)]
+    assert res["busy_updates"].first().status.endswith("/busy")
+
+    # partitioned writes: valid + 3 debug trees, keyed by task/page
+    for sub in ("valid", "original", "invalid", "corrected"):
+        assert os.path.isdir(f"{out_dir}/{sub}"), sub
+    page_dirs = os.listdir(
+        f"{out_dir}/valid/task_uri=urn%3Atask%3A1"
+        if os.path.isdir(f"{out_dir}/valid/task_uri=urn%3Atask%3A1")
+        else f"{out_dir}/valid/" + os.listdir(f"{out_dir}/valid")[0])
+    assert any("page_uri=" in d for d in page_dirs)
+
+
+def test_pipeline_no_matching_tasks(spark):
+    control = _control(spark).filter(F.col("subject") != "urn:task:1")
+    res = run_import_pipeline(control, _bodies(spark))
+    assert res["tasks"].count() == 0
+    assert res["valid"].count() == 0
+    assert res["status_updates"].count() == 0
