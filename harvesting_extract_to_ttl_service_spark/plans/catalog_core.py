@@ -562,3 +562,108 @@ def dedup_events_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", F.col("event_id").alias("first_event_id"))
     )
+
+
+# --------------------------------------------------------------------------
+# Outer/anti joins, grouping sets, approximate aggregates
+# --------------------------------------------------------------------------
+
+@q("left_join_customer_order_counts", """
+SELECT c_custkey, c_mktsegment,
+       count(o_orderkey)                        AS n_orders,
+       round(coalesce(sum(o_totalprice), 0), 2) AS total
+FROM customer LEFT JOIN orders
+  ON c_custkey = o_custkey AND o_orderstatus = 'O'
+WHERE c_custkey % 10 = 0
+GROUP BY c_custkey, c_mktsegment
+""")
+def left_join_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join with a join-side predicate: customers keep their row
+    (zero counts) when no open order matches — the null-extension semantics
+    the equi-join catalog entries don't cover."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 0)
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"),
+             F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2)
+             .alias("total"))
+    )
+
+
+@q("anti_join_customers_no_orders", """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""")
+def anti_join_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join (the complement of B8's semi-join)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(o, "c_custkey", "left_anti").select("c_custkey", "c_mktsegment")
+
+
+@q("full_outer_nation_activity", """
+SELECT coalesce(c.nk, s.nk) AS nationkey,
+       coalesce(n_cust, 0)  AS n_cust,
+       coalesce(n_supp, 0)  AS n_supp
+FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer
+      WHERE c_acctbal > 9000 GROUP BY c_nationkey) c
+FULL OUTER JOIN
+     (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier
+      GROUP BY s_nationkey) s
+ON c.nk = s.nk
+""")
+def full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: nations with only rich customers, only suppliers,
+    or both — null-extension on both sides."""
+    c = (load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+         .groupBy(F.col("c_nationkey").alias("nk_c"))
+         .agg(F.count("*").alias("n_cust")))
+    s = (load(spark, sf_dir, "supplier")
+         .groupBy(F.col("s_nationkey").alias("nk_s"))
+         .agg(F.count("*").alias("n_supp")))
+    return (
+        c.join(s, c.nk_c == s.nk_s, "full_outer")
+        .select(F.coalesce("nk_c", "nk_s").alias("nationkey"),
+                F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+                F.coalesce("n_supp", F.lit(0)).alias("n_supp"))
+    )
+
+
+@q("grouping_sets_order_stats", """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority))
+""")
+def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): Spark SQL form —
+    Catalyst expands to one Expand + single aggregate, not three scans."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+    """)
+
+
+@q("approx_distinct_customers")  # HLL estimate: rows-only (no exact oracle)
+def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the at-scale form of B5's
+    COUNT(DISTINCT): constant memory per partition, no exact shuffle of
+    the distinct set. Estimate ⇒ rows-only driver check; the exact twin
+    (segment_order_stats, b5_count_distinct_nations) is oracle-checked."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+             F.count_distinct("o_custkey").alias("exact_customers"))
+        .withColumn("rel_err",
+                    F.round(F.abs(F.col("approx_customers")
+                                  - F.col("exact_customers"))
+                            / F.col("exact_customers"), 4))
+    )
