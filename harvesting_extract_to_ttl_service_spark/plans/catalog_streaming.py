@@ -110,3 +110,56 @@ def streaming_session_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog_core sessionize_events."""
     return _run_available_now(
         session_aggregate(_events_stream(spark, sf_dir)), spark)
+
+
+def _page_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-page result rows synthesized from orders (task =
+    key % 50, n_triples = key % 7) — shared by the stateful streaming
+    operator and its batch-twin oracle."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        F.concat(F.lit("urn:task:"),
+                 (F.col("o_orderkey") % 50).cast("string")).alias("task_uri"),
+        F.concat(F.lit("share://page"), "o_orderkey").alias("page_uri"),
+        (F.col("o_orderkey") % 7).cast("long").alias("n_triples"),
+    )
+
+
+@q("task_progress_batch", """
+SELECT 'urn:task:' || (o_orderkey % 50) AS task_uri,
+       count(*)                          AS pages_done,
+       CAST(sum(o_orderkey % 7) AS BIGINT) AS triples_total,
+       'busy'                            AS status
+FROM orders GROUP BY 1
+""")
+def task_progress_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the applyInPandasWithState progress tracker — the
+    totals the keyed state converges to after one pass."""
+    from harvesting_extract_to_ttl_service_spark.streaming.stateful import (
+        task_progress_batch,
+    )
+
+    return task_progress_batch(_page_results(spark, sf_dir))
+
+
+@q("streaming_task_progress")  # custom stateful operator: rows-only check
+def streaming_task_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState per-task progress over a file stream of the
+    synthesized page results; oracle coverage comes from the batch twin."""
+    from harvesting_extract_to_ttl_service_spark.streaming.stateful import (
+        task_progress,
+    )
+
+    staged = tempfile.mkdtemp(prefix="page_results_")
+    batch = _page_results(spark, sf_dir)
+    batch.write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(batch.schema).parquet(staged)
+
+    name = "q" + uuid.uuid4().hex
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    query = (task_progress(stream).writeStream.format("memory")
+             .queryName(name).outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+    query.awaitTermination(300)
+    return spark.table(name).filter(F.col("status") == "busy")
