@@ -47,6 +47,8 @@ HEADLINE = [
     "simhash_pairs",
     "embedding_cosine_topk",
     "text_stats",
+    "rdfa_extract_docs",
+    "import_pipeline_e2e",
 ]
 
 
