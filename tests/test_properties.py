@@ -1,0 +1,91 @@
+"""Property-based checks (SURVEY.md §5.3, hypothesis): N-Triples
+encode∘decode roundtrip over adversarial literal content, and triage
+partition invariants / repair idempotence over generated dirty batches."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from harvesting_extract_to_ttl_service_spark.functions.ntriples import (
+    decode_ntriples,
+    encode_ntriples,
+)
+from harvesting_extract_to_ttl_service_spark.operators.triage import (
+    corrected_triples,
+    dropped_triples,
+    invalid_triples,
+    triage,
+    valid_triples,
+)
+from harvesting_extract_to_ttl_service_spark.schema import (
+    TRIPLE_SCHEMA,
+    XSD_BOOLEAN,
+    XSD_DATE,
+    XSD_INTEGER,
+)
+
+# Lexical forms that stress the escaper: quotes, backslashes, control
+# chars, unicode, and the escape sequences themselves as text.
+_literals = st.text(
+    alphabet=st.one_of(
+        st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+        st.sampled_from(['"', "\\", "\n", "\r", "\t", "é", "€", "中", "𝄞"]),
+    ),
+    max_size=40,
+)
+
+_SETTINGS = dict(max_examples=6, deadline=None,
+                 suppress_health_check=[HealthCheck.too_slow])
+
+
+@given(values=st.lists(_literals, min_size=1, max_size=40))
+@settings(**_SETTINGS)
+def test_roundtrip_property(spark, values):
+    rows = [
+        (f"http://s/{i}", "http://p", v, "literal", None, None, None)
+        for i, v in enumerate(values)
+    ]
+    df = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+    lines = encode_ntriples(df).select(F.col("nt").alias("value"))
+    back = decode_ntriples(lines, "value")
+    got = {(r.subject, r.object_value) for r in back.collect()}
+    want = {(f"http://s/{i}", v) for i, v in enumerate(values)}
+    assert got == want
+
+
+_dirty_objects = st.one_of(
+    st.tuples(st.sampled_from(["true", "false", "TRUE", "False", "yes", ""]),
+              st.just(XSD_BOOLEAN)),
+    st.tuples(st.sampled_from(["2023-05-07", "2023-5-7", "2023/05/07",
+                               "notadate", "7 May 2023", ""]),
+              st.just(XSD_DATE)),
+    st.tuples(st.sampled_from(["42", "4.2", "x", ""]), st.just(XSD_INTEGER)),
+    st.tuples(st.text(max_size=10), st.just("urn:dt:unknown")),
+    st.tuples(st.text(max_size=10), st.none()),
+)
+
+
+@given(objs=st.lists(_dirty_objects, min_size=1, max_size=60))
+@settings(**_SETTINGS)
+def test_triage_partition_invariants(spark, objs):
+    rows = [
+        (f"http://s/{i}", "http://p", v, "literal", dt, None, None)
+        for i, (v, dt) in enumerate(objs)
+    ]
+    df = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+    t = triage(df).cache()
+    n = t.count()
+    n_valid_first = t.filter(F.col("is_valid")).count()
+    valid, invalid = valid_triples(t), invalid_triples(t)
+    corrected, dropped = corrected_triples(t), dropped_triples(t)
+
+    # valid = passed ∪ repaired ; corrected ⊆ invalid ;
+    # dropped = invalid ∖ corrected ; everything accounted for
+    assert valid.count() == n_valid_first + corrected.count()
+    assert invalid.count() == corrected.count() + dropped.count()
+    assert n == n_valid_first + invalid.count()
+
+    # repair idempotence: triaging the valid output changes nothing
+    t2 = triage(valid)
+    assert t2.filter(~F.col("is_valid")).count() == 0
+    t.unpersist()
