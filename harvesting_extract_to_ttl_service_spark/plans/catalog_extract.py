@@ -74,13 +74,36 @@ def _doc_html() -> F.Column:
     )
 
 
-@q("import_pipeline_e2e")  # composed job; each stage is oracle-checked solo
+_PIPELINE_ORACLE = f"""
+WITH docs AS (
+    SELECT doc_id, lang,
+           array_to_string((string_split(text, ' '))[1:3], ' ') AS title,
+           'urn:task:' || (doc_id % 4) AS task_uri,
+           'urn:doc:' || doc_id        AS subj,
+           'http://ex/page/' || doc_id AS url
+    FROM documents WHERE doc_id < {_N_DOCS}
+)
+SELECT task_uri, subj AS subject,
+       'http://purl.org/dc/terms/title' AS predicate,
+       title AS object_value, 'literal' AS object_type
+FROM docs
+UNION ALL
+SELECT task_uri, subj, 'http://purl.org/dc/terms/description',
+       'doc ' || doc_id, 'literal'
+FROM docs
+UNION ALL
+SELECT task_uri, subj, 'http://www.w3.org/ns/prov#wasDerivedFrom', url, 'iri'
+FROM docs
+"""
+
+
+@q("import_pipeline_e2e", _PIPELINE_ORACLE)
 def import_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full §3.1 pipeline over a synthetic control graph + document
     pages: scheduled-task star join → page enumeration → extraction →
-    triage → valid triples with provenance. Rows-only check; the stages
-    are individually oracle-checked (b3/b4 join shapes, rdfa_extract_docs,
-    triage_dirty_literals)."""
+    triage → valid triples with provenance — and the oracle restates the
+    expected valid set (all clean here, so valid = extracted ∪ prov)
+    directly from documents."""
     from harvesting_extract_to_ttl_service_spark.plans.pipeline_import import (
         ADMS_STATUS,
         TASK_HAS_FILE,
