@@ -667,3 +667,26 @@ def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   - F.col("exact_customers"))
                             / F.col("exact_customers"), 4))
     )
+
+
+@q("json_map_explode", """
+SELECT k AS prop_key,
+       count(*)                            AS n,
+       CAST(sum(CAST(v AS BIGINT)) AS BIGINT) AS sum_v
+FROM (SELECT unnest(json_keys(props::JSON))                        AS k,
+             json_extract_string(props::JSON, unnest(json_keys(props::JSON))) AS v
+      FROM events)
+GROUP BY k
+""")
+def json_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.props as a real MapType via from_json (SURVEY.md §1.5) —
+    schema-on-read into map<string,string>, exploded to key rows, grouped.
+    Unlike get_json_object this handles arbitrary keys, not fixed paths."""
+    e = load(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return (
+        e.select(F.explode(m).alias("prop_key", "v"))
+        .groupBy("prop_key")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("v").cast("long")).alias("sum_v"))
+    )
