@@ -690,3 +690,46 @@ def json_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"),
              F.sum(F.col("v").cast("long")).alias("sum_v"))
     )
+
+
+@q("salted_status_counts", """
+SELECT o_orderstatus,
+       count(*)                    AS count_n,
+       round(sum(o_totalprice), 2) AS sum_total
+FROM orders GROUP BY o_orderstatus
+""")
+def salted_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation on a deliberately skewed key (orders
+    has ~3 status values → 3 reducers unsalted). Result is identical to
+    the plain groupBy — only the phase-1 shuffle key distribution differs."""
+    from harvesting_extract_to_ttl_service_spark.operators.skew import salted_agg
+
+    o = load(spark, sf_dir, "orders")
+    out = salted_agg(
+        o, ["o_orderstatus"],
+        [F.count("*").alias("count_n"), F.sum("o_totalprice").alias("sum_total")],
+        salt_buckets=16,
+    )
+    return out.select("o_orderstatus", "count_n",
+                      F.round("sum_total", 2).alias("sum_total"))
+
+
+@q("salted_replicated_join", """
+SELECT n_name, count(*) AS n_cust
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""")
+def salted_replicated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salt-and-replicate join (hot big-side key spread over 8 reducers,
+    small side replicated per salt). Row multiplicity must be unchanged
+    vs the plain join — that is exactly what the oracle asserts."""
+    from harvesting_extract_to_ttl_service_spark.operators.skew import (
+        replicate_broadcast_join,
+    )
+
+    c = (load(spark, sf_dir, "customer")
+         .select(F.col("c_nationkey").alias("nk")))
+    n = (load(spark, sf_dir, "nation")
+         .select(F.col("n_nationkey").alias("nk"), "n_name"))
+    return (replicate_broadcast_join(c, n, "nk", salt_buckets=8)
+            .groupBy("n_name").agg(F.count("*").alias("n_cust")))
