@@ -45,3 +45,20 @@ def load_triples(spark: SparkSession, path: str,
     if graph is not None:
         df = df.filter(F.col("graph") == graph)
     return df
+
+
+def save_triples_bucketed(df: DataFrame, table: str, buckets: int = 64,
+                          mode: str = "overwrite") -> None:
+    """Catalog-table variant bucketed by ``subject``: every subject-keyed
+    operation — the B3 star pivot, subject self-joins, provenance dedup —
+    reads co-located buckets and runs with ZERO exchanges (asserted by
+    test). This is the layout for the 100 TB star-join workload; the
+    graph-partitioned path layout above is the layout for graph-scoped
+    scans — pick per workload, or both (bucket within partition)."""
+    (df.select(*TRIPLE_COLS)
+       .write.bucketBy(buckets, "subject").sortBy("subject")
+       .mode(mode).format("parquet").saveAsTable(table))
+
+
+def load_bucketed_triples(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)

@@ -55,3 +55,26 @@ def test_append_per_graph(spark, tmp_path):
     save_triples(extra, path)
     assert load_triples(spark, path, graph="urn:g:two").count() == 2
     assert load_triples(spark, path, graph="urn:g:one").count() == 2
+
+
+def test_bucketed_star_join_no_shuffle(spark):
+    from harvesting_extract_to_ttl_service_spark.sources.triple_store import (
+        load_bucketed_triples,
+        save_triples_bucketed,
+    )
+
+    save_triples_bucketed(_triples(spark), "t_bucketed_test", buckets=4)
+    tb = load_bucketed_triples(spark, "t_bucketed_test")
+    assert tb.count() == 4
+
+    # subject-keyed aggregation over the bucketed table plans no exchange
+    agg = tb.groupBy("subject").count()
+    agg.count()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 0
+
+    # and a subject self-join is also exchange-free
+    j = tb.alias("a").join(tb.alias("b"), "subject")
+    j.count()
+    jplan = j._jdf.queryExecution().executedPlan().toString()
+    assert jplan.count("Exchange hashpartitioning") == 0
