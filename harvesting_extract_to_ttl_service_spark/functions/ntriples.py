@@ -183,10 +183,18 @@ def decode_ntriples(lines: DataFrame, col: str = "value",
     return parsed
 
 
-def read_ntriples(spark, path: str, graph: str | None = None) -> DataFrame:
+def read_ntriples(spark, path: str, graph: str | None = None,
+                  keep_errors: bool = True) -> DataFrame:
     """Scan `.nt` files (gz handled by extension — reference gunzips
     explicitly at /root/reference/lib/rdfa-extractor.js:65-68; Spark's text
-    source selects the codec from the filename)."""
+    source selects the codec from the filename).
+
+    ``keep_errors`` defaults to True because the reference treats a line
+    that fails to parse as an INVALID triple, not as absent
+    (/root/reference/lib/validateTriple.js:13-15) — triage maps
+    ``parse_ok = false`` to 'dropped', so counts match. Pass False to
+    silently skip garbage lines instead."""
     lines = spark.read.text(path)
     lines = lines.filter(F.trim(F.col("value")) != "")
-    return decode_ntriples(lines, "value", graph=graph)
+    return decode_ntriples(lines, "value", graph=graph,
+                           keep_errors=keep_errors)
