@@ -419,3 +419,23 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = documents_as_media(load(spark, sf_dir, "documents"))
     feats = extract_image_features(media)
     return feats.select("media_id", "width", "height", "n_bytes", "checksum")
+
+
+@q("top_words", f"""
+SELECT w AS word, count(*) AS n
+FROM (SELECT unnest({_WORDS}) AS w FROM documents)
+GROUP BY w ORDER BY n DESC, w LIMIT 20
+""")
+def top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word frequencies: tokenize → explode → count → top-k.
+    Catalyst plans partial counts before the shuffle (map-side combine),
+    so the exploded token stream never shuffles raw — only (word, count)
+    pairs per partition."""
+    from harvesting_extract_to_ttl_service_spark.operators.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.lower("text"))).alias("word"))
+        .groupBy("word").agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "word").limit(20)
+    )
