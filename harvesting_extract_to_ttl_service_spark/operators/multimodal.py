@@ -111,6 +111,50 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
     )
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("duration_s", T.DoubleType(), True),
+    T.StructField("n_bytes", T.LongType(), True),
+    T.StructField("loudness", T.DoubleType(), True),
+])
+
+
+def fake_audio_decode(payload: bytes) -> tuple[int, float, float]:
+    """Deterministic fake audio probe: (sample_rate, duration, loudness)
+    derived from payload bytes. Real kernel: soundfile/ffprobe."""
+    import math
+
+    n = len(payload)
+    rate = (8000, 16000, 44100, 48000)[n % 4]
+    # round half-away-from-zero (SQL semantics), not Python's banker's
+    # rounding — keeps the stub bit-identical to the DuckDB oracle
+    duration = math.floor(n / 1024.0 * 1000 + 0.5) / 1000
+    loudness = (sum(payload[:64]) % 1000) / 1000.0 if n else 0.0
+    return rate, duration, loudness
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """``mapInPandas`` audio feature extraction — same batch shape as the
+    image path: payloads die inside the UDF, fixed-width features out."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [fake_audio_decode(p) if p is not None else (None, None, None)
+                     for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "sample_rate": [f[0] for f in feats],
+                "duration_s": [f[1] for f in feats],
+                "n_bytes": [len(p) if p is not None else None
+                            for p in pdf["payload"]],
+                "loudness": [f[2] for f in feats],
+            })
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, AUDIO_FEATURES_SCHEMA)
+
+
 def sample_video_frames(media: DataFrame, every_nth: int = 10) -> DataFrame:
     """Frame-sampling plumbing for video payloads: emits (media_id,
     frame_index) rows with a stub frame payload. The kernel is a

@@ -439,3 +439,28 @@ def top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word").agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), "word").limit(20)
     )
+
+
+@q("multimodal_audio_meta", """
+SELECT doc_id AS media_id,
+       CASE octet_length(encode(text)) % 4
+            WHEN 0 THEN 8000 WHEN 1 THEN 16000
+            WHEN 2 THEN 44100 ELSE 48000 END        AS sample_rate,
+       round(octet_length(encode(text)) / 1024.0, 3) AS duration_s,
+       octet_length(encode(text))                    AS n_bytes
+FROM documents WHERE doc_id % 3 = 0
+""")
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-decode plumbing twin of multimodal_image_meta: documents
+    wrapped as opaque audio payloads, probed by the deterministic stub
+    kernel inside mapInPandas; the oracle restates rate/duration from the
+    payload byte length (loudness needs byte arithmetic SQL can't restate
+    cheaply, so it stays engine-side)."""
+    from harvesting_extract_to_ttl_service_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    media = documents_as_media(docs)
+    return extract_audio_features(media).select(
+        "media_id", "sample_rate", "duration_s", "n_bytes")
