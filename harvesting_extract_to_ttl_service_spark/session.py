@@ -10,6 +10,7 @@ bit-for-bit against the DuckDB oracle.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -30,11 +31,15 @@ def get_spark(app_name: str = "harvesting_extract_to_ttl_service_spark",
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        # static config — needed for bucketed tables (saveAsTable); keep it
-        # out of the repo tree
+        # static config — needed for bucketed tables (saveAsTable). Default
+        # is a fresh temp dir per session: a persistent dir would leak
+        # table locations across sessions while the in-memory catalog
+        # forgets them, making every re-save fail with
+        # LOCATION_ALREADY_EXISTS. A real deployment overrides this and
+        # uses a real metastore.
         .config("spark.sql.warehouse.dir",
-                os.environ.get("SPARK_GRAFT_WAREHOUSE",
-                               "/tmp/spark_graft_warehouse"))
+                os.environ.get("SPARK_GRAFT_WAREHOUSE") or
+                tempfile.mkdtemp(prefix="spark_graft_warehouse_"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
