@@ -464,3 +464,36 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = documents_as_media(docs)
     return extract_audio_features(media).select(
         "media_id", "sample_rate", "duration_s", "n_bytes")
+
+
+@q("ivf_cell_assignment", """
+WITH cent AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < 4
+), sims AS (
+  SELECT e.vec_id, c.cid,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) AS sim
+  FROM embeddings e CROSS JOIN cent c
+  WHERE e.vec_id % 5 = 0
+), ranked AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, cid) AS rn
+  FROM sims
+)
+SELECT vec_id, CAST(cid AS INT) AS ivf_cell FROM ranked WHERE rn = 1
+""")
+def ivf_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization: nearest of 4 centroids (the first four
+    embeddings) per vector, first centroid wins ties — the bucketed-ANN
+    scale path's assignment step, restated independently by the oracle via
+    a cross join + window."""
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = [list(r.embedding) for r in
+                 emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()]
+    sample = emb.filter(F.col("vec_id") % 5 == 0)
+    return ivf_assign(sample, centroids).select("vec_id", "ivf_cell")
