@@ -34,15 +34,28 @@ _CATALOGS = (catalog_core, catalog_triples, catalog_llm, catalog_extract,
              catalog_streaming)
 
 
+def _utc(fn: Callable[[SparkSession, str], DataFrame]
+         ) -> Callable[[SparkSession, str], DataFrame]:
+    """Pin the session timezone to UTC before building the plan: the
+    catalog's timestamp renderings (date_format) are session-TZ-dependent
+    and every oracle assumes UTC; the driver's session may not."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q5 shape: 6-way join + aggregate) on sf0.001."""
-    return catalog_core.q5_region_revenue(spark, "/root/testdata/sf0.001")
+    return _utc(catalog_core.q5_region_revenue)(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for cat in _CATALOGS:
-        out.update(cat.QUERIES)
+        out.update({name: _utc(fn) for name, fn in cat.QUERIES.items()})
     return out
 
 
