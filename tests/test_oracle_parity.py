@@ -88,3 +88,21 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert len(df.columns) >= 2
+
+
+def test_simhash_table_matches_column_form(spark):
+    """The explode+groupBy simhash must equal the single-expression form."""
+    from pyspark.sql import functions as F
+
+    from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+        simhash,
+        simhash_table,
+    )
+
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .filter(F.col("doc_id") < 50))
+    col_form = {(r.doc_id, r.sh) for r in docs.select(
+        "doc_id", simhash(F.col("text"), 60).alias("sh")).collect()}
+    tbl_form = {(r.id, r.sh) for r in
+                simhash_table(docs, bits=60).collect()}
+    assert col_form == tbl_form
