@@ -1,0 +1,50 @@
+"""Physical-plan quality pins: these assert the plan SHAPE (pushed
+filters, broadcast joins, bounded shuffle counts) so a regression that
+silently turns a broadcast into a sort-merge join or drops a pushdown
+fails loudly, not just slowly."""
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(spark, name, mode="formatted"):
+    df = entry_mod.queries()[name](spark, SF)
+    jpe = df._jdf.queryExecution()
+    em = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return jpe.explainString(em)
+
+
+def test_q6_filters_push_to_parquet(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    assert "PushedFilters: [" in plan
+    # shipdate range + discount + quantity all reach the scan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_q6_prunes_columns(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    # 4-column projection out of 11 lineitem columns
+    assert "l_extendedprice" in schema and "l_orderkey" not in schema
+
+
+def test_q5_broadcasts_dims_no_sort_merge(spark):
+    plan = _plan(spark, "q5_region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3   # supplier/nation/region
+    assert "SortMergeJoin" not in plan
+
+
+def test_star_join_is_single_shuffle(spark):
+    plan = _plan(spark, "b3_star_join_customers", mode="simple")
+    # pivot-based star join: one hashpartitioning exchange on subject,
+    # not one join per predicate
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_triage_has_no_python_udf(spark):
+    plan = _plan(spark, "triage_dirty_literals", mode="simple")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan
