@@ -733,3 +733,85 @@ def salted_replicated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select(F.col("n_nationkey").alias("nk"), "n_name"))
     return (replicate_broadcast_join(c, n, "nk", salt_buckets=8)
             .groupBy("n_name").agg(F.count("*").alias("n_cust")))
+
+
+@q("q2_min_cost_supplier", """
+WITH unit AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), best AS (
+  SELECT l_partkey AS b_partkey, min(unit_cost) AS min_cost
+  FROM unit GROUP BY l_partkey
+)
+SELECT p_partkey, p_brand, s_suppkey, s_name,
+       round(unit_cost, 2)  AS min_unit_cost,
+       round(s_acctbal, 2)  AS acctbal
+FROM unit
+JOIN best     ON l_partkey = b_partkey AND unit_cost = min_cost
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE p_size <= 10
+ORDER BY acctbal DESC, p_partkey, s_suppkey
+LIMIT 20
+""")
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated MIN subquery): cheapest supplier per
+    part, decorated and top-k'd. The fixtures have no partsupp table, so
+    unit cost is derived from lineitem (reference delegates all querying
+    to SPARQL — SURVEY.md §2B; this is the min-per-group join shape).
+
+    Scale: the per-(part,supp) aggregate and the per-part min reuse the
+    same partkey-prefixed shuffle key; the min side re-joins on
+    (partkey, exact double) — IEEE division is bit-identical across
+    engines, so the equality is safe (rounding happens only on output).
+    part/supplier are dims → broadcast. Top-20 is TakeOrdered."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    s = load(spark, sf_dir, "supplier")
+    unit = (li.groupBy("l_partkey", "l_suppkey")
+            .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+                 .alias("unit_cost")))
+    best = (unit.groupBy(F.col("l_partkey").alias("b_partkey"))
+            .agg(F.min("unit_cost").alias("min_cost")))
+    return (
+        unit.join(best, (unit.l_partkey == best.b_partkey)
+                  & (unit.unit_cost == best.min_cost))
+        .join(F.broadcast(p), F.col("p_partkey") == unit.l_partkey)
+        .join(F.broadcast(s), F.col("s_suppkey") == unit.l_suppkey)
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name",
+                F.round("unit_cost", 2).alias("min_unit_cost"),
+                F.round("s_acctbal", 2).alias("acctbal"))
+        .orderBy(F.col("acctbal").desc(), "p_partkey", "s_suppkey")
+        .limit(20)
+    )
+
+
+@q("q4_order_priority", """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate >= o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+""")
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join with a non-equi residual
+    (late shipment: shipped ≥60 days after order), then a tiny aggregate.
+
+    Scale: the date window prunes orders at the scan (pushed filter);
+    the semi-join shuffles both sides on orderkey once and the interval
+    predicate evaluates as a join residual — no second pass, no
+    count-distinct. Aggregate output is ~5 rows."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-07-01"))
+    li = load(spark, sf_dir, "lineitem")
+    late = (li.l_shipdate
+            >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    return (
+        o.join(li, (o.o_orderkey == li.l_orderkey) & late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
