@@ -786,6 +786,40 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q17_small_quantity_revenue", """
+WITH part_avg AS (
+  SELECT l_partkey AS a_partkey, avg(l_quantity) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN part_avg ON a_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < 0.5 * avg_qty
+""")
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar aggregate (per-part average
+    quantity) decorrelated into an aggregate + self-join — exactly what
+    Catalyst's subquery decorrelation would plan, written explicitly.
+
+    Scale: both the per-part average and the probe side shuffle once on
+    l_partkey (AQE coalesces); the brand filter rides the broadcast dim
+    join and prunes before the threshold compare. avg over doubles is
+    engine-ordered — the 0.5× threshold compare is robust to the tiny
+    summation-order wobble except for measure-zero exact ties."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    part_avg = (li.groupBy(F.col("l_partkey").alias("a_partkey"))
+                .agg(F.avg("l_quantity").alias("avg_qty")))
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == li.l_partkey)
+        .join(part_avg, F.col("a_partkey") == li.l_partkey)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
 @q("q4_order_priority", """
 SELECT o_orderpriority, count(*) AS order_count
 FROM orders

@@ -44,6 +44,23 @@ def test_star_join_is_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") <= 2
 
 
+def test_q2_broadcasts_dims(spark):
+    plan = _plan(spark, "q2_min_cost_supplier")
+    # part and supplier are explicit broadcasts; the unit⋈best join keys
+    # on (partkey, double) and must stay a hash/sort join, never a
+    # nested-loop (no usable equi-key would mean a plan bug)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q4_semi_join_with_pushed_date_window(spark):
+    plan = _plan(spark, "q4_order_priority")
+    assert "LeftSemi" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "o_orderdate" in pushed, f"date window not pushed: {pushed}"
+
+
 def test_triage_has_no_python_udf(spark):
     plan = _plan(spark, "triage_dirty_literals", mode="simple")
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
