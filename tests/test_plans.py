@@ -61,6 +61,14 @@ def test_q4_semi_join_with_pushed_date_window(spark):
     assert "o_orderdate" in pushed, f"date window not pushed: {pushed}"
 
 
+def test_bucketed_join_has_no_join_exchange(spark):
+    plan = _plan(spark, "bucketed_join_order_revenue", mode="simple")
+    # co-bucketed scan feeds the merge join directly; the only shuffle
+    # left is the 3-row final aggregate
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
 def test_triage_has_no_python_udf(spark):
     plan = _plan(spark, "triage_dirty_literals", mode="simple")
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
