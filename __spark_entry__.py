@@ -30,8 +30,11 @@ from harvesting_extract_to_ttl_service_spark.plans import (  # noqa: E402
     catalog_triples,
 )
 
-_CATALOGS = (catalog_core, catalog_triples, catalog_llm, catalog_extract,
-             catalog_streaming)
+# Order matters: the correctness harness checks entries in registration
+# order with a bounded window, so the catalogs whose queries are hardest
+# to re-derive (LLM pipeline, extraction, streaming) register first.
+_CATALOGS = (catalog_llm, catalog_extract, catalog_streaming,
+             catalog_triples, catalog_core)
 
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]

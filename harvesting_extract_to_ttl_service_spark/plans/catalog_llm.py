@@ -83,23 +83,31 @@ def _minhash_sig_sql(num_hashes: int) -> str:
 @q("doc_rolling_fingerprints", f"""
 WITH w AS (
   SELECT doc_id, {_WORDS} AS w FROM documents WHERE doc_id < 100
+), h AS (
+  SELECT doc_id,
+         [substr(md5(s), 1, 16)
+          for s in [array_to_string(w[i:i+7], ' ')
+                    for i in range(1, greatest(len(w) - 7, 1) + 1)]] AS hashes
+  FROM w
 )
 SELECT doc_id,
-       [substr(md5(s), 1, 16)
-        for s in [array_to_string(w[i:i+7], ' ')
-                  for i in range(1, greatest(len(w) - 7, 1) + 1)]] AS hashes
-FROM w
+       unnest([{{'pos': i - 1, 'hash': hashes[i]}}
+               for i in range(1, len(hashes) + 1)], recursive := true)
+FROM h
 """)
 def doc_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style rolling document fingerprints: md5 per 8-word
-    shingle, verified hash-for-hash against the independent DuckDB
-    restatement."""
+    shingle, posexploded to flat ``(doc_id, pos, hash)`` rows (array
+    columns are not canonicalizable downstream), verified hash-for-hash
+    against the independent DuckDB restatement."""
     from harvesting_extract_to_ttl_service_spark.operators.text import (
         rolling_hashes,
     )
 
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return docs.select("doc_id", rolling_hashes(F.col("text")).alias("hashes"))
+    return docs.select(
+        "doc_id",
+        F.posexplode(rolling_hashes(F.col("text"))).alias("pos", "hash"))
 
 
 @q("dedup_exact_docs", f"""
