@@ -57,8 +57,20 @@ def _sf_from_dir(d: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
-def main() -> None:
+def _resolve(name):
+    """Headline queries stay individually timed across rounds even when
+    their catalog entry folded into a tagged-union suite: fall back to the
+    (still-present) member function on the catalog module."""
     queries = entry_mod.queries()
+    if name in queries:
+        return queries[name]
+    for cat in entry_mod._CATALOGS:
+        if hasattr(cat, name):
+            return getattr(cat, name)
+    raise KeyError(name)
+
+
+def main() -> None:
     spark = get_spark("bench")
     # Warm the JVM/codegen paths so the first measured query doesn't pay
     # session-startup costs.
@@ -67,7 +79,7 @@ def main() -> None:
     per_query: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
-        fn = queries[name]
+        fn = _resolve(name)
         t0 = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0

@@ -33,23 +33,68 @@ _SENT = "\x00"
 
 def escape_literal(col: Column) -> Column:
     """Escape a lexical form for inclusion in an N-Triples double-quoted
-    literal: backslash, quote, LF, CR, TAB."""
+    literal: backslash, quote, LF, CR, TAB, plus the two control chars the
+    decoder uses as internal sentinels (U+0000/U+0001 → ``\\uXXXX`` so an
+    encode→decode roundtrip never ships a raw sentinel byte)."""
     c = F.regexp_replace(col, r"\\", r"\\\\")
     c = F.regexp_replace(c, '"', '\\\\"')
     c = F.regexp_replace(c, "\n", "\\\\n")
     c = F.regexp_replace(c, "\r", "\\\\r")
     c = F.regexp_replace(c, "\t", "\\\\t")
+    c = F.regexp_replace(c, "\x00", r"\\u0000")
+    c = F.regexp_replace(c, "\x01", r"\\u0001")
     return c
+
+
+def _decode_uchar_escapes(c: Column) -> Column:
+    """Decode ``\\uXXXX`` / ``\\UXXXXXXXX`` numeric escapes (N-Triples
+    UCHAR, which the reference's N3.Parser decodes) as pure column
+    expressions: split the string before each candidate escape, then per
+    segment hex-decode the code point via UTF-16BE (non-BMP code points
+    are converted to their surrogate pair arithmetically — Spark's
+    ``decode`` has no UTF-32 charset).
+
+    MUST run while escaped backslashes are still hidden as ``_SENT``:
+    that is what distinguishes a genuine ``\\u0041`` escape from the text
+    ``\\\\u0041`` (escaped backslash followed by 'u0041'). The whole pass
+    is gated on a cheap ``rlike`` so escape-free literals (the common
+    case) skip the split entirely."""
+
+    def seg(p: Column) -> Column:
+        rest4 = p.substr(F.lit(7), F.length(p))
+        cp8 = F.conv(F.substring(p, 3, 8), 16, 10).cast("long")
+        rest8 = p.substr(F.lit(11), F.length(p))
+        hi = F.floor((cp8 - 0x10000) / 0x400) + 0xD800
+        lo = (cp8 - 0x10000) % 0x400 + 0xDC00
+        sup = F.decode(
+            F.unhex(F.concat(F.lpad(F.hex(hi), 4, "0"),
+                             F.lpad(F.hex(lo), 4, "0"))), "UTF-16BE")
+        bmp8 = F.decode(F.unhex(F.lpad(F.hex(cp8), 4, "0")), "UTF-16BE")
+        return (
+            F.when(p.rlike(r"^\\u[0-9A-Fa-f]{4}"),
+                   F.concat(F.decode(F.unhex(F.substring(p, 3, 4)),
+                                     "UTF-16BE"), rest4))
+            .when(p.rlike(r"^\\U[0-9A-Fa-f]{8}"),
+                  F.concat(F.when(cp8 < 0x10000, bmp8).otherwise(sup), rest8))
+            .otherwise(p))
+
+    decoded = F.array_join(
+        F.transform(F.split(c, r"(?=\\[uU])"), seg), "")
+    return F.when(c.rlike(r"\\[uU]"), decoded).otherwise(c)
 
 
 def unescape_literal(col: Column) -> Column:
     """Inverse of :func:`escape_literal` (two-pass with sentinel so that
-    ``\\\\n`` decodes to backslash+n, not backslash+LF)."""
+    ``\\\\n`` decodes to backslash+n, not backslash+LF), including
+    ``\\uXXXX``/``\\UXXXXXXXX`` numeric escapes. ``\\u0000`` is NOT
+    decodable (U+0000 is the sentinel); :func:`decode_ntriples` marks
+    lines carrying it invalid before this runs."""
     c = F.regexp_replace(col, r"\\\\", _SENT)
     c = F.regexp_replace(c, r"\\n", "\n")
     c = F.regexp_replace(c, r"\\r", "\r")
     c = F.regexp_replace(c, r"\\t", "\t")
     c = F.regexp_replace(c, r'\\"', '"')
+    c = _decode_uchar_escapes(c)
     c = F.regexp_replace(c, _SENT, r"\\")
     return c
 
@@ -138,8 +183,16 @@ def decode_ntriples(lines: DataFrame, col: str = "value",
     """
     c = F.col(col)
     repl = _GSEP.join(f"${i}" for i in range(1, 9))
+    # Raw U+0000/U+0001 ARE permitted inside literals by the grammar
+    # ([^"\\]), but they collide with the decoder's internal sentinels and
+    # would silently mis-split the capture groups / corrupt the backslash
+    # restore — mark such lines invalid instead of mis-parsing them. Same
+    # for the backslash-u0000 escape (whose decoded value is the
+    # sentinel); the reference stack rejects NUL literals at the store.
+    unsafe = (c.contains(_SENT) | c.contains(_GSEP)
+              | c.rlike(r"\\u0000|\\U00000000"))
     lines = (
-        lines.withColumn("parse_ok", c.rlike(_NT_LINE))
+        lines.withColumn("parse_ok", c.rlike(_NT_LINE) & ~unsafe)
         .withColumn("_g", F.split(F.regexp_replace(c, _NT_LINE, repl), _GSEP))
     )
     g = lambda i: F.col("_g").getItem(i - 1)  # noqa: E731

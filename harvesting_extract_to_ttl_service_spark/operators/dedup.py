@@ -199,14 +199,30 @@ def minhash_similarity(df: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", shingle_n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_shingle_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard near-dup: explode distinct shingles, self-join
     on shingle to get intersection sizes (only pairs sharing ≥1 shingle —
-    never the full O(n²) space), then |A∩B| / (|A|+|B|−|A∩B|)."""
+    never the full O(n²) space), then |A∩B| / (|A|+|B|−|A∩B|).
+
+    ``max_shingle_df`` is the scale guard: the self-join is quadratic in a
+    shingle's document frequency, so one boilerplate shingle appearing in
+    K docs materializes K² pair rows. The cap pre-aggregates shingle df
+    and drops shingles with df > cap from BOTH the intersection and the
+    per-doc sizes (stopword-shingle semantics — the remaining Jaccard is
+    exact over the kept shingle sets). The dropped set is tiny (only
+    ultra-common shingles) → broadcast anti-join, no extra shuffle of the
+    exploded stream."""
     sh = df.select(F.col(id_col).alias("id"),
                    shingles(F.col(text_col), shingle_n).alias("sh"))
-    sizes = sh.select("id", F.size("sh").alias("n_sh"))
     exploded = sh.select("id", F.explode("sh").alias("g"))
+    if max_shingle_df is not None:
+        hot = (exploded.groupBy("g").agg(F.count("*").alias("_df"))
+               .filter(F.col("_df") > max_shingle_df).select("g"))
+        exploded = exploded.join(F.broadcast(hot), "g", "left_anti")
+        sizes = exploded.groupBy("id").agg(F.count("*").alias("n_sh"))
+    else:
+        sizes = sh.select("id", F.size("sh").alias("n_sh"))
     a = exploded.alias("a")
     b = exploded.alias("b")
     inter = (
@@ -228,7 +244,19 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
-def simhash(text: Column, bits: int = 64, shingle_n: int = 2) -> Column:
+def _check_simhash_bits(bits: int) -> None:
+    """The hash source is :func:`_portable_hash64` — 15 hex chars < 2^60 —
+    so bits 60-63 are never set; worse, ``F.lit(1 << 63)`` exceeds int64
+    and becomes a decimal literal whose long cast is NULL (a silently-dead
+    bit-63 branch). Cap the advertised width at what the hash can fill."""
+    if bits > 60:
+        raise ValueError(
+            f"simhash bits={bits}: the md5-derived 60-bit hash cannot fill "
+            f"bits above 59 (and 1<<63 overflows a Spark long literal); "
+            f"use bits <= 60")
+
+
+def simhash(text: Column, bits: int = 60, shingle_n: int = 2) -> Column:
     """SimHash: per-bit majority vote over shingle hashes. Bit k of the
     fingerprint is 1 iff more shingle hashes have bit k set than not
     (strictly — ties leave the bit 0). Entirely `aggregate`/`transform`
@@ -238,6 +266,7 @@ def simhash(text: Column, bits: int = 64, shingle_n: int = 2) -> Column:
     ones-counts and comparing ``2·ones > n`` at the end is ~2× cheaper in
     generated code than the ±1-vote array formulation (no `when`, no cast,
     no second array build per element)."""
+    _check_simhash_bits(bits)
     hashes = F.transform(shingles(text, shingle_n), _portable_hash64)
     # Single aggregate with a finish lambda. The accumulator is a lambda
     # VARIABLE there, so referencing it per bit is an array access — any
@@ -268,7 +297,7 @@ def simhash(text: Column, bits: int = 64, shingle_n: int = 2) -> Column:
 
 
 def simhash_table(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", bits: int = 64,
+                  id_col: str = "doc_id", bits: int = 60,
                   shingle_n: int = 2) -> DataFrame:
     """(id, simhash) via explode + groupBy with flat per-bit SUM aggregates.
 
@@ -278,6 +307,7 @@ def simhash_table(df: DataFrame, text_col: str = "text",
     aggregation. Each document's shingles live in its own input row, so
     the partial aggregate finishes per doc map-side and the shuffle moves
     ONE row per document — no blow-up at scale."""
+    _check_simhash_bits(bits)
     ex = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("g"))
@@ -294,7 +324,7 @@ def simhash_table(df: DataFrame, text_col: str = "text",
 
 
 def simhash_candidates(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", bits: int = 64,
+                       id_col: str = "doc_id", bits: int = 60,
                        max_hamming: int = 3, blocks: int = 4) -> DataFrame:
     """SimHash near-dup candidates: split the fingerprint into ``blocks``
     bit-blocks (pigeonhole: pairs within ``max_hamming`` ≤ blocks-1 bit

@@ -16,14 +16,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+_MERGE_BY_PREFIX = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+
+
 def salted_agg(df: DataFrame, keys: list[str], aggs: list[Column],
-               salt_buckets: int = 16) -> DataFrame:
+               salt_buckets: int = 16,
+               merge: dict[str, object] | None = None) -> DataFrame:
     """Two-phase aggregation with a synthetic salt on the hot key: phase 1
     aggregates (key, salt) — spreading one hot key over ``salt_buckets``
     reducers — phase 2 merges per key. Only works for decomposable
-    aggregates; callers pass the phase-1 aggregate columns and the matching
-    merge is inferred from the alias (sum→sum, count→sum, min→min,
-    max→max).
+    aggregates.
+
+    The phase-2 merge per output column comes from ``merge`` (alias →
+    aggregate fn, e.g. ``{"n": F.sum, "lo": F.min}``). Without ``merge``
+    it is inferred from the alias prefix (count→sum, sum→sum, min→min,
+    max→max) and anything else raises: a silently-wrong merge (e.g. an
+    ``avg`` phase-1 aggregate summed in phase 2) is a correctness bug, not
+    a default. Re-express non-decomposable aggregates before salting
+    (avg = sum/count over two salted columns).
 
     With AQE this is rarely needed for joins, but a groupBy on a key where
     one value holds >1 partition's worth of rows still funnels into one
@@ -35,13 +45,19 @@ def salted_agg(df: DataFrame, keys: list[str], aggs: list[Column],
                   % salt_buckets))
     phase1 = salted.groupBy(*keys, "_salt").agg(*aggs)
 
-    merge_fns = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
     merged_aggs = []
     for c in phase1.columns:
         if c in keys or c == "_salt":
             continue
-        base = c.split("_", 1)[0]
-        fn = merge_fns.get(base, F.sum)
+        if merge is not None and c in merge:
+            fn = merge[c]
+        else:
+            fn = _MERGE_BY_PREFIX.get(c.split("_", 1)[0])
+            if fn is None:
+                raise ValueError(
+                    f"salted_agg cannot infer a phase-2 merge for column "
+                    f"{c!r}: pass merge={{{c!r}: <agg fn>}} or alias the "
+                    f"phase-1 aggregate with a count_/sum_/min_/max_ prefix")
         merged_aggs.append(fn(c).alias(c))
     return phase1.groupBy(*keys).agg(*merged_aggs)
 

@@ -17,6 +17,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from harvesting_extract_to_ttl_service_spark.plans.suites import (
+    member_sql,
+    suite_df,
+    suite_sql,
+)
 from harvesting_extract_to_ttl_service_spark.plans.tables import load
 
 QUERIES = {}
@@ -163,7 +168,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("top_customers_by_revenue", """
+@member_sql("""
 SELECT c_custkey, c_name,
        round(sum(o_totalprice), 2) AS total_spent,
        count(*)                    AS n_orders
@@ -185,7 +190,7 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("segment_order_stats", """
+@member_sql("""
 SELECT c_mktsegment,
        count(*)                     AS n_orders,
        round(sum(o_totalprice), 2)  AS total,
@@ -212,7 +217,7 @@ def segment_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Window functions
 # --------------------------------------------------------------------------
 
-@q("window_top3_orders_per_customer", """
+@member_sql("""
 SELECT o_custkey, o_orderkey, rank, round(o_totalprice, 2) AS totalprice
 FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
@@ -235,7 +240,7 @@ def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-@q("window_running_supplier_revenue", """
+@member_sql("""
 SELECT l_suppkey, l_orderkey, l_linenumber,
        round(sum(l_extendedprice) OVER (
          PARTITION BY l_suppkey
@@ -256,7 +261,7 @@ def window_running_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         F.round(F.sum("l_extendedprice").over(w), 2).alias("running_revenue"))
 
 
-@q("window_order_gap_days", """
+@member_sql("""
 SELECT o_custkey, o_orderkey,
        date_diff('day',
                  lag(o_orderdate) OVER (PARTITION BY o_custkey
@@ -274,7 +279,7 @@ def window_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("o_orderdate"), prev).cast("long").alias("gap_days"))
 
 
-@q("sessionize_events", """
+@member_sql("""
 WITH flagged AS (
   SELECT user_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
@@ -317,7 +322,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rollup / cube / pivot / set ops
 # --------------------------------------------------------------------------
 
-@q("rollup_flag_status", """
+@member_sql("""
 SELECT l_returnflag, l_linestatus,
        grouping(l_returnflag, l_linestatus) AS gid,
        round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
@@ -335,7 +340,7 @@ def rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("cube_status_priority", """
+@member_sql("""
 SELECT o_orderstatus, o_orderpriority,
        grouping(o_orderstatus, o_orderpriority) AS gid,
        count(*) AS n, round(sum(o_totalprice), 2) AS total
@@ -353,7 +358,7 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("pivot_status_by_segment", """
+@member_sql("""
 SELECT c_mktsegment,
        round(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0), 2) AS status_o,
        round(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0), 2) AS status_f,
@@ -405,7 +410,7 @@ def setop_active_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scalar functions / JSON / time buckets
 # --------------------------------------------------------------------------
 
-@q("json_event_values", """
+@member_sql("""
 SELECT event_type,
        count(*)                                        AS n,
        CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
@@ -424,7 +429,7 @@ def json_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("part_string_funcs", """
+@member_sql("""
 SELECT p_partkey,
        upper(substr(p_name, 1, 8))                       AS name_prefix,
        length(p_name)                                    AS name_len,
@@ -444,7 +449,7 @@ def part_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("p_retailprice") * 1.1, 2).alias("marked_up"))
 
 
-@q("event_time_buckets", """
+@member_sql("""
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
        event_type, count(*) AS n, round(sum(value), 2) AS total_value
 FROM events
@@ -463,7 +468,7 @@ def event_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("event_sliding_windows", """
+@member_sql("""
 SELECT strftime(make_timestamp(CAST((floor(epoch(ts) / 1800) - off.o) * 1800 AS BIGINT)
                                * 1000000),
                 '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -483,7 +488,7 @@ def event_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("asof_join_signup_purchase", """
+@member_sql("""
 SELECT p.event_id, p.user_id,
        strftime(max(s.ts), '%Y-%m-%d %H:%M:%S') AS last_signup_ts
 FROM events p LEFT JOIN events s
@@ -515,7 +520,7 @@ def asof_join_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("range_join_error_burst", """
+@member_sql("""
 SELECT e.event_id, count(f.event_id) AS events_within_1h
 FROM events e LEFT JOIN events f
   ON f.user_id = e.user_id AND f.ts > e.ts
@@ -543,7 +548,7 @@ def range_join_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("dedup_events_first_per_key", """
+@member_sql("""
 SELECT user_id, event_type, event_id AS first_event_id
 FROM (
   SELECT user_id, event_type, event_id,
@@ -568,7 +573,7 @@ def dedup_events_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Outer/anti joins, grouping sets, approximate aggregates
 # --------------------------------------------------------------------------
 
-@q("left_join_customer_order_counts", """
+@member_sql("""
 SELECT c_custkey, c_mktsegment,
        count(o_orderkey)                        AS n_orders,
        round(coalesce(sum(o_totalprice), 0), 2) AS total
@@ -592,7 +597,7 @@ def left_join_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-@q("anti_join_customers_no_orders", """
+@member_sql("""
 SELECT c_custkey, c_mktsegment FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """)
@@ -603,7 +608,7 @@ def anti_join_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame
     return c.join(o, "c_custkey", "left_anti").select("c_custkey", "c_mktsegment")
 
 
-@q("full_outer_nation_activity", """
+@member_sql("""
 SELECT coalesce(c.nk, s.nk) AS nationkey,
        coalesce(n_cust, 0)  AS n_cust,
        coalesce(n_supp, 0)  AS n_supp
@@ -631,7 +636,7 @@ def full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("grouping_sets_order_stats", """
+@member_sql("""
 SELECT o_orderstatus, o_orderpriority,
        count(*) AS n, round(sum(o_totalprice), 2) AS total
 FROM orders
@@ -669,7 +674,7 @@ def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("json_map_explode", """
+@member_sql("""
 SELECT k AS prop_key,
        count(*)                            AS n,
        CAST(sum(CAST(v AS BIGINT)) AS BIGINT) AS sum_v
@@ -692,7 +697,7 @@ def json_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("salted_status_counts", """
+@member_sql("""
 SELECT o_orderstatus,
        count(*)                    AS count_n,
        round(sum(o_totalprice), 2) AS sum_total
@@ -714,7 +719,7 @@ def salted_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("sum_total", 2).alias("sum_total"))
 
 
-@q("salted_replicated_join", """
+@member_sql("""
 SELECT n_name, count(*) AS n_cust
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
@@ -892,3 +897,138 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
     )
+
+
+# --------------------------------------------------------------------------
+# Tagged-union suites: related operator demos folded into one verified
+# entry each (plans/suites.py) so the bounded correctness window covers the
+# whole catalog. Every member keeps its own plan + oracle; the union is a
+# zero-cost projection.
+# --------------------------------------------------------------------------
+
+_CUSTOMER_ORDER_MEMBERS = [
+    ("top_customers", top_customers_by_revenue,
+     ["c_custkey", "c_name", "n_orders"], ["total_spent"]),
+    ("segment_stats", segment_order_stats,
+     ["c_mktsegment", "n_orders", "n_customers"], ["total", "avg_price"]),
+]
+
+
+@q("customer_order_stats", suite_sql(_CUSTOMER_ORDER_MEMBERS))
+def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2C aggregations: top-k revenue ranking + multi-aggregate (incl.
+    COUNT DISTINCT) over the customer⋈orders join."""
+    return suite_df(spark, sf_dir, _CUSTOMER_ORDER_MEMBERS)
+
+
+_WINDOW_MEMBERS = [
+    ("top3", window_top3_orders_per_customer,
+     ["o_custkey", "o_orderkey", "rank"], ["totalprice"]),
+    ("running", window_running_supplier_revenue,
+     ["l_suppkey", "l_orderkey", "l_linenumber"], ["running_revenue"]),
+    ("gap", window_order_gap_days, ["o_custkey", "o_orderkey"], ["gap_days"]),
+    ("sessionize", sessionize_events,
+     ["user_id", "n_sessions"], ["avg_events_per_session"]),
+    ("first_per_key", dedup_events_first_per_key,
+     ["user_id", "event_type", "first_event_id"], []),
+]
+
+
+@q("window_suite", suite_sql(_WINDOW_MEMBERS))
+def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2C windows: top-k per group, running sum, lag/gap, batch
+    sessionization, keyed first-row dedup — each a one-shuffle window op."""
+    return suite_df(spark, sf_dir, _WINDOW_MEMBERS)
+
+
+_GROUPING_MEMBERS = [
+    ("rollup", rollup_flag_status,
+     ["l_returnflag", "l_linestatus", "gid", "n"], ["sum_qty"]),
+    ("cube", cube_status_priority,
+     ["o_orderstatus", "o_orderpriority", "gid", "n"], ["total"]),
+    ("gsets", grouping_sets_order_stats,
+     ["o_orderstatus", "o_orderpriority", "n"], ["total"]),
+    ("pivot", pivot_status_by_segment,
+     ["c_mktsegment"], ["status_o", "status_f", "status_p"]),
+]
+
+
+@q("grouping_suite", suite_sql(_GROUPING_MEMBERS))
+def grouping_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2C multi-dimensional aggregation: ROLLUP / CUBE / GROUPING SETS
+    (one Expand + single aggregate each) and pivot-to-wide."""
+    return suite_df(spark, sf_dir, _GROUPING_MEMBERS)
+
+
+_SCALAR_JSON_MEMBERS = [
+    ("json_path", json_event_values, ["event_type", "n", "sum_k"], ["avg_value"]),
+    ("map_explode", json_map_explode, ["prop_key", "n", "sum_v"], []),
+    ("string_funcs", part_string_funcs,
+     ["p_partkey", "name_prefix", "name_len", "brand_type", "type_slug"],
+     ["marked_up"]),
+]
+
+
+@q("scalar_json_suite", suite_sql(_SCALAR_JSON_MEMBERS))
+def scalar_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2C scalar/JSON functions: fixed-path JSON extraction, schema-on-read
+    MapType explode, string-function projection — all JVM-side codegen."""
+    return suite_df(spark, sf_dir, _SCALAR_JSON_MEMBERS)
+
+
+_TIME_BUCKET_MEMBERS = [
+    ("tumbling", event_time_buckets, ["hour_start", "event_type", "n"],
+     ["total_value"]),
+    ("sliding", event_sliding_windows, ["window_start", "n"], []),
+]
+
+
+@q("time_bucket_suite", suite_sql(_TIME_BUCKET_MEMBERS))
+def time_bucket_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2C time buckets: tumbling (date_trunc) and sliding (F.window)
+    aggregation — the batch twins of streaming/windows.py."""
+    return suite_df(spark, sf_dir, _TIME_BUCKET_MEMBERS)
+
+
+_INTERVAL_JOIN_MEMBERS = [
+    ("asof", asof_join_signup_purchase,
+     ["event_id", "user_id", "last_signup_ts"], []),
+    ("range", range_join_error_burst, ["event_id", "events_within_1h"], []),
+]
+
+
+@q("interval_join_suite", suite_sql(_INTERVAL_JOIN_MEMBERS))
+def interval_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2C beyond-equi joins: as-of (sorted carry-forward, no O(n²)) and
+    range join (equi key + interval residual)."""
+    return suite_df(spark, sf_dir, _INTERVAL_JOIN_MEMBERS)
+
+
+_OUTER_JOIN_MEMBERS = [
+    ("left", left_join_customer_order_counts,
+     ["c_custkey", "c_mktsegment", "n_orders"], ["total"]),
+    ("anti", anti_join_customers_no_orders, ["c_custkey", "c_mktsegment"], []),
+    ("full", full_outer_nation_activity, ["nationkey", "n_cust", "n_supp"], []),
+]
+
+
+@q("outer_join_suite", suite_sql(_OUTER_JOIN_MEMBERS))
+def outer_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2C outer joins: LEFT OUTER with join-side predicate, NOT EXISTS →
+    left-anti, FULL OUTER with two-sided null extension."""
+    return suite_df(spark, sf_dir, _OUTER_JOIN_MEMBERS)
+
+
+_SKEW_MEMBERS = [
+    ("salted_agg", salted_status_counts, ["o_orderstatus", "count_n"],
+     ["sum_total"]),
+    ("salted_join", salted_replicated_join, ["n_name", "n_cust"], []),
+]
+
+
+@q("skew_suite", suite_sql(_SKEW_MEMBERS))
+def skew_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2C skew handling: salted two-phase aggregation and
+    salt-and-replicate join (operators/skew.py) — results must equal the
+    unsalted forms, which is exactly what the oracles assert."""
+    return suite_df(spark, sf_dir, _SKEW_MEMBERS)

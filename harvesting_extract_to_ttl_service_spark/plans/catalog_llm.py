@@ -35,6 +35,11 @@ from harvesting_extract_to_ttl_service_spark.operators.text import (
     LANG_MARKERS,
     annotate_documents,
 )
+from harvesting_extract_to_ttl_service_spark.plans.suites import (
+    member_sql,
+    suite_df,
+    suite_sql,
+)
 from harvesting_extract_to_ttl_service_spark.plans.tables import load
 
 QUERIES = {}
@@ -122,11 +127,18 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(load(spark, sf_dir, "documents"))
 
 
+_NGRAM_DF_CAP = 8  # quadratic-pair guard: drop shingles in > cap docs
+
+
 @q("dedup_ngram_jaccard", f"""
 WITH w AS (
   SELECT doc_id, {_WORDS} AS w FROM documents WHERE doc_id % 2 = 0
-), g AS (
+), g0 AS (
   SELECT doc_id, unnest({_grams_sql(3)}) AS g FROM w
+), g AS (
+  SELECT g0.* FROM g0
+  JOIN (SELECT g, count(*) AS df FROM g0 GROUP BY g) d ON g0.g = d.g
+  WHERE d.df <= {_NGRAM_DF_CAP}
 ), sz AS (
   SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
 ), inter AS (
@@ -143,9 +155,13 @@ WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.2
 """)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard pairs ≥ 0.2: shingle-explode + equi-join on the
-    shingle — only pairs sharing a shingle are materialized, never O(n²)."""
+    shingle — only pairs sharing a shingle are materialized, never O(n²).
+    The df-cap (dropping shingles in > {cap} docs) bounds the quadratic
+    blow-up of boilerplate shingles; the oracle mirrors the cap, so the
+    capped semantics are verified, not just the happy path."""
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
-    pairs = ngram_jaccard_pairs(docs, threshold=0.2)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2,
+                                max_shingle_df=_NGRAM_DF_CAP)
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
@@ -412,7 +428,7 @@ def docs_by_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Multimodal plumbing
 # --------------------------------------------------------------------------
 
-@q("multimodal_image_meta", """
+@member_sql("""
 SELECT doc_id AS media_id,
        64 + octet_length(encode(text)) % 512        AS width,
        64 + (octet_length(encode(text)) // 7) % 512 AS height,
@@ -449,7 +465,7 @@ def top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("multimodal_audio_meta", """
+@member_sql("""
 SELECT doc_id AS media_id,
        CASE octet_length(encode(text)) % 4
             WHEN 0 THEN 8000 WHEN 1 THEN 16000
@@ -505,3 +521,19 @@ def ivf_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
                  emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()]
     sample = emb.filter(F.col("vec_id") % 5 == 0)
     return ivf_assign(sample, centroids).select("vec_id", "ivf_cell")
+
+
+_MULTIMODAL_MEMBERS = [
+    ("image", multimodal_image_meta,
+     ["media_id", "width", "height", "n_bytes", "checksum"], []),
+    ("audio", multimodal_audio_meta,
+     ["media_id", "sample_rate", "n_bytes"], ["duration_s"]),
+]
+
+
+@q("multimodal_media_meta", suite_sql(_MULTIMODAL_MEMBERS))
+def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing (image + audio): opaque binary payloads
+    probed by the Arrow ``mapInPandas`` kernels (operators/multimodal.py);
+    the oracle restates each feature from the payload byte length."""
+    return suite_df(spark, sf_dir, _MULTIMODAL_MEMBERS)

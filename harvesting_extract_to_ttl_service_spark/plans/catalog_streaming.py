@@ -17,6 +17,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from harvesting_extract_to_ttl_service_spark.plans.suites import suite_df
 from harvesting_extract_to_ttl_service_spark.plans.tables import load
 from harvesting_extract_to_ttl_service_spark.schema import STATUS_SCHEDULED
 from harvesting_extract_to_ttl_service_spark.streaming.delta_stream import (
@@ -95,7 +96,6 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.readStream.schema(batch.schema).parquet(staged)
 
 
-@q("streaming_tumbling_counts")
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True streaming execution (file stream → watermark → tumbling window
     → memory sink). Batch twin with oracle: catalog_core
@@ -104,7 +104,6 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         tumbling_counts(_events_stream(spark, sf_dir)), spark)
 
 
-@q("streaming_session_aggregate")
 def streaming_session_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming session_window per user. Batch twin with oracle:
     catalog_core sessionize_events."""
@@ -163,3 +162,20 @@ def streaming_task_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
              .trigger(availableNow=True).start())
     query.awaitTermination(300)
     return spark.table(name).filter(F.col("status") == "busy")
+
+
+_STREAMING_WINDOW_MEMBERS = [
+    ("tumbling", streaming_tumbling_counts,
+     ["window_start", "window_end", "event_type", "n_events"], ["sum_value"]),
+    ("session", streaming_session_aggregate,
+     ["user_id", "session_start", "session_end", "n_events"], ["sum_value"]),
+]
+
+
+@q("streaming_windows")  # true streaming runs: rows-only (batch twins have oracles)
+def streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True streaming execution of tumbling + session windows (file stream
+    -> watermark -> window -> memory sink via availableNow). Aggregation
+    semantics are oracle-covered by the batch twins in catalog_core
+    (time_bucket_suite, window_suite/sessionize)."""
+    return suite_df(spark, sf_dir, _STREAMING_WINDOW_MEMBERS)

@@ -30,6 +30,11 @@ from harvesting_extract_to_ttl_service_spark.operators.relational import (
     upsert,
 )
 from harvesting_extract_to_ttl_service_spark.operators.triage import triage
+from harvesting_extract_to_ttl_service_spark.plans.suites import (
+    member_sql,
+    suite_df,
+    suite_sql,
+)
 from harvesting_extract_to_ttl_service_spark.plans.tables import load
 from harvesting_extract_to_ttl_service_spark.schema import (
     RDF_LANGSTRING,
@@ -146,7 +151,7 @@ def tpch_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A9/A10 — N-Triples codec
 # --------------------------------------------------------------------------
 
-@q("ntriples_encode", _CTE + """
+@member_sql(_CTE + """
 SELECT '<' || subject || '> <' || predicate || '> "' || object_value || '" .' AS nt
 FROM triples WHERE predicate = 'urn:p:name'
 """)
@@ -155,7 +160,7 @@ def ntriples_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encode_ntriples(t).select("nt")
 
 
-@q("ntriples_decode_roundtrip", _CTE + """
+@member_sql(_CTE + """
 SELECT subject, predicate, object_value, object_type
 FROM triples WHERE predicate IN ('urn:p:segment', 'urn:p:customer')
 """)
@@ -387,7 +392,7 @@ def b9_fanout_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # INSERT DATA append, graph scoping
 # --------------------------------------------------------------------------
 
-@q("b1_point_lookup", _CTE + """
+@member_sql(_CTE + """
 SELECT subject FROM triples
 WHERE predicate = 'urn:p:nation' AND object_value = 'urn:nation:7'
 ORDER BY subject LIMIT 1
@@ -405,7 +410,7 @@ def b1_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
                         graph=GRAPH).orderBy("subject").limit(1)
 
 
-@q("b2_distinct_projection", _CTE + """
+@member_sql(_CTE + """
 SELECT DISTINCT object_value AS url FROM triples
 WHERE subject = 'urn:customer:42' AND predicate = 'urn:p:nation'
 """)
@@ -420,7 +425,7 @@ def b2_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
                          graph=GRAPH).withColumnRenamed("object_value", "url")
 
 
-@q("b6_values_filter", _CTE + """
+@member_sql(_CTE + """
 SELECT object_value AS segment, count(*) AS n
 FROM triples
 WHERE predicate = 'urn:p:segment'
@@ -440,7 +445,7 @@ def b6_values_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n")))
 
 
-@q("b10_insert_append", _CTE + """
+@member_sql(_CTE + """
 SELECT predicate, count(*) AS n FROM (
   SELECT subject, predicate, object_value FROM triples
   WHERE predicate = 'urn:p:status'
@@ -467,7 +472,7 @@ def b10_insert_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("predicate").agg(F.count("*").alias("n")))
 
 
-@q("b11_graph_scoped_match", _CTE + """
+@member_sql(_CTE + """
 SELECT graph, count(*) AS n FROM (
   SELECT * FROM triples
   UNION ALL
@@ -488,3 +493,51 @@ def b11_graph_scoped_match(spark: SparkSession, sf_dir: str) -> DataFrame:
              .withColumn("graph", F.lit("urn:g:other")))
     return (graph_scope(t.unionByName(other), GRAPH)
             .groupBy("graph").agg(F.count("*").alias("n")))
+
+
+# --------------------------------------------------------------------------
+# Tagged-union suites (plans/suites.py): small §2A/§2B shapes folded into
+# one verified entry each so the bounded correctness window covers the
+# whole catalog.
+# --------------------------------------------------------------------------
+
+_NTRIPLES_MEMBERS = [
+    ("encode", ntriples_encode, ["nt"], []),
+    ("roundtrip", ntriples_decode_roundtrip,
+     ["subject", "predicate", "object_value", "object_type"], []),
+]
+
+
+@q("ntriples_codec", suite_sql(_NTRIPLES_MEMBERS))
+def ntriples_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2A A9/A10/A21: N-Triples serialization (encoded lines checked
+    byte-for-byte) and the encode→decode roundtrip landing back on the
+    relational origin."""
+    return suite_df(spark, sf_dir, _NTRIPLES_MEMBERS)
+
+
+_B_LOOKUP_MEMBERS = [
+    ("b1_point", b1_point_lookup, ["subject"], []),
+    ("b2_distinct", b2_distinct_projection, ["url"], []),
+    ("b6_values", b6_values_filter, ["segment", "n"], []),
+]
+
+
+@q("b_lookup_suite", suite_sql(_B_LOOKUP_MEMBERS))
+def b_lookup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2B B1/B2/B6: point lookup + LIMIT, DISTINCT projection, VALUES
+    IN-list filter."""
+    return suite_df(spark, sf_dir, _B_LOOKUP_MEMBERS)
+
+
+_B_WRITE_MEMBERS = [
+    ("b10_append", b10_insert_append, ["predicate", "n"], []),
+    ("b11_graph", b11_graph_scoped_match, ["graph", "n"], []),
+]
+
+
+@q("b_write_suite", suite_sql(_B_WRITE_MEMBERS))
+def b_write_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2B B10/B11: INSERT DATA append and GRAPH-scoped match over a
+    multi-graph triple set."""
+    return suite_df(spark, sf_dir, _B_WRITE_MEMBERS)

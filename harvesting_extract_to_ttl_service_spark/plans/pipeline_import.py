@@ -115,13 +115,16 @@ def run_import_pipeline(control: DataFrame, page_bodies: DataFrame,
     tasks = load_scheduled_tasks(control, graph)
     task_pages = enumerate_pages(tasks, control, graph)
 
+    # Extract each page ONCE even when several tasks share it: the
+    # extraction output is keyed by page_uri only, so extracting per
+    # (task, page) row would both re-parse the page per task and
+    # cross-multiply every triple at the task_pages re-join below.
     pages = (
-        task_pages
+        task_pages.select("page_uri").distinct()
         .join(page_bodies.select("page_uri", "url", "html"), "page_uri")
-        .select("task_uri", "page_uri", "url", "html")
     )
     extracted, spilled = extraction_pipeline(pages)
-    # re-attach the task: extraction keys rows by page_uri
+    # fan results out to tasks: extraction keys rows by page_uri
     extracted = extracted.join(
         F.broadcast(task_pages), "page_uri").withColumn(
         "graph", F.lit(graph).cast("string"))

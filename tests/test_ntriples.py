@@ -63,3 +63,48 @@ def test_parse_error_flagged(spark):
     assert not rows["this is not ntriples"].parse_ok
     assert rows["this is not ntriples"].subject is None
     assert rows['<http://a> <http://p> "ok" .'].parse_ok
+
+
+def test_uchar_escape_decode(spark):
+    lines = spark.createDataFrame([
+        # \u BMP escape (A), \U non-BMP escape (𝄞 U+1D11E), and an escaped
+        # backslash followed by 'u0041' which must NOT decode
+        (1, '<http://a> <http://p> "x\\u0041y" .'),
+        (2, '<http://a> <http://p> "clef \\U0001D11E" .'),
+        (3, '<http://a> <http://p> "raw \\\\u0041" .'),
+        (4, '<http://a> <http://p> "caf\\u00E9" .'),
+    ], ["id", "value"])
+    got = {r.id: r.object_value
+           for r in decode_ntriples(lines, keep_errors=True).collect()}
+    assert got[1] == "xAy"
+    assert got[2] == "clef \U0001D11E"
+    assert got[3] == "raw \\u0041"
+    assert got[4] == "café"
+
+
+def test_sentinel_chars_flag_invalid(spark):
+    lines = spark.createDataFrame([
+        # raw U+0001 / U+0000 inside the literal satisfy the grammar but
+        # collide with the decoder sentinels → parse_ok = false, and the
+        # undecodable NUL escape likewise
+        (1, '<http://a> <http://p> "bad\x01sep" .'),
+        (2, '<http://a> <http://p> "bad\x00nul" .'),
+        (3, '<http://a> <http://p> "esc\\u0000nul" .'),
+        (4, '<http://a> <http://p> "fine" .'),
+    ], ["id", "value"])
+    got = {r.id: r.parse_ok
+           for r in decode_ntriples(lines, keep_errors=True).collect()}
+    assert got == {1: False, 2: False, 3: False, 4: True}
+
+
+def test_sentinel_roundtrip_via_escapes(spark):
+    # a value containing U+0001 encodes to the backslash-u0001
+    # escape and decodes back exactly
+    df = spark.createDataFrame(
+        [("http://a", "http://p", "ctl\x01char", "literal", None, None, None)],
+        TRIPLE_SCHEMA)
+    lines = encode_ntriples(df).select(F.col("nt").alias("value"))
+    [line] = lines.collect()
+    assert "\\u0001" in line.value and "\x01" not in line.value
+    [back] = decode_ntriples(lines).collect()
+    assert back.object_value == "ctl\x01char"

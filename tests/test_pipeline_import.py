@@ -104,6 +104,43 @@ def test_run_import_pipeline(spark, tmp_path):
     assert any("page_uri=" in d for d in page_dirs)
 
 
+def test_shared_page_extracts_once_per_task(spark):
+    """A page_uri in two tasks' containers must yield each triple exactly
+    once per task (extraction runs on distinct pages, then fans out) —
+    not once per (task, page) row cross-multiplied by the re-join."""
+    def t(s, p, o):
+        return (s, p, o, "iri", None, None, G)
+
+    rows = []
+    for k in ("1", "2"):
+        rows += [
+            t(f"urn:task:{k}", RDF_TYPE, TASK_TYPE),
+            t(f"urn:task:{k}", ADMS_STATUS, STATUS_SCHEDULED),
+            t(f"urn:task:{k}", TASK_OPERATION, EXTRACTING_OPERATION),
+            t(f"urn:task:{k}", TASK_INPUT_CONTAINER, f"urn:container:{k}"),
+            t(f"urn:container:{k}", TASK_HAS_FILE, "share://shared.html"),
+        ]
+    control = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+    bodies = spark.createDataFrame(
+        [("share://shared.html", "http://ex/page/s",
+          '<div about="http://ex/d1">'
+          '<span property="dct:title">T1</span></div>')],
+        "page_uri string, url string, html string")
+
+    res = run_import_pipeline(control, bodies, graph=G)
+    valid = res["valid"].collect()
+    per_task = {}
+    for r in valid:
+        per_task.setdefault(r.task_uri, []).append(
+            (r.subject, r.predicate, r.object_value))
+    assert set(per_task) == {"urn:task:1", "urn:task:2"}
+    for task_uri, triples in per_task.items():
+        assert len(triples) == len(set(triples)), \
+            f"duplicated triples within {task_uri}: {sorted(triples)}"
+        # title + provenance
+        assert len(set(triples)) == 2
+
+
 def test_pipeline_no_matching_tasks(spark):
     control = _control(spark).filter(F.col("subject") != "urn:task:1")
     res = run_import_pipeline(control, _bodies(spark))

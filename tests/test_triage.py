@@ -67,6 +67,13 @@ CASES = [
     # Number() quirk: floats pass xsd:integer (validateTriple.js:136-139)
     ("integer-float-quirk", "4.2", "literal", XSD_INTEGER, None, "valid", None),
     ("integer-bad", "four", "literal", XSD_INTEGER, None, "dropped", None),
+    # Number() edge parity: isNaN(Number('NaN')) is true in JS even though
+    # Spark's double cast parses it; 0x/0b/0o radix prefixes are valid JS
+    # Numbers the cast rejects; Infinity is a non-NaN JS Number
+    ("integer-nan", "NaN", "literal", XSD_INTEGER, None, "dropped", None),
+    ("integer-hex", "0x1A", "literal", XSD_INTEGER, None, "valid", None),
+    ("integer-bin", "0b101", "literal", XSD_INTEGER, None, "valid", None),
+    ("integer-inf", "Infinity", "literal", XSD_INTEGER, None, "valid", None),
     ("int-recast", "42", "literal", XSD_INT, None, "fixed", ("42", XSD_INTEGER)),
     ("int-bad", "four", "literal", XSD_INT, None, "dropped", None),
     ("wkt-ok", "POINT(1 2)", "literal", GEO_WKT, None, "valid", None),
