@@ -114,6 +114,33 @@ def lsh_ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     )
 
 
+def lsh_blocked_pairs(df: DataFrame, threshold: float, dim: int,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      n_planes: int = 8) -> DataFrame:
+    """Embedding near-duplicate pairs via sign-LSH blocking: candidates
+    come from an EQUI-join on the hyperplane-sign bucket (never an
+    all-pairs nested-loop), then the exact rounded cosine refines within
+    each bucket. Recall < 1 by construction (cross-bucket near-dups are
+    missed) — the trade that makes the pair space tractable at 100 TB;
+    lower ``n_planes`` or union several plane sets to raise recall.
+
+    Per-vector norms are computed once before the join (per pair would
+    recompute each side's norm for every candidate)."""
+    b = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+         .withColumn("bucket", lsh_bucket(F.col("v"), dim, n_planes))
+         .withColumn("vnorm", norm(F.col("v"))))
+    a, c = b.alias("a"), b.alias("c")
+    return (
+        a.join(c, (F.col("a.bucket") == F.col("c.bucket"))
+               & (F.col("a.id") < F.col("c.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("c.id").alias("id_b"),
+                F.round(dot(F.col("a.v"), F.col("c.v"))
+                        / (F.col("a.vnorm") * F.col("c.vnorm")), 6)
+                .alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def ivf_assign(df: DataFrame, centroids: list[list[float]],
                vec_col: str = "embedding") -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest centroid
@@ -124,9 +151,18 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]],
     Implemented as argmax over a sims array — NOT an iterated
     ``when(sim > best.sim, …).otherwise(best)`` fold, which references the
     running ``best`` subtree twice per centroid and grows the expression
-    tree exponentially in the centroid count."""
+    tree exponentially in the centroid count.
+
+    The ranking score is ``dot(v, c) / |c|`` with the centroid norm folded
+    to a driver-side constant: argmax over cosine = argmax over dot/|c|
+    because the vector's own norm is a positive common factor — so the
+    per-centroid ``norm(vec)`` subtree (which Catalyst would re-inline
+    once per centroid, the no-CSE blowup the docstrings above warn about)
+    is never built at all. 256 centroids × 64 dims plans and runs in
+    bounded time (see tests/test_similarity_scale.py)."""
     sims = F.array(*[
-        cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+        dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+        / F.lit(math.sqrt(sum(float(x) * float(x) for x in c)))
         for c in centroids
     ])
     return df.withColumn(

@@ -304,36 +304,66 @@ def lsh_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb.filter(F.col("vec_id") != 0), list(qvec), k=10)
 
 
-@q("embedding_cosine_neardup", """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(
-           CAST(a.embedding AS DOUBLE[]),
-           CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE a.vec_id < 200 AND b.vec_id < 200
-  AND round(list_cosine_similarity(
-        CAST(a.embedding AS DOUBLE[]),
-        CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
-""")
-def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (dedup category #5): exact
-    pairwise cosine over a bounded id range, thresholded. The at-scale
-    path blocks candidates by sign-LSH bucket first (lsh_ann_topk); this
-    is the exact form the oracle can restate."""
+# The embeddings fixture is 64-dimensional at every SF; the oracle SQL is
+# built at import time so the dimension must be static (the Spark side
+# asserts it at run time).
+_EMBED_DIM = 64
+_NEARDUP_PLANES = 2  # 4 buckets over 200 vectors → real blocking with usable recall
+
+
+def _zip_dot_sql(a: str, b: str) -> str:
+    """DuckDB twin of similarity.dot(): zip → double-cast multiply → left
+    fold, so the summation order (and hence every bit) matches Spark."""
+    return (f"list_reduce(list_transform(list_zip({a}, {b}), "
+            f"z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), "
+            f"(x, y) -> x + y)")
+
+
+def _lsh_neardup_oracle(threshold: float = 0.25, max_id: int = 200) -> str:
     from harvesting_extract_to_ttl_service_spark.operators.similarity import (
-        cosine,
+        _hyperplanes,
+    )
+
+    bucket_terms = []
+    for p, plane in enumerate(_hyperplanes(_EMBED_DIM, _NEARDUP_PLANES)):
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+        bucket_terms.append(
+            f"(CASE WHEN {_zip_dot_sql('embedding', arr)} > 0 "
+            f"THEN {1 << p} ELSE 0 END)")
+    bucket = " + ".join(bucket_terms)
+    nrm = ("sqrt(list_reduce(list_transform(embedding, "
+           "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))")
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding, {bucket} AS bucket, {nrm} AS vnorm
+  FROM embeddings WHERE vec_id < {max_id}
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({_zip_dot_sql('a.embedding', 'b.embedding')}
+               / (a.vnorm * b.vnorm), 6) AS cos_sim
+  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {threshold}
+"""
+
+
+@q("embedding_cosine_neardup", _lsh_neardup_oracle())
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup category #5), routed
+    through sign-LSH blocking: candidates from an equi-join on the
+    hyperplane-sign bucket (plan-pinned: no BroadcastNestedLoopJoin), then
+    exact rounded cosine ≥ 0.25 inside each bucket. The oracle restates the
+    bucket function (deterministic hyperplane constants) and the fold, so
+    the blocked semantics — including the recall trade — are verified, not
+    just the refine step."""
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        lsh_blocked_pairs,
     )
 
     emb = (load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
            .select("vec_id", "embedding"))
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b",
-                F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= 0.4)
-    )
+    return lsh_blocked_pairs(emb, threshold=0.25, dim=_EMBED_DIM,
+                             n_planes=_NEARDUP_PLANES)
 
 
 # --------------------------------------------------------------------------

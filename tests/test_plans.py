@@ -69,6 +69,15 @@ def test_bucketed_join_has_no_join_exchange(spark):
     assert plan.count("Exchange hashpartitioning") <= 1
 
 
+def test_cosine_neardup_is_bucket_join_not_nested_loop(spark):
+    plan = _plan(spark, "embedding_cosine_neardup", mode="simple")
+    # sign-LSH blocking: candidates come from an equi-join on the bucket
+    # column — an all-pairs BroadcastNestedLoopJoin here is the exact
+    # pattern that cannot scale past a bounded demo
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_triage_has_no_python_udf(spark):
     plan = _plan(spark, "triage_dirty_literals", mode="simple")
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
