@@ -97,19 +97,18 @@ FROM docs
 """
 
 
-@q("import_pipeline_e2e", _PIPELINE_ORACLE)
-def import_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full §3.1 pipeline over a synthetic control graph + document
-    pages: scheduled-task star join → page enumeration → extraction →
-    triage → valid triples with provenance — and the oracle restates the
-    expected valid set (all clean here, so valid = extracted ∪ prov)
-    directly from documents."""
+_G = "urn:g:jobs"
+
+
+def _control_graph(docs: DataFrame) -> DataFrame:
+    """Synthetic scheduled-task control graph: doc → task (doc_id % 4) →
+    container → hasFile page (shared by import_pipeline_e2e and the
+    poisoned-page variant; keep in lockstep with the oracles)."""
     from harvesting_extract_to_ttl_service_spark.plans.pipeline_import import (
         ADMS_STATUS,
         TASK_HAS_FILE,
         TASK_INPUT_CONTAINER,
         TASK_OPERATION,
-        run_import_pipeline,
     )
     from harvesting_extract_to_ttl_service_spark.schema import (
         EXTRACTING_OPERATION,
@@ -118,23 +117,20 @@ def import_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         TASK_TYPE,
     )
 
-    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_DOCS)
-    g = "urn:g:jobs"
-
     def const_triples(s, p, o):
         return docs.select(
             s.alias("subject"), F.lit(p).alias("predicate"), o.alias("object_value"),
             F.lit("iri").alias("object_type"),
             F.lit(None).cast("string").alias("datatype"),
             F.lit(None).cast("string").alias("language"),
-            F.lit(g).alias("graph"),
+            F.lit(_G).alias("graph"),
         )
 
     task = F.concat(F.lit("urn:task:"), (F.col("doc_id") % 4).cast("string"))
     container = F.concat(F.lit("urn:container:"),
                          (F.col("doc_id") % 4).cast("string"))
     page = F.concat(F.lit("share://doc"), F.col("doc_id"), F.lit(".html"))
-    control = (
+    return (
         const_triples(task, RDF_TYPE, F.lit(TASK_TYPE))
         .unionByName(const_triples(task, ADMS_STATUS, F.lit(STATUS_SCHEDULED)))
         .unionByName(const_triples(task, TASK_OPERATION,
@@ -143,14 +139,117 @@ def import_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(const_triples(container, TASK_HAS_FILE, page))
         .distinct()
     )
-    bodies = docs.select(
+
+
+def _page_bodies(docs: DataFrame, poison_mod: int | None = None) -> DataFrame:
+    """Page bodies for the control graph; ``poison_mod`` nulls the html of
+    every doc_id ≡ 7 (mod poison_mod) to exercise the error path."""
+    page = F.concat(F.lit("share://doc"), F.col("doc_id"), F.lit(".html"))
+    html = _doc_html()
+    if poison_mod is not None:
+        html = F.when(F.col("doc_id") % poison_mod == 7,
+                      F.lit(None).cast("string")).otherwise(html)
+    return docs.select(
         page.alias("page_uri"),
         F.concat(F.lit("http://ex/page/"), "doc_id").alias("url"),
-        _doc_html().alias("html"),
+        html.alias("html"),
     )
-    res = run_import_pipeline(control, bodies, graph=g)
+
+
+@q("import_pipeline_e2e", _PIPELINE_ORACLE)
+def import_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full §3.1 pipeline over a synthetic control graph + document
+    pages: scheduled-task star join → page enumeration → extraction →
+    triage → valid triples with provenance — and the oracle restates the
+    expected valid set (all clean here, so valid = extracted ∪ prov)
+    directly from documents."""
+    from harvesting_extract_to_ttl_service_spark.plans.pipeline_import import (
+        run_import_pipeline,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_DOCS)
+    res = run_import_pipeline(_control_graph(docs), _page_bodies(docs),
+                              graph=_G)
     return res["valid"].select("task_uri", "subject", "predicate",
                                "object_value", "object_type")
+
+
+_ERR_MSG = "ValueError: null html body"  # operators/extract.py null-body raise
+
+
+def _errors_oracle() -> str:
+    from harvesting_extract_to_ttl_service_spark.plans.pipeline_import import (
+        ADMS_STATUS,
+    )
+    from harvesting_extract_to_ttl_service_spark.schema import (
+        ERROR_TYPE,
+        ERROR_URI_PREFIX,
+        MU_UUID,
+        OSLC_MESSAGE,
+        RDF_TYPE,
+        STATUS_FAILED,
+        STATUS_SUCCESS,
+        TASK_ERROR,
+    )
+
+    return f"""
+WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < {_N_DOCS}),
+err AS (
+  SELECT 'urn:task:' || (doc_id % 4) AS task_uri,
+         'share://doc' || doc_id || '.html' AS page_uri
+  FROM docs WHERE doc_id % 10 = 7
+), e AS (
+  SELECT task_uri,
+         md5(task_uri || '|' || page_uri || '|{_ERR_MSG}') AS id
+  FROM err
+), tasks AS (
+  SELECT DISTINCT 'urn:task:' || (doc_id % 4) AS task_uri FROM docs
+), failed AS (SELECT DISTINCT task_uri FROM e)
+SELECT '{ERROR_URI_PREFIX}' || id AS subject, '{RDF_TYPE}' AS predicate,
+       '{ERROR_TYPE}' AS object_value, 'iri' AS object_type FROM e
+UNION ALL
+SELECT '{ERROR_URI_PREFIX}' || id, '{MU_UUID}', id, 'literal' FROM e
+UNION ALL
+SELECT '{ERROR_URI_PREFIX}' || id, '{OSLC_MESSAGE}', '{_ERR_MSG}', 'literal'
+FROM e
+UNION ALL
+SELECT task_uri, '{TASK_ERROR}', '{ERROR_URI_PREFIX}' || id, 'iri' FROM e
+UNION ALL
+SELECT t.task_uri, '{ADMS_STATUS}',
+       CASE WHEN f.task_uri IS NOT NULL
+            THEN '{STATUS_FAILED}' ELSE '{STATUS_SUCCESS}' END, 'iri'
+FROM tasks t LEFT JOIN failed f ON t.task_uri = f.task_uri
+"""
+
+
+@q("import_pipeline_errors", _errors_oracle())
+def import_pipeline_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The failure path of the §3.1 pipeline: pages with doc_id ≡ 7
+    (mod 10) carry a null body, so extraction raises per page and the run
+    must (a) render each error as the reference's appendTaskError triple
+    block — typed oslc:Error resource with mu:uuid + oslc:message and a
+    task:error link (lib/task.js:189-206) — and (b) mark exactly the
+    affected tasks failed (fail_on_page_error maps the task-level catch of
+    lib/pipeline-import.js:111-115 onto page granularity). The oracle
+    restates error ids (content-derived md5), messages, links, and the
+    failed/success status split directly from documents."""
+    from harvesting_extract_to_ttl_service_spark.plans.pipeline_import import (
+        ADMS_STATUS,
+        run_import_pipeline,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_DOCS)
+    res = run_import_pipeline(_control_graph(docs),
+                              _page_bodies(docs, poison_mod=10),
+                              graph=_G, fail_on_page_error=True)
+    error_triples = res["error_triples"].select(
+        "subject", "predicate", "object_value", "object_type")
+    status_rows = res["status_updates"].select(
+        F.col("task_uri").alias("subject"),
+        F.lit(ADMS_STATUS).alias("predicate"),
+        F.col("status").alias("object_value"),
+        F.lit("iri").alias("object_type"))
+    return error_triples.unionByName(status_rows)
 
 
 @q("rdfa_extract_docs", _EXTRACT_ORACLE)

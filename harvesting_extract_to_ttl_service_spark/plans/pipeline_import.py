@@ -45,13 +45,19 @@ from harvesting_extract_to_ttl_service_spark.operators.triage import (
 )
 from harvesting_extract_to_ttl_service_spark.schema import (
     ADMS,
+    ERROR_TYPE,
+    ERROR_URI_PREFIX,
     EXTRACTING_OPERATION,
     IMPORTING_OPERATION,
+    MU_UUID,
+    OSLC_MESSAGE,
     RDF_TYPE,
     STATUS_BUSY,
+    STATUS_FAILED,
     STATUS_SCHEDULED,
     STATUS_SUCCESS,
     TASK,
+    TASK_ERROR,
     TASK_TYPE,
 )
 from harvesting_extract_to_ttl_service_spark.sources.files import write_ttl
@@ -100,11 +106,48 @@ def enumerate_pages(tasks: DataFrame, control: DataFrame,
     )
 
 
+def render_task_errors(errors: DataFrame, graph: str | None = None) -> DataFrame:
+    """Render error rows to the reference's ``appendTaskError`` triple
+    block (/root/reference/lib/task.js:189-206): an error resource typed
+    oslc:Error with mu:uuid + oslc:message, linked from the task via
+    task:error. The reference mints a random uuid per error; ids here are
+    content-derived (md5 of task|page|message — SURVEY.md §7 hard part d)
+    so re-runs and both engines of a parity check agree.
+
+    Divergence note: the reference only writes this block for TASK-level
+    exceptions (page-level extract failures just ``continue``,
+    lib/pipeline-import.js:66-70); the engine generalizes it to the
+    per-page error rows its set-oriented run produces — strictly more
+    diagnostic surface, same vocabulary."""
+    e = errors.select(
+        "task_uri",
+        F.md5(F.concat_ws("|", "task_uri", "page_uri", "error")).alias("_id"),
+        F.col("error").alias("_msg"),
+    )
+    uri = F.concat(F.lit(ERROR_URI_PREFIX), F.col("_id"))
+
+    def triple(s, p, o, object_type="iri"):
+        return e.select(
+            s.alias("subject"), F.lit(p).alias("predicate"),
+            o.alias("object_value"), F.lit(object_type).alias("object_type"),
+            F.lit(None).cast("string").alias("datatype"),
+            F.lit(None).cast("string").alias("language"),
+            F.lit(graph).cast("string").alias("graph"))
+
+    return (
+        triple(uri, RDF_TYPE, F.lit(ERROR_TYPE))
+        .unionByName(triple(uri, MU_UUID, F.col("_id"), "literal"))
+        .unionByName(triple(uri, OSLC_MESSAGE, F.col("_msg"), "literal"))
+        .unionByName(triple(F.col("task_uri"), TASK_ERROR, uri))
+    )
+
+
 def run_import_pipeline(control: DataFrame, page_bodies: DataFrame,
                         out_dir: str | None = None,
                         graph: str | None = None,
                         write_debug_ttls: bool = False,
                         now_iso: str = "1970-01-01T00:00:00Z",
+                        fail_on_page_error: bool = False,
                         ) -> dict[str, DataFrame]:
     """The whole §3.1 flow. ``control`` is the task/job triple set;
     ``page_bodies`` maps page_uri → (url, html). Returns every output as a
@@ -139,12 +182,30 @@ def run_import_pipeline(control: DataFrame, page_bodies: DataFrame,
     invalid = invalid_triples(triaged, extra_cols=keys)
     corrected = corrected_triples(triaged, extra_cols=keys)
 
+    error_triples = render_task_errors(errors, graph)
+
+    # Reference semantics: per-page extract failures `continue` and the
+    # task still succeeds (lib/pipeline-import.js:66-70,109); only with
+    # fail_on_page_error=True does any error row fail its task (the
+    # task-level catch path, lines 111-115, mapped onto page granularity).
     status_updates = (
         tasks.select("task_uri")
         .withColumn("status", F.lit(STATUS_SUCCESS))
         .withColumn("modified", F.lit(now_iso))
     )
-    busy_updates = status_updates.withColumn("status", F.lit(STATUS_BUSY))
+    if fail_on_page_error:
+        failed = errors.select("task_uri").distinct().withColumn(
+            "_failed", F.lit(True))
+        status_updates = (
+            status_updates.join(failed, "task_uri", "left")
+            .withColumn("status", F.when(F.col("_failed"),
+                                         F.lit(STATUS_FAILED))
+                        .otherwise(F.col("status")))
+            .drop("_failed")
+        )
+    busy_updates = (tasks.select("task_uri")
+                    .withColumn("status", F.lit(STATUS_BUSY))
+                    .withColumn("modified", F.lit(now_iso)))
 
     if out_dir is not None:
         write_ttl(valid, f"{out_dir}/valid", keys)
@@ -164,6 +225,7 @@ def run_import_pipeline(control: DataFrame, page_bodies: DataFrame,
         "corrected": corrected,
         "spilled": spilled,
         "errors": errors,
+        "error_triples": error_triples,
         "busy_updates": busy_updates,
         "status_updates": status_updates,
     }

@@ -58,6 +58,14 @@ TASK_TYPE = "http://redpencil.data.gift/vocabularies/tasks/Task"
 IMPORTING_OPERATION = "http://lblod.data.gift/id/jobs/concept/TaskOperation/importing"
 EXTRACTING_OPERATION = "http://lblod.data.gift/id/jobs/concept/TaskOperation/extracting"
 
+# --- error-entity constants (/root/reference/constants.js:17-18,29 and
+# lib/task.js:189-206 appendTaskError) -------------------------------------
+ERROR_TYPE = "http://open-services.net/ns/core#Error"
+ERROR_URI_PREFIX = "http://redpencil.data.gift/id/jobs/error/"
+MU_UUID = MU + "uuid"
+OSLC_MESSAGE = "http://open-services.net/ns/core#message"
+TASK_ERROR = TASK + "error"
+
 # --- object_type tags ------------------------------------------------------
 OT_IRI = "iri"
 OT_LITERAL = "literal"

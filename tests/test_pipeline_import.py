@@ -104,6 +104,45 @@ def test_run_import_pipeline(spark, tmp_path):
     assert any("page_uri=" in d for d in page_dirs)
 
 
+def test_error_entity_triples(spark):
+    """A failing page renders the reference's appendTaskError block
+    (lib/task.js:189-206): typed oslc:Error resource with mu:uuid and
+    oslc:message, linked from the task via task:error; with
+    fail_on_page_error the affected task flips to failed."""
+    from harvesting_extract_to_ttl_service_spark.schema import (
+        ERROR_TYPE,
+        ERROR_URI_PREFIX,
+        MU_UUID,
+        OSLC_MESSAGE,
+        RDF_TYPE,
+        STATUS_FAILED,
+        TASK_ERROR,
+    )
+
+    res = run_import_pipeline(_control(spark), _bodies(spark), graph=G,
+                              fail_on_page_error=True)
+    triples = {(r.subject, r.predicate, r.object_value, r.object_type)
+               for r in res["error_triples"].collect()}
+    # exactly one failing page (p2, null body) → one error resource
+    uris = {s for s, p, o, t in triples if p == RDF_TYPE}
+    assert len(uris) == 1
+    [uri] = uris
+    assert uri.startswith(ERROR_URI_PREFIX)
+    err_id = uri[len(ERROR_URI_PREFIX):]
+    assert (uri, RDF_TYPE, ERROR_TYPE, "iri") in triples
+    assert (uri, MU_UUID, err_id, "literal") in triples
+    assert (uri, OSLC_MESSAGE, "ValueError: null html body",
+            "literal") in triples
+    assert ("urn:task:1", TASK_ERROR, uri, "iri") in triples
+    assert {r.graph for r in res["error_triples"].collect()} == {G}
+    # the (only) task carries a failing page → failed status
+    assert [(r.task_uri, r.status) for r in res["status_updates"].collect()] \
+        == [("urn:task:1", STATUS_FAILED)]
+    # default policy (reference semantics): page errors do not fail tasks
+    res2 = run_import_pipeline(_control(spark), _bodies(spark), graph=G)
+    assert res2["status_updates"].first().status == STATUS_SUCCESS
+
+
 def test_shared_page_extracts_once_per_task(spark):
     """A page_uri in two tasks' containers must yield each triple exactly
     once per task (extraction runs on distinct pages, then fans out) —
