@@ -184,7 +184,16 @@ class _RdfaExtractor:
     def _emit(self, s, p, o, ot, dt=None, lang=None):
         self.triples.append((s, p, o, ot, dt, lang))
 
-    def walk(self, el: _Elem, subject: str, lang, vocab, prefixes) -> None:
+    def walk(self, el: _Elem, subject: str, lang, vocab, prefixes,
+             pending=(), pending_rev=()) -> None:
+        """``pending``/``pending_rev`` carry hanging @rel/@rev predicates
+        (a rel/rev with no resource on its own element, RDFa Core
+        "incomplete triples"): the nearest descendant that establishes a
+        new subject completes them.
+
+        Subset note (asserted by tests/test_extract.py): @inlist is NOT
+        implemented — rdf:List construction is ignored and the property
+        falls back to its plain (non-list) triple."""
         a = el.attrs
         if "prefix" in a:
             prefixes = dict(prefixes)
@@ -198,32 +207,67 @@ class _RdfaExtractor:
 
         properties = [t for t in a.get("property", "").split() if t]
         rels = [t for t in a.get("rel", "").split() if t]
+        revs = [t for t in a.get("rev", "").split() if t]
         typeof = [t for t in a.get("typeof", "").split() if "typeof" in a]
         res_ref = a.get("resource") or a.get("href") or a.get("src")
 
-        # --- new subject resolution (RDFa Lite subset) ---
+        # --- new subject resolution (RDFa Lite subset + typed resources) ---
+        typed_obj = None  # bnode that is the OBJECT of property (typeof case)
         if "about" in a:
             new_subject = self._resolve_ref(a["about"], prefixes)
-        elif res_ref is not None and not properties and not rels:
+        elif res_ref is not None and not properties and not rels and not revs:
             new_subject = self._resolve_ref(res_ref, prefixes)
+        elif typeof and properties and res_ref is None:
+            # RDFa 1.1 typed resource: @property + @typeof (no about/
+            # resource) mints a bnode that becomes the property's OBJECT;
+            # @typeof types the bnode; children inherit it as subject.
+            typed_obj = self._bnode()
+            new_subject = typed_obj
         elif typeof:
             new_subject = self._bnode()
         else:
             new_subject = subject
+
+        # --- complete hanging rel/rev from an ancestor ---
+        establishes = ("about" in a) or (res_ref is not None) or bool(typeof)
+        if establishes:
+            for ps, ppred in pending:
+                self._emit(ps, ppred, new_subject,
+                           OT_BNODE if new_subject.startswith("_:") else OT_IRI)
+            for ps, ppred in pending_rev:
+                self._emit(new_subject, ppred, ps, OT_IRI)
+            pending, pending_rev = (), ()
 
         for t in typeof:
             iri = self._resolve_term(t, prefixes, vocab)
             if iri:
                 self._emit(new_subject, RDF_TYPE, iri, OT_IRI)
 
-        # --- rel: subject → linked IRI(s) on the same element ---
-        if rels and res_ref is not None:
+        # --- rel/rev: linked resource on the same element, else hang ---
+        child_pending = list(pending)
+        child_pending_rev = list(pending_rev)
+        if res_ref is not None:
             obj = self._resolve_ref(res_ref, prefixes)
             for r in rels:
                 iri = self._resolve_term(r, prefixes, vocab)
                 if iri:
                     self._emit(new_subject, iri, obj,
                                OT_BNODE if obj.startswith("_:") else OT_IRI)
+            for r in revs:
+                iri = self._resolve_term(r, prefixes, vocab)
+                if iri:
+                    self._emit(obj, iri, new_subject,
+                               OT_BNODE if new_subject.startswith("_:")
+                               else OT_IRI)
+        else:
+            for r in rels:
+                iri = self._resolve_term(r, prefixes, vocab)
+                if iri:
+                    child_pending.append((new_subject, iri))
+            for r in revs:
+                iri = self._resolve_term(r, prefixes, vocab)
+                if iri:
+                    child_pending_rev.append((new_subject, iri))
 
         # --- property ---
         for pterm in properties:
@@ -233,6 +277,9 @@ class _RdfaExtractor:
             dt_attr = a.get("datatype")
             dt = (self._resolve_term(dt_attr, prefixes, vocab)
                   if dt_attr else None)
+            if typed_obj is not None:
+                self._emit(subject, pred, typed_obj, OT_BNODE)
+                continue
             if "content" in a:
                 obj, ot, langv = a["content"], OT_LITERAL, lang
             elif res_ref is not None and not rels and dt_attr is None:
@@ -252,7 +299,8 @@ class _RdfaExtractor:
 
         for c in el.children:
             if isinstance(c, _Elem):
-                self.walk(c, new_subject, lang, vocab, prefixes)
+                self.walk(c, new_subject, lang, vocab, prefixes,
+                          tuple(child_pending), tuple(child_pending_rev))
 
 
 def extract_rdfa(html_text: str, base_uri: str) -> list[tuple]:

@@ -45,12 +45,80 @@ IMAGE_FEATURES_SCHEMA = T.StructType([
 ])
 
 
+def sniff_image_header(payload: bytes) -> tuple[int, int] | None:
+    """Pure-stdlib (width, height) from real container headers — no image
+    library needed, just struct reads of the magic-byte layouts:
+      PNG  — 8-byte signature, IHDR width/height big-endian u32 at 16..24;
+      GIF  — 'GIF87a'/'GIF89a', logical screen w/h little-endian u16 at 6;
+      JPEG — SOI then segment walk to the first SOFn marker (C0-CF minus
+             C4/C8/CC), height/width big-endian u16 at payload +1/+3.
+    Returns None when no known magic matches (caller picks the fallback).
+    """
+    import struct
+
+    if payload is None or len(payload) < 10:
+        return None
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+        w, h = struct.unpack(">II", payload[16:24])
+        return w, h
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return w, h
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI
+        i = 2
+        while i + 9 <= len(payload):
+            if payload[i] != 0xFF:
+                return None
+            marker = payload[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            seg_len = struct.unpack(">H", payload[i + 2:i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", payload[i + 5:i + 9])
+                return w, h
+            i += 2 + seg_len
+    return None
+
+
+def sniff_wav_header(payload: bytes) -> tuple[int, float, int] | None:
+    """(sample_rate, duration_s, bits_per_sample) from a real RIFF/WAVE
+    header via a chunk walk (fmt for rate/width, data for duration) —
+    pure struct reads, no audio library."""
+    import struct
+
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WAVE":
+        return None
+    rate = bits = channels = None
+    byte_rate = data_size = None
+    i = 12
+    while i + 8 <= len(payload):
+        cid = payload[i:i + 4]
+        size = struct.unpack("<I", payload[i + 4:i + 8])[0]
+        if cid == b"fmt " and i + 24 <= len(payload):
+            channels, rate, byte_rate = struct.unpack(
+                "<HII", payload[i + 10:i + 20])
+            bits = struct.unpack("<H", payload[i + 22:i + 24])[0]
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size % 2)  # chunks are word-aligned
+    if rate is None or byte_rate in (None, 0) or data_size is None:
+        return None
+    return rate, round(data_size / byte_rate, 3), bits
+
+
 def real_image_decode(payload: bytes) -> tuple[int, int]:
-    """Real decode kernel — requires an image library not present in this
-    environment. Swap this for PIL/torchvision in production."""
+    """Real decode kernel: header sniffing covers PNG/GIF/JPEG dimensions
+    without any image library; full pixel decoding would require
+    PIL/opencv, which is not in this container."""
+    dims = sniff_image_header(payload)
+    if dims is not None:
+        return dims
     raise NotImplementedError(
-        "image decoding requires PIL/opencv, not available in this container; "
-        "use fake_image_decode (deterministic stub) for plumbing tests")
+        "no known image magic bytes and full decoding requires PIL/opencv, "
+        "not available in this container; use fake_image_decode "
+        "(deterministic stub) for plumbing tests")
 
 
 def fake_image_decode(payload: bytes) -> tuple[int, int]:
@@ -58,6 +126,14 @@ def fake_image_decode(payload: bytes) -> tuple[int, int]:
     bytes so plumbing tests and cross-engine oracles are reproducible."""
     n = len(payload)
     return 64 + n % 512, 64 + (n // 7) % 512
+
+
+def sniff_or_fake_image_decode(payload: bytes) -> tuple[int, int]:
+    """Default kernel: real magic-byte headers (PNG/GIF/JPEG) win; anything
+    else falls back to the deterministic fake — so genuine media gets
+    genuine dimensions while the synthetic text-payload fixtures (and the
+    engine-parity oracles built on them) stay on the fake formulas."""
+    return sniff_image_header(payload) or fake_image_decode(payload)
 
 
 def fake_image_embedding(payload: bytes, dim: int = 8) -> list[float]:
@@ -75,7 +151,7 @@ def extract_image_features(media: DataFrame, use_real_decoder: bool = False,
     the key + small fixed-width features, so the heavy payload column dies
     inside the UDF and never shuffles.
     """
-    decode = real_image_decode if use_real_decoder else fake_image_decode
+    decode = real_image_decode if use_real_decoder else sniff_or_fake_image_decode
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -134,14 +210,39 @@ def fake_audio_decode(payload: bytes) -> tuple[int, float, float]:
     return rate, duration, loudness
 
 
+def sniff_or_fake_audio_decode(payload: bytes) -> tuple[int, float, float | None]:
+    """Default audio kernel: a real RIFF/WAVE header wins (rate/duration
+    from the chunk walk, loudness = RMS over 16-bit PCM samples when the
+    format allows); non-WAV payloads fall back to the deterministic fake
+    (text-payload fixtures and their oracles stay on the fake formulas)."""
+    import struct
+
+    s = sniff_wav_header(payload)
+    if s is None:
+        return fake_audio_decode(payload)
+    rate, duration, bits = s
+    loudness = None
+    if bits == 16:
+        i = payload.find(b"data")
+        if i >= 0:
+            size = struct.unpack("<I", payload[i + 4:i + 8])[0]
+            data = payload[i + 8:i + 8 + size]
+            n = len(data) // 2
+            if n:
+                samples = struct.unpack(f"<{n}h", data[:2 * n])
+                loudness = round(
+                    (sum(x * x for x in samples) / n) ** 0.5 / 32768.0, 6)
+    return rate, duration, loudness
+
+
 def extract_audio_features(media: DataFrame) -> DataFrame:
     """``mapInPandas`` audio feature extraction — same batch shape as the
     image path: payloads die inside the UDF, fixed-width features out."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [fake_audio_decode(p) if p is not None else (None, None, None)
-                     for p in pdf["payload"]]
+            feats = [sniff_or_fake_audio_decode(p) if p is not None
+                     else (None, None, None) for p in pdf["payload"]]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "sample_rate": [f[0] for f in feats],

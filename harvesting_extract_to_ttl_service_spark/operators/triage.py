@@ -149,21 +149,28 @@ def _replace_first(value: Column, find: str, repl: str) -> Column:
     )
 
 
-def _fix_date(v: Column) -> Column:
+def _fix_date(v: Column, compat: bool = False) -> Column:
+    """``compat=True`` reproduces the reference's JS-Date re-emission
+    bug-for-bug (fixTriple.js:152-156): month zero-padded, day NOT —
+    ``2023-05-7``. Default mode emits the canonical zero-padded form
+    (the documented divergence in the module docstring)."""
     n = _norm_datetime_sep(v)
     ts = F.coalesce(*[F.try_to_timestamp(n, F.lit(f)) for f in _DATE_FIX_FMTS])
-    return F.date_format(ts, "yyyy-MM-dd")
+    return F.date_format(ts, "yyyy-MM-d" if compat else "yyyy-MM-dd")
 
 
-def _fix_datetime(v: Column) -> Column:
+def _fix_datetime(v: Column, compat: bool = False) -> Column:
+    """``compat=True``: month padded, day/hour/minute/second NOT
+    (fixTriple.js:201-208) — ``2023-05-7T9:5:3``."""
     n = _norm_datetime_sep(v)
     ts = F.coalesce(*[F.try_to_timestamp(n, F.lit(f))
                       for f in _DATETIME_FIX_FMTS])
-    return F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss")
+    return F.date_format(
+        ts, "yyyy-MM-d'T'H:m:s" if compat else "yyyy-MM-dd'T'HH:mm:ss")
 
 
 def fix_object(object_type: Column, object_value: Column, datatype: Column,
-               language: Column) -> Column:
+               language: Column, compat: bool = False) -> Column:
     """fixTerm for an invalid object (fixTriple.js:60-96). Returns a single
     struct column ``(value, datatype)``; value null ⇔ unrepairable
     (repaired literals never carry a language tag — fixLiteral recasts
@@ -191,10 +198,11 @@ def fix_object(object_type: Column, object_value: Column, datatype: Column,
         .when(datatype == XSD_BOOLEAN,
               fix(F.when(F.lower(v).isin("true", "false"), F.lower(v)),
                   F.lit(XSD_BOOLEAN)))
-        # fixDate / fixDateTime: reparse + canonicalize (normalized mode)
-        .when(datatype == XSD_DATE, fix(_fix_date(v), F.lit(XSD_DATE)))
+        # fixDate / fixDateTime: reparse + re-emit (canonical by default,
+        # the reference's non-padded JS-Date form with compat=True)
+        .when(datatype == XSD_DATE, fix(_fix_date(v, compat), F.lit(XSD_DATE)))
         .when(datatype == XSD_DATETIME,
-              fix(_fix_datetime(v), F.lit(XSD_DATETIME)))
+              fix(_fix_datetime(v, compat), F.lit(XSD_DATETIME)))
         # fixInteger: xsd:int → xsd:integer when numeric (fixTriple.js:86-89)
         .when(datatype == XSD_INT,
               fix(F.when(_is_numeric_js(v), v), F.lit(XSD_INTEGER)))
@@ -207,7 +215,7 @@ def fix_object(object_type: Column, object_value: Column, datatype: Column,
     )
 
 
-def triage(df: DataFrame) -> DataFrame:
+def triage(df: DataFrame, compat: bool = False) -> DataFrame:
     """Annotate a TRIPLE_SCHEMA DataFrame with triage columns
     (correctAndRepairTriples, pipeline-import.js:220-241):
 
@@ -215,6 +223,10 @@ def triage(df: DataFrame) -> DataFrame:
       verdict         'valid' | 'fixed' | 'dropped'
       fixed_object_value / fixed_datatype / fixed_language
                       repaired object term (only for verdict='fixed')
+
+    ``compat=True`` re-emits repaired dates/dateTimes in the reference's
+    non-padded JS-Date form (``2023-05-7T9:5:3``) instead of the default
+    canonical form — see the module-docstring divergence note.
 
     One projection — Catalyst folds the whole thing into a single
     whole-stage-codegen stage over the scan. Over a parquet-backed triple
@@ -229,7 +241,7 @@ def triage(df: DataFrame) -> DataFrame:
     df = df.withColumn("is_valid", valid)
 
     fixed = fix_object(F.col("object_type"), F.col("object_value"),
-                       F.col("datatype"), F.col("language"))
+                       F.col("datatype"), F.col("language"), compat)
     # a triple with a bnode subject is unrepairable (fixTriple.js:25-27)
     fixable = ~F.col("subject").startswith("_:")
     if parse_ok is not None:

@@ -60,6 +60,76 @@ def test_extract_rdfa_subset():
             "http://example.org/source.html", "iri", None, None) in tset
 
 
+def test_extract_rev_attribute():
+    # @rev reverses the link: (resource, pred, subject)
+    body = """
+    <div about="http://ex/paper">
+      <a rev="dct:references" href="http://ex/citing">cited by</a>
+    </div>"""
+    triples = extract_rdfa(body, BASE)
+    assert ("http://ex/citing", "http://purl.org/dc/terms/references",
+            "http://ex/paper", "iri", None, None) in triples
+
+
+def test_extract_hanging_rel_chains_to_nested_subjects():
+    # rel with no resource on its own element hangs; EVERY nested element
+    # that establishes a subject completes it (RDFa incomplete triples)
+    body = """
+    <div about="http://ex/committee" rel="ex:member" prefix="ex: http://ex/ns#">
+      <div about="http://ex/alice"><span property="dct:title">A</span></div>
+      <div about="http://ex/bob">B</div>
+    </div>"""
+    triples = extract_rdfa(body, BASE)
+    assert ("http://ex/committee", "http://ex/ns#member",
+            "http://ex/alice", "iri", None, None) in triples
+    assert ("http://ex/committee", "http://ex/ns#member",
+            "http://ex/bob", "iri", None, None) in triples
+    # the nested property attaches to the nested subject, not the parent
+    assert ("http://ex/alice", "http://purl.org/dc/terms/title", "A",
+            "literal", None, None) in triples
+
+
+def test_extract_property_typeof_typed_bnode():
+    # @property + @typeof (no about/resource): the object is a fresh
+    # typed bnode, children inherit it — NOT a text literal
+    body = """
+    <div about="http://ex/doc">
+      <span property="dct:creator" typeof="ex:Person"
+            prefix="ex: http://ex/ns#">
+        <span property="ex:name">Ada</span>
+      </span>
+    </div>"""
+    triples = extract_rdfa(body, BASE)
+    tset = {t for t in triples}
+    bnodes = {o for s, p, o, ot, dt, lang in tset
+              if p == "http://purl.org/dc/terms/creator"}
+    assert len(bnodes) == 1
+    [b] = bnodes
+    assert b.startswith("_:")
+    assert ("http://ex/doc", "http://purl.org/dc/terms/creator", b,
+            "bnode", None, None) in tset
+    assert (b, RDF_TYPE, "http://ex/ns#Person", "iri", None, None) in tset
+    assert (b, "http://ex/ns#name", "Ada", "literal", None, None) in tset
+
+
+def test_extract_inlist_subset_rejection():
+    # @inlist (rdf:List construction) is OUT of the supported subset:
+    # the list machinery is ignored and each property value falls back to
+    # its plain triple — asserted here so the divergence is explicit
+    body = """
+    <div about="http://ex/doc">
+      <span property="dct:creator" inlist="">First</span>
+      <span property="dct:creator" inlist="">Second</span>
+    </div>"""
+    triples = extract_rdfa(body, BASE)
+    objs = {o for s, p, o, ot, dt, lang in triples
+            if p == "http://purl.org/dc/terms/creator"}
+    assert objs == {"First", "Second"}
+    # no rdf:first/rest/nil list scaffolding is emitted
+    assert not any("22-rdf-syntax-ns#first" in p or "22-rdf-syntax-ns#rest" in p
+                   for _, p, *_ in triples)
+
+
 def test_extract_scrubs_replacement_chars():
     body = '<div about="http://ex/s"><span property="dct:title">a�b</span></div>'
     triples = extract_rdfa(body, BASE)

@@ -1,0 +1,89 @@
+"""Magic-byte header sniffing: real PNG/GIF/JPEG/WAV byte layouts parsed
+with pure struct reads; unknown payloads fall back to the deterministic
+fake kernels (which the engine-parity oracles restate)."""
+
+import struct
+
+import pytest
+
+from harvesting_extract_to_ttl_service_spark.operators.multimodal import (
+    fake_audio_decode,
+    fake_image_decode,
+    real_image_decode,
+    sniff_image_header,
+    sniff_or_fake_audio_decode,
+    sniff_or_fake_image_decode,
+    sniff_wav_header,
+)
+
+
+def _png(w, h):
+    ihdr = struct.pack(">II", w, h) + b"\x08\x06\x00\x00\x00"
+    return (b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00" * 4)
+
+
+def _gif(w, h):
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 4
+
+
+def _jpeg(w, h):
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", h, w) + b"\x01\x11\x00")
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _wav(rate=16000, n_samples=1600, amplitude=8192):
+    channels, bits = 1, 16
+    byte_rate = rate * channels * bits // 8
+    data = struct.pack(f"<{n_samples}h",
+                       *([amplitude, -amplitude] * (n_samples // 2)))
+    fmt = (b"fmt " + struct.pack("<I", 16)
+           + struct.pack("<HHIIHH", 1, channels, rate, byte_rate,
+                         channels * bits // 8, bits))
+    chunks = fmt + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_png_gif_jpeg_dimensions():
+    assert sniff_image_header(_png(640, 480)) == (640, 480)
+    assert sniff_image_header(_gif(320, 200)) == (320, 200)
+    assert sniff_image_header(_jpeg(1024, 768)) == (1024, 768)
+
+
+def test_unknown_magic_falls_back_to_fake():
+    text = b"just some document text, definitely not an image"
+    assert sniff_image_header(text) is None
+    assert sniff_or_fake_image_decode(text) == fake_image_decode(text)
+    with pytest.raises(NotImplementedError):
+        real_image_decode(text)
+    # real magic wins over the fake in both entry points
+    assert real_image_decode(_png(12, 34)) == (12, 34)
+    assert sniff_or_fake_image_decode(_png(12, 34)) == (12, 34)
+
+
+def test_wav_header_and_loudness():
+    wav = _wav(rate=16000, n_samples=1600, amplitude=8192)
+    assert sniff_wav_header(wav) == (16000, 0.1, 16)  # 3200 B / 32000 B/s
+    rate, duration, loudness = sniff_or_fake_audio_decode(wav)
+    assert (rate, duration) == (16000, 0.1)
+    assert loudness == pytest.approx(8192 / 32768.0, abs=1e-6)
+    # non-WAV payloads stay on the deterministic fake
+    text = b"not audio"
+    assert sniff_or_fake_audio_decode(text) == fake_audio_decode(text)
+
+
+def test_real_headers_flow_through_mapinpandas(spark):
+    rows = [(1, "image", "png", bytearray(_png(99, 77)), None),
+            (2, "image", "txt", bytearray(b"plain text payload"), None)]
+    from harvesting_extract_to_ttl_service_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_image_features,
+    )
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: (r.width, r.height)
+           for r in extract_image_features(media).collect()}
+    assert got[1] == (99, 77)
+    assert got[2] == fake_image_decode(b"plain text payload")

@@ -128,3 +128,40 @@ def test_fix_idempotent(spark):
     repaired = valid_triples(t)  # fixed rows now in fixed form
     re_triaged = triage(repaired)
     assert re_triaged.filter(F.col("verdict") != "valid").count() == 0
+
+
+def test_compat_mode_js_date_goldens(spark):
+    """compat=True reproduces the reference's JS-Date re-emission
+    bug-for-bug (fixTriple.js:152-156, 201-208): month zero-padded for
+    Jan-Sep only by accident of two-digit months, day/hour/minute/second
+    NOT padded. Default mode stays canonical."""
+    rows = [
+        ("d-slash", "2023/05/07", XSD_DATE),
+        ("d-short", "2023-5-7", XSD_DATE),
+        ("d-late", "2023/11/23", XSD_DATE),
+        ("dt-slash", "2023/05/07 09:05:03", XSD_DATETIME),
+        ("dt-short", "2023-5-7T9:5:3", XSD_DATETIME),
+    ]
+    df = spark.createDataFrame(
+        [(f"http://s/{k}", P, v, "literal", dt, None, None)
+         for k, v, dt in rows], TRIPLE_SCHEMA)
+
+    compat = {r.subject.split("/")[-1]: r.fixed_object_value
+              for r in triage(df, compat=True).collect()}
+    assert compat == {
+        "d-slash": "2023-05-7",
+        "d-short": "2023-05-7",
+        "d-late": "2023-11-23",
+        "dt-slash": "2023-05-7T9:5:3",
+        "dt-short": "2023-05-7T9:5:3",
+    }
+
+    canonical = {r.subject.split("/")[-1]: r.fixed_object_value
+                 for r in triage(df).collect()}
+    assert canonical == {
+        "d-slash": "2023-05-07",
+        "d-short": "2023-05-07",
+        "d-late": "2023-11-23",
+        "dt-slash": "2023-05-07T09:05:03",
+        "dt-short": "2023-05-07T09:05:03",
+    }
