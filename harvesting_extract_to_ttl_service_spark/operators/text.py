@@ -142,7 +142,12 @@ def annotate_documents(df: DataFrame, text_col: str = "text",
     aggregate finishes map-side and one row per doc shuffles. Char-level
     metrics (BPE-ish count, punct ratio, fingerprint) stay per-row column
     expressions."""
+    from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+        spread_for_cpu,
+    )
+
     langs = sorted(LANG_MARKERS)
+    df = spread_for_cpu(df)
     ex = df.select(F.col(id_col).alias("_id"),
                    F.explode(tokens(F.col(text_col))).alias("w"))
     lw = F.lower(F.col("w"))
