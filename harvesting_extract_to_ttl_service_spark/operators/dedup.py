@@ -349,14 +349,27 @@ def simhash_candidates(df: DataFrame, text_col: str = "text",
     """SimHash near-dup candidates: split the fingerprint into ``blocks``
     bit-blocks (pigeonhole: pairs within ``max_hamming`` ≤ blocks-1 bit
     diffs must agree on ≥1 block), equi-join per block, then exact Hamming
-    filter via bit_count(xor)."""
-    block_bits = bits // blocks
-    mask = (1 << block_bits) - 1
+    filter via bit_count(xor).
+
+    Blocks are variable-width (bits need not divide evenly), so callers
+    should use the MINIMUM block count for their radius —
+    ``max_hamming + 1`` — because candidate volume scales as
+    rows² / (blocks · 2^(bits/blocks)): fewer, wider blocks mean
+    exponentially more buckets and quadratically fewer join collisions
+    (10×6-bit → 7×8.5-bit blocks cut sf0.1 candidate pairs ~5×)."""
+    if blocks <= max_hamming:
+        raise ValueError(
+            f"pigeonhole completeness needs blocks > max_hamming "
+            f"({blocks} <= {max_hamming}): a pair with {max_hamming} "
+            f"differing bits could touch every block")
+    base, rem = divmod(bits, blocks)
+    sizes = [base + 1 if i < rem else base for i in range(blocks)]
+    offsets = [sum(sizes[:i]) for i in range(blocks)]
     sh = simhash_table(df, text_col, id_col, bits)
     blocked = sh.select(
         "id", "sh",
         F.posexplode(F.array(*[
-            F.shiftright("sh", i * block_bits).bitwiseAND(mask)
+            F.shiftright("sh", offsets[i]).bitwiseAND((1 << sizes[i]) - 1)
             for i in range(blocks)
         ])).alias("blk", "blk_val"),
     )

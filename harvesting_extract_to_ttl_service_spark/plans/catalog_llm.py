@@ -251,14 +251,15 @@ FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.v, b.v)) <= 6
 """)
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 60-bit fingerprints, pigeonhole block join
-    (hamming ≤ 6 needs 7 blocks for exactness ⇒ blocks=7 ... but 60 bits /
-    7 doesn't divide; use blocks=10, block 6 bits: hamming ≤ 6 < 10 blocks
-    still guarantees ≥1 agreeing block). The oracle brute-forces all pairs
-    — valid because the pigeonhole candidate set is provably complete, so
-    blocked and brute-force answers are identical sets."""
+    """SimHash near-dup: 60-bit fingerprints, pigeonhole block join with
+    the minimum block count for the radius (hamming ≤ 6 ⇒ 7 variable-width
+    blocks of 8-9 bits — the widest blocks that stay complete, so the
+    bucket space is ~3k instead of 640 and the candidate join stays small).
+    The oracle brute-forces all pairs — valid because the pigeonhole
+    candidate set is provably complete, so blocked and brute-force answers
+    are identical sets."""
     docs = load(spark, sf_dir, "documents")
-    return simhash_candidates(docs, bits=60, max_hamming=6, blocks=10)
+    return simhash_candidates(docs, bits=60, max_hamming=6, blocks=7)
 
 
 # --------------------------------------------------------------------------
