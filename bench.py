@@ -72,9 +72,18 @@ def _resolve(name):
 
 def main() -> None:
     spark = get_spark("bench")
-    # Warm the JVM/codegen paths so the first measured query doesn't pay
-    # session-startup costs.
-    spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
+    # Warm the JVM before timing: session startup, Janino/whole-stage
+    # codegen classloading, shuffle + Arrow machinery. Uses the tiny
+    # nation table and throwaway expressions — no headline query (or its
+    # compiled plan) is pre-run, so each measured number still includes
+    # its own plan's analysis+codegen cost.
+    from pyspark.sql import functions as F
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    (nation.select(F.explode(F.split("n_name", "")).alias("c"),
+                   F.md5("n_name").alias("h"))
+     .groupBy("c").agg(F.count("*").alias("n"), F.min("h").alias("m"))
+     .write.format("noop").mode("overwrite").save())
+    nation.alias("a").join(nation.alias("b"), "n_regionkey").count()
 
     per_query: dict[str, float] = {}
     total = 0.0

@@ -1032,3 +1032,32 @@ def skew_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     salt-and-replicate join (operators/skew.py) — results must equal the
     unsalted forms, which is exactly what the oracles assert."""
     return suite_df(spark, sf_dir, _SKEW_MEMBERS)
+
+
+@q("stats_aggregates", """
+SELECT l_returnflag,
+       count(*) AS n,
+       round(quantile_cont(l_extendedprice, 0.5), 2)  AS median_price,
+       round(quantile_cont(l_extendedprice, 0.95), 2) AS p95_price,
+       round(stddev_samp(l_extendedprice), 2)         AS sd_price,
+       round(corr(l_quantity, l_extendedprice), 4)    AS qty_price_corr
+FROM lineitem GROUP BY l_returnflag
+""")
+def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2C statistical aggregates: exact interpolated percentiles (both
+    engines use linear type-7 interpolation), sample stddev, Pearson
+    correlation — one hash aggregate; percentile is the only non-partial
+    one (it buffers per group), which is why the at-scale default is
+    approx_percentile (see approx_distinct_customers for the HLL twin of
+    the same trade)."""
+    li = load(spark, sf_dir, "lineitem")
+    pct = F.expr("percentile(l_extendedprice, array(0.5D, 0.95D))")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"),
+             F.round(pct.getItem(0), 2).alias("median_price"),
+             F.round(pct.getItem(1), 2).alias("p95_price"),
+             F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+             F.round(F.corr("l_quantity", "l_extendedprice"), 4)
+             .alias("qty_price_corr"))
+    )
