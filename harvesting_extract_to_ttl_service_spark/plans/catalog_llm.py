@@ -296,15 +296,6 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb.filter(F.col("vec_id") != 0), list(qvec), k=10)
 
 
-@q("lsh_ann_topk")  # approximate: rows-only check (no SQL oracle by design)
-def lsh_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN: restrict to the query's random-hyperplane LSH
-    bucket, exact cosine inside. Approximate recall ⇒ no SQL oracle."""
-    emb = load(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return lsh_ann_topk(emb.filter(F.col("vec_id") != 0), list(qvec), k=10)
-
-
 # The embeddings fixture is 64-dimensional at every SF; the oracle SQL is
 # built at import time so the dimension must be static (the Spark side
 # asserts it at run time).
@@ -318,6 +309,51 @@ def _zip_dot_sql(a: str, b: str) -> str:
     return (f"list_reduce(list_transform(list_zip({a}, {b}), "
             f"z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), "
             f"(x, y) -> x + y)")
+
+
+_ANN_PLANES = 4  # 16 buckets → a query bucket holds enough rows for top-10
+
+
+def _lsh_ann_oracle(k: int = 10) -> str:
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        _hyperplanes,
+    )
+
+    bucket_terms = []
+    for p, plane in enumerate(_hyperplanes(_EMBED_DIM, _ANN_PLANES)):
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+        bucket_terms.append(
+            f"(CASE WHEN {_zip_dot_sql('embedding', arr)} > 0 "
+            f"THEN {1 << p} ELSE 0 END)")
+    bucket = " + ".join(bucket_terms)
+    nrm = ("sqrt(list_reduce(list_transform(embedding, "
+           "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))")
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding, {bucket} AS bucket, {nrm} AS vnorm
+  FROM embeddings
+), q AS (SELECT embedding AS qe, bucket AS qb, vnorm AS qn FROM v WHERE vec_id = 0)
+SELECT v.vec_id,
+       round({_zip_dot_sql('v.embedding', 'q.qe')} / (v.vnorm * q.qn), 6)
+         AS cos_sim
+FROM v, q
+WHERE v.bucket = q.qb AND v.vec_id <> 0
+ORDER BY cos_sim DESC, v.vec_id
+LIMIT {k}
+"""
+
+
+@q("lsh_ann_topk", _lsh_ann_oracle())
+def lsh_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN: restrict to the query's random-hyperplane LSH
+    bucket, exact cosine inside. The approximation is still deterministic
+    (fixed hyperplane constants), so the oracle restates the bucket
+    function AND the in-bucket top-k — the recall trade is verified, not
+    just trusted."""
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return lsh_ann_topk(emb.filter(F.col("vec_id") != 0), list(qvec), k=10,
+                        n_planes=_ANN_PLANES)
 
 
 def _lsh_neardup_oracle(threshold: float = 0.25, max_id: int = 200) -> str:
