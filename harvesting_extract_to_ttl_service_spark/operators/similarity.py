@@ -124,6 +124,12 @@ def lsh_blocked_pairs(df: DataFrame, threshold: float, dim: int,
     missed) — the trade that makes the pair space tractable at 100 TB;
     lower ``n_planes`` or union several plane sets to raise recall.
 
+    Scale rule for ``n_planes``: in-bucket work is quadratic in bucket
+    size, so pick ≈ log2(n_vectors / target_bucket_size) planes — a few
+    hundred vectors per bucket keeps the refine step trivial. A small
+    plane count (the fixture demo uses 2) is a RECALL knob only at small
+    n; at corpus scale it degenerates toward all-pairs.
+
     Per-vector norms are computed once before the join (per pair would
     recompute each side's norm for every candidate)."""
     b = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))

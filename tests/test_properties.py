@@ -25,14 +25,22 @@ from harvesting_extract_to_ttl_service_spark.schema import (
 )
 
 # Lexical forms that stress the escaper: quotes, backslashes, control
-# chars, unicode, and the escape sequences themselves as text.
-_literals = st.text(
-    alphabet=st.one_of(
+# chars, unicode, the escape sequences themselves as text (\\u0041 must
+# roundtrip as TEXT, not decode), and the decoder's U+0001 sentinel
+# (escaped on encode). U+0000 is deliberately absent: its only escape
+# form (backslash-u0000) is rejected by the decoder (sentinel collision,
+# store-layer-invalid anyway), so NUL literals cannot roundtrip.
+_literals = st.lists(
+    st.one_of(
         st.characters(min_codepoint=0x20, max_codepoint=0x7E),
-        st.sampled_from(['"', "\\", "\n", "\r", "\t", "é", "€", "中", "𝄞"]),
+        st.sampled_from(['"', "\\", "\n", "\r", "\t", "é", "€", "中", "𝄞",
+                         "\x01"]),
+        # multi-char tokens: escape sequences as literal TEXT — these must
+        # survive the roundtrip verbatim, not decode
+        st.sampled_from(["\\u0041", "\\U0001D11E", "\\\\u00E9"]),
     ),
     max_size=40,
-)
+).map("".join)
 
 _SETTINGS = dict(max_examples=6, deadline=None,
                  suppress_health_check=[HealthCheck.too_slow])
