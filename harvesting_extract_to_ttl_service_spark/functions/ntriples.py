@@ -189,8 +189,11 @@ def decode_ntriples(lines: DataFrame, col: str = "value",
     # restore — mark such lines invalid instead of mis-parsing them. Same
     # for the backslash-u0000 escape (whose decoded value is the
     # sentinel); the reference stack rejects NUL literals at the store.
+    # The escape guard needs backslash-run parity: an ESCAPED backslash
+    # followed by the text 'u0000' (raw form `\\u0000`) is a legal NUL-free
+    # literal, so only an odd backslash run before u0000 is a real escape.
     unsafe = (c.contains(_SENT) | c.contains(_GSEP)
-              | c.rlike(r"\\u0000|\\U00000000"))
+              | c.rlike(r"(^|[^\\])(\\\\)*\\(u0000|U00000000)"))
     lines = (
         lines.withColumn("parse_ok", c.rlike(_NT_LINE) & ~unsafe)
         .withColumn("_g", F.split(F.regexp_replace(c, _NT_LINE, repl), _GSEP))

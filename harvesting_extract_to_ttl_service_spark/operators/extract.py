@@ -212,7 +212,13 @@ class _RdfaExtractor:
         res_ref = a.get("resource") or a.get("href") or a.get("src")
 
         # --- new subject resolution (RDFa Lite subset + typed resources) ---
+        # `established` is true only when THIS element's attributes minted
+        # the subject (about / resource-as-subject / typeof): that — not
+        # the mere presence of @href consumed as a property object — is
+        # what completes an ancestor's hanging rel/rev; completing with an
+        # inherited subject would emit bogus self-referential triples.
         typed_obj = None  # bnode that is the OBJECT of property (typeof case)
+        established = True
         if "about" in a:
             new_subject = self._resolve_ref(a["about"], prefixes)
         elif res_ref is not None and not properties and not rels and not revs:
@@ -227,15 +233,16 @@ class _RdfaExtractor:
             new_subject = self._bnode()
         else:
             new_subject = subject
+            established = False
 
         # --- complete hanging rel/rev from an ancestor ---
-        establishes = ("about" in a) or (res_ref is not None) or bool(typeof)
-        if establishes:
+        if established:
             for ps, ppred in pending:
                 self._emit(ps, ppred, new_subject,
                            OT_BNODE if new_subject.startswith("_:") else OT_IRI)
             for ps, ppred in pending_rev:
-                self._emit(new_subject, ppred, ps, OT_IRI)
+                self._emit(new_subject, ppred, ps,
+                           OT_BNODE if ps.startswith("_:") else OT_IRI)
             pending, pending_rev = (), ()
 
         for t in typeof:

@@ -81,31 +81,42 @@ def sniff_image_header(payload: bytes) -> tuple[int, int] | None:
     return None
 
 
-def sniff_wav_header(payload: bytes) -> tuple[int, float, int] | None:
-    """(sample_rate, duration_s, bits_per_sample) from a real RIFF/WAVE
-    header via a chunk walk (fmt for rate/width, data for duration) —
-    pure struct reads, no audio library."""
+def _parse_wav(payload: bytes) -> dict | None:
+    """RIFF/WAVE chunk walk (fmt for rate/width, data for span) — pure
+    struct reads, no audio library. Returns None unless both a fmt and a
+    data chunk are found; the data OFFSET comes from the walk, never from
+    a byte search (the ASCII substring 'data' can legally occur inside an
+    earlier LIST/INFO chunk)."""
     import struct
 
     if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" \
             or payload[8:12] != b"WAVE":
         return None
-    rate = bits = channels = None
-    byte_rate = data_size = None
+    out: dict = {}
     i = 12
     while i + 8 <= len(payload):
         cid = payload[i:i + 4]
         size = struct.unpack("<I", payload[i + 4:i + 8])[0]
         if cid == b"fmt " and i + 24 <= len(payload):
-            channels, rate, byte_rate = struct.unpack(
+            out["channels"], out["rate"], out["byte_rate"] = struct.unpack(
                 "<HII", payload[i + 10:i + 20])
-            bits = struct.unpack("<H", payload[i + 22:i + 24])[0]
-        elif cid == b"data":
-            data_size = size
+            out["bits"] = struct.unpack("<H", payload[i + 22:i + 24])[0]
+        elif cid == b"data" and "data_off" not in out:
+            out["data_off"], out["data_size"] = i + 8, size
         i += 8 + size + (size % 2)  # chunks are word-aligned
-    if rate is None or byte_rate in (None, 0) or data_size is None:
+    if out.get("rate") is None or not out.get("byte_rate") \
+            or "data_off" not in out:
         return None
-    return rate, round(data_size / byte_rate, 3), bits
+    return out
+
+
+def sniff_wav_header(payload: bytes) -> tuple[int, float, int] | None:
+    """(sample_rate, duration_s, bits_per_sample) from a real RIFF/WAVE
+    header — see :func:`_parse_wav`."""
+    w = _parse_wav(payload)
+    if w is None:
+        return None
+    return w["rate"], round(w["data_size"] / w["byte_rate"], 3), w["bits"]
 
 
 def real_image_decode(payload: bytes) -> tuple[int, int]:
@@ -142,16 +153,30 @@ def fake_image_embedding(payload: bytes, dim: int = 8) -> list[float]:
     return [((h[i % 16] / 255.0) * 2.0 - 1.0) for i in range(dim)]
 
 
+_IMAGE_DECODERS = {
+    "sniff_or_fake": sniff_or_fake_image_decode,
+    "fake": fake_image_decode,
+    "real": real_image_decode,
+}
+
+
 def extract_image_features(media: DataFrame, use_real_decoder: bool = False,
-                           embed_dim: int = 8) -> DataFrame:
+                           embed_dim: int = 8,
+                           decoder: str = "sniff_or_fake") -> DataFrame:
     """``mapInPandas`` feature extraction over binary image payloads.
 
     Batch shape: the iterator yields Arrow-sized pandas batches (bounded by
     ``spark.sql.execution.arrow.maxRecordsPerBatch``); each output row keeps
     the key + small fixed-width features, so the heavy payload column dies
     inside the UDF and never shuffles.
+
+    ``decoder``: 'sniff_or_fake' (default — real magic bytes win, fake
+    fallback), 'fake' (deterministic formulas ONLY — what engine-parity
+    oracles must use, since a payload that happens to start with real
+    magic bytes would otherwise diverge from the restated formulas), or
+    'real' (header sniff, raise on unknown).
     """
-    decode = real_image_decode if use_real_decoder else sniff_or_fake_image_decode
+    decode = _IMAGE_DECODERS["real" if use_real_decoder else decoder]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -213,35 +238,36 @@ def fake_audio_decode(payload: bytes) -> tuple[int, float, float]:
 def sniff_or_fake_audio_decode(payload: bytes) -> tuple[int, float, float | None]:
     """Default audio kernel: a real RIFF/WAVE header wins (rate/duration
     from the chunk walk, loudness = RMS over 16-bit PCM samples when the
-    format allows); non-WAV payloads fall back to the deterministic fake
-    (text-payload fixtures and their oracles stay on the fake formulas)."""
+    format allows); non-WAV payloads fall back to the deterministic fake."""
     import struct
 
-    s = sniff_wav_header(payload)
-    if s is None:
+    w = _parse_wav(payload)
+    if w is None:
         return fake_audio_decode(payload)
-    rate, duration, bits = s
+    duration = round(w["data_size"] / w["byte_rate"], 3)
     loudness = None
-    if bits == 16:
-        i = payload.find(b"data")
-        if i >= 0:
-            size = struct.unpack("<I", payload[i + 4:i + 8])[0]
-            data = payload[i + 8:i + 8 + size]
-            n = len(data) // 2
-            if n:
-                samples = struct.unpack(f"<{n}h", data[:2 * n])
-                loudness = round(
-                    (sum(x * x for x in samples) / n) ** 0.5 / 32768.0, 6)
-    return rate, duration, loudness
+    if w.get("bits") == 16:
+        data = payload[w["data_off"]:w["data_off"] + w["data_size"]]
+        n = len(data) // 2
+        if n:
+            samples = struct.unpack(f"<{n}h", data[:2 * n])
+            loudness = round(
+                (sum(x * x for x in samples) / n) ** 0.5 / 32768.0, 6)
+    return w["rate"], duration, loudness
 
 
-def extract_audio_features(media: DataFrame) -> DataFrame:
+def extract_audio_features(media: DataFrame,
+                           decoder: str = "sniff_or_fake") -> DataFrame:
     """``mapInPandas`` audio feature extraction — same batch shape as the
-    image path: payloads die inside the UDF, fixed-width features out."""
+    image path: payloads die inside the UDF, fixed-width features out.
+    ``decoder='fake'`` pins the deterministic formulas (for engine-parity
+    oracles); the default sniffs real RIFF/WAVE headers first."""
+    probe = (fake_audio_decode if decoder == "fake"
+             else sniff_or_fake_audio_decode)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [sniff_or_fake_audio_decode(p) if p is not None
+            feats = [probe(p) if p is not None
                      else (None, None, None) for p in pdf["payload"]]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],

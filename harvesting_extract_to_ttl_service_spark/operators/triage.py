@@ -75,18 +75,18 @@ def _norm_datetime_sep(v: Column) -> Column:
 
 def _is_numeric_js(value: Column) -> Column:
     """JS ``!isNaN(Number(v))`` (validateTriple.js:136-139): empty/blank
-    strings coerce to 0 (valid); otherwise any float syntax passes.
-
-    Number() edge parity: the literal ``'NaN'`` parses to a double in
-    Spark but ``isNaN(Number('NaN'))`` is true in JS → reject any cast
-    result that IS NaN, not just failed casts. Conversely JS accepts
-    unsigned radix prefixes (``0x1A``/``0b101``/``0o17``) that the double
-    cast does not → accept them explicitly. (``Infinity``/``1e999`` agree
-    already: both engines land on ±Infinity, which is not NaN.)"""
+    strings coerce to 0 (valid); otherwise the ECMA StringNumericLiteral
+    grammar decides — implemented as that grammar directly rather than a
+    double cast, because the cast both over-accepts (Java-isms like
+    ``1.5d``/``1.5f`` suffixes and the non-grammar literal ``NaN``, all of
+    which JS maps to NaN → invalid) and under-accepts (unsigned radix
+    prefixes ``0x1A``/``0b101``/``0o17``, valid JS Numbers). ``Infinity``
+    and overflow forms like ``1e999`` are in the grammar → valid, matching
+    ``isNaN(Infinity) === false``."""
     t = F.trim(value)
-    d = t.try_cast("double")
     radix = t.rlike(r"^0[xX][0-9a-fA-F]+$|^0[bB][01]+$|^0[oO][0-7]+$")
-    return (t == "") | radix | (d.isNotNull() & ~F.isnan(d))
+    decimal = t.rlike(r"^[+-]?(Infinity|(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?)$")
+    return (t == "") | radix | decimal
 
 
 def _wkt_crs(value: Column) -> Column:

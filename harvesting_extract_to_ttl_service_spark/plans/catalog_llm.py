@@ -508,7 +508,10 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     features extracted through the Arrow `mapInPandas` kernel (deterministic
     fake decoder — the real one is stubbed, see operators/multimodal.py)."""
     media = documents_as_media(load(spark, sf_dir, "documents"))
-    feats = extract_image_features(media)
+    # decoder pinned to the fake formulas: the oracle restates exactly
+    # them, and a text payload starting with real magic bytes must not
+    # silently switch kernels under a parity check
+    feats = extract_image_features(media, decoder="fake")
     return feats.select("media_id", "width", "height", "n_bytes", "checksum")
 
 
@@ -553,7 +556,7 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
     media = documents_as_media(docs)
-    return extract_audio_features(media).select(
+    return extract_audio_features(media, decoder="fake").select(
         "media_id", "sample_rate", "duration_s", "n_bytes")
 
 

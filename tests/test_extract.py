@@ -231,3 +231,36 @@ def test_file_metadata_triples(spark):
             "http://www.semanticdesktop.org/ontologies/2007/01/19/nie#dataSource",
             "http://data.lblod.info/id/files/abc") in rows
     assert md.count() == 8
+
+
+def test_hanging_rel_not_completed_by_property_href_child():
+    # a child consuming @href as a property OBJECT does not establish a
+    # new subject — it must neither complete the ancestor's hanging rel
+    # (which would mint a bogus self-triple) nor stop deeper descendants
+    # from completing it
+    body = """
+    <div about="http://ex/a" rel="ex:knows" prefix="ex: http://ex/ns#">
+      <span href="http://ex/b" property="ex:name">Bob</span>
+      <div about="http://ex/c">C</div>
+    </div>"""
+    triples = extract_rdfa(body, BASE)
+    knows = {(s, o) for s, p, o, ot, dt, lang in triples
+             if p == "http://ex/ns#member" or p == "http://ex/ns#knows"}
+    assert ("http://ex/a", "http://ex/a") not in knows  # no self-triple
+    assert ("http://ex/a", "http://ex/c") in knows
+    # the span's href is the property object
+    assert ("http://ex/a", "http://ex/ns#name", "http://ex/b",
+            "iri", None, None) in triples
+
+
+def test_hanging_rev_onto_bnode_subject_is_bnode_object():
+    body = """
+    <div typeof="ex:Org" rev="ex:member" prefix="ex: http://ex/ns#">
+      <span about="http://ex/alice">x</span>
+    </div>"""
+    triples = extract_rdfa(body, BASE)
+    member = [(s, o, ot) for s, p, o, ot, dt, lang in triples
+              if p == "http://ex/ns#member"]
+    assert len(member) == 1
+    s, o, ot = member[0]
+    assert s == "http://ex/alice" and o.startswith("_:") and ot == "bnode"

@@ -87,3 +87,33 @@ def test_real_headers_flow_through_mapinpandas(spark):
            for r in extract_image_features(media).collect()}
     assert got[1] == (99, 77)
     assert got[2] == fake_image_decode(b"plain text payload")
+
+
+def test_wav_list_chunk_containing_data_text():
+    """A LIST/INFO chunk whose content contains the ASCII text 'data'
+    must not be mistaken for the data chunk (offset comes from the chunk
+    walk, not a byte search)."""
+    rate, n_samples, amplitude = 16000, 800, 4096
+    byte_rate = rate * 2
+    data = struct.pack(f"<{n_samples}h",
+                       *([amplitude, -amplitude] * (n_samples // 2)))
+    fmt = (b"fmt " + struct.pack("<I", 16)
+           + struct.pack("<HHIIHH", 1, 1, rate, byte_rate, 2, 16))
+    info = b"LIST" + struct.pack("<I", 12) + b"INFOdata\x99\x99\x99\x99"
+    chunks = fmt + info + b"data" + struct.pack("<I", len(data)) + data
+    wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    r, duration, loudness = sniff_or_fake_audio_decode(wav)
+    assert (r, duration) == (16000, round(len(data) / byte_rate, 3))
+    assert loudness == pytest.approx(4096 / 32768.0, abs=1e-6)
+
+
+def test_catalog_decoder_pinned_to_fake():
+    # a payload with real magic bytes still gets the fake formulas when
+    # the decoder is pinned (what the parity oracles require)
+    from harvesting_extract_to_ttl_service_spark.operators.multimodal import (
+        fake_audio_decode as fad,
+    )
+    gifish = b"GIF87a" + b"\x10\x00\x20\x00" + b"rest of a text document"
+    assert sniff_or_fake_image_decode(gifish) != fake_image_decode(gifish)
+    wav = _wav()
+    assert sniff_or_fake_audio_decode(wav) != fad(wav)

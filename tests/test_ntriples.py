@@ -108,3 +108,16 @@ def test_sentinel_roundtrip_via_escapes(spark):
     assert "\\u0001" in line.value and "\x01" not in line.value
     [back] = decode_ntriples(lines).collect()
     assert back.object_value == "ctl\x01char"
+
+
+def test_escaped_backslash_u0000_text_is_valid(spark):
+    # backslash + 'u0000' as literal TEXT (not a NUL escape): the encoded
+    # line contains an ESCAPED backslash before 'u0000' and must decode
+    # back verbatim, not be flagged as a sentinel collision
+    df = spark.createDataFrame(
+        [("http://a", "http://p", "\\u0000 as text", "literal",
+          None, None, None)], TRIPLE_SCHEMA)
+    lines = encode_ntriples(df).select(F.col("nt").alias("value"))
+    out = decode_ntriples(lines, keep_errors=True).collect()
+    assert out[0].parse_ok
+    assert out[0].object_value == "\\u0000 as text"

@@ -165,3 +165,20 @@ def test_compat_mode_js_date_goldens(spark):
         "dt-slash": "2023-05-07T09:05:03",
         "dt-short": "2023-05-07T09:05:03",
     }
+
+
+def test_java_double_suffixes_rejected(spark):
+    """Java Double.parseDouble accepts '1.5d'/'1.5f'/hex-floats; JS
+    Number() does not — the grammar-based check must drop them."""
+    rows = [(f"http://s/{i}", P, v, "literal", XSD_INTEGER, None, None)
+            for i, v in enumerate(["1.5d", "1.5f", "0x1.8p1", "42.", ".5",
+                                   "+.5e3", "1e999"])]
+    out = {r.subject: r.verdict
+           for r in triage(spark.createDataFrame(rows, TRIPLE_SCHEMA)).collect()}
+    assert out["http://s/0"] == "dropped"   # 1.5d
+    assert out["http://s/1"] == "dropped"   # 1.5f
+    assert out["http://s/2"] == "dropped"   # hex float
+    assert out["http://s/3"] == "valid"     # '42.' is valid JS
+    assert out["http://s/4"] == "valid"     # '.5'
+    assert out["http://s/5"] == "valid"     # '+.5e3'
+    assert out["http://s/6"] == "valid"     # overflow -> Infinity, not NaN
