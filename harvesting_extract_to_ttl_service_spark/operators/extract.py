@@ -215,8 +215,13 @@ class _RdfaExtractor:
         # `established` is true only when THIS element's attributes minted
         # the subject (about / resource-as-subject / typeof): that — not
         # the mere presence of @href consumed as a property object — is
-        # what completes an ancestor's hanging rel/rev; completing with an
-        # inherited subject would emit bogus self-referential triples.
+        # what completes an ancestor's hanging rel/rev. Documented subset
+        # divergence: strict RDFa Core 1.1 step 12 also completes when new
+        # subject merely inherits the parent object (so a property-only
+        # child of a hanging rel yields a degenerate (s, rel, s)
+        # self-triple); this subset only completes on minted subjects —
+        # the form real chaining markup uses — and never emits
+        # self-triples from inheritance (tests/test_extract.py pins it).
         typed_obj = None  # bnode that is the OBJECT of property (typeof case)
         established = True
         if "about" in a:

@@ -97,7 +97,7 @@ def _parse_wav(payload: bytes) -> dict | None:
     while i + 8 <= len(payload):
         cid = payload[i:i + 4]
         size = struct.unpack("<I", payload[i + 4:i + 8])[0]
-        if cid == b"fmt " and i + 24 <= len(payload):
+        if cid == b"fmt " and size >= 16 and i + 24 <= len(payload):
             out["channels"], out["rate"], out["byte_rate"] = struct.unpack(
                 "<HII", payload[i + 10:i + 20])
             out["bits"] = struct.unpack("<H", payload[i + 22:i + 24])[0]
@@ -162,7 +162,7 @@ _IMAGE_DECODERS = {
 
 def extract_image_features(media: DataFrame, use_real_decoder: bool = False,
                            embed_dim: int = 8,
-                           decoder: str = "sniff_or_fake") -> DataFrame:
+                           decoder: str | None = None) -> DataFrame:
     """``mapInPandas`` feature extraction over binary image payloads.
 
     Batch shape: the iterator yields Arrow-sized pandas batches (bounded by
@@ -174,9 +174,18 @@ def extract_image_features(media: DataFrame, use_real_decoder: bool = False,
     fallback), 'fake' (deterministic formulas ONLY — what engine-parity
     oracles must use, since a payload that happens to start with real
     magic bytes would otherwise diverge from the restated formulas), or
-    'real' (header sniff, raise on unknown).
+    'real' (header sniff, raise on unknown). Mutually exclusive with the
+    legacy ``use_real_decoder`` flag; unknown names raise (a typo must
+    not silently pick a different kernel under a parity check).
     """
-    decode = _IMAGE_DECODERS["real" if use_real_decoder else decoder]
+    if decoder is None:
+        decoder = "real" if use_real_decoder else "sniff_or_fake"
+    elif use_real_decoder:
+        raise ValueError("pass either use_real_decoder or decoder, not both")
+    if decoder not in _IMAGE_DECODERS:
+        raise ValueError(f"unknown image decoder {decoder!r}; "
+                         f"one of {sorted(_IMAGE_DECODERS)}")
+    decode = _IMAGE_DECODERS[decoder]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -261,9 +270,14 @@ def extract_audio_features(media: DataFrame,
     """``mapInPandas`` audio feature extraction — same batch shape as the
     image path: payloads die inside the UDF, fixed-width features out.
     ``decoder='fake'`` pins the deterministic formulas (for engine-parity
-    oracles); the default sniffs real RIFF/WAVE headers first."""
-    probe = (fake_audio_decode if decoder == "fake"
-             else sniff_or_fake_audio_decode)
+    oracles); the default sniffs real RIFF/WAVE headers first. Unknown
+    names raise — a typo must not silently pick a different kernel."""
+    decoders = {"sniff_or_fake": sniff_or_fake_audio_decode,
+                "fake": fake_audio_decode}
+    if decoder not in decoders:
+        raise ValueError(f"unknown audio decoder {decoder!r}; "
+                         f"one of {sorted(decoders)}")
+    probe = decoders[decoder]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -82,8 +82,14 @@ def _is_numeric_js(value: Column) -> Column:
     which JS maps to NaN → invalid) and under-accepts (unsigned radix
     prefixes ``0x1A``/``0b101``/``0o17``, valid JS Numbers). ``Infinity``
     and overflow forms like ``1e999`` are in the grammar → valid, matching
-    ``isNaN(Infinity) === false``."""
-    t = F.trim(value)
+    ``isNaN(Infinity) === false``. Number() trims ALL JS WhiteSpace (tab/
+    LF/CR/FF/NBSP/BOM…), not just spaces — ``F.trim`` strips only ASCII
+    spaces, so the strip is a regex over the JS whitespace class."""
+    t = F.regexp_replace(
+        value,
+        "^[\\s\\u00a0\\u1680\\u2000-\\u200a\\u2028\\u2029\\u202f"
+        "\\u205f\\u3000\\ufeff]+|[\\s\\u00a0\\u1680\\u2000-\\u200a"
+        "\\u2028\\u2029\\u202f\\u205f\\u3000\\ufeff]+$", "")
     radix = t.rlike(r"^0[xX][0-9a-fA-F]+$|^0[bB][01]+$|^0[oO][0-7]+$")
     decimal = t.rlike(r"^[+-]?(Infinity|(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?)$")
     return (t == "") | radix | decimal

@@ -107,13 +107,35 @@ def test_wav_list_chunk_containing_data_text():
     assert loudness == pytest.approx(4096 / 32768.0, abs=1e-6)
 
 
-def test_catalog_decoder_pinned_to_fake():
-    # a payload with real magic bytes still gets the fake formulas when
-    # the decoder is pinned (what the parity oracles require)
+def test_catalog_decoder_pinned_to_fake(spark):
+    """decoder='fake' must return fake-formula features even for payloads
+    carrying REAL magic bytes (what the parity oracles require), and a
+    typo'd decoder name must raise, not silently pick a kernel."""
     from harvesting_extract_to_ttl_service_spark.operators.multimodal import (
-        fake_audio_decode as fad,
+        MEDIA_SCHEMA,
+        extract_audio_features,
+        extract_image_features,
     )
+
     gifish = b"GIF87a" + b"\x10\x00\x20\x00" + b"rest of a text document"
-    assert sniff_or_fake_image_decode(gifish) != fake_image_decode(gifish)
     wav = _wav()
-    assert sniff_or_fake_audio_decode(wav) != fad(wav)
+    # sanity: the sniff kernels DO treat these as real media
+    assert sniff_or_fake_image_decode(gifish) != fake_image_decode(gifish)
+    assert sniff_or_fake_audio_decode(wav)[:2] != fake_audio_decode(wav)[:2]
+
+    media = spark.createDataFrame(
+        [(1, "image", "gif", bytearray(gifish), None),
+         (2, "audio", "wav", bytearray(wav), None)], MEDIA_SCHEMA)
+    [img] = extract_image_features(
+        media.filter("media_id = 1"), decoder="fake").collect()
+    assert (img.width, img.height) == fake_image_decode(gifish)
+    [aud] = extract_audio_features(
+        media.filter("media_id = 2"), decoder="fake").collect()
+    assert (aud.sample_rate, aud.duration_s) == fake_audio_decode(wav)[:2]
+
+    with pytest.raises(ValueError, match="decoder"):
+        extract_image_features(media, decoder="snif")
+    with pytest.raises(ValueError, match="decoder"):
+        extract_audio_features(media, decoder="Fake")
+    with pytest.raises(ValueError, match="not both"):
+        extract_image_features(media, use_real_decoder=True, decoder="fake")

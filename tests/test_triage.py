@@ -182,3 +182,17 @@ def test_java_double_suffixes_rejected(spark):
     assert out["http://s/4"] == "valid"     # '.5'
     assert out["http://s/5"] == "valid"     # '+.5e3'
     assert out["http://s/6"] == "valid"     # overflow -> Infinity, not NaN
+
+
+def test_js_whitespace_padded_numerics(spark):
+    """Number() trims all JS whitespace (tab/LF/NBSP), not just spaces."""
+    rows = [(f"http://s/{i}", P, v, "literal", XSD_INTEGER, None, None)
+            for i, v in enumerate(["\t42", "1.5\n", " 42\t ", " 7",
+                                   "4 2"])]
+    out = {r.subject: r.verdict
+           for r in triage(spark.createDataFrame(rows, TRIPLE_SCHEMA)).collect()}
+    assert out["http://s/0"] == "valid"
+    assert out["http://s/1"] == "valid"
+    assert out["http://s/2"] == "valid"
+    assert out["http://s/3"] == "valid"    # NBSP-padded
+    assert out["http://s/4"] == "dropped"  # interior whitespace is not
