@@ -749,10 +749,23 @@ def _bucketed_table(spark: SparkSession, sf_dir: str, table: str, key: str,
     layout cost, same trick as the subject-bucketed triple store
     (sources/triple_store.py)."""
     import hashlib
+    import os
+    import shutil
+    from urllib.parse import urlparse
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     name = f"{table}_bkt{buckets}_{tag}"
     if not spark.catalog.tableExists(name):
+        # A prior session may have left the managed location on disk with no
+        # catalog entry (fresh in-memory catalog + default warehouse in cwd),
+        # in which case CREATE fails with LOCATION_ALREADY_EXISTS regardless
+        # of mode("overwrite"). Clear both the entry and the stale directory.
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        parsed = urlparse(warehouse)
+        wh_path = parsed.path if parsed.scheme in ("file", "") else None
+        if wh_path:
+            shutil.rmtree(os.path.join(wh_path, name), ignore_errors=True)
         (load(spark, sf_dir, table).write
          .bucketBy(buckets, key).sortBy(key)
          .mode("overwrite").format("parquet").saveAsTable(name))
