@@ -85,15 +85,24 @@ def main() -> None:
      .write.format("noop").mode("overwrite").save())
     nation.alias("a").join(nation.alias("b"), "n_regionkey").count()
 
+    # Each query runs REPEATS times and reports the min: a single
+    # contended run on a noisy driver machine can otherwise masquerade as
+    # a multi-x regression (r02 recorded 4.7x on sessionize_events that a
+    # controlled rerun could not reproduce). Min-of-2 still pays each
+    # plan's own analysis+codegen cost on the first run, so the reported
+    # number reflects steady-state engine time.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     per_query: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = _resolve(name)
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        per_query[name] = round(dt, 3)
-        total += dt
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        per_query[name] = round(best, 3)
+        total += best
 
     print(json.dumps({
         "metric": "headline_wall_sec",
@@ -101,6 +110,7 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "sf": _sf_from_dir(SF_DIR),
+        "runs_per_query": repeats,
     }))
 
 
