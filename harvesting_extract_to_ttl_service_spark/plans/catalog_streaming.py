@@ -17,7 +17,11 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from harvesting_extract_to_ttl_service_spark.plans.suites import suite_df
+from harvesting_extract_to_ttl_service_spark.plans.suites import (
+    member_sql,
+    suite_df,
+    suite_sql,
+)
 from harvesting_extract_to_ttl_service_spark.plans.tables import load
 from harvesting_extract_to_ttl_service_spark.schema import STATUS_SCHEDULED
 from harvesting_extract_to_ttl_service_spark.streaming.delta_stream import (
@@ -96,19 +100,71 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.readStream.schema(batch.schema).parquet(staged)
 
 
+@member_sql("""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR,
+                '%Y-%m-%d %H:%M:%S')                         AS window_end,
+       event_type, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2, 3
+""")
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True streaming execution (file stream → watermark → tumbling window
-    → memory sink). Batch twin with oracle: catalog_core
-    event_time_buckets."""
-    return _run_available_now(
+    → memory sink). availableNow over a static staged directory lands in a
+    single micro-batch (≤ maxFilesPerTrigger files), so the initial
+    watermark admits every row and complete mode keeps all windows — the
+    result is deterministic and the oracle restates it directly
+    (hour-aligned ``F.window`` ≡ ``date_trunc('hour')``)."""
+    out = _run_available_now(
         tumbling_counts(_events_stream(spark, sf_dir)), spark)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "event_type", "n_events",
+        F.round("sum_value", 2).alias("sum_value"))
 
 
+@member_sql("""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f')  AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE,
+                '%Y-%m-%d %H:%M:%S.%f')           AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM sess GROUP BY user_id, session_id
+""")
 def streaming_session_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming session_window per user. Batch twin with oracle:
-    catalog_core sessionize_events."""
-    return _run_available_now(
+    """Streaming session_window per user, oracle-restated as lag+cumsum
+    sessionization. ``session_window`` merges windows that strictly
+    overlap, so a gap of exactly 30 min starts a NEW session (``>=`` in
+    the oracle — the batch ``sessionize_events`` twin uses ``>`` and is a
+    deliberately different, also-valid semantics); window end is last
+    event + gap. Timestamps keep microsecond precision through the
+    format."""
+    out = _run_available_now(
         session_aggregate(_events_stream(spark, sf_dir)), spark)
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("session_end"),
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"))
 
 
 def _page_results(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -172,10 +228,11 @@ _STREAMING_WINDOW_MEMBERS = [
 ]
 
 
-@q("streaming_windows")  # true streaming runs: rows-only (batch twins have oracles)
+@q("streaming_windows", suite_sql(_STREAMING_WINDOW_MEMBERS))
 def streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True streaming execution of tumbling + session windows (file stream
-    -> watermark -> window -> memory sink via availableNow). Aggregation
-    semantics are oracle-covered by the batch twins in catalog_core
-    (time_bucket_suite, window_suite/sessionize)."""
+    -> watermark -> window -> memory sink via availableNow). availableNow
+    + complete mode over a static staged directory is deterministic, so
+    each member carries a direct oracle restatement (window math in SQL)
+    — full rows+schema+hash check, no longer rows-only."""
     return suite_df(spark, sf_dir, _STREAMING_WINDOW_MEMBERS)
