@@ -5,8 +5,10 @@ deterministically from ``orders`` with Spark, parsed back through the real
 DELTA_SCHEMA ``from_json`` path, and DuckDB restates the expected task list
 directly from ``orders``. The windowed operators run the *streaming* code
 path (readStream → watermark → window → memory sink via availableNow);
-their aggregation semantics are oracle-covered by the batch twins in
-catalog_core, so they register as rows-only checks here.
+availableNow over a static staged directory is deterministic, so each
+windowed member carries a direct SQL oracle restatement of the window
+math (full rows+schema+hash check); only the custom stateful operator
+stays rows-only.
 """
 
 from __future__ import annotations
@@ -89,14 +91,23 @@ def _run_available_now(sdf: DataFrame, spark: SparkSession) -> DataFrame:
     return spark.table(name)
 
 
+_STAGED_EVENTS: dict[tuple[str, str], str] = {}
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stage the events fixture into a streamable directory. The fixture is
-    one parquet file with a nanosecond INT64 ``ts`` — the file-stream
-    source wants a directory and the vectorized reader wants µs timestamps,
-    so re-materialize once through the batch reader (which converts)."""
+    """Stage the events fixture into a streamable directory, once per
+    (session, sf_dir) — the file-stream source wants a directory (and a
+    normalized µs ``ts``), but re-materializing per call would rewrite the
+    fixture on every invocation and leak /tmp dirs across runs. Keyed by
+    applicationId like ``_bucketed_table``'s session-warehouse idempotence
+    (catalog_core.py:743-772)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
     batch = load(spark, sf_dir, "events")
-    staged = tempfile.mkdtemp(prefix="events_stream_")
-    batch.write.mode("overwrite").parquet(staged)
+    staged = _STAGED_EVENTS.get(key)
+    if staged is None:
+        staged = tempfile.mkdtemp(prefix="events_stream_")
+        batch.write.mode("overwrite").parquet(staged)
+        _STAGED_EVENTS[key] = staged
     return spark.readStream.schema(batch.schema).parquet(staged)
 
 
@@ -127,9 +138,9 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @member_sql("""
 WITH flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, event_id, ts, value,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -149,12 +160,12 @@ FROM sess GROUP BY user_id, session_id
 """)
 def streaming_session_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming session_window per user, oracle-restated as lag+cumsum
-    sessionization. ``session_window`` merges windows that strictly
-    overlap, so a gap of exactly 30 min starts a NEW session (``>=`` in
-    the oracle — the batch ``sessionize_events`` twin uses ``>`` and is a
-    deliberately different, also-valid semantics); window end is last
-    event + gap. Timestamps keep microsecond precision through the
-    format."""
+    sessionization. Empirically (PySpark 4.1.2) ``session_window`` MERGES
+    an event arriving at exactly lag(ts)+gap into the prior session, so a
+    new session starts only when ``ts > lag(ts) + 30 min`` (strict ``>``
+    in the oracle, matching the batch ``sessionize_events`` twin); window
+    end is last event + gap. Timestamps keep microsecond precision
+    through the format."""
     out = _run_available_now(
         session_aggregate(_events_stream(spark, sf_dir)), spark)
     return out.select(
