@@ -51,25 +51,37 @@ DATETIME_RE = (
 )
 
 # Formats tried (in order) when repairing a broken date/dateTime literal,
-# after separator normalization ('/'→'-', 'date time'→'dateTtime'). JS
-# `new Date()` accepts a menagerie; these cover the realistic harvest
-# inputs (slash dates, single-digit components, datetimes missing
-# T/seconds, US month names). Single-letter pattern fields (y/M/d/H/m/s)
-# are lenient — they match both '5' and '05' — so one format covers the
-# reference's non-padded JS-Date outputs too. The list is kept
-# deliberately short: every format adds a generated-code
-# DateTimeFormatter and the repair chain must stay within the JVM's 64 KB
-# method limit to keep whole-stage codegen alive.
-_DATE_FIX_FMTS = ["y-M-d", "M-d-y", "MMMM d, y"]
+# after separator normalization ('/'→'-', 'date time'→'dateTtime',
+# RFC-2822 weekday/zone stripped). JS `new Date()` accepts a menagerie
+# (fixTriple.js:148-162 funnels everything through V8 Date.parse); these
+# cover the realistic harvest inputs: slash dates, single-digit
+# components, datetimes missing T/seconds, US month names with and
+# without comma ('May 7, 2023' / 'May 7 2023'), day-first European forms
+# ('7 May 2023'), and RFC-2822 ('Sun, 07 May 2023 09:05:03 GMT' — Spark
+# cannot PARSE day-of-week fields, so the weekday token is stripped in
+# normalization and 'd MMM y' takes over). Single-letter pattern fields
+# (y/M/d/H/m/s) are lenient — they match both '5' and '05' — so one
+# format covers the reference's non-padded JS-Date outputs too. The list
+# is kept deliberately short: every format adds a generated-code
+# DateTimeFormatter and the repair chain must stay within the JVM's
+# 64 KB method limit to keep whole-stage codegen alive.
+_DATE_FIX_FMTS = ["y-M-d", "M-d-y", "MMMM d, y", "MMMM d y", "d MMMM y",
+                  "d MMM y"]
 _DATETIME_FIX_FMTS = [
     "y-M-d'T'H:m:s", "y-M-d'T'H:m", "y-M-d",
+    "d MMM y H:m:s", "MMMM d y H:m:s", "MMMM d y H:m",
 ]
 
 
 def _norm_datetime_sep(v: Column) -> Column:
     """'2023/05/07 09:05' → '2023-05-07T09:05' so one format list covers
-    slash/space variants."""
+    slash/space variants; also strip the RFC-2822 weekday prefix
+    ('Sun, 07 May …' → '07 May …', since Spark patterns cannot parse
+    day-of-week text) and a trailing GMT/UTC zone name (the instants are
+    already treated naive-UTC end to end)."""
     c = F.regexp_replace(F.trim(v), "/", "-")
+    c = F.regexp_replace(c, r"^[A-Za-z]{3},\s*", "")
+    c = F.regexp_replace(c, r"\s+(GMT|UTC)$", "")
     return F.regexp_replace(c, r"^(-?\d{4,}-\d{1,2}-\d{1,2})\s+", "$1T")
 
 

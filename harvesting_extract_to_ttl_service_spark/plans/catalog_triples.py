@@ -40,6 +40,7 @@ from harvesting_extract_to_ttl_service_spark.schema import (
     RDF_LANGSTRING,
     XSD_BOOLEAN,
     XSD_DATE,
+    XSD_DATETIME,
     XSD_INT,
     XSD_INTEGER,
     XSD_STRING,
@@ -180,7 +181,7 @@ def ntriples_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("triage_dirty_literals", """
 SELECT 'urn:order:' || o_orderkey AS subject,
-  CASE o_orderkey % 8
+  CASE o_orderkey % 10
     WHEN 0 THEN 'valid'
     WHEN 1 THEN CASE WHEN o_orderstatus = 'O' THEN 'fixed' ELSE 'valid' END
     WHEN 2 THEN 'valid'
@@ -188,23 +189,28 @@ SELECT 'urn:order:' || o_orderkey AS subject,
     WHEN 4 THEN 'valid'
     WHEN 5 THEN 'fixed'
     WHEN 6 THEN 'fixed'
-    ELSE 'dropped' END AS verdict,
-  CASE o_orderkey % 8
+    WHEN 7 THEN 'dropped'
+    ELSE 'fixed' END AS verdict,
+  CASE o_orderkey % 10
     WHEN 1 THEN CASE WHEN o_orderstatus = 'O' THEN 'true' END
     WHEN 3 THEN strftime(o_orderdate, '%Y-%m-%d')
     WHEN 5 THEN CAST(o_custkey AS VARCHAR)
-    WHEN 6 THEN o_orderstatus END AS fixed_object_value,
-  CASE o_orderkey % 8
+    WHEN 6 THEN o_orderstatus
+    WHEN 8 THEN strftime(o_orderdate, '%Y-%m-%d') || 'T09:05:03'
+    WHEN 9 THEN strftime(o_orderdate, '%Y-%m-%d') END AS fixed_object_value,
+  CASE o_orderkey % 10
     WHEN 1 THEN CASE WHEN o_orderstatus = 'O'
                      THEN 'http://www.w3.org/2001/XMLSchema#boolean' END
     WHEN 3 THEN 'http://www.w3.org/2001/XMLSchema#date'
     WHEN 5 THEN 'http://www.w3.org/2001/XMLSchema#integer'
-    WHEN 6 THEN 'http://www.w3.org/2001/XMLSchema#string' END AS fixed_datatype
+    WHEN 6 THEN 'http://www.w3.org/2001/XMLSchema#string'
+    WHEN 8 THEN 'http://www.w3.org/2001/XMLSchema#dateTime'
+    WHEN 9 THEN 'http://www.w3.org/2001/XMLSchema#date' END AS fixed_datatype
 FROM orders
 """)
 def triage_dirty_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic dirty mixture over orders — one datatype-rule class
-    per o_orderkey % 8 (SURVEY.md §1.2 table):
+    per o_orderkey % 10 (SURVEY.md §1.2 table):
       0 plain literal             → valid
       1 xsd:boolean 'TRUE'/'true' → fixed (case) / valid
       2 xsd:date ISO              → valid
@@ -213,9 +219,14 @@ def triage_dirty_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
       5 xsd:int                   → fixed (recast to xsd:integer)
       6 rdf:langString, no tag    → fixed (recast to xsd:string)
       7 unknown datatype          → dropped
-    The oracle restates the EXPECTED verdicts independently in SQL."""
+      8 xsd:dateTime RFC-2822     → fixed ('Sun, 07 May 2023 9:05:03 GMT')
+      9 xsd:date month-name form  → fixed ('May 7 2023', no comma)
+    Classes 8/9 exercise the JS-Date.parse envelope widening
+    (fixTriple.js:148-162). The oracle restates the EXPECTED verdicts
+    independently in SQL (it never sees the dirty inputs, only the
+    canonical repaired forms)."""
     o = load(spark, sf_dir, "orders")
-    cls = F.col("o_orderkey") % 8
+    cls = F.col("o_orderkey") % 10
     value = (
         F.when(cls == 0, F.col("o_orderstatus"))
         .when(cls == 1, F.when(F.col("o_orderstatus") == "O", "TRUE").otherwise("true"))
@@ -224,6 +235,9 @@ def triage_dirty_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(cls == 4, F.col("o_custkey").cast("string"))
         .when(cls == 5, F.col("o_custkey").cast("string"))
         .when(cls == 6, F.col("o_orderstatus"))
+        .when(cls == 8, F.concat(F.date_format("o_orderdate", "EEE, dd MMM yyyy"),
+                                 F.lit(" 9:05:03 GMT")))
+        .when(cls == 9, F.date_format("o_orderdate", "MMMM d yyyy"))
         .otherwise(F.col("o_orderstatus"))
     )
     datatype = (
@@ -234,6 +248,8 @@ def triage_dirty_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(cls == 5, XSD_INT)
         .when(cls == 6, RDF_LANGSTRING)
         .when(cls == 7, "urn:dt:custom")
+        .when(cls == 8, XSD_DATETIME)
+        .when(cls == 9, XSD_DATE)
     )
     dirty = o.select(
         F.concat(F.lit("urn:order:"), F.col("o_orderkey")).alias("subject"),

@@ -63,6 +63,21 @@ CASES = [
      "fixed", ("2023-05-07T09:05:03", XSD_DATETIME)),
     ("datetime-short", "2023-5-7T9:5:3", "literal", XSD_DATETIME, None,
      "fixed", ("2023-05-07T09:05:03", XSD_DATETIME)),
+    # JS Date.parse envelope (fixTriple.js:148-162): month-name forms with
+    # and without comma, day-first European, and RFC-2822 with weekday and
+    # zone tokens — all repair in the reference, so they repair here
+    ("date-month-name", "May 7, 2023", "literal", XSD_DATE, None, "fixed",
+     ("2023-05-07", XSD_DATE)),
+    ("date-month-name-nocomma", "May 7 2023", "literal", XSD_DATE, None,
+     "fixed", ("2023-05-07", XSD_DATE)),
+    ("date-day-first", "7 November 2023", "literal", XSD_DATE, None, "fixed",
+     ("2023-11-07", XSD_DATE)),
+    ("date-rfc-short-month", "07 Oct 2023", "literal", XSD_DATE, None,
+     "fixed", ("2023-10-07", XSD_DATE)),
+    ("datetime-rfc2822", "Sat, 07 Oct 2023 9:05:03 GMT", "literal",
+     XSD_DATETIME, None, "fixed", ("2023-10-07T09:05:03", XSD_DATETIME)),
+    ("datetime-month-name-no-sec", "May 7 2023 9:05", "literal", XSD_DATETIME,
+     None, "fixed", ("2023-05-07T09:05:00", XSD_DATETIME)),
     ("integer-ok", "42", "literal", XSD_INTEGER, None, "valid", None),
     # Number() quirk: floats pass xsd:integer (validateTriple.js:136-139)
     ("integer-float-quirk", "4.2", "literal", XSD_INTEGER, None, "valid", None),
