@@ -9,7 +9,8 @@ Coverage (a documented RDFa 1.1 Lite subset, fixture-driven per SURVEY.md
 §7 "hard parts"): ``vocab``, ``prefix``, ``about``, ``resource``, ``href``,
 ``src``, ``typeof``, ``property``, ``rel``, ``content``, ``datatype``,
 ``lang``/``xml:lang`` with inheritance, bnodes for ``typeof`` without
-``about``. The ``specialHtmlPredicates`` rewrite (``prov:value`` →
+``about``, and ``inlist`` rdf:List construction (document-order
+rdf:first/rdf:rest/rdf:nil chains; not collected for hanging @rel). The ``specialHtmlPredicates`` rewrite (``prov:value`` →
 ``extractedDecisionContent`` for ``rdf:HTML``-typed objects,
 rdfa-extractor.js:76-84) happens inside the extractor, as in the reference.
 
@@ -38,8 +39,11 @@ from harvesting_extract_to_ttl_service_spark.schema import (
     OT_LITERAL,
     PROV_VALUE,
     PROV_WAS_DERIVED_FROM,
+    RDF_FIRST,
     RDF_HTML,
     RDF_LANGSTRING,
+    RDF_NIL,
+    RDF_REST,
     RDF_TYPE,
 )
 
@@ -185,15 +189,22 @@ class _RdfaExtractor:
         self.triples.append((s, p, o, ot, dt, lang))
 
     def walk(self, el: _Elem, subject: str, lang, vocab, prefixes,
-             pending=(), pending_rev=()) -> None:
+             pending=(), pending_rev=(), list_mapping=None) -> None:
         """``pending``/``pending_rev`` carry hanging @rel/@rev predicates
         (a rel/rev with no resource on its own element, RDFa Core
         "incomplete triples"): the nearest descendant that establishes a
         new subject completes them.
 
-        Subset note (asserted by tests/test_extract.py): @inlist is NOT
-        implemented — rdf:List construction is ignored and the property
-        falls back to its plain (non-list) triple."""
+        ``list_mapping`` is the RDFa Core "local list mapping" backing
+        @inlist (rdf:List construction): {predicate IRI → [collected
+        (value, type, datatype, lang) items]}. A fresh mapping is created
+        whenever a new subject is established; the element that created
+        it emits the rdf:first/rdf:rest/rdf:nil chains after its subtree
+        is walked, so sibling @inlist elements with the same predicate
+        accumulate into ONE list in document order. Subset note (pinned
+        by tests/test_extract.py): @inlist on a HANGING @rel (no resource
+        on the element) is not collected — it falls back to the plain
+        incomplete-triple behavior."""
         a = el.attrs
         if "prefix" in a:
             prefixes = dict(prefixes)
@@ -255,6 +266,13 @@ class _RdfaExtractor:
             if iri:
                 self._emit(new_subject, RDF_TYPE, iri, OT_IRI)
 
+        # --- local list mapping (@inlist): new subject → new mapping;
+        # the creating element emits the chains after its subtree ---
+        owns_lists = list_mapping is None or established
+        if owns_lists:
+            list_mapping = {}
+        in_list = "inlist" in a
+
         # --- rel/rev: linked resource on the same element, else hang ---
         child_pending = list(pending)
         child_pending_rev = list(pending_rev)
@@ -263,6 +281,11 @@ class _RdfaExtractor:
             for r in rels:
                 iri = self._resolve_term(r, prefixes, vocab)
                 if iri:
+                    if in_list:
+                        list_mapping.setdefault(iri, []).append(
+                            (obj, OT_BNODE if obj.startswith("_:") else OT_IRI,
+                             None, None))
+                        continue
                     self._emit(new_subject, iri, obj,
                                OT_BNODE if obj.startswith("_:") else OT_IRI)
             for r in revs:
@@ -306,13 +329,29 @@ class _RdfaExtractor:
             # specialHtmlPredicates rewrite (rdfa-extractor.js:76-84)
             if pred == PROV_VALUE and dt == RDF_HTML:
                 pred = EXTRACTED_DECISION_CONTENT
+            if in_list:
+                list_mapping.setdefault(pred, []).append(
+                    (obj, ot, dt, langv if dt == RDF_LANGSTRING else None))
+                continue
             self._emit(new_subject, pred, obj, ot, dt,
                        langv if dt == RDF_LANGSTRING else None)
 
         for c in el.children:
             if isinstance(c, _Elem):
                 self.walk(c, new_subject, lang, vocab, prefixes,
-                          tuple(child_pending), tuple(child_pending_rev))
+                          tuple(child_pending), tuple(child_pending_rev),
+                          list_mapping)
+
+        # --- emit accumulated rdf:List chains for mappings created here ---
+        if owns_lists:
+            for pred, items in list_mapping.items():
+                nodes = [self._bnode() for _ in items]
+                self._emit(new_subject, pred, nodes[0], OT_BNODE)
+                for i, (val, ot, dt, lv) in enumerate(items):
+                    self._emit(nodes[i], RDF_FIRST, val, ot, dt, lv)
+                    nxt = nodes[i + 1] if i + 1 < len(items) else RDF_NIL
+                    self._emit(nodes[i], RDF_REST, nxt,
+                               OT_BNODE if nxt.startswith("_:") else OT_IRI)
 
 
 def extract_rdfa(html_text: str, base_uri: str) -> list[tuple]:

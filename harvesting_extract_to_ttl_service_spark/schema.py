@@ -40,6 +40,9 @@ RDF_XMLLITERAL = RDF + "XMLLiteral"
 RDFS_LITERAL = RDFS + "Literal"
 GEO_WKT = GEO + "wktLiteral"
 RDF_TYPE = RDF + "type"
+RDF_FIRST = RDF + "first"
+RDF_REST = RDF + "rest"
+RDF_NIL = RDF + "nil"
 
 PROV_WAS_DERIVED_FROM = PROV + "wasDerivedFrom"
 PROV_VALUE = PROV + "value"

@@ -17,8 +17,11 @@ from harvesting_extract_to_ttl_service_spark.schema import (
     EXTRACTED_DECISION_CONTENT,
     PAGE_SCHEMA,
     PROV_WAS_DERIVED_FROM,
+    RDF_FIRST,
     RDF_HTML,
     RDF_LANGSTRING,
+    RDF_NIL,
+    RDF_REST,
     RDF_TYPE,
 )
 from harvesting_extract_to_ttl_service_spark.sources.files import (
@@ -112,22 +115,69 @@ def test_extract_property_typeof_typed_bnode():
     assert (b, "http://ex/ns#name", "Ada", "literal", None, None) in tset
 
 
-def test_extract_inlist_subset_rejection():
-    # @inlist (rdf:List construction) is OUT of the supported subset:
-    # the list machinery is ignored and each property value falls back to
-    # its plain triple — asserted here so the divergence is explicit
+def _follow_list(triples, head):
+    """Walk an rdf:first/rdf:rest chain; returns the item values in order."""
+    first = {s: (o, ot, dt, lang) for s, p, o, ot, dt, lang in triples
+             if p == RDF_FIRST}
+    rest = {s: o for s, p, o, ot, dt, lang in triples if p == RDF_REST}
+    items = []
+    node = head
+    while node != RDF_NIL:
+        items.append(first[node])
+        node = rest[node]
+    return items
+
+
+def test_extract_inlist_builds_rdf_list():
+    # @inlist: sibling elements with the same subject+predicate accumulate
+    # into ONE rdf:List in document order (RDFa Core local list mapping,
+    # lib/rdfa-extractor.js:76-84 delegates to the full processor)
     body = """
     <div about="http://ex/doc">
       <span property="dct:creator" inlist="">First</span>
       <span property="dct:creator" inlist="">Second</span>
+      <a rel="dct:source" inlist="" href="http://ex/s1">s1</a>
+      <a rel="dct:source" inlist="" href="http://ex/s2">s2</a>
     </div>"""
     triples = extract_rdfa(body, BASE)
-    objs = {o for s, p, o, ot, dt, lang in triples
-            if p == "http://purl.org/dc/terms/creator"}
-    assert objs == {"First", "Second"}
-    # no rdf:first/rest/nil list scaffolding is emitted
-    assert not any("22-rdf-syntax-ns#first" in p or "22-rdf-syntax-ns#rest" in p
-                   for _, p, *_ in triples)
+    heads = {p: (o, ot) for s, p, o, ot, dt, lang in triples
+             if s == "http://ex/doc" and p.startswith("http://purl.org/")}
+    # one list head per predicate, as a bnode
+    creator_head, creator_ot = heads["http://purl.org/dc/terms/creator"]
+    assert creator_ot == "bnode" and creator_head.startswith("_:")
+    assert [v for v, *_ in _follow_list(triples, creator_head)] == [
+        "First", "Second"]
+    source_head, _ = heads["http://purl.org/dc/terms/source"]
+    items = _follow_list(triples, source_head)
+    assert [(v, ot) for v, ot, *_ in items] == [
+        ("http://ex/s1", "iri"), ("http://ex/s2", "iri")]
+    # exactly one plain (non-list) triple per predicate: the head link
+    assert sum(1 for s, p, *_ in triples
+               if s == "http://ex/doc"
+               and p == "http://purl.org/dc/terms/creator") == 1
+
+
+def test_extract_inlist_scoped_per_subject():
+    # a new subject gets a fresh list mapping: two docs → two lists, and
+    # literal metadata (datatype/lang) rides into rdf:first
+    body = """
+    <div about="http://ex/a" prefix="ex: http://ex/ns#">
+      <span property="ex:v" inlist="" content="1"
+            datatype="xsd:integer">one</span>
+      <div about="http://ex/b">
+        <span property="ex:v" inlist="" lang="nl">twee</span>
+      </div>
+    </div>"""
+    triples = extract_rdfa(body, BASE)
+    head_a = next(o for s, p, o, *_ in triples
+                  if s == "http://ex/a" and p == "http://ex/ns#v")
+    head_b = next(o for s, p, o, *_ in triples
+                  if s == "http://ex/b" and p == "http://ex/ns#v")
+    assert head_a != head_b
+    assert _follow_list(triples, head_a) == [
+        ("1", "literal", "http://www.w3.org/2001/XMLSchema#integer", None)]
+    assert _follow_list(triples, head_b) == [
+        ("twee", "literal", RDF_LANGSTRING, "nl")]
 
 
 def test_extract_scrubs_replacement_chars():
