@@ -148,13 +148,20 @@ def run_import_pipeline(control: DataFrame, page_bodies: DataFrame,
                         write_debug_ttls: bool = False,
                         now_iso: str = "1970-01-01T00:00:00Z",
                         fail_on_page_error: bool = False,
+                        compat: bool = False,
                         ) -> dict[str, DataFrame]:
     """The whole §3.1 flow. ``control`` is the task/job triple set;
     ``page_bodies`` maps page_uri → (url, html). Returns every output as a
     DataFrame; when ``out_dir`` is set, also writes the
     valid(/original/invalid/corrected) N-Triples trees partitioned by
     (task, page) — 4 files per page only in debug mode, matching
-    WRITE_DEBUG_TTLS (constants.js:37-38, lib/pipeline-import.js:75-106)."""
+    WRITE_DEBUG_TTLS (constants.js:37-38, lib/pipeline-import.js:75-106).
+
+    ``compat=True`` threads the triage compat flag end-to-end: repaired
+    date/dateTime literals re-emit in the reference's non-padded JS-Date
+    form (``2023-05-7T9:5:3``, fixTriple.js:152-156,201-208) instead of
+    the canonical zero-padded default, giving byte-identical TTL output
+    parity with the reference service."""
     tasks = load_scheduled_tasks(control, graph)
     task_pages = enumerate_pages(tasks, control, graph)
 
@@ -174,7 +181,7 @@ def run_import_pipeline(control: DataFrame, page_bodies: DataFrame,
 
     errors = (extracted.filter(F.col("error").isNotNull())
               .select("task_uri", "page_uri", "error"))
-    triaged = triage(extracted.filter(F.col("error").isNull()))
+    triaged = triage(extracted.filter(F.col("error").isNull()), compat=compat)
 
     # valid/invalid/corrected keep the (task, page) keys for partitioning
     keys = ("task_uri", "page_uri")

@@ -180,6 +180,45 @@ def test_shared_page_extracts_once_per_task(spark):
         assert len(set(triples)) == 2
 
 
+def test_pipeline_compat_mode_js_date_output_parity(spark, tmp_path):
+    """compat=True end-to-end: a repaired date/dateTime page run through
+    the full pipeline writes TTL whose literal bytes match the
+    reference's JS-Date re-emission (month zero-padded, day/hour/minute/
+    second NOT — fixTriple.js:152-156,201-208), demonstrating byte-level
+    output parity on the repaired forms."""
+    body = ('<div about="http://ex/d1">'
+            '<span property="dct:date" content="2024/1/2"'
+            ' datatype="xsd:date">x</span>'
+            '<span property="dct:created" content="2024/1/2 9:5:3"'
+            ' datatype="xsd:dateTime">y</span>'
+            "</div>")
+    control = _control(spark)
+    bodies = spark.createDataFrame(
+        [("share://p1.html", "http://ex/page/1", body),
+         ("share://p2.html", "http://ex/page/2", body)],
+        "page_uri string, url string, html string")
+    out_dir = str(tmp_path / "out")
+    res = run_import_pipeline(control, bodies, out_dir=out_dir, graph=G,
+                              compat=True)
+    vals = {(r.predicate, r.object_value) for r in res["valid"].collect()}
+    assert ("http://purl.org/dc/terms/date", "2024-01-2") in vals
+    assert ("http://purl.org/dc/terms/created", "2024-01-2T9:5:3") in vals
+
+    # byte-level check on the serialized N-Triples output
+    written = []
+    for root, _dirs, files in os.walk(f"{out_dir}/valid"):
+        for fn in files:
+            if not fn.startswith("."):
+                with open(os.path.join(root, fn)) as f:
+                    written.append(f.read())
+    text = "\n".join(written)
+    assert ('<http://ex/d1> <http://purl.org/dc/terms/date> "2024-01-2"'
+            "^^<http://www.w3.org/2001/XMLSchema#date> ." in text)
+    assert ('<http://ex/d1> <http://purl.org/dc/terms/created> '
+            '"2024-01-2T9:5:3"'
+            "^^<http://www.w3.org/2001/XMLSchema#dateTime> ." in text)
+
+
 def test_pipeline_no_matching_tasks(spark):
     control = _control(spark).filter(F.col("subject") != "urn:task:1")
     res = run_import_pipeline(control, _bodies(spark))
