@@ -23,10 +23,14 @@ the state store bounded.
 
 from __future__ import annotations
 
+import hashlib
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from harvesting_extract_to_ttl_service_spark.operators.relational import upsert
 from harvesting_extract_to_ttl_service_spark.schema import (
@@ -37,6 +41,87 @@ from harvesting_extract_to_ttl_service_spark.schema import (
 )
 
 ADMS_STATUS = "http://www.w3.org/ns/adms#status"
+
+
+def ingest_delta_post(body: str, stream_dir: str) -> str | None:
+    """Turn one ``POST /delta`` body (an array of changesets, or a bare
+    changeset — README.md:38-60) into a JSON-lines file the file-stream
+    source picks up, one changeset per line. Pure control-plane Python:
+    bodies are delta-notification-sized, never data-plane.
+
+    Files are content-addressed (md5 of the normalized payload), so a
+    redelivered POST lands on the same name and is ingested once; the
+    write goes to a dot-prefixed temp file first (invisible to Spark's
+    file source) and is renamed into place atomically. Returns the file
+    path, or None for an empty body (the reference answers 204 there,
+    app.js:31-34)."""
+    data = json.loads(body)
+    if isinstance(data, dict):
+        data = [data]
+    if not isinstance(data, list) or not all(isinstance(c, dict) for c in data):
+        raise ValueError("delta body must be a changeset object or an "
+                         "array of changeset objects")
+    if not data:
+        return None
+    payload = "".join(
+        json.dumps(c, separators=(",", ":"), sort_keys=True) + "\n"
+        for c in data)
+    name = hashlib.md5(payload.encode()).hexdigest() + ".json"
+    dst = os.path.join(stream_dir, name)
+    if os.path.exists(dst):
+        return dst
+    os.makedirs(stream_dir, exist_ok=True)
+    tmp = os.path.join(stream_dir, "." + name + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(payload)
+    os.replace(tmp, dst)
+    return dst
+
+
+def serve_delta_endpoint(stream_dir: str, port: int = 0):
+    """Live HTTP front door mirroring the reference service's surface
+    (app.js:24-38): ``GET /`` health text, ``POST /delta`` with an
+    application/json changeset body → ingested into ``stream_dir`` for
+    the running import stream. Returns an unstarted
+    ``ThreadingHTTPServer`` (port 0 = ephemeral; ``server_address[1]``
+    has the bound port) — call ``serve_forever()`` on a thread.
+
+    Divergence note: the reference answers 204 when the body contains no
+    *scheduled-task* inserts; here the scheduled filter lives in the
+    stream (scheduled_task_uris), so 204 only signals an empty body."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 — http.server API
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(b"Hello harvesting-import-service")
+
+        def do_POST(self):  # noqa: N802
+            if self.path != "/delta":
+                self.send_response(404)
+                self.end_headers()
+                return
+            ctype = self.headers.get("content-type", "")
+            if not ctype.startswith("application/json"):
+                self.send_response(400)
+                self.end_headers()
+                return
+            length = int(self.headers.get("content-length", 0) or 0)
+            body = self.rfile.read(length).decode("utf-8")
+            try:
+                written = ingest_delta_post(body, stream_dir)
+            except (ValueError, json.JSONDecodeError):
+                self.send_response(400)
+                self.end_headers()
+                return
+            self.send_response(200 if written else 204)
+            self.end_headers()
+
+        def log_message(self, *args):  # quiet: no per-request stderr spam
+            pass
+
+    return ThreadingHTTPServer(("127.0.0.1", port), Handler)
 
 
 def read_delta_stream(spark: SparkSession, path: str) -> DataFrame:
@@ -52,9 +137,14 @@ def read_delta_stream(spark: SparkSession, path: str) -> DataFrame:
 
 def parse_delta_lines(lines: DataFrame, col: str = "value") -> DataFrame:
     """Batch twin for already-read text lines (POST bodies captured to a
-    log): ``from_json`` with DELTA_SCHEMA."""
+    log). A line may be ONE changeset object or a whole POST body (an
+    ARRAY of changesets): ``from_json`` with ``array<DELTA_SCHEMA>``
+    permissively wraps a bare object into a 1-element array, so a single
+    parse covers both shapes; malformed lines parse to null and explode
+    to nothing."""
     return lines.select(
-        F.from_json(F.col(col), DELTA_SCHEMA).alias("d")
+        F.explode(F.from_json(F.col(col), T.ArrayType(DELTA_SCHEMA)))
+        .alias("d")
     ).select("d.inserts", "d.deletes")
 
 

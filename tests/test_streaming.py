@@ -16,9 +16,11 @@ from harvesting_extract_to_ttl_service_spark.schema import (
 from harvesting_extract_to_ttl_service_spark.streaming.delta_stream import (
     ADMS_STATUS,
     fail_busy_tasks,
+    ingest_delta_post,
     parse_delta_lines,
     run_import_stream,
     scheduled_task_uris,
+    serve_delta_endpoint,
 )
 from harvesting_extract_to_ttl_service_spark.streaming.windows import (
     dedup_events,
@@ -96,6 +98,77 @@ def test_run_import_stream(spark, tmp_path):
                           checkpoint=str(tmp_path / "ckpt"))
     q.awaitTermination(120)
     assert seen == ["http://task/9"]
+
+
+def test_parse_delta_lines_accepts_post_body_arrays(spark):
+    """One line may be a whole POST body (array of changesets) — the
+    reference's req.body shape (README.md:38-60) — or a bare changeset;
+    malformed lines drop instead of crashing."""
+    lines = spark.createDataFrame(
+        [(json.dumps(DELTAS),),          # full POST body on one line
+         (json.dumps(DELTAS[1]),),       # bare changeset
+         ("{not json",)],                # malformed
+        "value string")
+    uris = scheduled_task_uris(parse_delta_lines(lines))
+    assert sorted(r.task_uri for r in uris.collect()) == [
+        "http://task/1", "http://task/2", "http://task/2"]
+
+
+def test_ingest_delta_post_idempotent(tmp_path):
+    d = str(tmp_path / "delta")
+    p1 = ingest_delta_post(json.dumps(DELTAS), d)
+    assert p1 is not None and not p1.split("/")[-1].startswith(".")
+    with open(p1) as f:
+        assert len(f.read().strip().split("\n")) == 3  # one changeset/line
+    # redelivered body → same content-addressed file, no duplicate
+    assert ingest_delta_post(json.dumps(DELTAS), d) == p1
+    import os
+    assert len([f for f in os.listdir(d) if not f.startswith(".")]) == 1
+    # empty body → nothing ingested (the 204 path)
+    assert ingest_delta_post("[]", d) is None
+    with pytest.raises(ValueError):
+        ingest_delta_post('["not-a-changeset"]', d)
+
+
+def test_delta_http_front_door(spark, tmp_path):
+    """Live POST /delta → stream dir → run_import_stream picks the tasks
+    up: the reference's app.js:24-38 surface end to end."""
+    import threading
+    import urllib.request
+
+    delta_dir = str(tmp_path / "delta")
+    srv = serve_delta_endpoint(delta_dir)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        # health endpoint
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
+            assert r.status == 200 and b"Hello" in r.read()
+        # POST the array-of-changesets body
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/delta",
+            data=json.dumps(DELTAS).encode(),
+            headers={"content-type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+        # empty body → 204 (reference's no-tasks answer)
+        req2 = urllib.request.Request(
+            f"http://127.0.0.1:{port}/delta", data=b"[]",
+            headers={"content-type": "application/json"})
+        with urllib.request.urlopen(req2) as r:
+            assert r.status == 204
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+    seen: list[str] = []
+    q = run_import_stream(spark, delta_dir,
+                          lambda df, _b: seen.extend(
+                              r.task_uri for r in df.collect()),
+                          checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert sorted(seen) == ["http://task/1", "http://task/2"]
 
 
 def test_fail_busy_tasks(spark):
