@@ -77,6 +77,58 @@ def pages_from_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_share_files(spark: SparkSession, share_dir: str,
+                     share_root: str | None = None) -> DataFrame:
+    """Raw physical file contents keyed by their ``share://`` uri:
+    ``(physical_uri, html)``. ``share_root`` defaults to ``share_dir``
+    itself so tests can point at any directory; production layouts pass
+    ``/share/``. Plain or ``.gz`` per file, one file = one row."""
+    share_root = share_root or (share_dir.rstrip("/") + "/")
+    raw = spark.read.text(share_dir, wholetext=True)
+    local_path = F.regexp_replace(F.input_file_name(), "^file:(//)?", "/")
+    local_path = F.regexp_replace(local_path, "^/+", "/")
+    return raw.select(
+        path_to_share(local_path, share_root).alias("physical_uri"),
+        F.col("value").alias("html"),
+    )
+
+
+def resolve_page_bodies(metadata: DataFrame, contents: DataFrame,
+                        graph: str | None = None) -> DataFrame:
+    """The reference's ``getFileContent`` composition
+    (file-helpers.js:20-63) as one set-oriented job: for every logical
+    page, find its physical file via ``nie:dataSource`` (the B1 point
+    lookup, LIMIT 1 → deterministic MIN here), its original web address
+    via ``nie:url`` (the B2 DISTINCT projection), and join the physical
+    ``share://`` uri to the read file contents. Output is the
+    ``page_bodies`` input of ``run_import_pipeline``:
+    ``(page_uri, url, html)``.
+
+    Scale: both metadata maps are control-plane-sized → broadcast to the
+    contents side, which is the only heavy table; no shuffle of html."""
+    from harvesting_extract_to_ttl_service_spark.operators.relational import (
+        graph_scope,
+    )
+
+    scoped = graph_scope(metadata, graph)
+    # one physical file per page (the reference's LIMIT 1)
+    physical = (
+        scoped.filter(F.col("predicate") == NIE + "dataSource")
+        .groupBy(F.col("object_value").alias("page_uri"))
+        .agg(F.min("subject").alias("physical_uri"))
+    )
+    urls = (
+        scoped.filter(F.col("predicate") == NIE + "url")
+        .groupBy(F.col("subject").alias("page_uri"))
+        .agg(F.min("object_value").alias("url"))
+    )
+    return (
+        contents.join(F.broadcast(physical), "physical_uri")
+        .join(F.broadcast(urls), "page_uri", "left")
+        .select("page_uri", "url", "html")
+    )
+
+
 def _file_id(content_hash: Column) -> Column:
     return F.concat(F.lit("http://data.lblod.info/id/files/"), content_hash)
 

@@ -219,6 +219,63 @@ def test_pipeline_compat_mode_js_date_output_parity(spark, tmp_path):
             "^^<http://www.w3.org/2001/XMLSchema#dateTime> ." in text)
 
 
+def test_file_metadata_roundtrip_resolves_page_bodies(spark, tmp_path):
+    """The getFileContent composition (file-helpers.js:20-63) end to end:
+    page bodies are NOT pre-joined — they resolve from the metadata
+    triples (physical →nie:dataSource→ logical, logical →nie:url→ web
+    address) plus the share directory, then feed the import pipeline."""
+    import gzip
+
+    from harvesting_extract_to_ttl_service_spark.sources.files import (
+        read_share_files,
+        resolve_page_bodies,
+    )
+
+    share = tmp_path / "share"
+    share.mkdir()
+    body = ('<div about="http://ex/d1">'
+            '<span property="dct:title">T1</span></div>')
+    (share / "f1.html").write_text(body)
+    with gzip.open(share / "f2.html.gz", "wt") as f:
+        f.write('<div about="http://ex/d2">'
+                '<span property="dct:title">T2</span></div>')
+
+    NIE = "http://www.semanticdesktop.org/ontologies/2007/01/19/nie#"
+    meta_rows = [
+        ("share://f1.html", NIE + "dataSource", "share://p1.html",
+         "iri", None, None, G),
+        ("share://f2.html.gz", NIE + "dataSource", "share://p2.html",
+         "iri", None, None, G),
+        ("share://p1.html", NIE + "url", "http://ex/page/1",
+         "iri", None, None, G),
+        ("share://p2.html", NIE + "url", "http://ex/page/2",
+         "iri", None, None, G),
+    ]
+    from harvesting_extract_to_ttl_service_spark.schema import TRIPLE_SCHEMA
+    metadata = spark.createDataFrame(meta_rows, TRIPLE_SCHEMA)
+
+    contents = read_share_files(spark, str(share))
+    assert {r.physical_uri for r in contents.collect()} == {
+        "share://f1.html", "share://f2.html.gz"}
+
+    bodies = resolve_page_bodies(metadata, contents, graph=G)
+    got = {(r.page_uri, r.url) for r in bodies.collect()}
+    assert got == {("share://p1.html", "http://ex/page/1"),
+                   ("share://p2.html", "http://ex/page/2")}
+
+    res = run_import_pipeline(_control(spark).unionByName(metadata),
+                              bodies, graph=G)
+    vals = {(r.subject, r.predicate, r.object_value)
+            for r in res["valid"].collect()}
+    # p1/p2 are task 1's pages; d1 extracted with nie:url provenance
+    assert ("http://ex/d1", "http://purl.org/dc/terms/title", "T1") in vals
+    assert ("http://ex/d1", "http://www.w3.org/ns/prov#wasDerivedFrom",
+            "http://ex/page/1") in vals
+    assert ("http://ex/d2", "http://www.w3.org/ns/prov#wasDerivedFrom",
+            "http://ex/page/2") in vals
+    assert res["errors"].count() == 0
+
+
 def test_pipeline_no_matching_tasks(spark):
     control = _control(spark).filter(F.col("subject") != "urn:task:1")
     res = run_import_pipeline(control, _bodies(spark))
