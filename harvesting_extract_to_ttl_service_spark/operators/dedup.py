@@ -39,6 +39,9 @@ def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
             for _ in range(num_hashes)]
 
 
+_SPREAD_CACHE: dict[tuple[str, int, int], bool] = {}
+
+
 def spread_for_cpu(df: DataFrame) -> DataFrame:
     """Fix the small-file scan-parallelism cliff for CPU-dense stages: a
     table whose parquet footprint is under ``maxPartitionBytes`` scans as
@@ -50,11 +53,20 @@ def spread_for_cpu(df: DataFrame) -> DataFrame:
     On a real corpus the scan already has ≥ cores partitions and this is
     a no-op, so it costs nothing at 100 TB. Deliberately NOT applied to
     cheap scans (plain aggregates/joins): there the scan itself dominates
-    and an extra shuffle only adds overhead."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    and an extra shuffle only adds overhead.
+
+    The partition-count probe (``df.rdd.getNumPartitions()``) forces a
+    driver-side planning pass, so the verdict is memoized per
+    (application, analyzed-plan semanticHash, core count): repeat
+    invocations of the same catalog query skip the probe entirely."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    key = (sc.applicationId, df.semanticHash(), target)
+    need = _SPREAD_CACHE.get(key)
+    if need is None:
+        need = df.rdd.getNumPartitions() < target
+        _SPREAD_CACHE[key] = need
+    return df.repartition(target) if need else df
 
 
 def shingles(text: Column, n: int = 3) -> Column:

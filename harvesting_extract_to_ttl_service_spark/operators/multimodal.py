@@ -244,10 +244,16 @@ def fake_audio_decode(payload: bytes) -> tuple[int, float, float]:
     return rate, duration, loudness
 
 
+# Bound the pure-Python RMS loop: ~1M samples (2 MiB of PCM) is plenty
+# for a loudness estimate, and an hour-long WAV must not stall its batch.
+_RMS_MAX_SAMPLES = 1 << 20
+
+
 def sniff_or_fake_audio_decode(payload: bytes) -> tuple[int, float, float | None]:
     """Default audio kernel: a real RIFF/WAVE header wins (rate/duration
-    from the chunk walk, loudness = RMS over 16-bit PCM samples when the
-    format allows); non-WAV payloads fall back to the deterministic fake."""
+    from the chunk walk, loudness = RMS over the first ≤1M 16-bit PCM
+    samples when the format allows); non-WAV payloads fall back to the
+    deterministic fake."""
     import struct
 
     w = _parse_wav(payload)
@@ -257,7 +263,7 @@ def sniff_or_fake_audio_decode(payload: bytes) -> tuple[int, float, float | None
     loudness = None
     if w.get("bits") == 16:
         data = payload[w["data_off"]:w["data_off"] + w["data_size"]]
-        n = len(data) // 2
+        n = min(len(data) // 2, _RMS_MAX_SAMPLES)
         if n:
             samples = struct.unpack(f"<{n}h", data[:2 * n])
             loudness = round(
