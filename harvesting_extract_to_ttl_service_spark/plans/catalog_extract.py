@@ -266,3 +266,55 @@ def rdfa_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     triples, _spilled = extraction_pipeline(pages)
     return triples.select("subject", "predicate", "object_value",
                           "object_type", "datatype", "language")
+
+
+# @inlist rdf:List construction, oracle-restated: each page carries one
+# two-item dct:creator list, so the per-document bnode counter mints
+# exactly _:b0/_:b1 and DuckDB can state the whole chain in SQL.
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_INLIST_ORACLE = f"""
+WITH docs AS (
+    SELECT doc_id,
+           'share://doc' || doc_id AS page_uri,
+           'urn:doc:' || doc_id    AS subj
+    FROM documents WHERE doc_id < {_N_DOCS}
+)
+SELECT page_uri, subj AS subject,
+       'http://purl.org/dc/terms/creator' AS predicate,
+       '_:b0' AS object_value, 'bnode' AS object_type FROM docs
+UNION ALL
+SELECT page_uri, '_:b0', '{_RDF_NS}first', 'a' || doc_id, 'literal' FROM docs
+UNION ALL
+SELECT page_uri, '_:b0', '{_RDF_NS}rest', '_:b1', 'bnode' FROM docs
+UNION ALL
+SELECT page_uri, '_:b1', '{_RDF_NS}first', 'b' || doc_id, 'literal' FROM docs
+UNION ALL
+SELECT page_uri, '_:b1', '{_RDF_NS}rest', '{_RDF_NS}nil', 'iri' FROM docs
+"""
+
+
+@q("rdfa_inlist_docs", _INLIST_ORACLE)
+def rdfa_inlist_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFa @inlist over synthesized pages: two sibling inlist spans per
+    document accumulate into one rdf:first/rdf:rest/rdf:nil chain
+    (operators/extract.py local list mapping); the oracle restates the
+    full chain including the deterministic per-page bnode labels."""
+    from harvesting_extract_to_ttl_service_spark.operators.extract import (
+        extract_pages,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_DOCS)
+    html = F.format_string(
+        '<div about="urn:doc:%s">'
+        '<span property="dct:creator" inlist="">a%s</span>'
+        '<span property="dct:creator" inlist="">b%s</span></div>',
+        F.col("doc_id").cast("string"), F.col("doc_id").cast("string"),
+        F.col("doc_id").cast("string"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("share://doc"), "doc_id").alias("page_uri"),
+        F.concat(F.lit("http://ex/page/"), "doc_id").alias("url"),
+        html.alias("html"),
+    )
+    return extract_pages(pages).select(
+        "page_uri", "subject", "predicate", "object_value", "object_type")

@@ -264,6 +264,45 @@ def triage_dirty_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "fixed_datatype")
 
 
+@q("triage_compat_dates", """
+SELECT 'urn:order:' || o_orderkey AS subject,
+       'fixed' AS verdict,
+       CASE WHEN o_orderkey % 2 = 0
+            THEN strftime(o_orderdate, '%Y-%m-%-d')
+            ELSE strftime(o_orderdate, '%Y-%m-%-d') || 'T9:5:3'
+       END AS fixed_object_value,
+       CASE WHEN o_orderkey % 2 = 0
+            THEN 'http://www.w3.org/2001/XMLSchema#date'
+            ELSE 'http://www.w3.org/2001/XMLSchema#dateTime'
+       END AS fixed_datatype
+FROM orders
+""")
+def triage_compat_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compat-mode triage (triage(compat=True)): every row carries a
+    repairable slash-form date (even keys) or dateTime (odd keys), and
+    the repaired literal must re-emit in the reference's non-padded
+    JS-Date form — month zero-padded, day/hour/minute/second NOT
+    (fixTriple.js:152-156,201-208). The oracle restates those exact
+    strings with DuckDB's %-d non-padded directive."""
+    o = load(spark, sf_dir, "orders")
+    even = F.col("o_orderkey") % 2 == 0
+    value = F.when(
+        even, F.date_format("o_orderdate", "yyyy/MM/dd"),
+    ).otherwise(
+        F.concat(F.date_format("o_orderdate", "yyyy/MM/dd"), F.lit(" 9:5:3")))
+    dirty = o.select(
+        F.concat(F.lit("urn:order:"), F.col("o_orderkey")).alias("subject"),
+        F.lit("urn:p:when").alias("predicate"),
+        value.alias("object_value"),
+        F.lit("literal").alias("object_type"),
+        F.when(even, XSD_DATE).otherwise(XSD_DATETIME).alias("datatype"),
+        F.lit(None).cast("string").alias("language"),
+        F.lit(GRAPH).alias("graph"),
+    )
+    return triage(dirty, compat=True).select(
+        "subject", "verdict", "fixed_object_value", "fixed_datatype")
+
+
 # --------------------------------------------------------------------------
 # B3/B4/B5 — star join, chain join, count-distinct
 # --------------------------------------------------------------------------
