@@ -82,3 +82,31 @@ def test_triage_has_no_python_udf(spark):
     plan = _plan(spark, "triage_dirty_literals", mode="simple")
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert marker not in plan
+
+
+def test_resolve_page_bodies_broadcasts_metadata(spark):
+    """The metadata maps (physical→page, page→url) are control-plane
+    sized and must broadcast to the heavy contents side — a sort-merge
+    join here would shuffle every html body by key at corpus scale."""
+    from pyspark.sql import functions as F
+
+    from harvesting_extract_to_ttl_service_spark.schema import TRIPLE_SCHEMA
+    from harvesting_extract_to_ttl_service_spark.sources.files import (
+        resolve_page_bodies,
+    )
+
+    NIE = "http://www.semanticdesktop.org/ontologies/2007/01/19/nie#"
+    metadata = spark.createDataFrame(
+        [("share://f1.html", NIE + "dataSource", "share://p1.html",
+          "iri", None, None, None),
+         ("share://p1.html", NIE + "url", "http://ex/1",
+          "iri", None, None, None)], TRIPLE_SCHEMA)
+    contents = spark.createDataFrame(
+        [("share://f1.html", "<div/>")], "physical_uri string, html string")
+    df = resolve_page_bodies(metadata, contents)
+    jpe = df._jdf.queryExecution()
+    em = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple")
+    plan = jpe.explainString(em)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
