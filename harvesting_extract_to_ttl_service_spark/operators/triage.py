@@ -65,12 +65,17 @@ DATETIME_RE = (
 # is kept deliberately short: every format adds a generated-code
 # DateTimeFormatter and the repair chain must stay within the JVM's
 # 64 KB method limit to keep whole-stage codegen alive.
-_DATE_FIX_FMTS = ["y-M-d", "M-d-y", "MMMM d, y", "MMMM d y", "d MMMM y",
-                  "d MMM y"]
-_DATETIME_FIX_FMTS = [
-    "y-M-d'T'H:m:s", "y-M-d'T'H:m", "y-M-d",
-    "d MMM y H:m:s", "MMMM d y H:m:s", "MMMM d y H:m",
-]
+_DATE_FIX_FMTS = ["y-M-d", "M-d-y"]
+_DATE_FIX_TEXT_FMTS = ["MMMM d, y", "MMMM d y", "d MMMM y", "d MMM y"]
+_DATETIME_FIX_FMTS = ["y-M-d'T'H:m:s", "y-M-d'T'H:m", "y-M-d"]
+_DATETIME_FIX_TEXT_FMTS = ["d MMM y H:m:s", "MMMM d y H:m:s", "MMMM d y H:m"]
+
+# Month-name forms are recognizable by two consecutive letters (the lone
+# 'T' separator of normalized ISO forms never matches): gating the text
+# formats behind this keeps the common all-numeric repair path at its
+# original 2-3-format cost instead of paying 4-6 failing java.time
+# text parses per row.
+_HAS_MONTH_NAME = "[A-Za-z]{2}"
 
 
 def _norm_datetime_sep(v: Column) -> Column:
@@ -182,13 +187,25 @@ def _replace_first(value: Column, find: str, repl: str) -> Column:
     )
 
 
+def _try_fmts(n: Column, numeric_fmts: list[str],
+              text_fmts: list[str]) -> Column:
+    """First-match parse over the format chain, with the month-name
+    formats attempted ONLY for values that can contain a month name
+    (when-branches evaluate lazily per row in codegen)."""
+    numeric = F.coalesce(*[F.try_to_timestamp(n, F.lit(f))
+                           for f in numeric_fmts])
+    texty = F.coalesce(*[F.try_to_timestamp(n, F.lit(f))
+                         for f in text_fmts])
+    return F.when(n.rlike(_HAS_MONTH_NAME), texty).otherwise(numeric)
+
+
 def _fix_date(v: Column, compat: bool = False) -> Column:
     """``compat=True`` reproduces the reference's JS-Date re-emission
     bug-for-bug (fixTriple.js:152-156): month zero-padded, day NOT —
     ``2023-05-7``. Default mode emits the canonical zero-padded form
     (the documented divergence in the module docstring)."""
     n = _norm_datetime_sep(v)
-    ts = F.coalesce(*[F.try_to_timestamp(n, F.lit(f)) for f in _DATE_FIX_FMTS])
+    ts = _try_fmts(n, _DATE_FIX_FMTS, _DATE_FIX_TEXT_FMTS)
     return F.date_format(ts, "yyyy-MM-d" if compat else "yyyy-MM-dd")
 
 
@@ -196,8 +213,7 @@ def _fix_datetime(v: Column, compat: bool = False) -> Column:
     """``compat=True``: month padded, day/hour/minute/second NOT
     (fixTriple.js:201-208) — ``2023-05-7T9:5:3``."""
     n = _norm_datetime_sep(v)
-    ts = F.coalesce(*[F.try_to_timestamp(n, F.lit(f))
-                      for f in _DATETIME_FIX_FMTS])
+    ts = _try_fmts(n, _DATETIME_FIX_FMTS, _DATETIME_FIX_TEXT_FMTS)
     return F.date_format(
         ts, "yyyy-MM-d'T'H:m:s" if compat else "yyyy-MM-dd'T'HH:mm:ss")
 

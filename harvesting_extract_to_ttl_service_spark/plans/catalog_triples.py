@@ -29,6 +29,9 @@ from harvesting_extract_to_ttl_service_spark.operators.relational import (
     star_join,
     upsert,
 )
+from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+    spread_for_cpu,
+)
 from harvesting_extract_to_ttl_service_spark.operators.triage import triage
 from harvesting_extract_to_ttl_service_spark.plans.suites import (
     member_sql,
@@ -251,7 +254,10 @@ def triage_dirty_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(cls == 8, XSD_DATETIME)
         .when(cls == 9, XSD_DATE)
     )
-    dirty = o.select(
+    # The repair chain is CPU-dense (regex + java.time parses) while the
+    # orders scan is one partition at fixture scale — spread to cores
+    # before the projection (no-op on a real many-partition corpus).
+    dirty = spread_for_cpu(o).select(
         F.concat(F.lit("urn:order:"), F.col("o_orderkey")).alias("subject"),
         F.lit("urn:p:dirty").alias("predicate"),
         value.alias("object_value"),
@@ -290,7 +296,7 @@ def triage_compat_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
         even, F.date_format("o_orderdate", "yyyy/MM/dd"),
     ).otherwise(
         F.concat(F.date_format("o_orderdate", "yyyy/MM/dd"), F.lit(" 9:5:3")))
-    dirty = o.select(
+    dirty = spread_for_cpu(o).select(
         F.concat(F.lit("urn:order:"), F.col("o_orderkey")).alias("subject"),
         F.lit("urn:p:when").alias("predicate"),
         value.alias("object_value"),
