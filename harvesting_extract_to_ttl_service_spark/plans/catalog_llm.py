@@ -21,6 +21,7 @@ from harvesting_extract_to_ttl_service_spark.operators.dedup import (
     minhash_similarity,
     ngram_jaccard_pairs,
     simhash_candidates,
+    spread_for_cpu,
 )
 from harvesting_extract_to_ttl_service_spark.operators.multimodal import (
     documents_as_media,
@@ -467,8 +468,11 @@ FROM m
 @q("text_stats", _TEXT_STATS_SQL)
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full text-analysis projection (token counts, quality, lang-id,
-    fingerprint) — single codegen'd scan, oracle restates every formula."""
-    return annotate_documents(load(spark, sf_dir, "documents"))
+    fingerprint) — single codegen'd scan, oracle restates every formula.
+    The projection is CPU-dense (regex + HOFs per document) over a
+    one-partition fixture scan, so spread to cores first (no-op on a
+    many-partition corpus)."""
+    return annotate_documents(spread_for_cpu(load(spark, sf_dir, "documents")))
 
 
 @q("docs_by_source_lang", """
