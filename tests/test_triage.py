@@ -76,6 +76,8 @@ CASES = [
      "fixed", ("2023-10-07", XSD_DATE)),
     ("datetime-rfc2822", "Sat, 07 Oct 2023 9:05:03 GMT", "literal",
      XSD_DATETIME, None, "fixed", ("2023-10-07T09:05:03", XSD_DATETIME)),
+    ("date-full-weekday", "Thursday, 7 December 2023", "literal", XSD_DATE,
+     None, "fixed", ("2023-12-07", XSD_DATE)),
     ("datetime-month-name-no-sec", "May 7 2023 9:05", "literal", XSD_DATETIME,
      None, "fixed", ("2023-05-07T09:05:00", XSD_DATETIME)),
     ("integer-ok", "42", "literal", XSD_INTEGER, None, "valid", None),
