@@ -174,3 +174,31 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]],
     return df.withColumn(
         "ivf_cell",
         (F.array_position(sims, F.array_max(sims)) - 1).cast("int"))
+
+
+def ivf_topk(df: DataFrame, query_vec: list[float],
+             centroids: list[list[float]], k: int = 10, n_probe: int = 2,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF ANN search: rank the centroids against the query DRIVER-side
+    (the centroid list is tiny and already local), restrict the corpus to
+    the ``n_probe`` nearest cells via :func:`ivf_assign`, and run exact
+    cosine top-k inside them. ``n_probe`` is the recall/latency knob. At
+    scale the table is stored partitioned by ``ivf_cell``, so the filter
+    becomes partition pruning and only the probed cells are read."""
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        num = sum(float(x) * float(y) for x, y in zip(a, b))
+        return num / (math.sqrt(sum(float(x) ** 2 for x in a))
+                      * math.sqrt(sum(float(y) ** 2 for y in b)))
+
+    probed = sorted(range(len(centroids)),
+                    key=lambda i: (-_cos(query_vec, centroids[i]), i))[:n_probe]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        ivf_assign(df, centroids, vec_col)
+        .filter(F.col("ivf_cell").isin(probed))
+        .select(F.col(id_col),
+                F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -597,6 +597,63 @@ def ivf_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_assign(sample, centroids).select("vec_id", "ivf_cell")
 
 
+_IVF_TOPK_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < 4
+), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT cid FROM cent, q
+  ORDER BY list_cosine_similarity(cv, CAST(qv AS DOUBLE[])) DESC, cid
+  LIMIT 2
+), cand AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 4
+), sims AS (
+  SELECT e.vec_id, c.cid,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) AS sim
+  FROM cand e CROSS JOIN cent c
+), assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cid) AS rn
+    FROM sims) WHERE rn = 1
+)
+SELECT e.vec_id,
+       round({_zip_dot_sql('e.embedding', 'q.qv')}
+         / (sqrt(list_reduce(list_transform(e.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                     (a, b) -> a + b))
+            * sqrt(list_reduce(list_transform(q.qv,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                     (a, b) -> a + b))), 6) AS cos_sim
+FROM cand e JOIN assigned a ON e.vec_id = a.vec_id, q
+WHERE a.cid IN (SELECT cid FROM probe)
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT 10
+"""
+
+
+@q("ivf_topk_search", _IVF_TOPK_SQL)
+def ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF ANN search (the scale path beyond cell assignment): the
+    2 nearest of 4 centroids to the vec_id=0 query are probed, candidates
+    restricted to those cells, exact cosine top-10 within. The oracle
+    restates centroid ranking, assignment, probing, and the final scores
+    — both the driver-side probe choice and the distributed filter+top-k
+    are verified."""
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = [list(r.embedding) for r in
+                 emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()]
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    return ivf_topk(emb.filter(F.col("vec_id") >= 4), qvec, centroids,
+                    k=10, n_probe=2)
+
+
 _MULTIMODAL_MEMBERS = [
     ("image", multimodal_image_meta,
      ["media_id", "width", "height", "n_bytes", "checksum"], []),
