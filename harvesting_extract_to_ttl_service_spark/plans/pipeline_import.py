@@ -149,6 +149,7 @@ def run_import_pipeline(control: DataFrame, page_bodies: DataFrame,
                         now_iso: str = "1970-01-01T00:00:00Z",
                         fail_on_page_error: bool = False,
                         compat: bool = False,
+                        task_filter: DataFrame | None = None,
                         ) -> dict[str, DataFrame]:
     """The whole §3.1 flow. ``control`` is the task/job triple set;
     ``page_bodies`` maps page_uri → (url, html). Returns every output as a
@@ -161,8 +162,17 @@ def run_import_pipeline(control: DataFrame, page_bodies: DataFrame,
     date/dateTime literals re-emit in the reference's non-padded JS-Date
     form (``2023-05-7T9:5:3``, fixTriple.js:152-156,201-208) instead of
     the canonical zero-padded default, giving byte-identical TTL output
-    parity with the reference service."""
+    parity with the reference service.
+
+    ``task_filter`` (a one-column ``task_uri`` DataFrame) restricts the
+    run to those tasks — the streaming front door passes each
+    micro-batch's scheduled-task set here, mirroring the reference's
+    per-entry ``runImportPipeline(entry)`` calls (app.js:35-38) as ONE
+    set-oriented job per batch. Control-plane sized → broadcast."""
     tasks = load_scheduled_tasks(control, graph)
+    if task_filter is not None:
+        tasks = tasks.join(F.broadcast(task_filter.select("task_uri")),
+                           "task_uri", "left_semi")
     task_pages = enumerate_pages(tasks, control, graph)
 
     # Extract each page ONCE even when several tasks share it: the

@@ -206,6 +206,101 @@ def test_fail_busy_tasks(spark):
     assert rows["http://task/2"] == (STATUS_SUCCESS, "t0")
 
 
+def test_run_service_end_to_end(spark, tmp_path):
+    """The whole app.js lifecycle twin: startup recovery sweeps the stale
+    busy task, a live POST /delta schedules task 1, the checkpointed
+    stream runs ONE set-oriented import for that task only, and the TTL
+    tree + status updates come out the other side."""
+    import json as _json
+    import os
+    import urllib.request
+
+    from harvesting_extract_to_ttl_service_spark.schema import (
+        EXTRACTING_OPERATION,
+        RDF_TYPE,
+        STATUS_SUCCESS,
+        TASK_TYPE,
+        TRIPLE_SCHEMA,
+    )
+    from harvesting_extract_to_ttl_service_spark.service import run_service
+
+    G = "urn:g:jobs"
+
+    def t(s, p, o):
+        return (s, p, o, "iri", None, None, G)
+
+    control_rows = []
+    for k in ("1", "2"):  # both scheduled; only task 1 arrives via delta
+        control_rows += [
+            t(f"urn:task:{k}", RDF_TYPE, TASK_TYPE),
+            t(f"urn:task:{k}", ADMS_STATUS, STATUS_SCHEDULED),
+            t(f"urn:task:{k}", "http://redpencil.data.gift/vocabularies/tasks/operation",
+              EXTRACTING_OPERATION),
+            t(f"urn:task:{k}", "http://redpencil.data.gift/vocabularies/tasks/inputContainer",
+              f"urn:container:{k}"),
+            t(f"urn:container:{k}",
+              "http://redpencil.data.gift/vocabularies/tasks/hasFile",
+              f"share://p{k}.html"),
+        ]
+    control = spark.createDataFrame(control_rows, TRIPLE_SCHEMA)
+    bodies = spark.createDataFrame(
+        [("share://p1.html", "http://ex/page/1",
+          '<div about="http://ex/d1"><span property="dct:title">T1</span></div>'),
+         ("share://p2.html", "http://ex/page/2",
+          '<div about="http://ex/d2"><span property="dct:title">T2</span></div>')],
+        "page_uri string, url string, html string")
+    status = spark.createDataFrame(
+        [("urn:task:9", STATUS_BUSY, "t0")],
+        "task_uri string, status string, modified string")
+
+    out_dir = str(tmp_path / "out")
+    handle = run_service(
+        spark, control, bodies,
+        stream_dir=str(tmp_path / "delta"),
+        checkpoint=str(tmp_path / "ckpt"),
+        out_dir=out_dir, graph=G, status=status, now_iso="t1",
+        trigger_available_now=False)  # live mode: keep listening for POSTs
+    try:
+        # startup recovery flipped the stale busy task
+        rec = {r.task_uri: (r.status, r.modified)
+               for r in handle.recovered_status.collect()}
+        assert rec["urn:task:9"] == (STATUS_FAILED, "t1")
+
+        body = _json.dumps([{"inserts": [
+            {"subject": {"type": "uri", "value": "urn:task:1"},
+             "predicate": {"type": "uri", "value": ADMS_STATUS},
+             "object": {"type": "uri", "value": STATUS_SCHEDULED}}],
+            "deletes": []}]).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{handle.port}/delta", data=body,
+            headers={"content-type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+
+        import time
+        res = None
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            done = [r for r in handle.batch_results
+                    if r["tasks"].count() > 0]
+            if done:
+                res = done[0]
+                break
+            time.sleep(1)
+        assert res is not None, "no non-empty batch arrived within 120s"
+        # only the POSTed task ran, despite task 2 also being scheduled
+        assert [r.task_uri for r in res["tasks"].collect()] == ["urn:task:1"]
+        assert [(r.task_uri, r.status)
+                for r in res["status_updates"].collect()] == [
+            ("urn:task:1", STATUS_SUCCESS)]
+        vals = {(r.subject, r.object_value) for r in res["valid"].collect()}
+        assert ("http://ex/d1", "T1") in vals
+        assert all(s != "http://ex/d2" for s, _ in vals)
+        assert os.path.isdir(f"{out_dir}/valid")
+    finally:
+        handle.stop()
+
+
 @pytest.fixture()
 def events_stream(spark, tmp_path):
     """Small deterministic event set materialized as parquet, read back as
