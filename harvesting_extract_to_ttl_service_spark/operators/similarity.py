@@ -114,6 +114,44 @@ def lsh_ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     )
 
 
+def lsh_ann_topk_multiprobe(df: DataFrame, query_vec: list[float],
+                            k: int = 10, vec_col: str = "embedding",
+                            id_col: str = "vec_id", n_planes: int = 8,
+                            probe_bits: int = 1) -> DataFrame:
+    """Multi-probe sign-LSH top-k: scan the query's bucket PLUS every
+    bucket within ``probe_bits`` sign flips of it (Hamming ball over the
+    plane bits), then exact cosine inside the union. The probed set is
+    driver-enumerated (``C(n_planes, ≤probe_bits)`` ids — tiny) so the
+    filter stays an IN-list over the bucket column and partition pruning
+    still applies on a bucket-partitioned layout. Near-boundary
+    neighbours whose single plane sign differs — the sign-LSH recall
+    loss — are recovered at the cost of probing ``1 + n_planes`` (for
+    ``probe_bits=1``) of the ``2^n_planes`` buckets."""
+    from itertools import combinations
+
+    dim = len(query_vec)
+    qbucket = 0
+    for p, plane in enumerate(_hyperplanes(dim, n_planes)):
+        s = sum(a * b for a, b in zip(query_vec, plane))
+        qbucket |= (1 << p) if s > 0 else 0
+    probed = {qbucket}
+    for r in range(1, probe_bits + 1):
+        for flips in combinations(range(n_planes), r):
+            b = qbucket
+            for f in flips:
+                b ^= 1 << f
+            probed.add(b)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.withColumn("_bucket", lsh_bucket(F.col(vec_col), dim, n_planes))
+        .filter(F.col("_bucket").isin(sorted(probed)))
+        .select(F.col(id_col),
+                F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def lsh_blocked_pairs(df: DataFrame, threshold: float, dim: int,
                       vec_col: str = "embedding", id_col: str = "vec_id",
                       n_planes: int = 8) -> DataFrame:

@@ -357,6 +357,55 @@ def lsh_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                         n_planes=_ANN_PLANES)
 
 
+def _lsh_multiprobe_oracle(k: int = 10, probe_bits: int = 1) -> str:
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        _hyperplanes,
+    )
+
+    bucket_terms = []
+    for p, plane in enumerate(_hyperplanes(_EMBED_DIM, _ANN_PLANES)):
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+        bucket_terms.append(
+            f"(CASE WHEN {_zip_dot_sql('embedding', arr)} > 0 "
+            f"THEN {1 << p} ELSE 0 END)")
+    bucket = " + ".join(bucket_terms)
+    nrm = ("sqrt(list_reduce(list_transform(embedding, "
+           "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))")
+    # the enumerated probe set IS the Hamming ball, so the oracle states
+    # it directly as bit_count(xor(bucket, query_bucket)) <= probe_bits
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding, {bucket} AS bucket, {nrm} AS vnorm
+  FROM embeddings
+), q AS (SELECT embedding AS qe, bucket AS qb, vnorm AS qn FROM v WHERE vec_id = 0)
+SELECT v.vec_id,
+       round({_zip_dot_sql('v.embedding', 'q.qe')} / (v.vnorm * q.qn), 6)
+         AS cos_sim
+FROM v, q
+WHERE bit_count(xor(v.bucket, q.qb)) <= {probe_bits} AND v.vec_id <> 0
+ORDER BY cos_sim DESC, v.vec_id
+LIMIT {k}
+"""
+
+
+@q("lsh_ann_multiprobe", _lsh_multiprobe_oracle())
+def lsh_ann_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH ANN: the query bucket plus all buckets one
+    sign flip away (Hamming ball, driver-enumerated IN-list → partition
+    pruning still applies), exact cosine inside the union — the recall
+    knob for the sign-LSH path, twin of IVF's n_probe. The oracle states
+    the ball as bit_count(xor(bucket, qbucket)) <= 1."""
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        lsh_ann_topk_multiprobe,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return lsh_ann_topk_multiprobe(emb.filter(F.col("vec_id") != 0),
+                                   list(qvec), k=10, n_planes=_ANN_PLANES,
+                                   probe_bits=1)
+
+
 def _lsh_neardup_oracle(threshold: float = 0.25, max_id: int = 200) -> str:
     from harvesting_extract_to_ttl_service_spark.operators.similarity import (
         _hyperplanes,
