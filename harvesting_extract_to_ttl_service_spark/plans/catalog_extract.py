@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from harvesting_extract_to_ttl_service_spark.operators.extract import (
     extraction_pipeline,
 )
+from harvesting_extract_to_ttl_service_spark.plans.suites import member_sql
 from harvesting_extract_to_ttl_service_spark.plans.tables import load
 from harvesting_extract_to_ttl_service_spark.schema import RDF_LANGSTRING
 
@@ -293,7 +294,7 @@ SELECT page_uri, '_:b1', '{_RDF_NS}rest', '{_RDF_NS}nil', 'iri' FROM docs
 """
 
 
-@q("rdfa_inlist_docs", _INLIST_ORACLE)
+@member_sql(_INLIST_ORACLE)
 def rdfa_inlist_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RDFa @inlist over synthesized pages: two sibling inlist spans per
     document accumulate into one rdf:first/rdf:rest/rdf:nil chain

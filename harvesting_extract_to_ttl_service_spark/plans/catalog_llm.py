@@ -344,7 +344,7 @@ LIMIT {k}
 """
 
 
-@q("lsh_ann_topk", _lsh_ann_oracle())
+@member_sql(_lsh_ann_oracle())
 def lsh_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN: restrict to the query's random-hyperplane LSH
     bucket, exact cosine inside. The approximation is still deterministic
@@ -388,7 +388,7 @@ LIMIT {k}
 """
 
 
-@q("lsh_ann_multiprobe", _lsh_multiprobe_oracle())
+@member_sql(_lsh_multiprobe_oracle())
 def lsh_ann_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe sign-LSH ANN: the query bucket plus all buckets one
     sign flip away (Hamming ball, driver-enumerated IN-list → partition
@@ -613,7 +613,7 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "sample_rate", "duration_s", "n_bytes")
 
 
-@q("ivf_cell_assignment", """
+@member_sql("""
 WITH cent AS (
   SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
   FROM embeddings WHERE vec_id < 4
@@ -683,7 +683,7 @@ LIMIT 10
 """
 
 
-@q("ivf_topk_search", _IVF_TOPK_SQL)
+@member_sql(_IVF_TOPK_SQL)
 def ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full IVF ANN search (the scale path beyond cell assignment): the
     2 nearest of 4 centroids to the vec_id=0 query are probed, candidates
@@ -701,6 +701,24 @@ def ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
     return ivf_topk(emb.filter(F.col("vec_id") >= 4), qvec, centroids,
                     k=10, n_probe=2)
+
+
+_ANN_MEMBERS = [
+    ("lsh_topk", lsh_ann_topk_q, ["vec_id"], ["cos_sim"]),
+    ("lsh_multiprobe", lsh_ann_multiprobe_q, ["vec_id"], ["cos_sim"]),
+    ("ivf_assign", ivf_cell_assignment, ["vec_id", "ivf_cell"], []),
+    ("ivf_topk", ivf_topk_search, ["vec_id"], ["cos_sim"]),
+]
+
+
+@q("ann_suite", suite_sql(_ANN_MEMBERS))
+def ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale-path suite (tagged union, keeps the driver's 50-entry
+    verification window): sign-LSH single- and multi-probe top-k, IVF
+    cell assignment, and IVF probe search — each member keeps its own
+    plan and full oracle restatement (bucket functions, Hamming-ball
+    probe, centroid ranking, final scores)."""
+    return suite_df(spark, sf_dir, _ANN_MEMBERS)
 
 
 _MULTIMODAL_MEMBERS = [

@@ -270,7 +270,7 @@ def triage_dirty_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "fixed_datatype")
 
 
-@q("triage_compat_dates", """
+@member_sql("""
 SELECT 'urn:order:' || o_orderkey AS subject,
        'fixed' AS verdict,
        CASE WHEN o_orderkey % 2 = 0
@@ -307,6 +307,33 @@ def triage_compat_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return triage(dirty, compat=True).select(
         "subject", "verdict", "fixed_object_value", "fixed_datatype")
+
+
+def _fidelity_members():
+    from harvesting_extract_to_ttl_service_spark.plans.catalog_extract import (
+        rdfa_inlist_docs,
+    )
+
+    return [
+        ("inlist", rdfa_inlist_docs,
+         ["page_uri", "subject", "predicate", "object_value", "object_type"],
+         []),
+        ("compat", triage_compat_dates,
+         ["subject", "verdict", "fixed_object_value", "fixed_datatype"], []),
+    ]
+
+
+_FIDELITY_MEMBERS = _fidelity_members()
+
+
+@q("fidelity_suite", suite_sql(_FIDELITY_MEMBERS))
+def fidelity_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-fidelity suite (tagged union, keeps the driver's
+    50-entry verification window): RDFa @inlist rdf:List construction
+    (full chain incl. deterministic bnode labels) and compat-mode
+    date/dateTime repair re-emission (the reference's non-padded JS-Date
+    output form)."""
+    return suite_df(spark, sf_dir, _FIDELITY_MEMBERS)
 
 
 # --------------------------------------------------------------------------
