@@ -52,3 +52,59 @@ def test_ivf_assign_matches_exact_cosine_argmax(spark):
             if best_cos is None or cos > best_cos:
                 best, best_cos = ci, cos
         assert got[vec_id] == best, vec_id
+
+
+def _pycos(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    return d / (math.sqrt(sum(x * x for x in a))
+                * math.sqrt(sum(y * y for y in b)))
+
+
+def test_ivf_topk_equals_exact_within_probed_cells(spark):
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    rows = [(i, [math.cos(0.5 * i + 0.1 * d) for d in range(DIM)])
+            for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = _centroids()[:8]
+    query = rows[0][1]
+    got = [(r.vec_id, r.cos_sim)
+           for r in ivf_topk(df, query, cents, k=5, n_probe=2).collect()]
+
+    probed = sorted(range(len(cents)),
+                    key=lambda i: (-_pycos(query, cents[i]), i))[:2]
+    assigned = {r.vec_id: r.ivf_cell for r in ivf_assign(df, cents).collect()}
+    want = sorted(((vid, round(_pycos(emb, query), 6)) for vid, emb in rows
+                   if assigned[vid] in probed),
+                  key=lambda t: (-t[1], t[0]))[:5]
+    assert [v for v, _ in got] == [v for v, _ in want]
+    for (_, g), (_, w) in zip(got, want):
+        assert abs(g - w) < 1e-6
+
+
+def test_multiprobe_superset_of_single_probe(spark):
+    """probe_bits=0 is exactly the single-bucket search; probe_bits=1 must
+    search a superset, so its top-k cosines dominate pointwise."""
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        lsh_ann_topk,
+        lsh_ann_topk_multiprobe,
+    )
+
+    rows = [(i, [math.cos(0.5 * i + 0.1 * d) for d in range(DIM)])
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    query = rows[0][1]
+    single = [r.cos_sim for r in
+              lsh_ann_topk(df, query, k=10, n_planes=4).collect()]
+    zero = [r.cos_sim for r in
+            lsh_ann_topk_multiprobe(df, query, k=10, n_planes=4,
+                                    probe_bits=0).collect()]
+    multi = [r.cos_sim for r in
+             lsh_ann_topk_multiprobe(df, query, k=10, n_planes=4,
+                                     probe_bits=1).collect()]
+    assert zero == single
+    assert len(multi) >= len(single)
+    for m, s in zip(multi, single):
+        assert m >= s - 1e-9
