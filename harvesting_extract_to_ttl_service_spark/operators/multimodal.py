@@ -318,8 +318,11 @@ def sample_video_frames(media: DataFrame, every_nth: int = 10) -> DataFrame:
                 for fi in range(0, n_frames, every_nth):
                     out["media_id"].append(mid)
                     out["frame_index"].append(fi)
+                    # payload bytes + decimal index: restatable by any
+                    # engine whose md5 takes a string (DuckDB's is
+                    # VARCHAR-only, so no binary index encoding here)
                     out["frame_checksum"].append(
-                        hashlib.md5(payload + fi.to_bytes(4, "big"))
+                        hashlib.md5(payload + str(fi).encode())
                         .hexdigest()[:8])
             yield pd.DataFrame(out)
 

@@ -721,17 +721,44 @@ def ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suite_df(spark, sf_dir, _ANN_MEMBERS)
 
 
+@member_sql("""
+WITH g AS (
+  SELECT doc_id, text,
+         unnest(generate_series(
+             0, greatest(octet_length(encode(text)) // 100, 1) - 1, 10)) AS fi
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id AS media_id, fi AS frame_index,
+       substr(md5(text || CAST(fi AS VARCHAR)), 1, 8) AS frame_checksum
+FROM g
+""")
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: every-10th stub frame per payload
+    (frames fan out rows through the Arrow kernel); the oracle regenerates
+    the frame grid with generate_series and the checksum from the same
+    text bytes + decimal frame index."""
+    from harvesting_extract_to_ttl_service_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return sample_video_frames(documents_as_media(docs), every_nth=10)
+
+
 _MULTIMODAL_MEMBERS = [
     ("image", multimodal_image_meta,
      ["media_id", "width", "height", "n_bytes", "checksum"], []),
     ("audio", multimodal_audio_meta,
      ["media_id", "sample_rate", "n_bytes"], ["duration_s"]),
+    ("video", multimodal_video_frames,
+     ["media_id", "frame_index", "frame_checksum"], []),
 ]
 
 
 @q("multimodal_media_meta", suite_sql(_MULTIMODAL_MEMBERS))
 def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode plumbing (image + audio): opaque binary payloads
-    probed by the Arrow ``mapInPandas`` kernels (operators/multimodal.py);
-    the oracle restates each feature from the payload byte length."""
+    """Multimodal decode plumbing (image + audio meta, video frame
+    sampling): opaque binary payloads probed by the Arrow ``mapInPandas``
+    kernels (operators/multimodal.py); the oracle restates each feature
+    from the payload byte length."""
     return suite_df(spark, sf_dir, _MULTIMODAL_MEMBERS)
