@@ -118,8 +118,8 @@ def _control_graph(docs: DataFrame) -> DataFrame:
         TASK_TYPE,
     )
 
-    def const_triples(s, p, o):
-        return docs.select(
+    def const_triples(df, s, p, o):
+        return df.select(
             s.alias("subject"), F.lit(p).alias("predicate"), o.alias("object_value"),
             F.lit("iri").alias("object_type"),
             F.lit(None).cast("string").alias("datatype"),
@@ -127,18 +127,24 @@ def _control_graph(docs: DataFrame) -> DataFrame:
             F.lit(_G).alias("graph"),
         )
 
-    task = F.concat(F.lit("urn:task:"), (F.col("doc_id") % 4).cast("string"))
-    container = F.concat(F.lit("urn:container:"),
-                         (F.col("doc_id") % 4).cast("string"))
+    # task-level triples derive from the 4 distinct task keys, not one
+    # copy per document then distinct — control plane stays 4-row small
+    # and the big dedup shuffle disappears from every pipeline entry
+    keys = docs.select((F.col("doc_id") % 4).cast("string").alias("k")).distinct()
+    task = F.concat(F.lit("urn:task:"), F.col("k"))
+    container = F.concat(F.lit("urn:container:"), F.col("k"))
+    doc_container = F.concat(F.lit("urn:container:"),
+                             (F.col("doc_id") % 4).cast("string"))
     page = F.concat(F.lit("share://doc"), F.col("doc_id"), F.lit(".html"))
     return (
-        const_triples(task, RDF_TYPE, F.lit(TASK_TYPE))
-        .unionByName(const_triples(task, ADMS_STATUS, F.lit(STATUS_SCHEDULED)))
-        .unionByName(const_triples(task, TASK_OPERATION,
+        const_triples(keys, task, RDF_TYPE, F.lit(TASK_TYPE))
+        .unionByName(const_triples(keys, task, ADMS_STATUS,
+                                   F.lit(STATUS_SCHEDULED)))
+        .unionByName(const_triples(keys, task, TASK_OPERATION,
                                    F.lit(EXTRACTING_OPERATION)))
-        .unionByName(const_triples(task, TASK_INPUT_CONTAINER, container))
-        .unionByName(const_triples(container, TASK_HAS_FILE, page))
-        .distinct()
+        .unionByName(const_triples(keys, task, TASK_INPUT_CONTAINER,
+                                   container))
+        .unionByName(const_triples(docs, doc_container, TASK_HAS_FILE, page))
     )
 
 
