@@ -149,10 +149,18 @@ _ABS_IRI = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
 
 
 class _RdfaExtractor:
-    def __init__(self, base_uri: str):
+    def __init__(self, base_uri: str, strict_completion: bool = False):
         self.base = base_uri
         self.bnode_n = 0
         self.triples: list[tuple] = []
+        # RDFa Core 1.1 step 12: an element that is not "skipped" (it
+        # carries rel/rev/property/typeof) completes the ancestors'
+        # incomplete triples even when its subject is merely INHERITED —
+        # for a hanging @rel whose child has only @property this emits
+        # the spec's degenerate (s, rel, s) self-triple. Default False:
+        # the subset completes only on MINTED subjects (the form real
+        # chaining markup uses; pinned by tests/test_extract.py).
+        self.strict_completion = strict_completion
 
     def _bnode(self) -> str:
         self.bnode_n += 1
@@ -226,13 +234,13 @@ class _RdfaExtractor:
         # `established` is true only when THIS element's attributes minted
         # the subject (about / resource-as-subject / typeof): that — not
         # the mere presence of @href consumed as a property object — is
-        # what completes an ancestor's hanging rel/rev. Documented subset
-        # divergence: strict RDFa Core 1.1 step 12 also completes when new
-        # subject merely inherits the parent object (so a property-only
-        # child of a hanging rel yields a degenerate (s, rel, s)
-        # self-triple); this subset only completes on minted subjects —
-        # the form real chaining markup uses — and never emits
-        # self-triples from inheritance (tests/test_extract.py pins it).
+        # what completes an ancestor's hanging rel/rev by default. Strict
+        # RDFa Core 1.1 step 12 also completes when the subject is merely
+        # inherited (so a property-only child of a hanging rel yields the
+        # spec's degenerate (s, rel, s) self-triple) — available via
+        # ``strict_completion=True``; the default never emits
+        # self-triples from inheritance (tests/test_extract.py pins both
+        # modes).
         typed_obj = None  # bnode that is the OBJECT of property (typeof case)
         established = True
         if "about" in a:
@@ -252,7 +260,14 @@ class _RdfaExtractor:
             established = False
 
         # --- complete hanging rel/rev from an ancestor ---
-        if established:
+        # subset: minted subjects only; strict (RDFa Core step 12): any
+        # non-skipped element (one carrying rel/rev/property alongside
+        # the typeof/about cases) completes with its — possibly
+        # inherited — subject.
+        completes = established or (
+            self.strict_completion
+            and bool(properties or rels or revs))
+        if completes:
             for ps, ppred in pending:
                 self._emit(ps, ppred, new_subject,
                            OT_BNODE if new_subject.startswith("_:") else OT_IRI)
@@ -354,13 +369,16 @@ class _RdfaExtractor:
                                OT_BNODE if nxt.startswith("_:") else OT_IRI)
 
 
-def extract_rdfa(html_text: str, base_uri: str) -> list[tuple]:
+def extract_rdfa(html_text: str, base_uri: str,
+                 strict_completion: bool = False) -> list[tuple]:
     """One document → [(subject, predicate, object_value, object_type,
     datatype, language)]. U+FFFD chars are scrubbed before parse
-    (rdfa-extractor.js:72)."""
+    (rdfa-extractor.js:72). ``strict_completion=True`` switches hanging
+    rel/rev completion to spec-faithful RDFa Core step-12 (inherited
+    subjects complete too, including the degenerate self-triple case)."""
     builder = _TreeBuilder()
     builder.feed(html_text.replace("�", ""))
-    ex = _RdfaExtractor(base_uri)
+    ex = _RdfaExtractor(base_uri, strict_completion=strict_completion)
     ex.walk(builder.root, base_uri, None, None, dict(_DEFAULT_PREFIXES))
     return ex.triples
 

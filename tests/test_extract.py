@@ -303,6 +303,29 @@ def test_hanging_rel_not_completed_by_property_href_child():
             "iri", None, None) in triples
 
 
+def test_strict_completion_inherited_subject():
+    """strict_completion=True follows RDFa Core step 12: a non-skipped
+    child (here @property-only) completes the parent's hanging @rel with
+    its INHERITED subject — the spec's degenerate self-triple — while the
+    default subset still completes on minted subjects only."""
+    body = """
+    <div about="http://ex/a" rel="ex:knows" prefix="ex: http://ex/ns#">
+      <span property="ex:name">Bob</span>
+      <div about="http://ex/c">C</div>
+    </div>"""
+    strict = extract_rdfa(body, BASE, strict_completion=True)
+    knows = [(s, o) for s, p, o, *_ in strict if p == "http://ex/ns#knows"]
+    assert ("http://ex/a", "http://ex/a") in knows  # spec self-triple
+    # incomplete triples are carried to EACH child independently (same
+    # as the minted-subject chaining test), so the sibling completes too
+    assert ("http://ex/a", "http://ex/c") in knows
+
+    default = extract_rdfa(body, BASE)
+    knows_d = [(s, o) for s, p, o, *_ in default if p == "http://ex/ns#knows"]
+    assert ("http://ex/a", "http://ex/a") not in knows_d
+    assert ("http://ex/a", "http://ex/c") in knows_d
+
+
 def test_hanging_rev_onto_bnode_subject_is_bnode_object():
     body = """
     <div typeof="ex:Org" rev="ex:member" prefix="ex: http://ex/ns#">
