@@ -97,3 +97,40 @@ def test_triage_partition_invariants(spark, objs):
     t2 = triage(valid)
     assert t2.filter(~F.col("is_valid")).count() == 0
     t.unpersist()
+
+
+# --- RDFa extractor robustness (pure Python, no Spark) --------------------
+# Per-page fault isolation (extract_pages) catches exceptions, but the
+# parser itself must not throw on garbage: a crash-per-page corpus would
+# produce 100% error rows. Mix free text with RDFa-ish fragments so the
+# attribute-handling paths (prefix parsing, CURIE resolution, inlist,
+# hanging rel, typeof bnodes) all get fuzzed, not just the tokenizer.
+
+_rdfa_fragments = st.sampled_from([
+    '<div about="http://x/a" rel="dct:x">',
+    '<span property="dct:t" inlist="">v</span>',
+    '<span property="x:y" prefix="x: http://x#">v</span>',
+    '<span property=":" datatype=":::">v</span>',
+    '<a rel="dct:s" href="/r">r</a>', "</div>", "</span>",
+    '<div typeof="ex:T" rev="ex:m">', '<p property="dct:t">',
+    '<div prefix="broken">', '<div prefix="a: b: c:">',
+    '<span about="[safe]" property="p">v</span>',
+    '<meta content="c" property="dct:m"/>',
+    "<div inlist>", "&amp;", "&bogus;", "<!-- c -->", "<![CDATA[x]]>",
+])
+
+
+@given(parts=st.lists(
+    st.one_of(st.text(max_size=40), _rdfa_fragments), max_size=20))
+@settings(max_examples=200, deadline=None)
+def test_extract_rdfa_never_raises(parts):
+    from harvesting_extract_to_ttl_service_spark.operators.extract import (
+        extract_rdfa,
+    )
+
+    html = "".join(parts)
+    for strict in (False, True):
+        triples = extract_rdfa(html, "http://base/doc", strict_completion=strict)
+        for s, p, o, ot, dt, lang in triples:
+            assert s and p and ot in ("iri", "literal", "bnode")
+            assert o is not None
