@@ -120,6 +120,34 @@ _rdfa_fragments = st.sampled_from([
 ])
 
 
+_json_values = st.recursive(
+    st.one_of(st.none(), st.booleans(), st.integers(), st.text(max_size=20)),
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(st.text(max_size=8), children, max_size=4)),
+    max_leaves=10)
+
+
+@given(body=st.one_of(st.text(max_size=60), _json_values))
+@settings(max_examples=200, deadline=None)
+def test_ingest_delta_post_never_crashes(tmp_path_factory, body):
+    """The front door must answer every body with ingest-or-ValueError
+    (HTTP 400), never an unhandled exception (HTTP 500)."""
+    import json
+
+    from harvesting_extract_to_ttl_service_spark.streaming.delta_stream import (
+        ingest_delta_post,
+    )
+
+    d = str(tmp_path_factory.mktemp("delta"))
+    raw = body if isinstance(body, str) else json.dumps(body)
+    try:
+        out = ingest_delta_post(raw, d)
+    except (ValueError, json.JSONDecodeError):
+        return
+    assert out is None or out.endswith(".json")
+
+
 @given(parts=st.lists(
     st.one_of(st.text(max_size=40), _rdfa_fragments), max_size=20))
 @settings(max_examples=200, deadline=None)
