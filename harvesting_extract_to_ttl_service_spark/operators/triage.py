@@ -85,10 +85,13 @@ def _norm_datetime_sep(v: Column) -> Column:
     day-of-week text) and a trailing GMT/UTC zone name (the instants are
     already treated naive-UTC end to end)."""
     c = F.regexp_replace(F.trim(v), "/", "-")
+    # collapse whitespace runs: the format chain uses single literal
+    # spaces (java.time is strict about them; JS Date.parse is not)
+    c = F.regexp_replace(c, r"\s+", " ")
     # 'Sun,' / 'Sunday,' — month names at the start are never
     # comma-terminated in a JS-parseable date, so this only eats weekdays
     c = F.regexp_replace(c, r"^[A-Za-z]{3,9},\s*", "")
-    c = F.regexp_replace(c, r"\s+(GMT|UTC)$", "")
+    c = F.regexp_replace(c, r"\s(GMT|UTC)$", "")
     return F.regexp_replace(c, r"^(-?\d{4,}-\d{1,2}-\d{1,2})\s+", "$1T")
 
 

@@ -78,6 +78,8 @@ CASES = [
      XSD_DATETIME, None, "fixed", ("2023-10-07T09:05:03", XSD_DATETIME)),
     ("date-full-weekday", "Thursday, 7 December 2023", "literal", XSD_DATE,
      None, "fixed", ("2023-12-07", XSD_DATE)),
+    ("date-multi-space", "May  7   2023", "literal", XSD_DATE, None,
+     "fixed", ("2023-05-07", XSD_DATE)),
     ("datetime-month-name-no-sec", "May 7 2023 9:05", "literal", XSD_DATETIME,
      None, "fixed", ("2023-05-07T09:05:00", XSD_DATETIME)),
     ("integer-ok", "42", "literal", XSD_INTEGER, None, "valid", None),
