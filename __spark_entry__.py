@@ -7,9 +7,15 @@ value-hash → CORRECTNESS_r{N}.json).
 
 Implementations live in ``harvesting_extract_to_ttl_service_spark.plans.catalog_*``;
 this module just merges the catalogs (SURVEY.md §2 coverage):
-  catalog_core    — §2C joins/aggregates/windows/set-ops/scalar/time
-  catalog_triples — §2A codec+triage, §2B star/chain/upsert/semi/fan-out
-  catalog_llm     — §2C dedup / similarity / text analysis / multimodal
+  catalog_llm       — §2C dedup / similarity+ANN / text analysis / multimodal
+  catalog_extract   — §2A extraction + the composed import pipeline
+  catalog_streaming — §2A delta decode + §2C streaming windows/stateful
+  catalog_triples   — §2A codec+triage(+compat), §2B star/chain/upsert/semi
+  catalog_core      — §2C joins/aggregates/windows/set-ops/scalar/time
+
+The correctness harness verifies at most 50 entries (registration
+order), and the merged catalog is kept at EXACTLY 50 via tagged-union
+suites (plans/suites.py) — before adding an entry, fold something.
 """
 
 from __future__ import annotations
