@@ -180,8 +180,12 @@ def write_ttl(triples: DataFrame, out_dir: str,
               partition_cols: tuple[str, ...] = ("page_uri",)) -> None:
     """Write triple rows as N-Triples text partitioned by page/task
     (file-helpers.js:80-97's per-page .ttl files → one distributed
-    partitioned write)."""
+    partitioned write). DYNAMIC partition overwrite: only the partitions
+    present in this batch are replaced — a later service micro-batch
+    must not wipe earlier batches' trees, and a checkpoint replay of the
+    same batch rewrites exactly its own partitions (idempotent)."""
     nt = encode_ntriples(triples)
     (nt.select(*partition_cols, "nt")
        .write.partitionBy(*partition_cols).mode("overwrite")
+       .option("partitionOverwriteMode", "dynamic")
        .text(out_dir))

@@ -276,6 +276,40 @@ def test_file_metadata_roundtrip_resolves_page_bodies(spark, tmp_path):
     assert res["errors"].count() == 0
 
 
+def test_write_ttl_dynamic_overwrite_preserves_other_partitions(spark, tmp_path):
+    """Two sequential writes with different task partitions (the service's
+    batch-after-batch shape) must BOTH be on disk afterwards; a replay of
+    the same partition replaces only itself."""
+    from harvesting_extract_to_ttl_service_spark.schema import TRIPLE_SCHEMA
+    from harvesting_extract_to_ttl_service_spark.sources.files import write_ttl
+
+    out = str(tmp_path / "ttl")
+
+    def batch(task, title):
+        rows = [("http://ex/d", "http://p", title, "literal",
+                 None, None, None)]
+        df = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+        return df.withColumn("task_uri", F.lit(task))
+
+    write_ttl(batch("urn:task:1", "A"), out, ("task_uri",))
+    write_ttl(batch("urn:task:2", "B"), out, ("task_uri",))
+    dirs = {d for d in os.listdir(out) if d.startswith("task_uri=")}
+    assert len(dirs) == 2, dirs
+
+    # replay of task 1 with new content replaces ONLY its partition
+    write_ttl(batch("urn:task:1", "A2"), out, ("task_uri",))
+    dirs2 = {d for d in os.listdir(out) if d.startswith("task_uri=")}
+    assert dirs2 == dirs
+    [t1] = [d for d in dirs2 if "1" in d.split("=")[1]]
+    text = ""
+    for root, _d, files in os.walk(os.path.join(out, t1)):
+        for fn in files:
+            if not fn.startswith("."):
+                with open(os.path.join(root, fn)) as f:
+                    text += f.read()
+    assert '"A2"' in text and '"A"' not in text.replace('"A2"', "")
+
+
 def test_pipeline_no_matching_tasks(spark):
     control = _control(spark).filter(F.col("subject") != "urn:task:1")
     res = run_import_pipeline(control, _bodies(spark))
