@@ -60,7 +60,11 @@ from harvesting_extract_to_ttl_service_spark.schema import (
     TASK_ERROR,
     TASK_TYPE,
 )
-from harvesting_extract_to_ttl_service_spark.sources.files import write_ttl
+from harvesting_extract_to_ttl_service_spark.sources.files import (
+    spilled_file_metadata,
+    write_spilled_content,
+    write_ttl,
+)
 
 ADMS_STATUS = ADMS + "status"
 TASK_OPERATION = TASK + "operation"
@@ -224,8 +228,13 @@ def run_import_pipeline(control: DataFrame, page_bodies: DataFrame,
                     .withColumn("status", F.lit(STATUS_BUSY))
                     .withColumn("modified", F.lit(now_iso)))
 
+    # the reference's writeFileToTriplestore pairing: spilled content gets
+    # a share-layout write AND a metadata-registration triple block
+    spilled_metadata = spilled_file_metadata(spilled, now_iso, graph)
+
     if out_dir is not None:
         write_ttl(valid, f"{out_dir}/valid", keys)
+        write_spilled_content(spilled, f"{out_dir}/content")
         if write_debug_ttls:
             original = triaged.select(
                 *keys, "subject", "predicate", "object_value", "object_type",
@@ -241,6 +250,7 @@ def run_import_pipeline(control: DataFrame, page_bodies: DataFrame,
         "invalid": invalid,
         "corrected": corrected,
         "spilled": spilled,
+        "spilled_metadata": spilled_metadata,
         "errors": errors,
         "error_triples": error_triples,
         "busy_updates": busy_updates,

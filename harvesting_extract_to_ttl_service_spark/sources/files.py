@@ -176,6 +176,38 @@ def file_metadata_triples(files: DataFrame, graph: str | None = None) -> DataFra
     return out
 
 
+def write_spilled_content(spilled: DataFrame, out_dir: str) -> None:
+    """Write spilled oversized-content rows (``file_uri, content, …`` from
+    ``spill_html_content``) as one directory per content-addressed file
+    uri — the engine's share-mount layout for the reference's per-file
+    ``writeFile`` (file-helpers.js:96-101). Dynamic partition overwrite
+    for the same accumulate/replay semantics as the TTL sink."""
+    # content-addressed: the same content reached from several sources is
+    # one file — dedup before the write or the partition gets N copies
+    (spilled.select(F.col("file_uri"), F.col("content")).distinct()
+     .write.partitionBy("file_uri").mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .text(out_dir))
+
+
+def spilled_file_metadata(spilled: DataFrame, now_iso: str,
+                          graph: str | None = None) -> DataFrame:
+    """Metadata-registration block for spilled content files — the
+    INSERT half of ``writeFileToTriplestore`` (file-helpers.js:103-148)
+    as TRIPLE_SCHEMA rows via :func:`file_metadata_triples`. ``created``
+    is the caller's deterministic pipeline timestamp, never wall-clock."""
+    files = spilled.select(
+        "file_uri",
+        F.col("name").alias("filename"),
+        F.col("content_type").alias("format"),
+        F.octet_length(F.encode("content", "UTF-8")).cast("long").alias("size"),
+        "extension",
+        F.to_timestamp(F.lit(now_iso.replace("Z", ""))).alias("created"),
+        "source",
+    )
+    return file_metadata_triples(files, graph)
+
+
 def write_ttl(triples: DataFrame, out_dir: str,
               partition_cols: tuple[str, ...] = ("page_uri",)) -> None:
     """Write triple rows as N-Triples text partitioned by page/task

@@ -276,6 +276,49 @@ def test_file_metadata_roundtrip_resolves_page_bodies(spark, tmp_path):
     assert res["errors"].count() == 0
 
 
+def test_spilled_content_written_and_registered(spark, tmp_path):
+    """A page with oversized decision HTML must (a) write the content to
+    the share-layout tree under its content-addressed file uri and
+    (b) produce the writeFileToTriplestore metadata block
+    (file-helpers.js:103-148) with the pipeline's deterministic stamp."""
+    body = ('<div about="http://ex/d1">'
+            '<div property="prov:value" datatype="rdf:HTML">'
+            "<p>Full decision</p></div></div>")
+    bodies = spark.createDataFrame(
+        [("share://p1.html", "http://ex/page/1", body),
+         ("share://p2.html", "http://ex/page/2",
+          '<div about="http://ex/d2"><span property="dct:title">t</span></div>')],
+        "page_uri string, url string, html string")
+    out_dir = str(tmp_path / "out")
+    res = run_import_pipeline(_control(spark), bodies, out_dir=out_dir,
+                              graph=G, now_iso="2024-01-02T03:04:05Z")
+
+    [spill] = res["spilled"].collect()
+    assert "<p>Full decision</p>" in spill.content
+    # content landed under its file_uri partition
+    import urllib.parse
+    part = f"file_uri={urllib.parse.quote(spill.file_uri, safe='')}"
+    content_dir = os.path.join(out_dir, "content", part)
+    assert os.path.isdir(content_dir), os.listdir(f"{out_dir}/content")
+    text = ""
+    for fn in os.listdir(content_dir):
+        if not fn.startswith("."):
+            with open(os.path.join(content_dir, fn)) as f:
+                text += f.read()
+    assert "<p>Full decision</p>" in text
+
+    md = {(r.subject, r.predicate, r.object_value)
+          for r in res["spilled_metadata"].collect()}
+    NFO = "http://www.semanticdesktop.org/ontologies/2007/03/22/nfo#"
+    NIE = "http://www.semanticdesktop.org/ontologies/2007/01/19/nie#"
+    assert (spill.file_uri, NFO + "fileName", "content.html") in md
+    assert (spill.file_uri, "http://purl.org/dc/terms/created",
+            "2024-01-02T03:04:05Z") in md
+    phys = [o for s, p, o in md if p == NIE + "dataSource"]
+    assert phys == [spill.file_uri]
+    assert res["spilled_metadata"].count() == 8
+
+
 def test_write_ttl_dynamic_overwrite_preserves_other_partitions(spark, tmp_path):
     """Two sequential writes with different task partitions (the service's
     batch-after-batch shape) must BOTH be on disk afterwards; a replay of
