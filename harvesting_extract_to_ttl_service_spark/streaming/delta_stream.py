@@ -71,7 +71,14 @@ def ingest_delta_post(body: str, stream_dir: str) -> str | None:
     if os.path.exists(dst):
         return dst
     os.makedirs(stream_dir, exist_ok=True)
-    tmp = os.path.join(stream_dir, "." + name + ".tmp")
+    # per-writer temp name: two concurrent deliveries of the SAME body
+    # must not interleave writes into one shared temp file (the server is
+    # threaded); both then atomically replace with identical content
+    import threading
+
+    tmp = os.path.join(
+        stream_dir,
+        f".{name}.{os.getpid()}.{threading.get_ident()}.tmp")
     with open(tmp, "w") as f:
         f.write(payload)
     os.replace(tmp, dst)
