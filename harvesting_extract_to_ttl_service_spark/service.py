@@ -109,7 +109,13 @@ def run_service(
         if on_batch is not None:
             on_batch(res, batch_id)
 
-    handle.query = run_import_stream(
-        spark, stream_dir, process, checkpoint,
-        trigger_available_now=trigger_available_now)
+    try:
+        handle.query = run_import_stream(
+            spark, stream_dir, process, checkpoint,
+            trigger_available_now=trigger_available_now)
+    except Exception:
+        # don't leak a listening server when the stream fails to start
+        server.shutdown()
+        server.server_close()
+        raise
     return handle
