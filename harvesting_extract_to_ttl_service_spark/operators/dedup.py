@@ -117,6 +117,55 @@ def minhash_signature(text: Column, num_hashes: int = 32, shingle_n: int = 3) ->
     return F.aggregate(base, init, step)
 
 
+def connected_components(pairs: DataFrame, ids: DataFrame,
+                         id_a: str = "id_a", id_b: str = "id_b",
+                         id_col: str = "id",
+                         max_iter: int = 20) -> DataFrame:
+    """Connected components over a candidate-pair graph → ``(id,
+    component)`` with component = the minimum member id — the step that
+    turns near-dup PAIRS into duplicate GROUPS with a canonical
+    representative (keep-one dedup).
+
+    Hash-to-min label propagation: every node repeatedly adopts the
+    minimum label among itself and its neighbours; converges in
+    O(component diameter) rounds, and near-dup clusters at corpus scale
+    are shallow (boilerplate stars, not long chains). Each round is one
+    equi-join + map-side-combinable MIN — no collect of the graph; the
+    driver only counts changed labels for the convergence check.
+    ``localCheckpoint`` cuts the per-round lineage so the plan stays flat
+    instead of growing exponentially with iterations."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    )
+    labels = ids.select(F.col(id_col).alias("id"),
+                        F.col(id_col).alias("component"))
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src").agg(F.min("component").alias("neigh_min"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.id == neigh.src, "left")
+            .select(
+                "id",
+                F.least(F.col("component"),
+                        F.coalesce("neigh_min", F.col("component")))
+                .alias("component"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def exact_duplicates(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Exact dedup via content fingerprint: one row per duplicate group

@@ -116,7 +116,7 @@ def doc_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(rolling_hashes(F.col("text"))).alias("pos", "hash"))
 
 
-@q("dedup_exact_docs", f"""
+@member_sql(f"""
 SELECT substr(md5({_NORM_TEXT}), 1, 16) AS fp,
        min(doc_id) AS canonical_id,
        count(*)    AS group_size
@@ -131,7 +131,7 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NGRAM_DF_CAP = 8  # quadratic-pair guard: drop shingles in > cap docs
 
 
-@q("dedup_ngram_jaccard", f"""
+@member_sql(f"""
 WITH w AS (
   SELECT doc_id, {_WORDS} AS w FROM documents WHERE doc_id % 2 = 0
 ), g0 AS (
@@ -227,6 +227,63 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_similarity(docs, threshold=0.3)
     return pairs.select("id_a", "id_b",
                         F.round("est_jaccard", 4).alias("est_jaccard"))
+
+
+def _dedup_clusters_oracle() -> str:
+    """Recursive-CTE restatement of connected components over the LSH
+    candidate pairs: reach(s, t) closes the symmetric edge relation, the
+    component is min(t) — exactly hash-to-min's fixpoint."""
+    return f"""
+WITH RECURSIVE pairs AS (
+{_minhash_lsh_oracle()}
+), edges AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(s, t) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+)
+SELECT s AS doc_id, CAST(min(t) AS BIGINT) AS cluster
+FROM reach GROUP BY s
+"""
+
+
+@member_sql(_dedup_clusters_oracle())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs → duplicate GROUPS: hash-to-min connected
+    components over the MinHash-LSH pair graph; every document gets its
+    component's minimum doc_id as the canonical representative
+    (singletons map to themselves). The keep-one step a production dedup
+    needs after any pair generator."""
+    from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+        connected_components,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_similarity(docs, threshold=0.3)
+    comp = connected_components(
+        pairs.select("id_a", "id_b"),
+        docs.select(F.col("doc_id").alias("id")))
+    return comp.select(F.col("id").alias("doc_id"),
+                       F.col("component").alias("cluster"))
+
+
+_DEDUP_MEMBERS = [
+    ("exact", dedup_exact_docs, ["fp", "canonical_id", "group_size"], []),
+    ("ngram", dedup_ngram_jaccard, ["id_a", "id_b"], ["jaccard"]),
+    ("clusters", dedup_clusters, ["doc_id", "cluster"], []),
+]
+
+
+@q("dedup_suite", suite_sql(_DEDUP_MEMBERS))
+def dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup suite (tagged union, keeps the 50-entry window): exact
+    fingerprint groups, capped n-gram Jaccard pairs, and pair-graph →
+    duplicate-group clustering via hash-to-min connected components
+    (recursive-CTE oracle)."""
+    return suite_df(spark, sf_dir, _DEDUP_MEMBERS)
 
 
 @q("simhash_pairs", f"""
