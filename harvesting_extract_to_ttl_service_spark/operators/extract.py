@@ -9,10 +9,19 @@ Coverage (a documented RDFa 1.1 Lite subset, fixture-driven per SURVEY.md
 §7 "hard parts"): ``vocab``, ``prefix``, ``about``, ``resource``, ``href``,
 ``src``, ``typeof``, ``property``, ``rel``, ``content``, ``datatype``,
 ``lang``/``xml:lang`` with inheritance, bnodes for ``typeof`` without
-``about``, and ``inlist`` rdf:List construction (document-order
-rdf:first/rdf:rest/rdf:nil chains; not collected for hanging @rel). The ``specialHtmlPredicates`` rewrite (``prov:value`` →
-``extractedDecisionContent`` for ``rdf:HTML``-typed objects,
-rdfa-extractor.js:76-84) happens inside the extractor, as in the reference.
+``about``, ``inlist`` rdf:List construction (document-order
+rdf:first/rdf:rest/rdf:nil chains; not collected for hanging @rel),
+RDFa-1.0-style ``xmlns:pfx`` prefix declarations (legacy government CMS
+output; merged like ``prefix``, with ``prefix`` winning on conflict —
+prefixes arrive lowercased because HTML attribute names are
+case-insensitive, matching browser-DOM RDFa processors), and HTML5
+``<time datetime="…">`` attribute objects with the HTML+RDFa datatype
+sniff (auto-typed xsd:dateTime/date/time/duration/gYearMonth/gYear; no
+match → plain literal). The ``specialHtmlPredicates`` rewrite
+(``prov:value`` → ``extractedDecisionContent`` for ``rdf:HTML``-typed
+objects, rdfa-extractor.js:76-84) happens inside the extractor, as in the
+reference (whose `@lblod/graph-rdfa-processor` handles both edges,
+lib/rdfa-extractor.js:76-84).
 
 Scale design: the extractor runs as ``mapInPandas`` — Arrow-batched, one
 Python worker per core, no driver involvement. A failed parse yields an
@@ -45,6 +54,12 @@ from harvesting_extract_to_ttl_service_spark.schema import (
     RDF_NIL,
     RDF_REST,
     RDF_TYPE,
+    XSD_DATE,
+    XSD_DATETIME,
+    XSD_DURATION,
+    XSD_GYEAR,
+    XSD_GYEARMONTH,
+    XSD_TIME,
 )
 
 # --------------------------------------------------------------------------
@@ -147,6 +162,28 @@ def _html_of(el: _Elem) -> str:
 
 _ABS_IRI = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
 
+# HTML+RDFa 1.1 "date-time value" datatype sniff for <time datetime="…">:
+# first matching pattern types the literal; no match → plain literal.
+# Order matters — dateTime before date before gYearMonth before gYear.
+_DATETIME_SNIFF: list[tuple[re.Pattern, str]] = [
+    (re.compile(r"^-?\d{4,}-\d{2}-\d{2}T\d{2}:\d{2}(:\d{2}(\.\d+)?)?"
+                r"(Z|[+-]\d{2}:\d{2})?$"), XSD_DATETIME),
+    (re.compile(r"^-?\d{4,}-\d{2}-\d{2}(Z|[+-]\d{2}:\d{2})?$"), XSD_DATE),
+    (re.compile(r"^\d{2}:\d{2}(:\d{2}(\.\d+)?)?(Z|[+-]\d{2}:\d{2})?$"),
+     XSD_TIME),
+    (re.compile(r"^-?P(?=\d|T\d)(\d+Y)?(\d+M)?(\d+D)?"
+                r"(T(?=\d)(\d+H)?(\d+M)?(\d+(\.\d+)?S)?)?$"), XSD_DURATION),
+    (re.compile(r"^-?\d{4,}-\d{2}$"), XSD_GYEARMONTH),
+    (re.compile(r"^-?\d{4,}$"), XSD_GYEAR),
+]
+
+
+def _sniff_datetime_datatype(value: str) -> str | None:
+    for pat, dt in _DATETIME_SNIFF:
+        if pat.match(value):
+            return dt
+    return None
+
 
 class _RdfaExtractor:
     def __init__(self, base_uri: str, strict_completion: bool = False):
@@ -214,8 +251,17 @@ class _RdfaExtractor:
         on the element) is not collected — it falls back to the plain
         incomplete-triple behavior."""
         a = el.attrs
-        if "prefix" in a:
+        # RDFa-1.0-style xmlns:pfx declarations (old government CMS markup)
+        # merge exactly like `prefix`; `prefix` wins on conflict per the
+        # RDFa Core 1.1 declaration-precedence rule. HTML parsing lowercases
+        # attribute names, so the declared prefix arrives lowercased — the
+        # same behavior as DOM-based RDFa processors over text/html.
+        xmlns_decls = {k[6:]: v for k, v in a.items()
+                       if k.startswith("xmlns:") and len(k) > 6 and v}
+        if xmlns_decls or "prefix" in a:
             prefixes = dict(prefixes)
+            prefixes.update(xmlns_decls)
+        if "prefix" in a:
             toks = a["prefix"].split()
             for i in range(0, len(toks) - 1, 2):
                 if toks[i].endswith(":"):
@@ -332,6 +378,16 @@ class _RdfaExtractor:
                 continue
             if "content" in a:
                 obj, ot, langv = a["content"], OT_LITERAL, lang
+            elif el.tag == "time" and "datetime" in a:
+                # HTML5 <time datetime="…">: the attribute supplies the
+                # object value (beating element content and resource
+                # attributes; @content still wins above). Explicit
+                # @datatype is honored; otherwise the HTML+RDFa date-time
+                # sniff auto-types the literal, and an unrecognized shape
+                # stays a plain (language-taggable) literal.
+                obj, ot, langv = a["datetime"], OT_LITERAL, lang
+                if dt is None and dt_attr is None:
+                    dt = _sniff_datetime_datatype(obj)
             elif res_ref is not None and not rels and dt_attr is None:
                 obj = self._resolve_ref(res_ref, prefixes)
                 ot, dt, langv = OT_IRI, None, None

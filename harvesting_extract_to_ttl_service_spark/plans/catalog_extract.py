@@ -325,3 +325,111 @@ def rdfa_inlist_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return extract_pages(pages).select(
         "page_uri", "subject", "predicate", "object_value", "object_type")
+
+
+# RDFa-1.0 xmlns: prefix declarations (legacy government CMS markup): the
+# declared prefix must resolve CURIEs exactly like @prefix, and @prefix
+# must win for a prefix both declare.
+_XMLNS_ORACLE = f"""
+WITH docs AS (
+    SELECT doc_id,
+           array_to_string((string_split(text, ' '))[1:2], ' ') AS title,
+           'share://doc' || doc_id AS page_uri,
+           'urn:doc:' || doc_id    AS subj
+    FROM documents WHERE doc_id < {_N_DOCS}
+)
+SELECT page_uri, subj AS subject,
+       'http://purl.org/dc/elements/1.1/title' AS predicate,
+       title AS object_value, 'literal' AS object_type FROM docs
+UNION ALL
+SELECT page_uri, subj, 'http://xmlns.com/foaf/0.1/name',
+       'author ' || doc_id, 'literal' FROM docs
+"""
+
+
+@member_sql(_XMLNS_ORACLE)
+def rdfa_xmlns_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFa-1.0-style ``xmlns:pfx`` declarations over synthesized pages:
+    ``xmlns:dc11`` resolves the title CURIE, and a nested ``prefix``
+    re-declaration of ``foaf`` overrides the ancestor's (deliberately
+    wrong) ``xmlns:foaf`` — both the merge and the precedence rule are
+    oracle-restated (operators/extract.py xmlns handling; the reference's
+    extractor lib/rdfa-extractor.js:76-84 inherits the same behavior from
+    its DOM RDFa processor)."""
+    from harvesting_extract_to_ttl_service_spark.operators.extract import (
+        extract_pages,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_DOCS)
+    title = F.concat_ws(" ", F.slice(F.split("text", " "), 1, 2))
+    html = F.format_string(
+        '<div xmlns:dc11="http://purl.org/dc/elements/1.1/"'
+        ' xmlns:foaf="http://xmlns.com/foaf/0.1/WRONG-" about="urn:doc:%s">'
+        '<span property="dc11:title">%s</span>'
+        '<div prefix="foaf: http://xmlns.com/foaf/0.1/">'
+        '<span property="foaf:name">author %s</span></div></div>',
+        F.col("doc_id").cast("string"), title,
+        F.col("doc_id").cast("string"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("share://doc"), "doc_id").alias("page_uri"),
+        F.concat(F.lit("http://ex/page/"), "doc_id").alias("url"),
+        html.alias("html"),
+    )
+    return extract_pages(pages).select(
+        "page_uri", "subject", "predicate", "object_value", "object_type")
+
+
+# HTML5 <time datetime="…"> attribute objects with the HTML+RDFa datatype
+# sniff: per doc one xsd:date, one xsd:dateTime, and one xsd:gYear literal.
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+_TIME_ORACLE = f"""
+WITH docs AS (
+    SELECT doc_id,
+           '2024-03-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+             AS day,
+           CAST(2000 + doc_id % 30 AS VARCHAR) AS yr,
+           'share://doc' || doc_id AS page_uri,
+           'urn:doc:' || doc_id    AS subj
+    FROM documents WHERE doc_id < {_N_DOCS}
+)
+SELECT page_uri, subj AS subject,
+       'http://purl.org/dc/terms/issued' AS predicate,
+       day AS object_value, '{_XSD}date' AS datatype FROM docs
+UNION ALL
+SELECT page_uri, subj, 'http://purl.org/dc/terms/modified',
+       day || 'T09:05:03', '{_XSD}dateTime' FROM docs
+UNION ALL
+SELECT page_uri, subj, 'http://purl.org/dc/terms/temporal',
+       yr, '{_XSD}gYear' FROM docs
+"""
+
+
+@member_sql(_TIME_ORACLE)
+def rdfa_time_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML5 ``<time datetime="…">`` objects over synthesized pages: the
+    attribute supplies the literal and the HTML+RDFa sniff auto-types it
+    (date / dateTime / gYear exercised per document); the oracle restates
+    values AND sniffed datatypes (operators/extract.py _DATETIME_SNIFF)."""
+    from harvesting_extract_to_ttl_service_spark.operators.extract import (
+        extract_pages,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_DOCS)
+    day = F.concat(F.lit("2024-03-"),
+                   F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"))
+    html = F.format_string(
+        '<div about="urn:doc:%s">'
+        '<time property="dct:issued" datetime="%s">session day</time>'
+        '<time property="dct:modified" datetime="%sT09:05:03">at</time>'
+        '<time property="dct:temporal" datetime="%s">year</time></div>',
+        F.col("doc_id").cast("string"), day, day,
+        (F.col("doc_id") % 30 + 2000).cast("string"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("share://doc"), "doc_id").alias("page_uri"),
+        F.concat(F.lit("http://ex/page/"), "doc_id").alias("url"),
+        html.alias("html"),
+    )
+    return extract_pages(pages).select(
+        "page_uri", "subject", "predicate", "object_value", "datatype")

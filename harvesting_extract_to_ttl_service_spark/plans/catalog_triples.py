@@ -312,6 +312,8 @@ def triage_compat_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _fidelity_members():
     from harvesting_extract_to_ttl_service_spark.plans.catalog_extract import (
         rdfa_inlist_docs,
+        rdfa_time_docs,
+        rdfa_xmlns_docs,
     )
 
     return [
@@ -320,6 +322,12 @@ def _fidelity_members():
          []),
         ("compat", triage_compat_dates,
          ["subject", "verdict", "fixed_object_value", "fixed_datatype"], []),
+        ("xmlns", rdfa_xmlns_docs,
+         ["page_uri", "subject", "predicate", "object_value", "object_type"],
+         []),
+        ("time", rdfa_time_docs,
+         ["page_uri", "subject", "predicate", "object_value", "datatype"],
+         []),
     ]
 
 

@@ -34,6 +34,10 @@ XSD_DATE = XSD + "date"
 XSD_DATETIME = XSD + "dateTime"
 XSD_INTEGER = XSD + "integer"
 XSD_INT = XSD + "int"
+XSD_TIME = XSD + "time"
+XSD_DURATION = XSD + "duration"
+XSD_GYEAR = XSD + "gYear"
+XSD_GYEARMONTH = XSD + "gYearMonth"
 RDF_LANGSTRING = RDF + "langString"
 RDF_HTML = RDF + "HTML"
 RDF_XMLLITERAL = RDF + "XMLLiteral"

@@ -337,3 +337,65 @@ def test_hanging_rev_onto_bnode_subject_is_bnode_object():
     assert len(member) == 1
     s, o, ot = member[0]
     assert s == "http://ex/alice" and o.startswith("_:") and ot == "bnode"
+
+
+def test_extract_xmlns_prefix_declarations():
+    """RDFa-1.0-style xmlns:pfx declarations (old CMS output) merge into
+    the prefix map like @prefix, inherit into the subtree, and @prefix
+    wins when both declare the same prefix."""
+    body = """
+    <div xmlns:dc11="http://purl.org/dc/elements/1.1/"
+         xmlns:foaf="http://xmlns.com/foaf/0.1/x-"
+         about="http://ex/doc">
+      <span property="dc11:title">Old CMS Title</span>
+      <div prefix="foaf: http://xmlns.com/foaf/0.1/">
+        <span property="foaf:name">Alice</span>
+      </div>
+    </div>"""
+    triples = extract_rdfa(body, BASE)
+    tset = {(s, p, o) for s, p, o, *_ in triples}
+    # xmlns: declaration resolves the CURIE and inherits down
+    assert ("http://ex/doc", "http://purl.org/dc/elements/1.1/title",
+            "Old CMS Title") in tset
+    # @prefix beats the ancestor xmlns: for the same prefix
+    assert ("http://ex/doc", "http://xmlns.com/foaf/0.1/name",
+            "Alice") in tset
+
+
+def test_extract_time_datetime_objects():
+    """<time datetime="…"> supplies the object value with the HTML+RDFa
+    datatype sniff; @content beats @datetime; explicit @datatype beats
+    the sniff; non-time elements ignore a datetime attribute."""
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    body = """
+    <div about="http://ex/session" prefix="ex: http://ex/ns#">
+      <time property="ex:day" datetime="2023-05-07">May the 7th</time>
+      <time property="ex:at" datetime="2023-05-07T09:05:03">then</time>
+      <time property="ex:tod" datetime="09:05:03">morning</time>
+      <time property="ex:dur" datetime="PT2H30M">long</time>
+      <time property="ex:ym" datetime="2023-05">that month</time>
+      <time property="ex:year" datetime="2023">that year</time>
+      <time property="ex:free" datetime="someday" lang="en">free</time>
+      <time property="ex:explicit" datetime="2023"
+            datatype="xsd:string">typed</time>
+      <time property="ex:content" datetime="2023-05-07"
+            content="override">x</time>
+      <span property="ex:span" datetime="2023-05-07">not a time el</span>
+    </div>"""
+    triples = extract_rdfa(body, BASE)
+    by_p = {p: (o, dt, lang) for s, p, o, ot, dt, lang in triples}
+    E = "http://ex/ns#"
+    assert by_p[E + "day"] == ("2023-05-07", XSD + "date", None)
+    assert by_p[E + "at"] == ("2023-05-07T09:05:03", XSD + "dateTime", None)
+    assert by_p[E + "tod"] == ("09:05:03", XSD + "time", None)
+    assert by_p[E + "dur"] == ("PT2H30M", XSD + "duration", None)
+    assert by_p[E + "ym"] == ("2023-05", XSD + "gYearMonth", None)
+    assert by_p[E + "year"] == ("2023", XSD + "gYear", None)
+    # unrecognized shape → plain literal, language still applies
+    assert by_p[E + "free"] == ("someday", RDF_LANGSTRING, "en")
+    # explicit @datatype beats the sniff
+    assert by_p[E + "explicit"] == ("2023", XSD + "string", None)
+    # @content beats @datetime
+    assert by_p[E + "content"] == ("override", None, None)
+    # datetime on a non-time element is ignored → text content
+    assert by_p[E + "span"] == ("not a time el", None, None)
