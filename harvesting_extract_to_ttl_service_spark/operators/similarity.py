@@ -52,8 +52,13 @@ def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
 
 def cosine_self_join_topk(df: DataFrame, k: int = 5, vec_col: str = "embedding",
                           id_col: str = "vec_id") -> DataFrame:
-    """All-pairs exact top-k neighbours per vector (small/medium corpora;
-    the LSH/IVF variants below are the at-scale answer)."""
+    """All-pairs exact top-k neighbours per vector — DELIBERATELY O(n²):
+    a cross join (theta-join on id inequality) over the full corpus. Use
+    only for small/medium corpora (exact evaluation, recall baselines);
+    at scale the pair space explodes and :func:`lsh_blocked_pairs` (sign-
+    LSH bucketed equi-join) or :func:`ivf_topk` is the answer. Catalogued
+    as the ``self_topk`` member of ``ann_suite`` over a bounded slice,
+    with a window-function oracle restating the per-vector ranking."""
     from pyspark.sql import Window
 
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))

@@ -760,11 +760,50 @@ def ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                     k=10, n_probe=2)
 
 
+_SELF_TOPK_N = 40  # bounded slice: the member exists to verify the exact
+_SELF_TOPK_SQL = f"""
+WITH v AS (
+  SELECT vec_id, embedding,
+         sqrt(list_reduce(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+           AS vnorm
+  FROM embeddings WHERE vec_id < {_SELF_TOPK_N}
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({_zip_dot_sql('a.embedding', 'b.embedding')}
+               / (a.vnorm * b.vnorm), 6) AS cos_sim
+  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM (
+  SELECT id_a, id_b, cos_sim,
+         row_number() OVER (PARTITION BY id_a
+                            ORDER BY cos_sim DESC, id_b) AS rn
+  FROM pairs) WHERE rn <= 3
+"""
+
+
+@member_sql(_SELF_TOPK_SQL)
+def cosine_self_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs per-vector top-k (`cosine_self_join_topk`) over a
+    bounded 40-vector slice — the small-corpus exact baseline the bucketed
+    members approximate; the oracle restates the full pairwise ranking
+    with a window function. The operator is O(n²) by design and documented
+    as such; `lsh_blocked_pairs` is the scale path."""
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        cosine_self_join_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _SELF_TOPK_N)
+    return cosine_self_join_topk(emb, k=3)
+
+
 _ANN_MEMBERS = [
     ("lsh_topk", lsh_ann_topk_q, ["vec_id"], ["cos_sim"]),
     ("lsh_multiprobe", lsh_ann_multiprobe_q, ["vec_id"], ["cos_sim"]),
     ("ivf_assign", ivf_cell_assignment, ["vec_id", "ivf_cell"], []),
     ("ivf_topk", ivf_topk_search, ["vec_id"], ["cos_sim"]),
+    ("self_topk", cosine_self_topk_q, ["id_a", "id_b"], ["cos_sim"]),
 ]
 
 
@@ -772,9 +811,10 @@ _ANN_MEMBERS = [
 def ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale-path suite (tagged union, keeps the driver's 50-entry
     verification window): sign-LSH single- and multi-probe top-k, IVF
-    cell assignment, and IVF probe search — each member keeps its own
-    plan and full oracle restatement (bucket functions, Hamming-ball
-    probe, centroid ranking, final scores)."""
+    cell assignment, IVF probe search, and the exact all-pairs small-n
+    baseline (self_topk) — each member keeps its own plan and full oracle
+    restatement (bucket functions, Hamming-ball probe, centroid ranking,
+    window-ranked exact pairs, final scores)."""
     return suite_df(spark, sf_dir, _ANN_MEMBERS)
 
 
