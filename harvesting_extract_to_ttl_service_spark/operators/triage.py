@@ -10,9 +10,21 @@ Divergence (deliberate, documented per SURVEY.md §1.2 "quirks"): the
 reference repairs dates/dateTimes through JS ``new Date`` and re-emits
 non-zero-padded local-time components (e.g. ``2023-5-7T9:5:3``). We
 normalize to canonical zero-padded UTC forms instead (the survey's
-recommended default). Everything else — including the ``Number()`` quirk
-that lets floats pass xsd:integer validation and the first-occurrence-only
-``https``→``http`` substitution in WKT CRS repair — is replicated.
+recommended default). ``compat=True`` reproduces the non-padded *format*
+bug-for-bug, with one remaining timezone divergence: JS ``Date`` getters
+re-emit components in the process's LOCAL zone, so a reference deployed
+in e.g. Europe/Brussels shifts every zone-carrying input (the
+``… GMT``/``… UTC`` RFC-2822 forms — the only zone-carrying shapes that
+survive the repair parse) by the local offset, while zone-less inputs
+pass through unshifted (JS parses those as local time and re-emits local
+→ identity). Default behavior here renders all instants naive-UTC —
+byte-parity with a UTC-running reference (``TZ=UTC``, what the goldens
+pin); ``compat_tz='Europe/Brussels'`` reproduces a reference deployed in
+that zone by shifting exactly the zone-carrying inputs
+(fixTriple.js:152-156,201-208). Everything else — including the
+``Number()`` quirk that lets floats pass xsd:integer validation and the
+first-occurrence-only ``https``→``http`` substitution in WKT CRS repair
+— is replicated.
 
 Triage invariants (pipeline-import.js:229-239):
   valid     = passed-first-pass ∪ repaired   (repaired in fixed form)
@@ -204,27 +216,49 @@ def _try_fmts(n: Column, numeric_fmts: list[str],
     return F.when(n.rlike(_HAS_MONTH_NAME), texty).otherwise(numeric)
 
 
-def _fix_date(v: Column, compat: bool = False) -> Column:
+def _apply_compat_tz(v: Column, ts: Column, compat_tz: str | None) -> Column:
+    """JS-local re-emission twin (module-docstring divergence note): when
+    ``compat_tz`` names the reference deployment's zone, inputs that
+    carried an explicit zone marker — the ``… GMT``/``… UTC`` suffix
+    forms, the only zone-carrying shapes the repair parse accepts — are
+    instants in UTC and shift into that zone before re-emission, exactly
+    as JS ``Date`` getters would. Zone-less inputs are parsed local and
+    re-emitted local by JS (component identity), so they never shift."""
+    if compat_tz is None:
+        return ts
+    had_zone = F.trim(v).rlike(r"\s(GMT|UTC)$")
+    return F.when(had_zone, F.from_utc_timestamp(ts, compat_tz)).otherwise(ts)
+
+
+def _fix_date(v: Column, compat: bool = False,
+              compat_tz: str | None = None) -> Column:
     """``compat=True`` reproduces the reference's JS-Date re-emission
     bug-for-bug (fixTriple.js:152-156): month zero-padded, day NOT —
     ``2023-05-7``. Default mode emits the canonical zero-padded form
-    (the documented divergence in the module docstring)."""
+    (the documented divergence in the module docstring). ``compat_tz``
+    additionally shifts zone-carrying inputs into the reference
+    deployment's local zone (see :func:`_apply_compat_tz`)."""
     n = _norm_datetime_sep(v)
     ts = _try_fmts(n, _DATE_FIX_FMTS, _DATE_FIX_TEXT_FMTS)
+    ts = _apply_compat_tz(v, ts, compat_tz)
     return F.date_format(ts, "yyyy-MM-d" if compat else "yyyy-MM-dd")
 
 
-def _fix_datetime(v: Column, compat: bool = False) -> Column:
+def _fix_datetime(v: Column, compat: bool = False,
+                  compat_tz: str | None = None) -> Column:
     """``compat=True``: month padded, day/hour/minute/second NOT
-    (fixTriple.js:201-208) — ``2023-05-7T9:5:3``."""
+    (fixTriple.js:201-208) — ``2023-05-7T9:5:3``. ``compat_tz``: see
+    :func:`_apply_compat_tz`."""
     n = _norm_datetime_sep(v)
     ts = _try_fmts(n, _DATETIME_FIX_FMTS, _DATETIME_FIX_TEXT_FMTS)
+    ts = _apply_compat_tz(v, ts, compat_tz)
     return F.date_format(
         ts, "yyyy-MM-d'T'H:m:s" if compat else "yyyy-MM-dd'T'HH:mm:ss")
 
 
 def fix_object(object_type: Column, object_value: Column, datatype: Column,
-               language: Column, compat: bool = False) -> Column:
+               language: Column, compat: bool = False,
+               compat_tz: str | None = None) -> Column:
     """fixTerm for an invalid object (fixTriple.js:60-96). Returns a single
     struct column ``(value, datatype)``; value null ⇔ unrepairable
     (repaired literals never carry a language tag — fixLiteral recasts
@@ -254,9 +288,10 @@ def fix_object(object_type: Column, object_value: Column, datatype: Column,
                   F.lit(XSD_BOOLEAN)))
         # fixDate / fixDateTime: reparse + re-emit (canonical by default,
         # the reference's non-padded JS-Date form with compat=True)
-        .when(datatype == XSD_DATE, fix(_fix_date(v, compat), F.lit(XSD_DATE)))
+        .when(datatype == XSD_DATE,
+              fix(_fix_date(v, compat, compat_tz), F.lit(XSD_DATE)))
         .when(datatype == XSD_DATETIME,
-              fix(_fix_datetime(v, compat), F.lit(XSD_DATETIME)))
+              fix(_fix_datetime(v, compat, compat_tz), F.lit(XSD_DATETIME)))
         # fixInteger: xsd:int → xsd:integer when numeric (fixTriple.js:86-89)
         .when(datatype == XSD_INT,
               fix(F.when(_is_numeric_js(v), v), F.lit(XSD_INTEGER)))
@@ -269,7 +304,8 @@ def fix_object(object_type: Column, object_value: Column, datatype: Column,
     )
 
 
-def triage(df: DataFrame, compat: bool = False) -> DataFrame:
+def triage(df: DataFrame, compat: bool = False,
+           compat_tz: str | None = None) -> DataFrame:
     """Annotate a TRIPLE_SCHEMA DataFrame with triage columns
     (correctAndRepairTriples, pipeline-import.js:220-241):
 
@@ -280,7 +316,10 @@ def triage(df: DataFrame, compat: bool = False) -> DataFrame:
 
     ``compat=True`` re-emits repaired dates/dateTimes in the reference's
     non-padded JS-Date form (``2023-05-7T9:5:3``) instead of the default
-    canonical form — see the module-docstring divergence note.
+    canonical form; ``compat_tz`` (e.g. ``'Europe/Brussels'``) further
+    shifts zone-carrying inputs into the reference deployment's local
+    zone, reproducing a non-UTC reference — see the module-docstring
+    divergence note.
 
     One projection — Catalyst folds the whole thing into a single
     whole-stage-codegen stage over the scan. Over a parquet-backed triple
@@ -295,7 +334,8 @@ def triage(df: DataFrame, compat: bool = False) -> DataFrame:
     df = df.withColumn("is_valid", valid)
 
     fixed = fix_object(F.col("object_type"), F.col("object_value"),
-                       F.col("datatype"), F.col("language"), compat)
+                       F.col("datatype"), F.col("language"), compat,
+                       compat_tz)
     # a triple with a bnode subject is unrepairable (fixTriple.js:25-27)
     fixable = ~F.col("subject").startswith("_:")
     if parse_ok is not None:

@@ -153,6 +153,7 @@ def run_import_pipeline(control: DataFrame, page_bodies: DataFrame,
                         now_iso: str = "1970-01-01T00:00:00Z",
                         fail_on_page_error: bool = False,
                         compat: bool = False,
+                        compat_tz: str | None = None,
                         task_filter: DataFrame | None = None,
                         ) -> dict[str, DataFrame]:
     """The whole §3.1 flow. ``control`` is the task/job triple set;
@@ -166,7 +167,9 @@ def run_import_pipeline(control: DataFrame, page_bodies: DataFrame,
     date/dateTime literals re-emit in the reference's non-padded JS-Date
     form (``2023-05-7T9:5:3``, fixTriple.js:152-156,201-208) instead of
     the canonical zero-padded default, giving byte-identical TTL output
-    parity with the reference service.
+    parity with the reference service. ``compat_tz`` names the reference
+    deployment's zone for zone-carrying repairs (naive-UTC when None —
+    parity with a TZ=UTC reference; see operators/triage.py).
 
     ``task_filter`` (a one-column ``task_uri`` DataFrame) restricts the
     run to those tasks — the streaming front door passes each
@@ -195,7 +198,8 @@ def run_import_pipeline(control: DataFrame, page_bodies: DataFrame,
 
     errors = (extracted.filter(F.col("error").isNotNull())
               .select("task_uri", "page_uri", "error"))
-    triaged = triage(extracted.filter(F.col("error").isNull()), compat=compat)
+    triaged = triage(extracted.filter(F.col("error").isNull()),
+                     compat=compat, compat_tz=compat_tz)
 
     # valid/invalid/corrected keep the (task, page) keys for partitioning
     keys = ("task_uri", "page_uri")

@@ -74,6 +74,7 @@ def run_service(
     now_iso: str = "1970-01-01T00:00:00Z",
     port: int = 0,
     compat: bool = False,
+    compat_tz: str | None = None,
     write_debug_ttls: bool = False,
     fail_on_page_error: bool = False,
     trigger_available_now: bool = True,
@@ -104,7 +105,7 @@ def run_service(
             control, page_bodies, out_dir=out_dir, graph=graph,
             write_debug_ttls=write_debug_ttls, now_iso=now_iso,
             fail_on_page_error=fail_on_page_error, compat=compat,
-            task_filter=task_uris)
+            compat_tz=compat_tz, task_filter=task_uris)
         handle.batch_results.append(res)
         if on_batch is not None:
             on_batch(res, batch_id)

@@ -215,3 +215,46 @@ def test_js_whitespace_padded_numerics(spark):
     assert out["http://s/2"] == "valid"
     assert out["http://s/3"] == "valid"    # NBSP-padded
     assert out["http://s/4"] == "dropped"  # interior whitespace is not
+
+
+def test_compat_tz_shifts_only_zone_carrying_inputs(spark):
+    """compat_tz pins the JS-local divergence (fixTriple.js:152-156,
+    201-208): a reference deployed in a non-UTC zone re-emits repaired
+    instants through local Date getters, shifting exactly the inputs
+    that carried an explicit zone marker (the GMT/UTC suffix forms — the
+    only zone-carrying shapes the repair parse accepts). Zone-less
+    inputs parse local and re-emit local in JS → component identity,
+    never shifted."""
+    rows = [
+        # 23:30 UTC → 01:30 next day in Europe/Brussels (CEST, +2 in May)
+        ("dt-gmt", "Sun, 07 May 2023 23:30:00 GMT", XSD_DATETIME),
+        # zone-less: must be identical with and without compat_tz
+        ("dt-naive", "2023/05/07 23:30:00", XSD_DATETIME),
+        # date with a zone marker: midnight UTC is the previous evening
+        # in America/New_York → the DAY shifts
+        ("d-gmt", "Sun, 07 May 2023 GMT", XSD_DATE),
+    ]
+    df = spark.createDataFrame(
+        [(f"http://s/{k}", P, v, "literal", dt, None, None)
+         for k, v, dt in rows], TRIPLE_SCHEMA)
+
+    def fixed(**kw):
+        return {r.subject.split("/")[-1]: r.fixed_object_value
+                for r in triage(df, **kw).collect()}
+
+    # default: naive-UTC (byte parity with a TZ=UTC reference)
+    assert fixed(compat=True) == {
+        "dt-gmt": "2023-05-7T23:30:0",
+        "dt-naive": "2023-05-7T23:30:0",
+        "d-gmt": "2023-05-7",
+    }
+    # Brussels deployment: the GMT instant crosses midnight
+    brussels = fixed(compat=True, compat_tz="Europe/Brussels")
+    assert brussels["dt-gmt"] == "2023-05-8T1:30:0"
+    assert brussels["dt-naive"] == "2023-05-7T23:30:0"  # unshifted
+    # New York deployment: the date's DAY shifts backwards
+    ny = fixed(compat=True, compat_tz="America/New_York")
+    assert ny["d-gmt"] == "2023-05-6"
+    assert ny["dt-naive"] == "2023-05-7T23:30:0"
+    # compat_tz also applies to canonical (non-compat) re-emission
+    assert fixed(compat_tz="Europe/Brussels")["dt-gmt"] == "2023-05-08T01:30:00"
