@@ -153,10 +153,44 @@ def fake_image_embedding(payload: bytes, dim: int = 8) -> list[float]:
     return [((h[i % 16] / 255.0) * 2.0 - 1.0) for i in range(dim)]
 
 
+def pil_image_decode(payload: bytes) -> tuple[int, int]:
+    """Full pixel-path decode via PIL. The import happens at CALL time —
+    i.e. inside the executor's Python worker, which is where the library
+    must exist; the driver never needs it. Raises ``NotImplementedError``
+    where PIL is absent (this container), keeping the stub claim honest
+    while making the one-function swap demonstrable wherever PIL exists."""
+    import io
+
+    try:
+        from PIL import Image
+    except ImportError as e:
+        raise NotImplementedError(
+            "real pixel decoding requires PIL, which is not installed; "
+            "use decoder='sniff_or_fake' (header dims + deterministic "
+            "fake) or install Pillow on the executors") from e
+    with Image.open(io.BytesIO(payload)) as im:
+        return im.width, im.height
+
+
+def auto_image_decode(payload: bytes) -> tuple[int, int]:
+    """Kernel dispatch demonstrating the one-function swap: PIL when
+    importable (full decode, any format Pillow knows), falling back to
+    the header sniff + deterministic fake — per payload, so a corrupt or
+    non-image payload under an installed PIL still degrades to the fake
+    instead of failing the batch."""
+    try:
+        return pil_image_decode(payload)
+    except NotImplementedError:
+        return sniff_or_fake_image_decode(payload)
+    except Exception:  # noqa: BLE001 — PIL present, payload undecodable
+        return sniff_or_fake_image_decode(payload)
+
+
 _IMAGE_DECODERS = {
     "sniff_or_fake": sniff_or_fake_image_decode,
     "fake": fake_image_decode,
     "real": real_image_decode,
+    "auto": auto_image_decode,
 }
 
 
@@ -173,10 +207,12 @@ def extract_image_features(media: DataFrame, use_real_decoder: bool = False,
     ``decoder``: 'sniff_or_fake' (default — real magic bytes win, fake
     fallback), 'fake' (deterministic formulas ONLY — what engine-parity
     oracles must use, since a payload that happens to start with real
-    magic bytes would otherwise diverge from the restated formulas), or
-    'real' (header sniff, raise on unknown). Mutually exclusive with the
-    legacy ``use_real_decoder`` flag; unknown names raise (a typo must
-    not silently pick a different kernel under a parity check).
+    magic bytes would otherwise diverge from the restated formulas),
+    'real' (header sniff, raise on unknown), or 'auto' (PIL full decode
+    when the executor has Pillow, per-payload fallback to sniff/fake —
+    the demonstrated one-function kernel swap). Mutually exclusive with
+    the legacy ``use_real_decoder`` flag; unknown names raise (a typo
+    must not silently pick a different kernel under a parity check).
     """
     if decoder is None:
         decoder = "real" if use_real_decoder else "sniff_or_fake"

@@ -139,3 +139,57 @@ def test_catalog_decoder_pinned_to_fake(spark):
         extract_audio_features(media, decoder="Fake")
     with pytest.raises(ValueError, match="not both"):
         extract_image_features(media, use_real_decoder=True, decoder="fake")
+
+
+def test_auto_decoder_dispatch(monkeypatch):
+    """The 'auto' kernel demonstrates the one-function swap: a PIL module
+    (here a monkeypatched fake — Pillow is genuinely absent from this
+    container) wins at call time; without it, or when PIL cannot decode a
+    payload, dispatch degrades to the header sniff / deterministic fake."""
+    import struct
+    import sys
+    import types
+
+    from harvesting_extract_to_ttl_service_spark.operators.multimodal import (
+        auto_image_decode,
+        fake_image_decode,
+        pil_image_decode,
+    )
+
+    png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+           + struct.pack(">II", 640, 480) + b"\x00" * 5)
+
+    # no PIL in this container → NotImplementedError from the real path,
+    # auto falls through to the header sniff / fake
+    with pytest.raises(NotImplementedError, match="PIL"):
+        pil_image_decode(png)
+    assert auto_image_decode(png) == (640, 480)
+    assert auto_image_decode(b"not an image") == fake_image_decode(
+        b"not an image")
+
+    class FakeImg:
+        width, height = 123, 45
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def fake_open(buf):
+        if buf.read(4) == b"boom":
+            raise ValueError("cannot identify image file")
+        return FakeImg()
+
+    image_mod = types.ModuleType("PIL.Image")
+    image_mod.open = fake_open
+    pil_mod = types.ModuleType("PIL")
+    pil_mod.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil_mod)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+
+    # PIL importable → full decode wins, even over the header sniff
+    assert pil_image_decode(png) == (123, 45)
+    assert auto_image_decode(png) == (123, 45)
+    # PIL present but payload undecodable → per-payload fallback
+    assert auto_image_decode(b"boom!") == fake_image_decode(b"boom!")
