@@ -73,6 +73,7 @@ def run_service(
     status: DataFrame | None = None,
     now_iso: str = "1970-01-01T00:00:00Z",
     port: int = 0,
+    host: str = "127.0.0.1",
     compat: bool = False,
     compat_tz: str | None = None,
     write_debug_ttls: bool = False,
@@ -93,7 +94,7 @@ def run_service(
     os.makedirs(stream_dir, exist_ok=True)  # stream source needs it upfront
     recovered = fail_busy_tasks(status, now_iso) if status is not None else None
 
-    server = serve_delta_endpoint(stream_dir, port)
+    server = serve_delta_endpoint(stream_dir, port, host)
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
 

@@ -87,6 +87,13 @@ def read_share_files(spark: SparkSession, share_dir: str,
     raw = spark.read.text(share_dir, wholetext=True)
     local_path = F.regexp_replace(F.input_file_name(), "^file:(//)?", "/")
     local_path = F.regexp_replace(local_path, "^/+", "/")
+    # input_file_name() yields a percent-encoded URI path: a share file
+    # named with spaces/non-ASCII would otherwise surface as %20/%C3%A9
+    # and silently miss the plain share:// uris in nie:dataSource metadata
+    # (resolve_page_bodies' inner join). Decode before the scheme swap —
+    # protecting literal '+' first, which URI encoding leaves bare but
+    # form-decoding would corrupt to a space.
+    local_path = F.url_decode(F.regexp_replace(local_path, r"\+", "%2B"))
     return raw.select(
         path_to_share(local_path, share_root).alias("physical_uri"),
         F.col("value").alias("html"),

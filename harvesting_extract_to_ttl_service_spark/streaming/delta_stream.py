@@ -26,6 +26,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -43,18 +44,29 @@ from harvesting_extract_to_ttl_service_spark.schema import (
 ADMS_STATUS = "http://www.w3.org/ns/adms#status"
 
 
-def ingest_delta_post(body: str, stream_dir: str) -> str | None:
+def ingest_delta_post(body: str, stream_dir: str,
+                      dedup_window_s: int | None = 300) -> str | None:
     """Turn one ``POST /delta`` body (an array of changesets, or a bare
     changeset — README.md:38-60) into a JSON-lines file the file-stream
     source picks up, one changeset per line. Pure control-plane Python:
     bodies are delta-notification-sized, never data-plane.
 
-    Files are content-addressed (md5 of the normalized payload), so a
-    redelivered POST lands on the same name and is ingested once; the
-    write goes to a dot-prefixed temp file first (invisible to Spark's
-    file source) and is renamed into place atomically. Returns the file
-    path, or None for an empty body (the reference answers 204 there,
-    app.js:31-34)."""
+    Files are content-addressed (md5 of the normalized payload) and the
+    name is salted with a coarse ``dedup_window_s`` time bucket: duplicate
+    DELIVERIES of one notification (notifier retries, double-sends) land
+    on an existing name — the current or previous bucket's, so a delivery
+    straddling a bucket edge still dedups — and are ingested once, while
+    a byte-identical changeset legitimately re-POSTed later (e.g. the
+    same task re-scheduled after a failure) gets a fresh name and re-runs
+    the import, matching the reference's run-on-every-POST semantics
+    beyond the redelivery window (effective window: between W and 2W
+    seconds). ``dedup_window_s=None`` restores unbounded content-address
+    dedup (exactly-once per distinct payload, ever).
+
+    The write goes to a dot-prefixed temp file first (invisible to
+    Spark's file source) and is renamed into place atomically. Returns
+    the file path, or None for an empty body (the reference answers 204
+    there, app.js:31-34)."""
     data = json.loads(body)
     if isinstance(data, dict):
         data = [data]
@@ -66,10 +78,18 @@ def ingest_delta_post(body: str, stream_dir: str) -> str | None:
     payload = "".join(
         json.dumps(c, separators=(",", ":"), sort_keys=True) + "\n"
         for c in data)
-    name = hashlib.md5(payload.encode()).hexdigest() + ".json"
+    digest = hashlib.md5(payload.encode()).hexdigest()
+    if dedup_window_s:
+        bucket = int(time.time() // dedup_window_s)
+        candidates = [f"{digest}.{bucket}.json", f"{digest}.{bucket - 1}.json"]
+    else:
+        candidates = [digest + ".json"]
+    for cand in candidates:
+        existing = os.path.join(stream_dir, cand)
+        if os.path.exists(existing):
+            return existing
+    name = candidates[0]
     dst = os.path.join(stream_dir, name)
-    if os.path.exists(dst):
-        return dst
     os.makedirs(stream_dir, exist_ok=True)
     # per-writer temp name: two concurrent deliveries of the SAME body
     # must not interleave writes into one shared temp file (the server is
@@ -85,13 +105,17 @@ def ingest_delta_post(body: str, stream_dir: str) -> str | None:
     return dst
 
 
-def serve_delta_endpoint(stream_dir: str, port: int = 0):
+def serve_delta_endpoint(stream_dir: str, port: int = 0,
+                         host: str = "127.0.0.1"):
     """Live HTTP front door mirroring the reference service's surface
     (app.js:24-38): ``GET /`` health text, ``POST /delta`` with an
     application/json changeset body → ingested into ``stream_dir`` for
     the running import stream. Returns an unstarted
     ``ThreadingHTTPServer`` (port 0 = ephemeral; ``server_address[1]``
     has the bound port) — call ``serve_forever()`` on a thread.
+    ``host`` defaults to loopback for tests; a containerized deployment
+    whose delta-notifier lives on another host passes ``'0.0.0.0'``
+    (the reference's express server binds all interfaces).
 
     Divergence note: the reference answers 204 when the body contains no
     *scheduled-task* inserts; here the scheduled filter lives in the
@@ -128,7 +152,7 @@ def serve_delta_endpoint(stream_dir: str, port: int = 0):
         def log_message(self, *args):  # quiet: no per-request stderr spam
             pass
 
-    return ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    return ThreadingHTTPServer((host, port), Handler)
 
 
 def read_delta_stream(spark: SparkSession, path: str) -> DataFrame:

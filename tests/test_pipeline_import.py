@@ -359,3 +359,20 @@ def test_pipeline_no_matching_tasks(spark):
     assert res["tasks"].count() == 0
     assert res["valid"].count() == 0
     assert res["status_updates"].count() == 0
+
+
+def test_read_share_files_decodes_encoded_filenames(spark, tmp_path):
+    """input_file_name() returns a percent-encoded URI; share files whose
+    names carry spaces, '+', or non-ASCII must still surface with their
+    PLAIN share:// uris or they silently miss the nie:dataSource join."""
+    from harvesting_extract_to_ttl_service_spark.sources.files import (
+        read_share_files,
+    )
+
+    share = tmp_path / "share"
+    share.mkdir()
+    names = ["with space.html", "plus+sign.html", "café.html"]
+    for n in names:
+        (share / n).write_text("<p>x</p>")
+    got = {r.physical_uri for r in read_share_files(spark, str(share)).collect()}
+    assert got == {f"share://{n}" for n in names}

@@ -365,3 +365,59 @@ def test_dedup_events_stream(spark, tmp_path):
         "event_id long, ts timestamp, value double").parquet(p)
     got = _run_to_memory(spark, dedup_events(stream), "t_dedup")
     assert got.count() == 2
+
+
+def test_session_window_exact_gap_boundary(spark, tmp_path):
+    """Pins the session_window merge boundary (the session streaming
+    oracle's >= vs > choice): an event arriving EXACTLY gap after its
+    predecessor merges into the prior session; one second beyond starts a
+    new one. A Spark upgrade flipping inclusive/exclusive merge behavior
+    fails here loudly instead of silently flipping catalog results."""
+    batch = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+         (2, "2024-01-01 10:30:00", 1, "click", 1.0),   # exactly +gap
+         (3, "2024-01-01 10:00:00", 2, "click", 1.0),
+         (4, "2024-01-01 10:30:01", 2, "click", 1.0)],  # gap + 1s
+        "event_id long, ts_s string, user_id long, event_type string, value double",
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "user_id", "event_type", "value")
+    p = str(tmp_path / "boundary_events")
+    batch.write.parquet(p)
+    stream = spark.readStream.schema(batch.schema).parquet(p)
+    got = _run_to_memory(spark, session_aggregate(stream, gap="30 minutes"),
+                         "t_boundary", mode="complete")
+    sessions = {u: sorted((r.session_start.isoformat(), r.n_events)
+                          for r in got.collect() if r.user_id == u)
+                for u in (1, 2)}
+    # exact-gap event MERGES → user 1 has one 2-event session
+    assert sessions[1] == [("2024-01-01T10:00:00", 2)]
+    # one second past the gap → user 2 splits into two sessions
+    assert sessions[2] == [("2024-01-01T10:00:00", 1),
+                           ("2024-01-01T10:30:01", 1)]
+
+
+def test_ingest_delta_post_dedup_window(tmp_path, monkeypatch):
+    """Content-address dedup is scoped to the redelivery window: retries
+    of one notification (same bytes, within ~the window, even straddling
+    a bucket edge) ingest once; a byte-identical changeset legitimately
+    re-POSTed after the window gets a fresh file and re-runs the import
+    (the reference re-runs on every POST)."""
+    from harvesting_extract_to_ttl_service_spark.streaming import delta_stream
+
+    body = json.dumps(
+        [_changeset(_status_insert("http://task/9", STATUS_SCHEDULED))])
+    d = str(tmp_path / "stream")
+    now = [1000.0]
+    monkeypatch.setattr(delta_stream.time, "time", lambda: now[0])
+
+    p1 = delta_stream.ingest_delta_post(body, d)           # bucket 3
+    now[0] = 1250.0                                        # bucket 4
+    assert delta_stream.ingest_delta_post(body, d) == p1   # straddle dedups
+    now[0] = 1601.0                                        # bucket 5
+    p2 = delta_stream.ingest_delta_post(body, d)
+    assert p2 != p1                                        # re-run later
+    # unbounded mode restores exactly-once-per-payload-ever
+    now[0] = 99999.0
+    p3 = delta_stream.ingest_delta_post(body, d, dedup_window_s=None)
+    assert delta_stream.ingest_delta_post(
+        body, d, dedup_window_s=None) == p3
