@@ -40,6 +40,11 @@ def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
 
 
 _SPREAD_CACHE: dict[tuple[str, int, int], bool] = {}
+# Keys are (applicationId, plan hash, cores): entries from finished
+# sessions are purged on the next miss, and a runaway count of distinct
+# plans within one session clears the cache outright (re-probing is cheap;
+# unbounded growth in a long-lived process is not).
+_SPREAD_CACHE_MAX = 4096
 
 
 def spread_for_cpu(df: DataFrame) -> DataFrame:
@@ -64,6 +69,10 @@ def spread_for_cpu(df: DataFrame) -> DataFrame:
     key = (sc.applicationId, df.semanticHash(), target)
     need = _SPREAD_CACHE.get(key)
     if need is None:
+        for k in [k for k in _SPREAD_CACHE if k[0] != sc.applicationId]:
+            del _SPREAD_CACHE[k]
+        if len(_SPREAD_CACHE) >= _SPREAD_CACHE_MAX:
+            _SPREAD_CACHE.clear()
         need = df.rdd.getNumPartitions() < target
         _SPREAD_CACHE[key] = need
     return df.repartition(target) if need else df

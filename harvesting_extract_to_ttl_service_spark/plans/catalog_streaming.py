@@ -13,6 +13,8 @@ stays rows-only.
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 import uuid
 
@@ -81,9 +83,29 @@ def delta_scheduled_tasks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scheduled_task_uris(parse_delta_lines(lines))
 
 
+# Every scratch dir this module creates (staged fixtures, checkpoints) is
+# tracked and removed at interpreter exit — a long test run or many-session
+# process must not leave events_stream_*/ckpt_* litter in /tmp.
+_TEMP_DIRS: list[str] = []
+
+
+def _tracked_mkdtemp(prefix: str) -> str:
+    d = tempfile.mkdtemp(prefix=prefix)
+    _TEMP_DIRS.append(d)
+    return d
+
+
+@atexit.register
+def _cleanup_temp_dirs() -> None:
+    for d in _TEMP_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _TEMP_DIRS.clear()
+    _STAGED_EVENTS.clear()  # stale pointers must not outlive their dirs
+
+
 def _run_available_now(sdf: DataFrame, spark: SparkSession) -> DataFrame:
     name = "q" + uuid.uuid4().hex
-    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    ckpt = _tracked_mkdtemp(prefix="ckpt_")
     query = (sdf.writeStream.format("memory").queryName(name)
              .outputMode("complete").option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
@@ -105,7 +127,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = load(spark, sf_dir, "events")
     staged = _STAGED_EVENTS.get(key)
     if staged is None:
-        staged = tempfile.mkdtemp(prefix="events_stream_")
+        staged = _tracked_mkdtemp(prefix="events_stream_")
         batch.write.mode("overwrite").parquet(staged)
         _STAGED_EVENTS[key] = staged
     return spark.readStream.schema(batch.schema).parquet(staged)
@@ -216,13 +238,13 @@ def streaming_task_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
         task_progress,
     )
 
-    staged = tempfile.mkdtemp(prefix="page_results_")
+    staged = _tracked_mkdtemp(prefix="page_results_")
     batch = _page_results(spark, sf_dir)
     batch.write.mode("overwrite").parquet(staged)
     stream = spark.readStream.schema(batch.schema).parquet(staged)
 
     name = "q" + uuid.uuid4().hex
-    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    ckpt = _tracked_mkdtemp(prefix="ckpt_")
     query = (task_progress(stream).writeStream.format("memory")
              .queryName(name).outputMode("append")
              .option("checkpointLocation", ckpt)

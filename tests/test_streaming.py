@@ -421,3 +421,25 @@ def test_ingest_delta_post_dedup_window(tmp_path, monkeypatch):
     p3 = delta_stream.ingest_delta_post(body, d, dedup_window_s=None)
     assert delta_stream.ingest_delta_post(
         body, d, dedup_window_s=None) == p3
+
+
+def test_streaming_scratch_dirs_cleaned_at_exit(spark):
+    """Every scratch dir the streaming catalog creates (staged events,
+    checkpoints) is registered for exit-time cleanup, and the cleanup
+    hook removes them and resets the staging cache — no events_stream_*
+    litter after a suite run."""
+    import os
+
+    from harvesting_extract_to_ttl_service_spark.plans import catalog_streaming
+
+    catalog_streaming._events_stream(spark, "/root/testdata/sf0.001")
+    key = (spark.sparkContext.applicationId, "/root/testdata/sf0.001")
+    staged = catalog_streaming._STAGED_EVENTS[key]
+    assert staged in catalog_streaming._TEMP_DIRS
+    catalog_streaming._cleanup_temp_dirs()
+    assert not os.path.exists(staged)
+    assert catalog_streaming._STAGED_EVENTS == {}
+    assert catalog_streaming._TEMP_DIRS == []
+    # the staging cache repopulates transparently after a cleanup
+    catalog_streaming._events_stream(spark, "/root/testdata/sf0.001")
+    assert os.path.exists(catalog_streaming._STAGED_EVENTS[key])
