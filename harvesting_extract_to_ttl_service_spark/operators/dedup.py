@@ -473,9 +473,17 @@ def simhash_candidates(df: DataFrame, text_col: str = "text",
     Blocks are variable-width (bits need not divide evenly), so callers
     should use the MINIMUM block count for their radius —
     ``max_hamming + 1`` — because candidate volume scales as
-    rows² / (blocks · 2^(bits/blocks)): fewer, wider blocks mean
+    rows² · blocks / 2^(bits/blocks): fewer, wider blocks mean
     exponentially more buckets and quadratically fewer join collisions
-    (10×6-bit → 7×8.5-bit blocks cut sf0.1 candidate pairs ~5×)."""
+    (10×6-bit → 7×8.5-bit blocks cut sf0.1 candidate pairs ~5×).
+
+    Measured growth (SCALE.md): the join volume is QUADRATIC in corpus
+    size at fixed radius — at 50k docs, radius 6 (7×8.5-bit blocks)
+    yields 26.3M collisions where radius 3 (4×15-bit) yields 180k and
+    radius 2 (3×20-bit) 6.8k. Prefer the tightest radius the dedup
+    policy allows; treat radius 6 at 60 bits as a ≤100k-docs-per-shard
+    tool and use MinHash-LSH (duplicate-mass-bound, measured linear) for
+    corpus-wide sweeps."""
     if blocks <= max_hamming:
         raise ValueError(
             f"pigeonhole completeness needs blocks > max_hamming "

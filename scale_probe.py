@@ -1,0 +1,110 @@
+"""Builder-side scale probe for the near-dup pair generators.
+
+The fixtures stop at sf0.1, but the pair volume of banded/blocked joins is
+the quantity that decides 100 TB viability: candidate pairs grow
+quadratically in HOT BUCKET size, not corpus size, so the probe replicates
+the sf0.1 documents table Nx (each replica re-salted so replicas do not
+collide with each other — corpus growth without artificial cross-replica
+dup inflation, the shape of a sharded crawl) and measures how band/block
+collision counts, final pair counts, and wall time actually curve.
+
+Usage: python scale_probe.py [replicas ...]   (default: 1 2 5 10)
+Writes nothing outside /tmp; results are recorded in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from harvesting_extract_to_ttl_service_spark import get_spark
+from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+    _banded_pairs,
+    minhash_similarity,
+    simhash_candidates,
+    simhash_table,
+)
+from harvesting_extract_to_ttl_service_spark.plans.tables import load
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def replicate_documents(spark, n: int):
+    """n copies of documents; replica r's doc_ids are offset by r*10^7 and
+    EVERY token gets a per-replica suffix (the same rewrite within a
+    replica preserves its internal dup structure exactly, while making
+    every cross-replica shingle hash distinct — a one-token salt would
+    leave simhashes nearly identical across replicas and fabricate a
+    quadratic blowup). Pair volume should then scale ~linearly in n; a
+    superlinear curve means hot buckets, not corpus size, are driving."""
+    base = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    parts = []
+    for r in range(n):
+        parts.append(base.select(
+            (F.col("doc_id") + F.lit(r * 10_000_000)).alias("doc_id"),
+            (F.regexp_replace("text", r"(\S+)", f"$1x{r}")
+             if r else F.col("text")).alias("text"),
+        ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def probe(spark, docs, label: str) -> dict:
+    docs = docs.localCheckpoint(eager=True)  # materialize: probe the joins
+    n_docs = docs.count()
+    res = {"label": label, "docs": n_docs}
+
+    t0 = time.time()
+    cand = _banded_pairs(docs, "text", "doc_id", 32, 8, 3)
+    res["minhash_band_collisions"] = cand.count()
+    res["minhash_collision_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    res["minhash_pairs"] = minhash_similarity(docs, threshold=0.3).count()
+    res["minhash_s"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    sh = simhash_table(docs, bits=60)
+    blocked = sh.select("id", F.posexplode(F.array(*[
+        F.shiftright("sh", o).bitwiseAND((1 << s) - 1)
+        for o, s in zip([0, 9, 18, 27, 35, 43, 51], [9, 9, 9, 8, 8, 8, 9])
+    ])).alias("blk", "blk_val"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    res["simhash_block_collisions"] = a.join(
+        b, (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.blk_val") == F.col("b.blk_val"))
+        & (F.col("a.id") < F.col("b.id"))).count()
+    res["simhash_collision_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    res["simhash_pairs"] = simhash_candidates(
+        docs, bits=60, max_hamming=6, blocks=7).count()
+    res["simhash_s"] = round(time.time() - t0, 1)
+    return res
+
+
+def main():
+    replicas = [int(x) for x in sys.argv[1:]] or [1, 2, 5, 10]
+    tmp = tempfile.mkdtemp(prefix="scale_probe_")
+    spark = get_spark("scale-probe")
+    try:
+        print(f"{'scale':>6} {'docs':>7} {'mh_coll':>9} {'mh_pairs':>9} "
+              f"{'mh_s':>6} {'sh_coll':>9} {'sh_pairs':>9} {'sh_s':>6}")
+        for n in replicas:
+            r = probe(spark, replicate_documents(spark, n), f"{n}x")
+            print(f"{r['label']:>6} {r['docs']:>7} "
+                  f"{r['minhash_band_collisions']:>9} "
+                  f"{r['minhash_pairs']:>9} {r['minhash_s']:>6} "
+                  f"{r['simhash_block_collisions']:>9} "
+                  f"{r['simhash_pairs']:>9} {r['simhash_s']:>6}")
+    finally:
+        spark.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
