@@ -456,13 +456,22 @@ EXTRACT_SCHEMA = T.StructType([
 ])
 
 
-def extract_pages(pages: DataFrame) -> DataFrame:
+def extract_pages(pages: DataFrame, with_provenance: bool = False) -> DataFrame:
     """PAGE_SCHEMA DataFrame → extracted triples (+``error`` column).
 
     ``mapInPandas`` so each Arrow batch of pages is processed by one Python
     worker; output rows are triples, so one page fans out to N rows without
     an explode. Extraction failure → one row with ``error`` set and null
-    terms (per-page fault isolation, pipeline-import.js:63-70)."""
+    terms (per-page fault isolation, pipeline-import.js:63-70).
+
+    ``with_provenance=True`` emits the per-page ``prov:wasDerivedFrom``
+    rows inside the worker (first-seen subject dedup, exactly the
+    reference's SourceAwareStoreWriter, rdfa-extractor.js:45-54). Subject
+    dedup is page-local state, so doing it here instead of as a
+    DataFrame-side ``distinct()`` union (``inject_provenance``) removes a
+    shuffle AND a second copy of this mapInPandas subtree from the plan —
+    a union of two branches over the same Python stage executes the
+    extraction twice per job."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -474,8 +483,14 @@ def extract_pages(pages: DataFrame) -> DataFrame:
                 try:
                     if html_text is None:
                         raise ValueError("null html body")
-                    for t in extract_rdfa(html_text, url):
+                    triples = extract_rdfa(html_text, url)
+                    for t in triples:
                         rows.append((page_uri, url, *t, None))
+                    if with_provenance:
+                        for s in dict.fromkeys(t[0] for t in triples):
+                            rows.append((page_uri, url, s,
+                                         PROV_WAS_DERIVED_FROM, url, OT_IRI,
+                                         None, None, None))
                 except Exception as e:  # noqa: BLE001 — fault isolation
                     rows.append((page_uri, url, None, None, None, None,
                                  None, None, f"{type(e).__name__}: {e}"))
@@ -549,9 +564,14 @@ def spill_html_content(extracted: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def extraction_pipeline(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """pages → (triples+error DF, spilled-content DF): extract, rewrite +
-    spill special HTML content, inject provenance. The result feeds
-    ``operators.triage.triage`` and the TTL sinks."""
-    extracted = extract_pages(pages)
+    """pages → (triples+error DF, spilled-content DF): extract (with
+    in-worker provenance — see ``extract_pages``), rewrite + spill special
+    HTML content. The result feeds ``operators.triage.triage`` and the TTL
+    sinks. Provenance rows never match the spill predicate (their
+    predicate is prov:wasDerivedFrom with no datatype), so emitting them
+    before the spill rewrite is equivalent to the reference's
+    after-the-store injection — and keeps exactly ONE extraction stage in
+    the final plan."""
+    extracted = extract_pages(pages, with_provenance=True)
     main, spilled = spill_html_content(extracted)
-    return inject_provenance(main), spilled
+    return main, spilled

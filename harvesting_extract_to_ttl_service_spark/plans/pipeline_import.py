@@ -30,7 +30,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from harvesting_extract_to_ttl_service_spark.operators.extract import (
-    extraction_pipeline,
+    extract_pages,
+    spill_html_content,
 )
 from harvesting_extract_to_ttl_service_spark.operators.relational import (
     graph_scope,
@@ -131,19 +132,23 @@ def render_task_errors(errors: DataFrame, graph: str | None = None) -> DataFrame
     uri = F.concat(F.lit(ERROR_URI_PREFIX), F.col("_id"))
 
     def triple(s, p, o, object_type="iri"):
-        return e.select(
+        return F.struct(
             s.alias("subject"), F.lit(p).alias("predicate"),
             o.alias("object_value"), F.lit(object_type).alias("object_type"),
             F.lit(None).cast("string").alias("datatype"),
             F.lit(None).cast("string").alias("language"),
             F.lit(graph).cast("string").alias("graph"))
 
-    return (
-        triple(uri, RDF_TYPE, F.lit(ERROR_TYPE))
-        .unionByName(triple(uri, MU_UUID, F.col("_id"), "literal"))
-        .unionByName(triple(uri, OSLC_MESSAGE, F.col("_msg"), "literal"))
-        .unionByName(triple(F.col("task_uri"), TASK_ERROR, uri))
-    )
+    # One explode over a 4-struct array, NOT a 4-way union: each union
+    # branch carries its own copy of the upstream errors subtree — which
+    # contains the Python extraction stage — so the union shape executes
+    # the extraction once per branch in the same job.
+    return e.select(F.explode(F.array(
+        triple(uri, RDF_TYPE, F.lit(ERROR_TYPE)),
+        triple(uri, MU_UUID, F.col("_id"), "literal"),
+        triple(uri, OSLC_MESSAGE, F.col("_msg"), "literal"),
+        triple(F.col("task_uri"), TASK_ERROR, uri),
+    )).alias("t")).select("t.*")
 
 
 def run_import_pipeline(control: DataFrame, page_bodies: DataFrame,
@@ -190,7 +195,20 @@ def run_import_pipeline(control: DataFrame, page_bodies: DataFrame,
         task_pages.select("page_uri").distinct()
         .join(page_bodies.select("page_uri", "url", "html"), "page_uri")
     )
-    extracted, spilled = extraction_pipeline(pages)
+    # Inlined extraction_pipeline so the raw extract output can be
+    # persisted across the multi-sink write block below: with out_dir set
+    # there are 2 (or 5, in debug mode) independent write actions, and
+    # without a persist each one would re-run the Python extraction stage.
+    # Storage is MEMORY_AND_DISK and scoped to this call — per micro-batch
+    # in the service, bounded by the batch's page fan-out, spilled to disk
+    # past executor memory.
+    raw = extract_pages(pages, with_provenance=True)
+    persisted = None
+    if out_dir is not None:
+        from pyspark import StorageLevel
+
+        persisted = raw.persist(StorageLevel.MEMORY_AND_DISK)
+    extracted, spilled = spill_html_content(raw)
     # fan results out to tasks: extraction keys rows by page_uri
     extracted = extracted.join(
         F.broadcast(task_pages), "page_uri").withColumn(
@@ -237,15 +255,21 @@ def run_import_pipeline(control: DataFrame, page_bodies: DataFrame,
     spilled_metadata = spilled_file_metadata(spilled, now_iso, graph)
 
     if out_dir is not None:
-        write_ttl(valid, f"{out_dir}/valid", keys)
-        write_spilled_content(spilled, f"{out_dir}/content")
-        if write_debug_ttls:
-            original = triaged.select(
-                *keys, "subject", "predicate", "object_value", "object_type",
-                "datatype", "language", "graph")
-            write_ttl(original, f"{out_dir}/original", keys)
-            write_ttl(invalid, f"{out_dir}/invalid", keys)
-            write_ttl(corrected, f"{out_dir}/corrected", keys)
+        try:
+            write_ttl(valid, f"{out_dir}/valid", keys)
+            write_spilled_content(spilled, f"{out_dir}/content")
+            if write_debug_ttls:
+                original = triaged.select(
+                    *keys, "subject", "predicate", "object_value",
+                    "object_type", "datatype", "language", "graph")
+                write_ttl(original, f"{out_dir}/original", keys)
+                write_ttl(invalid, f"{out_dir}/invalid", keys)
+                write_ttl(corrected, f"{out_dir}/corrected", keys)
+        finally:
+            # the returned DataFrames stay valid — they just recompute if
+            # executed after this point (the writes were the hot path)
+            if persisted is not None:
+                persisted.unpersist()
 
     return {
         "tasks": tasks,

@@ -154,7 +154,7 @@ def file_metadata_triples(files: DataFrame, graph: str | None = None) -> DataFra
                     F.lit("."), F.col("extension"))
 
     def lit_t(s, p, o, ot=OT_LITERAL, dt=None):
-        return files.select(
+        return F.struct(
             s.alias("subject"), F.lit(p).alias("predicate"),
             o.cast("string").alias("object_value"),
             F.lit(ot).alias("object_type"),
@@ -177,10 +177,12 @@ def file_metadata_triples(files: DataFrame, graph: str | None = None) -> DataFra
               F.lit(NFO + "FileDataObject"), OT_IRI),
         lit_t(pf, NIE + "dataSource", lf, OT_IRI),
     ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # One explode over an 8-struct array, NOT an 8-way union: each union
+    # branch would carry its own copy of the ``files`` subtree — and when
+    # the input is the pipeline's spilled-content stream, that subtree
+    # contains the Python extraction stage, so the union shape would run
+    # the extraction once per metadata kind in the same job.
+    return files.select(F.explode(F.array(*parts)).alias("t")).select("t.*")
 
 
 def write_spilled_content(spilled: DataFrame, out_dir: str) -> None:

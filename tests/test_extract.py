@@ -399,3 +399,62 @@ def test_extract_time_datetime_objects():
     assert by_p[E + "content"] == ("override", None, None)
     # datetime on a non-time element is ignored → text content
     assert by_p[E + "span"] == ("not a time el", None, None)
+
+
+def test_extraction_pipeline_single_python_stage(spark):
+    """Round-5 perf pin: the extraction pipeline (and the composed import
+    pipeline's valid output) must keep exactly ONE mapInPandas stage in
+    the plan. Provenance is emitted in-worker (extract_pages
+    with_provenance) precisely so no union branch duplicates the Python
+    extraction subtree — a second copy executes the extraction twice per
+    job (the pre-round-5 shape)."""
+    pages = _pages_df(spark, [
+        ("share://p1.html", "http://ex/page/1", "/share/p1.html", RDFA_BODY)])
+    triples, _spilled = extraction_pipeline(pages)
+    plan = triples._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    # provenance rows are still produced (in-worker, not as a union branch)
+    assert triples.filter(
+        F.col("predicate") == PROV_WAS_DERIVED_FROM).count() >= 1
+
+
+def test_import_pipeline_valid_single_python_stage(spark):
+    from harvesting_extract_to_ttl_service_spark.plans.pipeline_import import (
+        run_import_pipeline,
+    )
+    from harvesting_extract_to_ttl_service_spark.schema import (
+        RDF_TYPE,
+        STATUS_SCHEDULED,
+        TASK_TYPE,
+        EXTRACTING_OPERATION,
+    )
+    from harvesting_extract_to_ttl_service_spark.plans.pipeline_import import (
+        ADMS_STATUS,
+        TASK_HAS_FILE,
+        TASK_INPUT_CONTAINER,
+        TASK_OPERATION,
+    )
+
+    def t(s, p, o, ot="iri"):
+        return (s, p, o, ot, None, None, None)
+
+    control = spark.createDataFrame(
+        [t("urn:task:1", RDF_TYPE, TASK_TYPE),
+         t("urn:task:1", ADMS_STATUS, STATUS_SCHEDULED),
+         t("urn:task:1", TASK_OPERATION, EXTRACTING_OPERATION),
+         t("urn:task:1", TASK_INPUT_CONTAINER, "urn:c:1"),
+         t("urn:c:1", TASK_HAS_FILE, "share://p1.html")],
+        "subject string, predicate string, object_value string, "
+        "object_type string, datatype string, language string, graph string")
+    bodies = _pages_df(spark, [
+        ("share://p1.html", "http://ex/page/1", "/share/p1.html", RDFA_BODY)])
+    res = run_import_pipeline(control, bodies)
+    for out in ("valid", "invalid", "corrected"):
+        plan = res[out]._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("MapInPandas") == 1, out
+    # error block: one explode over a 4-struct array, not a 4-way union
+    plan = res["error_triples"]._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    # spilled-file metadata: one explode over an 8-struct array
+    plan = res["spilled_metadata"]._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("MapInPandas") == 1
