@@ -118,18 +118,24 @@ def _control_graph(docs: DataFrame) -> DataFrame:
         TASK_TYPE,
     )
 
-    def const_triples(df, s, p, o):
-        return df.select(
-            s.alias("subject"), F.lit(p).alias("predicate"), o.alias("object_value"),
+    def triple(s, p, o):
+        return F.struct(
+            s.alias("subject"), F.lit(p).alias("predicate"),
+            o.alias("object_value"),
             F.lit("iri").alias("object_type"),
             F.lit(None).cast("string").alias("datatype"),
             F.lit(None).cast("string").alias("language"),
             F.lit(_G).alias("graph"),
         )
 
+    def fan_out(df, *triples):
+        return df.select(F.explode(F.array(*triples)).alias("t")).select("t.*")
+
     # task-level triples derive from the 4 distinct task keys, not one
     # copy per document then distinct — control plane stays 4-row small
-    # and the big dedup shuffle disappears from every pipeline entry
+    # and the big dedup shuffle disappears from every pipeline entry.
+    # One explode emits all 4 task triples per key (a 4-way union would
+    # repeat the docs scan + distinct per branch).
     keys = docs.select((F.col("doc_id") % 4).cast("string").alias("k")).distinct()
     task = F.concat(F.lit("urn:task:"), F.col("k"))
     container = F.concat(F.lit("urn:container:"), F.col("k"))
@@ -137,14 +143,12 @@ def _control_graph(docs: DataFrame) -> DataFrame:
                              (F.col("doc_id") % 4).cast("string"))
     page = F.concat(F.lit("share://doc"), F.col("doc_id"), F.lit(".html"))
     return (
-        const_triples(keys, task, RDF_TYPE, F.lit(TASK_TYPE))
-        .unionByName(const_triples(keys, task, ADMS_STATUS,
-                                   F.lit(STATUS_SCHEDULED)))
-        .unionByName(const_triples(keys, task, TASK_OPERATION,
-                                   F.lit(EXTRACTING_OPERATION)))
-        .unionByName(const_triples(keys, task, TASK_INPUT_CONTAINER,
-                                   container))
-        .unionByName(const_triples(docs, doc_container, TASK_HAS_FILE, page))
+        fan_out(keys,
+                triple(task, RDF_TYPE, F.lit(TASK_TYPE)),
+                triple(task, ADMS_STATUS, F.lit(STATUS_SCHEDULED)),
+                triple(task, TASK_OPERATION, F.lit(EXTRACTING_OPERATION)),
+                triple(task, TASK_INPUT_CONTAINER, container))
+        .unionByName(fan_out(docs, triple(doc_container, TASK_HAS_FILE, page)))
     )
 
 
