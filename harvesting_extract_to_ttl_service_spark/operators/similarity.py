@@ -178,6 +178,10 @@ def lsh_blocked_pairs(df: DataFrame, threshold: float, dim: int,
     b = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
          .withColumn("bucket", lsh_bucket(F.col("v"), dim, n_planes))
          .withColumn("vnorm", norm(F.col("v"))))
+    # one computation of the bucket/norm stage feeding both self-join
+    # sides (the planner duplicates identical subtrees under a broadcast
+    # strategy — see operators/dedup.py _banded_pairs)
+    b = b.localCheckpoint(eager=False)
     a, c = b.alias("a"), b.alias("c")
     return (
         a.join(c, (F.col("a.bucket") == F.col("c.bucket"))
