@@ -368,3 +368,129 @@ def sample_video_frames(media: DataFrame, every_nth: int = 10) -> DataFrame:
         T.StructField("frame_checksum", T.StringType(), True),
     ])
     return media.select("media_id", "payload").mapInPandas(batches, schema)
+
+# --------------------------------------------------------------------------
+# Image resize
+# --------------------------------------------------------------------------
+
+RESIZED_IMAGE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("src_width", T.IntegerType(), True),
+    T.StructField("src_height", T.IntegerType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("n_bytes", T.LongType(), True),
+    T.StructField("checksum", T.StringType(), True),
+])
+
+
+def resize_target(width: int, height: int, max_side: int) -> tuple[int, int]:
+    """Aspect-preserving fit inside a max_side×max_side box; never
+    upscales. Pure integer math (floor division) so any engine — including
+    a SQL oracle — can restate the target dimensions exactly."""
+    longest = max(width, height)
+    if longest <= max_side:
+        return width, height
+    return (max(1, width * max_side // longest),
+            max(1, height * max_side // longest))
+
+
+def fake_image_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic fake resize kernel: the 'resized pixels' are an
+    md5 digest of payload + target dims — a stub, but stable across
+    engines/runs so checksums are oracle-restatable
+    (md5(text || '@' || w || 'x' || h) in SQL)."""
+    return hashlib.md5(payload + b"@%dx%d" % (width, height)).digest()
+
+
+def pil_image_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Real resize via PIL, imported at call time (executor-side, like
+    ``pil_image_decode``); raises ``NotImplementedError`` where PIL is
+    absent so the stub claim stays honest."""
+    import io
+
+    try:
+        from PIL import Image
+    except ImportError as e:
+        raise NotImplementedError(
+            "real image resizing requires PIL, which is not installed; "
+            "use kernel='fake' or install Pillow on the executors") from e
+    with Image.open(io.BytesIO(payload)) as im:
+        out = io.BytesIO()
+        im.resize((width, height)).save(out, format=im.format or "PNG")
+        return out.getvalue()
+
+
+def auto_image_resize(payload: bytes, width: int, height: int) -> bytes:
+    """PIL when importable and the payload decodes, per-payload fallback
+    to the deterministic fake (same dispatch shape as
+    ``auto_image_decode``)."""
+    try:
+        return pil_image_resize(payload, width, height)
+    except NotImplementedError:
+        return fake_image_resize(payload, width, height)
+    except Exception:  # noqa: BLE001 — PIL present, payload undecodable
+        return fake_image_resize(payload, width, height)
+
+
+_RESIZE_KERNELS = {
+    "fake": fake_image_resize,
+    "pil": pil_image_resize,
+    "auto": auto_image_resize,
+}
+
+
+def resize_images(media: DataFrame, max_side: int = 256,
+                  decoder: str = "sniff_or_fake",
+                  kernel: str = "fake") -> DataFrame:
+    """Arrow-batched image resize over binary payloads: decode source
+    dimensions (``decoder`` as in ``extract_image_features``), compute the
+    aspect-preserving ``resize_target`` fit, run the resize ``kernel``
+    ('fake' deterministic stub | 'pil' real | 'auto' dispatch), and emit
+    the resized payload + metadata.
+
+    Scale shape: payloads stay inside the Python worker for the whole
+    decode→resize span — one mapInPandas stage, no intermediate shuffle of
+    pixel data; output payloads are ≤ resized size, so the downstream
+    shuffle (if any) moves the SMALL image. Unknown decoder/kernel names
+    raise (a typo must not silently switch kernels under a parity check)."""
+    if decoder not in _IMAGE_DECODERS:
+        raise ValueError(f"unknown image decoder {decoder!r}; "
+                         f"one of {sorted(_IMAGE_DECODERS)}")
+    if kernel not in _RESIZE_KERNELS:
+        raise ValueError(f"unknown resize kernel {kernel!r}; "
+                         f"one of {sorted(_RESIZE_KERNELS)}")
+    decode = _IMAGE_DECODERS[decoder]
+    run_kernel = _RESIZE_KERNELS[kernel]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("media_id", "src_width", "src_height",
+                                   "width", "height", "payload", "n_bytes",
+                                   "checksum")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(mid)
+                if payload is None:
+                    for k in ("src_width", "src_height", "width", "height",
+                              "payload", "n_bytes", "checksum"):
+                        out[k].append(None)
+                    continue
+                sw, sh = decode(payload)
+                w, h = resize_target(sw, sh, max_side)
+                resized = run_kernel(payload, w, h)
+                out["src_width"].append(sw)
+                out["src_height"].append(sh)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["payload"].append(resized)
+                out["n_bytes"].append(len(resized))
+                out["checksum"].append(
+                    hashlib.md5(payload + b"@%dx%d" % (w, h))
+                    .hexdigest()[:8])
+            yield pd.DataFrame(out)
+
+    return (
+        media.select("media_id", "payload")
+        .mapInPandas(batches, RESIZED_IMAGE_SCHEMA)
+    )

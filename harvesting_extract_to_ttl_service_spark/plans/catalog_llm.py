@@ -26,6 +26,7 @@ from harvesting_extract_to_ttl_service_spark.operators.dedup import (
 from harvesting_extract_to_ttl_service_spark.operators.multimodal import (
     documents_as_media,
     extract_image_features,
+    resize_images,
 )
 from harvesting_extract_to_ttl_service_spark.operators.similarity import (
     cosine_topk,
@@ -842,9 +843,42 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_video_frames(documents_as_media(docs), every_nth=10)
 
 
+@member_sql("""
+WITH m AS (
+  SELECT doc_id AS media_id, text,
+         64 + octet_length(encode(text)) % 512        AS sw,
+         64 + (octet_length(encode(text)) // 7) % 512 AS sh
+  FROM documents
+), r AS (
+  SELECT media_id, text, sw, sh,
+         CASE WHEN greatest(sw, sh) <= 256 THEN sw
+              ELSE greatest(1, sw * 256 // greatest(sw, sh)) END AS w,
+         CASE WHEN greatest(sw, sh) <= 256 THEN sh
+              ELSE greatest(1, sh * 256 // greatest(sw, sh)) END AS h
+  FROM m
+)
+SELECT media_id, sw AS src_width, sh AS src_height, w AS width, h AS height,
+       substr(md5(text || '@' || w || 'x' || h), 1, 8) AS checksum
+FROM r
+""")
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize plumbing: fake-decoded source dims →
+    integer-math resize_target fit in a 256-box → deterministic fake
+    resize kernel, all inside one Arrow mapInPandas stage. The oracle
+    restates the dimension math (floor division) and the kernel checksum
+    from the payload bytes."""
+    media = documents_as_media(load(spark, sf_dir, "documents"))
+    out = resize_images(media, max_side=256, decoder="fake", kernel="fake")
+    return out.select("media_id", "src_width", "src_height",
+                      "width", "height", "checksum")
+
+
 _MULTIMODAL_MEMBERS = [
     ("image", multimodal_image_meta,
      ["media_id", "width", "height", "n_bytes", "checksum"], []),
+    ("resize", multimodal_image_resize,
+     ["media_id", "src_width", "src_height", "width", "height", "checksum"],
+     []),
     ("audio", multimodal_audio_meta,
      ["media_id", "sample_rate", "n_bytes"], ["duration_s"]),
     ("video", multimodal_video_frames,

@@ -193,3 +193,93 @@ def test_auto_decoder_dispatch(monkeypatch):
     assert auto_image_decode(png) == (123, 45)
     # PIL present but payload undecodable → per-payload fallback
     assert auto_image_decode(b"boom!") == fake_image_decode(b"boom!")
+
+
+def test_resize_target_math():
+    from harvesting_extract_to_ttl_service_spark.operators.multimodal import (
+        resize_target,
+    )
+
+    # no upscale: already inside the box → unchanged
+    assert resize_target(100, 50, 256) == (100, 50)
+    assert resize_target(256, 256, 256) == (256, 256)
+    # aspect-preserving floor-division fit, longest side pinned to the box
+    assert resize_target(512, 256, 256) == (256, 128)
+    assert resize_target(300, 500, 256) == (153, 256)
+    assert resize_target(1000, 10, 100) == (100, 1)
+    # degenerate skinny strip: floor would give 0 → clamped to 1
+    assert resize_target(10000, 1, 100) == (100, 1)
+
+
+def test_resize_images_fake_kernel(spark):
+    from harvesting_extract_to_ttl_service_spark.operators.multimodal import (
+        fake_image_decode,
+        fake_image_resize,
+        resize_images,
+        resize_target,
+    )
+
+    payload = b"x" * 700  # fake dims: (64 + 700%512, 64 + 100%512) = (252, 164)
+    media = spark.createDataFrame(
+        [(1, "image", "bin", payload, len(payload)),
+         (2, "image", "bin", None, None)],
+        "media_id long, kind string, format string, payload binary, n_bytes long")
+    rows = {r.media_id: r for r in
+            resize_images(media, max_side=128, decoder="fake",
+                          kernel="fake").collect()}
+    sw, sh = fake_image_decode(payload)
+    w, h = resize_target(sw, sh, 128)
+    r = rows[1]
+    assert (r.src_width, r.src_height, r.width, r.height) == (sw, sh, w, h)
+    assert bytes(r.payload) == fake_image_resize(payload, w, h)
+    assert r.n_bytes == len(r.payload)
+    # null payload → null features, row preserved (fault isolation)
+    assert rows[2].width is None and rows[2].payload is None
+    # typo'd kernel names must raise, not silently switch
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="resize kernel"):
+        resize_images(media, kernel="nope")
+
+
+def test_pil_resize_dispatch(monkeypatch):
+    """auto resize: monkeypatched PIL wins at call time; absent (the real
+    container state) or undecodable → deterministic fake."""
+    import sys
+    import types
+
+    from harvesting_extract_to_ttl_service_spark.operators.multimodal import (
+        auto_image_resize,
+        fake_image_resize,
+        pil_image_resize,
+    )
+
+    with pytest.raises(NotImplementedError, match="PIL"):
+        pil_image_resize(b"payload", 10, 10)
+    assert auto_image_resize(b"payload", 10, 10) == fake_image_resize(
+        b"payload", 10, 10)
+
+    class FakeImg:
+        format = "PNG"
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def resize(self, size):
+            self._size = size
+            return self
+
+        def save(self, out, format):
+            out.write(b"resized:%dx%d" % self._size)
+
+    image_mod = types.ModuleType("PIL.Image")
+    image_mod.open = lambda buf: FakeImg()
+    pil_mod = types.ModuleType("PIL")
+    pil_mod.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil_mod)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+
+    assert pil_image_resize(b"payload", 12, 7) == b"resized:12x7"
+    assert auto_image_resize(b"payload", 12, 7) == b"resized:12x7"
