@@ -35,6 +35,7 @@ from harvesting_extract_to_ttl_service_spark.streaming.delta_stream import (
 )
 from harvesting_extract_to_ttl_service_spark.streaming.windows import (
     session_aggregate,
+    sliding_counts,
     stream_stream_interval_join,
     tumbling_counts,
 )
@@ -161,6 +162,32 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
         "event_type", "n_events",
         F.round("sum_value", 2).alias("sum_value"))
+
+
+@member_sql("""
+SELECT strftime(make_timestamp(
+           CAST((floor(epoch(ts) / 1800) - off.o) * 1800 AS BIGINT)
+           * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(make_timestamp(
+           CAST(((floor(epoch(ts) / 1800) - off.o) * 1800 + 3600) AS BIGINT)
+           * 1000000), '%Y-%m-%d %H:%M:%S') AS window_end,
+       count(*) AS n_events
+FROM events CROSS JOIN (VALUES (0), (1)) off(o)
+GROUP BY 1, 2
+""")
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding windows (1h size / 30min slide — every event in
+    2 windows), same availableNow determinism as the tumbling member; the
+    oracle regenerates both window alignments per event on the 30-minute
+    epoch grid (the batch twin event_sliding_windows restates start-only;
+    this one pins both bounds through the streaming path)."""
+    out = _run_available_now(
+        sliding_counts(_events_stream(spark, sf_dir)), spark)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "n_events")
 
 
 @member_sql("""
@@ -303,6 +330,8 @@ def streaming_click_purchase_join(spark: SparkSession,
 _STREAMING_WINDOW_MEMBERS = [
     ("tumbling", streaming_tumbling_counts,
      ["window_start", "window_end", "event_type", "n_events"], ["sum_value"]),
+    ("sliding", streaming_sliding_counts,
+     ["window_start", "window_end", "n_events"], []),
     ("session", streaming_session_aggregate,
      ["user_id", "session_start", "session_end", "n_events"], ["sum_value"]),
     ("ssjoin", streaming_click_purchase_join,

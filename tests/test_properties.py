@@ -162,3 +162,38 @@ def test_extract_rdfa_never_raises(parts):
         for s, p, o, ot, dt, lang in triples:
             assert s and p and ot in ("iri", "literal", "bnode")
             assert o is not None
+
+
+# ---------------------------------------------------------------------------
+# resize_target (multimodal): pure integer math, no Spark needed
+# ---------------------------------------------------------------------------
+
+@settings(deadline=None)  # first call pays the module import
+@given(w=st.integers(1, 100_000), h=st.integers(1, 100_000),
+       max_side=st.integers(1, 4096))
+def test_resize_target_properties(w, h, max_side):
+    from harvesting_extract_to_ttl_service_spark.operators.multimodal import (
+        resize_target,
+    )
+
+    nw, nh = resize_target(w, h, max_side)
+    # inside the box, never zero
+    assert 1 <= nw <= max(w, max_side) and 1 <= nh <= max(h, max_side)
+    assert max(nw, nh) <= max(max_side, 1)
+    # never upscales
+    assert nw <= w and nh <= h
+    # no-op when already inside the box
+    if max(w, h) <= max_side:
+        assert (nw, nh) == (w, h)
+    else:
+        # the longest side lands exactly on the box edge
+        assert max(nw, nh) == max_side or max(nw, nh) == 1
+        # aspect ratio preserved within floor-rounding: the true scaled
+        # value of the short side is within 1 of the integer result
+        scale = max_side / max(w, h)
+        if w >= h:
+            assert abs(nh - h * scale) <= 1
+        else:
+            assert abs(nw - w * scale) <= 1
+    # idempotent
+    assert resize_target(nw, nh, max_side) == (nw, nh)
