@@ -254,3 +254,85 @@ def read_ntriples(spark, path: str, graph: str | None = None,
     lines = lines.filter(F.trim(F.col("value")) != "")
     return decode_ntriples(lines, "value", graph=graph,
                            keep_errors=keep_errors)
+
+# ---------------------------------------------------------------------------
+# Turtle encoder (prefix compaction)
+# ---------------------------------------------------------------------------
+
+# Conservative PN_LOCAL subset: compaction only fires when the remainder
+# after the namespace is a simple name (letters/digits/_/-, not starting
+# with '-', no dots — dots carry end-of-statement ambiguity in Turtle).
+_PN_LOCAL_SAFE = r"^[A-Za-z0-9_][A-Za-z0-9_-]*$"
+
+
+def compact_iri(iri: Column, prefixes: dict[str, str]) -> Column:
+    """IRI → ``pfx:local`` when it starts with a declared namespace and the
+    remainder is a safe local name; otherwise ``<iri>``. Longest namespace
+    wins (checked first), so nested namespaces compact to the most
+    specific prefix. Pure column expressions — a CASE chain, one
+    ``startswith`` + anchored rlike per declared prefix."""
+    out = F.concat(F.lit("<"), iri, F.lit(">"))
+    for pfx, ns in sorted(prefixes.items(), key=lambda kv: len(kv[1])):
+        local = F.substr(iri, F.lit(len(ns) + 1), F.length(iri))
+        out = F.when(
+            iri.startswith(ns) & local.rlike(_PN_LOCAL_SAFE),
+            F.concat(F.lit(pfx + ":"), local),
+        ).otherwise(out)
+    return out
+
+
+def term_to_turtle(value: Column, object_type: Column, datatype: Column,
+                   language: Column, prefixes: dict[str, str]) -> Column:
+    """Turtle object token: like :func:`term_to_nt`, with IRIs (including
+    datatype IRIs) prefix-compacted."""
+    literal = F.concat(F.lit('"'), escape_literal(value), F.lit('"'))
+    literal = (
+        F.when(
+            (datatype == RDF_LANGSTRING)
+            & (F.coalesce(language, F.lit("")) != ""),
+            F.concat(literal, F.lit("@"), language),
+        )
+        .when(
+            datatype.isNotNull() & (datatype != XSD_STRING)
+            & (datatype != RDF_LANGSTRING),
+            F.concat(literal, F.lit("^^"), compact_iri(datatype, prefixes)),
+        )
+        .otherwise(literal)
+    )
+    return (
+        F.when(object_type == OT_IRI, compact_iri(value, prefixes))
+        .when(object_type == OT_BNODE, value)
+        .otherwise(literal)
+    )
+
+
+def turtle_prefix_header(prefixes: dict[str, str]) -> str:
+    """The ``@prefix`` block to prepend to a Turtle document using
+    :func:`encode_turtle` lines (sorted for deterministic output)."""
+    return "\n".join(f"@prefix {pfx}: <{ns}> ."
+                     for pfx, ns in sorted(prefixes.items()))
+
+
+def encode_turtle(df: DataFrame, prefixes: dict[str, str],
+                  out_col: str = "ttl") -> DataFrame:
+    """Add a Turtle statement column per triple row: subject / predicate /
+    object with prefix compaction (``rdf:type`` additionally renders as
+    ``a``). One triple per line — valid Turtle, no subject/predicate
+    grouping, so the encoder stays a pure projection (grouping would be a
+    per-subject sort + aggregation for cosmetics only). N-Triples output
+    (:func:`encode_ntriples`) remains the reference-parity surface
+    (the reference's .ttl files contain N-Triples lines,
+    /root/reference/lib/rdfa-extractor.js:108-113); this is the
+    prefix-compacted form a downstream consumer of /share trees reads."""
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    subj = F.when(F.col("subject").startswith("_:"), F.col("subject")) \
+        .otherwise(compact_iri(F.col("subject"), prefixes))
+    pred = F.when(F.col("predicate") == rdf_type, F.lit("a")) \
+        .otherwise(compact_iri(F.col("predicate"), prefixes))
+    line = F.concat_ws(
+        " ", subj, pred,
+        term_to_turtle(F.col("object_value"), F.col("object_type"),
+                       F.col("datatype"), F.col("language"), prefixes),
+        F.lit("."),
+    )
+    return df.withColumn(out_col, line)

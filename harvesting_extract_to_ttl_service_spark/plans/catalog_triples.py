@@ -187,6 +187,27 @@ def ntriples_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "subject", "predicate", "object_value", "object_type")
 
 
+@member_sql(_CTE + """
+SELECT CASE WHEN subject LIKE 'urn:nation:%' THEN 'n:' || substr(subject, 12)
+            WHEN subject LIKE 'urn:region:%' THEN 'r:' || substr(subject, 12)
+            ELSE '<' || subject || '>' END
+       || ' p:name "' || object_value || '" .' AS ttl
+FROM triples WHERE predicate = 'urn:p:name'
+""")
+def turtle_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-compacted Turtle statements (functions/ntriples.py
+    encode_turtle): subject/predicate IRIs compact to pfx:local where a
+    declared namespace + safe local name match, everything else stays
+    <...>; byte-checked against the oracle's CASE restatement."""
+    from harvesting_extract_to_ttl_service_spark.functions.ntriples import (
+        encode_turtle,
+    )
+
+    t = tpch_triples(spark, sf_dir).filter(F.col("predicate") == "urn:p:name")
+    return encode_turtle(t, {"p": "urn:p:", "n": "urn:nation:",
+                             "r": "urn:region:"}).select("ttl")
+
+
 # --------------------------------------------------------------------------
 # A13-A15 — triage over a deterministic dirty-literal mixture
 # --------------------------------------------------------------------------
@@ -608,6 +629,7 @@ def b11_graph_scoped_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NTRIPLES_MEMBERS = [
     ("encode", ntriples_encode, ["nt"], []),
+    ("turtle", turtle_encode, ["ttl"], []),
     ("roundtrip", ntriples_decode_roundtrip,
      ["subject", "predicate", "object_value", "object_type"], []),
 ]

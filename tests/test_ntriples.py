@@ -121,3 +121,49 @@ def test_escaped_backslash_u0000_text_is_valid(spark):
     out = decode_ntriples(lines, keep_errors=True).collect()
     assert out[0].parse_ok
     assert out[0].object_value == "\\u0000 as text"
+
+
+def test_turtle_encoder_golden(spark):
+    from harvesting_extract_to_ttl_service_spark.functions.ntriples import (
+        encode_turtle,
+        turtle_prefix_header,
+    )
+    from harvesting_extract_to_ttl_service_spark.schema import XSD_DATE
+
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    prefixes = {"ex": "http://ex/ns#", "xsd": "http://www.w3.org/2001/XMLSchema#",
+                "long": "http://ex/ns#sub/"}
+    rows = [
+        # compaction on every position; rdf:type → a
+        ("http://ex/ns#s1", RDF + "type", "http://ex/ns#T", "iri",
+         None, None, None),
+        # datatype IRI compacts too
+        ("http://ex/ns#s1", "http://ex/ns#born", "2023-05-07", "literal",
+         XSD_DATE, None, None),
+        # unknown namespace stays <...>
+        ("http://other/x", "http://ex/ns#p", "http://other/y", "iri",
+         None, None, None),
+        # unsafe local name (slash) falls back to <...>
+        ("http://ex/ns#a/b", "http://ex/ns#p", "v", "literal",
+         None, None, None),
+        # longest namespace wins
+        ("http://ex/ns#sub/ok", "http://ex/ns#p", "v", "literal",
+         None, None, None),
+        # langString + bnodes unchanged
+        ("_:b0", "http://ex/ns#p", "hallo", "literal",
+         "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString", "nl", None),
+    ]
+    df = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+    got = {r.subject: r.ttl for r in encode_turtle(df, prefixes).collect()}
+    assert got["http://ex/ns#s1"] in (
+        "ex:s1 a ex:T .", 'ex:s1 ex:born "2023-05-07"^^xsd:date .')
+    lines = {r.ttl for r in encode_turtle(df, prefixes).collect()}
+    assert "ex:s1 a ex:T ." in lines
+    assert 'ex:s1 ex:born "2023-05-07"^^xsd:date .' in lines
+    assert "<http://other/x> ex:p <http://other/y> ." in lines
+    assert '<http://ex/ns#a/b> ex:p "v" .' in lines
+    assert 'long:ok ex:p "v" .' in lines
+    assert '_:b0 ex:p "hallo"@nl .' in lines
+    header = turtle_prefix_header(prefixes)
+    assert header.splitlines()[0] == "@prefix ex: <http://ex/ns#> ."
+    assert "@prefix xsd: <http://www.w3.org/2001/XMLSchema#> ." in header
