@@ -78,3 +78,17 @@ def test_bucketed_star_join_no_shuffle(spark):
     j.count()
     jplan = j._jdf.queryExecution().executedPlan().toString()
     assert jplan.count("Exchange hashpartitioning") == 0
+
+
+def test_tpch_triples_single_scan_per_table(spark):
+    """Round-5 perf pin: the fixture triple view emits per-row triples via
+    one explode per base table — the union-of-selects shape scanned
+    customer 3x and orders/nation 2x per query."""
+    from harvesting_extract_to_ttl_service_spark.plans.catalog_triples import (
+        tpch_triples,
+    )
+
+    t = tpch_triples(spark, "/root/testdata/sf0.001")
+    plan = t._jdf.queryExecution().executedPlan().toString()
+    for table in ("nation", "region", "customer", "orders"):
+        assert plan.count(f"{table}.parquet") == 1, table
