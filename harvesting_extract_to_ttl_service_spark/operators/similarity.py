@@ -249,3 +249,54 @@ def ivf_topk(df: DataFrame, query_vec: list[float],
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+def train_ivf_centroids(df: DataFrame, k: int, dim: int,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id",
+                        max_iter: int = 10,
+                        tol: float = 1e-4) -> list[list[float]]:
+    """Distributed Lloyd's k-means over an embedding column — the trainer
+    that makes the IVF path (:func:`ivf_assign` / :func:`ivf_topk`)
+    self-contained. Returns k driver-side centroids (k × dim floats —
+    control-plane sized by design; the corpus never leaves the executors).
+
+    Per iteration: one :func:`ivf_assign` projection (argmax over a sims
+    array, no per-centroid subtree blowup) + one explode-by-dimension
+    aggregation — ``posexplode`` fans each vector into dim rows and a
+    map-side-combinable AVG per (cell, dim) collapses them, so the
+    shuffle carries k × dim partial sums per partition, independent of
+    corpus size. Convergence = max centroid drift (L∞ over all cells)
+    below ``tol``, checked driver-side on the k × dim result.
+
+    Initialization is deterministic: the k vectors with the smallest ids
+    (orderBy + limit — at corpus scale swap for a hash-sampled
+    ``TABLESAMPLE`` if the leading ids are degenerate). An empty cell
+    keeps its previous centroid (standard Lloyd fallback), so k never
+    shrinks mid-run."""
+    init = (df.select(id_col, vec_col).orderBy(id_col).limit(k).collect())
+    if len(init) < k:
+        raise ValueError(f"k={k} exceeds corpus size {len(init)}")
+    centroids = [[float(x) for x in row[vec_col]] for row in init]
+
+    for _ in range(max_iter):
+        assigned = ivf_assign(df.select(vec_col), centroids, vec_col)
+        sums = (
+            assigned.select("ivf_cell",
+                            F.posexplode(F.col(vec_col)).alias("d", "x"))
+            .groupBy("ivf_cell", "d").agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new_centroids = [list(c) for c in centroids]
+        by_cell: dict[int, list[float]] = {}
+        for row in sums:
+            by_cell.setdefault(row.ivf_cell, [0.0] * dim)[row.d] = row.m
+        for cell, vec in by_cell.items():
+            new_centroids[cell] = vec
+        drift = max(
+            abs(a - b)
+            for c_new, c_old in zip(new_centroids, centroids)
+            for a, b in zip(c_new, c_old))
+        centroids = new_centroids
+        if drift < tol:
+            break
+    return centroids

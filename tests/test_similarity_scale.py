@@ -108,3 +108,57 @@ def test_multiprobe_superset_of_single_probe(spark):
     assert len(multi) >= len(single)
     for m, s in zip(multi, single):
         assert m >= s - 1e-9
+
+
+def test_train_ivf_centroids_recovers_blobs(spark):
+    """Lloyd's k-means on three well-separated deterministic blobs must
+    place one centroid per blob (within tolerance of the blob mean), and
+    ivf_assign with the trained centroids must put every vector in its
+    blob's cell."""
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        ivf_assign,
+        train_ivf_centroids,
+    )
+
+    means = [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]]
+    rows = []
+    i = 0
+    for b, m in enumerate(means):
+        for j in range(20):
+            off = [((j * 7 + d * 3) % 5 - 2) * 0.1 for d in range(3)]
+            rows.append((i, [m[d] + off[d] for d in range(3)], b))
+            i += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, blob int")
+
+    cents = train_ivf_centroids(df, k=3, dim=3, max_iter=15)
+    assert len(cents) == 3
+    # every blob mean is approximated by exactly one centroid
+    matched = set()
+    for m in means:
+        best = min(range(3), key=lambda c: sum(
+            (cents[c][d] - m[d]) ** 2 for d in range(3)))
+        assert all(abs(cents[best][d] - m[d]) < 0.5 for d in range(3))
+        matched.add(best)
+    assert matched == {0, 1, 2}
+
+    # assignment purity: each blob lands wholly in one cell
+    out = ivf_assign(df, cents).select("blob", "ivf_cell").distinct().collect()
+    by_blob = {}
+    for r in out:
+        by_blob.setdefault(r.blob, set()).add(r.ivf_cell)
+    assert all(len(cells) == 1 for cells in by_blob.values())
+    assert len({c for cells in by_blob.values() for c in cells}) == 3
+
+
+def test_train_ivf_centroids_k_too_large_raises(spark):
+    import pytest
+
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    df = spark.createDataFrame([(0, [1.0, 0.0])],
+                               "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="exceeds corpus size"):
+        train_ivf_centroids(df, k=5, dim=2)
