@@ -218,15 +218,38 @@ def spilled_file_metadata(spilled: DataFrame, now_iso: str,
 
 
 def write_ttl(triples: DataFrame, out_dir: str,
-              partition_cols: tuple[str, ...] = ("page_uri",)) -> None:
+              partition_cols: tuple[str, ...] = ("page_uri",),
+              turtle_prefixes: dict[str, str] | None = None) -> None:
     """Write triple rows as N-Triples text partitioned by page/task
     (file-helpers.js:80-97's per-page .ttl files → one distributed
     partitioned write). DYNAMIC partition overwrite: only the partitions
     present in this batch are replaced — a later service micro-batch
     must not wipe earlier batches' trees, and a checkpoint replay of the
-    same batch rewrites exactly its own partitions (idempotent)."""
-    nt = encode_ntriples(triples)
-    (nt.select(*partition_cols, "nt")
+    same batch rewrites exactly its own partitions (idempotent).
+
+    ``turtle_prefixes``: emit prefix-compacted Turtle statements instead
+    of N-Triples lines (functions/ntriples.py ``encode_turtle``), with
+    the matching ``@prefix`` block written once as ``_prefixes.ttl`` at
+    the tree root (per-part headers would be wrong: parts of one
+    partition concatenate into one logical document). Default None keeps
+    reference-parity N-Triples output."""
+    if turtle_prefixes is None:
+        lines = encode_ntriples(triples).select(*partition_cols, "nt")
+    else:
+        from harvesting_extract_to_ttl_service_spark.functions.ntriples import (
+            encode_turtle,
+            turtle_prefix_header,
+        )
+
+        lines = encode_turtle(triples, turtle_prefixes).select(
+            *partition_cols, "ttl")
+    (lines
        .write.partitionBy(*partition_cols).mode("overwrite")
        .option("partitionOverwriteMode", "dynamic")
        .text(out_dir))
+    if turtle_prefixes is not None:
+        import os
+
+        with open(os.path.join(out_dir, "_prefixes.ttl"), "w",
+                  encoding="utf-8") as f:
+            f.write(turtle_prefix_header(turtle_prefixes) + "\n")

@@ -167,3 +167,28 @@ def test_turtle_encoder_golden(spark):
     header = turtle_prefix_header(prefixes)
     assert header.splitlines()[0] == "@prefix ex: <http://ex/ns#> ."
     assert "@prefix xsd: <http://www.w3.org/2001/XMLSchema#> ." in header
+
+
+def test_write_ttl_turtle_mode(spark, tmp_path):
+    import os
+
+    from harvesting_extract_to_ttl_service_spark.sources.files import write_ttl
+
+    rows = [("http://ex/ns#s", "http://ex/ns#p", "v", "literal", None, None,
+             None, "share://p1")]
+    df = spark.createDataFrame(
+        rows, "subject string, predicate string, object_value string, "
+        "object_type string, datatype string, language string, graph string, "
+        "page_uri string")
+    out = str(tmp_path / "ttl")
+    write_ttl(df, out, turtle_prefixes={"ex": "http://ex/ns#"})
+    header = open(os.path.join(out, "_prefixes.ttl")).read()
+    assert header == "@prefix ex: <http://ex/ns#> .\n"
+    # partition dir name is URL-encoded by Spark; find it robustly
+    dirs = [d for d in os.listdir(out) if d.startswith("page_uri=")]
+    assert len(dirs) == 1
+    lines = []
+    for p in os.listdir(os.path.join(out, dirs[0])):
+        if p.startswith("part-"):
+            lines += open(os.path.join(out, dirs[0], p)).read().splitlines()
+    assert lines == ['ex:s ex:p "v" .']
