@@ -197,3 +197,35 @@ def test_resize_target_properties(w, h, max_side):
             assert abs(nw - w * scale) <= 1
     # idempotent
     assert resize_target(nw, nh, max_side) == (nw, nh)
+
+
+# ---------------------------------------------------------------------------
+# Turtle prefix compaction: expanding pfx:local with the prefix map must
+# recover the original IRI (compaction is information-preserving)
+# ---------------------------------------------------------------------------
+
+_TURTLE_PREFIXES = {"ex": "http://ex/ns#", "sub": "http://ex/ns#sub/"}
+
+
+@settings(deadline=None, suppress_health_check=[HealthCheck.too_slow],
+          max_examples=30)
+@given(local=st.text(
+    alphabet=st.characters(min_codepoint=0x21, max_codepoint=0x7E,
+                           exclude_characters='<>"{}|^`\\'),
+    min_size=1, max_size=20))
+def test_turtle_compaction_expands_back(spark, local):
+    from harvesting_extract_to_ttl_service_spark.functions.ntriples import (
+        compact_iri,
+    )
+
+    iri = "http://ex/ns#" + local
+    row = (spark.range(1)
+           .select(compact_iri(F.lit(iri), _TURTLE_PREFIXES).alias("t"))
+           .first())
+    token = row.t
+    if token.startswith("<"):
+        # fell back to full form: must reproduce the IRI verbatim
+        assert token == f"<{iri}>"
+    else:
+        pfx, _, rest = token.partition(":")
+        assert _TURTLE_PREFIXES[pfx] + rest == iri
