@@ -934,7 +934,40 @@ def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suite_df(spark, sf_dir, _CUSTOMER_ORDER_MEMBERS)
 
 
+@member_sql("""
+SELECT o_custkey, o_orderkey,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       lead(o_orderkey) OVER w AS next_order
+FROM orders
+WHERE o_custkey % 100 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+""")
+def window_ranking_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking family over one window spec — rank, dense_rank,
+    ntile, percent_rank, cume_dist, lead — all share a single sort within
+    one shuffle (Catalyst plans ONE Window operator when the specs
+    agree)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.lead("o_orderkey").over(w).alias("next_order"))
+
+
 _WINDOW_MEMBERS = [
+    ("ranking", window_ranking_family,
+     ["o_custkey", "o_orderkey", "rnk", "drnk", "quartile", "next_order"],
+     ["pct_rank", "cume"]),
     ("top3", window_top3_orders_per_customer,
      ["o_custkey", "o_orderkey", "rank"], ["totalprice"]),
     ("running", window_running_supplier_revenue,
