@@ -253,3 +253,41 @@ def write_ttl(triples: DataFrame, out_dir: str,
         with open(os.path.join(out_dir, "_prefixes.ttl"), "w",
                   encoding="utf-8") as f:
             f.write(turtle_prefix_header(turtle_prefixes) + "\n")
+
+def compact_ttl_tree(spark, src_dir: str, dst_dir: str,
+                     partition_cols: tuple[str, ...] = ("page_uri",)) -> dict:
+    """Compact a partitioned TTL tree (the ``write_ttl`` layout) into one
+    file per partition directory — the small-files answer for a tree that
+    accumulated many part files across service micro-batches (each
+    dynamic-overwrite batch adds its own parts; at 100 TB the file count,
+    not the byte count, is what kills the namenode/listing and downstream
+    scan planning).
+
+    One shuffle keyed on the partition columns puts every partition
+    value's lines in one task, so the partitioned rewrite emits exactly
+    one part file per directory. Line order within a partition is not
+    contractual (N-Triples/Turtle statements are set-semantics; the
+    in-partition order already depends on batch arrival), and the writer
+    never reads and writes the same directory — compact to a NEW root and
+    swap atomically at the catalog/symlink level.
+
+    Returns ``{"files_before": n, "files_after": m, "rows": k}``."""
+    import glob as _glob
+    import os
+
+    from pyspark.sql import functions as _F
+
+    df = spark.read.text(src_dir)  # partition discovery recovers the cols
+    for c in partition_cols:
+        if c not in df.columns:
+            raise ValueError(f"{src_dir} has no partition column {c!r}")
+    rows = df.count()
+    before = len(_glob.glob(os.path.join(src_dir, "**", "part-*"),
+                            recursive=True))
+    (df.repartition(*[_F.col(c) for c in partition_cols])
+       .write.partitionBy(*partition_cols).mode("overwrite")
+       .option("partitionOverwriteMode", "dynamic")
+       .text(dst_dir))
+    after = len(_glob.glob(os.path.join(dst_dir, "**", "part-*"),
+                           recursive=True))
+    return {"files_before": before, "files_after": after, "rows": rows}

@@ -192,3 +192,51 @@ def test_write_ttl_turtle_mode(spark, tmp_path):
         if p.startswith("part-"):
             lines += open(os.path.join(out, dirs[0], p)).read().splitlines()
     assert lines == ['ex:s ex:p "v" .']
+
+
+def test_compact_ttl_tree(spark, tmp_path):
+    """Two write_ttl batches leave multiple part files per partition dir;
+    compaction rewrites to exactly one file per dir with identical
+    content."""
+    import glob
+    import os
+
+    from harvesting_extract_to_ttl_service_spark.sources.files import (
+        compact_ttl_tree,
+        write_ttl,
+    )
+
+    def batch(vals):
+        rows = [("http://s/" + v, "http://p", v, "literal", None, None,
+                 None, "p1") for v in vals]
+        return spark.createDataFrame(
+            rows, "subject string, predicate string, object_value string, "
+            "object_type string, datatype string, language string, "
+            "graph string, page_uri string").repartition(4)
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    write_ttl(batch(["a", "b", "c", "d"]), src)
+    # second batch appends more parts into the same partition via dynamic
+    # overwrite of a DIFFERENT page — plus rewrite p1 with more rows
+    write_ttl(batch(["a", "b", "c", "d", "e", "f", "g", "h"]), src)
+
+    stats = compact_ttl_tree(spark, src, dst)
+    assert stats["rows"] == 8
+    assert stats["files_after"] < stats["files_before"]
+    dirs = [d for d in os.listdir(dst) if d.startswith("page_uri=")]
+    assert len(dirs) == 1
+    parts = glob.glob(os.path.join(dst, dirs[0], "part-*"))
+    assert len(parts) == 1
+    src_lines = set()
+    for p in glob.glob(os.path.join(src, "**", "part-*"), recursive=True):
+        src_lines |= set(open(p).read().splitlines())
+    dst_lines = set(open(parts[0]).read().splitlines())
+    assert dst_lines == src_lines
+
+    # missing partition column → explicit error, not a silent flat rewrite
+    import pytest
+    flat = str(tmp_path / "flat")
+    spark.createDataFrame([("x",)], "value string").write.text(flat)
+    with pytest.raises(ValueError, match="partition column"):
+        compact_ttl_tree(spark, flat, str(tmp_path / "out2"))
