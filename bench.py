@@ -88,10 +88,11 @@ def main() -> None:
     # Each query runs REPEATS times and reports the min: a single
     # contended run on a noisy driver machine can otherwise masquerade as
     # a multi-x regression (r02 recorded 4.7x on sessionize_events that a
-    # controlled rerun could not reproduce). Min-of-2 still pays each
-    # plan's own analysis+codegen cost on the first run, so the reported
-    # number reflects steady-state engine time.
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    # controlled rerun could not reproduce; round-5 controlled reruns of
+    # an identical tree spread 17.9-20.8 s total). Min-of-3 still pays
+    # each plan's own analysis+codegen cost on the first run, so the
+    # reported number reflects steady-state engine time.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     per_query: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
