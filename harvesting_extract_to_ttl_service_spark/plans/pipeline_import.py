@@ -214,8 +214,14 @@ def run_import_pipeline(control: DataFrame, page_bodies: DataFrame,
         F.broadcast(task_pages), "page_uri").withColumn(
         "graph", F.lit(graph).cast("string"))
 
+    # Lazy cut on the (small) error rows: the error-triple block and the
+    # fail_on_page_error status branch BOTH consume them, and each union
+    # branch would otherwise carry its own copy of the extraction subtree
+    # (see SCALE.md duplicate-subtree audit). eager=False → callers that
+    # never execute an error output pay nothing.
     errors = (extracted.filter(F.col("error").isNotNull())
-              .select("task_uri", "page_uri", "error"))
+              .select("task_uri", "page_uri", "error")
+              .localCheckpoint(eager=False))
     triaged = triage(extracted.filter(F.col("error").isNull()),
                      compat=compat, compat_tz=compat_tz)
 

@@ -452,9 +452,12 @@ def test_import_pipeline_valid_single_python_stage(spark):
     for out in ("valid", "invalid", "corrected"):
         plan = res[out]._jdf.queryExecution().optimizedPlan().toString()
         assert plan.count("MapInPandas") == 1, out
-    # error block: one explode over a 4-struct array, not a 4-way union
+    # error block: one explode over a 4-struct array, not a 4-way union —
+    # and the error rows are cut (lazy localCheckpoint), so the plan shows
+    # the extraction subtree at most once (0 = hidden behind the
+    # checkpoint node, which materializes it exactly once)
     plan = res["error_triples"]._jdf.queryExecution().optimizedPlan().toString()
-    assert plan.count("MapInPandas") == 1
+    assert plan.count("MapInPandas") <= 1
     # spilled-file metadata: one explode over an 8-struct array
     plan = res["spilled_metadata"]._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("MapInPandas") == 1
