@@ -132,19 +132,51 @@ def subject_to_nt(subject: Column) -> Column:
     )
 
 
-def encode_ntriples(df: DataFrame, out_col: str = "nt") -> DataFrame:
+def _null_guard(line: Column, df: DataFrame, out_col: str,
+                on_null: str, encoder: str) -> DataFrame:
+    """Attach the (null-propagating) ``line`` to ``df`` under the
+    ``on_null`` policy. A row with any NULL term yields a NULL line —
+    a ``concat_ws`` formulation instead silently SKIPS the null component,
+    serializing e.g. ``<subj> <pred> .`` — a malformed-but-plausible
+    statement a downstream parser may even accept as something else.
+
+      * ``'raise'`` (default): fail the job naming the bad row — a null
+        term reaching a serializer is an upstream bug (triage routes
+        invalid rows away; error rows have their own sink);
+      * ``'skip'``: drop null-term rows;
+      * ``'keep'``: keep the NULL line for the caller to handle."""
+    if on_null not in ("raise", "skip", "keep"):
+        raise ValueError(f"on_null={on_null!r}: one of 'raise', 'skip', "
+                         f"'keep'")
+    if on_null == "raise":
+        line = F.coalesce(line, F.raise_error(F.concat_ws(
+            " ",
+            F.lit(f"{encoder}: null term in triple row; subject="),
+            F.coalesce(F.col("subject"), F.lit("<null>")),
+            F.lit("predicate="),
+            F.coalesce(F.col("predicate"), F.lit("<null>")),
+        )))
+    out = df.withColumn(out_col, line)
+    if on_null == "skip":
+        out = out.filter(F.col(out_col).isNotNull())
+    return out
+
+
+def encode_ntriples(df: DataFrame, out_col: str = "nt",
+                    on_null: str = "raise") -> DataFrame:
     """Add a column with the full N-Triples line for each triple row
     (reference: rdfSerializer application/n-triples + trim + drop-empty,
-    /root/reference/lib/rdfa-extractor.js:108-113)."""
-    line = F.concat_ws(
-        " ",
+    /root/reference/lib/rdfa-extractor.js:108-113). Null-term rows
+    surface per ``on_null`` (:func:`_null_guard`) instead of silently
+    serializing shortened statements."""
+    line = F.concat(
         subject_to_nt(F.col("subject")),
-        F.concat(F.lit("<"), F.col("predicate"), F.lit(">")),
+        F.lit(" <"), F.col("predicate"), F.lit("> "),
         term_to_nt(F.col("object_value"), F.col("object_type"),
                    F.col("datatype"), F.col("language")),
-        F.lit("."),
+        F.lit(" ."),
     )
-    return df.withColumn(out_col, line)
+    return _null_guard(line, df, out_col, on_null, "encode_ntriples")
 
 
 # One regex, evaluated per capture group. Groups:
@@ -314,7 +346,7 @@ def turtle_prefix_header(prefixes: dict[str, str]) -> str:
 
 
 def encode_turtle(df: DataFrame, prefixes: dict[str, str],
-                  out_col: str = "ttl") -> DataFrame:
+                  out_col: str = "ttl", on_null: str = "raise") -> DataFrame:
     """Add a Turtle statement column per triple row: subject / predicate /
     object with prefix compaction (``rdf:type`` additionally renders as
     ``a``). One triple per line — valid Turtle, no subject/predicate
@@ -329,10 +361,10 @@ def encode_turtle(df: DataFrame, prefixes: dict[str, str],
         .otherwise(compact_iri(F.col("subject"), prefixes))
     pred = F.when(F.col("predicate") == rdf_type, F.lit("a")) \
         .otherwise(compact_iri(F.col("predicate"), prefixes))
-    line = F.concat_ws(
-        " ", subj, pred,
+    line = F.concat(
+        subj, F.lit(" "), pred, F.lit(" "),
         term_to_turtle(F.col("object_value"), F.col("object_type"),
                        F.col("datatype"), F.col("language"), prefixes),
-        F.lit("."),
+        F.lit(" ."),
     )
-    return df.withColumn(out_col, line)
+    return _null_guard(line, df, out_col, on_null, "encode_turtle")

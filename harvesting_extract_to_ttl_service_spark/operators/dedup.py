@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from harvesting_extract_to_ttl_service_spark.operators.materialize import materialize
 from harvesting_extract_to_ttl_service_spark.operators.text import fingerprint, tokens
 
 # Mersenne prime 2^31-1: modulus for the portable universal-hash family
@@ -275,21 +276,29 @@ def minhash_signature_table(df: DataFrame, text_col: str = "text",
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 32,
-                           bands: int = 8, shingle_n: int = 3) -> DataFrame:
+                           bands: int = 8, shingle_n: int = 3,
+                           materialize_mode: str = "local_checkpoint",
+                           ) -> DataFrame:
     """LSH banding: split the MinHash signature into ``bands`` bands of
     ``num_hashes/bands`` rows; docs agreeing on any full band become a
     candidate pair. Returns distinct (id_a < id_b) candidate pairs.
 
     Scale path: the self-join is keyed on (band_index, band_hash) — small
     fixed-width keys; hot buckets (boilerplate docs) are the skew risk, so
-    AQE skew-join stays on in the session config.
+    AQE skew-join stays on in the session config. ``materialize_mode``
+    picks the shared-subtree cut strategy (operators/materialize.py):
+    the 'local_checkpoint' default is fastest but forfeits executor-loss
+    recovery — pass 'checkpoint' or 'persist' on a real cluster with
+    preemptible executors.
     """
     return _banded_pairs(df, text_col, id_col, num_hashes, bands,
-                         shingle_n).select("id_a", "id_b").distinct()
+                         shingle_n, materialize_mode
+                         ).select("id_a", "id_b").distinct()
 
 
 def _banded_pairs(df: DataFrame, text_col: str, id_col: str,
-                  num_hashes: int, bands: int, shingle_n: int) -> DataFrame:
+                  num_hashes: int, bands: int, shingle_n: int,
+                  materialize_mode: str = "local_checkpoint") -> DataFrame:
     """Band-collision pairs with both flat signatures carried through the
     join (columns ``id_a, id_b, a.m*, b.m*``; one row per colliding band).
     Carrying the num_hashes×8-byte signatures widens the shuffle slightly
@@ -307,13 +316,12 @@ def _banded_pairs(df: DataFrame, text_col: str, id_col: str,
             for b in range(bands)
         ])).alias("band", "band_hash"),
     )
-    # Materialize the banded table ONCE before the self-join: the planner
-    # does not reuse the two identical subtrees when it picks a broadcast
-    # strategy for one side (and AQE stage reuse only matches identical
-    # *exchanges*), so without this cut the shingle→signature aggregation
-    # — the most expensive stage — runs twice per job. Measured 1.22×
-    # at sf0.1 (2.31 s → 1.90 s).
-    banded = banded.localCheckpoint(eager=False)
+    # Materialize the banded table ONCE before the self-join — without
+    # this cut the shingle→signature aggregation (the most expensive
+    # stage) runs twice per job (see operators/materialize.py for why the
+    # planner duplicates it, and for the fault-tolerance tradeoff of each
+    # mode). Measured 1.22× at sf0.1 (2.31 s → 1.90 s).
+    banded = materialize(banded, materialize_mode)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -329,7 +337,9 @@ def _banded_pairs(df: DataFrame, text_col: str, id_col: str,
 def minhash_similarity(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 32,
                        bands: int = 8, shingle_n: int = 3,
-                       threshold: float = 0.5) -> DataFrame:
+                       threshold: float = 0.5,
+                       materialize_mode: str = "local_checkpoint",
+                       ) -> DataFrame:
     """Candidate pairs + estimated Jaccard (fraction of agreeing MinHash
     rows), filtered to ``threshold``. The estimate is computed directly on
     the signatures carried through the band join — no re-join back to the
@@ -339,7 +349,8 @@ def minhash_similarity(df: DataFrame, text_col: str = "text",
     for i in range(num_hashes):
         agree = agree + (F.col(f"am{i}") == F.col(f"bm{i}")).cast("int")
     est = (
-        _banded_pairs(df, text_col, id_col, num_hashes, bands, shingle_n)
+        _banded_pairs(df, text_col, id_col, num_hashes, bands, shingle_n,
+                      materialize_mode)
         .select("id_a", "id_b",
                 (agree / F.lit(num_hashes)).alias("est_jaccard"))
         .distinct()
@@ -350,7 +361,9 @@ def minhash_similarity(df: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", shingle_n: int = 3,
                         threshold: float = 0.5,
-                        max_shingle_df: int | None = None) -> DataFrame:
+                        max_shingle_df: int | None = None,
+                        materialize_mode: str = "local_checkpoint",
+                        ) -> DataFrame:
     """Exact n-gram Jaccard near-dup: explode distinct shingles, self-join
     on shingle to get intersection sizes (only pairs sharing ≥1 shingle —
     never the full O(n²) space), then |A∩B| / (|A|+|B|−|A∩B|).
@@ -374,10 +387,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     # Materialize the exploded shingle stream once: it feeds BOTH
     # self-join sides (and, under the cap, the per-doc sizes), and the
     # planner duplicates the subtree rather than reuse it (see
-    # _banded_pairs). Storage here is the full shingle stream — heavier
-    # than the signature cuts, but recomputing the explode 2-3× measured
-    # slower at sf0.1 (4.38 s → 4.05 s with the cut).
-    exploded = exploded.localCheckpoint(eager=False)
+    # operators/materialize.py). Storage here is the full shingle stream —
+    # heavier than the signature cuts, but recomputing the explode 2-3×
+    # measured slower at sf0.1 (4.38 s → 4.05 s with the cut).
+    exploded = materialize(exploded, materialize_mode)
     if max_shingle_df is not None:
         sizes = exploded.groupBy("id").agg(F.count("*").alias("n_sh"))
     else:
@@ -484,7 +497,9 @@ def simhash_table(df: DataFrame, text_col: str = "text",
 
 def simhash_candidates(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", bits: int = 60,
-                       max_hamming: int = 3, blocks: int = 4) -> DataFrame:
+                       max_hamming: int = 3, blocks: int = 4,
+                       materialize_mode: str = "local_checkpoint",
+                       ) -> DataFrame:
     """SimHash near-dup candidates: split the fingerprint into ``blocks``
     bit-blocks (pigeonhole: pairs within ``max_hamming`` ≤ blocks-1 bit
     diffs must agree on ≥1 block), equi-join per block, then exact Hamming
@@ -522,8 +537,8 @@ def simhash_candidates(df: DataFrame, text_col: str = "text",
     )
     # Same single-computation cut as _banded_pairs: without it the
     # per-bit SUM aggregation (the expensive stage) runs once per
-    # self-join side.
-    blocked = blocked.localCheckpoint(eager=False)
+    # self-join side. Mode tradeoffs: operators/materialize.py.
+    blocked = materialize(blocked, materialize_mode)
     a = blocked.alias("a")
     b = blocked.alias("b")
     return (

@@ -397,11 +397,14 @@ def resize_target(width: int, height: int, max_side: int) -> tuple[int, int]:
 
 
 def fake_image_resize(payload: bytes, width: int, height: int) -> bytes:
-    """Deterministic fake resize kernel: the 'resized pixels' are an
-    md5 digest of payload + target dims — a stub, but stable across
-    engines/runs so checksums are oracle-restatable
-    (md5(text || '@' || w || 'x' || h) in SQL)."""
-    return hashlib.md5(payload + b"@%dx%d" % (width, height)).digest()
+    """Deterministic fake resize kernel: the 'resized pixels' are the
+    ASCII md5 hexdigest of payload + target dims — a stub, but stable
+    across engines/runs, and hex (not raw digest bytes) so the CHECKSUM
+    OF THE EMITTED PAYLOAD is still oracle-restatable: SQL engines md5
+    strings, not blobs, so ``md5(md5(text || '@' || w || 'x' || h))``
+    reproduces ``md5(fake_image_resize(payload, w, h))`` exactly."""
+    return (hashlib.md5(payload + b"@%dx%d" % (width, height))
+            .hexdigest().encode("ascii"))
 
 
 def pil_image_resize(payload: bytes, width: int, height: int) -> bytes:
@@ -485,9 +488,11 @@ def resize_images(media: DataFrame, max_side: int = 256,
                 out["height"].append(h)
                 out["payload"].append(resized)
                 out["n_bytes"].append(len(resized))
-                out["checksum"].append(
-                    hashlib.md5(payload + b"@%dx%d" % (w, h))
-                    .hexdigest()[:8])
+                # checksum of the EMITTED payload, whatever kernel
+                # produced it — with a real (pil/auto) kernel this is the
+                # resized image's content address, not the fake digest
+                # input (which would mislabel real output)
+                out["checksum"].append(hashlib.md5(resized).hexdigest()[:8])
             yield pd.DataFrame(out)
 
     return (

@@ -15,6 +15,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from harvesting_extract_to_ttl_service_spark.operators.materialize import materialize
+
 
 def dot(a: Column, b: Column) -> Column:
     # cast to double BEFORE the multiply: float32 products then double
@@ -159,7 +161,8 @@ def lsh_ann_topk_multiprobe(df: DataFrame, query_vec: list[float],
 
 def lsh_blocked_pairs(df: DataFrame, threshold: float, dim: int,
                       vec_col: str = "embedding", id_col: str = "vec_id",
-                      n_planes: int = 8) -> DataFrame:
+                      n_planes: int = 8,
+                      materialize_mode: str = "local_checkpoint") -> DataFrame:
     """Embedding near-duplicate pairs via sign-LSH blocking: candidates
     come from an EQUI-join on the hyperplane-sign bucket (never an
     all-pairs nested-loop), then the exact rounded cosine refines within
@@ -180,8 +183,9 @@ def lsh_blocked_pairs(df: DataFrame, threshold: float, dim: int,
          .withColumn("vnorm", norm(F.col("v"))))
     # one computation of the bucket/norm stage feeding both self-join
     # sides (the planner duplicates identical subtrees under a broadcast
-    # strategy — see operators/dedup.py _banded_pairs)
-    b = b.localCheckpoint(eager=False)
+    # strategy — see operators/dedup.py _banded_pairs); the cut strategy
+    # is the caller's fault-tolerance choice, operators/materialize.py
+    b = materialize(b, materialize_mode)
     a, c = b.alias("a"), b.alias("c")
     return (
         a.join(c, (F.col("a.bucket") == F.col("c.bucket"))

@@ -858,15 +858,16 @@ WITH m AS (
   FROM m
 )
 SELECT media_id, sw AS src_width, sh AS src_height, w AS width, h AS height,
-       substr(md5(text || '@' || w || 'x' || h), 1, 8) AS checksum
+       substr(md5(md5(text || '@' || w || 'x' || h)), 1, 8) AS checksum
 FROM r
 """)
 def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-preserving resize plumbing: fake-decoded source dims →
     integer-math resize_target fit in a 256-box → deterministic fake
     resize kernel, all inside one Arrow mapInPandas stage. The oracle
-    restates the dimension math (floor division) and the kernel checksum
-    from the payload bytes."""
+    restates the dimension math (floor division) and the checksum of the
+    emitted payload (the fake kernel emits an ASCII hexdigest precisely so
+    md5-of-output stays SQL-restatable as a double md5)."""
     media = documents_as_media(load(spark, sf_dir, "documents"))
     out = resize_images(media, max_side=256, decoder="fake", kernel="fake")
     return out.select("media_id", "src_width", "src_height",

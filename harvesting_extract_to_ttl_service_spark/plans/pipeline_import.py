@@ -33,6 +33,9 @@ from harvesting_extract_to_ttl_service_spark.operators.extract import (
     extract_pages,
     spill_html_content,
 )
+from harvesting_extract_to_ttl_service_spark.operators.materialize import (
+    materialize,
+)
 from harvesting_extract_to_ttl_service_spark.operators.relational import (
     graph_scope,
     star_join,
@@ -160,6 +163,7 @@ def run_import_pipeline(control: DataFrame, page_bodies: DataFrame,
                         compat: bool = False,
                         compat_tz: str | None = None,
                         task_filter: DataFrame | None = None,
+                        materialize_mode: str = "local_checkpoint",
                         ) -> dict[str, DataFrame]:
     """The whole §3.1 flow. ``control`` is the task/job triple set;
     ``page_bodies`` maps page_uri → (url, html). Returns every output as a
@@ -217,11 +221,15 @@ def run_import_pipeline(control: DataFrame, page_bodies: DataFrame,
     # Lazy cut on the (small) error rows: the error-triple block and the
     # fail_on_page_error status branch BOTH consume them, and each union
     # branch would otherwise carry its own copy of the extraction subtree
-    # (see SCALE.md duplicate-subtree audit). eager=False → callers that
-    # never execute an error output pay nothing.
-    errors = (extracted.filter(F.col("error").isNotNull())
-              .select("task_uri", "page_uri", "error")
-              .localCheckpoint(eager=False))
+    # (see SCALE.md duplicate-subtree audit). eager semantics → callers
+    # that never execute an error output pay nothing; ``materialize_mode``
+    # picks the cut's fault-tolerance strategy (operators/materialize.py —
+    # pass 'persist' or 'checkpoint' on clusters with preemptible
+    # executors, where a localCheckpoint block loss fails the job).
+    errors = materialize(
+        extracted.filter(F.col("error").isNotNull())
+        .select("task_uri", "page_uri", "error"),
+        materialize_mode)
     triaged = triage(extracted.filter(F.col("error").isNull()),
                      compat=compat, compat_tz=compat_tz)
 

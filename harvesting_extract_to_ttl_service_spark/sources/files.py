@@ -238,21 +238,76 @@ def write_ttl(triples: DataFrame, out_dir: str,
     else:
         from harvesting_extract_to_ttl_service_spark.functions.ntriples import (
             encode_turtle,
-            turtle_prefix_header,
         )
 
+        # verify-or-write the root header BEFORE the data write: a batch
+        # whose prefix map disagrees with the tree's existing header must
+        # fail without touching any partition — raising after the dynamic
+        # overwrite would leave partitions encoded under the NEW map in a
+        # tree whose header still declares the OLD one.
+        _write_prefix_header(triples.sparkSession, out_dir, turtle_prefixes)
         lines = encode_turtle(triples, turtle_prefixes).select(
             *partition_cols, "ttl")
     (lines
        .write.partitionBy(*partition_cols).mode("overwrite")
        .option("partitionOverwriteMode", "dynamic")
        .text(out_dir))
-    if turtle_prefixes is not None:
-        import os
 
-        with open(os.path.join(out_dir, "_prefixes.ttl"), "w",
-                  encoding="utf-8") as f:
-            f.write(turtle_prefix_header(turtle_prefixes) + "\n")
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the session's Hadoop conf —
+    works for any scheme the cluster knows (file://, hdfs://, s3a://),
+    not just the driver's local filesystem."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def _write_prefix_header(spark: SparkSession, out_dir: str,
+                         prefixes: dict[str, str]) -> None:
+    """Write (or verify) the tree-root ``_prefixes.ttl`` header through the
+    Hadoop FileSystem API — the data write above goes through the
+    Hadoop-aware Spark writer, so a plain local ``open()`` here would
+    succeed for the partitions then fail (or worse, write somewhere else)
+    for an hdfs://-style ``out_dir``.
+
+    A tree has ONE header interpreting every partition's prefixed names,
+    accumulated across micro-batches — so a later batch with a DIFFERENT
+    prefix map must not silently overwrite it (that would re-interpret
+    earlier partitions' statements). Identical header → no-op; different →
+    ValueError telling the caller to compact/rewrite the tree instead."""
+    from harvesting_extract_to_ttl_service_spark.functions.ntriples import (
+        turtle_prefix_header,
+    )
+
+    header = turtle_prefix_header(prefixes) + "\n"
+    fs, root = _hadoop_fs(spark, out_dir)
+    hpath = root.suffix("/_prefixes.ttl")
+    if fs.exists(hpath):
+        # bounded read: the header is a few lines of @prefix declarations.
+        # NOT spark.read.text — the data-source path filter treats
+        # underscore-prefixed files as hidden and returns nothing.
+        stream = fs.open(hpath)
+        try:
+            existing = spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8")
+        finally:
+            stream.close()
+        if existing.rstrip("\n") == header.rstrip("\n"):
+            return
+        raise ValueError(
+            f"{hpath}: existing @prefix header disagrees with this "
+            f"batch's turtle_prefixes — earlier partitions were encoded "
+            f"under the old map, so silently replacing the header would "
+            f"re-interpret their prefixed names. Use the same prefix map "
+            f"for every batch of one tree, or compact/re-encode the tree "
+            f"to a new root with the new map.")
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(header.encode("utf-8")))
+    finally:
+        out.close()
+
 
 def compact_ttl_tree(spark, src_dir: str, dst_dir: str,
                      partition_cols: tuple[str, ...] = ("page_uri",)) -> dict:
@@ -271,10 +326,13 @@ def compact_ttl_tree(spark, src_dir: str, dst_dir: str,
     never reads and writes the same directory — compact to a NEW root and
     swap atomically at the catalog/symlink level.
 
-    Returns ``{"files_before": n, "files_after": m, "rows": k}``."""
-    import glob as _glob
-    import os
+    A Turtle-mode tree's ``_prefixes.ttl`` root header is copied to the
+    new root (prefixed-name statements without their ``@prefix`` block
+    would be a different document). All file I/O goes through the Hadoop
+    FileSystem API, so src/dst may live on any scheme the cluster mounts
+    (file://, hdfs://, s3a://), same as the data write itself.
 
+    Returns ``{"files_before": n, "files_after": m, "rows": k}``."""
     from pyspark.sql import functions as _F
 
     df = spark.read.text(src_dir)  # partition discovery recovers the cols
@@ -282,12 +340,29 @@ def compact_ttl_tree(spark, src_dir: str, dst_dir: str,
         if c not in df.columns:
             raise ValueError(f"{src_dir} has no partition column {c!r}")
     rows = df.count()
-    before = len(_glob.glob(os.path.join(src_dir, "**", "part-*"),
-                            recursive=True))
+
+    def n_parts(root_dir: str) -> int:
+        # the write_ttl layout is exactly one directory level per
+        # partition column, so a fixed-depth Hadoop glob (no '**', which
+        # Hadoop globs don't support) enumerates every part file
+        fs, _ = _hadoop_fs(spark, root_dir)
+        pattern = "/".join([root_dir.rstrip("/")]
+                           + ["*"] * len(partition_cols) + ["part-*"])
+        jvm = spark._jvm
+        matches = fs.globStatus(jvm.org.apache.hadoop.fs.Path(pattern))
+        return len(matches) if matches is not None else 0
+
+    before = n_parts(src_dir)
     (df.repartition(*[_F.col(c) for c in partition_cols])
        .write.partitionBy(*partition_cols).mode("overwrite")
        .option("partitionOverwriteMode", "dynamic")
        .text(dst_dir))
-    after = len(_glob.glob(os.path.join(dst_dir, "**", "part-*"),
-                           recursive=True))
+    src_fs, src_root = _hadoop_fs(spark, src_dir)
+    src_hdr = src_root.suffix("/_prefixes.ttl")
+    if src_fs.exists(src_hdr):
+        dst_fs, dst_root = _hadoop_fs(spark, dst_dir)
+        spark._jvm.org.apache.hadoop.fs.FileUtil.copy(
+            src_fs, src_hdr, dst_fs, dst_root.suffix("/_prefixes.ttl"),
+            False, True, spark._jsc.hadoopConfiguration())
+    after = n_parts(dst_dir)
     return {"files_before": before, "files_after": after, "rows": rows}

@@ -233,6 +233,10 @@ def test_resize_images_fake_kernel(spark):
     assert (r.src_width, r.src_height, r.width, r.height) == (sw, sh, w, h)
     assert bytes(r.payload) == fake_image_resize(payload, w, h)
     assert r.n_bytes == len(r.payload)
+    # checksum is of the EMITTED payload, whatever kernel produced it
+    # (ADVICE r5: previously the fake kernel's digest INPUT regardless)
+    import hashlib as _hashlib
+    assert r.checksum == _hashlib.md5(bytes(r.payload)).hexdigest()[:8]
     # null payload → null features, row preserved (fault isolation)
     assert rows[2].width is None and rows[2].payload is None
     # typo'd kernel names must raise, not silently switch

@@ -240,3 +240,90 @@ def test_compact_ttl_tree(spark, tmp_path):
     spark.createDataFrame([("x",)], "value string").write.text(flat)
     with pytest.raises(ValueError, match="partition column"):
         compact_ttl_tree(spark, flat, str(tmp_path / "out2"))
+
+
+def test_encoder_null_term_surfaces(spark):
+    """A null term must never silently serialize as a shortened (but
+    superficially valid) statement — raise by default, skip/keep on
+    request (ADVICE r5: concat_ws silently skipped null components)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from harvesting_extract_to_ttl_service_spark.functions.ntriples import (
+        encode_turtle,
+    )
+
+    rows = [
+        ("http://a", "http://p", "ok", "literal", None, None, None),
+        ("http://a", "http://p", None, "literal", None, None, None),
+    ]
+    df = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+    with pytest.raises(Exception, match="null term") as ei:
+        encode_ntriples(df).collect()
+    assert isinstance(ei.value, Py4JJavaError) or "null term" in str(ei.value)
+    with pytest.raises(Exception, match="null term"):
+        encode_turtle(df, {"ex": "http://ex/"}).collect()
+
+    kept = encode_ntriples(df, on_null="keep").collect()
+    assert sorted([r.nt is None for r in kept]) == [False, True]
+    skipped = encode_ntriples(df, on_null="skip").collect()
+    assert [r.nt for r in skipped] == ['<http://a> <http://p> "ok" .']
+
+    with pytest.raises(ValueError, match="on_null"):
+        encode_ntriples(df, on_null="explode")
+
+
+def test_write_ttl_prefix_header_conflict(spark, tmp_path):
+    """Same prefix map across micro-batches → single stable header;
+    a different map must refuse to overwrite it (earlier partitions were
+    encoded under the old map)."""
+    import os
+
+    import pytest
+
+    from harvesting_extract_to_ttl_service_spark.sources.files import write_ttl
+
+    def batch(page):
+        rows = [("http://ex/ns#s", "http://ex/ns#p", "v", "literal", None,
+                 None, None, page)]
+        return spark.createDataFrame(
+            rows, "subject string, predicate string, object_value string, "
+            "object_type string, datatype string, language string, "
+            "graph string, page_uri string")
+
+    out = str(tmp_path / "ttl")
+    write_ttl(batch("p1"), out, turtle_prefixes={"ex": "http://ex/ns#"})
+    # same map: idempotent no-op
+    write_ttl(batch("p2"), out, turtle_prefixes={"ex": "http://ex/ns#"})
+    assert open(os.path.join(out, "_prefixes.ttl")).read() == \
+        "@prefix ex: <http://ex/ns#> .\n"
+    with pytest.raises(ValueError, match="disagrees"):
+        write_ttl(batch("p3"), out, turtle_prefixes={"ex": "http://other/"})
+    # the conflict must fail BEFORE touching any partition: no p3 tree,
+    # and no partition re-encoded under the rejected map
+    assert not [d for d in os.listdir(out) if "p3" in d]
+    header_now = open(os.path.join(out, "_prefixes.ttl")).read()
+    assert header_now == "@prefix ex: <http://ex/ns#> .\n"
+
+
+def test_compact_ttl_tree_carries_prefix_header(spark, tmp_path):
+    """Compacting a Turtle-mode tree must carry _prefixes.ttl: prefixed
+    names without their @prefix block are a different document."""
+    import os
+
+    from harvesting_extract_to_ttl_service_spark.sources.files import (
+        compact_ttl_tree,
+        write_ttl,
+    )
+
+    rows = [("http://ex/ns#s", "http://ex/ns#p", "v", "literal", None, None,
+             None, "p1")]
+    df = spark.createDataFrame(
+        rows, "subject string, predicate string, object_value string, "
+        "object_type string, datatype string, language string, graph string, "
+        "page_uri string")
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_ttl(df, src, turtle_prefixes={"ex": "http://ex/ns#"})
+    compact_ttl_tree(spark, src, dst)
+    assert open(os.path.join(dst, "_prefixes.ttl")).read() == \
+        "@prefix ex: <http://ex/ns#> .\n"
