@@ -30,6 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from harvesting_extract_to_ttl_service_spark.plans import (  # noqa: E402
     catalog_core,
+    catalog_corpus,
     catalog_extract,
     catalog_llm,
     catalog_streaming,
@@ -39,8 +40,9 @@ from harvesting_extract_to_ttl_service_spark.plans import (  # noqa: E402
 # Order matters: the correctness harness checks entries in registration
 # order with a bounded window, so the catalogs whose queries are hardest
 # to re-derive (LLM pipeline, extraction, streaming) register first.
+# catalog_corpus takes the 50th (final) slot.
 _CATALOGS = (catalog_llm, catalog_extract, catalog_streaming,
-             catalog_triples, catalog_core)
+             catalog_triples, catalog_core, catalog_corpus)
 
 
 def _utc(fn: Callable[[SparkSession, str], DataFrame]

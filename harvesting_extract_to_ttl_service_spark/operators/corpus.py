@@ -1,0 +1,179 @@
+"""Training-corpus construction operators — deterministic stratified
+sampling, temperature-based data mixing, shard assignment, and
+concatenate-and-chunk sequence packing (SURVEY.md §2C extension surface;
+no reference counterpart — the reference is an ETL service, these are the
+operations a large-scale LLM training-data pipeline runs AFTER extraction
+and dedup to turn a cleaned corpus into training shards).
+
+Design for 100 TB:
+  * every sampling/sharding decision is a pure function of (id, salt) via
+    an md5-derived hash fraction — no RNG state, no seed plumbing, no
+    driver coordination; re-running the job on any cluster layout yields
+    the same sample (and the DuckDB oracle can recompute membership
+    bit-for-bit, unlike `df.sample`/`rand()`);
+  * per-stratum statistics (counts for rates, softmax-ish weights) are one
+    tiny aggregate (rows = number of strata) broadcast back — the corpus
+    itself is touched by exactly one scan-and-filter pass;
+  * packing is a per-shard window cumsum: each shard's documents shuffle
+    once to their shard partition, then the running-offset/bin assignment
+    is a single window over (shard) — no global sort, no driver loop.
+
+Cross-engine float determinism: the one place floating-point ADDITION
+ORDER could diverge between engines (the mixture-weight denominator, a sum
+of pow() terms across strata) is computed by folding a lang-sorted array,
+not by an unordered SQL SUM — both engines add in the same order, so the
+shares are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from harvesting_extract_to_ttl_service_spark.operators.text import token_count
+
+# 2^32 as a float divisor: an 8-hex-char md5 prefix is < 2^32, and any
+# such integer divided by 2^32 is exactly representable in a double
+# (<= 32 significant bits), so the fraction is bit-identical across
+# engines.
+_HASH_SPACE = float(1 << 32)
+
+
+def hash_fraction(key: Column, salt: str = "sample") -> Column:
+    """Deterministic uniform fraction in [0, 1): first 8 hex chars of
+    md5(key || ':' || salt) as an integer over 2^32. The salt decouples
+    independent decisions on the same key (sample vs shard vs holdout) —
+    same engine-portable md5 trick as the dedup hash family
+    (operators/dedup.py `_portable_hash32`)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(key.cast("string"), F.lit(":" + salt))), 1, 8),
+        16, 10).cast("long")
+    return h / F.lit(_HASH_SPACE)
+
+
+def hash_fraction_sql(key_expr: str, salt: str = "sample") -> str:
+    """DuckDB twin of :func:`hash_fraction` (same bytes, same double)."""
+    return (f"CAST(concat('0x', substr(md5(concat(CAST({key_expr} AS VARCHAR),"
+            f" ':{salt}')), 1, 8)) AS BIGINT) / {_HASH_SPACE}")
+
+
+def stratified_sample(df: DataFrame, rates: dict[str, float],
+                      strata_col: str = "lang", id_col: str = "doc_id",
+                      salt: str = "sample") -> DataFrame:
+    """Keep each row with its stratum's probability, decided by the row's
+    deterministic hash fraction. ``rates`` maps stratum value → keep rate
+    (missing strata keep nothing). One scan, no shuffle — the rate lookup
+    is a literal CASE expression, not a join."""
+    rate = F.lit(None).cast("double")
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(rate)
+    return df.filter(hash_fraction(F.col(id_col), salt)
+                     < F.coalesce(rate, F.lit(0.0)))
+
+
+def capped_stratified_sample(df: DataFrame, cap: int,
+                             strata_col: str = "lang",
+                             id_col: str = "doc_id",
+                             salt: str = "sample") -> DataFrame:
+    """Downsample over-represented strata toward an expected ``cap`` rows
+    per stratum: rate_s = min(1, cap / n_s). The per-stratum counts are a
+    tiny aggregate (rows = strata) broadcast back onto the scan; at
+    warehouse scale pass precomputed counts through
+    :func:`stratified_sample` instead and skip the extra pass."""
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("_n"))
+    rates = counts.select(
+        strata_col,
+        F.least(F.lit(1.0), F.lit(float(cap)) / F.col("_n")).alias("_rate"))
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(hash_fraction(F.col(id_col), salt) < F.col("_rate"))
+        .drop("_rate")
+    )
+
+
+def temperature_mixture(df: DataFrame, strata_col: str = "lang",
+                        text_col: str = "text", alpha: float = 0.5,
+                        budget_tokens: int = 1_000_000) -> DataFrame:
+    """Per-stratum token-budget allocation with temperature ``alpha``
+    (multilingual-sampling tradition: share_s ∝ n_s^alpha; alpha=1 is
+    proportional, alpha→0 is uniform). Returns one row per stratum with
+    document/token counts, the normalized share, and the allocated token
+    budget.
+
+    The denominator Σ n_s^alpha is folded over a stratum-sorted array so
+    both engines add the pow() terms in the same order (see module
+    docstring); everything else is integer arithmetic until the final
+    division."""
+    counts = df.groupBy(strata_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).alias("n_tokens"))
+    w = counts.withColumn(
+        "_w", F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha))))
+    denom = (
+        w.select(F.sort_array(F.collect_list(
+            F.struct(F.col(strata_col).alias("s"), F.col("_w").alias("w"))))
+            .alias("a"))
+        .select(F.aggregate(
+            "a", F.lit(0.0), lambda acc, x: acc + x.getField("w"))
+            .alias("_denom"))
+    )
+    return (
+        w.crossJoin(F.broadcast(denom))
+        .select(
+            strata_col, "n_docs", "n_tokens",
+            F.round(F.col("_w") / F.col("_denom"), 6).alias("share"),
+            F.round(F.lit(float(budget_tokens)) * F.col("_w")
+                    / F.col("_denom"), 0).alias("alloc_tokens"))
+    )
+
+
+def assign_shards(df: DataFrame, n_shards: int, id_col: str = "doc_id",
+                  salt: str = "shard") -> DataFrame:
+    """Deterministic shard assignment: shard = hash32(id||salt) mod
+    n_shards. Content-addressed (stable across runs and engines), unlike
+    `pmod(hash(...))` whose murmur seed is Spark-private. Adds a
+    ``shard`` int column; write with ``partitionBy('shard')`` for
+    reproducible training shards."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"),
+                           F.lit(":" + salt))), 1, 8),
+        16, 10).cast("long")
+    return df.withColumn("shard", (h % n_shards).cast("int"))
+
+
+def pack_chunks(df: DataFrame, budget_tokens: int,
+                shard_col: str = "shard", text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Concatenate-and-chunk packing: within each shard, documents are
+    concatenated in id order and the token stream is cut into
+    ``budget_tokens``-sized context windows; a document belongs to the
+    chunk where it STARTS (chunk = floor(start_offset / budget)). This is
+    the packing pretraining loaders actually use — deterministic, order-
+    defined, and a single window cumsum per shard (the shard is the window
+    partition, so no global sort).
+
+    Returns (shard, chunk, start_offset) per document plus its token
+    count."""
+    toks = token_count(F.col(text_col))
+    w = (Window.partitionBy(shard_col).orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    start = F.coalesce(F.sum(toks).over(w), F.lit(0).cast("long"))
+    return df.select(
+        F.col(shard_col), F.col(id_col),
+        toks.alias("n_tokens"),
+        start.alias("start_offset"),
+        F.floor(start / F.lit(budget_tokens)).alias("chunk"))
+
+
+def pack_chunk_stats(df: DataFrame, budget_tokens: int,
+                     shard_col: str = "shard", text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-(shard, chunk) packing summary: documents and tokens starting
+    in each context window. The downstream loader contract: every chunk
+    except a shard's last should start ~budget_tokens apart."""
+    packed = pack_chunks(df, budget_tokens, shard_col, text_col, id_col)
+    return (packed.groupBy(shard_col, "chunk")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens")))

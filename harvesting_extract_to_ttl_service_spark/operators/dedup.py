@@ -296,6 +296,31 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                          ).select("id_a", "id_b").distinct()
 
 
+def minhash_band_index(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 32,
+                       bands: int = 8, shingle_n: int = 3) -> DataFrame:
+    """The persistable LSH index table: ``(id, m0..m{n-1}, band,
+    band_hash)`` — one row per (document, band), flat signature columns
+    carried so pair estimates never re-join the signature source.
+
+    This is the at-rest artifact of the incremental-dedup loop: build it
+    once over the corpus, write it as parquet, and dedup each new batch
+    against it with :func:`incremental_minhash_pairs` — the corpus text is
+    never re-tokenized. Storage is bands × (num_hashes+3) small columns
+    per doc (≈ bands × num_hashes × 8 bytes), ~0.1-1% of a text corpus."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature_table(df, text_col, id_col, num_hashes, shingle_n)
+    return sig.select(
+        "id", *[f"m{i}" for i in range(num_hashes)],
+        F.posexplode(F.array(*[
+            F.md5(F.concat_ws(",", *[
+                F.col(f"m{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)]))
+            for b in range(bands)
+        ])).alias("band", "band_hash"),
+    )
+
+
 def _banded_pairs(df: DataFrame, text_col: str, id_col: str,
                   num_hashes: int, bands: int, shingle_n: int,
                   materialize_mode: str = "local_checkpoint") -> DataFrame:
@@ -305,17 +330,8 @@ def _banded_pairs(df: DataFrame, text_col: str, id_col: str,
     but avoids two extra signature joins (and two full signature
     recomputations) downstream. Fully flat-column (2.4× over the
     array-based formulation at sf0.1)."""
-    rows_per_band = num_hashes // bands
-    sig = minhash_signature_table(df, text_col, id_col, num_hashes, shingle_n)
-    banded = sig.select(
-        "id", *[f"m{i}" for i in range(num_hashes)],
-        F.posexplode(F.array(*[
-            F.md5(F.concat_ws(",", *[
-                F.col(f"m{b * rows_per_band + r}").cast("string")
-                for r in range(rows_per_band)]))
-            for b in range(bands)
-        ])).alias("band", "band_hash"),
-    )
+    banded = minhash_band_index(df, text_col, id_col, num_hashes, bands,
+                                shingle_n)
     # Materialize the banded table ONCE before the self-join — without
     # this cut the shingle→signature aggregation (the most expensive
     # stage) runs twice per job (see operators/materialize.py for why the
@@ -356,6 +372,73 @@ def minhash_similarity(df: DataFrame, text_col: str = "text",
         .distinct()
     )
     return est.filter(F.col("est_jaccard") >= threshold)
+
+
+def incremental_minhash_pairs(new_docs: DataFrame, index: DataFrame,
+                              text_col: str = "text",
+                              id_col: str = "doc_id", num_hashes: int = 32,
+                              bands: int = 8, shingle_n: int = 3,
+                              threshold: float = 0.5,
+                              broadcast_new: bool = True,
+                              materialize_mode: str = "local_checkpoint",
+                              ) -> DataFrame:
+    """Incremental dedup: near-dup pairs for a NEW batch of documents
+    against an existing corpus LSH ``index`` (built once by
+    :func:`minhash_band_index`, typically read back from parquet) plus
+    within-batch pairs — without recomputing any corpus signature.
+
+    This is the 100 TB operating mode: a daily crawl batch is ~0.1% of
+    the corpus, so re-running the full-corpus LSH join per batch is 1000×
+    wasted work. Here only the batch is shingled; the batch's banded
+    table (tiny) is broadcast against the index scan, so the corpus side
+    never shuffles — the join is a map-side hash probe per index row.
+    Pass ``broadcast_new=False`` when the batch is too large to broadcast
+    (falls back to a shuffled equi-join on the band key).
+
+    ``new_docs`` ids must be disjoint from the ids in ``index`` (the
+    caller's batch boundary guarantees this; ids shared across the two
+    sides would self-pair). Returns ``(id_a, id_b, est_jaccard)`` with
+    id_a < id_b, est ≥ ``threshold``; pairs are new×corpus and new×new —
+    never corpus×corpus (those were emitted when the index was built).
+
+    After the batch is processed, append the batch's banded table to the
+    index (it has exactly the index schema) — the index grows by one
+    cheap parquet append per batch."""
+    newb = materialize(
+        minhash_band_index(new_docs, text_col, id_col, num_hashes, bands,
+                           shingle_n),
+        materialize_mode)
+
+    agree = F.lit(0)
+    for i in range(num_hashes):
+        agree = agree + (F.col(f"am{i}") == F.col(f"bm{i}")).cast("int")
+
+    def pairs_of(joined: DataFrame) -> DataFrame:
+        est = (
+            joined.select("id_a", "id_b",
+                          (agree / F.lit(num_hashes)).alias("est_jaccard"))
+            .distinct()
+        )
+        return est.filter(F.col("est_jaccard") >= threshold)
+
+    def carry(a: DataFrame, b: DataFrame, cond) -> DataFrame:
+        return a.join(b, cond).select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+            *[F.col(f"a.m{i}").alias(f"am{i}") for i in range(num_hashes)],
+            *[F.col(f"b.m{i}").alias(f"bm{i}") for i in range(num_hashes)])
+
+    new_side = F.broadcast(newb) if broadcast_new else newb
+    vs_index = carry(
+        new_side.alias("a"), index.alias("b"),
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_hash") == F.col("b.band_hash")))
+    vs_self = carry(
+        newb.alias("a"), newb.alias("b"),
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.id") < F.col("b.id")))
+    return pairs_of(vs_index).unionByName(pairs_of(vs_self))
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",

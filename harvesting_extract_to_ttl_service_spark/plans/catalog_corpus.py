@@ -1,0 +1,154 @@
+"""Training-corpus construction catalog (SURVEY.md §2C extension surface):
+deterministic stratified sampling, temperature data mixing, shard
+assignment, and concatenate-and-chunk sequence packing over the
+`documents` fixture — the post-dedup stage of an LLM data pipeline
+(operators/corpus.py).
+
+Every decision is an md5-derived hash function of the row id, so the
+DuckDB oracle recomputes sample membership / shard ids / chunk offsets
+bit-for-bit; the one cross-row float sum (the mixture denominator) is
+folded over a stratum-sorted array in BOTH engines so addition order
+cannot flip the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+    assign_shards,
+    capped_stratified_sample,
+    hash_fraction_sql,
+    pack_chunk_stats,
+    temperature_mixture,
+)
+from harvesting_extract_to_ttl_service_spark.operators.text import token_count
+from harvesting_extract_to_ttl_service_spark.plans.suites import (
+    member_sql,
+    suite_df,
+    suite_sql,
+)
+from harvesting_extract_to_ttl_service_spark.plans.tables import load
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# Whitespace tokens over the RAW text (operators/text.py `tokens` — no
+# lowercasing, unlike the dedup shingle path).
+_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')"
+
+_SAMPLE_CAP = 100
+_MIX_ALPHA = 0.5
+_MIX_BUDGET = 1_000_000
+_N_SHARDS = 8
+_PACK_BUDGET = 2_000
+
+_SHARD_EXPR = (f"CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),"
+               f" ':shard')), 1, 8)) AS BIGINT) % {_N_SHARDS}")
+
+
+@member_sql(f"""
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN c ON d.lang = c.lang
+WHERE {hash_fraction_sql('d.doc_id')} < least(1.0, {float(_SAMPLE_CAP)} / c.n)
+""")
+def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped stratified sampling: over-represented languages are
+    downsampled toward {cap} expected docs via a deterministic per-row
+    hash fraction — membership is a pure function of doc_id, verified
+    row-for-row by the oracle (impossible with `rand()`/`df.sample`)."""
+    docs = load(spark, sf_dir, "documents")
+    return capped_stratified_sample(docs, cap=_SAMPLE_CAP).select(
+        "doc_id", "lang")
+
+
+@member_sql(f"""
+WITH c AS (
+  SELECT lang, count(*) AS n_docs,
+         sum(len({_TOKS})) AS n_tokens,
+         pow(count(*), {_MIX_ALPHA}) AS w
+  FROM documents GROUP BY lang
+), d AS (
+  SELECT list_reduce(list(w ORDER BY lang), (x, y) -> x + y) AS denom FROM c
+)
+SELECT lang, n_docs, n_tokens,
+       round(w / denom, 6) AS share,
+       round({float(_MIX_BUDGET)} * w / denom, 0) AS alloc_tokens
+FROM c, d
+""")
+def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature data mixing (share ∝ n^alpha, alpha=0.5): per-language
+    token-budget allocation for corpus re-balancing; the denominator sum
+    folds a lang-sorted array in both engines (float addition order)."""
+    docs = load(spark, sf_dir, "documents")
+    return temperature_mixture(docs, alpha=_MIX_ALPHA,
+                               budget_tokens=_MIX_BUDGET)
+
+
+@member_sql(f"""
+SELECT {_SHARD_EXPR} AS shard, count(*) AS n_docs,
+       sum(len({_TOKS})) AS n_tokens
+FROM documents GROUP BY 1
+""")
+def corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard assignment (md5 mod n — content-addressed and
+    engine-portable, unlike Spark's seeded murmur `hash()`): per-shard doc
+    and token totals, the balance check before a partitionBy('shard')
+    training-shard write."""
+    docs = assign_shards(load(spark, sf_dir, "documents"), _N_SHARDS)
+    return docs.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("n_tokens"))
+
+
+@member_sql(f"""
+WITH t AS (
+  SELECT doc_id, {_SHARD_EXPR} AS shard, len({_TOKS}) AS toks
+  FROM documents
+), s AS (
+  SELECT shard, doc_id, toks,
+         coalesce(sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS start
+  FROM t
+)
+SELECT shard, CAST(floor(start / {float(_PACK_BUDGET)}) AS BIGINT) AS chunk,
+       count(*) AS n_docs, sum(toks) AS n_tokens
+FROM s GROUP BY 1, 2
+""")
+def corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk packing: each shard's docs concatenate in id
+    order and cut into {budget}-token context windows; a doc lands in the
+    chunk where it starts. One window cumsum per shard — the shuffle is
+    the shard partitioning itself, no global sort."""
+    docs = assign_shards(load(spark, sf_dir, "documents"), _N_SHARDS)
+    return pack_chunk_stats(docs, budget_tokens=_PACK_BUDGET)
+
+
+_CORPUS_MEMBERS = [
+    ("sample", corpus_sample, ["doc_id", "lang"], []),
+    ("mix", corpus_mix, ["lang", "n_docs", "n_tokens"],
+     ["share", "alloc_tokens"]),
+    ("shards", corpus_shards, ["shard", "n_docs", "n_tokens"], []),
+    ("pack", corpus_pack, ["shard", "chunk", "n_docs", "n_tokens"], []),
+]
+
+
+@q("corpus_suite", suite_sql(_CORPUS_MEMBERS))
+def corpus_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus suite (tagged union): capped stratified sampling,
+    temperature mixing, shard balance, and sequence-packing chunk stats —
+    each member hash-verified against an independent SQL restatement."""
+    return suite_df(spark, sf_dir, _CORPUS_MEMBERS)

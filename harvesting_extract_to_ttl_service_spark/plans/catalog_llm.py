@@ -191,7 +191,11 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_lsh_oracle(num_hashes: int = 32, bands: int = 8,
-                        threshold: float = 0.3) -> str:
+                        threshold: float = 0.3,
+                        cand_cond: str = "") -> str:
+    """``cand_cond`` is an extra predicate ANDed into the band join —
+    used by the incremental member to restrict to pairs touching the new
+    batch."""
     rows = num_hashes // bands
     return f"""
 WITH w AS (
@@ -207,7 +211,7 @@ WITH w AS (
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM banded a JOIN banded b
-    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id {cand_cond}
 ), est AS (
   SELECT id_a, id_b,
          CAST(list_reduce(list_transform(list_zip(sa.sig, sb.sig),
@@ -271,19 +275,44 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("component").alias("cluster"))
 
 
+@member_sql(_minhash_lsh_oracle(
+    cand_cond="AND (a.doc_id % 2 = 0 OR b.doc_id % 2 = 0)"))
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: the even-id docs play a NEW crawl batch, the
+    odd-id docs the existing corpus whose LSH index (minhash_band_index)
+    was built earlier — only the batch is shingled; the batch's banded
+    table broadcasts against the index scan, so the corpus never
+    re-tokenizes or shuffles. The oracle is the full-corpus LSH
+    restatement restricted to pairs touching the batch — pinning that
+    incremental == full recompute minus corpus×corpus."""
+    from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_band_index,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 0)
+    index = minhash_band_index(docs.filter(F.col("doc_id") % 2 == 1))
+    pairs = incremental_minhash_pairs(new, index, threshold=0.3)
+    return pairs.select("id_a", "id_b",
+                        F.round("est_jaccard", 4).alias("est_jaccard"))
+
+
 _DEDUP_MEMBERS = [
     ("exact", dedup_exact_docs, ["fp", "canonical_id", "group_size"], []),
     ("ngram", dedup_ngram_jaccard, ["id_a", "id_b"], ["jaccard"]),
     ("clusters", dedup_clusters, ["doc_id", "cluster"], []),
+    ("incr", dedup_incremental, ["id_a", "id_b"], ["est_jaccard"]),
 ]
 
 
 @q("dedup_suite", suite_sql(_DEDUP_MEMBERS))
 def dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup suite (tagged union, keeps the 50-entry window): exact
-    fingerprint groups, capped n-gram Jaccard pairs, and pair-graph →
+    fingerprint groups, capped n-gram Jaccard pairs, pair-graph →
     duplicate-group clustering via hash-to-min connected components
-    (recursive-CTE oracle)."""
+    (recursive-CTE oracle), and incremental batch-vs-index dedup
+    (full-recompute oracle restricted to batch-touching pairs)."""
     return suite_df(spark, sf_dir, _DEDUP_MEMBERS)
 
 

@@ -1,0 +1,125 @@
+"""Training-corpus operators (operators/corpus.py): deterministic
+sampling/sharding semantics, mixture-weight normalization, and packing
+invariants. The cross-engine value checks live in the `corpus_suite`
+catalog entry (plans/catalog_corpus.py); these tests pin the operator
+CONTRACTS — pure-function membership, budget conservation, offset
+arithmetic — on a small explicit frame."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+    assign_shards,
+    capped_stratified_sample,
+    hash_fraction,
+    pack_chunk_stats,
+    pack_chunks,
+    stratified_sample,
+    temperature_mixture,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i,
+         " ".join(f"w{j}" for j in range(3 + i % 5)),
+         "en" if i % 3 else "fr")
+        for i in range(60)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_hash_fraction_uniform_and_deterministic(spark):
+    df = spark.range(500).select(
+        hash_fraction(F.col("id")).alias("f"),
+        hash_fraction(F.col("id")).alias("f2"),
+        hash_fraction(F.col("id"), salt="other").alias("g"))
+    rows = df.collect()
+    assert all(0.0 <= r.f < 1.0 for r in rows)
+    # same key+salt → identical; different salt → decoupled
+    assert all(r.f == r.f2 for r in rows)
+    assert any(r.f != r.g for r in rows)
+    mean = sum(r.f for r in rows) / len(rows)
+    assert 0.4 < mean < 0.6
+
+
+def test_stratified_sample_rates_are_pure_membership(docs):
+    kept = stratified_sample(docs, {"en": 1.0, "fr": 0.0}).collect()
+    assert all(r.lang == "en" for r in kept)
+    assert len(kept) == sum(1 for i in range(60) if i % 3)
+    # a stratum absent from the rate map keeps nothing
+    assert stratified_sample(docs, {"fr": 1.0}).filter(
+        F.col("lang") == "en").count() == 0
+    # membership at rate r is exactly {hash_fraction < r} — rerun == rerun
+    a = {r.doc_id for r in stratified_sample(docs, {"en": 0.5}).collect()}
+    b = {r.doc_id for r in stratified_sample(docs, {"en": 0.5}).collect()}
+    assert a == b
+    # and nested: a lower rate keeps a subset of a higher rate
+    c = {r.doc_id for r in stratified_sample(docs, {"en": 0.2}).collect()}
+    assert c <= a
+
+
+def test_capped_sample_downsamples_only_over_cap_strata(docs):
+    # fr has 20 docs: cap 25 keeps all of fr; en (40 docs) is halved in
+    # expectation — bound loosely, membership is hash-deterministic
+    kept = capped_stratified_sample(docs, cap=25)
+    by_lang = {r["lang"]: r["n"] for r in
+               kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by_lang.get("fr") == 20
+    assert 10 <= by_lang.get("en", 0) <= 35
+
+
+def test_temperature_mixture_shares_and_budget(docs):
+    mix = temperature_mixture(docs, alpha=0.5, budget_tokens=10_000)
+    rows = {r.lang: r for r in mix.collect()}
+    assert set(rows) == {"en", "fr"}
+    assert abs(sum(r.share for r in rows.values()) - 1.0) < 1e-4
+    # alpha=0.5 compresses the ratio: en/fr doc ratio is 2:1 → share
+    # ratio sqrt(2):1
+    want = math.sqrt(rows["en"].n_docs / rows["fr"].n_docs)
+    assert rows["en"].share / rows["fr"].share == pytest.approx(want, rel=1e-3)
+    assert sum(r.alloc_tokens for r in rows.values()) == pytest.approx(
+        10_000, abs=1.0)
+    # alpha=1 is exactly proportional
+    prop = {r.lang: r.share for r in temperature_mixture(
+        docs, alpha=1.0, budget_tokens=10_000).collect()}
+    assert prop["en"] / prop["fr"] == pytest.approx(2.0, rel=1e-3)
+
+
+def test_assign_shards_range_and_stability(docs):
+    sharded = assign_shards(docs, n_shards=4)
+    rows = sharded.select("doc_id", "shard").collect()
+    assert all(0 <= r.shard < 4 for r in rows)
+    again = {r.doc_id: r.shard for r in
+             assign_shards(docs, n_shards=4).select("doc_id", "shard").collect()}
+    assert {r.doc_id: r.shard for r in rows} == again
+
+
+def test_pack_chunks_offsets_are_shardwise_cumsums(docs):
+    packed = pack_chunks(assign_shards(docs, n_shards=2), budget_tokens=20)
+    rows = sorted(packed.collect(), key=lambda r: (r.shard, r.doc_id))
+    offset = {}
+    for r in rows:
+        want = offset.get(r.shard, 0)
+        assert r.start_offset == want, (r.shard, r.doc_id)
+        assert r.chunk == want // 20
+        offset[r.shard] = want + r.n_tokens
+    # stats member aggregates the same packing
+    stats = {(r.shard, r.chunk): (r.n_docs, r.n_tokens)
+             for r in pack_chunk_stats(
+                 assign_shards(docs, n_shards=2), budget_tokens=20).collect()}
+    docs_total = sum(n for n, _ in stats.values())
+    toks_total = sum(t for _, t in stats.values())
+    assert docs_total == 60
+    assert toks_total == sum(r.n_tokens for r in rows)
+
+
+def test_pack_single_window_no_global_sort(docs):
+    """The packing plan must shuffle on the shard only (one hash
+    partitioning for the window) — no global range/sort exchange."""
+    packed = pack_chunks(assign_shards(docs, n_shards=2), budget_tokens=20)
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower()

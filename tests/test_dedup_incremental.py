@@ -1,0 +1,80 @@
+"""Incremental batch-vs-index MinHash dedup (operators/dedup.py
+`minhash_band_index` / `incremental_minhash_pairs`): equivalence with the
+full-corpus recompute, parquet index roundtrip, and the broadcast plan
+shape that makes it the 100 TB operating mode."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+    incremental_minhash_pairs,
+    minhash_band_index,
+    minhash_similarity,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "an entirely different sentence about spark shuffles and joins",
+        "training data pipelines need deduplication at corpus scale",
+        "the quick brown fox jumps over the lazy dog again and AGAIN",
+    ]
+    rows = [(i, base[i % 4] + (f" tail{i // 4}" if i % 7 == 0 else ""))
+            for i in range(40)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _full_pairs_touching_new(docs, threshold):
+    full = minhash_similarity(docs, threshold=threshold)
+    return {
+        (r.id_a, r.id_b, round(r.est_jaccard, 6))
+        for r in full.collect()
+        if r.id_a % 2 == 0 or r.id_b % 2 == 0
+    }
+
+
+def test_incremental_equals_full_minus_corpus_pairs(docs):
+    new = docs.filter(F.col("doc_id") % 2 == 0)
+    index = minhash_band_index(docs.filter(F.col("doc_id") % 2 == 1))
+    got = {
+        (r.id_a, r.id_b, round(r.est_jaccard, 6))
+        for r in incremental_minhash_pairs(new, index, threshold=0.5).collect()
+    }
+    assert got == _full_pairs_touching_new(docs, 0.5)
+    assert got  # the fixture is built to produce near-dups
+
+
+def test_index_roundtrips_through_parquet(docs, tmp_path):
+    new = docs.filter(F.col("doc_id") % 2 == 0)
+    old = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "minhash_index")
+    minhash_band_index(old).write.parquet(path)
+    stored = docs.sparkSession.read.parquet(path)
+    direct = incremental_minhash_pairs(new, minhash_band_index(old),
+                                       threshold=0.5)
+    via_disk = incremental_minhash_pairs(new, stored, threshold=0.5)
+    assert sorted(map(tuple, direct.collect())) == \
+        sorted(map(tuple, via_disk.collect()))
+    # appending the batch's banded table grows the index in place
+    # (schema-compatible by construction)
+    minhash_band_index(new).write.mode("append").parquet(path)
+    n_bands = 8
+    assert docs.sparkSession.read.parquet(path).count() == 40 * n_bands
+
+
+def test_new_side_broadcasts_against_index_scan(docs):
+    """The batch (new) side must be the broadcast side of the vs-index
+    join — the corpus index streams map-side, nothing corpus-sized
+    shuffles."""
+    new = docs.filter(F.col("doc_id") % 2 == 0)
+    index = minhash_band_index(docs.filter(F.col("doc_id") % 2 == 1))
+    plan = (incremental_minhash_pairs(new, index, threshold=0.5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    no_bcast = (incremental_minhash_pairs(new, index, threshold=0.5,
+                                          broadcast_new=False).collect())
+    assert sorted(map(tuple, no_bcast)) == sorted(
+        map(tuple,
+            incremental_minhash_pairs(new, index, threshold=0.5).collect()))
