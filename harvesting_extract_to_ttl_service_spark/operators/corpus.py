@@ -167,6 +167,40 @@ def pack_chunks(df: DataFrame, budget_tokens: int,
         F.floor(start / F.lit(budget_tokens)).alias("chunk"))
 
 
+def benchmark_contamination(docs: DataFrame, benchmark: DataFrame,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            bench_id_col: str = "doc_id",
+                            shingle_n: int = 3,
+                            min_overlap: int = 2) -> DataFrame:
+    """Decontamination: find corpus documents sharing ≥ ``min_overlap``
+    distinct word n-grams with any benchmark/eval document — the overlap
+    check run before training so eval sets don't leak into the corpus.
+
+    Returns ``(doc_id, bench_id, n_overlap)`` pairs. Scale shape: the
+    benchmark side is eval-set-sized (thousands of docs, not billions),
+    so its exploded shingle table is BROADCAST — the corpus stream is
+    shingled in place and hash-probed map-side; nothing corpus-sized
+    shuffles except the (tiny) matching pairs entering the count
+    aggregate. Both shingle arrays are per-doc distinct (operators/dedup
+    `shingles`), so ``count(*)`` after the join is exactly |A∩B|."""
+    from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+        shingles,
+    )
+
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("g"))
+    b = benchmark.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("g"))
+    return (
+        d.join(F.broadcast(b), "g")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+
+
 def pack_chunk_stats(df: DataFrame, budget_tokens: int,
                      shard_col: str = "shard", text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from harvesting_extract_to_ttl_service_spark.operators.corpus import (
     assign_shards,
+    benchmark_contamination,
     capped_stratified_sample,
     hash_fraction_sql,
     pack_chunk_stats,
@@ -137,18 +138,58 @@ def corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_chunk_stats(docs, budget_tokens=_PACK_BUDGET)
 
 
+def _decontam_oracle(shingle_n: int = 3, min_overlap: int = 2,
+                     bench_from: int = 480) -> str:
+    """DuckDB restatement of the shingle-overlap contamination check
+    (lowercased word n-grams, per-doc distinct — the dedup `shingles`
+    semantics, same fragments as catalog_llm's LSH oracles)."""
+    from harvesting_extract_to_ttl_service_spark.plans.catalog_llm import (
+        _WORDS,
+        _grams_sql,
+    )
+
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, {_WORDS} AS w FROM documents WHERE doc_id < {bench_from}
+), bench AS (
+  SELECT doc_id AS bench_id, {_WORDS} AS w
+  FROM documents WHERE doc_id >= {bench_from}
+), cg AS (
+  SELECT doc_id, unnest({_grams_sql(shingle_n)}) AS g FROM corpus
+), bg AS (
+  SELECT bench_id, unnest({_grams_sql(shingle_n)}) AS g FROM bench
+)
+SELECT cg.doc_id, bg.bench_id, count(*) AS n_overlap
+FROM cg JOIN bg USING (g)
+GROUP BY 1, 2 HAVING count(*) >= {min_overlap}
+"""
+
+
+@member_sql(_decontam_oracle())
+def corpus_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs (id < 480) sharing ≥ 2
+    distinct 3-gram shingles with any eval doc (id ≥ 480). The eval
+    side's shingles broadcast; the corpus never shuffles its text."""
+    docs = load(spark, sf_dir, "documents")
+    return benchmark_contamination(
+        docs.filter(F.col("doc_id") < 480),
+        docs.filter(F.col("doc_id") >= 480))
+
+
 _CORPUS_MEMBERS = [
     ("sample", corpus_sample, ["doc_id", "lang"], []),
     ("mix", corpus_mix, ["lang", "n_docs", "n_tokens"],
      ["share", "alloc_tokens"]),
     ("shards", corpus_shards, ["shard", "n_docs", "n_tokens"], []),
     ("pack", corpus_pack, ["shard", "chunk", "n_docs", "n_tokens"], []),
+    ("decontam", corpus_decontam, ["doc_id", "bench_id", "n_overlap"], []),
 ]
 
 
 @q("corpus_suite", suite_sql(_CORPUS_MEMBERS))
 def corpus_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-corpus suite (tagged union): capped stratified sampling,
-    temperature mixing, shard balance, and sequence-packing chunk stats —
-    each member hash-verified against an independent SQL restatement."""
+    temperature mixing, shard balance, sequence-packing chunk stats, and
+    benchmark decontamination — each member hash-verified against an
+    independent SQL restatement."""
     return suite_df(spark, sf_dir, _CORPUS_MEMBERS)

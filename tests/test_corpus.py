@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from harvesting_extract_to_ttl_service_spark.operators.corpus import (
     assign_shards,
+    benchmark_contamination,
     capped_stratified_sample,
     hash_fraction,
     pack_chunk_stats,
@@ -115,6 +116,33 @@ def test_pack_chunks_offsets_are_shardwise_cumsums(docs):
     toks_total = sum(t for _, t in stats.values())
     assert docs_total == 60
     assert toks_total == sum(r.n_tokens for r in rows)
+
+
+def test_benchmark_contamination_counts_distinct_shingle_overlap(spark):
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six"),
+         (3, "alpha beta gamma completely different tail here")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta other words"),
+         (101, "nothing shared at all whatsoever today")],
+        "doc_id long, text string")
+    got = {(r.doc_id, r.bench_id): r.n_overlap
+           for r in benchmark_contamination(corpus, bench,
+                                            min_overlap=2).collect()}
+    # doc 1 shares shingles {alpha beta gamma, beta gamma delta} with 100
+    assert got == {(1, 100): 2}
+    # min_overlap=1 also surfaces doc 3 (one shared shingle)
+    got1 = {(r.doc_id, r.bench_id)
+            for r in benchmark_contamination(corpus, bench,
+                                             min_overlap=1).collect()}
+    assert got1 == {(1, 100), (3, 100)}
+    # the benchmark side must be the broadcast side (corpus never shuffles
+    # its shingle stream to the join)
+    plan = (benchmark_contamination(corpus, bench)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
 
 
 def test_pack_single_window_no_global_sort(docs):
