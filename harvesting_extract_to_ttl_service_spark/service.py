@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import threading
 from dataclasses import dataclass, field
+from collections.abc import Mapping
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -44,7 +45,7 @@ class ServiceHandle:
     thread: threading.Thread
     query: Any
     recovered_status: DataFrame | None
-    batch_results: list[dict[str, DataFrame]] = field(default_factory=list)
+    batch_results: list[Mapping[str, DataFrame]] = field(default_factory=list)
 
     @property
     def port(self) -> int:
@@ -79,7 +80,7 @@ def run_service(
     write_debug_ttls: bool = False,
     fail_on_page_error: bool = False,
     trigger_available_now: bool = True,
-    on_batch: Callable[[dict[str, DataFrame], int], None] | None = None,
+    on_batch: Callable[[Mapping[str, DataFrame], int], None] | None = None,
 ) -> ServiceHandle:
     """Start the service twin. ``control`` is the task/job triple set,
     ``page_bodies`` the resolved page inputs (compose them from metadata

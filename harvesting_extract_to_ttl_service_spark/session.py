@@ -25,6 +25,15 @@ def get_spark(app_name: str = "harvesting_extract_to_ttl_service_spark",
         .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Respect the advisory partition size when coalescing instead of
+        # padding out to defaultParallelism — the setting Spark's own docs
+        # recommend flipping in production. Control-plane-sized shuffles
+        # collapse to a handful of tasks (less scheduling overhead);
+        # data-sized shuffles still split at the 64 MB advisory target.
+        # CPU-dense stages that need parallelism on SMALL inputs get it
+        # explicitly (spread_for_cpu's repartition(n) is never coalesced).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -9,6 +9,13 @@ dup inflation, the shape of a sharded crawl) and measures how band/block
 collision counts, final pair counts, and wall time actually curve.
 
 Usage: python scale_probe.py [replicas ...]   (default: 1 2 5 10)
+       python scale_probe.py incr [replicas ...]
+           incremental-dedup probe: corpus = N replicas with a parquet
+           LSH index built ONCE; batch = one fresh replica duplicating
+           replica 0 (a recrawl). Measures batch-vs-index incremental
+           dedup wall time against the full-corpus recompute as the
+           corpus grows — the flat-vs-linear curve that justifies
+           `incremental_minhash_pairs` at 100 TB.
 Writes nothing outside /tmp; results are recorded in SCALE.md.
 """
 
@@ -87,11 +94,63 @@ def probe(spark, docs, label: str) -> dict:
     return res
 
 
+def probe_incremental(spark, n: int, tmp: str) -> dict:
+    """Corpus = n replicas; batch = one fresh replica whose texts
+    duplicate replica 0 (ids offset — an exact-recrawl batch, the
+    worst-case match volume). The corpus index is built ONCE and read
+    back from parquet — its build time is amortized across every future
+    batch, so the incremental number is join-probe cost only."""
+    from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_band_index,
+    )
+
+    corpus = replicate_documents(spark, n).localCheckpoint(eager=True)
+    base = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    batch = base.select(
+        (F.col("doc_id") + F.lit(n * 10_000_000)).alias("doc_id"),
+        F.col("text")).localCheckpoint(eager=True)
+
+    res = {"label": f"{n}x", "corpus_docs": corpus.count(),
+           "batch_docs": batch.count()}
+    idx_path = f"{tmp}/index_{n}x"
+    t0 = time.time()
+    minhash_band_index(corpus).write.mode("overwrite").parquet(idx_path)
+    res["index_build_s"] = round(time.time() - t0, 1)
+
+    index = spark.read.parquet(idx_path)
+    t0 = time.time()
+    res["incr_pairs"] = incremental_minhash_pairs(
+        batch, index, threshold=0.3).count()
+    res["incr_s"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    res["full_pairs"] = minhash_similarity(
+        corpus.unionByName(batch), threshold=0.3).count()
+    res["full_s"] = round(time.time() - t0, 1)
+    return res
+
+
 def main():
-    replicas = [int(x) for x in sys.argv[1:]] or [1, 2, 5, 10]
+    args = sys.argv[1:]
+    incremental = bool(args) and args[0] == "incr"
+    if incremental:
+        args = args[1:]
+    replicas = [int(x) for x in args] or [1, 2, 5, 10]
     tmp = tempfile.mkdtemp(prefix="scale_probe_")
     spark = get_spark("scale-probe")
     try:
+        if incremental:
+            print(f"{'scale':>6} {'corpus':>8} {'batch':>6} {'build_s':>8} "
+                  f"{'incr_pairs':>11} {'incr_s':>7} {'full_pairs':>11} "
+                  f"{'full_s':>7}")
+            for n in replicas:
+                r = probe_incremental(spark, n, tmp)
+                print(f"{r['label']:>6} {r['corpus_docs']:>8} "
+                      f"{r['batch_docs']:>6} {r['index_build_s']:>8} "
+                      f"{r['incr_pairs']:>11} {r['incr_s']:>7} "
+                      f"{r['full_pairs']:>11} {r['full_s']:>7}")
+            return
         print(f"{'scale':>6} {'docs':>7} {'mh_coll':>9} {'mh_pairs':>9} "
               f"{'mh_s':>6} {'sh_coll':>9} {'sh_pairs':>9} {'sh_s':>6}")
         for n in replicas:
