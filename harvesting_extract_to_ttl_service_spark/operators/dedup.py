@@ -381,6 +381,7 @@ def incremental_minhash_pairs(new_docs: DataFrame, index: DataFrame,
                               threshold: float = 0.5,
                               broadcast_new: bool = True,
                               materialize_mode: str = "local_checkpoint",
+                              new_index: DataFrame | None = None,
                               ) -> DataFrame:
     """Incremental dedup: near-dup pairs for a NEW batch of documents
     against an existing corpus LSH ``index`` (built once by
@@ -403,8 +404,10 @@ def incremental_minhash_pairs(new_docs: DataFrame, index: DataFrame,
 
     After the batch is processed, append the batch's banded table to the
     index (it has exactly the index schema) — the index grows by one
-    cheap parquet append per batch."""
-    newb = materialize(
+    cheap parquet append per batch. Callers that also persist the batch's
+    banded table (the streaming loop does) pass it as ``new_index`` so it
+    is computed exactly once."""
+    newb = new_index if new_index is not None else materialize(
         minhash_band_index(new_docs, text_col, id_col, num_hashes, bands,
                            shingle_n),
         materialize_mode)

@@ -1,0 +1,118 @@
+"""Streaming incremental dedup — the operational loop around
+`operators/dedup.minhash_band_index` / `incremental_minhash_pairs`: a
+document stream deduped micro-batch by micro-batch against a growing
+parquet LSH index.
+
+Per batch:
+  1. build the batch's banded signature table (the only tokenization in
+     the whole loop — the corpus is never re-shingled);
+  2. join it against every PREVIOUS batch's index partition → near-dup
+     pairs (batch×corpus ∪ batch×batch), written per batch;
+  3. append the banded table as the batch's own index partition.
+
+Exactly-once without a transactional store: both writes go to
+``<dir>/batch=<batch_id>`` with overwrite, so a replayed micro-batch
+(failure before the checkpoint commit) rewrites its own partitions
+byte-identically instead of duplicating them — and the index read
+EXCLUDES the current batch's partition, so a replay never pairs the
+batch against its own half-written signatures. This is the streaming
+twin of the reference's fire-and-forget per-entry processing
+(/root/reference/app.js:35-38) applied to the dedup surface: one
+set-oriented job per delta of documents.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+    incremental_minhash_pairs,
+    minhash_band_index,
+)
+from harvesting_extract_to_ttl_service_spark.operators.materialize import (
+    materialize,
+)
+
+
+def _read_index_except(spark: SparkSession, index_dir: str,
+                       batch_id: int) -> DataFrame | None:
+    """The accumulated index minus the current batch's partition (absent
+    on the first batch; a replayed batch must not see its own previous
+    half-write). Partition pruning makes the exclusion a file-listing
+    filter, not a scan."""
+    try:
+        idx = spark.read.option("basePath", index_dir).parquet(index_dir)
+    except Exception:  # noqa: BLE001 — first batch: no index yet
+        return None
+    if "batch" not in idx.columns:
+        return None
+    return idx.filter(F.col("batch") != batch_id).drop("batch")
+
+
+def dedup_batch(docs: DataFrame, batch_id: int, index_dir: str,
+                pairs_dir: str, text_col: str = "text",
+                id_col: str = "doc_id", num_hashes: int = 32,
+                bands: int = 8, shingle_n: int = 3,
+                threshold: float = 0.5,
+                materialize_mode: str = "persist") -> None:
+    """Process one micro-batch: emit its near-dup pairs and extend the
+    index. Usable directly for driver-managed batch loops, or via
+    :func:`run_dedup_stream` under Structured Streaming.
+
+    The banded table is materialized once and feeds BOTH the pair join
+    and the index append (two actions — without the cut the signature
+    aggregation would run twice). Default mode is 'persist'
+    (MEMORY_AND_DISK): lineage survives executor loss, and the handle is
+    unpersisted before return so long-lived streaming drivers don't
+    accumulate cache entries."""
+    spark = docs.sparkSession
+    newb = minhash_band_index(docs, text_col, id_col, num_hashes, bands,
+                              shingle_n)
+    newb = materialize(newb, materialize_mode)
+    try:
+        index = _read_index_except(spark, index_dir, batch_id)
+        if index is not None:
+            pairs = incremental_minhash_pairs(
+                docs, index, text_col, id_col, num_hashes, bands,
+                shingle_n, threshold, new_index=newb)
+        else:
+            # first batch: within-batch pairs only (vs_self of the same
+            # operator — an empty index side would be a schema-only join)
+            pairs = incremental_minhash_pairs(
+                docs, newb.limit(0), text_col, id_col, num_hashes, bands,
+                shingle_n, threshold, new_index=newb)
+        pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch={batch_id}")
+        newb.write.mode("overwrite").parquet(f"{index_dir}/batch={batch_id}")
+    finally:
+        if materialize_mode == "persist":
+            newb.unpersist()
+
+
+def run_dedup_stream(docs_stream: DataFrame, index_dir: str, pairs_dir: str,
+                     checkpoint: str, text_col: str = "text",
+                     id_col: str = "doc_id", num_hashes: int = 32,
+                     bands: int = 8, shingle_n: int = 3,
+                     threshold: float = 0.5,
+                     trigger_available_now: bool = True,
+                     on_batch: Callable[[int], None] | None = None):
+    """Attach the incremental dedup loop to a streaming document source.
+    Returns the started StreamingQuery; checkpointed batch ids + the
+    batch=<id> overwrite layout make restarts replay-idempotent."""
+
+    def batch_fn(df: DataFrame, batch_id: int) -> None:
+        dedup_batch(df, batch_id, index_dir, pairs_dir, text_col, id_col,
+                    num_hashes, bands, shingle_n, threshold)
+        if on_batch is not None:
+            on_batch(batch_id)
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

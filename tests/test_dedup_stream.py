@@ -1,0 +1,90 @@
+"""Streaming incremental dedup (streaming/dedup_stream.py): per-batch
+pair emission, index growth, cross-batch duplicate detection, and replay
+idempotence of the batch=<id> overwrite layout."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from harvesting_extract_to_ttl_service_spark.streaming.dedup_stream import (
+    dedup_batch,
+    run_dedup_stream,
+)
+
+SCHEMA = "doc_id long, text string"
+
+T_A = "the quick brown fox jumps over the lazy dog in the quiet park"
+T_B = "spark pipelines shuffle data between executors across the busy cluster"
+T_C = "a completely unrelated sentence about cooking pasta with fresh basil"
+
+
+def _write_docs(path, rows):
+    with open(path, "w") as f:
+        for doc_id, text in rows:
+            f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+
+def _run_once(spark, stream_dir, index_dir, pairs_dir, ckpt):
+    stream = (spark.readStream.schema(SCHEMA)
+              .json(stream_dir))
+    q = run_dedup_stream(stream, index_dir, pairs_dir, ckpt, threshold=0.5)
+    q.awaitTermination(120)
+
+
+def test_stream_dedups_across_batches(spark, tmp_path):
+    stream_dir = str(tmp_path / "docs")
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(stream_dir)
+
+    # batch 0: two identical docs + one distinct
+    _write_docs(f"{stream_dir}/b0.json", [(1, T_A), (2, T_A), (3, T_B)])
+    _run_once(spark, stream_dir, index_dir, pairs_dir, ckpt)
+
+    pairs0 = spark.read.parquet(f"{pairs_dir}/batch=0")
+    assert {(r.id_a, r.id_b) for r in pairs0.collect()} == {(1, 2)}
+    idx = spark.read.option("basePath", index_dir).parquet(index_dir)
+    assert set(r.batch for r in idx.select("batch").distinct().collect()) \
+        == {0}
+
+    # batch 1 (same checkpoint → next file is batch 1): duplicates a
+    # batch-0 doc and itself contains one internal duplicate pair
+    _write_docs(f"{stream_dir}/b1.json", [(10, T_A), (11, T_C), (12, T_C)])
+    _run_once(spark, stream_dir, index_dir, pairs_dir, ckpt)
+
+    pairs1 = spark.read.parquet(f"{pairs_dir}/batch=1")
+    got = {(r.id_a, r.id_b) for r in pairs1.collect()}
+    # cross-batch: 10 duplicates 1 and 2 (from the stored index — batch 0
+    # was never re-tokenized); within-batch: (11, 12)
+    assert got == {(1, 10), (2, 10), (11, 12)}
+    idx = spark.read.option("basePath", index_dir).parquet(index_dir)
+    assert set(r.batch for r in idx.select("batch").distinct().collect()) \
+        == {0, 1}
+    # index rows: one per (doc, band), 8 bands default
+    assert idx.count() == 6 * 8
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    b0 = spark.createDataFrame([(1, T_A), (2, T_B)], SCHEMA)
+    b1 = spark.createDataFrame([(10, T_A), (11, T_C)], SCHEMA)
+
+    dedup_batch(b0, 0, index_dir, pairs_dir)
+    dedup_batch(b1, 1, index_dir, pairs_dir)
+    first = sorted(map(tuple, spark.read.parquet(
+        f"{pairs_dir}/batch=1").collect()))
+    n_index = spark.read.parquet(index_dir).count()
+
+    # replay batch 1 (failure before checkpoint commit): partitions are
+    # overwritten, not duplicated, and the batch never pairs against its
+    # own previous half-write
+    dedup_batch(b1, 1, index_dir, pairs_dir)
+    again = sorted(map(tuple, spark.read.parquet(
+        f"{pairs_dir}/batch=1").collect()))
+    assert again == first
+    assert {(r.id_a, r.id_b) for r in spark.read.parquet(
+        f"{pairs_dir}/batch=1").collect()} == {(1, 10)}
+    assert spark.read.parquet(index_dir).count() == n_index

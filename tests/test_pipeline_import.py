@@ -376,3 +376,19 @@ def test_read_share_files_decodes_encoded_filenames(spark, tmp_path):
         (share / n).write_text("<p>x</p>")
     got = {r.physical_uri for r in read_share_files(spark, str(share)).collect()}
     assert got == {f"share://{n}" for n in names}
+
+
+def test_pipeline_outputs_build_lazily(spark):
+    """Accessing one output must not construct (analyze) the others —
+    the planning-cost contract behind PipelineOutputs: a foreachBatch
+    consumer executing only `valid` pays only the valid subtree's
+    analysis. Construction is cached: same object on repeat access."""
+    res = run_import_pipeline(_control(spark), _bodies(spark))
+    assert not res._cache
+    v = res["valid"]
+    assert set(res._cache) == {"valid"}
+    assert res["valid"] is v
+    assert set(res) == {
+        "tasks", "task_pages", "valid", "invalid", "corrected", "spilled",
+        "spilled_metadata", "errors", "error_triples", "busy_updates",
+        "status_updates"}
