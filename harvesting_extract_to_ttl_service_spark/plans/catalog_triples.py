@@ -108,6 +108,17 @@ def _lit_triple(subject, predicate, value, datatype=None, language=None,
     ]
 
 
+# Analyzed-plan memo for tpch_triples, keyed (applicationId, sf_dir):
+# 15 catalog entries derive from this one synthesis, and re-building it
+# re-analyzes the 4-scan/8-branch explode tree every call (~0.3-0.5 s of
+# driver time per query at sf0.1, ~half of b3/b4's wall clock). Reusing
+# the DataFrame OBJECT is a view definition reused across queries — the
+# logical plan is immutable and nothing is persisted, so execution is
+# byte-identical; only the redundant re-analysis disappears. Entries from
+# finished applications are purged on the next miss.
+_TRIPLES_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
 def tpch_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of `_CTE` — triple view over nation/region/customer/orders.
 
@@ -117,6 +128,13 @@ def tpch_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     read-amplification that the 100 TB scan pays in full; the SQL CTE's
     UNION ALL branches are how DuckDB states it, not how Spark should run
     it)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    memo = _TRIPLES_MEMO.get(key)
+    if memo is not None:
+        return memo
+    for k in [k for k in _TRIPLES_MEMO
+              if k[0] != spark.sparkContext.applicationId]:
+        del _TRIPLES_MEMO[k]
     def fan_out(df, *triples):
         return df.select(F.explode(F.array(*[
             F.struct(*t) for t in triples])).alias("t")).select("t.*")
@@ -157,6 +175,7 @@ def tpch_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    _TRIPLES_MEMO[key] = out
     return out
 
 
