@@ -143,6 +143,21 @@ def assign_shards(df: DataFrame, n_shards: int, id_col: str = "doc_id",
     return df.withColumn("shard", (h % n_shards).cast("int"))
 
 
+def _pack_columns(df: DataFrame, budget_tokens: int, shard_col: str,
+                  text_col: str, id_col: str) -> DataFrame:
+    """All of ``df``'s columns plus the packing columns (n_tokens,
+    start_offset, chunk) — one window cumsum per shard."""
+    toks = token_count(F.col(text_col))
+    w = (Window.partitionBy(shard_col).orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    start = F.coalesce(F.sum(toks).over(w), F.lit(0).cast("long"))
+    return df.select(
+        *df.columns,
+        toks.alias("n_tokens"),
+        start.alias("start_offset"),
+        F.floor(start / F.lit(budget_tokens)).alias("chunk"))
+
+
 def pack_chunks(df: DataFrame, budget_tokens: int,
                 shard_col: str = "shard", text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
@@ -156,15 +171,35 @@ def pack_chunks(df: DataFrame, budget_tokens: int,
 
     Returns (shard, chunk, start_offset) per document plus its token
     count."""
-    toks = token_count(F.col(text_col))
-    w = (Window.partitionBy(shard_col).orderBy(id_col)
-         .rowsBetween(Window.unboundedPreceding, -1))
-    start = F.coalesce(F.sum(toks).over(w), F.lit(0).cast("long"))
-    return df.select(
-        F.col(shard_col), F.col(id_col),
-        toks.alias("n_tokens"),
-        start.alias("start_offset"),
-        F.floor(start / F.lit(budget_tokens)).alias("chunk"))
+    return _pack_columns(df, budget_tokens, shard_col, text_col,
+                         id_col).select(
+        F.col(shard_col), F.col(id_col), "n_tokens", "start_offset", "chunk")
+
+
+def write_training_shards(df: DataFrame, out_dir: str, n_shards: int,
+                          budget_tokens: int, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          salt: str = "shard") -> None:
+    """The corpus stage's deliverable: shard-partitioned parquet training
+    shards, each shard's rows sorted by (chunk, id) so a loader streams
+    the concatenate-and-chunk token stream in order with a plain file
+    read — no sort at load time.
+
+    Layout: ``out_dir/shard=<k>/`` with every row carrying its packing
+    coordinates (n_tokens, start_offset, chunk). One shuffle total: the
+    repartition ON THE SHARD COLUMN both co-locates each shard's rows in
+    one task (one file per shard directory, no small-files spray) and
+    feeds the same-keyed window, and the sort is within-partition only —
+    there is no global sort at any scale."""
+    sharded = (assign_shards(df, n_shards, id_col, salt)
+               .repartition(n_shards, F.col("shard")))
+    # repartition BEFORE the window: the window's required clustering on
+    # `shard` is already satisfied, so Catalyst adds no second exchange —
+    # the plan has exactly one shuffle (pinned by test).
+    packed = _pack_columns(sharded, budget_tokens, "shard", text_col, id_col)
+    (packed
+     .sortWithinPartitions("shard", "chunk", id_col)
+     .write.mode("overwrite").partitionBy("shard").parquet(out_dir))
 
 
 def benchmark_contamination(docs: DataFrame, benchmark: DataFrame,

@@ -145,6 +145,50 @@ def test_benchmark_contamination_counts_distinct_shingle_overlap(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_write_training_shards_layout_and_order(docs, tmp_path):
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        write_training_shards,
+    )
+
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, n_shards=4, budget_tokens=30)
+    spark = docs.sparkSession
+    back = spark.read.parquet(out)
+    assert back.count() == 60
+    assert {r.shard for r in back.select("shard").distinct().collect()} \
+        <= {0, 1, 2, 3}
+    # packing coordinates agree with the batch operator
+    want = {(r.shard, r.doc_id): (r.start_offset, r.chunk)
+            for r in pack_chunks(assign_shards(docs, 4),
+                                 budget_tokens=30).collect()}
+    got = {(r.shard, r.doc_id): (r.start_offset, r.chunk)
+           for r in back.collect()}
+    assert got == want
+    # loader contract: each shard file streams in (chunk, doc_id) order
+    import glob
+    for shard_dir in glob.glob(f"{out}/shard=*"):
+        files = glob.glob(f"{shard_dir}/*.parquet")
+        assert len(files) == 1  # no small-files spray
+        rows = spark.read.parquet(files[0]).collect()
+        keys = [(r.chunk, r.doc_id) for r in rows]
+        assert keys == sorted(keys)
+
+
+def test_write_training_shards_single_shuffle(docs):
+    """One exchange total: the repartition on the shard column feeds the
+    same-keyed packing window with no second exchange."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        _pack_columns,
+    )
+    from pyspark.sql import functions as F
+
+    sharded = (assign_shards(docs, 4)
+               .repartition(4, F.col("shard")))
+    plan = (_pack_columns(sharded, 30, "shard", "text", "doc_id")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange") - plan.count("ReusedExchange") == 1
+
+
 def test_pack_single_window_no_global_sort(docs):
     """The packing plan must shuffle on the shard only (one hash
     partitioning for the window) — no global range/sort exchange."""
