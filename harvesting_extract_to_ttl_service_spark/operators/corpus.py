@@ -236,6 +236,77 @@ def benchmark_contamination(docs: DataFrame, benchmark: DataFrame,
     )
 
 
+def build_training_corpus(docs: DataFrame,
+                          benchmark: DataFrame | None = None,
+                          min_quality: float = 0.4,
+                          langs: list[str] | None = None,
+                          near_dup_threshold: float | None = 0.7,
+                          decontam_min_overlap: int = 2,
+                          cap_per_lang: int | None = None,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """The composed corpus-construction funnel — every stage an operator
+    this package already verifies individually, chained the way a
+    production training-data pipeline runs them:
+
+      1. annotate + filter: heuristic quality ≥ ``min_quality``, language
+         allowlist (operators/text.py `annotate_documents`);
+      2. exact dedup: keep the min-id row per normalized text;
+      3. near-dup dedup (``near_dup_threshold`` not None): MinHash-LSH
+         pairs → connected components → keep each cluster's min-id
+         representative (keep-one semantics, operators/dedup.py);
+      4. decontamination (``benchmark`` given): drop docs sharing
+         ≥ ``decontam_min_overlap`` shingles with any benchmark doc;
+      5. capped stratified sampling per language (``cap_per_lang``).
+
+    Returns the surviving rows of ``docs`` (original columns). Feed the
+    result to :func:`write_training_shards` for the final artifact. Each
+    stage is one scan/join over the shrinking survivor set; nothing
+    collects to the driver."""
+    from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+        connected_components,
+        minhash_similarity,
+    )
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        annotate_documents,
+    )
+
+    annotated = annotate_documents(docs, text_col=text_col, id_col=id_col)
+    kept = annotated.filter(F.col("quality") >= min_quality)
+    if langs is not None:
+        kept = kept.filter(F.col("lang_pred").isin(list(langs)))
+    survivors = kept.select(*docs.columns)
+
+    from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+        drop_exact_duplicates,
+    )
+
+    survivors = drop_exact_duplicates(survivors, text_col, id_col)
+
+    if near_dup_threshold is not None:
+        pairs = minhash_similarity(survivors, text_col, id_col,
+                                   threshold=near_dup_threshold)
+        comp = connected_components(
+            pairs.select("id_a", "id_b"),
+            survivors.select(F.col(id_col).alias("id")))
+        reps = (comp.filter(F.col("id") == F.col("component"))
+                .select(F.col("id").alias(id_col)))
+        survivors = survivors.join(reps, id_col, "left_semi")
+
+    if benchmark is not None:
+        dirty = (benchmark_contamination(
+            survivors, benchmark, text_col, id_col,
+            min_overlap=decontam_min_overlap)
+            .select(F.col("doc_id").alias(id_col)).distinct())
+        survivors = survivors.join(dirty, id_col, "left_anti")
+
+    if cap_per_lang is not None:
+        survivors = capped_stratified_sample(
+            survivors, cap_per_lang, strata_col="lang", id_col=id_col)
+
+    return survivors
+
+
 def pack_chunk_stats(df: DataFrame, budget_tokens: int,
                      shard_col: str = "shard", text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:

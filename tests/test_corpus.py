@@ -189,6 +189,44 @@ def test_write_training_shards_single_shuffle(docs):
     assert plan.count("Exchange") - plan.count("ReusedExchange") == 1
 
 
+def test_build_training_corpus_funnel(spark):
+    """Plant one failure per stage and check exactly the right docs
+    survive the composed funnel."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        build_training_corpus,
+    )
+
+    good = ("the quick brown fox jumps over the lazy dog while the sun "
+            "sets over the hill and the birds are singing in the trees")
+    rows = [
+        (1, good, "en"),                       # survives
+        (2, "zzz qqq xxx", "en"),              # killed: quality 0.4 < 0.5
+        (3, good, "en"),                       # killed: exact dup of 1
+        (4, good + " extra tail words here and there again", "en"),
+        # 4 is a near-dup of 1 → clustered, min-id 1 kept, 4 dropped
+        (5, "the secret benchmark answer is forty two exactly as the "
+            "evaluation set says it should be written down", "en"),
+        # killed: contaminated vs the benchmark below
+        (6, "une phrase française assez longue pour passer le filtre "
+            "de qualité avec des mots fréquents comme le la les et dans "
+            "pour un texte utile", "fr"),      # survives (no lang filter)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    bench = spark.createDataFrame(
+        [(100, "the secret benchmark answer is forty two exactly")],
+        "doc_id long, text string")
+
+    out = build_training_corpus(docs, benchmark=bench, min_quality=0.5,
+                                near_dup_threshold=0.5)
+    assert {r.doc_id for r in out.collect()} == {1, 6}
+    # same columns out as in
+    assert out.columns == docs.columns
+    # stages are optional: no near-dup pass keeps 4, no benchmark keeps 5
+    out2 = build_training_corpus(docs, min_quality=0.5,
+                                 near_dup_threshold=None)
+    assert {r.doc_id for r in out2.collect()} == {1, 4, 5, 6}
+
+
 def test_pack_single_window_no_global_sort(docs):
     """The packing plan must shuffle on the shard only (one hash
     partitioning for the window) — no global range/sort exchange."""
