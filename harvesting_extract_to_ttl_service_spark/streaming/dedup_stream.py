@@ -91,6 +91,54 @@ def dedup_batch(docs: DataFrame, batch_id: int, index_dir: str,
             newb.unpersist()
 
 
+def compact_dedup_index(spark: SparkSession, index_dir: str,
+                        target_partitions: int | None = None) -> int:
+    """Fold the accumulated per-batch index partitions into one
+    consolidated ``batch=-1`` partition (micro-batches write small files;
+    a year of 5-minute batches is ~100k partition directories whose
+    listing alone dominates the index read at namenode scale).
+
+    Safe under the replay protocol: -1 is never a real micro-batch id, so
+    the current-batch exclusion filter keeps working, and a batch
+    replayed AFTER compaction still overwrites only its own (now
+    redundant-but-harmless) ``batch=<id>`` directory. Returns the number
+    of row-partitions compacted away. Run it from maintenance, not from
+    inside the stream — it rewrites history partitions the stream only
+    ever appends to."""
+    idx = spark.read.option("basePath", index_dir).parquet(index_dir)
+    batches = [r.batch for r in idx.select("batch").distinct().collect()
+               if r.batch != -1]
+    if not batches:
+        return 0
+    consolidated = idx.filter(F.col("batch") != -1).drop("batch")
+    if target_partitions is not None:
+        consolidated = consolidated.repartition(target_partitions)
+    # write the new consolidated partition FIRST, then drop the folded
+    # batch dirs — a crash between the two duplicates index rows, which
+    # only duplicates candidate pairs (distinct downstream), never loses
+    # them
+    from harvesting_extract_to_ttl_service_spark.sources.files import (
+        _hadoop_fs,
+    )
+
+    fs, _ = _hadoop_fs(spark, index_dir)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    existing = spark.read.parquet(f"{index_dir}/batch=-1") \
+        if fs.exists(jpath(f"{index_dir}/batch=-1")) else None
+    out = (consolidated.unionByName(existing)
+           if existing is not None else consolidated)
+    tmp = f"{index_dir}/_compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite") \
+        .parquet(f"{index_dir}/batch=-1")
+    # all deletes via the Hadoop FileSystem API — index_dir may be
+    # hdfs://, s3a://, not just local disk
+    for b in batches:
+        fs.delete(jpath(f"{index_dir}/batch={b}"), True)
+    fs.delete(jpath(tmp), True)
+    return len(batches)
+
+
 def run_dedup_stream(docs_stream: DataFrame, index_dir: str, pairs_dir: str,
                      checkpoint: str, text_col: str = "text",
                      id_col: str = "doc_id", num_hashes: int = 32,

@@ -233,3 +233,22 @@ def test_pack_single_window_no_global_sort(docs):
     packed = pack_chunks(assign_shards(docs, n_shards=2), budget_tokens=20)
     plan = packed._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_hash_fraction_matches_python_mirror(spark):
+    """The membership hash is a pure md5 function any engine can
+    restate: mirror it in hashlib and require bit-identical doubles —
+    the property the DuckDB oracle (and any future re-implementation)
+    leans on."""
+    import hashlib
+
+    def mirror(key: int, salt: str = "sample") -> float:
+        h = hashlib.md5(f"{key}:{salt}".encode()).hexdigest()[:8]
+        return int(h, 16) / float(1 << 32)
+
+    rows = spark.range(200).select(
+        "id", hash_fraction(F.col("id")).alias("f"),
+        hash_fraction(F.col("id"), salt="s2").alias("g")).collect()
+    for r in rows:
+        assert r.f == mirror(r.id)
+        assert r.g == mirror(r.id, "s2")

@@ -88,3 +88,34 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     assert {(r.id_a, r.id_b) for r in spark.read.parquet(
         f"{pairs_dir}/batch=1").collect()} == {(1, 10)}
     assert spark.read.parquet(index_dir).count() == n_index
+
+
+def test_compact_dedup_index_preserves_dedup(spark, tmp_path):
+    from harvesting_extract_to_ttl_service_spark.streaming.dedup_stream import (
+        compact_dedup_index,
+    )
+
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    dedup_batch(spark.createDataFrame([(1, T_A), (2, T_B)], SCHEMA),
+                0, index_dir, pairs_dir)
+    dedup_batch(spark.createDataFrame([(5, T_C)], SCHEMA),
+                1, index_dir, pairs_dir)
+    n_rows = spark.read.parquet(index_dir).count()
+
+    assert compact_dedup_index(spark, index_dir) == 2
+    idx = spark.read.option("basePath", index_dir).parquet(index_dir)
+    assert {r.batch for r in idx.select("batch").distinct().collect()} == {-1}
+    assert idx.count() == n_rows
+
+    # a later batch dedups against the compacted index identically
+    dedup_batch(spark.createDataFrame([(10, T_A)], SCHEMA),
+                2, index_dir, pairs_dir)
+    got = {(r.id_a, r.id_b) for r in
+           spark.read.parquet(f"{pairs_dir}/batch=2").collect()}
+    assert got == {(1, 10)}
+    # second compaction folds the new batch into the existing -1
+    assert compact_dedup_index(spark, index_dir) == 1
+    idx = spark.read.option("basePath", index_dir).parquet(index_dir)
+    assert {r.batch for r in idx.select("batch").distinct().collect()} == {-1}
+    assert idx.count() == n_rows + 8  # one more doc x 8 bands
