@@ -407,6 +407,20 @@ def incremental_minhash_pairs(new_docs: DataFrame, index: DataFrame,
     cheap parquet append per batch. Callers that also persist the batch's
     banded table (the streaming loop does) pass it as ``new_index`` so it
     is computed exactly once."""
+    want_cols = {"id", "band", "band_hash",
+                 *(f"m{i}" for i in range(num_hashes))}
+    if set(index.columns) != want_cols:
+        # a num_hashes mismatch fails the join loudly (missing m columns),
+        # but a BANDS mismatch would silently miss pairs — band hashes
+        # cover different signature rows. The schema check catches the
+        # former up front; callers own keeping (num_hashes, bands,
+        # shingle_n) constant for an index's lifetime (record them next
+        # to the index).
+        raise ValueError(
+            f"index columns {sorted(index.columns)} do not match the "
+            f"minhash_band_index schema for num_hashes={num_hashes} "
+            f"(expected {sorted(want_cols)}); was the index built with "
+            f"different parameters?")
     newb = new_index if new_index is not None else materialize(
         minhash_band_index(new_docs, text_col, id_col, num_hashes, bands,
                            shingle_n),

@@ -78,3 +78,13 @@ def test_new_side_broadcasts_against_index_scan(docs):
     assert sorted(map(tuple, no_bcast)) == sorted(
         map(tuple,
             incremental_minhash_pairs(new, index, threshold=0.5).collect()))
+
+
+def test_mismatched_index_schema_raises(docs):
+    import pytest
+
+    index16 = minhash_band_index(docs.filter(F.col("doc_id") % 2 == 1),
+                                 num_hashes=16, bands=4)
+    with pytest.raises(ValueError, match="different parameters"):
+        incremental_minhash_pairs(docs.filter(F.col("doc_id") % 2 == 0),
+                                  index16, num_hashes=32, bands=8)
