@@ -37,6 +37,52 @@ from harvesting_extract_to_ttl_service_spark.operators.materialize import (
 )
 
 
+def _check_index_params(spark: SparkSession, index_dir: str,
+                        num_hashes: int, bands: int,
+                        shingle_n: int) -> None:
+    """Verify (or record, on first write) the index's LSH parameters in a
+    ``_lsh_params.json`` sidecar. A bands/shingle mismatch is UNDETECTABLE
+    from the table schema — band hashes would simply cover different
+    signature rows and silently miss pairs — so the parameters live next
+    to the data, like parquet's own ``_metadata``. Hadoop FS API: the
+    index may live on hdfs/s3a."""
+    import json
+
+    from harvesting_extract_to_ttl_service_spark.sources.files import (
+        _hadoop_fs,
+    )
+
+    want = {"num_hashes": num_hashes, "bands": bands,
+            "shingle_n": shingle_n}
+    fs, _ = _hadoop_fs(spark, index_dir)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(
+        f"{index_dir}/_lsh_params.json")
+    if fs.exists(jpath):
+        stream = fs.open(jpath)
+        try:
+            data = bytearray()
+            buf = spark._jvm.java.io.BufferedReader(
+                spark._jvm.java.io.InputStreamReader(stream, "UTF-8"))
+            line = buf.readLine()
+            while line is not None:
+                data.extend((line + "\n").encode())
+                line = buf.readLine()
+        finally:
+            stream.close()
+        have = json.loads(bytes(data).decode())
+        if have != want:
+            raise ValueError(
+                f"dedup index at {index_dir} was built with {have}, "
+                f"query uses {want}: pairs would be silently missed — "
+                f"rebuild the index or match its parameters")
+        return
+    out = fs.create(jpath, True)
+    try:
+        out.write(json.dumps(want).encode())
+    finally:
+        out.close()
+
+
 def _read_index_except(spark: SparkSession, index_dir: str,
                        batch_id: int) -> DataFrame | None:
     """The accumulated index minus the current batch's partition (absent
@@ -69,6 +115,7 @@ def dedup_batch(docs: DataFrame, batch_id: int, index_dir: str,
     unpersisted before return so long-lived streaming drivers don't
     accumulate cache entries."""
     spark = docs.sparkSession
+    _check_index_params(spark, index_dir, num_hashes, bands, shingle_n)
     newb = minhash_band_index(docs, text_col, id_col, num_hashes, bands,
                               shingle_n)
     newb = materialize(newb, materialize_mode)

@@ -119,3 +119,20 @@ def test_compact_dedup_index_preserves_dedup(spark, tmp_path):
     idx = spark.read.option("basePath", index_dir).parquet(index_dir)
     assert {r.batch for r in idx.select("batch").distinct().collect()} == {-1}
     assert idx.count() == n_rows + 8  # one more doc x 8 bands
+
+
+def test_index_params_sidecar_guards_mismatch(spark, tmp_path):
+    import pytest
+
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    b0 = spark.createDataFrame([(1, T_A)], SCHEMA)
+    dedup_batch(b0, 0, index_dir, pairs_dir)
+    assert os.path.exists(f"{index_dir}/_lsh_params.json")
+    # same params: fine
+    dedup_batch(spark.createDataFrame([(2, T_B)], SCHEMA),
+                1, index_dir, pairs_dir)
+    # different banding: refused before any pair is silently missed
+    with pytest.raises(ValueError, match="silently missed"):
+        dedup_batch(spark.createDataFrame([(3, T_C)], SCHEMA),
+                    2, index_dir, pairs_dir, bands=4)
