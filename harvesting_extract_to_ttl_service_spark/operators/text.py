@@ -129,6 +129,49 @@ def rolling_hashes(text: Column, window: int = 8) -> Column:
     )
 
 
+def repetition_signals(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Repetition-based quality signals (the Gopher-tradition filters the
+    composite ``quality`` score doesn't cover): per document,
+
+      * ``n_lines`` and ``dup_line_ratio`` — fraction of newline-split
+        lines that are duplicates (boilerplate/template pages);
+      * ``top_bigram_ratio`` — the most frequent word bigram's share of
+        all bigram occurrences (stuck-key/keyword-stuffing pages).
+
+    Line metrics are pure column expressions; the bigram mode needs a
+    per-(doc, bigram) count, which is one explode + two map-side-partial
+    aggregates — one row per doc reaches the final shuffle."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    dup_line = F.when(
+        F.size(lines) > 0,
+        1.0 - F.size(F.array_distinct(lines)) / F.size(lines)
+    ).otherwise(F.lit(0.0))
+
+    w = tokens(F.lower(t))
+    # guard: sequence(1, 0) DESCENDS in Spark, so short docs need an
+    # explicit empty-bigram branch
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(w) - 1),
+                    lambda i: F.concat_ws(" ", F.slice(w, i, 2)))
+    ).otherwise(F.array().cast("array<string>"))
+    ex = df.select(F.col(id_col).alias("_id"),
+                   F.explode(bigrams).alias("g"))
+    counts = (ex.groupBy("_id", "g").agg(F.count("*").alias("c"))
+              .groupBy("_id").agg(F.max("c").alias("_mx"),
+                                  F.sum("c").alias("_tot")))
+    joined = df.join(counts, df[id_col] == counts["_id"], "left")
+    top_bigram = F.when(F.col("_tot") > 0, F.col("_mx") / F.col("_tot")) \
+        .otherwise(F.lit(0.0))
+    return joined.select(
+        *df.columns,
+        F.size(lines).alias("n_lines"),
+        F.round(dup_line, 4).alias("dup_line_ratio"),
+        F.round(top_bigram, 4).alias("top_bigram_ratio"))
+
+
 def annotate_documents(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """Text-analysis projection over a documents table (``id_col`` must be

@@ -176,6 +176,46 @@ def corpus_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") >= 480))
 
 
+# lowered whitespace tokens — the repetition bigrams tokenize like the
+# dedup shingles (operators/text.py tokens(lower(text)))
+_TOKS_LOW = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != '')"
+
+
+@member_sql(f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, chr(10)) AS lines, {_TOKS_LOW} AS w
+  FROM documents WHERE doc_id < 100
+), bg AS (
+  SELECT doc_id,
+         unnest([array_to_string(w[i:i+1], ' ')
+                 for i in range(1, greatest(len(w) - 1, 0) + 1)]) AS g
+  FROM t WHERE len(w) >= 2
+), bc AS (
+  SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2
+), bs AS (
+  SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM bc GROUP BY 1
+)
+SELECT t.doc_id,
+       len(lines) AS n_lines,
+       round(CASE WHEN len(lines) > 0
+             THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+             ELSE 0.0 END, 4) AS dup_line_ratio,
+       round(coalesce(CAST(mx AS DOUBLE) / tot, 0.0), 4) AS top_bigram_ratio
+FROM t LEFT JOIN bs ON t.doc_id = bs.doc_id
+""")
+def corpus_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (duplicate-line ratio, top-bigram
+    share) over the first 100 docs — the Gopher-style filters a corpus
+    build runs alongside the composite quality score."""
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        repetition_signals,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return repetition_signals(docs).select(
+        "doc_id", "n_lines", "dup_line_ratio", "top_bigram_ratio")
+
+
 _CORPUS_MEMBERS = [
     ("sample", corpus_sample, ["doc_id", "lang"], []),
     ("mix", corpus_mix, ["lang", "n_docs", "n_tokens"],
@@ -183,6 +223,8 @@ _CORPUS_MEMBERS = [
     ("shards", corpus_shards, ["shard", "n_docs", "n_tokens"], []),
     ("pack", corpus_pack, ["shard", "chunk", "n_docs", "n_tokens"], []),
     ("decontam", corpus_decontam, ["doc_id", "bench_id", "n_overlap"], []),
+    ("rep", corpus_repetition, ["doc_id", "n_lines"],
+     ["dup_line_ratio", "top_bigram_ratio"]),
 ]
 
 

@@ -252,3 +252,24 @@ def test_hash_fraction_matches_python_mirror(spark):
     for r in rows:
         assert r.f == mirror(r.id)
         assert r.g == mirror(r.id, "s2")
+
+
+def test_repetition_signals_semantics(spark):
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        repetition_signals,
+    )
+
+    docs = spark.createDataFrame([
+        (1, "a b\na b\nc d"),       # 3 lines, one duplicate pair
+        (2, "spam spam spam spam"), # top bigram 'spam spam' = 3/3
+        (3, "one"),                 # <2 tokens: no bigrams
+        (4, "x y z w"),             # all bigrams distinct: 1/3
+    ], "doc_id long, text string")
+    got = {r.doc_id: (r.n_lines, r.dup_line_ratio, r.top_bigram_ratio)
+           for r in repetition_signals(docs).collect()}
+    # one token stream across lines: bigrams = [a b, b a, a b, b c,
+    # c d], top "a b" = 2/5
+    assert got[1] == (3, round(1 - 2 / 3, 4), round(2 / 5, 4))
+    assert got[2] == (1, 0.0, 1.0)
+    assert got[3] == (1, 0.0, 0.0)
+    assert got[4] == (1, 0.0, round(1 / 3, 4))
