@@ -240,6 +240,9 @@ def build_training_corpus(docs: DataFrame,
                           benchmark: DataFrame | None = None,
                           min_quality: float = 0.4,
                           langs: list[str] | None = None,
+                          max_dup_line_ratio: float | None = None,
+                          max_top_bigram_ratio: float | None = None,
+                          max_pii_signals: int | None = None,
                           near_dup_threshold: float | None = 0.7,
                           decontam_min_overlap: int = 2,
                           cap_per_lang: int | None = None,
@@ -250,7 +253,10 @@ def build_training_corpus(docs: DataFrame,
     production training-data pipeline runs them:
 
       1. annotate + filter: heuristic quality ≥ ``min_quality``, language
-         allowlist (operators/text.py `annotate_documents`);
+         allowlist (operators/text.py `annotate_documents`); optional
+         repetition caps (``max_dup_line_ratio`` /
+         ``max_top_bigram_ratio``) and PII-signal cap
+         (``max_pii_signals``: emails+urls+phones) from the same module;
       2. exact dedup: keep the min-id row per normalized text;
       3. near-dup dedup (``near_dup_threshold`` not None): MinHash-LSH
          pairs → connected components → keep each cluster's min-id
@@ -276,6 +282,28 @@ def build_training_corpus(docs: DataFrame,
     if langs is not None:
         kept = kept.filter(F.col("lang_pred").isin(list(langs)))
     survivors = kept.select(*docs.columns)
+
+    if max_dup_line_ratio is not None or max_top_bigram_ratio is not None:
+        from harvesting_extract_to_ttl_service_spark.operators.text import (
+            repetition_signals,
+        )
+
+        rep = repetition_signals(survivors, text_col, id_col)
+        if max_dup_line_ratio is not None:
+            rep = rep.filter(F.col("dup_line_ratio") <= max_dup_line_ratio)
+        if max_top_bigram_ratio is not None:
+            rep = rep.filter(
+                F.col("top_bigram_ratio") <= max_top_bigram_ratio)
+        survivors = rep.select(*docs.columns)
+
+    if max_pii_signals is not None:
+        from harvesting_extract_to_ttl_service_spark.operators.text import (
+            pii_signals,
+        )
+
+        survivors = pii_signals(survivors, text_col).filter(
+            F.col("n_emails") + F.col("n_urls") + F.col("n_phones")
+            <= max_pii_signals).select(*docs.columns)
 
     from harvesting_extract_to_ttl_service_spark.operators.dedup import (
         drop_exact_duplicates,

@@ -172,6 +172,29 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
         F.round(top_bigram, 4).alias("top_bigram_ratio"))
 
 
+# Deliberately simple, engine-portable detector regexes (no lookaround —
+# they must run identically under Spark's Java regex and DuckDB's RE2):
+# a PII *signal* for filtering decisions, not a redaction guarantee.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+PHONE_RE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+
+
+def pii_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Contact-info counts per document — the cheap pre-filter a
+    training-data pipeline runs before expensive PII scrubbing: email
+    addresses, URLs, and phone-shaped digit runs. Pure column
+    expressions (three regexp passes inside one projection)."""
+    t = F.col(text_col)
+    return df.select(
+        *df.columns,
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0))
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(URL_RE), 0)).alias("n_urls"),
+        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), 0))
+        .alias("n_phones"))
+
+
 def annotate_documents(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """Text-analysis projection over a documents table (``id_col`` must be

@@ -216,6 +216,52 @@ def corpus_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_lines", "dup_line_ratio", "top_bigram_ratio")
 
 
+@member_sql("""
+WITH t AS (
+  SELECT doc_id,
+         text || CASE doc_id % 4
+           WHEN 0 THEN ' contact bob' || doc_id || '@example.com now'
+           WHEN 1 THEN ' see https://ex.org/d/' || doc_id || ' page'
+           WHEN 2 THEN ' call +3225551234 now'
+           ELSE '' END AS text
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(text, 'https?://[^\\s]+')) AS n_urls,
+       len(regexp_extract_all(text,
+           '\\+?[0-9][0-9()\\-. ]{7,}[0-9]')) AS n_phones
+FROM t
+""")
+def corpus_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/contact-info signal counts over docs with planted emails /
+    URLs / phone numbers (the fixture corpus is clean, so the member
+    synthesizes deterministic contact strings per doc_id class — the
+    triage_dirty_literals pattern; the oracle restates construction AND
+    detection independently). Detector regexes avoid lookaround so Java
+    regex and RE2 agree match-for-match."""
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        pii_signals,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.concat(F.lit(" contact bob"), F.col("doc_id"),
+                            F.lit("@example.com now")))
+            .when(F.col("doc_id") % 4 == 1,
+                  F.concat(F.lit(" see https://ex.org/d/"),
+                           F.col("doc_id"), F.lit(" page")))
+            .when(F.col("doc_id") % 4 == 2, F.lit(" call +3225551234 now"))
+            .otherwise(F.lit(""))).alias("text"))
+    return pii_signals(injected).select(
+        "doc_id", "n_emails", "n_urls", "n_phones")
+
+
 _CORPUS_MEMBERS = [
     ("sample", corpus_sample, ["doc_id", "lang"], []),
     ("mix", corpus_mix, ["lang", "n_docs", "n_tokens"],
@@ -225,6 +271,7 @@ _CORPUS_MEMBERS = [
     ("decontam", corpus_decontam, ["doc_id", "bench_id", "n_overlap"], []),
     ("rep", corpus_repetition, ["doc_id", "n_lines"],
      ["dup_line_ratio", "top_bigram_ratio"]),
+    ("pii", corpus_pii, ["doc_id", "n_emails", "n_urls", "n_phones"], []),
 ]
 
 

@@ -273,3 +273,43 @@ def test_repetition_signals_semantics(spark):
     assert got[2] == (1, 0.0, 1.0)
     assert got[3] == (1, 0.0, 0.0)
     assert got[4] == (1, 0.0, round(1 / 3, 4))
+
+
+def test_pii_signals_counts(spark):
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        pii_signals,
+    )
+
+    docs = spark.createDataFrame([
+        (1, "write to a@b.org or c.d+x@e-f.co today"),
+        (2, "docs at https://ex.org/a and http://ex.org/b?q=1"),
+        (3, "call +32 2 555 1234 or (02) 555-9876 soon"),
+        (4, "nothing to see here at all"),
+    ], "doc_id long, text string")
+    got = {r.doc_id: (r.n_emails, r.n_urls, r.n_phones)
+           for r in pii_signals(docs).collect()}
+    assert got[1] == (2, 0, 0)
+    assert got[2] == (0, 2, 0)
+    assert got[3][2] == 2 and got[3][0] == 0
+    assert got[4] == (0, 0, 0)
+
+
+def test_funnel_repetition_and_pii_stages(spark):
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        build_training_corpus,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while the sun "
+            "sets over the hill and the birds are singing in the trees")
+    docs = spark.createDataFrame([
+        (1, base, "en"),
+        (2, "spam spam spam spam spam spam spam spam spam spam the and "
+            "of to in is that it for", "en"),   # killed: top-bigram cap
+        (3, base + " mail me at someone@example.com for the details "
+            "or someone.else@example.com instead", "en"),  # killed: PII cap
+    ], "doc_id long, text string, lang string")
+    out = build_training_corpus(docs, min_quality=0.4,
+                                max_top_bigram_ratio=0.3,
+                                max_pii_signals=1,
+                                near_dup_threshold=None)
+    assert {r.doc_id for r in out.collect()} == {1}
