@@ -159,6 +159,34 @@ def lsh_ann_topk_multiprobe(df: DataFrame, query_vec: list[float],
     )
 
 
+def drop_embedding_neardups(df: DataFrame, threshold: float, dim: int,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id", n_planes: int = 8,
+                            max_iter: int = 20,
+                            materialize_mode: str = "local_checkpoint",
+                            ) -> DataFrame:
+    """Semantic (embedding-cosine) dedup, keep-one: LSH-blocked near-dup
+    pairs → connected components → keep each cluster's minimum-id row.
+    The embedding twin of the text pipeline's MinHash→cluster→keep-one
+    path, sharing its pieces (lsh_blocked_pairs here,
+    operators/dedup.connected_components for the closure). Returns the
+    surviving rows of ``df``; recall follows :func:`lsh_blocked_pairs`'s
+    bucketing (cross-bucket near-dups are kept, not dropped — the safe
+    direction for a dedup)."""
+    from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = lsh_blocked_pairs(df, threshold, dim, vec_col, id_col,
+                              n_planes, materialize_mode)
+    comp = connected_components(
+        pairs.select("id_a", "id_b"),
+        df.select(F.col(id_col).alias("id")), max_iter=max_iter)
+    reps = (comp.filter(F.col("id") == F.col("component"))
+            .select(F.col("id").alias(id_col)))
+    return df.join(reps, id_col, "left_semi")
+
+
 def lsh_blocked_pairs(df: DataFrame, threshold: float, dim: int,
                       vec_col: str = "embedding", id_col: str = "vec_id",
                       n_planes: int = 8,

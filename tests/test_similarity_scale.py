@@ -193,3 +193,42 @@ def test_ivf_cell_partitioned_layout_prunes(spark, tmp_path):
     cells_on_disk = {d for d in os.listdir(out) if d.startswith("ivf_cell=")}
     assert len(cells_on_disk) >= 2
     assert probed.select("ivf_cell").distinct().count() <= 2
+
+
+def test_drop_embedding_neardups_keep_one(spark, sf_dir):
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        drop_embedding_neardups,
+        lsh_blocked_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .filter(F.col("vec_id") < 200).select("vec_id", "embedding"))
+    dim = len(emb.first().embedding)
+    pairs = [(r.id_a, r.id_b) for r in
+             lsh_blocked_pairs(emb, threshold=0.25, dim=dim,
+                               n_planes=2).collect()]
+    # python union-find over the same pairs → expected survivors
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    for i in ids:
+        find(i)
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {i for i in ids if find(i) == i}
+
+    got = {r.vec_id for r in drop_embedding_neardups(
+        emb, threshold=0.25, dim=dim, n_planes=2).collect()}
+    assert got == expected
+    assert pairs  # the fixture must actually exercise the dedup
+    assert len(got) < len(ids)
