@@ -79,6 +79,23 @@ def spread_for_cpu(df: DataFrame) -> DataFrame:
     return df.repartition(target) if need else df
 
 
+def _pin_join_parallelism(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition on the join keys with an EXPLICIT partition count
+    (``spark.sql.shuffle.partitions``) so AQE's size-based coalescing
+    cannot serialize a compute-dense self-join: a banded/blocked
+    candidate join's shuffle INPUT is tiny (fixed-width keys, one row
+    per doc×band) while its join OUTPUT explodes quadratically per
+    bucket — measured at the 10× probe, the SimHash block join's ~6 MB
+    shuffle expands to 26M rows and, coalesced to one task under
+    ``parallelismFirst=false``, runs 4× slower. A user-specified
+    repartition is exempt from coalescing, and since both join sides get
+    the same (keys, count) partitioning the join itself adds no extra
+    exchange. The count follows ``spark.sql.shuffle.partitions``, the
+    knob production already sizes to the cluster."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *[F.col(c) for c in cols])
+
+
 def shingles(text: Column, n: int = 3) -> Column:
     """Distinct n-word shingles of the lowercased text (array column)."""
     t = tokens(F.lower(text))
@@ -338,6 +355,7 @@ def _banded_pairs(df: DataFrame, text_col: str, id_col: str,
     # planner duplicates it, and for the fault-tolerance tradeoff of each
     # mode). Measured 1.22× at sf0.1 (2.31 s → 1.90 s).
     banded = materialize(banded, materialize_mode)
+    banded = _pin_join_parallelism(banded, "band", "band_hash")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -450,8 +468,9 @@ def incremental_minhash_pairs(new_docs: DataFrame, index: DataFrame,
         new_side.alias("a"), index.alias("b"),
         (F.col("a.band") == F.col("b.band"))
         & (F.col("a.band_hash") == F.col("b.band_hash")))
+    pinned = _pin_join_parallelism(newb, "band", "band_hash")
     vs_self = carry(
-        newb.alias("a"), newb.alias("b"),
+        pinned.alias("a"), pinned.alias("b"),
         (F.col("a.band") == F.col("b.band"))
         & (F.col("a.band_hash") == F.col("b.band_hash"))
         & (F.col("a.id") < F.col("b.id")))
@@ -495,8 +514,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         sizes = exploded.groupBy("id").agg(F.count("*").alias("n_sh"))
     else:
         sizes = sh.select("id", F.size("sh").alias("n_sh"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    joined_side = _pin_join_parallelism(exploded, "g")
+    a = joined_side.alias("a")
+    b = joined_side.alias("b")
     inter = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
@@ -644,6 +664,7 @@ def simhash_candidates(df: DataFrame, text_col: str = "text",
     # per-bit SUM aggregation (the expensive stage) runs once per
     # self-join side. Mode tradeoffs: operators/materialize.py.
     blocked = materialize(blocked, materialize_mode)
+    blocked = _pin_join_parallelism(blocked, "blk", "blk_val")
     a = blocked.alias("a")
     b = blocked.alias("b")
     return (

@@ -214,6 +214,14 @@ def lsh_blocked_pairs(df: DataFrame, threshold: float, dim: int,
     # strategy — see operators/dedup.py _banded_pairs); the cut strategy
     # is the caller's fault-tolerance choice, operators/materialize.py
     b = materialize(b, materialize_mode)
+    # pin the reduce parallelism of the in-bucket refine (quadratic
+    # per-bucket compute from a tiny shuffle input — the shape AQE's
+    # size-based coalescing serializes; see dedup._pin_join_parallelism)
+    from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+        _pin_join_parallelism,
+    )
+
+    b = _pin_join_parallelism(b, "bucket")
     a, c = b.alias("a"), b.alias("c")
     return (
         a.join(c, (F.col("a.bucket") == F.col("c.bucket"))

@@ -26,12 +26,15 @@ def get_spark(app_name: str = "harvesting_extract_to_ttl_service_spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # Respect the advisory partition size when coalescing instead of
-        # padding out to defaultParallelism — the setting Spark's own docs
-        # recommend flipping in production. Control-plane-sized shuffles
-        # collapse to a handful of tasks (less scheduling overhead);
-        # data-sized shuffles still split at the 64 MB advisory target.
-        # CPU-dense stages that need parallelism on SMALL inputs get it
-        # explicitly (spread_for_cpu's repartition(n) is never coalesced).
+        # padding out to defaultParallelism: measured ~5 s off the sf0.1
+        # bench (tiny control-plane shuffles stop costing a 32-task stage
+        # each). The known hazard — size-based coalescing serializes a
+        # COMPUTE-dense join whose shuffle input is small but whose
+        # output explodes (the 10x-probe SimHash block join: ~6 MB
+        # shuffle → 26M join rows, 6 s → 23 s on one task) — is handled
+        # where it lives: the expansion-prone self-joins pin their
+        # reduce parallelism explicitly (dedup._pin_join_parallelism),
+        # which AQE never coalesces.
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
                 "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
