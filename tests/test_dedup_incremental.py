@@ -88,3 +88,25 @@ def test_mismatched_index_schema_raises(docs):
     with pytest.raises(ValueError, match="different parameters"):
         incremental_minhash_pairs(docs.filter(F.col("doc_id") % 2 == 0),
                                   index16, num_hashes=32, bands=8)
+
+
+def test_pairs_invariant_under_shuffle_partitioning(docs):
+    """Near-dup results must not depend on the cluster's partition
+    sizing: same pairs and estimates at 5 and at the default shuffle
+    partition count (re-partitioning changes only WHERE rows meet, and
+    every hash in the pipeline is content-derived)."""
+    spark = docs.sparkSession
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def run():
+        return sorted(
+            (r.id_a, r.id_b, round(r.est_jaccard, 6))
+            for r in minhash_similarity(docs, threshold=0.5).collect())
+
+    base = run()
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        assert run() == base
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert base
