@@ -313,3 +313,27 @@ def test_funnel_repetition_and_pii_stages(spark):
                                 max_pii_signals=1,
                                 near_dup_threshold=None)
     assert {r.doc_id for r in out.collect()} == {1}
+
+
+def test_pack_chunks_matches_python_mirror_property(spark):
+    """Hypothesis-style sweep without fixture bias: random token counts →
+    the packing must equal a pure-Python concatenate-and-chunk mirror."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, " ".join("w" * 1 for _ in range(rng.randint(0, 40))))
+            for i in range(120)]
+    docs = spark.createDataFrame(
+        [(i, t if t else "") for i, t in rows], "doc_id long, text string")
+    budget = 17
+    got = {(r.shard, r.doc_id): (r.n_tokens, r.start_offset, r.chunk)
+           for r in pack_chunks(assign_shards(docs, 3), budget).collect()}
+    shard_of = {r.doc_id: r.shard
+                for r in assign_shards(docs, 3).select("doc_id", "shard").collect()}
+    offset = {}
+    for i, t in rows:  # doc_id ascending == window order
+        s = shard_of[i]
+        n = len(t.split()) if t.strip() else 0
+        start = offset.get(s, 0)
+        assert got[(s, i)] == (n, start, start // budget), (s, i)
+        offset[s] = start + n

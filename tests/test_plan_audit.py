@@ -36,3 +36,14 @@ def test_plan_has_no_antipatterns(spark, name):
     # Python may cross the boundary only Arrow-batched (ArrowEvalPython,
     # MapInPandas, FlatMapGroupsInPandas*) — never row-at-a-time
     assert "BatchEvalPython" not in plan, name
+
+
+def test_catalog_contract():
+    """The driver verifies at most 50 entries in registration order:
+    exactly 50 registered, every oracle names a query, and only the two
+    by-design rows-only entries lack oracles."""
+    oracles = entry_mod.oracle_sql()
+    assert len(QUERIES) == 50
+    assert set(oracles) <= set(QUERIES)
+    assert set(QUERIES) - set(oracles) == {
+        "approx_distinct_customers", "streaming_task_progress"}
