@@ -131,15 +131,48 @@ def probe_incremental(spark, n: int, tmp: str) -> dict:
     return res
 
 
+def probe_funnel(spark, n: int) -> dict:
+    """Wall-clock of the COMPOSED corpus funnel (build_training_corpus:
+    quality filter → exact dedup → MinHash near-dup keep-one → decontam →
+    no sampling cap) at an N× corpus. The stages are probed individually
+    elsewhere; this measures the composition — dominated by the near-dup
+    clustering (pair join + connected-components rounds)."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        build_training_corpus,
+    )
+
+    docs = (replicate_documents(spark, n)
+            .withColumn("lang", F.lit("en"))
+            .localCheckpoint(eager=True))
+    bench = (load(spark, SF_DIR, "documents")
+             .filter(F.col("doc_id") >= 4900).select("doc_id", "text"))
+    res = {"label": f"{n}x", "docs": docs.count()}
+    t0 = time.time()
+    out = build_training_corpus(docs, benchmark=bench, min_quality=0.4,
+                                near_dup_threshold=0.5)
+    res["survivors"] = out.count()
+    res["funnel_s"] = round(time.time() - t0, 1)
+    return res
+
+
 def main():
     args = sys.argv[1:]
     incremental = bool(args) and args[0] == "incr"
-    if incremental:
+    funnel = bool(args) and args[0] == "funnel"
+    if incremental or funnel:
         args = args[1:]
     replicas = [int(x) for x in args] or [1, 2, 5, 10]
     tmp = tempfile.mkdtemp(prefix="scale_probe_")
     spark = get_spark("scale-probe")
     try:
+        if funnel:
+            print(f"{'scale':>6} {'docs':>7} {'survivors':>10} "
+                  f"{'funnel_s':>9}")
+            for n in replicas:
+                r = probe_funnel(spark, n)
+                print(f"{r['label']:>6} {r['docs']:>7} "
+                      f"{r['survivors']:>10} {r['funnel_s']:>9}")
+            return
         if incremental:
             print(f"{'scale':>6} {'corpus':>8} {'batch':>6} {'build_s':>8} "
                   f"{'incr_pairs':>11} {'incr_s':>7} {'full_pairs':>11} "
