@@ -246,6 +246,7 @@ def build_training_corpus(docs: DataFrame,
                           near_dup_threshold: float | None = 0.7,
                           decontam_min_overlap: int = 2,
                           cap_per_lang: int | None = None,
+                          cap_strata_col: str = "lang",
                           text_col: str = "text",
                           id_col: str = "doc_id") -> DataFrame:
     """The composed corpus-construction funnel — every stage an operator
@@ -263,7 +264,12 @@ def build_training_corpus(docs: DataFrame,
          representative (keep-one semantics, operators/dedup.py);
       4. decontamination (``benchmark`` given): drop docs sharing
          ≥ ``decontam_min_overlap`` shingles with any benchmark doc;
-      5. capped stratified sampling per language (``cap_per_lang``).
+      5. capped stratified sampling per language (``cap_per_lang``),
+         stratified on ``cap_strata_col`` (default the source-provided
+         ``lang`` column). When that column is absent the stratum falls
+         back to the PREDICTED language (``annotate_documents``'s
+         ``lang_pred`` — the same signal the ``langs`` filter uses), so
+         the funnel still only requires (id, text) columns.
 
     Returns the surviving rows of ``docs`` (original columns). Feed the
     result to :func:`write_training_shards` for the final artifact. Each
@@ -329,8 +335,21 @@ def build_training_corpus(docs: DataFrame,
         survivors = survivors.join(dirty, id_col, "left_anti")
 
     if cap_per_lang is not None:
-        survivors = capped_stratified_sample(
-            survivors, cap_per_lang, strata_col="lang", id_col=id_col)
+        if cap_strata_col in survivors.columns:
+            survivors = capped_stratified_sample(
+                survivors, cap_per_lang, strata_col=cap_strata_col,
+                id_col=id_col)
+        else:
+            # no source-provided stratum column: stratify on the
+            # predicted language. Re-annotating the (already shrunken)
+            # survivor set is a pure column projection — cheaper than
+            # threading lang_pred through every stage's
+            # select(*docs.columns).
+            survivors = capped_stratified_sample(
+                annotate_documents(survivors, text_col=text_col,
+                                   id_col=id_col),
+                cap_per_lang, strata_col="lang_pred",
+                id_col=id_col).select(*docs.columns)
 
     return survivors
 

@@ -91,8 +91,15 @@ def _pin_join_parallelism(df: DataFrame, *cols: str) -> DataFrame:
     repartition is exempt from coalescing, and since both join sides get
     the same (keys, count) partitioning the join itself adds no extra
     exchange. The count follows ``spark.sql.shuffle.partitions``, the
-    knob production already sizes to the cluster."""
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    knob production already sizes to the cluster; platforms that set it
+    to a non-numeric sentinel (e.g. ``'auto'`` under vendor AQE
+    defaults) fall back to ``sparkContext.defaultParallelism`` instead
+    of failing at plan time."""
+    raw = df.sparkSession.conf.get("spark.sql.shuffle.partitions", None)
+    try:
+        n = int(raw)
+    except (TypeError, ValueError):
+        n = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n, *[F.col(c) for c in cols])
 
 
@@ -414,9 +421,14 @@ def incremental_minhash_pairs(new_docs: DataFrame, index: DataFrame,
     Pass ``broadcast_new=False`` when the batch is too large to broadcast
     (falls back to a shuffled equi-join on the band key).
 
-    ``new_docs`` ids must be disjoint from the ids in ``index`` (the
-    caller's batch boundary guarantees this; ids shared across the two
-    sides would self-pair). Returns ``(id_a, id_b, est_jaccard)`` with
+    ``new_docs`` ids should be disjoint from the ids in ``index`` (the
+    caller's batch boundary guarantees this); an id appearing on both
+    sides never self-pairs — the vs-index join carries an explicit
+    ``a.id != b.id`` guard so a batch replayed after index compaction
+    (its signatures folded into ``batch=-1``) stays harmless — its
+    within-batch pairs then surface from both the vs-index and vs-self
+    branches and collapse in the shared distinct.
+    Returns ``(id_a, id_b, est_jaccard)`` with
     id_a < id_b, est ≥ ``threshold``; pairs are new×corpus and new×new —
     never corpus×corpus (those were emitted when the index was built).
 
@@ -464,17 +476,28 @@ def incremental_minhash_pairs(new_docs: DataFrame, index: DataFrame,
             *[F.col(f"b.m{i}").alias(f"bm{i}") for i in range(num_hashes)])
 
     new_side = F.broadcast(newb) if broadcast_new else newb
+    # id inequality on the vs-index side: batch ids are NORMALLY disjoint
+    # from index ids (the batch boundary), but a batch replayed after
+    # `compact_dedup_index` finds its own signatures inside the compacted
+    # ``batch=-1`` partition, which the current-batch exclusion filter
+    # cannot remove — without this free guard the replay would emit
+    # spurious (id, id, 1.0) self-pairs.
     vs_index = carry(
         new_side.alias("a"), index.alias("b"),
         (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.band_hash") == F.col("b.band_hash")))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.id") != F.col("b.id")))
     pinned = _pin_join_parallelism(newb, "band", "band_hash")
     vs_self = carry(
         pinned.alias("a"), pinned.alias("b"),
         (F.col("a.band") == F.col("b.band"))
         & (F.col("a.band_hash") == F.col("b.band_hash"))
         & (F.col("a.id") < F.col("b.id")))
-    return pairs_of(vs_index).unionByName(pairs_of(vs_self))
+    # one distinct over the union (not one per branch): a pair surfacing
+    # from both branches (replay-after-compaction) collapses here, and
+    # the est_jaccard is a deterministic function of the two signatures,
+    # so the duplicate rows are value-identical.
+    return pairs_of(vs_index.unionByName(vs_self))
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",

@@ -88,13 +88,33 @@ def _read_index_except(spark: SparkSession, index_dir: str,
     """The accumulated index minus the current batch's partition (absent
     on the first batch; a replayed batch must not see its own previous
     half-write). Partition pruning makes the exclusion a file-listing
-    filter, not a scan."""
-    try:
-        idx = spark.read.option("basePath", index_dir).parquet(index_dir)
-    except Exception:  # noqa: BLE001 — first batch: no index yet
+    filter, not a scan.
+
+    "No index yet" is decided by an explicit Hadoop-FS existence probe —
+    NOT by catching the read's exception: a transient FS failure (s3a
+    hiccup, permission blip) on batch N>0 must surface and fail the
+    batch, because silently deduping the batch against nothing loses its
+    cross-batch pairs PERMANENTLY (the batch's index partition is still
+    appended, so no replay regenerates them). A genuinely absent /
+    first-batch index is only ever a listing with no prior ``batch=*``
+    partition."""
+    from harvesting_extract_to_ttl_service_spark.sources.files import (
+        _hadoop_fs,
+    )
+
+    fs, root = _hadoop_fs(spark, index_dir)
+    if not fs.exists(root):
         return None
-    if "batch" not in idx.columns:
+    own = f"batch={batch_id}"
+    prior = [s for s in fs.listStatus(root)
+             if s.isDirectory()
+             and s.getPath().getName().startswith("batch=")
+             and s.getPath().getName() != own]
+    if not prior:
+        # first batch (or a replayed first batch whose own half-write is
+        # the only partition): nothing to dedup against
         return None
+    idx = spark.read.option("basePath", index_dir).parquet(index_dir)
     return idx.filter(F.col("batch") != batch_id).drop("batch")
 
 

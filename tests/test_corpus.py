@@ -337,3 +337,30 @@ def test_pack_chunks_matches_python_mirror_property(spark):
         start = offset.get(s, 0)
         assert got[(s, i)] == (n, start, start // budget), (s, i)
         offset[s] = start + n
+
+
+def test_funnel_cap_without_lang_column(spark):
+    """cap_per_lang on an input WITHOUT a source 'lang' column must not
+    raise: the stratum falls back to the predicted language
+    (annotate_documents lang_pred), keeping the funnel's only hard
+    column requirement at (id, text)."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        build_training_corpus,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while the sun "
+            "sets over the hill and the birds are singing in the trees")
+    docs = spark.createDataFrame(
+        [(i, base + f" variation number {i} of the text") for i in range(6)],
+        "doc_id long, text string")
+    # cap far above the corpus size → rate 1.0 per stratum, all survive
+    out = build_training_corpus(docs, min_quality=0.0,
+                                near_dup_threshold=None, cap_per_lang=100)
+    assert {r.doc_id for r in out.collect()} == set(range(6))
+    assert out.columns == docs.columns
+    # a source-provided strata column is still honored when present
+    docs_l = docs.withColumn("domain", F.lit("web"))
+    out2 = build_training_corpus(docs_l, min_quality=0.0,
+                                 near_dup_threshold=None, cap_per_lang=100,
+                                 cap_strata_col="domain")
+    assert {r.doc_id for r in out2.collect()} == set(range(6))

@@ -110,3 +110,27 @@ def test_pairs_invariant_under_shuffle_partitioning(docs):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     assert base
+
+
+def test_pin_join_parallelism_non_numeric_conf(spark, monkeypatch):
+    """Vendor platforms can set spark.sql.shuffle.partitions to a
+    non-numeric sentinel ('auto'): the explicit-count pin must fall back
+    to defaultParallelism instead of raising ValueError at plan time."""
+    from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+        _pin_join_parallelism,
+    )
+
+    df = spark.range(10)
+    orig_get = type(spark.conf).get
+    sentinel = object()
+
+    def fake_get(self, key, default=sentinel):
+        if key == "spark.sql.shuffle.partitions":
+            return "auto"
+        if default is sentinel:
+            return orig_get(self, key)
+        return orig_get(self, key, default)
+
+    monkeypatch.setattr(type(spark.conf), "get", fake_get)
+    out = _pin_join_parallelism(df, "id")
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism

@@ -121,6 +121,56 @@ def test_compact_dedup_index_preserves_dedup(spark, tmp_path):
     assert idx.count() == n_rows + 8  # one more doc x 8 bands
 
 
+def test_replay_after_compaction_emits_no_self_pairs(spark, tmp_path):
+    """A batch replayed AFTER compaction finds its own signatures inside
+    ``batch=-1`` (which the current-batch exclusion filter cannot
+    remove): the vs-index id-inequality guard must keep the replay
+    self-pair-free, and the shared distinct must collapse within-batch
+    pairs that now surface from both join branches."""
+    from harvesting_extract_to_ttl_service_spark.streaming.dedup_stream import (
+        compact_dedup_index,
+    )
+
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    b1 = spark.createDataFrame([(10, T_A), (11, T_C), (12, T_C)], SCHEMA)
+    dedup_batch(spark.createDataFrame([(1, T_A), (2, T_B)], SCHEMA),
+                0, index_dir, pairs_dir)
+    dedup_batch(b1, 1, index_dir, pairs_dir)
+    assert compact_dedup_index(spark, index_dir) == 2
+
+    dedup_batch(b1, 1, index_dir, pairs_dir)  # replay post-compaction
+    rows = spark.read.parquet(f"{pairs_dir}/batch=1").collect()
+    assert all(r.id_a != r.id_b for r in rows)
+    assert {(r.id_a, r.id_b) for r in rows} == {(1, 10), (11, 12)}
+    # no duplicate rows either: (11, 12) collides in both the vs-index
+    # (against its compacted copy) and the vs-self branch
+    assert len(rows) == 2
+
+
+def test_index_read_distinguishes_absence_from_failure(spark, tmp_path):
+    """'First batch' is decided by listing, not by swallowing the read's
+    exception: an index dir that EXISTS with a prior batch partition but
+    cannot be read must raise (silently deduping against nothing loses
+    cross-batch pairs permanently), while genuine absence returns None."""
+    import pytest
+
+    from harvesting_extract_to_ttl_service_spark.streaming.dedup_stream import (
+        _read_index_except,
+    )
+
+    # absent dir → first batch
+    assert _read_index_except(spark, str(tmp_path / "nope"), 0) is None
+    # only the current batch's own (half-written) partition → first batch
+    os.makedirs(tmp_path / "own" / "batch=3")
+    assert _read_index_except(spark, str(tmp_path / "own"), 3) is None
+    # a PRIOR batch partition that exists but is unreadable (no parquet
+    # footer anywhere) → must raise, not masquerade as first-batch
+    os.makedirs(tmp_path / "bad" / "batch=5")
+    with pytest.raises(Exception):
+        _read_index_except(spark, str(tmp_path / "bad"), 0)
+
+
 def test_index_params_sidecar_guards_mismatch(spark, tmp_path):
     import pytest
 
