@@ -308,12 +308,25 @@ def train_ivf_centroids(df: DataFrame, k: int, dim: int,
     corpus size. Convergence = max centroid drift (L∞ over all cells)
     below ``tol``, checked driver-side on the k × dim result.
 
-    Initialization is deterministic: the k vectors with the smallest ids
-    (orderBy + limit — at corpus scale swap for a hash-sampled
-    ``TABLESAMPLE`` if the leading ids are degenerate). An empty cell
-    keeps its previous centroid (standard Lloyd fallback), so k never
-    shrinks mid-run."""
-    init = (df.select(id_col, vec_col).orderBy(id_col).limit(k).collect())
+    Initialization is deterministic AND id-layout-free: the k vectors
+    whose md5 hash fraction of the id is smallest (operators/corpus.py
+    :func:`hash_fraction` — a uniform pseudo-random order that is a pure
+    function of the id, so re-runs pick the same seeds on any cluster
+    layout). orderBy+limit over the fraction is TakeOrdered — k rows per
+    partition reach the driver, no global sort — and, unlike the naive
+    ``orderBy(id).limit(k)``, it cannot collapse onto a degenerate
+    leading-id cluster (ids are often assigned in insertion order, so
+    the smallest ids tend to be near-identical early documents). An
+    empty cell keeps its previous centroid (standard Lloyd fallback), so
+    k never shrinks mid-run."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        hash_fraction,
+    )
+
+    init = (df.select(id_col, vec_col)
+            .orderBy(hash_fraction(F.col(id_col), salt="kmeans-init"),
+                     id_col)
+            .limit(k).collect())
     if len(init) < k:
         raise ValueError(f"k={k} exceeds corpus size {len(init)}")
     centroids = [[float(x) for x in row[vec_col]] for row in init]

@@ -232,3 +232,40 @@ def test_drop_embedding_neardups_keep_one(spark, sf_dir):
     assert got == expected
     assert pairs  # the fixture must actually exercise the dedup
     assert len(got) < len(ids)
+
+
+def test_train_ivf_centroids_adversarial_leading_ids(spark):
+    """Seeding must not collapse onto a degenerate leading-id cluster:
+    ids 0..9 are EXACT duplicates of one vector (insertion-ordered
+    corpora front-load near-identical early docs — the case the old
+    ``orderBy(id).limit(k)`` init seeded all k centroids from). The
+    hash-fraction init draws seeds uniformly over ids, and Lloyd must
+    still recover all three blob means."""
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        ivf_assign,
+        train_ivf_centroids,
+    )
+
+    means = [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]]
+    rows = [(i, [10.0, 0.0, 0.0], 0) for i in range(10)]
+    for i in range(10, 70):
+        b = i % 3
+        off = [((i * 7 + d * 3) % 5 - 2) * 0.1 for d in range(3)]
+        rows.append((i, [means[b][d] + off[d] for d in range(3)], b))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, blob int")
+
+    cents = train_ivf_centroids(df, k=3, dim=3, max_iter=15)
+    matched = set()
+    for m in means:
+        best = min(range(3), key=lambda c: sum(
+            (cents[c][d] - m[d]) ** 2 for d in range(3)))
+        assert all(abs(cents[best][d] - m[d]) < 0.5 for d in range(3))
+        matched.add(best)
+    assert matched == {0, 1, 2}
+    # assignment purity: each blob lands wholly in one cell
+    out = ivf_assign(df, cents).select("blob", "ivf_cell").distinct().collect()
+    by_blob = {}
+    for r in out:
+        by_blob.setdefault(r.blob, set()).add(r.ivf_cell)
+    assert all(len(cells) == 1 for cells in by_blob.values())
