@@ -58,13 +58,36 @@ def hash_fraction_sql(key_expr: str, salt: str = "sample") -> str:
             f" ':{salt}')), 1, 8)) AS BIGINT) / {_HASH_SPACE}")
 
 
-def stratified_sample(df: DataFrame, rates: dict[str, float],
+def stratified_sample(df: DataFrame, rates: dict[str, float] | DataFrame,
                       strata_col: str = "lang", id_col: str = "doc_id",
                       salt: str = "sample") -> DataFrame:
     """Keep each row with its stratum's probability, decided by the row's
     deterministic hash fraction. ``rates`` maps stratum value → keep rate
-    (missing strata keep nothing). One scan, no shuffle — the rate lookup
-    is a literal CASE expression, not a join."""
+    (missing strata keep nothing).
+
+    Two rate-lookup forms, same semantics:
+      * dict — inlined as a literal CASE chain: one scan, no shuffle, the
+        right shape for a handful of strata (languages). The chain is
+        O(|strata|) expression nodes, so a 10k-stratum domain map would
+        blow up planning time;
+      * DataFrame with columns ``(strata_col, rate)`` — broadcast hash
+        join against the scan: still map-side (the rates table is
+        strata-sized), but the lookup is a hash probe independent of the
+        stratum count. Use this form for large strata domains — the same
+        shape :func:`capped_stratified_sample` uses for its computed
+        rates."""
+    if isinstance(rates, DataFrame):
+        if set(rates.columns) != {strata_col, "rate"}:
+            raise ValueError(
+                f"rates DataFrame must have columns ({strata_col!r}, "
+                f"'rate'), got {rates.columns}")
+        keyed = rates.select(strata_col, F.col("rate").alias("_rate"))
+        return (
+            df.join(F.broadcast(keyed), strata_col)
+            .filter(hash_fraction(F.col(id_col), salt) < F.col("_rate"))
+            .drop("_rate")
+            .select(*df.columns)
+        )
     rate = F.lit(None).cast("double")
     for k, v in sorted(rates.items()):
         rate = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(rate)

@@ -364,3 +364,40 @@ def test_funnel_cap_without_lang_column(spark):
                                  near_dup_threshold=None, cap_per_lang=100,
                                  cap_strata_col="domain")
     assert {r.doc_id for r in out2.collect()} == set(range(6))
+
+
+def test_stratified_sample_rates_df_matches_dict_form(docs):
+    """The broadcast-join rate lookup must be row-for-row identical to
+    the literal CASE form (same hash-fraction membership), including
+    'missing stratum keeps nothing' semantics."""
+    spark = docs.sparkSession
+    rates = {"en": 0.5}
+    rates_df = spark.createDataFrame([("en", 0.5)], "lang string, rate double")
+    a = {r.doc_id for r in stratified_sample(docs, rates).collect()}
+    b = {r.doc_id for r in stratified_sample(docs, rates_df).collect()}
+    assert a == b and a
+    out = stratified_sample(docs, rates_df)
+    assert out.columns == docs.columns
+
+
+def test_stratified_sample_rates_df_no_per_stratum_expression(docs):
+    """10k strata through the DataFrame form: the plan must be a
+    broadcast hash join with a rate column probe — not an O(strata)
+    CaseWhen chain (which explodes planning time and codegen size)."""
+    spark = docs.sparkSession
+    big = spark.createDataFrame(
+        [(f"s{i}", 0.5) for i in range(10_000)], "lang string, rate double")
+    plan = (stratified_sample(docs, big)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "CASE WHEN" not in plan
+    # sanity: the dict form at this scale WOULD be an O(strata) chain —
+    # the DataFrame form's plan stays small
+    assert len(plan) < 20_000
+
+
+def test_stratified_sample_rates_df_schema_guard(docs):
+    spark = docs.sparkSession
+    bad = spark.createDataFrame([("en", 0.5)], "lang string, keep double")
+    with pytest.raises(ValueError, match="rates DataFrame"):
+        stratified_sample(docs, bad)
