@@ -259,6 +259,60 @@ def benchmark_contamination(docs: DataFrame, benchmark: DataFrame,
     )
 
 
+def benchmark_contamination_minhash(docs: DataFrame, benchmark: DataFrame,
+                                    text_col: str = "text",
+                                    id_col: str = "doc_id",
+                                    bench_id_col: str = "doc_id",
+                                    num_hashes: int = 32, bands: int = 16,
+                                    shingle_n: int = 3,
+                                    threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate decontamination: corpus documents whose ESTIMATED
+    Jaccard similarity to any benchmark/eval document reaches
+    ``threshold`` — the robust sibling of :func:`benchmark_contamination`
+    for lightly-paraphrased eval leakage, which exact shingle overlap
+    misses once every n-gram differs by a word.
+
+    MinHash-LSH, not all-pairs: both sides get a banded signature table
+    (operators/dedup.py :func:`minhash_band_index` — the same signature
+    family as the dedup surface, so an existing corpus index is
+    reusable), candidates come from an equi-join on (band, band_hash),
+    and the estimate is computed from the carried flat signatures.
+    Scale shape mirrors the shingle decontam: the benchmark side is
+    eval-set-sized so its banded table is BROADCAST — the corpus is
+    shingled exactly once and probed map-side; only matching candidate
+    rows reach the distinct.
+
+    Returns ``(doc_id, bench_id, est_jaccard)``. Banding math: a pair at
+    true Jaccard j collides on ≥1 of b bands of r rows with probability
+    1-(1-j^r)^b. The default here is WIDER than the dedup surface's
+    (16 bands of 2 rows, vs 8×4): decontamination must catch moderate
+    similarity — at j=0.4 the 16×2 banding collides with p≈0.94 where
+    8×4 manages only p≈0.19 — and the benchmark side is tiny, so the
+    extra candidate volume is bounded by the broadcast side's size."""
+    from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+        minhash_band_index,
+    )
+
+    d = minhash_band_index(docs, text_col, id_col, num_hashes, bands,
+                           shingle_n)
+    b = minhash_band_index(benchmark, text_col, bench_id_col, num_hashes,
+                           bands, shingle_n)
+    agree = F.lit(0)
+    for i in range(num_hashes):
+        agree = agree + (F.col(f"a.m{i}") == F.col(f"b.m{i}")).cast("int")
+    return (
+        d.alias("a").join(
+            F.broadcast(b).alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")))
+        .select(F.col("a.id").alias("doc_id"),
+                F.col("b.id").alias("bench_id"),
+                (agree / F.lit(num_hashes)).alias("est_jaccard"))
+        .distinct()
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
 def build_training_corpus(docs: DataFrame,
                           benchmark: DataFrame | None = None,
                           min_quality: float = 0.4,
@@ -268,6 +322,8 @@ def build_training_corpus(docs: DataFrame,
                           max_pii_signals: int | None = None,
                           near_dup_threshold: float | None = 0.7,
                           decontam_min_overlap: int = 2,
+                          decontam_mode: str = "shingle",
+                          decontam_threshold: float = 0.5,
                           cap_per_lang: int | None = None,
                           cap_strata_col: str = "lang",
                           text_col: str = "text",
@@ -285,8 +341,13 @@ def build_training_corpus(docs: DataFrame,
       3. near-dup dedup (``near_dup_threshold`` not None): MinHash-LSH
          pairs → connected components → keep each cluster's min-id
          representative (keep-one semantics, operators/dedup.py);
-      4. decontamination (``benchmark`` given): drop docs sharing
-         ≥ ``decontam_min_overlap`` shingles with any benchmark doc;
+      4. decontamination (``benchmark`` given): ``decontam_mode``
+         ``'shingle'`` drops docs sharing ≥ ``decontam_min_overlap``
+         exact shingles with any benchmark doc; ``'minhash'`` drops docs
+         whose banded-MinHash estimated Jaccard vs any benchmark doc
+         reaches ``decontam_threshold`` — catches lightly-paraphrased
+         leakage where every individual n-gram differs
+         (:func:`benchmark_contamination_minhash`);
       5. capped stratified sampling per language (``cap_per_lang``),
          stratified on ``cap_strata_col`` (default the source-provided
          ``lang`` column). When that column is absent the stratum falls
@@ -351,10 +412,18 @@ def build_training_corpus(docs: DataFrame,
         survivors = survivors.join(reps, id_col, "left_semi")
 
     if benchmark is not None:
-        dirty = (benchmark_contamination(
-            survivors, benchmark, text_col, id_col,
-            min_overlap=decontam_min_overlap)
-            .select(F.col("doc_id").alias(id_col)).distinct())
+        if decontam_mode == "shingle":
+            hits = benchmark_contamination(
+                survivors, benchmark, text_col, id_col,
+                min_overlap=decontam_min_overlap)
+        elif decontam_mode == "minhash":
+            hits = benchmark_contamination_minhash(
+                survivors, benchmark, text_col, id_col,
+                threshold=decontam_threshold)
+        else:
+            raise ValueError(f"decontam_mode={decontam_mode!r}: "
+                             f"one of 'shingle', 'minhash'")
+        dirty = hits.select(F.col("doc_id").alias(id_col)).distinct()
         survivors = survivors.join(dirty, id_col, "left_anti")
 
     if cap_per_lang is not None:

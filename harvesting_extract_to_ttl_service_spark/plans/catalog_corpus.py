@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from harvesting_extract_to_ttl_service_spark.operators.corpus import (
     assign_shards,
     benchmark_contamination,
+    benchmark_contamination_minhash,
     capped_stratified_sample,
     hash_fraction_sql,
     pack_chunk_stats,
@@ -176,6 +177,108 @@ def corpus_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") >= 480))
 
 
+_MH_DECONTAM_T = 0.3
+_MH_HASHES = 32
+_MH_BANDS = 16  # 2 rows/band — wide banding for moderate-similarity leakage
+
+
+def _decontam_mh_oracle(num_hashes: int = _MH_HASHES,
+                        bands: int = _MH_BANDS,
+                        threshold: float = _MH_DECONTAM_T,
+                        shingle_n: int = 3,
+                        bench_from: int = 480,
+                        n_para: int = 20) -> str:
+    """DuckDB restatement of the banded-MinHash decontam: same signature
+    family / coefficients as the dedup LSH oracles (catalog_llm), banded
+    2 rows per band. The eval side = real tail docs (id ≥ 480) UNION
+    planted paraphrases of docs 0..19 (every 6th raw token → 'xsub',
+    bench_id = doc_id + 10000) — the oracle restates both the paraphrase
+    CONSTRUCTION and its detection independently."""
+    from harvesting_extract_to_ttl_service_spark.plans.catalog_llm import (
+        _HASH32,
+        _WORDS,
+        _WORDS_RAW,
+        _grams_sql,
+        _minhash_sig_sql,
+    )
+
+    rows = num_hashes // bands
+    sig = _minhash_sig_sql(num_hashes)
+    grams = _grams_sql(shingle_n)
+    return f"""
+WITH braw AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= {bench_from}
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id,
+         array_to_string([CASE WHEN (i - 1) % 6 = 5 THEN 'xsub' ELSE w[i] END
+                          for i in range(1, len(w) + 1)], ' ') AS text
+  FROM (SELECT doc_id, {_WORDS_RAW} AS w
+        FROM documents WHERE doc_id < {n_para})
+), cw AS (
+  SELECT doc_id, {_WORDS} AS w FROM documents WHERE doc_id < {bench_from}
+), bw AS (
+  SELECT doc_id, {_WORDS} AS w FROM braw
+), csig AS (
+  SELECT doc_id, {sig} AS sig FROM (
+    SELECT doc_id, list_transform({grams}, g -> {_HASH32}) AS hs FROM cw)
+), bsig AS (
+  SELECT doc_id, {sig} AS sig FROM (
+    SELECT doc_id, list_transform({grams}, g -> {_HASH32}) AS hs FROM bw)
+), cband AS (
+  SELECT doc_id, b,
+         md5(array_to_string(sig[{rows}*b+1:{rows}*b+{rows}], ',')) AS bh
+  FROM csig, (SELECT unnest(range(0, {bands})) AS b)
+), bband AS (
+  SELECT doc_id, b,
+         md5(array_to_string(sig[{rows}*b+1:{rows}*b+{rows}], ',')) AS bh
+  FROM bsig, (SELECT unnest(range(0, {bands})) AS b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS cid, b.doc_id AS bid
+  FROM cband a JOIN bband b ON a.b = b.b AND a.bh = b.bh
+), est AS (
+  SELECT cid, bid,
+         CAST(list_reduce(list_transform(list_zip(sa.sig, sb.sig),
+                     z -> CASE WHEN z[1] = z[2] THEN 1 ELSE 0 END),
+                     (x, y) -> x + y) AS DOUBLE) / {num_hashes} AS est
+  FROM cand JOIN csig sa ON cid = sa.doc_id JOIN bsig sb ON bid = sb.doc_id
+)
+SELECT cid AS doc_id, bid AS bench_id, round(est, 4) AS est_jaccard
+FROM est WHERE est >= {threshold}
+"""
+
+
+@member_sql(_decontam_mh_oracle())
+def corpus_decontam_mh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-MinHash decontamination (the paraphrase-robust mode of
+    `build_training_corpus`): corpus docs (id < 480) whose estimated
+    Jaccard vs any eval doc reaches 0.3. The eval side is the real tail
+    (id ≥ 480) plus PLANTED light paraphrases of docs 0..19 (every 6th
+    token substituted, bench_id = doc_id + 10000) — exactly the leakage
+    shape exact-shingle decontam under-weights. The eval side's banded
+    signature table broadcasts; banding is 16 bands × 2 rows so
+    moderate-similarity pairs still collide (1-(1-j²)^16)."""
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        tokens,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    para = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat_ws(" ", F.transform(
+            toks,
+            lambda x, i: F.when(i % 6 == F.lit(5), F.lit("xsub"))
+            .otherwise(x))).alias("text"))
+    bench = docs.filter(F.col("doc_id") >= 480).select("doc_id", "text") \
+        .unionByName(para)
+    return benchmark_contamination_minhash(
+        docs.filter(F.col("doc_id") < 480), bench,
+        num_hashes=_MH_HASHES, bands=_MH_BANDS,
+        threshold=_MH_DECONTAM_T,
+    ).select("doc_id", "bench_id",
+             F.round("est_jaccard", 4).alias("est_jaccard"))
+
+
 # lowered whitespace tokens — the repetition bigrams tokenize like the
 # dedup shingles (operators/text.py tokens(lower(text)))
 _TOKS_LOW = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != '')"
@@ -269,6 +372,8 @@ _CORPUS_MEMBERS = [
     ("shards", corpus_shards, ["shard", "n_docs", "n_tokens"], []),
     ("pack", corpus_pack, ["shard", "chunk", "n_docs", "n_tokens"], []),
     ("decontam", corpus_decontam, ["doc_id", "bench_id", "n_overlap"], []),
+    ("decontam_mh", corpus_decontam_mh, ["doc_id", "bench_id"],
+     ["est_jaccard"]),
     ("rep", corpus_repetition, ["doc_id", "n_lines"],
      ["dup_line_ratio", "top_bigram_ratio"]),
     ("pii", corpus_pii, ["doc_id", "n_emails", "n_urls", "n_phones"], []),

@@ -401,3 +401,69 @@ def test_stratified_sample_rates_df_schema_guard(docs):
     bad = spark.createDataFrame([("en", 0.5)], "lang string, keep double")
     with pytest.raises(ValueError, match="rates DataFrame"):
         stratified_sample(docs, bad)
+
+
+def _decontam_fixture(spark):
+    bench_words = ("the model should answer forty two when asked about the "
+                   "meaning of life the universe and everything according to "
+                   "the famous book by douglas adams").split()
+    para = list(bench_words)
+    for i, w in {5: "reply", 11: "regarding", 17: "cosmos",
+                 23: "renowned"}.items():
+        para[i] = w
+    filler = " ".join(f"w{i} filler{i} token{i}" for i in range(40))
+    boiler = (filler + " meaning of life the "
+              + " ".join(f"z{i}" for i in range(30)))
+    corpus = spark.createDataFrame(
+        [(1, " ".join(para)),    # light paraphrase of the bench doc
+         (2, boiler),            # long doc, 2 boilerplate shingles shared
+         (3, "entirely unrelated text about pasta cooking with basil and "
+             "olive oil in a warm kitchen tonight")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, " ".join(bench_words))], "doc_id long, text string")
+    return corpus, bench
+
+
+def test_minhash_decontam_catches_paraphrase(spark):
+    """A lightly-paraphrased eval doc (every ~6th word substituted, true
+    shingle Jaccard ≈ 0.38) must be flagged by the banded-MinHash mode;
+    and a LONG unrelated doc sharing two boilerplate shingles — which
+    the absolute-count shingle mode flags — must pass (similarity is
+    normalized, not counted)."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        benchmark_contamination_minhash,
+    )
+
+    corpus, bench = _decontam_fixture(spark)
+    sh = {r.doc_id for r in benchmark_contamination(
+        corpus, bench, min_overlap=2).collect()}
+    assert sh == {1, 2}  # shingle mode: paraphrase AND the boilerplate FP
+    mh = {r.doc_id: r.est_jaccard
+          for r in benchmark_contamination_minhash(
+              corpus, bench, threshold=0.25).collect()}
+    assert set(mh) == {1}  # minhash mode: the paraphrase only
+    assert mh[1] >= 0.25
+    # benchmark side is the broadcast side (corpus never shuffles)
+    plan = (benchmark_contamination_minhash(corpus, bench)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+
+
+def test_funnel_minhash_decontam_mode(spark):
+    """decontam_mode='minhash' inside the composed funnel drops the
+    planted paraphrase and keeps the boilerplate-overlap doc."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        build_training_corpus,
+    )
+
+    corpus, bench = _decontam_fixture(spark)
+    out = build_training_corpus(corpus, benchmark=bench, min_quality=0.0,
+                                near_dup_threshold=None,
+                                decontam_mode="minhash",
+                                decontam_threshold=0.25)
+    assert {r.doc_id for r in out.collect()} == {2, 3}
+    # unknown mode is refused
+    with pytest.raises(ValueError, match="decontam_mode"):
+        build_training_corpus(corpus, benchmark=bench,
+                              decontam_mode="fuzzy").collect()
