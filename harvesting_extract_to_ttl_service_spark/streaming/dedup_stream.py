@@ -123,7 +123,8 @@ def dedup_batch(docs: DataFrame, batch_id: int, index_dir: str,
                 id_col: str = "doc_id", num_hashes: int = 32,
                 bands: int = 8, shingle_n: int = 3,
                 threshold: float = 0.5,
-                materialize_mode: str = "persist") -> None:
+                materialize_mode: str = "persist",
+                components_dir: str | None = None) -> None:
     """Process one micro-batch: emit its near-dup pairs and extend the
     index. Usable directly for driver-managed batch loops, or via
     :func:`run_dedup_stream` under Structured Streaming.
@@ -133,7 +134,16 @@ def dedup_batch(docs: DataFrame, batch_id: int, index_dir: str,
     aggregation would run twice). Default mode is 'persist'
     (MEMORY_AND_DISK): lineage survives executor loss, and the handle is
     unpersisted before return so long-lived streaming drivers don't
-    accumulate cache entries."""
+    accumulate cache entries.
+
+    ``components_dir`` (optional) additionally folds the batch's pairs
+    into the persistent cross-batch id→component table
+    (:func:`update_components`) — without it, streaming consumers that
+    need duplicate GROUPS (keep-one) must re-run connected components
+    over all accumulated pair partitions. The merge reads the batch's
+    just-written pairs parquet rather than re-executing the pair plan —
+    the banded join is the expensive stage of the batch, and the label
+    propagation only needs its (tiny) output."""
     spark = docs.sparkSession
     _check_index_params(spark, index_dir, num_hashes, bands, shingle_n)
     newb = minhash_band_index(docs, text_col, id_col, num_hashes, bands,
@@ -156,6 +166,168 @@ def dedup_batch(docs: DataFrame, batch_id: int, index_dir: str,
     finally:
         if materialize_mode == "persist":
             newb.unpersist()
+    if components_dir is not None:
+        update_components(
+            docs, spark.read.parquet(f"{pairs_dir}/batch={batch_id}"),
+            components_dir, batch_id, id_col=id_col)
+
+
+def read_components(spark: SparkSession,
+                    components_dir: str) -> DataFrame | None:
+    """Current ``(id, component)`` labels from the cross-batch component
+    table — per id, the label written by the HIGHEST batch (later
+    batches re-label the ids their pairs touched; a compacted ``batch=-1``
+    partition naturally loses to every real batch). None if the table
+    does not exist yet."""
+    from pyspark.sql import Window
+
+    from harvesting_extract_to_ttl_service_spark.sources.files import (
+        _hadoop_fs,
+    )
+
+    fs, root = _hadoop_fs(spark, components_dir)
+    if not fs.exists(root):
+        return None
+    if not any(s.isDirectory()
+               and s.getPath().getName().startswith("batch=")
+               for s in fs.listStatus(root)):
+        return None
+    raw = spark.read.option("basePath", components_dir) \
+        .parquet(components_dir)
+    w = Window.partitionBy("id").orderBy(F.col("batch").desc())
+    return (raw.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).select("id", "component"))
+
+
+def _read_components_except(spark: SparkSession, components_dir: str,
+                            batch_id: int) -> DataFrame | None:
+    """:func:`read_components` minus the current batch's own partition —
+    a replayed batch must merge against the PRE-batch state, or its
+    'changed labels' delta would come out empty and the overwrite would
+    erase the previous run's labels."""
+    from pyspark.sql import Window
+
+    from harvesting_extract_to_ttl_service_spark.sources.files import (
+        _hadoop_fs,
+    )
+
+    fs, root = _hadoop_fs(spark, components_dir)
+    if not fs.exists(root):
+        return None
+    own = f"batch={batch_id}"
+    if not any(s.isDirectory()
+               and s.getPath().getName().startswith("batch=")
+               and s.getPath().getName() != own
+               for s in fs.listStatus(root)):
+        return None
+    raw = (spark.read.option("basePath", components_dir)
+           .parquet(components_dir)
+           .filter(F.col("batch") != batch_id))
+    w = Window.partitionBy("id").orderBy(F.col("batch").desc())
+    return (raw.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).select("id", "component"))
+
+
+def update_components(batch_ids: DataFrame, pairs: DataFrame,
+                      components_dir: str, batch_id: int,
+                      id_col: str = "doc_id") -> None:
+    """Merge one micro-batch's near-dup pairs into the persistent
+    id→component table — the step that turns the streaming loop's PAIRS
+    into stable cross-batch duplicate GROUPS (keep-one needs a cluster
+    representative, and without stored labels every consumer would have
+    to re-run connected_components over ALL accumulated pairs).
+
+    Incremental union-find, frontier-restricted:
+      1. the batch's pair endpoints identify the TOUCHED stored
+         components; everything else is untouched and never read into
+         the propagation;
+      2. stored labels become star edges (id — component) for the
+         touched components only, unioned with the batch's pairs;
+      3. :func:`~harvesting_extract_to_ttl_service_spark.operators.dedup.
+         connected_components` runs over just that frontier (near-dup
+         clusters are shallow stars, so this converges in 1-2 rounds);
+      4. only NEW or CHANGED labels are written, to
+         ``<dir>/batch=<batch_id>`` with overwrite — same
+         replay-idempotent layout as the pairs/index writes, and the
+         per-id resolution at read time is "highest batch wins"
+         (:func:`read_components`).
+
+    The final labels equal a full recompute's: union-find merging is
+    order-independent, and component = min member id on both paths.
+    Streaming caveat (inherent, not a bug): a LATER doc with a SMALLER
+    id than an already-shipped cluster representative re-labels the
+    cluster; keep-one consumers that already emitted the old
+    representative simply also keep the new doc — streaming can't
+    unship history."""
+    from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+        connected_components,
+    )
+
+    spark = batch_ids.sparkSession
+    new_ids = batch_ids.select(F.col(id_col).alias("id")).distinct()
+    pairs = pairs.select("id_a", "id_b")
+    stored = _read_components_except(spark, components_dir, batch_id)
+
+    if stored is None:
+        labels = connected_components(pairs, new_ids)
+        changed = labels
+    else:
+        endpoints = (pairs.select(F.col("id_a").alias("id"))
+                     .unionByName(pairs.select(F.col("id_b").alias("id")))
+                     .distinct())
+        touched = (stored.join(endpoints, "id")
+                   .select("component").distinct())
+        frontier = stored.join(touched, "component", "left_semi")
+        ids = (frontier.select("id")
+               .unionByName(new_ids)
+               .distinct())
+        star = (frontier.filter(F.col("id") != F.col("component"))
+                .select(F.col("id").alias("id_a"),
+                        F.col("component").alias("id_b")))
+        labels = connected_components(pairs.unionByName(star), ids)
+        # write only the delta: new ids + stored rows whose label moved
+        changed = (labels.alias("n")
+                   .join(stored.alias("o"), "id", "left")
+                   .filter(F.col("o.component").isNull()
+                           | (F.col("n.component") != F.col("o.component")))
+                   .select("id", F.col("n.component").alias("component")))
+    changed.write.mode("overwrite").parquet(
+        f"{components_dir}/batch={batch_id}")
+
+
+def compact_components(spark: SparkSession, components_dir: str,
+                       target_partitions: int | None = None) -> int:
+    """Fold the per-batch label deltas into one resolved ``batch=-1``
+    partition (same namenode-scale motivation as
+    :func:`compact_dedup_index`). Resolution happens HERE (highest batch
+    wins), so the compacted partition holds one row per id; -1 loses to
+    any later real batch, and a batch replayed after compaction merges
+    against the compacted state and rewrites only its own delta."""
+    resolved = read_components(spark, components_dir)
+    if resolved is None:
+        return 0
+    idx = spark.read.option("basePath", components_dir) \
+        .parquet(components_dir)
+    batches = [r.batch for r in idx.select("batch").distinct().collect()
+               if r.batch != -1]
+    if not batches:
+        return 0
+    if target_partitions is not None:
+        resolved = resolved.repartition(target_partitions)
+    from harvesting_extract_to_ttl_service_spark.sources.files import (
+        _hadoop_fs,
+    )
+
+    fs, _ = _hadoop_fs(spark, components_dir)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    tmp = f"{components_dir}/_compact_tmp"
+    resolved.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite") \
+        .parquet(f"{components_dir}/batch=-1")
+    for b in batches:
+        fs.delete(jpath(f"{components_dir}/batch={b}"), True)
+    fs.delete(jpath(tmp), True)
+    return len(batches)
 
 
 def compact_dedup_index(spark: SparkSession, index_dir: str,
@@ -212,14 +384,18 @@ def run_dedup_stream(docs_stream: DataFrame, index_dir: str, pairs_dir: str,
                      bands: int = 8, shingle_n: int = 3,
                      threshold: float = 0.5,
                      trigger_available_now: bool = True,
-                     on_batch: Callable[[int], None] | None = None):
+                     on_batch: Callable[[int], None] | None = None,
+                     components_dir: str | None = None):
     """Attach the incremental dedup loop to a streaming document source.
     Returns the started StreamingQuery; checkpointed batch ids + the
-    batch=<id> overwrite layout make restarts replay-idempotent."""
+    batch=<id> overwrite layout make restarts replay-idempotent.
+    ``components_dir`` additionally maintains the cross-batch duplicate
+    clusters (:func:`update_components`)."""
 
     def batch_fn(df: DataFrame, batch_id: int) -> None:
         dedup_batch(df, batch_id, index_dir, pairs_dir, text_col, id_col,
-                    num_hashes, bands, shingle_n, threshold)
+                    num_hashes, bands, shingle_n, threshold,
+                    components_dir=components_dir)
         if on_batch is not None:
             on_batch(batch_id)
 

@@ -186,3 +186,139 @@ def test_index_params_sidecar_guards_mismatch(spark, tmp_path):
     with pytest.raises(ValueError, match="silently missed"):
         dedup_batch(spark.createDataFrame([(3, T_C)], SCHEMA),
                     2, index_dir, pairs_dir, bands=4)
+
+
+def _components(spark, components_dir):
+    from harvesting_extract_to_ttl_service_spark.streaming.dedup_stream import (
+        read_components,
+    )
+
+    labels = read_components(spark, components_dir)
+    return {(r.id, r.component) for r in labels.collect()}
+
+
+def test_update_components_incremental_union_find(spark, tmp_path):
+    """The stored-label merge is a real incremental union-find: a later
+    batch whose pairs BRIDGE two stored components must relabel both to
+    the global minimum, writing only the delta, and untouched components
+    must keep their labels without being re-propagated."""
+    from harvesting_extract_to_ttl_service_spark.streaming.dedup_stream import (
+        update_components,
+    )
+
+    cdir = str(tmp_path / "components")
+
+    def ids(*xs):
+        return spark.createDataFrame([(x,) for x in xs], "doc_id long")
+
+    def pairs(*ps):
+        return spark.createDataFrame(list(ps) or [], "id_a long, id_b long")
+
+    # batch 0: cluster {1,2} and untouched singleton 7
+    update_components(ids(1, 2, 7), pairs((1, 2)), cdir, 0)
+    assert _components(spark, cdir) == {(1, 1), (2, 1), (7, 7)}
+
+    # batch 1: separate cluster {3,4}
+    update_components(ids(3, 4), pairs((3, 4)), cdir, 1)
+    assert _components(spark, cdir) == {
+        (1, 1), (2, 1), (3, 3), (4, 3), (7, 7)}
+
+    # batch 2: id 5 bridges both stored clusters → one component, min=1;
+    # ids 3 and 4 get RELABELED (their delta lands in batch=2, which wins
+    # at read time); 7 is untouched and must not be rewritten
+    update_components(ids(5), pairs((2, 5), (4, 5)), cdir, 2)
+    assert _components(spark, cdir) == {
+        (1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (7, 7)}
+    b2 = {(r.id, r.component) for r in
+          spark.read.parquet(f"{cdir}/batch=2").collect()}
+    assert b2 == {(5, 1), (3, 1), (4, 1)}  # the delta only — 7 absent
+
+
+def test_components_match_full_recompute(spark, tmp_path):
+    """End-to-end: dedup_batch(components_dir=...) over three batches
+    produces the same id→component labels as one full connected-
+    components recompute over all accumulated pairs (the oracle pattern
+    the incremental-dedup surface already uses)."""
+    from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+        connected_components,
+    )
+
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    cdir = str(tmp_path / "components")
+
+    batches = [
+        [(1, T_A), (2, T_B), (3, T_C)],
+        [(10, T_A), (11, T_B)],
+        [(20, T_A), (21, T_C)],
+    ]
+    for i, rows in enumerate(batches):
+        dedup_batch(spark.createDataFrame(rows, SCHEMA), i, index_dir,
+                    pairs_dir, components_dir=cdir)
+
+    all_ids = spark.createDataFrame(
+        [(d,) for rows in batches for d, _ in rows], "id long")
+    all_pairs = spark.read.option("basePath", pairs_dir).parquet(pairs_dir)
+    full = {(r.id, r.component) for r in connected_components(
+        all_pairs.select("id_a", "id_b"), all_ids).collect()}
+    assert _components(spark, cdir) == full
+    assert full == {(1, 1), (10, 1), (20, 1),
+                    (2, 2), (11, 2),
+                    (3, 3), (21, 3)}
+
+
+def test_components_replay_idempotent(spark, tmp_path):
+    """A replayed micro-batch merges against the PRE-batch component
+    state (its own partition is excluded from the read), so the rewrite
+    is byte-equivalent — labels identical before and after the replay."""
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    cdir = str(tmp_path / "components")
+    b0 = spark.createDataFrame([(1, T_A), (2, T_B)], SCHEMA)
+    b1 = spark.createDataFrame([(10, T_A), (11, T_C)], SCHEMA)
+
+    dedup_batch(b0, 0, index_dir, pairs_dir, components_dir=cdir)
+    dedup_batch(b1, 1, index_dir, pairs_dir, components_dir=cdir)
+    first = _components(spark, cdir)
+    assert first == {(1, 1), (2, 2), (10, 1), (11, 11)}
+
+    dedup_batch(b1, 1, index_dir, pairs_dir, components_dir=cdir)
+    assert _components(spark, cdir) == first
+    b1_rows = {(r.id, r.component) for r in
+               spark.read.parquet(f"{cdir}/batch=1").collect()}
+    assert b1_rows == {(10, 1), (11, 11)}  # the delta, not the world
+
+
+def test_compact_components_then_merge(spark, tmp_path):
+    """Compaction folds the label deltas into one resolved batch=-1
+    partition; later batches keep merging against it (and win the
+    per-id resolution), and a batch replayed after compaction rewrites
+    only its own redundant delta."""
+    from harvesting_extract_to_ttl_service_spark.streaming.dedup_stream import (
+        compact_components,
+    )
+
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    cdir = str(tmp_path / "components")
+    b0 = spark.createDataFrame([(1, T_A), (2, T_B)], SCHEMA)
+    b1 = spark.createDataFrame([(10, T_A)], SCHEMA)
+
+    dedup_batch(b0, 0, index_dir, pairs_dir, components_dir=cdir)
+    dedup_batch(b1, 1, index_dir, pairs_dir, components_dir=cdir)
+    before = _components(spark, cdir)
+
+    assert compact_components(spark, cdir) == 2
+    raw = spark.read.option("basePath", cdir).parquet(cdir)
+    assert {r.batch for r in raw.select("batch").distinct().collect()} \
+        == {-1}
+    assert raw.count() == 3  # one resolved row per id
+    assert _components(spark, cdir) == before
+
+    # a new batch after compaction merges against the compacted state
+    dedup_batch(spark.createDataFrame([(20, T_B)], SCHEMA), 2, index_dir,
+                pairs_dir, components_dir=cdir)
+    assert _components(spark, cdir) == before | {(20, 2)}
+    # replay batch 1 post-compaction: harmless, labels unchanged
+    dedup_batch(b1, 1, index_dir, pairs_dir, components_dir=cdir)
+    assert _components(spark, cdir) == before | {(20, 2)}
