@@ -313,6 +313,59 @@ def benchmark_contamination_minhash(docs: DataFrame, benchmark: DataFrame,
     )
 
 
+def filter_documents(docs: DataFrame, min_quality: float = 0.4,
+                     langs: list[str] | None = None,
+                     max_dup_line_ratio: float | None = None,
+                     max_top_bigram_ratio: float | None = None,
+                     max_pii_signals: int | None = None,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Stage 1 of the corpus funnel: heuristic quality ≥ ``min_quality``,
+    language allowlist (operators/text.py ``annotate_documents``),
+    optional repetition caps (``max_dup_line_ratio`` /
+    ``max_top_bigram_ratio``) and PII-signal cap (``max_pii_signals``:
+    emails+urls+phones). Every signal is a per-document function of the
+    text alone — no cross-document state — which is exactly why the
+    batch funnel (:func:`build_training_corpus`) and its streaming twin
+    (streaming/corpus_stream.py) can share this stage verbatim: applying
+    it per micro-batch or over the whole corpus yields the same
+    survivor set. Returns the surviving rows with ``docs``' original
+    columns."""
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        annotate_documents,
+    )
+
+    annotated = annotate_documents(docs, text_col=text_col, id_col=id_col)
+    kept = annotated.filter(F.col("quality") >= min_quality)
+    if langs is not None:
+        kept = kept.filter(F.col("lang_pred").isin(list(langs)))
+    survivors = kept.select(*docs.columns)
+
+    if max_dup_line_ratio is not None or max_top_bigram_ratio is not None:
+        from harvesting_extract_to_ttl_service_spark.operators.text import (
+            repetition_signals,
+        )
+
+        rep = repetition_signals(survivors, text_col, id_col)
+        if max_dup_line_ratio is not None:
+            rep = rep.filter(F.col("dup_line_ratio") <= max_dup_line_ratio)
+        if max_top_bigram_ratio is not None:
+            rep = rep.filter(
+                F.col("top_bigram_ratio") <= max_top_bigram_ratio)
+        survivors = rep.select(*docs.columns)
+
+    if max_pii_signals is not None:
+        from harvesting_extract_to_ttl_service_spark.operators.text import (
+            pii_signals,
+        )
+
+        survivors = pii_signals(survivors, text_col).filter(
+            F.col("n_emails") + F.col("n_urls") + F.col("n_phones")
+            <= max_pii_signals).select(*docs.columns)
+
+    return survivors
+
+
 def build_training_corpus(docs: DataFrame,
                           benchmark: DataFrame | None = None,
                           min_quality: float = 0.4,
@@ -361,43 +414,16 @@ def build_training_corpus(docs: DataFrame,
     collects to the driver."""
     from harvesting_extract_to_ttl_service_spark.operators.dedup import (
         connected_components,
+        drop_exact_duplicates,
         minhash_similarity,
     )
     from harvesting_extract_to_ttl_service_spark.operators.text import (
         annotate_documents,
     )
 
-    annotated = annotate_documents(docs, text_col=text_col, id_col=id_col)
-    kept = annotated.filter(F.col("quality") >= min_quality)
-    if langs is not None:
-        kept = kept.filter(F.col("lang_pred").isin(list(langs)))
-    survivors = kept.select(*docs.columns)
-
-    if max_dup_line_ratio is not None or max_top_bigram_ratio is not None:
-        from harvesting_extract_to_ttl_service_spark.operators.text import (
-            repetition_signals,
-        )
-
-        rep = repetition_signals(survivors, text_col, id_col)
-        if max_dup_line_ratio is not None:
-            rep = rep.filter(F.col("dup_line_ratio") <= max_dup_line_ratio)
-        if max_top_bigram_ratio is not None:
-            rep = rep.filter(
-                F.col("top_bigram_ratio") <= max_top_bigram_ratio)
-        survivors = rep.select(*docs.columns)
-
-    if max_pii_signals is not None:
-        from harvesting_extract_to_ttl_service_spark.operators.text import (
-            pii_signals,
-        )
-
-        survivors = pii_signals(survivors, text_col).filter(
-            F.col("n_emails") + F.col("n_urls") + F.col("n_phones")
-            <= max_pii_signals).select(*docs.columns)
-
-    from harvesting_extract_to_ttl_service_spark.operators.dedup import (
-        drop_exact_duplicates,
-    )
+    survivors = filter_documents(
+        docs, min_quality, langs, max_dup_line_ratio, max_top_bigram_ratio,
+        max_pii_signals, text_col, id_col)
 
     survivors = drop_exact_duplicates(survivors, text_col, id_col)
 

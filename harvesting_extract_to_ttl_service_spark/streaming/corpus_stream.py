@@ -1,0 +1,211 @@
+"""Streaming training-corpus construction — the batch corpus funnel
+(`operators/corpus.build_training_corpus`) re-composed micro-batch by
+micro-batch against persistent cross-batch state. This is the operating
+loop the whole package builds toward: a production crawl pipeline does
+not re-filter and re-dedup the accumulated corpus per delivery — it runs
+each new batch of documents through
+
+  1. per-document quality/language/repetition/PII filters
+     (`operators/corpus.filter_documents` — stateless, shared verbatim
+     with the batch funnel);
+  2. exact dedup against a persistent content-fingerprint store (plus
+     keep-one within the batch);
+  3. near-dup dedup against the persistent LSH index
+     (`streaming/dedup_stream.dedup_batch`), with keep-one decided by
+     the cross-batch component labels (`update_components`);
+  4. decontamination against a benchmark/eval set (stateless broadcast
+     join — the benchmark side is eval-set-sized);
+  5. append of the surviving documents to the corpus output,
+
+and ships only the batch's survivors. The corpus is never re-read,
+re-shingled, or re-shuffled: per batch, every cross-batch interaction is
+a keyed equi-join against a parquet state table (fingerprints, banded
+signatures, component labels) — the flat-cost operating mode that makes
+the funnel viable at 100 TB where the batch funnel's full recompute is a
+one-off job.
+
+Exactly-once follows the dedup-stream protocol (dedup_stream.py module
+docstring): every state and output write lands in ``<dir>/batch=<id>``
+with overwrite, and every state READ excludes the current batch's own
+partition (`read_state_except`), so a replayed micro-batch rewrites its
+partitions byte-identically instead of duplicating or self-pairing.
+
+Parity with the batch funnel: processing the same documents in any batch
+split yields the same survivor set as one `build_training_corpus` run,
+PROVIDED doc ids are assigned in arrival order (monotone across
+batches). Both paths keep the minimum id per duplicate group; streaming
+additionally cannot un-ship a document, so if a LATER batch delivered a
+smaller-id near-duplicate of an already-shipped survivor, both would
+ship. With arrival-ordered ids that case cannot arise, and the funnel
+parity is exact (tests/test_corpus_stream.py proves it on a 3-batch
+replayed stream).
+
+Reference analogue: /root/reference/app.js:35-38 — the per-delta
+fire-and-forget processing loop — applied to the corpus-construction
+surface instead of the TTL-extraction surface.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+    benchmark_contamination,
+    benchmark_contamination_minhash,
+    filter_documents,
+)
+from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+    drop_exact_duplicates,
+)
+from harvesting_extract_to_ttl_service_spark.operators.materialize import (
+    materialize,
+)
+from harvesting_extract_to_ttl_service_spark.operators.text import (
+    fingerprint,
+)
+from harvesting_extract_to_ttl_service_spark.streaming.dedup_stream import (
+    dedup_batch,
+    read_state_except,
+)
+
+
+def corpus_batch(docs: DataFrame, batch_id: int, corpus_dir: str,
+                 benchmark: DataFrame | None = None, *,
+                 min_quality: float = 0.4,
+                 langs: list[str] | None = None,
+                 max_dup_line_ratio: float | None = None,
+                 max_top_bigram_ratio: float | None = None,
+                 max_pii_signals: int | None = None,
+                 near_dup_threshold: float | None = 0.7,
+                 decontam_min_overlap: int = 2,
+                 decontam_mode: str = "shingle",
+                 decontam_threshold: float = 0.5,
+                 num_hashes: int = 32, bands: int = 8, shingle_n: int = 3,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 materialize_mode: str = "persist") -> None:
+    """Run one micro-batch of documents through the corpus funnel
+    against the persistent state under ``corpus_dir``:
+
+    * ``fingerprints/batch=<id>`` — ``(id, fp)`` content fingerprints of
+      each batch's exact-unique survivors (the exact-dedup store);
+    * ``index/`` ``pairs/`` ``components/`` — the LSH index, near-dup
+      pairs, and component labels maintained by
+      :func:`~.dedup_stream.dedup_batch`;
+    * ``corpus/batch=<id>`` — the batch's surviving documents
+      (``docs``' original columns — the funnel's output).
+
+    Funnel parameters mirror ``build_training_corpus`` (which fixes the
+    same 32/8/3 MinHash defaults); ``cap_per_lang`` has no streaming
+    twin — a per-language cap is a property of the ACCUMULATED corpus,
+    so apply ``capped_stratified_sample`` to the corpus output when the
+    stream quiesces (or per training run), not per batch.
+
+    Scale notes: the fingerprint anti-join shuffles 16-hex-char keys —
+    at 100 TB the store side is large but the join is a plain keyed
+    anti-join (no expansion); the batch side is one micro-batch. The
+    LSH probe is flat-cost per batch by construction (dedup_stream).
+    Decontamination broadcasts the benchmark side, never the corpus."""
+    spark = docs.sparkSession
+    filtered = filter_documents(
+        docs, min_quality, langs, max_dup_line_ratio, max_top_bigram_ratio,
+        max_pii_signals, text_col, id_col)
+
+    # exact dedup: keep-one within the batch, then drop texts already in
+    # the store (first delivery wins — with arrival-ordered ids that IS
+    # the batch funnel's min-id-per-fingerprint). The store keeps
+    # fingerprints of every exact-unique doc that ENTERED the near-dup
+    # stage — including docs later dropped by near-dup/decontam — so a
+    # future exact copy of a dropped doc stays dropped, exactly as the
+    # batch funnel's global min-id collapse would have dropped it.
+    uniq = drop_exact_duplicates(filtered, text_col, id_col)
+    uniq = uniq.withColumn("_fp", fingerprint(F.col(text_col)))
+    stored_fp = read_state_except(spark, f"{corpus_dir}/fingerprints",
+                                  batch_id)
+    if stored_fp is not None:
+        seen = stored_fp.select(F.col("fp").alias("_fp")).distinct()
+        uniq = uniq.join(seen, "_fp", "left_anti")
+    # one materialization feeds the fingerprint write, the LSH
+    # index/pairs writes, and the survivor selection — without it the
+    # annotate+filter projection would re-run once per action.
+    uniq = materialize(uniq, materialize_mode)
+    try:
+        (uniq.select(F.col(id_col).alias("id"), F.col("_fp").alias("fp"))
+         .write.mode("overwrite")
+         .parquet(f"{corpus_dir}/fingerprints/batch={batch_id}"))
+        batch_docs = uniq.drop("_fp")
+
+        if near_dup_threshold is not None:
+            dedup_batch(batch_docs, batch_id, f"{corpus_dir}/index",
+                        f"{corpus_dir}/pairs", text_col, id_col,
+                        num_hashes, bands, shingle_n, near_dup_threshold,
+                        components_dir=f"{corpus_dir}/components")
+            # keep-one: a batch doc survives iff it is its component's
+            # representative (min id). The batch's own label partition
+            # covers every batch id (update_components always writes new
+            # ids), so no global resolution read is needed here.
+            own = spark.read.parquet(
+                f"{corpus_dir}/components/batch={batch_id}")
+            reps = (own.filter(F.col("id") == F.col("component"))
+                    .select(F.col("id").alias(id_col)))
+            survivors = batch_docs.join(reps, id_col, "left_semi")
+        else:
+            survivors = batch_docs
+
+        if benchmark is not None:
+            if decontam_mode == "shingle":
+                hits = benchmark_contamination(
+                    survivors, benchmark, text_col, id_col,
+                    min_overlap=decontam_min_overlap)
+            elif decontam_mode == "minhash":
+                hits = benchmark_contamination_minhash(
+                    survivors, benchmark, text_col, id_col,
+                    threshold=decontam_threshold)
+            else:
+                raise ValueError(f"decontam_mode={decontam_mode!r}: "
+                                 f"one of 'shingle', 'minhash'")
+            dirty = hits.select(F.col("doc_id").alias(id_col)).distinct()
+            survivors = survivors.join(dirty, id_col, "left_anti")
+
+        survivors.write.mode("overwrite").parquet(
+            f"{corpus_dir}/corpus/batch={batch_id}")
+    finally:
+        if materialize_mode == "persist":
+            uniq.unpersist()
+
+
+def read_corpus(spark: SparkSession, corpus_dir: str) -> DataFrame:
+    """The accumulated corpus output: union of every batch's survivors
+    (one directory listing — no per-batch driver loop). Raises if the
+    stream has not produced any batch yet."""
+    return (spark.read.option("basePath", f"{corpus_dir}/corpus")
+            .parquet(f"{corpus_dir}/corpus").drop("batch"))
+
+
+def run_corpus_stream(docs_stream: DataFrame, corpus_dir: str,
+                      checkpoint: str,
+                      benchmark: DataFrame | None = None,
+                      trigger_available_now: bool = True,
+                      on_batch: Callable[[int], None] | None = None,
+                      **funnel_kwargs):
+    """Attach the corpus funnel to a streaming document source. Returns
+    the started StreamingQuery; checkpointed batch ids + the batch=<id>
+    overwrite layout make restarts replay-idempotent. ``funnel_kwargs``
+    pass through to :func:`corpus_batch` (thresholds, language
+    allowlist, decontamination mode, LSH parameters)."""
+
+    def batch_fn(df: DataFrame, batch_id: int) -> None:
+        corpus_batch(df, batch_id, corpus_dir, benchmark, **funnel_kwargs)
+        if on_batch is not None:
+            on_batch(batch_id)
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -83,26 +83,29 @@ def _check_index_params(spark: SparkSession, index_dir: str,
         out.close()
 
 
-def _read_index_except(spark: SparkSession, index_dir: str,
-                       batch_id: int) -> DataFrame | None:
-    """The accumulated index minus the current batch's partition (absent
-    on the first batch; a replayed batch must not see its own previous
-    half-write). Partition pruning makes the exclusion a file-listing
-    filter, not a scan.
+def read_state_except(spark: SparkSession, state_dir: str,
+                      batch_id: int) -> DataFrame | None:
+    """A ``<dir>/batch=<id>`` partitioned state table minus the current
+    batch's partition (absent on the first batch; a replayed batch must
+    not see its own previous half-write). Partition pruning makes the
+    exclusion a file-listing filter, not a scan. The shared primitive
+    under every piece of cross-batch streaming state in this package —
+    the LSH index, the component labels, the corpus fingerprint store.
 
-    "No index yet" is decided by an explicit Hadoop-FS existence probe —
+    "No state yet" is decided by an explicit Hadoop-FS existence probe —
     NOT by catching the read's exception: a transient FS failure (s3a
     hiccup, permission blip) on batch N>0 must surface and fail the
-    batch, because silently deduping the batch against nothing loses its
-    cross-batch pairs PERMANENTLY (the batch's index partition is still
-    appended, so no replay regenerates them). A genuinely absent /
-    first-batch index is only ever a listing with no prior ``batch=*``
-    partition."""
+    batch, because silently processing the batch against nothing loses
+    its cross-batch results PERMANENTLY (the batch's own state partition
+    is still appended, so no replay regenerates them). Genuinely absent
+    / first-batch state is only ever a listing with no prior ``batch=*``
+    partition. Returns the filtered DataFrame WITH its ``batch`` column
+    (callers drop or resolve on it), or None."""
     from harvesting_extract_to_ttl_service_spark.sources.files import (
         _hadoop_fs,
     )
 
-    fs, root = _hadoop_fs(spark, index_dir)
+    fs, root = _hadoop_fs(spark, state_dir)
     if not fs.exists(root):
         return None
     own = f"batch={batch_id}"
@@ -112,10 +115,18 @@ def _read_index_except(spark: SparkSession, index_dir: str,
              and s.getPath().getName() != own]
     if not prior:
         # first batch (or a replayed first batch whose own half-write is
-        # the only partition): nothing to dedup against
+        # the only partition): nothing to process against
         return None
-    idx = spark.read.option("basePath", index_dir).parquet(index_dir)
-    return idx.filter(F.col("batch") != batch_id).drop("batch")
+    raw = spark.read.option("basePath", state_dir).parquet(state_dir)
+    return raw.filter(F.col("batch") != batch_id)
+
+
+def _read_index_except(spark: SparkSession, index_dir: str,
+                       batch_id: int) -> DataFrame | None:
+    """The accumulated LSH index minus the current batch's partition
+    (:func:`read_state_except`)."""
+    idx = read_state_except(spark, index_dir, batch_id)
+    return None if idx is None else idx.drop("batch")
 
 
 def dedup_batch(docs: DataFrame, batch_id: int, index_dir: str,
@@ -207,22 +218,9 @@ def _read_components_except(spark: SparkSession, components_dir: str,
     erase the previous run's labels."""
     from pyspark.sql import Window
 
-    from harvesting_extract_to_ttl_service_spark.sources.files import (
-        _hadoop_fs,
-    )
-
-    fs, root = _hadoop_fs(spark, components_dir)
-    if not fs.exists(root):
+    raw = read_state_except(spark, components_dir, batch_id)
+    if raw is None:
         return None
-    own = f"batch={batch_id}"
-    if not any(s.isDirectory()
-               and s.getPath().getName().startswith("batch=")
-               and s.getPath().getName() != own
-               for s in fs.listStatus(root)):
-        return None
-    raw = (spark.read.option("basePath", components_dir)
-           .parquet(components_dir)
-           .filter(F.col("batch") != batch_id))
     w = Window.partitionBy("id").orderBy(F.col("batch").desc())
     return (raw.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).select("id", "component"))

@@ -1,0 +1,124 @@
+"""Streaming corpus funnel (streaming/corpus_stream.py): batch-funnel
+parity on a split stream, replay idempotence, and the end-to-end
+Structured Streaming loop."""
+
+import json
+import os
+
+from harvesting_extract_to_ttl_service_spark.streaming.corpus_stream import (
+    corpus_batch,
+    read_corpus,
+    run_corpus_stream,
+)
+
+SCHEMA = "doc_id long, text string"
+
+T_A = ("the quick brown fox jumps over the lazy dog in the quiet park "
+       "while birds sing softly overhead")
+T_A2 = ("the quick brown fox jumps over the lazy dog in the quiet garden "
+        "while birds sing softly overhead")  # near-dup of T_A
+T_B = ("spark pipelines shuffle data between executors across the busy "
+       "cluster during nightly batch processing runs")
+T_C = ("a completely unrelated sentence about cooking pasta with fresh "
+       "basil and ripe tomatoes from the garden")
+T_D = ("numerical weather prediction models assimilate satellite "
+       "observations to forecast storm tracks days ahead")
+
+BATCHES = [
+    [(1, T_A), (2, T_B), (3, T_C)],
+    [(10, T_A2), (11, T_B)],   # near-dup of 1; exact copy of 2
+    [(20, T_A), (21, T_D)],    # exact copy of 1; genuinely new
+]
+FUNNEL = dict(min_quality=0.0, near_dup_threshold=0.4,
+              decontam_min_overlap=2)
+
+
+def _bench(spark):
+    return spark.createDataFrame([(100, T_C)], SCHEMA)
+
+
+def _survivor_ids(spark, corpus_dir):
+    return {r.doc_id for r in read_corpus(spark, corpus_dir).collect()}
+
+
+def test_stream_matches_batch_funnel(spark, tmp_path):
+    """The same documents, processed as three micro-batches against the
+    persistent state, yield the same survivor set as one
+    build_training_corpus run over the union — exact dedup, near-dup
+    keep-one, and decontamination all agree cross-batch."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        build_training_corpus,
+    )
+
+    cdir = str(tmp_path / "corpus")
+    for i, rows in enumerate(BATCHES):
+        corpus_batch(spark.createDataFrame(rows, SCHEMA), i, cdir,
+                     _bench(spark), **FUNNEL)
+
+    got = _survivor_ids(spark, cdir)
+    all_docs = spark.createDataFrame(
+        [r for rows in BATCHES for r in rows], SCHEMA)
+    funnel = {r.doc_id for r in build_training_corpus(
+        all_docs, _bench(spark), **FUNNEL).collect()}
+    assert got == funnel
+    # the designed outcome: 3 decontaminated, 10 near-dup of 1,
+    # 11 and 20 exact copies — none of the drops re-tokenized batch 0
+    assert got == {1, 2, 21}
+    # output keeps the original document columns
+    assert set(read_corpus(spark, cdir).columns) == {"doc_id", "text"}
+
+
+def test_corpus_batch_replay_idempotent(spark, tmp_path):
+    """A replayed micro-batch (failure before the checkpoint commit)
+    rewrites its own fingerprint/index/pairs/components/corpus
+    partitions identically: survivors unchanged, no duplicated state."""
+    cdir = str(tmp_path / "corpus")
+    for i, rows in enumerate(BATCHES):
+        corpus_batch(spark.createDataFrame(rows, SCHEMA), i, cdir,
+                     _bench(spark), **FUNNEL)
+    before = _survivor_ids(spark, cdir)
+    n_fp = spark.read.option("basePath", f"{cdir}/fingerprints") \
+        .parquet(f"{cdir}/fingerprints").count()
+
+    corpus_batch(spark.createDataFrame(BATCHES[2], SCHEMA), 2, cdir,
+                 _bench(spark), **FUNNEL)
+    assert _survivor_ids(spark, cdir) == before
+    assert spark.read.option("basePath", f"{cdir}/fingerprints") \
+        .parquet(f"{cdir}/fingerprints").count() == n_fp
+    # batch 2's own corpus partition holds exactly its survivors
+    assert {r.doc_id for r in spark.read.parquet(
+        f"{cdir}/corpus/batch=2").collect()} == {21}
+
+
+def test_run_corpus_stream_end_to_end(spark, tmp_path):
+    """The foreachBatch wiring: a file stream drained twice under one
+    checkpoint processes each delivery exactly once and accumulates the
+    corpus output."""
+    stream_dir = str(tmp_path / "docs")
+    cdir = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(stream_dir)
+
+    def write_docs(name, rows):
+        with open(f"{stream_dir}/{name}", "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    def run_once():
+        st = spark.readStream.schema(SCHEMA).json(stream_dir)
+        q = run_corpus_stream(st, cdir, ckpt, _bench(spark), **FUNNEL)
+        q.awaitTermination(120)
+
+    write_docs("b0.json", BATCHES[0])
+    run_once()
+    assert _survivor_ids(spark, cdir) == {1, 2}
+
+    write_docs("b1.json", BATCHES[1] + BATCHES[2])
+    run_once()
+    assert _survivor_ids(spark, cdir) == {1, 2, 21}
+
+    # without near-dup state the dropped docs would have resurfaced:
+    # prove the second run actually consulted the cross-batch stores
+    comp = spark.read.option("basePath", f"{cdir}/components") \
+        .parquet(f"{cdir}/components")
+    assert comp.filter("id = 10 and component = 1").count() == 1
