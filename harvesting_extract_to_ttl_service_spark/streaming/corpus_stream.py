@@ -184,6 +184,45 @@ def read_corpus(spark: SparkSession, corpus_dir: str) -> DataFrame:
             .parquet(f"{corpus_dir}/corpus").drop("batch"))
 
 
+def compact_corpus_state(spark: SparkSession, corpus_dir: str,
+                         target_partitions: int | None = None
+                         ) -> dict[str, int]:
+    """Maintenance: fold each of the stream's per-batch STATE tables into
+    one consolidated ``batch=-1`` partition — a year of 5-minute batches
+    is ~100k partition directories per table, and their listing alone
+    would dominate every state read at namenode scale. Fingerprints and
+    the LSH index are append-only facts (plain fold,
+    :func:`~.dedup_stream.compact_dedup_index`); component labels resolve
+    highest-batch-wins before folding
+    (:func:`~.dedup_stream.compact_components`).
+
+    The corpus OUTPUT partitions are deliberately untouched: they are the
+    deliverable, and downstream consumers may have shipped them already.
+    Run from maintenance, not from inside the stream — compaction
+    rewrites history partitions the stream only ever appends to; a batch
+    replayed after compaction rewrites only its own (now redundant but
+    harmless) partitions. Returns per-table folded-partition counts."""
+    from harvesting_extract_to_ttl_service_spark.sources.files import (
+        _hadoop_fs,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.dedup_stream import (
+        compact_components,
+        compact_dedup_index,
+    )
+
+    out = {}
+    for name, compactor in (("fingerprints", compact_dedup_index),
+                            ("index", compact_dedup_index),
+                            ("components", compact_components)):
+        path = f"{corpus_dir}/{name}"
+        fs, root = _hadoop_fs(spark, path)
+        # a table may be absent by configuration (near_dup_threshold=None
+        # runs no LSH index / components) — absence is not an error here
+        out[name] = (compactor(spark, path, target_partitions)
+                     if fs.exists(root) else 0)
+    return out
+
+
 def run_corpus_stream(docs_stream: DataFrame, corpus_dir: str,
                       checkpoint: str,
                       benchmark: DataFrame | None = None,

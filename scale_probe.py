@@ -9,6 +9,12 @@ dup inflation, the shape of a sharded crawl) and measures how band/block
 collision counts, final pair counts, and wall time actually curve.
 
 Usage: python scale_probe.py [replicas ...]   (default: 1 2 5 10)
+       python scale_probe.py stream [n]
+           streaming-corpus-funnel probe: n replicas arrive as n
+           micro-batches (+ one recrawl batch duplicating batch 0);
+           measures PER-BATCH wall as the persistent state grows — the
+           flat curve that makes streaming/corpus_stream.py the 100 TB
+           operating mode.
        python scale_probe.py incr [replicas ...]
            incremental-dedup probe: corpus = N replicas with a parquet
            LSH index built ONCE; batch = one fresh replica duplicating
@@ -40,6 +46,16 @@ from harvesting_extract_to_ttl_service_spark.plans.tables import load
 SF_DIR = "/root/testdata/sf0.1"
 
 
+def _replica(base, r: int):
+    """Replica r of the documents table: ids offset by r*10^7, every
+    token suffixed per replica (see replicate_documents)."""
+    return base.select(
+        (F.col("doc_id") + F.lit(r * 10_000_000)).alias("doc_id"),
+        (F.regexp_replace("text", r"(\S+)", f"$1x{r}")
+         if r else F.col("text")).alias("text"),
+    )
+
+
 def replicate_documents(spark, n: int):
     """n copies of documents; replica r's doc_ids are offset by r*10^7 and
     EVERY token gets a per-replica suffix (the same rewrite within a
@@ -49,13 +65,7 @@ def replicate_documents(spark, n: int):
     quadratic blowup). Pair volume should then scale ~linearly in n; a
     superlinear curve means hot buckets, not corpus size, are driving."""
     base = load(spark, SF_DIR, "documents").select("doc_id", "text")
-    parts = []
-    for r in range(n):
-        parts.append(base.select(
-            (F.col("doc_id") + F.lit(r * 10_000_000)).alias("doc_id"),
-            (F.regexp_replace("text", r"(\S+)", f"$1x{r}")
-             if r else F.col("text")).alias("text"),
-        ))
+    parts = [_replica(base, r) for r in range(n)]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -155,16 +165,68 @@ def probe_funnel(spark, n: int) -> dict:
     return res
 
 
+def probe_corpus_stream(spark, n: int, tmp: str) -> list[dict]:
+    """Per-batch wall of the STREAMING corpus funnel
+    (streaming/corpus_stream.corpus_batch) as the persistent state
+    accumulates: the corpus arrives as n micro-batches of one replica
+    each, plus a FINAL recrawl batch that exactly duplicates replica 0
+    (worst-case cross-batch match volume against the oldest state).
+
+    The 100 TB claim under test: batch k's wall must NOT grow with k —
+    each batch's cross-batch work is a keyed probe of parquet state
+    (fingerprints, LSH index, components), never a corpus rescan — while
+    re-running the batch funnel at each delivery would cost O(corpus) per
+    delivery. A flat curve here is what makes the streaming funnel the
+    correct operating mode for a continuously-fed corpus."""
+    from harvesting_extract_to_ttl_service_spark.streaming.corpus_stream import (
+        corpus_batch,
+        read_corpus,
+    )
+
+    cdir = f"{tmp}/corpus_stream_{n}x"
+    base = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    rows = []
+    batches = [(i, _replica(base, i)) for i in range(n)]
+    # recrawl batch: replica 0's texts under fresh ids
+    batches.append((n, _replica(base, 0).select(
+        (F.col("doc_id") + F.lit(n * 10_000_000)).alias("doc_id"),
+        "text")))
+    for i, batch in batches:
+        batch = batch.localCheckpoint(eager=True)
+        t0 = time.time()
+        corpus_batch(batch, i, cdir, min_quality=0.4,
+                     near_dup_threshold=0.5)
+        rows.append({"batch": i, "docs": batch.count(),
+                     "wall_s": round(time.time() - t0, 1),
+                     "recrawl": i == n})
+    rows.append({"batch": "total", "docs": None,
+                 "wall_s": round(sum(r["wall_s"] for r in rows), 1),
+                 "recrawl": False,
+                 "survivors": read_corpus(spark, cdir).count()})
+    return rows
+
+
 def main():
     args = sys.argv[1:]
     incremental = bool(args) and args[0] == "incr"
     funnel = bool(args) and args[0] == "funnel"
-    if incremental or funnel:
+    stream = bool(args) and args[0] == "stream"
+    if incremental or funnel or stream:
         args = args[1:]
     replicas = [int(x) for x in args] or [1, 2, 5, 10]
     tmp = tempfile.mkdtemp(prefix="scale_probe_")
     spark = get_spark("scale-probe")
     try:
+        if stream:
+            n = replicas[-1]
+            print(f"{'batch':>6} {'docs':>7} {'wall_s':>7}  note")
+            for r in probe_corpus_stream(spark, n, tmp):
+                note = "recrawl of batch 0" if r.get("recrawl") else (
+                    f"survivors={r['survivors']}" if "survivors" in r
+                    else "")
+                print(f"{str(r['batch']):>6} {str(r['docs'] or ''):>7} "
+                      f"{r['wall_s']:>7} {note}")
+            return
         if funnel:
             print(f"{'scale':>6} {'docs':>7} {'survivors':>10} "
                   f"{'funnel_s':>9}")

@@ -122,3 +122,29 @@ def test_run_corpus_stream_end_to_end(spark, tmp_path):
     comp = spark.read.option("basePath", f"{cdir}/components") \
         .parquet(f"{cdir}/components")
     assert comp.filter("id = 10 and component = 1").count() == 1
+
+
+def test_compact_corpus_state_preserves_dedup(spark, tmp_path):
+    """Folding the state tables into batch=-1 changes no decision: a
+    post-compaction batch still drops exact copies (fingerprint store)
+    and near-dups (LSH index + components) of pre-compaction documents,
+    and survivor sets are unchanged."""
+    from harvesting_extract_to_ttl_service_spark.streaming.corpus_stream import (
+        compact_corpus_state,
+    )
+
+    cdir = str(tmp_path / "corpus")
+    for i, rows in enumerate(BATCHES[:2]):
+        corpus_batch(spark.createDataFrame(rows, SCHEMA), i, cdir,
+                     _bench(spark), **FUNNEL)
+    before = _survivor_ids(spark, cdir)
+
+    folded = compact_corpus_state(spark, cdir)
+    assert folded == {"fingerprints": 2, "index": 2, "components": 2}
+    assert _survivor_ids(spark, cdir) == before
+
+    # batch 2 against the compacted state: 20 is an exact copy of 1
+    # (pre-compaction), 21 is new — same outcome as the uncompacted run
+    corpus_batch(spark.createDataFrame(BATCHES[2], SCHEMA), 2, cdir,
+                 _bench(spark), **FUNNEL)
+    assert _survivor_ids(spark, cdir) == before | {21}
