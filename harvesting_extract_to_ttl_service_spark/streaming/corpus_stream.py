@@ -84,6 +84,8 @@ def corpus_batch(docs: DataFrame, batch_id: int, corpus_dir: str,
                  decontam_mode: str = "shingle",
                  decontam_threshold: float = 0.5,
                  num_hashes: int = 32, bands: int = 8, shingle_n: int = 3,
+                 n_shards: int | None = None,
+                 budget_tokens: int | None = None,
                  text_col: str = "text", id_col: str = "doc_id",
                  materialize_mode: str = "persist") -> None:
     """Run one micro-batch of documents through the corpus funnel
@@ -95,7 +97,15 @@ def corpus_batch(docs: DataFrame, batch_id: int, corpus_dir: str,
       pairs, and component labels maintained by
       :func:`~.dedup_stream.dedup_batch`;
     * ``corpus/batch=<id>`` — the batch's surviving documents
-      (``docs``' original columns — the funnel's output).
+      (``docs``' original columns — the funnel's output);
+    * ``shards/batch=<id>/shard=<k>`` (when ``n_shards`` +
+      ``budget_tokens`` are set) — the batch's survivors packed into
+      training shards (``operators/corpus.write_training_shards``:
+      hash-assigned shard, context-window packing coordinates). Shard
+      assignment is a pure hash of the doc id, so a given shard's
+      training stream is the concatenation of its ``batch=*/shard=<k>``
+      files in batch order — a plain two-level partitioned read, no
+      re-shuffle of history when new batches arrive.
 
     Funnel parameters mirror ``build_training_corpus`` (which fixes the
     same 32/8/3 MinHash defaults); ``cap_per_lang`` has no streaming
@@ -171,6 +181,22 @@ def corpus_batch(docs: DataFrame, batch_id: int, corpus_dir: str,
 
         survivors.write.mode("overwrite").parquet(
             f"{corpus_dir}/corpus/batch={batch_id}")
+        if n_shards is not None:
+            if budget_tokens is None:
+                raise ValueError("n_shards requires budget_tokens "
+                                 "(context-window size for packing)")
+            from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+                write_training_shards,
+            )
+
+            # pack from the just-written survivors parquet, not the live
+            # plan: the survivor plan ends in two joins past the
+            # materialization cut, and the shard write is a second
+            # action over the same rows
+            write_training_shards(
+                spark.read.parquet(f"{corpus_dir}/corpus/batch={batch_id}"),
+                f"{corpus_dir}/shards/batch={batch_id}", n_shards,
+                budget_tokens, text_col, id_col)
     finally:
         if materialize_mode == "persist":
             uniq.unpersist()

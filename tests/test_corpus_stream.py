@@ -148,3 +148,29 @@ def test_compact_corpus_state_preserves_dedup(spark, tmp_path):
     corpus_batch(spark.createDataFrame(BATCHES[2], SCHEMA), 2, cdir,
                  _bench(spark), **FUNNEL)
     assert _survivor_ids(spark, cdir) == before | {21}
+
+
+def test_corpus_batch_shard_append(spark, tmp_path):
+    """With n_shards + budget_tokens the batch's survivors are also
+    packed into per-batch training shards; a shard's training stream is
+    the two-level partitioned read shards/batch=*/shard=<k>, and replay
+    rewrites the batch's shard directory identically."""
+    cdir = str(tmp_path / "corpus")
+    for i, rows in enumerate(BATCHES):
+        corpus_batch(spark.createDataFrame(rows, SCHEMA), i, cdir,
+                     _bench(spark), n_shards=2, budget_tokens=8, **FUNNEL)
+
+    shards = spark.read.option("basePath", f"{cdir}/shards") \
+        .parquet(f"{cdir}/shards")
+    assert {"doc_id", "text", "n_tokens", "start_offset", "chunk",
+            "shard", "batch"} <= set(shards.columns)
+    # every survivor is in exactly one shard row
+    assert {r.doc_id for r in shards.collect()} \
+        == _survivor_ids(spark, cdir) == {1, 2, 21}
+
+    before = sorted(map(tuple, shards.drop("batch").collect()))
+    corpus_batch(spark.createDataFrame(BATCHES[2], SCHEMA), 2, cdir,
+                 _bench(spark), n_shards=2, budget_tokens=8, **FUNNEL)
+    again = spark.read.option("basePath", f"{cdir}/shards") \
+        .parquet(f"{cdir}/shards")
+    assert sorted(map(tuple, again.drop("batch").collect())) == before
