@@ -174,3 +174,55 @@ def test_corpus_batch_shard_append(spark, tmp_path):
     again = spark.read.option("basePath", f"{cdir}/shards") \
         .parquet(f"{cdir}/shards")
     assert sorted(map(tuple, again.drop("batch").collect())) == before
+
+
+def test_stream_parity_random_splits(spark, tmp_path):
+    """Property: for ANY document sequence (with arrival-ordered ids) and
+    ANY micro-batch split, the streaming funnel's accumulated survivors
+    equal one batch-funnel run over the union — the parity is structural
+    (same shared stages, same pair set, same keep-one rule), not an
+    artifact of the hand-built fixture."""
+    import shutil
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        build_training_corpus,
+    )
+
+    pool = [T_A, T_A2, T_B, T_C, T_D,
+            "short low quality text",
+            T_B.replace("nightly", "weekly"),  # near-dup of T_B
+            ]
+
+    @given(data=st.data())
+    @settings(max_examples=3, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow,
+                                     HealthCheck.function_scoped_fixture])
+    def check(data):
+        picks = data.draw(st.lists(st.integers(0, len(pool) - 1),
+                                   min_size=2, max_size=8))
+        docs = [(i * 7 + 1, pool[p]) for i, p in enumerate(picks)]
+        n_cuts = data.draw(st.integers(0, min(2, len(docs) - 1)))
+        cuts = sorted(data.draw(
+            st.sets(st.integers(1, len(docs) - 1),
+                    min_size=n_cuts, max_size=n_cuts)))
+        bounds = [0, *cuts, len(docs)]
+        batches = [docs[a:b] for a, b in zip(bounds, bounds[1:])]
+
+        root = tempfile.mkdtemp(dir=str(tmp_path))
+        try:
+            for i, rows in enumerate(batches):
+                corpus_batch(spark.createDataFrame(rows, SCHEMA), i,
+                             f"{root}/c", _bench(spark), **FUNNEL)
+            got = _survivor_ids(spark, f"{root}/c")
+            want = {r.doc_id for r in build_training_corpus(
+                spark.createDataFrame(docs, SCHEMA), _bench(spark),
+                **FUNNEL).collect()}
+            assert got == want, (batches, got, want)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    check()
