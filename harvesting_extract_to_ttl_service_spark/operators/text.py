@@ -129,6 +129,66 @@ def rolling_hashes(text: Column, window: int = 8) -> Column:
     )
 
 
+def unigram_logprob(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", alpha: float = 0.5,
+                    materialize_mode: str = "local_checkpoint") -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram model — the perplexity-proxy quality score of the CCNet /
+    language-model-filtering tradition (fluent text scores near the
+    corpus mode; gibberish, boilerplate, and wrong-language text score
+    low):
+
+        score(d) = Σ_t c_d(t)·ln p(t) / Σ_t c_d(t)
+        p(t)     = (C(t) + α) / (N + α·V)
+
+    with corpus counts C, total tokens N, vocabulary size V, add-α
+    smoothing, and lowercased whitespace tokens.
+
+    Scale shape — two-level aggregation: per-(doc, token) counts FIRST
+    (map-side combinable), so the vocab join's input is doc×distinct-
+    token, not raw token instances; the corpus-wide counts come from a
+    second groupBy over those partials (never a re-scan of the text);
+    N and V enter as a one-row broadcast (the scalar-cross-join shape
+    the plan audit whitelists for the mixture denominator). Hot tokens
+    ('the') are naturally handled: the join key's skew is bounded by
+    docs-containing-the-token, and each joined row is one (doc, token)
+    pair, not one instance.
+
+    This is a CORPUS-LEVEL statistic (the model is the corpus), so it is
+    deliberately not a `build_training_corpus` stage: in a streaming
+    funnel the accumulated counts would drift from a batch recompute.
+    Score once over a frozen corpus (or against a frozen reference
+    model's counts) and filter on the result.
+
+    Returns ``(id_col, n_tokens, avg_logprob)``."""
+    from harvesting_extract_to_ttl_service_spark.operators.materialize import (
+        materialize,
+    )
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("t"))
+    # materialize the (doc, token) partials once: they feed BOTH join
+    # sides (directly, and again through vocab → tot), and the planner
+    # duplicates unreferenced subtrees rather than reuse them — without
+    # the cut the text explode+count would run three times
+    per_doc = materialize(
+        toks.groupBy(id_col, "t").agg(F.count("*").alias("c")),
+        materialize_mode)
+    vocab = per_doc.groupBy("t").agg(F.sum("c").alias("ct"))
+    tot = vocab.agg(F.sum("ct").alias("n_total"),
+                    F.count("*").alias("v"))
+    lp = F.log((F.col("ct") + F.lit(alpha))
+               / (F.col("n_total") + F.lit(alpha) * F.col("v")))
+    return (
+        per_doc.join(vocab, "t")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("n_tokens"),
+             (F.sum(F.col("c") * lp) / F.sum("c")).alias("avg_logprob"))
+    )
+
+
 def repetition_signals(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """Repetition-based quality signals (the Gopher-tradition filters the

@@ -365,6 +365,42 @@ def corpus_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_emails", "n_urls", "n_phones")
 
 
+_LM_ALPHA = 0.5
+
+
+@member_sql(f"""
+WITH tk AS (
+  SELECT doc_id, unnest({_TOKS_LOW}) AS t FROM documents
+), pd AS (
+  SELECT doc_id, t, count(*) AS c FROM tk GROUP BY 1, 2
+), vc AS (
+  SELECT t, CAST(sum(c) AS BIGINT) AS ct FROM pd GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(ct) AS BIGINT) AS n_total, count(*) AS v FROM vc
+)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       round(sum(c * ln((ct + {_LM_ALPHA}) / (n_total + {_LM_ALPHA} * v)))
+             / sum(c), 6) AS avg_logprob
+FROM pd JOIN vc USING (t), tot
+GROUP BY 1
+""")
+def corpus_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity-proxy quality score (CCNet-tradition): each
+    document's mean token log-probability under the corpus's own
+    add-α-smoothed unigram model. Two-level aggregation — (doc, token)
+    partials feed both the vocab counts and the scoring join, so raw
+    token instances never reach a join. The six-decimal round pins the
+    cross-engine float agreement (sum order differs; values agree to
+    ~1e-12)."""
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        unigram_logprob,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return unigram_logprob(docs, alpha=_LM_ALPHA).select(
+        "doc_id", "n_tokens", F.round("avg_logprob", 6).alias("avg_logprob"))
+
+
 _CORPUS_MEMBERS = [
     ("sample", corpus_sample, ["doc_id", "lang"], []),
     ("mix", corpus_mix, ["lang", "n_docs", "n_tokens"],
@@ -377,6 +413,7 @@ _CORPUS_MEMBERS = [
     ("rep", corpus_repetition, ["doc_id", "n_lines"],
      ["dup_line_ratio", "top_bigram_ratio"]),
     ("pii", corpus_pii, ["doc_id", "n_emails", "n_urls", "n_phones"], []),
+    ("lm", corpus_lm, ["doc_id", "n_tokens"], ["avg_logprob"]),
 ]
 
 

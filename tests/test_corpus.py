@@ -467,3 +467,22 @@ def test_funnel_minhash_decontam_mode(spark):
     with pytest.raises(ValueError, match="decontam_mode"):
         build_training_corpus(corpus, benchmark=bench,
                               decontam_mode="fuzzy").collect()
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """score = Σ c·ln((C+α)/(N+αV)) / Σ c on a corpus small enough to
+    verify by hand: tokens a a b | b c → C(a)=2 C(b)=2 C(c)=1, N=5, V=3."""
+    import math
+
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        unigram_logprob,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a A b"), (2, "b c")], "doc_id long, text string")
+    got = {r.doc_id: r for r in unigram_logprob(docs, alpha=0.5).collect()}
+    p_ab = math.log(2.5 / 6.5)
+    p_c = math.log(1.5 / 6.5)
+    assert got[1].n_tokens == 3 and got[2].n_tokens == 2
+    assert abs(got[1].avg_logprob - p_ab) < 1e-12
+    assert abs(got[2].avg_logprob - (p_ab + p_c) / 2) < 1e-12
