@@ -113,11 +113,12 @@ def corpus_batch(docs: DataFrame, batch_id: int, corpus_dir: str,
     so apply ``capped_stratified_sample`` to the corpus output when the
     stream quiesces (or per training run), not per batch.
 
-    Scale notes: the fingerprint anti-join shuffles 16-hex-char keys —
-    at 100 TB the store side is large but the join is a plain keyed
-    anti-join (no expansion); the batch side is one micro-batch. The
-    LSH probe is flat-cost per batch by construction (dedup_stream).
-    Decontamination broadcasts the benchmark side, never the corpus."""
+    Scale notes: every cross-batch interaction broadcasts the BATCH side
+    and only scans the store — the fingerprint probe (semi-join with the
+    batch's fps broadcast), the LSH index probe
+    (``incremental_minhash_pairs`` ``broadcast_new``), and the component
+    merge; the accumulated state is never shuffled. Decontamination
+    broadcasts the benchmark side, never the corpus."""
     spark = docs.sparkSession
     filtered = filter_documents(
         docs, min_quality, langs, max_dup_line_ratio, max_top_bigram_ratio,
@@ -130,22 +131,35 @@ def corpus_batch(docs: DataFrame, batch_id: int, corpus_dir: str,
     # stage — including docs later dropped by near-dup/decontam — so a
     # future exact copy of a dropped doc stays dropped, exactly as the
     # batch funnel's global min-id collapse would have dropped it.
-    uniq = drop_exact_duplicates(filtered, text_col, id_col)
-    uniq = uniq.withColumn("_fp", fingerprint(F.col(text_col)))
-    stored_fp = read_state_except(spark, f"{corpus_dir}/fingerprints",
-                                  batch_id)
-    if stored_fp is not None:
-        seen = stored_fp.select(F.col("fp").alias("_fp")).distinct()
-        uniq = uniq.join(seen, "_fp", "left_anti")
-    # one materialization feeds the fingerprint write, the LSH
-    # index/pairs writes, and the survivor selection — without it the
-    # annotate+filter projection would re-run once per action.
-    uniq = materialize(uniq, materialize_mode)
+    # one materialization feeds the store probe, the fingerprint write,
+    # the LSH index/pairs writes, and the survivor selection — without
+    # it the annotate+filter projection would re-run once per action.
+    uniq = materialize(
+        drop_exact_duplicates(filtered, text_col, id_col)
+        .withColumn("_fp", fingerprint(F.col(text_col))),
+        materialize_mode)
     try:
-        (uniq.select(F.col(id_col).alias("id"), F.col("_fp").alias("fp"))
+        stored_fp = read_state_except(spark, f"{corpus_dir}/fingerprints",
+                                      batch_id)
+        if stored_fp is not None:
+            # batch side BROADCASTS, store side only SCANS — the same
+            # shape as the LSH index probe (incremental_minhash_pairs
+            # broadcast_new): a plain anti-join against the store would
+            # SHUFFLE the corpus-sized store every batch, which is the
+            # cost the streaming loop exists to avoid. `hit` (store fps
+            # present in this batch) is ≤ batch-sized, so the final
+            # anti-join broadcasts too.
+            batch_fps = uniq.select("_fp").distinct()
+            hit = (stored_fp.select(F.col("fp").alias("_fp"))
+                   .join(F.broadcast(batch_fps), "_fp", "left_semi")
+                   .distinct())
+            kept = uniq.join(F.broadcast(hit), "_fp", "left_anti")
+        else:
+            kept = uniq
+        (kept.select(F.col(id_col).alias("id"), F.col("_fp").alias("fp"))
          .write.mode("overwrite")
          .parquet(f"{corpus_dir}/fingerprints/batch={batch_id}"))
-        batch_docs = uniq.drop("_fp")
+        batch_docs = kept.drop("_fp")
 
         if near_dup_threshold is not None:
             dedup_batch(batch_docs, batch_id, f"{corpus_dir}/index",

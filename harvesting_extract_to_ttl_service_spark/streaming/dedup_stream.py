@@ -270,12 +270,19 @@ def update_components(batch_ids: DataFrame, pairs: DataFrame,
         labels = connected_components(pairs, new_ids)
         changed = labels
     else:
+        # batch-derived sides BROADCAST; the stored label table is only
+        # ever SCANNED (twice: touched-component lookup, frontier
+        # restriction), never shuffled — the same store-side discipline
+        # as the LSH index probe, and what keeps the merge flat-cost as
+        # the label table grows to corpus size.
         endpoints = (pairs.select(F.col("id_a").alias("id"))
                      .unionByName(pairs.select(F.col("id_b").alias("id")))
                      .distinct())
-        touched = (stored.join(endpoints, "id")
+        touched = (stored.join(F.broadcast(endpoints), "id")
                    .select("component").distinct())
-        frontier = stored.join(touched, "component", "left_semi")
+        frontier = materialize(
+            stored.join(F.broadcast(touched), "component", "left_semi"),
+            "local_checkpoint")
         ids = (frontier.select("id")
                .unionByName(new_ids)
                .distinct())
@@ -283,9 +290,12 @@ def update_components(batch_ids: DataFrame, pairs: DataFrame,
                 .select(F.col("id").alias("id_a"),
                         F.col("component").alias("id_b")))
         labels = connected_components(pairs.unionByName(star), ids)
-        # write only the delta: new ids + stored rows whose label moved
+        # write only the delta: new ids + stored rows whose label moved.
+        # labels' ids ∩ stored's ids = the frontier exactly (untouched
+        # components never enter the propagation), so the old-label
+        # lookup joins the broadcastable frontier, not the full store.
         changed = (labels.alias("n")
-                   .join(stored.alias("o"), "id", "left")
+                   .join(F.broadcast(frontier.alias("o")), "id", "left")
                    .filter(F.col("o.component").isNull()
                            | (F.col("n.component") != F.col("o.component")))
                    .select("id", F.col("n.component").alias("component")))

@@ -226,3 +226,29 @@ def test_stream_parity_random_splits(spark, tmp_path):
             shutil.rmtree(root, ignore_errors=True)
 
     check()
+
+
+def test_fingerprint_probe_scans_store_without_shuffle(spark, tmp_path):
+    """The exact-dedup store probe must broadcast the BATCH side and only
+    scan the store (the LSH-probe discipline): a plain anti-join would
+    shuffle the corpus-sized fingerprint store every micro-batch."""
+    from pyspark.sql import functions as F
+
+    from harvesting_extract_to_ttl_service_spark.streaming.dedup_stream import (
+        read_state_except,
+    )
+
+    cdir = str(tmp_path / "corpus")
+    for i, rows in enumerate(BATCHES[:2]):
+        corpus_batch(spark.createDataFrame(rows, SCHEMA), i, cdir,
+                     _bench(spark), **FUNNEL)
+
+    stored = read_state_except(spark, f"{cdir}/fingerprints", 99)
+    batch_fps = spark.createDataFrame([("ab",), ("cd",)], "_fp string")
+    hit = (stored.select(F.col("fp").alias("_fp"))
+           .join(F.broadcast(batch_fps), "_fp", "left_semi"))
+    plan = hit._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    store_branch = plan.split("BroadcastHashJoin")[1] \
+        .split("BroadcastQueryStage")[0]
+    assert "Exchange hashpartitioning" not in store_branch, plan
