@@ -40,23 +40,30 @@ from harvesting_extract_to_ttl_service_spark.operators.materialize import (
 def _check_index_params(spark: SparkSession, index_dir: str,
                         num_hashes: int, bands: int,
                         shingle_n: int) -> None:
-    """Verify (or record, on first write) the index's LSH parameters in a
-    ``_lsh_params.json`` sidecar. A bands/shingle mismatch is UNDETECTABLE
-    from the table schema — band hashes would simply cover different
-    signature rows and silently miss pairs — so the parameters live next
-    to the data, like parquet's own ``_metadata``. Hadoop FS API: the
-    index may live on hdfs/s3a."""
+    """MinHash-index form of :func:`_check_sidecar_params`."""
+    _check_sidecar_params(
+        spark, index_dir,
+        {"num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n})
+
+
+def _check_sidecar_params(spark: SparkSession, index_dir: str,
+                          want: dict,
+                          filename: str = "_lsh_params.json") -> None:
+    """Verify (or record, on first write) an index's build parameters in
+    a JSON sidecar next to the data. A parameter mismatch is
+    UNDETECTABLE from the table schema — band hashes / sign buckets
+    would simply cover different inputs and silently miss pairs — so the
+    parameters live next to the data, like parquet's own ``_metadata``.
+    Hadoop FS API: the index may live on hdfs/s3a."""
     import json
 
     from harvesting_extract_to_ttl_service_spark.sources.files import (
         _hadoop_fs,
     )
 
-    want = {"num_hashes": num_hashes, "bands": bands,
-            "shingle_n": shingle_n}
     fs, _ = _hadoop_fs(spark, index_dir)
     jpath = spark._jvm.org.apache.hadoop.fs.Path(
-        f"{index_dir}/_lsh_params.json")
+        f"{index_dir}/{filename}")
     if fs.exists(jpath):
         stream = fs.open(jpath)
         try:
@@ -409,6 +416,131 @@ def run_dedup_stream(docs_stream: DataFrame, index_dir: str, pairs_dir: str,
 
     writer = (
         docs_stream.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def embedding_dedup_batch(vecs: DataFrame, batch_id: int, index_dir: str,
+                          pairs_dir: str, dim: int,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id",
+                          n_planes: int = 8, threshold: float = 0.9,
+                          materialize_mode: str = "persist",
+                          broadcast_new: bool = True,
+                          components_dir: str | None = None) -> None:
+    """The EMBEDDING twin of :func:`dedup_batch`: semantic (cosine)
+    near-dup detection micro-batch by micro-batch against a growing
+    sign-LSH index — one ``(id, bucket, v, vnorm)`` row per vector,
+    stored per batch under the same replay-idempotent ``batch=<id>``
+    layout, with the same store-side discipline (batch broadcast, index
+    scanned on the bucket equi-join, never shuffled; set
+    ``broadcast_new=False`` for batches whose vectors exceed broadcast
+    size — the join then shuffles BOTH sides on the bucket key, the
+    index's one non-flat mode).
+
+    Emits ``(id_a, id_b, cos_sim)`` pairs (batch×index ∪ batch×batch)
+    with the exact rounded cosine refined inside each bucket — candidate
+    recall follows the sign-LSH bucketing
+    (operators/similarity.lsh_blocked_pairs): cross-bucket near-dups are
+    missed, the safe direction for dedup. The accumulated pairs over any
+    batch split equal one `lsh_blocked_pairs` run over the union
+    (buckets are deterministic), which is the parity the tests pin.
+
+    ``components_dir`` maintains the same cross-batch id→component table
+    as the text path (:func:`update_components` — the two paths share
+    it), so keep-one decisions stay stable as batches arrive. The
+    ``_ann_params.json`` sidecar pins (n_planes, dim) for the index's
+    lifetime; `compact_dedup_index` folds this index's partitions too
+    (it is layout-generic)."""
+    from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+        _pin_join_parallelism,
+    )
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        dot,
+        lsh_bucket,
+        norm,
+    )
+
+    spark = vecs.sparkSession
+    _check_sidecar_params(spark, index_dir,
+                          {"n_planes": n_planes, "dim": dim},
+                          filename="_ann_params.json")
+    newb = (vecs.select(F.col(id_col).alias("id"),
+                        F.col(vec_col).alias("v"))
+            .withColumn("bucket", lsh_bucket(F.col("v"), dim, n_planes))
+            .withColumn("vnorm", norm(F.col("v"))))
+    newb = materialize(newb, materialize_mode)
+
+    def pair_cols(joined: DataFrame) -> DataFrame:
+        # project per branch BEFORE the union (the joined frame carries
+        # both sides' id/v/bucket/vnorm — duplicate names can't union)
+        return joined.select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+            F.round(dot(F.col("a.v"), F.col("b.v"))
+                    / (F.col("a.vnorm") * F.col("b.vnorm")), 6)
+            .alias("cos_sim"))
+
+    try:
+        index = _read_index_except(spark, index_dir, batch_id)
+        new_side = F.broadcast(newb) if broadcast_new else newb
+        # id inequality: same replay-after-compaction guard as the
+        # MinHash path — a replayed batch finds its own vectors in the
+        # compacted batch=-1 partition
+        if index is None:
+            index = newb.limit(0)
+        vs_index = pair_cols(new_side.alias("a").join(
+            index.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") != F.col("b.id"))))
+        pinned = _pin_join_parallelism(newb, "bucket")
+        vs_self = pair_cols(pinned.alias("a").join(
+            pinned.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id"))))
+        # one distinct over the union: a pair surfacing from both
+        # branches (replay-after-compaction) collapses here, and cos_sim
+        # is a deterministic function of the two vectors
+        pairs = (vs_index.unionByName(vs_self).distinct()
+                 .filter(F.col("cos_sim") >= threshold))
+        pairs.write.mode("overwrite").parquet(
+            f"{pairs_dir}/batch={batch_id}")
+        newb.write.mode("overwrite").parquet(
+            f"{index_dir}/batch={batch_id}")
+    finally:
+        if materialize_mode == "persist":
+            newb.unpersist()
+    if components_dir is not None:
+        update_components(
+            vecs, spark.read.parquet(f"{pairs_dir}/batch={batch_id}"),
+            components_dir, batch_id, id_col=id_col)
+
+
+def run_embedding_dedup_stream(vecs_stream: DataFrame, index_dir: str,
+                               pairs_dir: str, checkpoint: str, dim: int,
+                               vec_col: str = "embedding",
+                               id_col: str = "vec_id",
+                               n_planes: int = 8, threshold: float = 0.9,
+                               trigger_available_now: bool = True,
+                               on_batch: Callable[[int], None] | None = None,
+                               components_dir: str | None = None):
+    """Attach the embedding dedup loop to a streaming vector source —
+    the semantic twin of :func:`run_dedup_stream`, same checkpoint +
+    batch=<id> replay contract."""
+
+    def batch_fn(df: DataFrame, batch_id: int) -> None:
+        embedding_dedup_batch(df, batch_id, index_dir, pairs_dir, dim,
+                              vec_col, id_col, n_planes, threshold,
+                              components_dir=components_dir)
+        if on_batch is not None:
+            on_batch(batch_id)
+
+    writer = (
+        vecs_stream.writeStream.foreachBatch(batch_fn)
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
     )

@@ -322,3 +322,86 @@ def test_compact_components_then_merge(spark, tmp_path):
     # replay batch 1 post-compaction: harmless, labels unchanged
     dedup_batch(b1, 1, index_dir, pairs_dir, components_dir=cdir)
     assert _components(spark, cdir) == before | {(20, 2)}
+
+
+# --- embedding (semantic) streaming dedup ---------------------------------
+
+V_SCHEMA = "vec_id long, embedding array<double>"
+DIM = 4
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, V_SCHEMA)
+
+
+def test_embedding_stream_matches_batch_pairs(spark, tmp_path):
+    """Accumulated per-batch pairs equal one lsh_blocked_pairs run over
+    the union (sign buckets are deterministic), including cross-batch
+    pairs found against the stored index; components accumulate the
+    keep-one labels."""
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        lsh_blocked_pairs,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.dedup_stream import (
+        embedding_dedup_batch,
+    )
+
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    cdir = str(tmp_path / "components")
+    batches = [
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        [(10, [0.99, 0.1, 0.0, 0.0]), (11, [0.0, 0.0, 1.0, 0.0])],
+        [(20, [1.0, 0.0, 0.0, 0.0]), (21, [0.0, -1.0, 0.0, 0.0])],
+    ]
+    for i, rows in enumerate(batches):
+        embedding_dedup_batch(_vecs(spark, rows), i, index_dir, pairs_dir,
+                              DIM, n_planes=2, threshold=0.9,
+                              components_dir=cdir)
+
+    got = {(r.id_a, r.id_b, r.cos_sim) for r in
+           spark.read.option("basePath", pairs_dir).parquet(pairs_dir)
+           .drop("batch").collect()}
+    full = {(r.id_a, r.id_b, r.cos_sim) for r in lsh_blocked_pairs(
+        _vecs(spark, [r for rows in batches for r in rows]),
+        threshold=0.9, dim=DIM, n_planes=2).collect()}
+    assert got == full
+    # the planted near-dups: 20 duplicates 1 exactly (cos 1.0, found
+    # against the stored index), 10 is a near-dup of 1
+    assert (1, 20, 1.0) in got
+    assert any(a == 1 and b == 10 for a, b, _ in got)
+    # keep-one labels stable across the stream
+    assert {(r.id, r.component) for r in __import__(
+        "harvesting_extract_to_ttl_service_spark.streaming.dedup_stream",
+        fromlist=["read_components"]).read_components(spark, cdir)
+        .filter("id in (1, 10, 20)").collect()} \
+        == {(1, 1), (10, 1), (20, 1)}
+
+
+def test_embedding_stream_replay_and_sidecar(spark, tmp_path):
+    """Replay idempotence of the batch=<id> overwrite layout, and the
+    _ann_params.json sidecar refusing a plane-count mismatch."""
+    import pytest
+
+    from harvesting_extract_to_ttl_service_spark.streaming.dedup_stream import (
+        embedding_dedup_batch,
+    )
+
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    b0 = _vecs(spark, [(1, [1.0, 0.0, 0.0, 0.0])])
+    b1 = _vecs(spark, [(10, [1.0, 0.0, 0.0, 0.0])])
+    embedding_dedup_batch(b0, 0, index_dir, pairs_dir, DIM, n_planes=2)
+    embedding_dedup_batch(b1, 1, index_dir, pairs_dir, DIM, n_planes=2)
+    first = sorted(map(tuple, spark.read.parquet(
+        f"{pairs_dir}/batch=1").collect()))
+    assert {(r.id_a, r.id_b) for r in spark.read.parquet(
+        f"{pairs_dir}/batch=1").collect()} == {(1, 10)}
+
+    embedding_dedup_batch(b1, 1, index_dir, pairs_dir, DIM, n_planes=2)
+    assert sorted(map(tuple, spark.read.parquet(
+        f"{pairs_dir}/batch=1").collect())) == first
+    assert spark.read.parquet(index_dir).count() == 2
+
+    with pytest.raises(ValueError, match="silently missed"):
+        embedding_dedup_batch(b1, 2, index_dir, pairs_dir, DIM, n_planes=4)
