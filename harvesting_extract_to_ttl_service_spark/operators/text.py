@@ -129,6 +129,86 @@ def rolling_hashes(text: Column, window: int = 8) -> Column:
     )
 
 
+def hot_passages(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", window: int = 8,
+                 min_df: int = 2) -> DataFrame:
+    """Cross-document repeated passages: rolling ``window``-word shingle
+    hashes (:func:`rolling_hashes`) occurring in at least ``min_df``
+    DISTINCT documents — the boilerplate detector behind substring-level
+    dedup (navigation headers, footers, license blocks, templated
+    paragraphs that document-level near-dup cannot see because the
+    surrounding text differs).
+
+    Returns ``(hash, n_docs)``. Scale shape: one explode of per-doc
+    DISTINCT window hashes and one map-side-combinable count — the
+    grouped key space is the passage vocabulary, which is far smaller
+    than the token stream; no joins, no quadratic term."""
+    e = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(
+            rolling_hashes(F.col(text_col), window))).alias("hash"))
+    return (e.groupBy("hash").agg(F.count("*").alias("n_docs"))
+            .filter(F.col("n_docs") >= min_df))
+
+
+def strip_repeated_substrings(df: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id", window: int = 8,
+                              min_df: int = 2,
+                              hot: DataFrame | None = None) -> DataFrame:
+    """Substring-level dedup — the window-granular form of
+    'deduplicating training data' exact-substring removal: delete every
+    token covered by a ``window``-word passage that repeats across
+    ``min_df``+ documents, keeping the rest of each document intact.
+    Document-level dedup keeps one copy of near-identical DOCS; this
+    removes the shared boilerplate INSIDE otherwise-distinct docs.
+
+    Pass a precomputed ``hot`` table (:func:`hot_passages` — e.g. built
+    once for a corpus, or from a frozen reference crawl) to decouple
+    detection from removal; by default it is derived from ``df`` itself.
+    The hot set is boilerplate-vocabulary-sized → BROADCAST; coverage is
+    a per-document column expression (no token ever leaves its row), so
+    the only shuffle is the hot-start aggregation.
+
+    Documents shorter than ``window`` hash as one truncated shingle, so
+    two short identical docs strip to empty — exact-duplicate semantics
+    at the document floor (run exact dedup first if that is not wanted).
+
+    Returns ``df``'s columns with ``text_col`` rebuilt from the
+    surviving tokens (original casing), plus ``n_tokens_before`` /
+    ``n_tokens_removed``."""
+    if hot is None:
+        hot = hot_passages(df, text_col, id_col, window, min_df)
+    starts = (
+        df.select(F.col(id_col).alias("_sid"),
+                  F.posexplode(rolling_hashes(F.col(text_col), window))
+                  .alias("pos", "hash"))
+        .join(F.broadcast(hot.select("hash")), "hash")
+        .groupBy("_sid").agg(F.collect_set("pos").alias("_starts")))
+    marked = (
+        df.join(starts, df[id_col] == starts["_sid"], "left")
+        .drop("_sid")
+        .withColumn("_toks", tokens(F.col(text_col)))
+        .withColumn("_kept", F.filter(
+            F.transform(
+                F.col("_toks"),
+                lambda x, i: F.struct(
+                    x.alias("t"),
+                    F.coalesce(
+                        ~F.exists("_starts",
+                                  lambda s: (i >= s) & (i < s + window)),
+                        F.lit(True)).alias("keep"))),
+            lambda st: st["keep"])))
+    out_cols = [
+        F.concat_ws(" ", F.transform(F.col("_kept"), lambda st: st["t"]))
+        .alias(text_col) if c == text_col else F.col(c)
+        for c in df.columns
+    ]
+    return marked.select(
+        *out_cols,
+        F.size("_toks").alias("n_tokens_before"),
+        (F.size("_toks") - F.size("_kept")).alias("n_tokens_removed"))
+
+
 def unigram_logprob(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", alpha: float = 0.5,
                     materialize_mode: str = "local_checkpoint") -> DataFrame:

@@ -298,11 +298,99 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round("est_jaccard", 4).alias("est_jaccard"))
 
 
+# shared fragment: per-doc rolling 8-word window hashes over doc_id<100
+# with a PLANTED shared footer on every third doc (the fixture corpus has
+# no cross-doc verbatim 8-grams of its own — the corpus_pii pattern: the
+# oracle restates the construction AND the detection), + the cross-doc
+# hot set. Footer-internal windows hash identically across docs because
+# the rolling hash keys on window CONTENT, not position.
+_FOOTER = ("subscribe to the newsletter for weekly updates and special "
+           "offers today")
+_HOT_BASE = f"""
+WITH src AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0 THEN ' {_FOOTER}' ELSE '' END
+         AS text
+  FROM documents WHERE doc_id < 100
+), w AS (
+  SELECT doc_id, {_WORDS} AS w FROM src
+), h AS (
+  SELECT doc_id,
+         [substr(md5(s), 1, 16)
+          for s in [array_to_string(w[i:i+7], ' ')
+                    for i in range(1, greatest(len(w) - 7, 1) + 1)]] AS hashes
+  FROM w
+), e AS (
+  SELECT DISTINCT doc_id, unnest(hashes) AS hash FROM h
+), hot AS (
+  SELECT hash, count(*) AS n_docs FROM e GROUP BY 1 HAVING count(*) >= 2
+)"""
+
+
+def _footered_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """docs 0..99 with the shared footer planted on every third doc."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.when(F.col("doc_id") % 3 == 0, F.lit(f" {_FOOTER}"))
+                 .otherwise(F.lit(""))).alias("text"))
+
+
+@member_sql(_HOT_BASE + """
+SELECT hash, n_docs FROM hot
+""")
+def dedup_hot_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated passages (operators/text.hot_passages):
+    rolling 8-word window hashes occurring in ≥2 distinct docs — the
+    boilerplate detector behind substring-level dedup. The planted
+    footer's internal windows are the hot set."""
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        hot_passages,
+    )
+
+    return hot_passages(_footered_docs(spark, sf_dir))
+
+
+@member_sql(_HOT_BASE + """
+, p AS (
+  SELECT doc_id, unnest([{'pos': i - 1, 'hash': hashes[i]}
+                         for i in range(1, len(hashes) + 1)],
+                        recursive := true)
+  FROM h
+), st AS (
+  SELECT doc_id, list(pos) AS ss
+  FROM p JOIN hot USING (hash) GROUP BY 1
+)
+SELECT w.doc_id, len(w.w) AS n_tokens_before,
+       len(w.w) - len(list_filter(range(0, len(w.w)),
+           i -> len(list_filter(coalesce(ss, CAST([] AS BIGINT[])),
+                                s -> i >= s AND i < s + 8)) = 0))
+       AS n_tokens_removed
+FROM w LEFT JOIN st USING (doc_id)
+""")
+def dedup_strip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup accounting
+    (operators/text.strip_repeated_substrings): per doc, tokens before
+    and tokens removed as covered by a cross-doc repeated window — the
+    oracle restates footer planting, hot-set detection, AND positional
+    coverage (the planted footer strips; original bodies survive)."""
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        strip_repeated_substrings,
+    )
+
+    return strip_repeated_substrings(_footered_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens_before", "n_tokens_removed")
+
+
 _DEDUP_MEMBERS = [
     ("exact", dedup_exact_docs, ["fp", "canonical_id", "group_size"], []),
     ("ngram", dedup_ngram_jaccard, ["id_a", "id_b"], ["jaccard"]),
     ("clusters", dedup_clusters, ["doc_id", "cluster"], []),
     ("incr", dedup_incremental, ["id_a", "id_b"], ["est_jaccard"]),
+    ("hot", dedup_hot_passages, ["hash", "n_docs"], []),
+    ("strip", dedup_strip_stats,
+     ["doc_id", "n_tokens_before", "n_tokens_removed"], []),
 ]
 
 

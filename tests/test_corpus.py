@@ -486,3 +486,34 @@ def test_unigram_logprob_hand_computed(spark):
     assert got[1].n_tokens == 3 and got[2].n_tokens == 2
     assert abs(got[1].avg_logprob - p_ab) < 1e-12
     assert abs(got[2].avg_logprob - (p_ab + p_c) / 2) < 1e-12
+
+
+def test_strip_repeated_substrings_planted_boilerplate(spark):
+    """A shared 8-word footer across otherwise-distinct docs is removed
+    from every doc; unique body text survives with casing intact; a doc
+    without the footer is untouched."""
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        hot_passages,
+        strip_repeated_substrings,
+    )
+
+    footer = "subscribe to Our newsletter for weekly updates and offers"
+    docs = spark.createDataFrame([
+        (1, f"Unique alpha content about glaciers {footer}"),
+        (2, f"Totally different beta story on volcanoes {footer}"),
+        (3, "No boilerplate here just original gamma text body words"),
+    ], "doc_id long, text string")
+
+    hot = hot_passages(docs, window=8)
+    assert hot.count() >= 1  # the footer's windows repeat in docs 1+2
+
+    out = {r.doc_id: r for r in
+           strip_repeated_substrings(docs, window=8).collect()}
+    assert out[1].text == "Unique alpha content about glaciers"
+    assert out[2].text == "Totally different beta story on volcanoes"
+    assert out[3].text.startswith("No boilerplate")
+    assert out[3].n_tokens_removed == 0
+    assert out[1].n_tokens_before == 14 and out[1].n_tokens_removed == 9
+    # casing preserved in the rebuilt text ("Our" was only lowercased
+    # for hashing, not in the output)... removed here, but doc 3 keeps its caps
+    assert out[3].text == "No boilerplate here just original gamma text body words"
