@@ -318,19 +318,27 @@ def filter_documents(docs: DataFrame, min_quality: float = 0.4,
                      max_dup_line_ratio: float | None = None,
                      max_top_bigram_ratio: float | None = None,
                      max_pii_signals: int | None = None,
+                     min_avg_logprob: float | None = None,
+                     lm_counts: DataFrame | None = None,
+                     lm_alpha: float = 0.5,
                      text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Stage 1 of the corpus funnel: heuristic quality ≥ ``min_quality``,
     language allowlist (operators/text.py ``annotate_documents``),
     optional repetition caps (``max_dup_line_ratio`` /
-    ``max_top_bigram_ratio``) and PII-signal cap (``max_pii_signals``:
-    emails+urls+phones). Every signal is a per-document function of the
-    text alone — no cross-document state — which is exactly why the
-    batch funnel (:func:`build_training_corpus`) and its streaming twin
-    (streaming/corpus_stream.py) can share this stage verbatim: applying
-    it per micro-batch or over the whole corpus yields the same
-    survivor set. Returns the surviving rows with ``docs``' original
-    columns."""
+    ``max_top_bigram_ratio``), PII-signal cap (``max_pii_signals``:
+    emails+urls+phones), and an optional LM quality floor
+    (``min_avg_logprob``: mean token log-probability ≥ floor under a
+    FROZEN reference unigram model ``lm_counts`` —
+    operators/text.py :func:`~..text.unigram_counts`; required with the
+    floor, because a self-trained model would make the filter a
+    corpus-level statistic). Every signal is a per-document function of
+    the text (and the frozen model) alone — no cross-document state —
+    which is exactly why the batch funnel (:func:`build_training_corpus`)
+    and its streaming twin (streaming/corpus_stream.py) can share this
+    stage verbatim: applying it per micro-batch or over the whole corpus
+    yields the same survivor set. Returns the surviving rows with
+    ``docs``' original columns."""
     from harvesting_extract_to_ttl_service_spark.operators.text import (
         annotate_documents,
     )
@@ -363,6 +371,23 @@ def filter_documents(docs: DataFrame, min_quality: float = 0.4,
             F.col("n_emails") + F.col("n_urls") + F.col("n_phones")
             <= max_pii_signals).select(*docs.columns)
 
+    if min_avg_logprob is not None:
+        if lm_counts is None:
+            raise ValueError(
+                "min_avg_logprob requires lm_counts (a frozen reference "
+                "model from unigram_counts): a self-trained score is a "
+                "corpus-level statistic and would differ between the "
+                "batch and streaming funnels")
+        from harvesting_extract_to_ttl_service_spark.operators.text import (
+            unigram_logprob,
+        )
+
+        keep = (unigram_logprob(survivors, text_col, id_col, lm_alpha,
+                                model_counts=lm_counts)
+                .filter(F.col("avg_logprob") >= min_avg_logprob)
+                .select(id_col))
+        survivors = survivors.join(keep, id_col, "left_semi")
+
     return survivors
 
 
@@ -373,6 +398,9 @@ def build_training_corpus(docs: DataFrame,
                           max_dup_line_ratio: float | None = None,
                           max_top_bigram_ratio: float | None = None,
                           max_pii_signals: int | None = None,
+                          min_avg_logprob: float | None = None,
+                          lm_counts: DataFrame | None = None,
+                          lm_alpha: float = 0.5,
                           near_dup_threshold: float | None = 0.7,
                           decontam_min_overlap: int = 2,
                           decontam_mode: str = "shingle",
@@ -388,8 +416,10 @@ def build_training_corpus(docs: DataFrame,
       1. annotate + filter: heuristic quality ≥ ``min_quality``, language
          allowlist (operators/text.py `annotate_documents`); optional
          repetition caps (``max_dup_line_ratio`` /
-         ``max_top_bigram_ratio``) and PII-signal cap
-         (``max_pii_signals``: emails+urls+phones) from the same module;
+         ``max_top_bigram_ratio``), PII-signal cap
+         (``max_pii_signals``: emails+urls+phones), and LM quality floor
+         (``min_avg_logprob`` against a frozen ``lm_counts`` model) from
+         the same module (:func:`filter_documents`);
       2. exact dedup: keep the min-id row per normalized text;
       3. near-dup dedup (``near_dup_threshold`` not None): MinHash-LSH
          pairs → connected components → keep each cluster's min-id
@@ -423,7 +453,8 @@ def build_training_corpus(docs: DataFrame,
 
     survivors = filter_documents(
         docs, min_quality, langs, max_dup_line_ratio, max_top_bigram_ratio,
-        max_pii_signals, text_col, id_col)
+        max_pii_signals, min_avg_logprob, lm_counts, lm_alpha,
+        text_col=text_col, id_col=id_col)
 
     survivors = drop_exact_duplicates(survivors, text_col, id_col)
 

@@ -209,9 +209,23 @@ def strip_repeated_substrings(df: DataFrame, text_col: str = "text",
         (F.size("_toks") - F.size("_kept")).alias("n_tokens_removed"))
 
 
+def unigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus unigram counts ``(t, ct)`` over lowercased whitespace
+    tokens — the trainable half of :func:`unigram_logprob`. Persist the
+    result (plain parquet) to FREEZE a reference model: scoring against
+    frozen counts makes the LM score a pure per-document function, which
+    is what lets it run identically in the batch and streaming funnels
+    (a self-trained score is a corpus-level statistic and would drift
+    between the two)."""
+    return (df.select(F.explode(tokens(F.lower(F.col(text_col))))
+                      .alias("t"))
+            .groupBy("t").agg(F.count("*").alias("ct")))
+
+
 def unigram_logprob(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", alpha: float = 0.5,
-                    materialize_mode: str = "local_checkpoint") -> DataFrame:
+                    materialize_mode: str = "local_checkpoint",
+                    model_counts: DataFrame | None = None) -> DataFrame:
     """Per-document mean unigram log-probability under the corpus's own
     unigram model — the perplexity-proxy quality score of the CCNet /
     language-model-filtering tradition (fluent text scores near the
@@ -234,11 +248,15 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     docs-containing-the-token, and each joined row is one (doc, token)
     pair, not one instance.
 
-    This is a CORPUS-LEVEL statistic (the model is the corpus), so it is
-    deliberately not a `build_training_corpus` stage: in a streaming
-    funnel the accumulated counts would drift from a batch recompute.
-    Score once over a frozen corpus (or against a frozen reference
-    model's counts) and filter on the result.
+    By default the model IS the corpus — a corpus-level statistic, so
+    the self-trained form is deliberately not a `build_training_corpus`
+    stage (in a streaming funnel the accumulated counts would drift from
+    a batch recompute). Pass ``model_counts`` (a ``(t, ct)`` table from
+    :func:`unigram_counts`, e.g. read back from parquet) to score
+    against a FROZEN reference model instead: the score then depends
+    only on the document and the model, tokens absent from the model
+    get the smoothed floor α/(N+αV), and the filter becomes safe for
+    both funnels (``filter_documents`` ``min_avg_logprob``).
 
     Returns ``(id_col, n_tokens, avg_logprob)``."""
     from harvesting_extract_to_ttl_service_spark.operators.materialize import (
@@ -248,20 +266,27 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     toks = df.select(
         F.col(id_col),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("t"))
-    # materialize the (doc, token) partials once: they feed BOTH join
-    # sides (directly, and again through vocab → tot), and the planner
-    # duplicates unreferenced subtrees rather than reuse them — without
-    # the cut the text explode+count would run three times
-    per_doc = materialize(
-        toks.groupBy(id_col, "t").agg(F.count("*").alias("c")),
-        materialize_mode)
-    vocab = per_doc.groupBy("t").agg(F.sum("c").alias("ct"))
+    per_doc = toks.groupBy(id_col, "t").agg(F.count("*").alias("c"))
+    if model_counts is None:
+        # materialize the (doc, token) partials once: they feed BOTH
+        # join sides (directly, and again through vocab → tot), and the
+        # planner duplicates unreferenced subtrees rather than reuse
+        # them — without the cut the text explode+count would run three
+        # times. With an external model the partials feed only the join,
+        # so no cut is needed.
+        per_doc = materialize(per_doc, materialize_mode)
+        vocab = per_doc.groupBy("t").agg(F.sum("c").alias("ct"))
+    else:
+        vocab = model_counts.select("t", "ct")
     tot = vocab.agg(F.sum("ct").alias("n_total"),
                     F.count("*").alias("v"))
-    lp = F.log((F.col("ct") + F.lit(alpha))
+    # left join + zero floor: identical to the inner join when the model
+    # is the corpus itself (every token is in-vocab), and the smoothed
+    # OOV probability α/(N+αV) against a frozen model
+    lp = F.log((F.coalesce(F.col("ct"), F.lit(0)) + F.lit(alpha))
                / (F.col("n_total") + F.lit(alpha) * F.col("v")))
     return (
-        per_doc.join(vocab, "t")
+        per_doc.join(vocab, "t", "left")
         .crossJoin(F.broadcast(tot))
         .groupBy(id_col)
         .agg(F.sum("c").alias("n_tokens"),

@@ -79,6 +79,9 @@ def corpus_batch(docs: DataFrame, batch_id: int, corpus_dir: str,
                  max_dup_line_ratio: float | None = None,
                  max_top_bigram_ratio: float | None = None,
                  max_pii_signals: int | None = None,
+                 min_avg_logprob: float | None = None,
+                 lm_counts: DataFrame | None = None,
+                 lm_alpha: float = 0.5,
                  near_dup_threshold: float | None = 0.7,
                  decontam_min_overlap: int = 2,
                  decontam_mode: str = "shingle",
@@ -122,7 +125,8 @@ def corpus_batch(docs: DataFrame, batch_id: int, corpus_dir: str,
     spark = docs.sparkSession
     filtered = filter_documents(
         docs, min_quality, langs, max_dup_line_ratio, max_top_bigram_ratio,
-        max_pii_signals, text_col, id_col)
+        max_pii_signals, min_avg_logprob, lm_counts, lm_alpha,
+        text_col=text_col, id_col=id_col)
 
     # exact dedup: keep-one within the batch, then drop texts already in
     # the store (first delivery wins — with arrival-ordered ids that IS

@@ -517,3 +517,76 @@ def test_strip_repeated_substrings_planted_boilerplate(spark):
     # casing preserved in the rebuilt text ("Our" was only lowercased
     # for hashing, not in the output)... removed here, but doc 3 keeps its caps
     assert out[3].text == "No boilerplate here just original gamma text body words"
+
+
+def test_unigram_logprob_frozen_model_oov(spark):
+    """Scoring against FROZEN reference counts: in-vocab tokens use the
+    model's probabilities, OOV tokens get the smoothed floor α/(N+αV),
+    and the model corpus itself never enters the score."""
+    import math
+
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        unigram_counts,
+        unigram_logprob,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string")
+    model = unigram_counts(ref)  # C: a=2 b=2 c=1, N=5, V=3
+    docs = spark.createDataFrame(
+        [(10, "a zzz")], "doc_id long, text string")
+    got = unigram_logprob(docs, alpha=0.5, model_counts=model).collect()[0]
+    want = (math.log(2.5 / 6.5) + math.log(0.5 / 6.5)) / 2
+    assert got.n_tokens == 2
+    assert abs(got.avg_logprob - want) < 1e-12
+
+
+def test_lm_floor_shared_by_batch_and_stream(spark, tmp_path):
+    """min_avg_logprob with a frozen model is a per-document filter, so
+    the batch funnel and the streaming funnel drop the same gibberish
+    document — the corpus-level-statistic caveat of the self-trained
+    score does not apply."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        build_training_corpus,
+        filter_documents,
+    )
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        unigram_counts,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.corpus_stream import (
+        corpus_batch,
+        read_corpus,
+    )
+
+    ref = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog near the "
+               "river bank while the sun sets slowly")],
+        "doc_id long, text string")
+    model = unigram_counts(ref)
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "xqzt vprw klmn bdfg hjkl qwrt zxcv bnms"),  # all OOV
+        (3, "the sun sets slowly near the river bank"),
+    ]
+    params = dict(min_quality=0.0, near_dup_threshold=None,
+                  min_avg_logprob=-3.2, lm_counts=model)
+
+    batch = {r.doc_id for r in build_training_corpus(
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        **params).collect()}
+    assert batch == {1, 3}
+
+    cdir = str(tmp_path / "corpus")
+    corpus_batch(spark.createDataFrame(docs[:2], "doc_id long, text string"),
+                 0, cdir, **params)
+    corpus_batch(spark.createDataFrame(docs[2:], "doc_id long, text string"),
+                 1, cdir, **params)
+    assert {r.doc_id for r in read_corpus(spark, cdir).collect()} == batch
+
+    # and the guard: a floor without a frozen model is refused
+    import pytest
+
+    with pytest.raises(ValueError, match="corpus-level"):
+        filter_documents(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            min_quality=0.0, min_avg_logprob=-3.2)
