@@ -151,6 +151,42 @@ def temperature_mixture(df: DataFrame, strata_col: str = "lang",
     )
 
 
+def temperature_sample(df: DataFrame, strata_col: str = "lang",
+                       text_col: str = "text", id_col: str = "doc_id",
+                       alpha: float = 0.5,
+                       budget_tokens: int = 1_000_000,
+                       salt: str = "tsample") -> DataFrame:
+    """The sampler that REALIZES :func:`temperature_mixture`'s
+    allocation: per stratum, keep each document with probability
+    alloc_tokens_s / n_tokens_s (clamped at 1), so the kept corpus's
+    expected per-stratum token mass matches the temperature-``alpha``
+    budget split. Membership is the deterministic
+    :func:`hash_fraction` of the doc id — reproducible across runs and
+    engines, no ``rand()``.
+
+    Rate-based (expected-value budget), not an exact token-prefix cut:
+    an exact cut needs a per-stratum ordered cumulative sum — one
+    window task per stratum, which a 100 TB stratum turns into a
+    straggler — while the rate filter is a broadcast join plus a
+    per-row hash compare at scan speed. At corpus scale the relative
+    deviation from the target budget is O(1/√n_docs); for an exact cut
+    on small strata, sort the survivors and trim.
+
+    Returns the sampled rows of ``df`` (original columns)."""
+    mix = temperature_mixture(df, strata_col, text_col, alpha,
+                              budget_tokens)
+    rates = mix.select(
+        strata_col,
+        F.least(F.lit(1.0),
+                F.col("alloc_tokens") / F.col("n_tokens")).alias("_rate"))
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(hash_fraction(F.col(id_col), salt) < F.col("_rate"))
+        .drop("_rate")
+        .select(*df.columns)
+    )
+
+
 def assign_shards(df: DataFrame, n_shards: int, id_col: str = "doc_id",
                   salt: str = "shard") -> DataFrame:
     """Deterministic shard assignment: shard = hash32(id||salt) mod
@@ -321,6 +357,8 @@ def filter_documents(docs: DataFrame, min_quality: float = 0.4,
                      min_avg_logprob: float | None = None,
                      lm_counts: DataFrame | None = None,
                      lm_alpha: float = 0.5,
+                     strip_hot: DataFrame | None = None,
+                     strip_window: int = 8,
                      text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Stage 1 of the corpus funnel: heuristic quality ≥ ``min_quality``,
@@ -338,10 +376,27 @@ def filter_documents(docs: DataFrame, min_quality: float = 0.4,
     and its streaming twin (streaming/corpus_stream.py) can share this
     stage verbatim: applying it per micro-batch or over the whole corpus
     yields the same survivor set. Returns the surviving rows with
-    ``docs``' original columns."""
+    ``docs``' original columns.
+
+    ``strip_hot`` (a FROZEN hot-passage table from
+    operators/text.py :func:`~..text.hot_passages` — frozen for the same
+    batch/stream-parity reason as ``lm_counts``) additionally REWRITES
+    ``text_col`` first, deleting tokens covered by a known boilerplate
+    window (:func:`~..text.strip_repeated_substrings`) — run before the
+    quality score so boilerplate neither inflates nor sinks it, and
+    before dedup so fingerprints/signatures see the real content."""
     from harvesting_extract_to_ttl_service_spark.operators.text import (
         annotate_documents,
     )
+
+    if strip_hot is not None:
+        from harvesting_extract_to_ttl_service_spark.operators.text import (
+            strip_repeated_substrings,
+        )
+
+        docs = strip_repeated_substrings(
+            docs, text_col, id_col, strip_window,
+            hot=strip_hot).select(*docs.columns)
 
     annotated = annotate_documents(docs, text_col=text_col, id_col=id_col)
     kept = annotated.filter(F.col("quality") >= min_quality)
@@ -401,6 +456,8 @@ def build_training_corpus(docs: DataFrame,
                           min_avg_logprob: float | None = None,
                           lm_counts: DataFrame | None = None,
                           lm_alpha: float = 0.5,
+                          strip_hot: DataFrame | None = None,
+                          strip_window: int = 8,
                           near_dup_threshold: float | None = 0.7,
                           decontam_min_overlap: int = 2,
                           decontam_mode: str = "shingle",
@@ -454,7 +511,7 @@ def build_training_corpus(docs: DataFrame,
     survivors = filter_documents(
         docs, min_quality, langs, max_dup_line_ratio, max_top_bigram_ratio,
         max_pii_signals, min_avg_logprob, lm_counts, lm_alpha,
-        text_col=text_col, id_col=id_col)
+        strip_hot, strip_window, text_col=text_col, id_col=id_col)
 
     survivors = drop_exact_duplicates(survivors, text_col, id_col)
 

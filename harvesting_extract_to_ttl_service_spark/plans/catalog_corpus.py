@@ -54,6 +54,7 @@ _SAMPLE_CAP = 100
 _MIX_ALPHA = 0.5
 _MIX_BUDGET = 1_000_000
 _N_SHARDS = 8
+_TS_BUDGET = 10_000  # << corpus token mass, so tsample rates land below 1
 _PACK_BUDGET = 2_000
 
 _SHARD_EXPR = (f"CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),"
@@ -365,6 +366,39 @@ def corpus_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_emails", "n_urls", "n_phones")
 
 
+@member_sql(f"""
+WITH c AS (
+  SELECT lang, count(*) AS n_docs,
+         sum(len({_TOKS})) AS n_tokens,
+         pow(count(*), {_MIX_ALPHA}) AS w
+  FROM documents GROUP BY lang
+), d AS (
+  SELECT list_reduce(list(w ORDER BY lang), (x, y) -> x + y) AS denom FROM c
+), r AS (
+  SELECT lang,
+         least(1.0, round({float(_TS_BUDGET)} * w / denom, 0) / n_tokens)
+         AS rate
+  FROM c, d
+)
+SELECT doc_id, lang FROM documents JOIN r USING (lang)
+WHERE {hash_fraction_sql('doc_id', 'tsample')} < rate
+""")
+def corpus_tsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling — the sampler realizing `corpus_mix`'s
+    allocation: per-language keep rate alloc_tokens/n_tokens, membership
+    a deterministic doc-id hash fraction (row-for-row oracle-verified;
+    the rate reuses the mixture's rounded allocation so both engines
+    compare against the identical double)."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        temperature_sample,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return temperature_sample(docs, alpha=_MIX_ALPHA,
+                              budget_tokens=_TS_BUDGET).select(
+        "doc_id", "lang")
+
+
 _LM_ALPHA = 0.5
 
 
@@ -414,6 +448,7 @@ _CORPUS_MEMBERS = [
      ["dup_line_ratio", "top_bigram_ratio"]),
     ("pii", corpus_pii, ["doc_id", "n_emails", "n_urls", "n_phones"], []),
     ("lm", corpus_lm, ["doc_id", "n_tokens"], ["avg_logprob"]),
+    ("tsample", corpus_tsample, ["doc_id", "lang"], []),
 ]
 
 

@@ -82,6 +82,8 @@ def corpus_batch(docs: DataFrame, batch_id: int, corpus_dir: str,
                  min_avg_logprob: float | None = None,
                  lm_counts: DataFrame | None = None,
                  lm_alpha: float = 0.5,
+                 strip_hot: DataFrame | None = None,
+                 strip_window: int = 8,
                  near_dup_threshold: float | None = 0.7,
                  decontam_min_overlap: int = 2,
                  decontam_mode: str = "shingle",
@@ -126,7 +128,7 @@ def corpus_batch(docs: DataFrame, batch_id: int, corpus_dir: str,
     filtered = filter_documents(
         docs, min_quality, langs, max_dup_line_ratio, max_top_bigram_ratio,
         max_pii_signals, min_avg_logprob, lm_counts, lm_alpha,
-        text_col=text_col, id_col=id_col)
+        strip_hot, strip_window, text_col=text_col, id_col=id_col)
 
     # exact dedup: keep-one within the batch, then drop texts already in
     # the store (first delivery wins — with arrival-ordered ids that IS

@@ -252,3 +252,48 @@ def test_fingerprint_probe_scans_store_without_shuffle(spark, tmp_path):
     store_branch = plan.split("BroadcastHashJoin")[1] \
         .split("BroadcastQueryStage")[0]
     assert "Exchange hashpartitioning" not in store_branch, plan
+
+
+def test_frozen_strip_hot_shared_by_batch_and_stream(spark, tmp_path):
+    """A FROZEN hot-passage table makes boilerplate stripping a pure
+    per-document rewrite: batch and streaming funnels strip the same
+    footer, and two docs identical EXCEPT for the footer become exact
+    duplicates after the strip in both paths."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        build_training_corpus,
+    )
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        hot_passages,
+    )
+
+    footer = "subscribe to our newsletter for weekly updates and offers"
+    docs = [
+        (1, f"unique alpha content about glaciers today {footer}"),
+        (2, "unique alpha content about glaciers today"),  # dup post-strip
+        (3, f"different beta story about volcanoes erupting {footer}"),
+    ]
+    # freeze the hot set from a reference crawl where the footer repeats
+    ref = spark.createDataFrame(
+        [(100, f"one reference page body {footer}"),
+         (101, f"another reference body text {footer}")],
+        "doc_id long, text string")
+    hot = hot_passages(ref, window=8)
+    assert hot.count() >= 1
+
+    params = dict(min_quality=0.0, near_dup_threshold=None,
+                  strip_hot=hot)
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    batch = {(r.doc_id, r.text) for r in
+             build_training_corpus(sdf, **params).collect()}
+    # 2 collapsed into 1 (post-strip exact dup); footers gone
+    assert {i for i, _ in batch} == {1, 3}
+    assert all(not t.endswith("offers") for _, t in batch)
+
+    cdir = str(tmp_path / "corpus")
+    corpus_batch(spark.createDataFrame(docs[:1], "doc_id long, text string"),
+                 0, cdir, **params)
+    corpus_batch(spark.createDataFrame(docs[1:], "doc_id long, text string"),
+                 1, cdir, **params)
+    stream = {(r.doc_id, r.text) for r in
+              read_corpus(spark, cdir).collect()}
+    assert stream == batch
