@@ -297,3 +297,15 @@ def test_frozen_strip_hot_shared_by_batch_and_stream(spark, tmp_path):
     stream = {(r.doc_id, r.text) for r in
               read_corpus(spark, cdir).collect()}
     assert stream == batch
+
+
+def test_empty_micro_batches_are_harmless(spark, tmp_path):
+    """Empty micro-batches through the full corpus funnel: state and
+    output stay consistent, later real batches are unaffected."""
+    empty = spark.createDataFrame([], SCHEMA)
+    cdir = str(tmp_path / "corpus")
+    corpus_batch(empty, 0, cdir, _bench(spark), **FUNNEL)
+    corpus_batch(spark.createDataFrame(BATCHES[0], SCHEMA), 1, cdir,
+                 _bench(spark), **FUNNEL)
+    corpus_batch(empty, 2, cdir, _bench(spark), **FUNNEL)
+    assert _survivor_ids(spark, cdir) == {1, 2}

@@ -405,3 +405,23 @@ def test_embedding_stream_replay_and_sidecar(spark, tmp_path):
 
     with pytest.raises(ValueError, match="silently missed"):
         embedding_dedup_batch(b1, 2, index_dir, pairs_dir, DIM, n_planes=4)
+
+
+def test_empty_micro_batches_are_harmless(spark, tmp_path):
+    """Production streams fire empty micro-batches (trigger with no new
+    files): an empty FIRST batch, an empty batch after real data, and
+    the component merge must all no-op cleanly rather than crash or
+    corrupt state."""
+    from harvesting_extract_to_ttl_service_spark.streaming.dedup_stream import (
+        read_components,
+    )
+
+    empty = spark.createDataFrame([], SCHEMA)
+    i, p, c = (str(tmp_path / d) for d in ("i", "p", "c"))
+    dedup_batch(empty, 0, i, p, components_dir=c)
+    dedup_batch(spark.createDataFrame([(1, T_A)], SCHEMA), 1, i, p,
+                components_dir=c)
+    dedup_batch(empty, 2, i, p, components_dir=c)
+    assert {(r.id, r.component) for r in
+            read_components(spark, c).collect()} == {(1, 1)}
+    assert spark.read.option("basePath", p).parquet(p).count() == 0
