@@ -230,6 +230,22 @@ def read_corpus(spark: SparkSession, corpus_dir: str) -> DataFrame:
             .parquet(f"{corpus_dir}/corpus").drop("batch"))
 
 
+def read_training_shard(spark: SparkSession, corpus_dir: str,
+                        shard: int) -> DataFrame:
+    """One shard's training stream across every batch, in load order —
+    the read contract of the per-batch shard writer: rows ordered by
+    (batch, start_offset), which a loader concatenates and chunks
+    sequentially (chunk = floor(start_offset / budget) is monotone in
+    start_offset within a batch, so this equals (batch, chunk, id)
+    order). The ``shard = k`` filter is a partition-pruning predicate —
+    the scan touches only the ``batch=*/shard=k`` subtrees, never the
+    other shards' files."""
+    return (spark.read.option("basePath", f"{corpus_dir}/shards")
+            .parquet(f"{corpus_dir}/shards")
+            .filter(F.col("shard") == shard)
+            .orderBy("batch", "start_offset"))
+
+
 def compact_corpus_state(spark: SparkSession, corpus_dir: str,
                          target_partitions: int | None = None
                          ) -> dict[str, int]:

@@ -309,3 +309,29 @@ def test_empty_micro_batches_are_harmless(spark, tmp_path):
                  _bench(spark), **FUNNEL)
     corpus_batch(empty, 2, cdir, _bench(spark), **FUNNEL)
     assert _survivor_ids(spark, cdir) == {1, 2}
+
+
+def test_read_training_shard_order_and_pruning(spark, tmp_path):
+    """A shard's stream is its batches' rows in (batch, start_offset)
+    order, covers exactly that shard's survivors, and the shard filter
+    reaches the scan as a partition-pruning predicate."""
+    from harvesting_extract_to_ttl_service_spark.streaming.corpus_stream import (
+        read_training_shard,
+    )
+
+    cdir = str(tmp_path / "corpus")
+    for i, rows in enumerate(BATCHES):
+        corpus_batch(spark.createDataFrame(rows, SCHEMA), i, cdir,
+                     _bench(spark), n_shards=2, budget_tokens=8, **FUNNEL)
+
+    seen = set()
+    for shard in (0, 1):
+        df = read_training_shard(spark, cdir, shard)
+        rows = df.collect()
+        seen |= {r.doc_id for r in rows}
+        keys = [(r.batch, r.start_offset) for r in rows]
+        assert keys == sorted(keys)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        pf = plan[plan.find("PartitionFilters"):].split("]")[0]
+        assert "shard" in pf and "isnotnull" in pf, plan
+    assert seen == _survivor_ids(spark, cdir)
