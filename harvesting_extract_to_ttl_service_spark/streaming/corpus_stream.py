@@ -155,6 +155,21 @@ def corpus_batch(docs: DataFrame, batch_id: int, corpus_dir: str,
             # cost the streaming loop exists to avoid. `hit` (store fps
             # present in this batch) is ≤ batch-sized, so the final
             # anti-join broadcasts too.
+            #
+            # Replay-after-compaction guard (the a.id != b.id twin of
+            # the LSH paths): after compact_corpus_state folds the
+            # fingerprints into batch=-1, a replayed batch finds its OWN
+            # fingerprints in the store (read_state_except can no longer
+            # exclude them by partition) — without this anti-join on the
+            # batch's own ids, `kept` would come out empty and the
+            # replay would overwrite corpus/batch=<id> with nothing,
+            # permanently losing the batch's survivors. Fingerprint rows
+            # are keyed by the doc id that wrote them and ids are unique
+            # across batches, so excluding the batch's ids excludes
+            # exactly the batch's own prior rows.
+            own_ids = uniq.select(F.col(id_col).alias("id"))
+            stored_fp = stored_fp.join(F.broadcast(own_ids), "id",
+                                       "left_anti")
             batch_fps = uniq.select("_fp").distinct()
             hit = (stored_fp.select(F.col("fp").alias("_fp"))
                    .join(F.broadcast(batch_fps), "_fp", "left_semi")
@@ -174,8 +189,11 @@ def corpus_batch(docs: DataFrame, batch_id: int, corpus_dir: str,
                         components_dir=f"{corpus_dir}/components")
             # keep-one: a batch doc survives iff it is its component's
             # representative (min id). The batch's own label partition
-            # covers every batch id (update_components always writes new
-            # ids), so no global resolution read is needed here.
+            # covers every batch id — update_components writes a row for
+            # EVERY id of the batch unconditionally, a contract that
+            # matters on replay-after-compaction where the ids' labels
+            # already sit unchanged in batch=-1 — so no global
+            # resolution read is needed here.
             own = spark.read.parquet(
                 f"{corpus_dir}/components/batch={batch_id}")
             reps = (own.filter(F.col("id") == F.col("component"))

@@ -217,20 +217,54 @@ def read_components(spark: SparkSession,
             .filter(F.col("_rn") == 1).select("id", "component"))
 
 
-def _read_components_except(spark: SparkSession, components_dir: str,
-                            batch_id: int) -> DataFrame | None:
-    """:func:`read_components` minus the current batch's own partition —
-    a replayed batch must merge against the PRE-batch state, or its
-    'changed labels' delta would come out empty and the overwrite would
-    erase the previous run's labels."""
-    from pyspark.sql import Window
+def _resolve_labels(rows: DataFrame) -> DataFrame:
+    """Highest-batch-wins per-id resolution of raw ``(id, component,
+    batch)`` label rows → ``(id, component)``. One map-side-combinable
+    aggregate — ``max(struct(batch, component))`` — not a Window: a
+    Window over the full store forces ``Exchange hashpartitioning(id)``
+    of the store BELOW any later join (Catalyst cannot push a join
+    under a Window), which is exactly the store shuffle the merge must
+    avoid. Callers pass an already-RESTRICTED subset (the output of a
+    broadcast probe against batch-derived keys), so the aggregate's
+    shuffle moves only frontier-sized rows. (id, batch) is unique by
+    construction — each batch partition holds at most one label per id —
+    so the struct max picks exactly the latest batch's component."""
+    return (rows.groupBy("id")
+            .agg(F.max(F.struct("batch", "component")).alias("_m"))
+            .select("id", F.col("_m.component").alias("component")))
 
-    raw = read_state_except(spark, components_dir, batch_id)
-    if raw is None:
-        return None
-    w = Window.partitionBy("id").orderBy(F.col("batch").desc())
-    return (raw.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1).select("id", "component"))
+
+def _touched_frontier(raw: DataFrame, endpoints: DataFrame) -> DataFrame:
+    """Current ``(id, component)`` labels of every id whose CURRENT
+    component is touched by the batch's pair ``endpoints`` — the only
+    part of the stored label table the incremental merge needs.
+
+    Store-scan discipline (the 100 TB contract, pinned by
+    tests/test_dedup_stream.py's plan test): the raw store is probed
+    three times, each time by a BROADCAST join keyed on a batch-derived
+    side, and is never itself exchanged —
+
+      1. ``raw ⋈ broadcast(endpoints)`` on id → the endpoint ids' raw
+         rows; resolving THAT subset yields their current components
+         (per-id resolution only needs the id's own rows, all of which
+         the id-equi-join preserves);
+      2. ``raw ⋉ broadcast(touched)`` on component → candidate ids:
+         every id that EVER carried a touched label (a superset of the
+         frontier — some candidates since moved to untouched
+         components);
+      3. ``raw ⋈ broadcast(candidate ids)`` on id → the candidates'
+         full row sets, resolved per id and then semi-joined back to
+         ``touched`` to drop the stale candidates.
+
+    Every ``Exchange hashpartitioning(id)`` in the resulting plan sits
+    ABOVE a broadcast join, i.e. shuffles only matched (frontier-sized)
+    rows; the store side contributes scans only."""
+    ep_now = _resolve_labels(raw.join(F.broadcast(endpoints), "id"))
+    touched = ep_now.select("component").distinct()
+    cand_ids = (raw.join(F.broadcast(touched), "component", "left_semi")
+                .select("id").distinct())
+    return (_resolve_labels(raw.join(F.broadcast(cand_ids), "id"))
+            .join(F.broadcast(touched), "component", "left_semi"))
 
 
 def update_components(batch_ids: DataFrame, pairs: DataFrame,
@@ -245,16 +279,24 @@ def update_components(batch_ids: DataFrame, pairs: DataFrame,
     Incremental union-find, frontier-restricted:
       1. the batch's pair endpoints identify the TOUCHED stored
          components; everything else is untouched and never read into
-         the propagation;
+         the propagation (:func:`_touched_frontier` — the stored table
+         is only ever probed by broadcast joins, never shuffled);
       2. stored labels become star edges (id — component) for the
          touched components only, unioned with the batch's pairs;
       3. :func:`~harvesting_extract_to_ttl_service_spark.operators.dedup.
          connected_components` runs over just that frontier (near-dup
          clusters are shallow stars, so this converges in 1-2 rounds);
-      4. only NEW or CHANGED labels are written, to
-         ``<dir>/batch=<batch_id>`` with overwrite — same
-         replay-idempotent layout as the pairs/index writes, and the
-         per-id resolution at read time is "highest batch wins"
+      4. the batch's partition ``<dir>/batch=<batch_id>`` (overwrite —
+         same replay-idempotent layout as the pairs/index writes) gets a
+         row for EVERY id of the batch, plus the stored rows whose label
+         moved. Writing all batch ids unconditionally — not just
+         new-or-changed ones — is a consumer contract: keep-one readers
+         (streaming/corpus_stream.py) resolve a batch's representatives
+         from ``components/batch=<id>`` ALONE, and on a replay after
+         compaction the batch's ids already sit (unchanged) in
+         ``batch=-1``, so a changed-only delta would omit them and the
+         reader would silently lose the batch's representatives. The
+         per-id resolution at read time stays "highest batch wins"
          (:func:`read_components`).
 
     The final labels equal a full recompute's: union-find merging is
@@ -271,25 +313,17 @@ def update_components(batch_ids: DataFrame, pairs: DataFrame,
     spark = batch_ids.sparkSession
     new_ids = batch_ids.select(F.col(id_col).alias("id")).distinct()
     pairs = pairs.select("id_a", "id_b")
-    stored = _read_components_except(spark, components_dir, batch_id)
+    raw = read_state_except(spark, components_dir, batch_id)
 
-    if stored is None:
+    if raw is None:
         labels = connected_components(pairs, new_ids)
         changed = labels
     else:
-        # batch-derived sides BROADCAST; the stored label table is only
-        # ever SCANNED (twice: touched-component lookup, frontier
-        # restriction), never shuffled — the same store-side discipline
-        # as the LSH index probe, and what keeps the merge flat-cost as
-        # the label table grows to corpus size.
         endpoints = (pairs.select(F.col("id_a").alias("id"))
                      .unionByName(pairs.select(F.col("id_b").alias("id")))
                      .distinct())
-        touched = (stored.join(F.broadcast(endpoints), "id")
-                   .select("component").distinct())
-        frontier = materialize(
-            stored.join(F.broadcast(touched), "component", "left_semi"),
-            "local_checkpoint")
+        frontier = materialize(_touched_frontier(raw, endpoints),
+                               "local_checkpoint")
         ids = (frontier.select("id")
                .unionByName(new_ids)
                .distinct())
@@ -297,13 +331,16 @@ def update_components(batch_ids: DataFrame, pairs: DataFrame,
                 .select(F.col("id").alias("id_a"),
                         F.col("component").alias("id_b")))
         labels = connected_components(pairs.unionByName(star), ids)
-        # write only the delta: new ids + stored rows whose label moved.
-        # labels' ids ∩ stored's ids = the frontier exactly (untouched
+        # labels' ids ∩ stored ids = the frontier exactly (untouched
         # components never enter the propagation), so the old-label
         # lookup joins the broadcastable frontier, not the full store.
+        # Kept: every batch id (the consumer contract above) + frontier
+        # rows whose label moved.
         changed = (labels.alias("n")
                    .join(F.broadcast(frontier.alias("o")), "id", "left")
-                   .filter(F.col("o.component").isNull()
+                   .join(F.broadcast(new_ids.withColumn(
+                       "_new", F.lit(True))), "id", "left")
+                   .filter(F.col("_new").isNotNull()
                            | (F.col("n.component") != F.col("o.component")))
                    .select("id", F.col("n.component").alias("component")))
     changed.write.mode("overwrite").parquet(

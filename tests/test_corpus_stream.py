@@ -335,3 +335,48 @@ def test_read_training_shard_order_and_pruning(spark, tmp_path):
         pf = plan[plan.find("PartitionFilters"):].split("]")[0]
         assert "shard" in pf and "isnotnull" in pf, plan
     assert seen == _survivor_ids(spark, cdir)
+
+
+def test_corpus_batch_replay_after_compaction(spark, tmp_path):
+    """The failure mode the fingerprint-store guard exists for: after
+    compact_corpus_state folds the state into batch=-1, a replayed batch
+    finds its OWN fingerprints (and component labels) in the store —
+    read_state_except can no longer exclude them by partition. Without
+    the own-id anti-join the replay's `kept` set would come out empty and
+    corpus/batch=<id> would be overwritten empty, permanently losing the
+    batch's survivors; without update_components' write-every-batch-id
+    contract the keep-one read would lose the representatives the same
+    way. The replay must rewrite every partition equivalently."""
+    from harvesting_extract_to_ttl_service_spark.streaming.corpus_stream import (
+        compact_corpus_state,
+    )
+
+    cdir = str(tmp_path / "corpus")
+    for i, rows in enumerate(BATCHES):
+        corpus_batch(spark.createDataFrame(rows, SCHEMA), i, cdir,
+                     _bench(spark), **FUNNEL)
+    before = _survivor_ids(spark, cdir)
+    assert before == {1, 2, 21}
+    n_fp = spark.read.option("basePath", f"{cdir}/fingerprints") \
+        .parquet(f"{cdir}/fingerprints").count()
+
+    assert compact_corpus_state(spark, cdir) \
+        == {"fingerprints": 3, "index": 3, "components": 3}
+
+    # replay every batch post-compaction (worst case: all ids already in
+    # batch=-1 state)
+    for i, rows in enumerate(BATCHES):
+        corpus_batch(spark.createDataFrame(rows, SCHEMA), i, cdir,
+                     _bench(spark), **FUNNEL)
+
+    assert _survivor_ids(spark, cdir) == before
+    # each batch's corpus partition still holds exactly its survivors
+    assert {r.doc_id for r in spark.read.parquet(
+        f"{cdir}/corpus/batch=0").collect()} == {1, 2}
+    assert {r.doc_id for r in spark.read.parquet(
+        f"{cdir}/corpus/batch=2").collect()} == {21}
+    # fingerprint store: no duplicated rows (batch partitions redundant
+    # with batch=-1 hold the same (id, fp) facts)
+    fp = spark.read.option("basePath", f"{cdir}/fingerprints") \
+        .parquet(f"{cdir}/fingerprints")
+    assert fp.select("id", "fp").distinct().count() == n_fp

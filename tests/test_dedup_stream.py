@@ -425,3 +425,117 @@ def test_empty_micro_batches_are_harmless(spark, tmp_path):
     assert {(r.id, r.component) for r in
             read_components(spark, c).collect()} == {(1, 1)}
     assert spark.read.option("basePath", p).parquet(p).count() == 0
+
+
+def test_component_merge_never_shuffles_store(spark, tmp_path):
+    """The 100 TB contract of the incremental component merge: the stored
+    label table is only ever probed by BROADCAST joins — every
+    ``Exchange hashpartitioning(id)`` in the frontier plan sits ABOVE a
+    broadcast join (shuffles frontier-sized matched rows), and no path
+    from a shuffle or broadcast exchange reaches the store scan without
+    crossing a BroadcastHashJoin first. A Window-style resolution of the
+    full store would violate this (Catalyst cannot push a join below a
+    Window), re-shuffling the corpus-sized table every micro-batch."""
+    from harvesting_extract_to_ttl_service_spark.streaming.dedup_stream import (
+        _touched_frontier,
+        read_state_except,
+        update_components,
+    )
+
+    cdir = str(tmp_path / "components")
+
+    def ids(*xs):
+        return spark.createDataFrame([(x,) for x in xs], "doc_id long")
+
+    def pairs(*ps):
+        return spark.createDataFrame(list(ps) or [], "id_a long, id_b long")
+
+    update_components(ids(1, 2, 7), pairs((1, 2)), cdir, 0)
+    update_components(ids(3, 4), pairs((3, 4)), cdir, 1)
+
+    def kids(n):
+        s = n.children()
+        return [s.apply(i) for i in range(s.size())]
+
+    def is_store_scan(n):
+        # the only parquet scan in this plan IS the components store
+        # (endpoints is a local relation) — structural, immune to the
+        # path truncation in plan strings
+        return "FileSourceScan" in n.getClass().getSimpleName()
+
+    def exposed_store_scan(n):
+        """True if n's subtree reaches the components-store parquet scan
+        without crossing a BroadcastHashJoin (which caps the row count
+        at the broadcast side's match volume)."""
+        name = n.getClass().getSimpleName()
+        if "BroadcastHashJoin" in name:
+            return False
+        if n.children().size() == 0:
+            return is_store_scan(n)
+        return any(exposed_store_scan(c) for c in kids(n))
+
+    def count_nodes(n, pred):
+        return pred(n) + sum(count_nodes(c, pred) for c in kids(n))
+
+    def violations(n):
+        name = n.getClass().getSimpleName()
+        head = n.toString().splitlines()[0]
+        out = []
+        if ("Exchange" in name and "hashpartitioning" in head
+                and exposed_store_scan(n)):
+            out.append(head)
+        for c in kids(n):
+            out.extend(violations(c))
+        return out
+
+    raw = read_state_except(spark, cdir, 2)
+    endpoints = spark.createDataFrame([(2,), (4,), (5,)], "id long")
+    frontier = _touched_frontier(raw, endpoints)
+
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        plan = frontier._jdf.queryExecution().executedPlan()
+        # sanity: the plan does probe the store, with broadcast joins
+        assert count_nodes(plan, is_store_scan) >= 3
+        assert count_nodes(
+            plan, lambda n: "BroadcastHashJoin"
+            in n.getClass().getSimpleName()) >= 3
+        assert violations(plan) == [], plan.toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    # and the restricted plan still computes the right frontier: 5 is
+    # unknown, 2 and 4 pull in their full clusters, 7 stays untouched
+    assert {(r.id, r.component) for r in frontier.collect()} \
+        == {(1, 1), (2, 1), (3, 3), (4, 3)}
+
+
+def test_update_components_writes_every_batch_id(spark, tmp_path):
+    """Consumer contract (corpus_stream keep-one reads the batch's
+    partition ALONE): every id of the batch gets a row in
+    components/batch=<id>, even when its label already exists unchanged
+    in the store — the replay-after-compaction case, where a changed-only
+    delta would silently drop the batch's representatives."""
+    from harvesting_extract_to_ttl_service_spark.streaming.dedup_stream import (
+        compact_components,
+        update_components,
+    )
+
+    cdir = str(tmp_path / "components")
+
+    def ids(*xs):
+        return spark.createDataFrame([(x,) for x in xs], "doc_id long")
+
+    def pairs(*ps):
+        return spark.createDataFrame(list(ps) or [], "id_a long, id_b long")
+
+    update_components(ids(1, 2), pairs((1, 2)), cdir, 0)
+    update_components(ids(10, 11), pairs((1, 10)), cdir, 1)
+    assert compact_components(spark, cdir) == 2
+    # replay batch 1 post-compaction: its ids' labels are unchanged in
+    # batch=-1, but the batch partition must still cover them
+    update_components(ids(10, 11), pairs((1, 10)), cdir, 1)
+    b1 = {(r.id, r.component) for r in
+          spark.read.parquet(f"{cdir}/batch=1").collect()}
+    assert b1 == {(10, 1), (11, 11)}
+    assert _components(spark, cdir) == {(1, 1), (2, 1), (10, 1), (11, 11)}
