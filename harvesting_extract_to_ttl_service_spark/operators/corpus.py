@@ -81,6 +81,18 @@ def stratified_sample(df: DataFrame, rates: dict[str, float] | DataFrame,
             raise ValueError(
                 f"rates DataFrame must have columns ({strata_col!r}, "
                 f"'rate'), got {rates.columns}")
+        # a duplicate stratum key would silently DUPLICATE every row of
+        # that stratum through the join (a sampler must never multiply
+        # rows). The check is one aggregate over the strata-sized table
+        # the join broadcasts anyway — driver-cheap by the same contract
+        # that makes the broadcast legal.
+        dup = (rates.groupBy(strata_col).count()
+               .filter(F.col("count") > 1).limit(1).collect())
+        if dup:
+            raise ValueError(
+                f"rates DataFrame has a duplicate {strata_col!r} key "
+                f"({dup[0][0]!r}): the rate join would duplicate that "
+                f"stratum's rows — deduplicate the rates table")
         keyed = rates.select(strata_col, F.col("rate").alias("_rate"))
         return (
             df.join(F.broadcast(keyed), strata_col)
@@ -175,10 +187,18 @@ def temperature_sample(df: DataFrame, strata_col: str = "lang",
     Returns the sampled rows of ``df`` (original columns)."""
     mix = temperature_mixture(df, strata_col, text_col, alpha,
                               budget_tokens)
+    # n_tokens = 0 (a stratum whose documents ALL tokenize empty) would
+    # make the rate NULL (Spark division by zero) and the hash compare
+    # silently false — pin that to an explicit keep-nothing 0.0: the
+    # stratum cannot contribute tokens to the budget, so realizing its
+    # allocation as zero documents is the honest outcome (DuckDB's
+    # NULL-division oracle filters the same rows).
     rates = mix.select(
         strata_col,
-        F.least(F.lit(1.0),
-                F.col("alloc_tokens") / F.col("n_tokens")).alias("_rate"))
+        F.when(F.col("n_tokens") <= 0, F.lit(0.0))
+        .otherwise(F.least(F.lit(1.0),
+                           F.col("alloc_tokens") / F.col("n_tokens")))
+        .alias("_rate"))
     return (
         df.join(F.broadcast(rates), strata_col)
         .filter(hash_fraction(F.col(id_col), salt) < F.col("_rate"))

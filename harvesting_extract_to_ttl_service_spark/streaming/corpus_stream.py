@@ -249,19 +249,24 @@ def read_corpus(spark: SparkSession, corpus_dir: str) -> DataFrame:
 
 
 def read_training_shard(spark: SparkSession, corpus_dir: str,
-                        shard: int) -> DataFrame:
+                        shard: int, id_col: str = "doc_id") -> DataFrame:
     """One shard's training stream across every batch, in load order —
     the read contract of the per-batch shard writer: rows ordered by
-    (batch, start_offset), which a loader concatenates and chunks
+    (batch, start_offset, id), which a loader concatenates and chunks
     sequentially (chunk = floor(start_offset / budget) is monotone in
     start_offset within a batch, so this equals (batch, chunk, id)
-    order). The ``shard = k`` filter is a partition-pruning predicate —
-    the scan touches only the ``batch=*/shard=k`` subtrees, never the
-    other shards' files."""
+    order). The id tie-break is load-bearing: start_offset ties ARE
+    possible — a zero-token document (e.g. a text stripped empty by
+    strip_repeated_substrings) advances the running offset by 0 — and
+    without it the load order would be nondeterministic across runs,
+    while the shard writer itself already pins (shard, chunk, id). The
+    ``shard = k`` filter is a partition-pruning predicate — the scan
+    touches only the ``batch=*/shard=k`` subtrees, never the other
+    shards' files."""
     return (spark.read.option("basePath", f"{corpus_dir}/shards")
             .parquet(f"{corpus_dir}/shards")
             .filter(F.col("shard") == shard)
-            .orderBy("batch", "start_offset"))
+            .orderBy("batch", "start_offset", id_col))
 
 
 def compact_corpus_state(spark: SparkSession, corpus_dir: str,

@@ -590,3 +590,30 @@ def test_lm_floor_shared_by_batch_and_stream(spark, tmp_path):
         filter_documents(
             spark.createDataFrame(docs, "doc_id long, text string"),
             min_quality=0.0, min_avg_logprob=-3.2)
+
+
+def test_stratified_sample_rates_df_duplicate_key_guard(docs):
+    """A duplicate stratum key in the rates table would silently
+    DUPLICATE every row of that stratum through the join — refused."""
+    spark = docs.sparkSession
+    dup = spark.createDataFrame([("en", 0.5), ("en", 0.9), ("fr", 1.0)],
+                                "lang string, rate double")
+    with pytest.raises(ValueError, match="duplicate"):
+        stratified_sample(docs, dup)
+
+
+def test_temperature_sample_zero_token_stratum(spark):
+    """A stratum whose documents ALL tokenize to zero tokens cannot
+    contribute to the token budget: its keep rate is an explicit 0.0
+    (not a silent NULL-division drop), other strata are unaffected."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        temperature_sample,
+    )
+
+    rows = ([(i, "real words here for the token budget", "en")
+             for i in range(20)]
+            + [(100 + i, "", "zz") for i in range(3)])
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = temperature_sample(df, budget_tokens=1_000_000).collect()
+    assert {r.lang for r in out} == {"en"}
+    assert len(out) == 20  # budget >> corpus: every en doc kept

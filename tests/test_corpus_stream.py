@@ -380,3 +380,31 @@ def test_corpus_batch_replay_after_compaction(spark, tmp_path):
     fp = spark.read.option("basePath", f"{cdir}/fingerprints") \
         .parquet(f"{cdir}/fingerprints")
     assert fp.select("id", "fp").distinct().count() == n_fp
+
+
+def test_read_training_shard_tiebreak_on_zero_token_docs(spark, tmp_path):
+    """start_offset TIES are real: zero-token documents (e.g. texts
+    stripped empty) advance the running offset by 0, so consecutive ids
+    share an offset. The loader contract must pin a total order — rows
+    with equal (batch, start_offset) come back in id order."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        write_training_shards,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.corpus_stream import (
+        read_training_shard,
+    )
+
+    cdir = str(tmp_path / "corpus")
+    rows = [(1, "five words of real text"), (2, ""), (3, ""), (4, ""),
+            (5, "more text")]
+    df = spark.createDataFrame(rows, SCHEMA)
+    write_training_shards(df, f"{cdir}/shards/batch=0", n_shards=1,
+                          budget_tokens=8)
+
+    out = read_training_shard(spark, cdir, 0).collect()
+    assert [r.doc_id for r in out] == [1, 2, 3, 4, 5]
+    # the tie exists (docs 2-4 share doc 1's end offset with doc 5)
+    offsets = [r.start_offset for r in out]
+    assert len(set(offsets)) < len(offsets)
+    keys = [(r.batch, r.start_offset, r.doc_id) for r in out]
+    assert keys == sorted(keys)
