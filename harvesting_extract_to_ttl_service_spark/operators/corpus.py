@@ -281,6 +281,58 @@ def write_training_shards(df: DataFrame, out_dir: str, n_shards: int,
      .write.mode("overwrite").partitionBy("shard").parquet(out_dir))
 
 
+def _stratum_frame(df: DataFrame, strata_col: str, text_col: str,
+                   id_col: str) -> tuple[DataFrame, str]:
+    """Resolve the stratum column for a sampling stage: the
+    source-provided column when present, else the PREDICTED language
+    (``annotate_documents``'s ``lang_pred`` — the same signal the
+    language filter uses), so sampling stages only ever require
+    (id, text) columns. Returns (frame carrying the column, its name);
+    callers project back to the original columns afterwards."""
+    if strata_col in df.columns:
+        return df, strata_col
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        annotate_documents,
+    )
+
+    return (annotate_documents(df, text_col=text_col, id_col=id_col),
+            "lang_pred")
+
+
+def capped_sample_stage(df: DataFrame, cap: int,
+                        strata_col: str = "lang",
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """:func:`capped_stratified_sample` with the predicted-language
+    fallback — the corpus-finalization stage shared VERBATIM by the
+    batch funnel (:func:`build_training_corpus` ``cap_per_lang``) and
+    the quiesce-time streaming finalization
+    (streaming/corpus_stream.finalize_corpus): sharing the code is what
+    makes the two paths' sampling decisions bit-identical (same counts,
+    same rates, same hash-fraction membership). Returns ``df``'s
+    original columns."""
+    orig = df.columns
+    sdf, col = _stratum_frame(df, strata_col, text_col, id_col)
+    return capped_stratified_sample(
+        sdf, cap, strata_col=col, id_col=id_col).select(*orig)
+
+
+def temperature_sample_stage(df: DataFrame, alpha: float,
+                             budget_tokens: int,
+                             strata_col: str = "lang",
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """:func:`temperature_sample` with the same predicted-language
+    fallback as :func:`capped_sample_stage` — the temperature-mixture
+    realization over a finalized corpus. Returns ``df``'s original
+    columns."""
+    orig = df.columns
+    sdf, col = _stratum_frame(df, strata_col, text_col, id_col)
+    return temperature_sample(
+        sdf, strata_col=col, text_col=text_col, id_col=id_col,
+        alpha=alpha, budget_tokens=budget_tokens).select(*orig)
+
+
 def benchmark_contamination(docs: DataFrame, benchmark: DataFrame,
                             text_col: str = "text", id_col: str = "doc_id",
                             bench_id_col: str = "doc_id",
@@ -524,9 +576,6 @@ def build_training_corpus(docs: DataFrame,
         drop_exact_duplicates,
         minhash_similarity,
     )
-    from harvesting_extract_to_ttl_service_spark.operators.text import (
-        annotate_documents,
-    )
 
     survivors = filter_documents(
         docs, min_quality, langs, max_dup_line_ratio, max_top_bigram_ratio,
@@ -561,21 +610,13 @@ def build_training_corpus(docs: DataFrame,
         survivors = survivors.join(dirty, id_col, "left_anti")
 
     if cap_per_lang is not None:
-        if cap_strata_col in survivors.columns:
-            survivors = capped_stratified_sample(
-                survivors, cap_per_lang, strata_col=cap_strata_col,
-                id_col=id_col)
-        else:
-            # no source-provided stratum column: stratify on the
-            # predicted language. Re-annotating the (already shrunken)
-            # survivor set is a pure column projection — cheaper than
-            # threading lang_pred through every stage's
-            # select(*docs.columns).
-            survivors = capped_stratified_sample(
-                annotate_documents(survivors, text_col=text_col,
-                                   id_col=id_col),
-                cap_per_lang, strata_col="lang_pred",
-                id_col=id_col).select(*docs.columns)
+        # re-annotating the (already shrunken) survivor set on fallback
+        # is a pure column projection — cheaper than threading lang_pred
+        # through every stage's select(*docs.columns). The stage is
+        # shared verbatim with streaming finalize_corpus.
+        survivors = capped_sample_stage(
+            survivors, cap_per_lang, strata_col=cap_strata_col,
+            text_col=text_col, id_col=id_col)
 
     return survivors
 

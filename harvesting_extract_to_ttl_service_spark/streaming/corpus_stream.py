@@ -269,6 +269,75 @@ def read_training_shard(spark: SparkSession, corpus_dir: str,
             .orderBy("batch", "start_offset", id_col))
 
 
+def finalize_corpus(spark: SparkSession, corpus_dir: str,
+                    out_dir: str | None = None, *,
+                    cap_per_lang: int | None = None,
+                    cap_strata_col: str = "lang",
+                    temperature_alpha: float | None = None,
+                    temperature_budget_tokens: int | None = None,
+                    n_shards: int = 16, budget_tokens: int = 2048,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """The quiesce-time finalization job over a STREAMED corpus — the
+    step :func:`corpus_batch` deliberately defers: per-language caps and
+    temperature sampling are properties of the ACCUMULATED corpus (their
+    rates come from corpus-level counts), so a production pipeline runs
+    them once per training run, not per micro-batch. This packages that
+    composition:
+
+      1. :func:`read_corpus` — the accumulated survivors (one
+         partitioned read, no per-batch driver loop);
+      2. ``cap_per_lang`` → the SAME capped-stratified-sample stage the
+         batch funnel runs (``operators/corpus.capped_sample_stage``,
+         shared verbatim — including the predicted-language fallback
+         when ``cap_strata_col`` is absent), so finalize-over-stream
+         equals ``build_training_corpus(cap_per_lang=...)`` over the
+         same documents exactly (the parity
+         tests/test_corpus_stream.py pins);
+      3. ``temperature_alpha`` (+ ``temperature_budget_tokens``) →
+         ``temperature_sample_stage``: realize a temperature-``alpha``
+         token-budget mixture over the capped corpus;
+      4. ``out_dir`` given → ``write_training_shards``: the final
+         training artifact (shard-partitioned, context-window-packed,
+         loader-ordered), REPLACING ``out_dir`` — unlike the per-batch
+         incremental ``shards/`` tree, a finalized artifact is a
+         point-in-time snapshot of the whole corpus, re-cut per
+         training run.
+
+    Returns the finalized survivors (lazy; ``out_dir=None`` for a
+    dry/inspection run). Every stage is a broadcast-rate hash filter or
+    a shard-partitioned write — no global sort, no corpus shuffle beyond
+    the one shard repartition the writer needs.
+
+    Reference analogue: the task-completion sweep that closes each
+    harvesting job after its per-delta processing
+    (/root/reference/lib/pipeline-import.js:109-116) — here the "sweep"
+    is the corpus-level sampling the per-batch loop cannot do."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        capped_sample_stage,
+        temperature_sample_stage,
+        write_training_shards,
+    )
+
+    survivors = read_corpus(spark, corpus_dir)
+    if cap_per_lang is not None:
+        survivors = capped_sample_stage(
+            survivors, cap_per_lang, strata_col=cap_strata_col,
+            text_col=text_col, id_col=id_col)
+    if temperature_alpha is not None:
+        if temperature_budget_tokens is None:
+            raise ValueError("temperature_alpha requires "
+                             "temperature_budget_tokens (the token "
+                             "budget the mixture realizes)")
+        survivors = temperature_sample_stage(
+            survivors, temperature_alpha, temperature_budget_tokens,
+            strata_col=cap_strata_col, text_col=text_col, id_col=id_col)
+    if out_dir is not None:
+        write_training_shards(survivors, out_dir, n_shards,
+                              budget_tokens, text_col, id_col)
+    return survivors
+
+
 def compact_corpus_state(spark: SparkSession, corpus_dir: str,
                          target_partitions: int | None = None
                          ) -> dict[str, int]:

@@ -408,3 +408,72 @@ def test_read_training_shard_tiebreak_on_zero_token_docs(spark, tmp_path):
     assert len(set(offsets)) < len(offsets)
     keys = [(r.batch, r.start_offset, r.doc_id) for r in out]
     assert keys == sorted(keys)
+
+
+def test_finalize_corpus_matches_batch_funnel(spark, tmp_path):
+    """The quiesce-time finalization (read_corpus -> cap -> shards) over
+    a STREAMED corpus equals one build_training_corpus run with
+    cap_per_lang over the same documents — the sampling stage is shared
+    verbatim (capped_sample_stage), so counts, rates, and hash-fraction
+    membership are bit-identical."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        build_training_corpus,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.corpus_stream import (
+        finalize_corpus,
+    )
+
+    cdir = str(tmp_path / "corpus")
+    out = str(tmp_path / "final")
+    for i, rows in enumerate(BATCHES):
+        corpus_batch(spark.createDataFrame(rows, SCHEMA), i, cdir,
+                     _bench(spark), **FUNNEL)
+
+    fin = finalize_corpus(spark, cdir, out, cap_per_lang=2,
+                          n_shards=2, budget_tokens=8)
+    got = {r.doc_id for r in fin.collect()}
+    all_docs = spark.createDataFrame(
+        [r for rows in BATCHES for r in rows], SCHEMA)
+    want = {r.doc_id for r in build_training_corpus(
+        all_docs, _bench(spark), cap_per_lang=2, **FUNNEL).collect()}
+    assert got == want
+    # the cap bit: 3 streamed survivors, expected-2 kept — strictly fewer
+    assert got < _survivor_ids(spark, cdir)
+    # finalized columns are the document columns, untouched
+    assert set(fin.columns) == {"doc_id", "text"}
+    # the training artifact: shard-partitioned, packed, loader-ordered,
+    # covering exactly the finalized survivors
+    shards = spark.read.option("basePath", out).parquet(out)
+    assert {r.doc_id for r in shards.collect()} == got
+    assert {"shard", "chunk", "start_offset"} <= set(shards.columns)
+
+
+def test_finalize_corpus_temperature_and_guards(spark, tmp_path):
+    """The temperature stage realizes the alpha-mixture over the
+    accumulated corpus (same rows as temperature_sample_stage applied
+    directly), and temperature_alpha without its token budget fails
+    loudly instead of sampling against an undefined allocation."""
+    import pytest
+
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        temperature_sample_stage,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.corpus_stream import (
+        finalize_corpus,
+        read_corpus,
+    )
+
+    cdir = str(tmp_path / "corpus")
+    for i, rows in enumerate(BATCHES):
+        corpus_batch(spark.createDataFrame(rows, SCHEMA), i, cdir,
+                     _bench(spark), **FUNNEL)
+
+    got = {r.doc_id for r in finalize_corpus(
+        spark, cdir, temperature_alpha=0.5,
+        temperature_budget_tokens=20).collect()}
+    want = {r.doc_id for r in temperature_sample_stage(
+        read_corpus(spark, cdir), 0.5, 20).collect()}
+    assert got == want and got  # non-degenerate: the budget keeps some
+
+    with pytest.raises(ValueError, match="temperature_budget_tokens"):
+        finalize_corpus(spark, cdir, temperature_alpha=0.5)
