@@ -72,6 +72,115 @@ from harvesting_extract_to_ttl_service_spark.streaming.dedup_stream import (
 )
 
 
+# arrival-id layout for remap_arrival_ids: batch in the high bits, then
+# bucket, then the within-bucket rank — strictly monotone across batches
+# by construction, unique within a batch, and computed with per-bucket
+# parallelism (no single-partition global window).
+_REMAP_BATCH_SHIFT = 40           # bits below the batch id
+_REMAP_BUCKET_BITS = 12           # ≤4096 buckets
+_REMAP_RANK_BITS = _REMAP_BATCH_SHIFT - _REMAP_BUCKET_BITS  # 2^28 rows/bucket
+
+
+def remap_arrival_ids(docs: DataFrame, batch_id: int,
+                      id_col: str = "doc_id",
+                      n_buckets: int = 256) -> DataFrame:
+    """Re-key one micro-batch with ARRIVAL-ORDERED ids — the ingest
+    operator that makes the funnel-parity precondition (module
+    docstring: doc ids monotone across batches) TRUE for sources that
+    deliver re-crawled, reordered, or source-assigned ids.
+
+    New id = ``batch_id·2^40 + bucket·2^28 + rank``: strictly larger
+    than every earlier batch's ids (batch in the high bits), unique
+    within the batch ((bucket, rank) is unique), and DETERMINISTIC — the
+    bucket is a hash of the source id and the rank is a row_number
+    ordered by the source id within the bucket, so a replayed batch
+    re-derives byte-identical ids (the exactly-once protocol depends on
+    that). Within-batch order is irrelevant to parity: both funnels see
+    a within-batch duplicate group whole and keep its min id, whichever
+    member that is.
+
+    Scale shape: the only shuffle is ``repartition(bucket)`` of the
+    BATCH (never the corpus) and the window sorts per bucket — no
+    single-partition global window, no driver collect. Capacity guards:
+    batch_id < 2^23, rank < 2^28 per bucket (raise_error in the rank
+    expression — a >68B-doc micro-batch should fail loudly, not wrap).
+
+    The source id survives as ``<id_col>_src`` for lineage joins back to
+    the upstream system. Returns ``docs``' columns with ``id_col``
+    re-keyed and the lineage column appended."""
+    from pyspark.sql import Window
+
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        hash_fraction,
+    )
+
+    if not 0 <= batch_id < (1 << (63 - _REMAP_BATCH_SHIFT)):
+        raise ValueError(f"batch_id={batch_id} outside the arrival-id "
+                         f"layout's {63 - _REMAP_BATCH_SHIFT}-bit range")
+    if not 1 <= n_buckets <= (1 << _REMAP_BUCKET_BITS):
+        raise ValueError(f"n_buckets={n_buckets}: 1..4096")
+    src = f"{id_col}_src"
+    if src in docs.columns:
+        raise ValueError(f"{src!r} already present: refusing to clobber "
+                         f"the lineage column")
+    bucket = F.floor(hash_fraction(F.col(src), "arrival")
+                     * F.lit(n_buckets)).cast("long")
+    w = Window.partitionBy("_bkt").orderBy(src)
+    rank = F.row_number().over(w).cast("long") - F.lit(1)
+    rank = F.when(rank < F.lit(1 << _REMAP_RANK_BITS), rank).otherwise(
+        F.raise_error(F.lit("remap_arrival_ids: bucket rank overflow "
+                            "(>2^28 rows in one bucket) — raise "
+                            "n_buckets")))
+    out_cols = [c for c in docs.columns if c != id_col]
+    return (docs.withColumnRenamed(id_col, src)
+            .withColumn("_bkt", bucket)
+            .repartition("_bkt")
+            .withColumn(
+                id_col,
+                (F.lit(batch_id << _REMAP_BATCH_SHIFT)
+                 + F.col("_bkt") * F.lit(1 << _REMAP_RANK_BITS)
+                 + rank).cast("long"))
+            .select(id_col, *out_cols, src))
+
+
+def _check_monotone_ids(docs: DataFrame, batch_id: int, corpus_dir: str,
+                        id_col: str) -> None:
+    """Enforce the funnel-parity precondition instead of assuming it:
+    fail the batch LOUDLY if any of its ids is ≤ the high-water mark of
+    the ids already ingested (module docstring — a smaller-id late
+    arrival would silently break batch/stream keep-one parity, the one
+    precondition a user can violate without any symptom).
+
+    State: one ``(src_batch, max_id)`` row per batch under
+    ``idwatermark/batch=<id>`` — watermark-sized, not corpus-sized. The
+    comparison is against EARLIER batches only (``src_batch <
+    batch_id``): a replayed batch was already validated when first
+    accepted, and the batches accepted after it were validated against
+    ITS watermark — re-checking it against their (higher) marks would
+    fail every replay. The in-row ``src_batch`` column (not just the
+    partition name) is what keeps that restriction working AFTER
+    compaction folds the rows into ``batch=-1``. The min/max aggregate
+    over the batch is the check's only extra action."""
+    spark = docs.sparkSession
+    lo, hi = docs.select(F.min(id_col), F.max(id_col)).first()
+    if lo is None:
+        return  # empty batch: no ids consumed, no watermark to advance
+    prior = read_state_except(spark, f"{corpus_dir}/idwatermark", batch_id)
+    if prior is not None:
+        hwm = (prior.filter(F.col("src_batch") < batch_id)
+               .select(F.max("max_id")).first()[0])
+        if hwm is not None and lo <= hwm:
+            raise ValueError(
+                f"corpus_batch: batch {batch_id} delivers id {lo} ≤ the "
+                f"ingested high-water mark {hwm} — ids must be monotone "
+                f"across batches for stream/batch funnel parity. Remap "
+                f"the source ids with remap_arrival_ids, or fix the "
+                f"source's delivery order")
+    (spark.createDataFrame([(batch_id, hi)], "src_batch long, max_id long")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(f"{corpus_dir}/idwatermark/batch={batch_id}"))
+
+
 def corpus_batch(docs: DataFrame, batch_id: int, corpus_dir: str,
                  benchmark: DataFrame | None = None, *,
                  min_quality: float = 0.4,
@@ -92,7 +201,8 @@ def corpus_batch(docs: DataFrame, batch_id: int, corpus_dir: str,
                  n_shards: int | None = None,
                  budget_tokens: int | None = None,
                  text_col: str = "text", id_col: str = "doc_id",
-                 materialize_mode: str = "persist") -> None:
+                 materialize_mode: str = "persist",
+                 enforce_monotone_ids: bool = False) -> None:
     """Run one micro-batch of documents through the corpus funnel
     against the persistent state under ``corpus_dir``:
 
@@ -123,8 +233,16 @@ def corpus_batch(docs: DataFrame, batch_id: int, corpus_dir: str,
     batch's fps broadcast), the LSH index probe
     (``incremental_minhash_pairs`` ``broadcast_new``), and the component
     merge; the accumulated state is never shuffled. Decontamination
-    broadcasts the benchmark side, never the corpus."""
+    broadcasts the benchmark side, never the corpus.
+
+    ``enforce_monotone_ids=True`` checks the parity precondition (ids
+    monotone across batches) against a persistent id high-water mark and
+    FAILS the batch on violation (:func:`_check_monotone_ids`) — turn it
+    on for sources whose delivery order is not under this pipeline's
+    control, or re-key such sources with :func:`remap_arrival_ids`."""
     spark = docs.sparkSession
+    if enforce_monotone_ids:
+        _check_monotone_ids(docs, batch_id, corpus_dir, id_col)
     filtered = filter_documents(
         docs, min_quality, langs, max_dup_line_ratio, max_top_bigram_ratio,
         max_pii_signals, min_avg_logprob, lm_counts, lm_alpha,
@@ -365,9 +483,13 @@ def compact_corpus_state(spark: SparkSession, corpus_dir: str,
     )
 
     out = {}
+    # idwatermark folds with the generic append-only compactor: the rows
+    # keep their in-row src_batch, so the replay self-exclusion in
+    # _check_monotone_ids still works from batch=-1
     for name, compactor in (("fingerprints", compact_dedup_index),
                             ("index", compact_dedup_index),
-                            ("components", compact_components)):
+                            ("components", compact_components),
+                            ("idwatermark", compact_dedup_index)):
         path = f"{corpus_dir}/{name}"
         fs, root = _hadoop_fs(spark, path)
         # a table may be absent by configuration (near_dup_threshold=None

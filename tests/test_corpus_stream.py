@@ -140,7 +140,8 @@ def test_compact_corpus_state_preserves_dedup(spark, tmp_path):
     before = _survivor_ids(spark, cdir)
 
     folded = compact_corpus_state(spark, cdir)
-    assert folded == {"fingerprints": 2, "index": 2, "components": 2}
+    assert folded == {"fingerprints": 2, "index": 2, "components": 2,
+                      "idwatermark": 0}
     assert _survivor_ids(spark, cdir) == before
 
     # batch 2 against the compacted state: 20 is an exact copy of 1
@@ -361,7 +362,8 @@ def test_corpus_batch_replay_after_compaction(spark, tmp_path):
         .parquet(f"{cdir}/fingerprints").count()
 
     assert compact_corpus_state(spark, cdir) \
-        == {"fingerprints": 3, "index": 3, "components": 3}
+        == {"fingerprints": 3, "index": 3, "components": 3,
+            "idwatermark": 0}
 
     # replay every batch post-compaction (worst case: all ids already in
     # batch=-1 state)
@@ -477,3 +479,106 @@ def test_finalize_corpus_temperature_and_guards(spark, tmp_path):
 
     with pytest.raises(ValueError, match="temperature_budget_tokens"):
         finalize_corpus(spark, cdir, temperature_alpha=0.5)
+
+
+# out-of-order delivery: batch 1 ships a SMALLER-id near-dup of a doc
+# batch 0 already shipped — the one precondition violation that silently
+# breaks stream/batch keep-one parity (the batch funnel would elect the
+# later, smaller id as representative; the stream can't unship)
+OOO_BATCHES = [
+    [(100, T_A), (101, T_B)],
+    [(5, T_A2), (6, T_C)],
+]
+
+
+def test_monotone_id_guard_fails_reordered_stream(spark, tmp_path):
+    """enforce_monotone_ids turns the silent parity break into a loud
+    per-batch failure, stays replay-safe (a replayed batch ignores its
+    own watermark), and survives compaction (the in-row src_batch keeps
+    the self-exclusion working from batch=-1)."""
+    import pytest
+
+    from harvesting_extract_to_ttl_service_spark.streaming.corpus_stream import (
+        compact_corpus_state,
+    )
+
+    cdir = str(tmp_path / "corpus")
+    corpus_batch(spark.createDataFrame(OOO_BATCHES[0], SCHEMA), 0, cdir,
+                 enforce_monotone_ids=True, **FUNNEL)
+    with pytest.raises(ValueError, match="monotone"):
+        corpus_batch(spark.createDataFrame(OOO_BATCHES[1], SCHEMA), 1,
+                     cdir, enforce_monotone_ids=True, **FUNNEL)
+    # the rejected batch advanced nothing: a corrected redelivery passes
+    corpus_batch(spark.createDataFrame([(200, T_D)], SCHEMA), 1, cdir,
+                 enforce_monotone_ids=True, **FUNNEL)
+    # replay of an accepted batch passes the check (own watermark row is
+    # excluded by partition)
+    corpus_batch(spark.createDataFrame(OOO_BATCHES[0], SCHEMA), 0, cdir,
+                 enforce_monotone_ids=True, **FUNNEL)
+    # ... and still passes after compaction folds the watermark into
+    # batch=-1 (excluded by the in-row src_batch, not the partition)
+    folded = compact_corpus_state(spark, cdir)
+    assert folded["idwatermark"] == 2
+    corpus_batch(spark.createDataFrame(OOO_BATCHES[0], SCHEMA), 0, cdir,
+                 enforce_monotone_ids=True, **FUNNEL)
+    assert _survivor_ids(spark, cdir) == {100, 101, 200}
+
+
+def test_remap_arrival_ids_restores_parity(spark, tmp_path):
+    """Re-keying each batch with remap_arrival_ids makes the reordered
+    stream's survivors equal one build_training_corpus run over the
+    re-keyed union — the remap IS the fix the guard test demands."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        build_training_corpus,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.corpus_stream import (
+        remap_arrival_ids,
+    )
+
+    cdir = str(tmp_path / "corpus")
+    remapped = [
+        remap_arrival_ids(spark.createDataFrame(rows, SCHEMA), i)
+        for i, rows in enumerate(OOO_BATCHES)
+    ]
+    for i, b in enumerate(remapped):
+        corpus_batch(b, i, cdir, enforce_monotone_ids=True, **FUNNEL)
+
+    union = remapped[0].unionByName(remapped[1])
+    want = {r.doc_id for r in build_training_corpus(
+        union, **FUNNEL).collect()}
+    got_rows = read_corpus(spark, cdir).collect()
+    assert {r.doc_id for r in got_rows} == want
+    # keep-one elected batch 0's copy of the near-dup pair (arrival
+    # order), traceable to the source id through the lineage column
+    assert {r.doc_id_src for r in got_rows} == {100, 101, 6}
+
+
+def test_remap_arrival_ids_contract(spark):
+    """Deterministic (a replay re-derives identical ids), unique,
+    monotone across batches, lineage preserved, capacity guarded."""
+    import pytest
+
+    from harvesting_extract_to_ttl_service_spark.streaming.corpus_stream import (
+        remap_arrival_ids,
+    )
+
+    rows = [(i * 7 % 50, f"text number {i}") for i in range(50)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    a = remap_arrival_ids(df, 3, n_buckets=8).collect()
+    b = remap_arrival_ids(df, 3, n_buckets=8).collect()
+    assert sorted(r.doc_id for r in a) == sorted(r.doc_id for r in b)
+    assert {(r.doc_id, r.doc_id_src) for r in a} \
+        == {(r.doc_id, r.doc_id_src) for r in b}
+    assert len({r.doc_id for r in a}) == 50
+    # monotone: every batch-3 id exceeds every batch-2 id
+    prev = remap_arrival_ids(df, 2, n_buckets=8).collect()
+    assert min(r.doc_id for r in a) > max(r.doc_id for r in prev)
+    # lineage column round-trips the source ids
+    assert sorted(r.doc_id_src for r in a) == sorted(r[0] for r in rows)
+
+    with pytest.raises(ValueError, match="range"):
+        remap_arrival_ids(df, 1 << 23)
+    with pytest.raises(ValueError, match="n_buckets"):
+        remap_arrival_ids(df, 0, n_buckets=5000)
+    with pytest.raises(ValueError, match="lineage"):
+        remap_arrival_ids(df.withColumn("doc_id_src", df.doc_id), 0)
