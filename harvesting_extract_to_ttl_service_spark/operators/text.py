@@ -225,7 +225,8 @@ def unigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 def unigram_logprob(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", alpha: float = 0.5,
                     materialize_mode: str = "local_checkpoint",
-                    model_counts: DataFrame | None = None) -> DataFrame:
+                    model_counts: DataFrame | None = None,
+                    hot_k: int = 1024) -> DataFrame:
     """Per-document mean unigram log-probability under the corpus's own
     unigram model — the perplexity-proxy quality score of the CCNet /
     language-model-filtering tradition (fluent text scores near the
@@ -243,10 +244,18 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     token, not raw token instances; the corpus-wide counts come from a
     second groupBy over those partials (never a re-scan of the text);
     N and V enter as a one-row broadcast (the scalar-cross-join shape
-    the plan audit whitelists for the mixture denominator). Hot tokens
-    ('the') are naturally handled: the join key's skew is bounded by
-    docs-containing-the-token, and each joined row is one (doc, token)
-    pair, not one instance.
+    the plan audit whitelists for the mixture denominator). Each joined
+    row is one (doc, token) pair, not one instance — but the hottest
+    tokens ('the' ≈ every English doc) still concentrate O(n_docs) rows
+    on one shuffle key, so the vocab join is HOT/COLD SPLIT: the top
+    ``hot_k`` tokens by count (a tiny TakeOrdered, ≤hot_k rows) join the
+    partials map-side as a broadcast, and only the long tail — whose
+    per-key multiplicity is bounded by the (hot_k+1)-th hottest token's
+    document frequency — takes the shuffle join. Values are identical
+    either way (each partial row lands in exactly one branch);
+    ``hot_k=0`` disables the split. This is the standard skew treatment
+    that does not replicate the (possibly huge) full vocabulary the way
+    salting would.
 
     By default the model IS the corpus — a corpus-level statistic, so
     the self-trained form is deliberately not a `build_training_corpus`
@@ -285,8 +294,15 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     # OOV probability α/(N+αV) against a frozen model
     lp = F.log((F.coalesce(F.col("ct"), F.lit(0)) + F.lit(alpha))
                / (F.col("n_total") + F.lit(alpha) * F.col("v")))
+    if hot_k:
+        hot = F.broadcast(vocab.orderBy(F.col("ct").desc()).limit(hot_k))
+        joined = (per_doc.join(hot, "t").unionByName(
+            per_doc.join(hot.select("t"), "t", "left_anti")
+            .join(vocab, "t", "left")))
+    else:
+        joined = per_doc.join(vocab, "t", "left")
     return (
-        per_doc.join(vocab, "t", "left")
+        joined
         .crossJoin(F.broadcast(tot))
         .groupBy(id_col)
         .agg(F.sum("c").alias("n_tokens"),

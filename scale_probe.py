@@ -9,12 +9,15 @@ dup inflation, the shape of a sharded crawl) and measures how band/block
 collision counts, final pair counts, and wall time actually curve.
 
 Usage: python scale_probe.py [replicas ...]   (default: 1 2 5 10)
-       python scale_probe.py stream [n]
+       python scale_probe.py stream [n [compact_at]]
            streaming-corpus-funnel probe: n replicas arrive as n
            micro-batches (+ one recrawl batch duplicating batch 0);
            measures PER-BATCH wall as the persistent state grows — the
            flat curve that makes streaming/corpus_stream.py the 100 TB
-           operating mode.
+           operating mode. With compact_at=k, compact_corpus_state runs
+           IN THE LOOP after batch k (state file census before/after,
+           post-compaction batch wall, replay-after-compaction
+           idempotence check).
        python scale_probe.py incr [replicas ...]
            incremental-dedup probe: corpus = N replicas with a parquet
            LSH index built ONCE; batch = one fresh replica duplicating
@@ -165,7 +168,27 @@ def probe_funnel(spark, n: int) -> dict:
     return res
 
 
-def probe_corpus_stream(spark, n: int, tmp: str) -> list[dict]:
+def _state_file_census(cdir: str) -> dict[str, tuple[int, int]]:
+    """(partition dirs, parquet part files) per state table — the
+    listing+open cost the per-batch state SCAN pays, which compaction
+    exists to bound."""
+    import os
+
+    out = {}
+    for name in ("fingerprints", "index", "components", "idwatermark"):
+        root = f"{cdir}/{name}"
+        if not os.path.isdir(root):
+            continue
+        parts = [d for d in os.listdir(root) if d.startswith("batch=")]
+        files = sum(
+            1 for d in parts for f in os.listdir(f"{root}/{d}")
+            if f.endswith(".parquet"))
+        out[name] = (len(parts), files)
+    return out
+
+
+def probe_corpus_stream(spark, n: int, tmp: str,
+                        compact_at: int | None = None) -> list[dict]:
     """Per-batch wall of the STREAMING corpus funnel
     (streaming/corpus_stream.corpus_batch) as the persistent state
     accumulates: the corpus arrives as n micro-batches of one replica
@@ -177,8 +200,17 @@ def probe_corpus_stream(spark, n: int, tmp: str) -> list[dict]:
     (fingerprints, LSH index, components), never a corpus rescan — while
     re-running the batch funnel at each delivery would cost O(corpus) per
     delivery. A flat curve here is what makes the streaming funnel the
-    correct operating mode for a continuously-fed corpus."""
+    correct operating mode for a continuously-fed corpus.
+
+    ``compact_at=k`` additionally runs ``compact_corpus_state``
+    IN THE LOOP after batch k — measuring (a) the compaction wall itself,
+    (b) the state partition/file census before and after (the listing+
+    open term the compaction bounds), (c) whether the post-compaction
+    per-batch wall drops, and (d) replay idempotence: batch k is replayed
+    against the compacted state at the end and the survivor count must
+    be unchanged."""
     from harvesting_extract_to_ttl_service_spark.streaming.corpus_stream import (
+        compact_corpus_state,
         corpus_batch,
         read_corpus,
     )
@@ -191,6 +223,7 @@ def probe_corpus_stream(spark, n: int, tmp: str) -> list[dict]:
     batches.append((n, _replica(base, 0).select(
         (F.col("doc_id") + F.lit(n * 10_000_000)).alias("doc_id"),
         "text")))
+    replay = None
     for i, batch in batches:
         batch = batch.localCheckpoint(eager=True)
         t0 = time.time()
@@ -199,10 +232,33 @@ def probe_corpus_stream(spark, n: int, tmp: str) -> list[dict]:
         rows.append({"batch": i, "docs": batch.count(),
                      "wall_s": round(time.time() - t0, 1),
                      "recrawl": i == n})
+        if compact_at is not None and i == compact_at:
+            replay = batch  # keep for the replay-after-compaction check
+            before = _state_file_census(cdir)
+            t0 = time.time()
+            compact_corpus_state(spark, cdir)
+            after = _state_file_census(cdir)
+            rows.append({
+                "batch": f"compact@{i}", "docs": None,
+                "wall_s": round(time.time() - t0, 1), "recrawl": False,
+                "note": "state parts/files " + " ".join(
+                    f"{k}:{b[0]}/{b[1]}->{a[0]}/{a[1]}"
+                    for (k, b), (_, a) in zip(sorted(before.items()),
+                                              sorted(after.items())))})
+    survivors = read_corpus(spark, cdir).count()
     rows.append({"batch": "total", "docs": None,
                  "wall_s": round(sum(r["wall_s"] for r in rows), 1),
-                 "recrawl": False,
-                 "survivors": read_corpus(spark, cdir).count()})
+                 "recrawl": False, "survivors": survivors})
+    if replay is not None:
+        t0 = time.time()
+        corpus_batch(replay, compact_at, cdir, min_quality=0.4,
+                     near_dup_threshold=0.5)
+        again = read_corpus(spark, cdir).count()
+        rows.append({"batch": f"replay@{compact_at}", "docs": None,
+                     "wall_s": round(time.time() - t0, 1),
+                     "recrawl": False,
+                     "note": ("idempotent" if again == survivors else
+                              f"SURVIVORS CHANGED {survivors}->{again}")})
     return rows
 
 
@@ -218,13 +274,16 @@ def main():
     spark = get_spark("scale-probe")
     try:
         if stream:
-            n = replicas[-1]
-            print(f"{'batch':>6} {'docs':>7} {'wall_s':>7}  note")
-            for r in probe_corpus_stream(spark, n, tmp):
-                note = "recrawl of batch 0" if r.get("recrawl") else (
-                    f"survivors={r['survivors']}" if "survivors" in r
-                    else "")
-                print(f"{str(r['batch']):>6} {str(r['docs'] or ''):>7} "
+            # stream [n [compact_at]]: optional compaction-in-the-loop
+            n = replicas[-1] if len(replicas) < 2 else replicas[0]
+            compact_at = replicas[1] if len(replicas) > 1 else None
+            print(f"{'batch':>10} {'docs':>7} {'wall_s':>7}  note")
+            for r in probe_corpus_stream(spark, n, tmp, compact_at):
+                note = r.get("note") or (
+                    "recrawl of batch 0" if r.get("recrawl") else (
+                        f"survivors={r['survivors']}" if "survivors" in r
+                        else ""))
+                print(f"{str(r['batch']):>10} {str(r['docs'] or ''):>7} "
                       f"{r['wall_s']:>7} {note}")
             return
         if funnel:

@@ -617,3 +617,40 @@ def test_temperature_sample_zero_token_stratum(spark):
     out = temperature_sample(df, budget_tokens=1_000_000).collect()
     assert {r.lang for r in out} == {"en"}
     assert len(out) == 20  # budget >> corpus: every en doc kept
+
+
+def test_unigram_logprob_hot_token_split(spark):
+    """The hot/cold split of the vocab join: a super-hot token (in every
+    doc) rides the broadcast branch, the tail takes the shuffle join,
+    and the scores are identical to the unsplit plan — on both the
+    self-trained and frozen-model paths. The plan carries the broadcast
+    joins the split promises."""
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        unigram_counts,
+        unigram_logprob,
+    )
+
+    # 60 docs, every one contains 'the' (the hot key); tails unique
+    docs = spark.createDataFrame(
+        [(i, f"the tail{i} word{i % 7}") for i in range(60)],
+        "doc_id long, text string")
+
+    split = unigram_logprob(docs, hot_k=3)
+    base = {r.doc_id: r for r in unigram_logprob(docs, hot_k=0).collect()}
+    got = {r.doc_id: r for r in split.collect()}
+    assert set(got) == set(base)
+    for d, r in got.items():
+        assert r.n_tokens == base[d].n_tokens
+        assert abs(r.avg_logprob - base[d].avg_logprob) < 1e-12
+
+    plan = split._jdf.queryExecution().executedPlan().toString()
+    # the hot inner join AND the hot-exclusion anti-join both broadcast
+    assert plan.count("BroadcastHashJoin [t") >= 2, plan
+
+    # frozen model: same split, same values, OOV floor intact
+    model = unigram_counts(docs)
+    fr_split = {r.doc_id: r.avg_logprob for r in unigram_logprob(
+        docs, model_counts=model, hot_k=3).collect()}
+    fr_base = {r.doc_id: r.avg_logprob for r in unigram_logprob(
+        docs, model_counts=model, hot_k=0).collect()}
+    assert all(abs(fr_split[d] - fr_base[d]) < 1e-12 for d in fr_base)
