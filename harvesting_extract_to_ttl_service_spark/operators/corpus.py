@@ -207,6 +207,44 @@ def temperature_sample(df: DataFrame, strata_col: str = "lang",
     )
 
 
+def temperature_sample_exact(df: DataFrame, strata_col: str = "lang",
+                             text_col: str = "text",
+                             id_col: str = "doc_id", alpha: float = 0.5,
+                             budget_tokens: int = 1_000_000,
+                             salt: str = "tsample") -> DataFrame:
+    """The EXACT token-prefix cut :func:`temperature_sample`'s docstring
+    delegates for small strata: instead of realizing the per-stratum
+    allocation as an expected-value keep RATE, order each stratum's
+    documents by their hash fraction (ties broken by id — a total,
+    deterministic, engine-portable order) and keep the prefix whose
+    token mass fits the allocation. A document is kept iff the tokens
+    BEFORE it in its stratum's order leave room (``cum - n_tokens <
+    alloc``), so the kept mass overshoots by at most the last document —
+    the per-stratum budget deviation is O(1 document), not O(√n).
+
+    Scale caveat (why the rate sampler is still the 100 TB default):
+    the running token sum is one ordered window PER STRATUM — a single
+    sort task per stratum, which a 100 TB stratum turns into a
+    straggler. Use this form where exactness matters and strata are
+    small: final trims after :func:`capped_stratified_sample`, eval-set
+    carving, per-language budget reconciliation.
+
+    Returns the kept rows of ``df`` (original columns)."""
+    mix = temperature_mixture(df, strata_col, text_col, alpha,
+                              budget_tokens)
+    allocs = mix.select(strata_col, "alloc_tokens")
+    w = (Window.partitionBy(strata_col)
+         .orderBy(hash_fraction(F.col(id_col), salt), F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        df.withColumn("_nt", token_count(F.col(text_col)))
+        .withColumn("_cum", F.sum("_nt").over(w))
+        .join(F.broadcast(allocs), strata_col)
+        .filter(F.col("_cum") - F.col("_nt") < F.col("alloc_tokens"))
+        .select(*df.columns)
+    )
+
+
 def assign_shards(df: DataFrame, n_shards: int, id_col: str = "doc_id",
                   salt: str = "shard") -> DataFrame:
     """Deterministic shard assignment: shard = hash32(id||salt) mod

@@ -399,6 +399,46 @@ def corpus_tsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang")
 
 
+@member_sql(f"""
+WITH c AS (
+  SELECT lang, count(*) AS n_docs,
+         sum(len({_TOKS})) AS n_tokens,
+         pow(count(*), {_MIX_ALPHA}) AS w
+  FROM documents GROUP BY lang
+), d AS (
+  SELECT list_reduce(list(w ORDER BY lang), (x, y) -> x + y) AS denom FROM c
+), a AS (
+  SELECT lang, round({float(_TS_BUDGET)} * w / denom, 0) AS alloc
+  FROM c, d
+), t AS (
+  SELECT doc_id, lang, len({_TOKS}) AS nt,
+         sum(len({_TOKS})) OVER (
+           PARTITION BY lang
+           ORDER BY {hash_fraction_sql('doc_id', 'tsample')}, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents
+)
+SELECT doc_id, lang FROM t JOIN a USING (lang)
+WHERE cum - nt < alloc
+""")
+def corpus_tsample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact token-prefix cut twin of `corpus_tsample`
+    (temperature_sample_exact): per language, documents ordered by
+    (hash fraction, doc_id) are kept while the running token sum leaves
+    room in the mixture allocation — budget deviation is at most the
+    last document, vs the rate sampler's O(√n) expected-value spread.
+    The hash-fraction order is a pure double both engines compute
+    bit-identically, so the prefix is row-for-row oracle-verified."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        temperature_sample_exact,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return temperature_sample_exact(docs, alpha=_MIX_ALPHA,
+                                    budget_tokens=_TS_BUDGET).select(
+        "doc_id", "lang")
+
+
 _LM_ALPHA = 0.5
 
 
@@ -449,6 +489,7 @@ _CORPUS_MEMBERS = [
     ("pii", corpus_pii, ["doc_id", "n_emails", "n_urls", "n_phones"], []),
     ("lm", corpus_lm, ["doc_id", "n_tokens"], ["avg_logprob"]),
     ("tsample", corpus_tsample, ["doc_id", "lang"], []),
+    ("tsample_exact", corpus_tsample_exact, ["doc_id", "lang"], []),
 ]
 
 

@@ -196,9 +196,13 @@ def read_components(spark: SparkSession,
     table — per id, the label written by the HIGHEST batch (later
     batches re-label the ids their pairs touched; a compacted ``batch=-1``
     partition naturally loses to every real batch). None if the table
-    does not exist yet."""
-    from pyspark.sql import Window
+    does not exist yet.
 
+    A consumer-edge/maintenance read, so it necessarily touches the full
+    table — but resolution goes through :func:`_resolve_labels`'s
+    map-side-combinable aggregate rather than a Window: partial maxes
+    collapse the per-id rows BEFORE the exchange (the delta rows per id
+    are few), and there is no per-partition sort."""
     from harvesting_extract_to_ttl_service_spark.sources.files import (
         _hadoop_fs,
     )
@@ -212,9 +216,7 @@ def read_components(spark: SparkSession,
         return None
     raw = spark.read.option("basePath", components_dir) \
         .parquet(components_dir)
-    w = Window.partitionBy("id").orderBy(F.col("batch").desc())
-    return (raw.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1).select("id", "component"))
+    return _resolve_labels(raw)
 
 
 def _resolve_labels(rows: DataFrame) -> DataFrame:

@@ -654,3 +654,52 @@ def test_unigram_logprob_hot_token_split(spark):
     fr_base = {r.doc_id: r.avg_logprob for r in unigram_logprob(
         docs, model_counts=model, hot_k=0).collect()}
     assert all(abs(fr_split[d] - fr_base[d]) < 1e-12 for d in fr_base)
+
+
+def test_temperature_sample_exact_prefix_cut(spark):
+    """The exact cut keeps, per stratum, the (hash-fraction, id)-ordered
+    prefix whose token mass fits the mixture allocation: every kept doc
+    started inside the budget, the FIRST excluded doc would not have,
+    and the kept mass overshoots by at most the last document."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        hash_fraction,
+        temperature_mixture,
+        temperature_sample_exact,
+    )
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        token_count,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 3 else "fr", "tok " * (3 + i % 5))
+         for i in range(60)],
+        "doc_id long, lang string, text string")
+    budget = 100
+    kept = temperature_sample_exact(docs, alpha=0.5,
+                                    budget_tokens=budget).collect()
+    alloc = {r.lang: r.alloc_tokens for r in temperature_mixture(
+        docs, alpha=0.5, budget_tokens=budget).collect()}
+    order = {r.doc_id: (r.lang, r.hf, r.nt) for r in docs.select(
+        "doc_id", "lang", hash_fraction(F.col("doc_id"), "tsample")
+        .alias("hf"), token_count(F.col("text")).alias("nt")).collect()}
+
+    kept_ids = {r.doc_id for r in kept}
+    assert kept_ids and kept_ids < {i for i in range(60)}
+    for lang in alloc:
+        seq = sorted(((hf, d, nt) for d, (lg, hf, nt) in order.items()
+                      if lg == lang))
+        cum = 0
+        for hf, d, nt in seq:
+            if cum < alloc[lang]:
+                assert d in kept_ids, (lang, d, cum, alloc[lang])
+            else:
+                assert d not in kept_ids, (lang, d, cum, alloc[lang])
+            cum += nt
+    # determinism
+    again = {r.doc_id for r in temperature_sample_exact(
+        docs, alpha=0.5, budget_tokens=budget).collect()}
+    assert again == kept_ids
+    # original columns, unmodified rows
+    assert {r.doc_id: r.text for r in kept} == {
+        i: "tok " * (3 + i % 5) for i in kept_ids}
