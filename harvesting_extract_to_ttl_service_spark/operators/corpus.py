@@ -359,14 +359,19 @@ def temperature_sample_stage(df: DataFrame, alpha: float,
                              budget_tokens: int,
                              strata_col: str = "lang",
                              text_col: str = "text",
-                             id_col: str = "doc_id") -> DataFrame:
+                             id_col: str = "doc_id",
+                             exact: bool = False) -> DataFrame:
     """:func:`temperature_sample` with the same predicted-language
     fallback as :func:`capped_sample_stage` — the temperature-mixture
-    realization over a finalized corpus. Returns ``df``'s original
-    columns."""
+    realization over a finalized corpus. ``exact=True`` swaps in the
+    token-prefix cut (:func:`temperature_sample_exact` — one ordered
+    window per stratum; use when the post-cap strata are small enough
+    that the O(1-document) budget precision is worth the per-stratum
+    sort). Returns ``df``'s original columns."""
     orig = df.columns
     sdf, col = _stratum_frame(df, strata_col, text_col, id_col)
-    return temperature_sample(
+    sampler = temperature_sample_exact if exact else temperature_sample
+    return sampler(
         sdf, strata_col=col, text_col=text_col, id_col=id_col,
         alpha=alpha, budget_tokens=budget_tokens).select(*orig)
 

@@ -393,6 +393,7 @@ def finalize_corpus(spark: SparkSession, corpus_dir: str,
                     cap_strata_col: str = "lang",
                     temperature_alpha: float | None = None,
                     temperature_budget_tokens: int | None = None,
+                    temperature_exact: bool = False,
                     n_shards: int = 16, budget_tokens: int = 2048,
                     text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
@@ -414,7 +415,11 @@ def finalize_corpus(spark: SparkSession, corpus_dir: str,
          tests/test_corpus_stream.py pins);
       3. ``temperature_alpha`` (+ ``temperature_budget_tokens``) →
          ``temperature_sample_stage``: realize a temperature-``alpha``
-         token-budget mixture over the capped corpus;
+         token-budget mixture over the capped corpus
+         (``temperature_exact=True`` for the token-prefix cut — the
+         post-cap strata are already bounded, the setting where the
+         per-stratum sort is cheap and the O(1-doc) budget precision
+         pays);
       4. ``out_dir`` given → ``write_training_shards``: the final
          training artifact (shard-partitioned, context-window-packed,
          loader-ordered), REPLACING ``out_dir`` — unlike the per-batch
@@ -426,6 +431,13 @@ def finalize_corpus(spark: SparkSession, corpus_dir: str,
     dry/inspection run). Every stage is a broadcast-rate hash filter or
     a shard-partitioned write — no global sort, no corpus shuffle beyond
     the one shard repartition the writer needs.
+
+    Snapshot semantics vs a still-running stream: the corpus partition
+    listing is pinned when this function READS the directory, so a batch
+    landing afterwards is wholly excluded — finalization sees a
+    batch-boundary-consistent snapshot, never a torn batch (each batch's
+    survivors are one ``corpus/batch=<id>`` overwrite). Re-run
+    finalize_corpus to pick up later batches; a snapshot test pins this.
 
     Reference analogue: the task-completion sweep that closes each
     harvesting job after its per-delta processing
@@ -449,7 +461,8 @@ def finalize_corpus(spark: SparkSession, corpus_dir: str,
                              "budget the mixture realizes)")
         survivors = temperature_sample_stage(
             survivors, temperature_alpha, temperature_budget_tokens,
-            strata_col=cap_strata_col, text_col=text_col, id_col=id_col)
+            strata_col=cap_strata_col, text_col=text_col, id_col=id_col,
+            exact=temperature_exact)
     if out_dir is not None:
         write_training_shards(survivors, out_dir, n_shards,
                               budget_tokens, text_col, id_col)

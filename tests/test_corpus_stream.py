@@ -582,3 +582,43 @@ def test_remap_arrival_ids_contract(spark):
         remap_arrival_ids(df, 0, n_buckets=5000)
     with pytest.raises(ValueError, match="lineage"):
         remap_arrival_ids(df.withColumn("doc_id_src", df.doc_id), 0)
+
+
+def test_finalize_corpus_snapshot_vs_live_stream(spark, tmp_path):
+    """Finalization over a still-running stream is batch-boundary
+    consistent: the corpus listing is pinned when finalize_corpus reads
+    the directory, so a batch landing afterwards is wholly excluded
+    (never a torn batch), and a re-run picks it up. The exact
+    temperature cut (temperature_exact=True) equals
+    temperature_sample_exact applied directly."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        temperature_sample_stage,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.corpus_stream import (
+        finalize_corpus,
+        read_corpus,
+    )
+
+    cdir = str(tmp_path / "corpus")
+    for i, rows in enumerate(BATCHES[:2]):
+        corpus_batch(spark.createDataFrame(rows, SCHEMA), i, cdir,
+                     _bench(spark), **FUNNEL)
+
+    fin = finalize_corpus(spark, cdir)  # listing pinned HERE
+    # a new batch lands while the finalize plan is in flight
+    corpus_batch(spark.createDataFrame(BATCHES[2], SCHEMA), 2, cdir,
+                 _bench(spark), **FUNNEL)
+    got = {r.doc_id for r in fin.collect()}
+    assert got == {1, 2}  # batch 2's survivor (21) wholly excluded
+    rerun = {r.doc_id for r in finalize_corpus(spark, cdir).collect()}
+    assert rerun == {1, 2, 21}
+
+    # exact temperature cut wired through the stage — compare against
+    # the stage applied directly to the same input (the corpus has no
+    # lang column, so the stage annotates lang_pred)
+    exact = {r.doc_id for r in finalize_corpus(
+        spark, cdir, temperature_alpha=0.5, temperature_budget_tokens=25,
+        temperature_exact=True).collect()}
+    want = {r.doc_id for r in temperature_sample_stage(
+        read_corpus(spark, cdir), 0.5, 25, exact=True).collect()}
+    assert exact == want and exact <= rerun
