@@ -187,16 +187,47 @@ def drop_embedding_neardups(df: DataFrame, threshold: float, dim: int,
     return df.join(reps, id_col, "left_semi")
 
 
+def probe_masks(n_planes: int, probe_bits: int) -> list[int]:
+    """Driver-enumerated XOR masks covering the Hamming ball of radius
+    ``probe_bits`` over ``n_planes`` sign bits — ``C(n_planes,
+    ≤probe_bits)`` ints, the multi-probe expansion set shared by the
+    top-k prober and the blocked pair join. Mask 0 (the bucket itself)
+    comes first."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, probe_bits + 1):
+        for flips in combinations(range(n_planes), r):
+            m = 0
+            for f in flips:
+                m |= 1 << f
+            masks.append(m)
+    return masks
+
+
 def lsh_blocked_pairs(df: DataFrame, threshold: float, dim: int,
                       vec_col: str = "embedding", id_col: str = "vec_id",
                       n_planes: int = 8,
-                      materialize_mode: str = "local_checkpoint") -> DataFrame:
+                      materialize_mode: str = "local_checkpoint",
+                      probe_bits: int = 0) -> DataFrame:
     """Embedding near-duplicate pairs via sign-LSH blocking: candidates
     come from an EQUI-join on the hyperplane-sign bucket (never an
     all-pairs nested-loop), then the exact rounded cosine refines within
     each bucket. Recall < 1 by construction (cross-bucket near-dups are
     missed) — the trade that makes the pair space tractable at 100 TB;
-    lower ``n_planes`` or union several plane sets to raise recall.
+    lower ``n_planes``, union several plane sets, or raise
+    ``probe_bits`` to recover it.
+
+    ``probe_bits>0`` is MULTI-PROBE blocking (the pair-join twin of
+    :func:`lsh_ann_topk_multiprobe`): one join side explodes each vector
+    to every bucket within ``probe_bits`` sign flips of its own
+    (driver-enumerated masks, C(n_planes, ≤probe_bits) per row), so a
+    near-boundary pair whose buckets differ in ≤``probe_bits`` plane
+    signs — THE sign-LSH recall loss — becomes a candidate. Still an
+    equi-join (probed-bucket = bucket); each qualifying pair surfaces
+    exactly once because exactly one mask equals the two buckets' XOR,
+    so no dedup pass is needed. Candidate volume scales by the mask
+    count on one side — the recall/cost knob.
 
     Scale rule for ``n_planes``: in-bucket work is quadratic in bucket
     size, so pick ≈ log2(n_vectors / target_bucket_size) planes — a few
@@ -221,11 +252,21 @@ def lsh_blocked_pairs(df: DataFrame, threshold: float, dim: int,
         _pin_join_parallelism,
     )
 
-    b = _pin_join_parallelism(b, "bucket")
-    a, c = b.alias("a"), b.alias("c")
+    if probe_bits:
+        probe = b.withColumn("_probe", F.explode(F.array(*[
+            F.col("bucket").bitwiseXOR(F.lit(m))
+            for m in probe_masks(n_planes, probe_bits)])))
+        a = _pin_join_parallelism(probe, "_probe").alias("a")
+        c = _pin_join_parallelism(b, "bucket").alias("c")
+        cond = ((F.col("a._probe") == F.col("c.bucket"))
+                & (F.col("a.id") < F.col("c.id")))
+    else:
+        b = _pin_join_parallelism(b, "bucket")
+        a, c = b.alias("a"), b.alias("c")
+        cond = ((F.col("a.bucket") == F.col("c.bucket"))
+                & (F.col("a.id") < F.col("c.id")))
     return (
-        a.join(c, (F.col("a.bucket") == F.col("c.bucket"))
-               & (F.col("a.id") < F.col("c.id")))
+        a.join(c, cond)
         .select(F.col("a.id").alias("id_a"), F.col("c.id").alias("id_b"),
                 F.round(dot(F.col("a.v"), F.col("c.v"))
                         / (F.col("a.vnorm") * F.col("c.vnorm")), 6)

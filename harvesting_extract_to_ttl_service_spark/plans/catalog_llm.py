@@ -581,7 +581,8 @@ def lsh_ann_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    probe_bits=1)
 
 
-def _lsh_neardup_oracle(threshold: float = 0.25, max_id: int = 200) -> str:
+def _lsh_neardup_oracle(threshold: float = 0.25, max_id: int = 200,
+                        hamming: int = 0) -> str:
     from harvesting_extract_to_ttl_service_spark.operators.similarity import (
         _hyperplanes,
     )
@@ -595,6 +596,8 @@ def _lsh_neardup_oracle(threshold: float = 0.25, max_id: int = 200) -> str:
     bucket = " + ".join(bucket_terms)
     nrm = ("sqrt(list_reduce(list_transform(embedding, "
            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))")
+    cond = ("a.bucket = b.bucket" if hamming == 0 else
+            f"bit_count(xor(a.bucket, b.bucket)) <= {hamming}")
     return f"""
 WITH v AS (
   SELECT vec_id, embedding, {bucket} AS bucket, {nrm} AS vnorm
@@ -603,7 +606,7 @@ WITH v AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          round({_zip_dot_sql('a.embedding', 'b.embedding')}
                / (a.vnorm * b.vnorm), 6) AS cos_sim
-  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  FROM v a JOIN v b ON {cond} AND a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {threshold}
 """
@@ -916,9 +919,28 @@ def cosine_self_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_self_join_topk(emb, k=3)
 
 
+@member_sql(_lsh_neardup_oracle(hamming=1))
+def lsh_blocked_pairs_mp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe blocked near-dup pairs: one side explodes over the
+    Hamming-1 ball of its sign bucket, so boundary pairs whose buckets
+    differ in one plane sign — the single-bucket member's recall loss —
+    surface as candidates. The oracle restates the criterion directly as
+    bit_count(xor(bucket_a, bucket_b)) <= 1, verifying each pair appears
+    exactly once (one XOR mask per pair) with its exact cosine."""
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        lsh_blocked_pairs,
+    )
+
+    emb = (load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+           .select("vec_id", "embedding"))
+    return lsh_blocked_pairs(emb, threshold=0.25, dim=_EMBED_DIM,
+                             n_planes=_NEARDUP_PLANES, probe_bits=1)
+
+
 _ANN_MEMBERS = [
     ("lsh_topk", lsh_ann_topk_q, ["vec_id"], ["cos_sim"]),
     ("lsh_multiprobe", lsh_ann_multiprobe_q, ["vec_id"], ["cos_sim"]),
+    ("blocked_mp", lsh_blocked_pairs_mp_q, ["id_a", "id_b"], ["cos_sim"]),
     ("ivf_assign", ivf_cell_assignment, ["vec_id", "ivf_cell"], []),
     ("ivf_topk", ivf_topk_search, ["vec_id"], ["cos_sim"]),
     ("self_topk", cosine_self_topk_q, ["id_a", "id_b"], ["cos_sim"]),

@@ -470,7 +470,8 @@ def embedding_dedup_batch(vecs: DataFrame, batch_id: int, index_dir: str,
                           n_planes: int = 8, threshold: float = 0.9,
                           materialize_mode: str = "persist",
                           broadcast_new: bool = True,
-                          components_dir: str | None = None) -> None:
+                          components_dir: str | None = None,
+                          probe_bits: int = 0) -> None:
     """The EMBEDDING twin of :func:`dedup_batch`: semantic (cosine)
     near-dup detection micro-batch by micro-batch against a growing
     sign-LSH index — one ``(id, bucket, v, vnorm)`` row per vector,
@@ -485,9 +486,16 @@ def embedding_dedup_batch(vecs: DataFrame, batch_id: int, index_dir: str,
     with the exact rounded cosine refined inside each bucket — candidate
     recall follows the sign-LSH bucketing
     (operators/similarity.lsh_blocked_pairs): cross-bucket near-dups are
-    missed, the safe direction for dedup. The accumulated pairs over any
-    batch split equal one `lsh_blocked_pairs` run over the union
-    (buckets are deterministic), which is the parity the tests pin.
+    missed, the safe direction for dedup. ``probe_bits>0`` recovers the
+    near-boundary losses by exploding the BATCH side over the Hamming
+    ball of its buckets (multi-probe — the store is still only probed by
+    an equi-join; candidate volume scales by the mask count on the
+    batch side only). The accumulated pairs over any batch split equal
+    one `lsh_blocked_pairs` run over the union with the same
+    ``probe_bits`` (buckets and masks are deterministic), which is the
+    parity the tests pin; ``probe_bits`` is pinned in the
+    ``_ann_params.json`` sidecar because a mid-stream change would make
+    the pair stream's recall batch-dependent.
 
     ``components_dir`` maintains the same cross-batch id→component table
     as the text path (:func:`update_components` — the two paths share
@@ -502,11 +510,13 @@ def embedding_dedup_batch(vecs: DataFrame, batch_id: int, index_dir: str,
         dot,
         lsh_bucket,
         norm,
+        probe_masks,
     )
 
     spark = vecs.sparkSession
     _check_sidecar_params(spark, index_dir,
-                          {"n_planes": n_planes, "dim": dim},
+                          {"n_planes": n_planes, "dim": dim,
+                           "probe_bits": probe_bits},
                           filename="_ann_params.json")
     newb = (vecs.select(F.col(id_col).alias("id"),
                         F.col(vec_col).alias("v"))
@@ -526,7 +536,18 @@ def embedding_dedup_batch(vecs: DataFrame, batch_id: int, index_dir: str,
 
     try:
         index = _read_index_except(spark, index_dir, batch_id)
-        new_side = F.broadcast(newb) if broadcast_new else newb
+        # multi-probe: the BATCH side explodes over its Hamming ball
+        # (store rows keep their exact bucket — the index is never
+        # rewritten for a recall knob). probe_bits=0 aliases the bucket,
+        # keeping the single-probe plan shape unchanged.
+        if probe_bits:
+            probe_new = newb.withColumn("_probe", F.explode(F.array(*[
+                F.col("bucket").bitwiseXOR(F.lit(m))
+                for m in probe_masks(n_planes, probe_bits)])))
+        else:
+            probe_new = newb.withColumn("_probe", F.col("bucket"))
+        new_side = (F.broadcast(probe_new) if broadcast_new
+                    else _pin_join_parallelism(probe_new, "_probe"))
         # id inequality: same replay-after-compaction guard as the
         # MinHash path — a replayed batch finds its own vectors in the
         # compacted batch=-1 partition
@@ -534,12 +555,13 @@ def embedding_dedup_batch(vecs: DataFrame, batch_id: int, index_dir: str,
             index = newb.limit(0)
         vs_index = pair_cols(new_side.alias("a").join(
             index.alias("b"),
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a._probe") == F.col("b.bucket"))
             & (F.col("a.id") != F.col("b.id"))))
-        pinned = _pin_join_parallelism(newb, "bucket")
-        vs_self = pair_cols(pinned.alias("a").join(
-            pinned.alias("b"),
-            (F.col("a.bucket") == F.col("b.bucket"))
+        a_self = _pin_join_parallelism(probe_new, "_probe")
+        b_self = _pin_join_parallelism(newb, "bucket")
+        vs_self = pair_cols(a_self.alias("a").join(
+            b_self.alias("b"),
+            (F.col("a._probe") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id"))))
         # one distinct over the union: a pair surfacing from both
         # branches (replay-after-compaction) collapses here, and cos_sim
@@ -566,7 +588,8 @@ def run_embedding_dedup_stream(vecs_stream: DataFrame, index_dir: str,
                                n_planes: int = 8, threshold: float = 0.9,
                                trigger_available_now: bool = True,
                                on_batch: Callable[[int], None] | None = None,
-                               components_dir: str | None = None):
+                               components_dir: str | None = None,
+                               probe_bits: int = 0):
     """Attach the embedding dedup loop to a streaming vector source —
     the semantic twin of :func:`run_dedup_stream`, same checkpoint +
     batch=<id> replay contract."""
@@ -574,7 +597,8 @@ def run_embedding_dedup_stream(vecs_stream: DataFrame, index_dir: str,
     def batch_fn(df: DataFrame, batch_id: int) -> None:
         embedding_dedup_batch(df, batch_id, index_dir, pairs_dir, dim,
                               vec_col, id_col, n_planes, threshold,
-                              components_dir=components_dir)
+                              components_dir=components_dir,
+                              probe_bits=probe_bits)
         if on_batch is not None:
             on_batch(batch_id)
 

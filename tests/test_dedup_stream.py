@@ -539,3 +539,58 @@ def test_update_components_writes_every_batch_id(spark, tmp_path):
           spark.read.parquet(f"{cdir}/batch=1").collect()}
     assert b1 == {(10, 1), (11, 11)}
     assert _components(spark, cdir) == {(1, 1), (2, 1), (10, 1), (11, 11)}
+
+
+def test_embedding_multiprobe_recovers_boundary_pairs(spark, tmp_path):
+    """The sign-LSH recall loss, surgically reproduced: two
+    near-identical vectors straddling ONE hyperplane land in buckets one
+    sign flip apart — invisible to the single-bucket join, recovered by
+    probe_bits=1 in both the batch operator and the streaming twin
+    (whose accumulated pairs equal the batch run at the same
+    probe_bits). The sidecar pins probe_bits for the index's lifetime."""
+    import pytest
+
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        _hyperplanes,
+        lsh_blocked_pairs,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.dedup_stream import (
+        embedding_dedup_batch,
+    )
+
+    p0, p1 = _hyperplanes(DIM, 2)
+    d00 = sum(a * a for a in p0)
+    d10 = sum(a * b for a, b in zip(p1, p0))
+    t = [b - d10 / d00 * a for a, b in zip(p0, p1)]  # t ⊥ p0
+    eps = 1e-3
+    n0 = d00 ** 0.5
+    v1 = [x + eps * a / n0 for x, a in zip(t, p0)]  # just above plane 0
+    v2 = [x - eps * a / n0 for x, a in zip(t, p0)]  # just below plane 0
+
+    union = _vecs(spark, [(1, v1), (2, v2)])
+    assert lsh_blocked_pairs(union, 0.99, DIM, n_planes=2).count() == 0
+    mp = lsh_blocked_pairs(union, 0.99, DIM, n_planes=2,
+                           probe_bits=1).collect()
+    assert [(r.id_a, r.id_b) for r in mp] == [(1, 2)]
+    assert mp[0].cos_sim >= 0.999
+
+    # streaming twin: the pair is found CROSS-BATCH against the stored
+    # index via the batch side's Hamming-ball probe
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    embedding_dedup_batch(_vecs(spark, [(1, v1)]), 0, index_dir,
+                          pairs_dir, DIM, n_planes=2, threshold=0.99,
+                          probe_bits=1)
+    embedding_dedup_batch(_vecs(spark, [(2, v2)]), 1, index_dir,
+                          pairs_dir, DIM, n_planes=2, threshold=0.99,
+                          probe_bits=1)
+    got = {(r.id_a, r.id_b, r.cos_sim) for r in
+           spark.read.option("basePath", pairs_dir).parquet(pairs_dir)
+           .drop("batch").collect()}
+    assert got == {(r.id_a, r.id_b, r.cos_sim) for r in mp}
+
+    # a mid-stream probe_bits change would make pair recall
+    # batch-dependent: the sidecar refuses it
+    with pytest.raises(ValueError, match="silently missed"):
+        embedding_dedup_batch(_vecs(spark, [(3, v1)]), 2, index_dir,
+                              pairs_dir, DIM, n_planes=2, threshold=0.99)
