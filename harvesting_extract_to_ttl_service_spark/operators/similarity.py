@@ -164,7 +164,7 @@ def drop_embedding_neardups(df: DataFrame, threshold: float, dim: int,
                             id_col: str = "vec_id", n_planes: int = 8,
                             max_iter: int = 20,
                             materialize_mode: str = "local_checkpoint",
-                            ) -> DataFrame:
+                            probe_bits: int = 0) -> DataFrame:
     """Semantic (embedding-cosine) dedup, keep-one: LSH-blocked near-dup
     pairs → connected components → keep each cluster's minimum-id row.
     The embedding twin of the text pipeline's MinHash→cluster→keep-one
@@ -172,13 +172,14 @@ def drop_embedding_neardups(df: DataFrame, threshold: float, dim: int,
     operators/dedup.connected_components for the closure). Returns the
     surviving rows of ``df``; recall follows :func:`lsh_blocked_pairs`'s
     bucketing (cross-bucket near-dups are kept, not dropped — the safe
-    direction for a dedup)."""
+    direction for a dedup; raise ``probe_bits`` to drop more of the
+    near-boundary duplicates)."""
     from harvesting_extract_to_ttl_service_spark.operators.dedup import (
         connected_components,
     )
 
     pairs = lsh_blocked_pairs(df, threshold, dim, vec_col, id_col,
-                              n_planes, materialize_mode)
+                              n_planes, materialize_mode, probe_bits)
     comp = connected_components(
         pairs.select("id_a", "id_b"),
         df.select(F.col(id_col).alias("id")), max_iter=max_iter)
