@@ -83,17 +83,25 @@ def stratified_sample(df: DataFrame, rates: dict[str, float] | DataFrame,
                 f"'rate'), got {rates.columns}")
         # a duplicate stratum key would silently DUPLICATE every row of
         # that stratum through the join (a sampler must never multiply
-        # rows). The check is one aggregate over the strata-sized table
-        # the join broadcasts anyway — driver-cheap by the same contract
-        # that makes the broadcast legal.
-        dup = (rates.groupBy(strata_col).count()
-               .filter(F.col("count") > 1).limit(1).collect())
-        if dup:
-            raise ValueError(
-                f"rates DataFrame has a duplicate {strata_col!r} key "
-                f"({dup[0][0]!r}): the rate join would duplicate that "
-                f"stratum's rows — deduplicate the rates table")
-        keyed = rates.select(strata_col, F.col("rate").alias("_rate"))
+        # rows). Validated IN-PLAN — a window count over the strata-sized
+        # table, evaluated once when the broadcast is built — not by an
+        # eager driver collect, which would execute the rates LINEAGE a
+        # second full time at call time (the documented large-domain use
+        # computes rates from a corpus-scale aggregate) and make a lazy
+        # plan-builder eager. The violation raises at action time.
+        wdup = Window.partitionBy(strata_col)
+        keyed = rates.select(
+            strata_col,
+            F.when(
+                F.count("*").over(wdup) > 1,
+                F.raise_error(F.concat(
+                    F.lit(f"stratified_sample: duplicate {strata_col!r} "
+                          f"key '"),
+                    F.col(strata_col).cast("string"),
+                    F.lit("' in the rates DataFrame — the rate join "
+                          "would duplicate that stratum's rows"))
+                ).cast("double"))
+            .otherwise(F.col("rate")).alias("_rate"))
         return (
             df.join(F.broadcast(keyed), strata_col)
             .filter(hash_fraction(F.col(id_col), salt) < F.col("_rate"))

@@ -281,12 +281,16 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
         # join sides (directly, and again through vocab → tot), and the
         # planner duplicates unreferenced subtrees rather than reuse
         # them — without the cut the text explode+count would run three
-        # times. With an external model the partials feed only the join,
-        # so no cut is needed.
+        # times.
         per_doc = materialize(per_doc, materialize_mode)
         vocab = per_doc.groupBy("t").agg(F.sum("c").alias("ct"))
     else:
         vocab = model_counts.select("t", "ct")
+        if hot_k:
+            # with a frozen model the partials feed only ONE join in the
+            # unsplit plan, but the hot/cold split unions two branches
+            # over per_doc — cut it or the text explode+count runs twice
+            per_doc = materialize(per_doc, materialize_mode)
     tot = vocab.agg(F.sum("ct").alias("n_total"),
                     F.count("*").alias("v"))
     # left join + zero floor: identical to the inner join when the model
@@ -295,7 +299,14 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     lp = F.log((F.coalesce(F.col("ct"), F.lit(0)) + F.lit(alpha))
                / (F.col("n_total") + F.lit(alpha) * F.col("v")))
     if hot_k:
-        hot = F.broadcast(vocab.orderBy(F.col("ct").desc()).limit(hot_k))
+        # the hot-set order MUST be total (ties at the hot_k boundary
+        # broken by the token itself): the `hot` subtree is evaluated
+        # once per union branch, and a non-total TakeOrdered could pick
+        # different tie members per evaluation — a token in one
+        # evaluation's hot set but not the other's would be counted
+        # twice (inner join + anti-join survival) or dropped by both
+        hot = F.broadcast(
+            vocab.orderBy(F.col("ct").desc(), "t").limit(hot_k))
         joined = (per_doc.join(hot, "t").unionByName(
             per_doc.join(hot.select("t"), "t", "left_anti")
             .join(vocab, "t", "left")))

@@ -51,6 +51,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from harvesting_extract_to_ttl_service_spark.operators.corpus import (
     benchmark_contamination,
@@ -93,11 +94,14 @@ def remap_arrival_ids(docs: DataFrame, batch_id: int,
     than every earlier batch's ids (batch in the high bits), unique
     within the batch ((bucket, rank) is unique), and DETERMINISTIC — the
     bucket is a hash of the source id and the rank is a row_number
-    ordered by the source id within the bucket, so a replayed batch
-    re-derives byte-identical ids (the exactly-once protocol depends on
-    that). Within-batch order is irrelevant to parity: both funnels see
-    a within-batch duplicate group whole and keep its min id, whichever
-    member that is.
+    ordered by (source id, full-row hash) within the bucket, so a
+    replayed batch re-derives byte-identical ids (the exactly-once
+    protocol depends on that) even when the batch carries DUPLICATE
+    source ids (the same URL crawled twice in one window — without the
+    content tiebreaker their ids could swap between runs, re-keying
+    state rows to different texts on replay). Within-batch order is
+    irrelevant to parity: both funnels see a within-batch duplicate
+    group whole and keep its min id, whichever member that is.
 
     Scale shape: the only shuffle is ``repartition(bucket)`` of the
     BATCH (never the corpus) and the window sorts per bucket — no
@@ -125,7 +129,12 @@ def remap_arrival_ids(docs: DataFrame, batch_id: int,
                          f"the lineage column")
     bucket = F.floor(hash_fraction(F.col(src), "arrival")
                      * F.lit(n_buckets)).cast("long")
-    w = Window.partitionBy("_bkt").orderBy(src)
+    # full-row hash tiebreaker: rows with the same source id order by
+    # their content, so only fully-identical rows can tie — and swapping
+    # those is a no-op
+    row_hash = F.xxhash64(*[F.col(c) if c != id_col else F.col(src)
+                            for c in docs.columns])
+    w = Window.partitionBy("_bkt").orderBy(F.col(src), row_hash)
     rank = F.row_number().over(w).cast("long") - F.lit(1)
     rank = F.when(rank < F.lit(1 << _REMAP_RANK_BITS), rank).otherwise(
         F.raise_error(F.lit("remap_arrival_ids: bucket rank overflow "
@@ -176,7 +185,14 @@ def _check_monotone_ids(docs: DataFrame, batch_id: int, corpus_dir: str,
                 f"across batches for stream/batch funnel parity. Remap "
                 f"the source ids with remap_arrival_ids, or fix the "
                 f"source's delivery order")
-    (spark.createDataFrame([(batch_id, hi)], "src_batch long, max_id long")
+    # schema follows the id column's type (string/long/... ids are all
+    # valid — the monotone precondition only needs an ordering), rather
+    # than hard-coding long
+    id_type = docs.schema[id_col].dataType
+    (spark.createDataFrame(
+        [(batch_id, hi)],
+        T.StructType([T.StructField("src_batch", T.LongType()),
+                      T.StructField("max_id", id_type)]))
      .coalesce(1).write.mode("overwrite")
      .parquet(f"{corpus_dir}/idwatermark/batch={batch_id}"))
 
@@ -444,25 +460,37 @@ def finalize_corpus(spark: SparkSession, corpus_dir: str,
     (/root/reference/lib/pipeline-import.js:109-116) — here the "sweep"
     is the corpus-level sampling the per-batch loop cannot do."""
     from harvesting_extract_to_ttl_service_spark.operators.corpus import (
-        capped_sample_stage,
-        temperature_sample_stage,
+        _stratum_frame,
+        capped_stratified_sample,
+        temperature_sample,
+        temperature_sample_exact,
         write_training_shards,
     )
 
+    if temperature_alpha is not None and temperature_budget_tokens is None:
+        raise ValueError("temperature_alpha requires "
+                         "temperature_budget_tokens (the token "
+                         "budget the mixture realizes)")
     survivors = read_corpus(spark, corpus_dir)
-    if cap_per_lang is not None:
-        survivors = capped_sample_stage(
-            survivors, cap_per_lang, strata_col=cap_strata_col,
-            text_col=text_col, id_col=id_col)
-    if temperature_alpha is not None:
-        if temperature_budget_tokens is None:
-            raise ValueError("temperature_alpha requires "
-                             "temperature_budget_tokens (the token "
-                             "budget the mixture realizes)")
-        survivors = temperature_sample_stage(
-            survivors, temperature_alpha, temperature_budget_tokens,
-            strata_col=cap_strata_col, text_col=text_col, id_col=id_col,
-            exact=temperature_exact)
+    if cap_per_lang is not None or temperature_alpha is not None:
+        # resolve the stratum frame ONCE for both sampling stages — with
+        # the predicted-language fallback, going through the per-stage
+        # helpers would re-annotate (a full tokenize pass) per stage.
+        # Sampling decisions are identical to the stage helpers': same
+        # annotation, same counts, same hash-fraction membership.
+        orig = survivors.columns
+        sdf, col = _stratum_frame(survivors, cap_strata_col, text_col,
+                                  id_col)
+        if cap_per_lang is not None:
+            sdf = capped_stratified_sample(sdf, cap_per_lang,
+                                           strata_col=col, id_col=id_col)
+        if temperature_alpha is not None:
+            sampler = (temperature_sample_exact if temperature_exact
+                       else temperature_sample)
+            sdf = sampler(sdf, strata_col=col, text_col=text_col,
+                          id_col=id_col, alpha=temperature_alpha,
+                          budget_tokens=temperature_budget_tokens)
+        survivors = sdf.select(*orig)
     if out_dir is not None:
         write_training_shards(survivors, out_dir, n_shards,
                               budget_tokens, text_col, id_col)

@@ -48,13 +48,20 @@ def _check_index_params(spark: SparkSession, index_dir: str,
 
 def _check_sidecar_params(spark: SparkSession, index_dir: str,
                           want: dict,
-                          filename: str = "_lsh_params.json") -> None:
+                          filename: str = "_lsh_params.json",
+                          defaults: dict | None = None) -> None:
     """Verify (or record, on first write) an index's build parameters in
     a JSON sidecar next to the data. A parameter mismatch is
     UNDETECTABLE from the table schema — band hashes / sign buckets
     would simply cover different inputs and silently miss pairs — so the
     parameters live next to the data, like parquet's own ``_metadata``.
-    Hadoop FS API: the index may live on hdfs/s3a."""
+    Hadoop FS API: the index may live on hdfs/s3a.
+
+    ``defaults`` backfills keys ABSENT from a stored sidecar before the
+    comparison — the upgrade path for parameters added after an index
+    was built, whose default value is behavior-identical to the old
+    code (a pre-upgrade index must keep working at the defaults, not
+    hard-fail every batch)."""
     import json
 
     from harvesting_extract_to_ttl_service_spark.sources.files import (
@@ -77,6 +84,8 @@ def _check_sidecar_params(spark: SparkSession, index_dir: str,
         finally:
             stream.close()
         have = json.loads(bytes(data).decode())
+        for k, v in (defaults or {}).items():
+            have.setdefault(k, v)
         if have != want:
             raise ValueError(
                 f"dedup index at {index_dir} was built with {have}, "
@@ -517,7 +526,8 @@ def embedding_dedup_batch(vecs: DataFrame, batch_id: int, index_dir: str,
     _check_sidecar_params(spark, index_dir,
                           {"n_planes": n_planes, "dim": dim,
                            "probe_bits": probe_bits},
-                          filename="_ann_params.json")
+                          filename="_ann_params.json",
+                          defaults={"probe_bits": 0})
     newb = (vecs.select(F.col(id_col).alias("id"),
                         F.col(vec_col).alias("v"))
             .withColumn("bucket", lsh_bucket(F.col("v"), dim, n_planes))

@@ -269,14 +269,17 @@ def main():
     stream = bool(args) and args[0] == "stream"
     if incremental or funnel or stream:
         args = args[1:]
-    replicas = [int(x) for x in args] or [1, 2, 5, 10]
+    explicit = [int(x) for x in args]
+    replicas = explicit or [1, 2, 5, 10]
     tmp = tempfile.mkdtemp(prefix="scale_probe_")
     spark = get_spark("scale-probe")
     try:
         if stream:
-            # stream [n [compact_at]]: optional compaction-in-the-loop
-            n = replicas[-1] if len(replicas) < 2 else replicas[0]
-            compact_at = replicas[1] if len(replicas) > 1 else None
+            # stream [n [compact_at]]: optional compaction-in-the-loop.
+            # Bare `stream` keeps the documented default n=10; only
+            # EXPLICIT args carry (n, compact_at).
+            n = explicit[0] if explicit else 10
+            compact_at = explicit[1] if len(explicit) > 1 else None
             print(f"{'batch':>10} {'docs':>7} {'wall_s':>7}  note")
             for r in probe_corpus_stream(spark, n, tmp, compact_at):
                 note = r.get("note") or (

@@ -390,7 +390,9 @@ def test_stratified_sample_rates_df_no_per_stratum_expression(docs):
     plan = (stratified_sample(docs, big)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
-    assert "CASE WHEN" not in plan
+    # a CONSTANT number of CaseWhens is fine (the in-plan duplicate-key
+    # guard is one); an O(strata) chain is not
+    assert plan.count("CASE WHEN") <= 3
     # sanity: the dict form at this scale WOULD be an O(strata) chain —
     # the DataFrame form's plan stays small
     assert len(plan) < 20_000
@@ -594,12 +596,19 @@ def test_lm_floor_shared_by_batch_and_stream(spark, tmp_path):
 
 def test_stratified_sample_rates_df_duplicate_key_guard(docs):
     """A duplicate stratum key in the rates table would silently
-    DUPLICATE every row of that stratum through the join — refused."""
+    DUPLICATE every row of that stratum through the join — refused at
+    action time by the in-plan guard (NOT an eager call-time collect,
+    which would execute a corpus-scale rates lineage twice)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
     spark = docs.sparkSession
     dup = spark.createDataFrame([("en", 0.5), ("en", 0.9), ("fr", 1.0)],
                                 "lang string, rate double")
-    with pytest.raises(ValueError, match="duplicate"):
-        stratified_sample(docs, dup)
+    plan = stratified_sample(docs, dup)  # lazy: building the plan is fine
+    with pytest.raises((SparkRuntimeException, Py4JJavaError),
+                       match="duplicate"):
+        plan.collect()
 
 
 def test_temperature_sample_zero_token_stratum(spark):

@@ -622,3 +622,43 @@ def test_finalize_corpus_snapshot_vs_live_stream(spark, tmp_path):
     want = {r.doc_id for r in temperature_sample_stage(
         read_corpus(spark, cdir), 0.5, 25, exact=True).collect()}
     assert exact == want and exact <= rerun
+
+
+def test_monotone_guard_string_ids(spark, tmp_path):
+    """The watermark schema follows the id column's type — string doc
+    ids (URL-keyed crawls) are valid everywhere else in the funnel, so
+    the opt-in order check must validate them, not crash on a
+    hard-coded long schema."""
+    import pytest
+
+    cdir = str(tmp_path / "corpus")
+    s_schema = "doc_id string, text string"
+    corpus_batch(spark.createDataFrame([("a1", T_A)], s_schema), 0, cdir,
+                 enforce_monotone_ids=True, **FUNNEL)
+    corpus_batch(spark.createDataFrame([("b1", T_B)], s_schema), 1, cdir,
+                 enforce_monotone_ids=True, **FUNNEL)
+    with pytest.raises(ValueError, match="monotone"):
+        corpus_batch(spark.createDataFrame([("a0", T_D)], s_schema), 2,
+                     cdir, enforce_monotone_ids=True, **FUNNEL)
+    assert _survivor_ids(spark, cdir) == {"a1", "b1"}
+
+
+def test_remap_arrival_ids_duplicate_source_ids(spark):
+    """A batch carrying DUPLICATE source ids (same URL crawled twice in
+    one window) still re-derives byte-identical (id, text) pairings on
+    replay — the full-row hash tiebreaker makes the within-duplicate
+    order deterministic."""
+    from harvesting_extract_to_ttl_service_spark.streaming.corpus_stream import (
+        remap_arrival_ids,
+    )
+
+    rows = [(7, "first crawl of the page"), (7, "second crawl revised"),
+            (8, "another page")]
+    df = spark.createDataFrame(rows, SCHEMA)
+    a = sorted((r.doc_id, r.doc_id_src, r.text)
+               for r in remap_arrival_ids(df, 0, n_buckets=4).collect())
+    b = sorted((r.doc_id, r.doc_id_src, r.text)
+               for r in remap_arrival_ids(df, 0, n_buckets=4).collect())
+    assert a == b
+    assert len({i for i, _, _ in a}) == 3  # unique new ids
+    assert sorted(s for _, s, _ in a) == [7, 7, 8]
