@@ -1,0 +1,189 @@
+"""Streaming IVF ANN index — a persistent approximate-nearest-neighbor
+index over an embedding column, built micro-batch by micro-batch and
+searched with partition pruning.
+
+The batch operators (`operators/similarity.ivf_topk`) re-assign cells on
+every query — fine for one-off jobs, wrong for the operating mode where
+embeddings arrive continuously and are searched repeatedly: a 100 TB
+corpus must pay the cell assignment ONCE per vector (at ingest), store
+the index partitioned by cell, and have every search read only the
+probed cells' files. This module is that mode:
+
+  * :func:`ivf_index_batch` — assign one micro-batch to its FROZEN
+    centroids (trained once, e.g. `train_ivf_centroids` over an early
+    sample) and append it under ``<index_dir>/batch=<id>/ivf_cell=<c>``;
+    same replay-idempotent ``batch=<id>`` overwrite layout as the dedup
+    indexes (module docstring of :mod:`.dedup_stream`). Per-vector norms
+    are stored, so queries never recompute them.
+  * :func:`ivf_search` — rank the centroids against the query
+    driver-side, then read ONLY the ``n_probe`` nearest cells: the cell
+    filter is a partition-pruning predicate over the two-level
+    ``batch=*/ivf_cell=<c>`` tree, so search I/O scales with the probed
+    cells' share of the corpus, not the corpus.
+  * :func:`compact_ivf_index` — fold the per-batch partitions into
+    ``batch=-1`` PRESERVING the cell partitioning (the namenode-scale
+    motivation of :func:`.dedup_stream.compact_dedup_index`; a fold that
+    dropped the cell dirs would turn every search back into a full
+    scan).
+
+The centroid list is the index's identity: a search (or a later batch)
+against different centroids would probe the wrong cells and silently
+return garbage, so the centroids are pinned by an md5 digest in the
+``_ivf_params.json`` sidecar (the `.dedup_stream._check_sidecar_params`
+pattern) and every entry point verifies it.
+
+Reference analogue: the reference delegates all querying to an external
+store it keeps updated per delta (/root/reference/app.js:35-38); here
+the "store" is a parquet tree whose update is one set-oriented job per
+micro-batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+    dot,
+    ivf_assign,
+    norm,
+)
+from harvesting_extract_to_ttl_service_spark.streaming.dedup_stream import (
+    _check_sidecar_params,
+)
+
+
+def _centroid_digest(centroids: list[list[float]]) -> str:
+    """Deterministic identity of a centroid list: md5 over the exact
+    float reprs (any change to k, dim, or a single coordinate changes
+    the digest)."""
+    payload = json.dumps([[repr(float(x)) for x in c] for c in centroids])
+    return hashlib.md5(payload.encode()).hexdigest()
+
+
+def _check_ivf_sidecar(spark: SparkSession, index_dir: str,
+                       centroids: list[list[float]]) -> None:
+    _check_sidecar_params(
+        spark, index_dir,
+        {"k": len(centroids), "dim": len(centroids[0]),
+         "centroids_md5": _centroid_digest(centroids)},
+        filename="_ivf_params.json")
+
+
+def ivf_index_batch(vecs: DataFrame, batch_id: int, index_dir: str,
+                    centroids: list[list[float]],
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> None:
+    """Append one micro-batch of vectors to the persistent IVF index:
+    one `ivf_assign` projection (pure column expression — no shuffle
+    beyond the partitioned write) + one ``batch=<id>`` overwrite,
+    partitioned by cell. A replayed batch rewrites its own directory
+    byte-identically (assignment is deterministic given the pinned
+    centroids), so the index needs no transactional store."""
+    spark = vecs.sparkSession
+    _check_ivf_sidecar(spark, index_dir, centroids)
+    assigned = (ivf_assign(vecs.select(F.col(id_col).alias("id"),
+                                       F.col(vec_col).alias("v")),
+                           centroids, vec_col="v")
+                .withColumn("vnorm", norm(F.col("v"))))
+    (assigned.write.mode("overwrite").partitionBy("ivf_cell")
+     .parquet(f"{index_dir}/batch={batch_id}"))
+
+
+def ivf_search(spark: SparkSession, index_dir: str,
+               query_vec: list[float], centroids: list[list[float]],
+               k: int = 10, n_probe: int = 2,
+               id_col: str = "vec_id") -> DataFrame:
+    """Top-k cosine search over the accumulated index. The ``n_probe``
+    nearest cells are ranked driver-side (the centroid list is tiny and
+    already local); the cell IN-filter reaches the scan as a
+    partition-pruning predicate, so only ``batch=*/ivf_cell=<probed>``
+    subtrees are read. Results equal `operators/similarity.ivf_topk`
+    over the same vectors with the same centroids (the parity the tests
+    pin) — but the per-vector assignment and norm were paid at ingest,
+    not per query."""
+    _check_ivf_sidecar(spark, index_dir, centroids)
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        num = sum(float(x) * float(y) for x, y in zip(a, b))
+        return num / (math.sqrt(sum(float(x) ** 2 for x in a))
+                      * math.sqrt(sum(float(y) ** 2 for y in b)))
+
+    probed = sorted(range(len(centroids)),
+                    key=lambda i: (-_cos(query_vec, centroids[i]), i))[:n_probe]
+    qn = math.sqrt(sum(float(x) ** 2 for x in query_vec))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    idx = spark.read.option("basePath", index_dir).parquet(index_dir)
+    return (
+        idx.filter(F.col("ivf_cell").isin(probed))
+        .select(F.col("id").alias(id_col),
+                F.round(dot(F.col("v"), q) / (F.col("vnorm") * F.lit(qn)),
+                        6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), id_col)
+        .limit(k)
+    )
+
+
+def compact_ivf_index(spark: SparkSession, index_dir: str,
+                      target_partitions: int | None = None) -> int:
+    """Fold the per-batch index partitions into ``batch=-1``, PRESERVING
+    the ``ivf_cell`` partitioning (dropping it would turn every search
+    back into a full scan — the generic
+    :func:`.dedup_stream.compact_dedup_index` is NOT layout-safe here).
+    Same crash ordering as the generic fold: the consolidated partition
+    is written first, the folded batch dirs dropped after — a crash
+    between the two duplicates rows, which only duplicates search
+    candidates (the top-k is per-id idempotent), never loses them.
+    Returns the number of batch partitions folded."""
+    from harvesting_extract_to_ttl_service_spark.sources.files import (
+        _hadoop_fs,
+    )
+
+    idx = spark.read.option("basePath", index_dir).parquet(index_dir)
+    batches = [r.batch for r in idx.select("batch").distinct().collect()
+               if r.batch != -1]
+    if not batches:
+        return 0
+    out = idx.drop("batch")
+    if target_partitions is not None:
+        out = out.repartition(target_partitions, F.col("ivf_cell"))
+    fs, _ = _hadoop_fs(spark, index_dir)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    tmp = f"{index_dir}/_compact_tmp"
+    out.write.mode("overwrite").partitionBy("ivf_cell").parquet(tmp)
+    (spark.read.option("basePath", tmp).parquet(tmp)
+     .write.mode("overwrite").partitionBy("ivf_cell")
+     .parquet(f"{index_dir}/batch=-1"))
+    for b in batches:
+        fs.delete(jpath(f"{index_dir}/batch={b}"), True)
+    fs.delete(jpath(tmp), True)
+    return len(batches)
+
+
+def run_ivf_index_stream(vecs_stream: DataFrame, index_dir: str,
+                         checkpoint: str, centroids: list[list[float]],
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id",
+                         trigger_available_now: bool = True,
+                         on_batch=None):
+    """Attach the IVF indexer to a streaming vector source — same
+    checkpoint + batch=<id> replay contract as the dedup streams."""
+
+    def batch_fn(df: DataFrame, batch_id: int) -> None:
+        ivf_index_batch(df, batch_id, index_dir, centroids, vec_col,
+                        id_col)
+        if on_batch is not None:
+            on_batch(batch_id)
+
+    writer = (
+        vecs_stream.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

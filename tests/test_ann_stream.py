@@ -1,0 +1,123 @@
+"""Streaming IVF ANN index (streaming/ann_stream.py): search parity
+with the batch operator, replay idempotence, cell partition pruning,
+centroid pinning, and layout-preserving compaction."""
+
+import os
+
+import pytest
+
+from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+    ivf_topk,
+    train_ivf_centroids,
+)
+from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+    compact_ivf_index,
+    ivf_index_batch,
+    ivf_search,
+    run_ivf_index_stream,
+)
+
+V_SCHEMA = "vec_id long, embedding array<double>"
+DIM = 8
+
+
+def _vecs(spark, ids):
+    """Deterministic spread-out vectors: unit-ish vectors leaning toward
+    axis (i mod DIM) with an id-dependent perturbation."""
+    rows = [(i, [1.0 if d == i % DIM else 0.1 * ((i * 7 + d) % 5)
+                 for d in range(DIM)]) for i in ids]
+    return spark.createDataFrame(rows, V_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def centroids(spark):
+    return train_ivf_centroids(_vecs(spark, range(64)), k=4, dim=DIM)
+
+
+def test_ivf_stream_search_matches_batch_topk(spark, tmp_path, centroids):
+    """Two streamed batches, one search: results equal ivf_topk over the
+    union with the same centroids/k/n_probe — assignment at ingest
+    changes nothing about the answer, only when the work happens."""
+    idir = str(tmp_path / "ivf")
+    ivf_index_batch(_vecs(spark, range(0, 32)), 0, idir, centroids)
+    ivf_index_batch(_vecs(spark, range(32, 64)), 1, idir, centroids)
+
+    query = [1.0] + [0.05] * (DIM - 1)
+    got = ivf_search(spark, idir, query, centroids, k=5, n_probe=2)
+    want = ivf_topk(_vecs(spark, range(64)), query, centroids, k=5,
+                    n_probe=2)
+    assert [tuple(r) for r in got.collect()] \
+        == [tuple(r) for r in want.collect()]
+
+    # the cell filter partition-prunes: only probed cells' files are read
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    pf = plan[plan.find("PartitionFilters"):].split("]")[0]
+    assert "ivf_cell" in pf, plan
+
+
+def test_ivf_index_replay_and_sidecar(spark, tmp_path, centroids):
+    """A replayed batch rewrites its own partition identically; an index
+    built with different centroids is refused (probing the wrong cells
+    would silently return garbage)."""
+    idir = str(tmp_path / "ivf")
+    ivf_index_batch(_vecs(spark, range(0, 16)), 0, idir, centroids)
+    query = [1.0] + [0.0] * (DIM - 1)
+    before = [tuple(r) for r in ivf_search(
+        spark, idir, query, centroids, k=3).collect()]
+
+    ivf_index_batch(_vecs(spark, range(0, 16)), 0, idir, centroids)
+    assert [tuple(r) for r in ivf_search(
+        spark, idir, query, centroids, k=3).collect()] == before
+    n = spark.read.option("basePath", idir).parquet(idir).count()
+    assert n == 16  # no duplicated rows
+
+    other = [[float(d == i) for d in range(DIM)] for i in range(4)]
+    with pytest.raises(ValueError, match="silently missed"):
+        ivf_index_batch(_vecs(spark, range(16, 20)), 1, idir, other)
+    with pytest.raises(ValueError, match="silently missed"):
+        ivf_search(spark, idir, query, other, k=3).collect()
+
+
+def test_ivf_compact_preserves_cells_and_results(spark, tmp_path,
+                                                 centroids):
+    """Compaction folds batch partitions into batch=-1 while KEEPING the
+    ivf_cell directory level (the pruning the index exists for), search
+    results unchanged, and a post-compaction batch still appends."""
+    idir = str(tmp_path / "ivf")
+    ivf_index_batch(_vecs(spark, range(0, 24)), 0, idir, centroids)
+    ivf_index_batch(_vecs(spark, range(24, 48)), 1, idir, centroids)
+    query = [0.2] * DIM
+    before = [tuple(r) for r in ivf_search(
+        spark, idir, query, centroids, k=4).collect()]
+
+    assert compact_ivf_index(spark, idir) == 2
+    assert [tuple(r) for r in ivf_search(
+        spark, idir, query, centroids, k=4).collect()] == before
+    # the folded partition keeps per-cell directories
+    cells = [d for d in os.listdir(f"{idir}/batch=-1")
+             if d.startswith("ivf_cell=")]
+    assert cells
+
+    ivf_index_batch(_vecs(spark, range(48, 56)), 2, idir, centroids)
+    assert spark.read.option("basePath", idir).parquet(idir).count() == 56
+
+
+def test_run_ivf_index_stream_end_to_end(spark, tmp_path, centroids):
+    """The foreachBatch wiring: a file stream drained under a checkpoint
+    indexes each delivery exactly once."""
+    import json as _json
+
+    sdir = str(tmp_path / "vecs")
+    idir = str(tmp_path / "ivf")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(sdir)
+    rows = [(i, [1.0 if d == i % DIM else 0.0 for d in range(DIM)])
+            for i in range(10)]
+    with open(f"{sdir}/b0.json", "w") as f:
+        for i, v in rows:
+            f.write(_json.dumps({"vec_id": i, "embedding": v}) + "\n")
+
+    st = spark.readStream.schema(V_SCHEMA).json(sdir)
+    q = run_ivf_index_stream(st, idir, ckpt, centroids)
+    q.awaitTermination(120)
+    assert spark.read.option("basePath", idir).parquet(idir).count() == 10
