@@ -332,6 +332,76 @@ def ivf_topk(df: DataFrame, query_vec: list[float],
         .limit(k)
     )
 
+def _probe_cells(vec_col_name: str, centroids: list[list[float]],
+                 n_probe: int) -> Column:
+    """Array of the ``n_probe`` nearest cell ids for each row's vector —
+    the per-row, column-expression twin of :func:`ivf_topk`'s
+    driver-side centroid ranking (ties broken by cell id, same rule).
+    Ranking score is ``dot(v, c)/|c|`` with the centroid norm folded to
+    a constant (argmax-equivalent to cosine; see :func:`ivf_assign`)."""
+    scored = F.array(*[
+        F.struct(
+            (-(dot(F.col(vec_col_name),
+                   F.array(*[F.lit(float(x)) for x in c]))
+               / F.lit(math.sqrt(sum(float(x) * float(x) for x in c)))))
+            .alias("ns"),
+            F.lit(i).alias("c"))
+        for i, c in enumerate(centroids)
+    ])
+    # sort_array on structs orders by (ns asc = sim desc, then c asc)
+    return F.slice(F.sort_array(scored), 1, n_probe).getField("c")
+
+
+def ivf_topk_join(queries: DataFrame, vecs: DataFrame,
+                  centroids: list[list[float]], k: int = 10,
+                  n_probe: int = 2, q_vec_col: str = "embedding",
+                  q_id_col: str = "query_id", vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Batched kNN JOIN: for EVERY query row, its top-``k`` cosine
+    neighbours among ``vecs`` — the production shape of similarity
+    search (a training pipeline scores thousands of probes per run, not
+    one), where looping :func:`ivf_topk` per query would launch one job
+    per probe.
+
+    Scale shape: each query ranks the centroid list in a single column
+    expression and explodes to its ``n_probe`` cells (query-side fanout
+    only — queries are the small side); the corpus is assigned once
+    (`ivf_assign`) and met by a keyed equi-join on the cell; the final
+    per-query top-k is a window over each query's candidates (bounded
+    by its probed cells' population). No all-pairs product anywhere.
+    Per-side norms are computed once before the join.
+
+    Returns ``(q_id_col, id_col, cos_sim, rank)`` with rank 1..k by
+    (cos_sim desc, id) — a total, engine-portable order. Per query, the
+    rows equal a single-query :func:`ivf_topk` call with the same
+    centroids/k/n_probe (ties in the centroid ranking and the top-k are
+    broken identically)."""
+    from pyspark.sql import Window
+
+    q = (queries.select(F.col(q_id_col).alias("qid"),
+                        F.col(q_vec_col).alias("qv"))
+         .withColumn("qnorm", norm(F.col("qv")))
+         .withColumn("ivf_cell",
+                     F.explode(_probe_cells("qv", centroids, n_probe))))
+    v = (ivf_assign(vecs.select(F.col(id_col).alias("vid"),
+                                F.col(vec_col).alias("v")),
+                    centroids, vec_col="v")
+         .withColumn("vnorm", norm(F.col("v"))))
+    w = (Window.partitionBy("qid")
+         .orderBy(F.col("cos_sim").desc(), F.col("vid")))
+    return (
+        q.join(v, "ivf_cell")
+        .select("qid", "vid",
+                F.round(dot(F.col("qv"), F.col("v"))
+                        / (F.col("qnorm") * F.col("vnorm")), 6)
+                .alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias(q_id_col), F.col("vid").alias(id_col),
+                "cos_sim", "rank")
+    )
+
+
 def train_ivf_centroids(df: DataFrame, k: int, dim: int,
                         vec_col: str = "embedding",
                         id_col: str = "vec_id",

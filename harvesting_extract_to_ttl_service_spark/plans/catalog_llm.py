@@ -881,6 +881,75 @@ def ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                     k=10, n_probe=2)
 
 
+_KNN_JOIN_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < 4
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         sqrt(list_reduce(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+           AS qnorm
+  FROM embeddings WHERE vec_id % 7 = 0
+), probe AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(CAST(q.qv AS DOUBLE[]), c.cv)
+                      DESC, c.cid) AS rn
+    FROM q CROSS JOIN cent c) WHERE rn <= 2
+), cand AS (
+  SELECT vec_id, embedding,
+         sqrt(list_reduce(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+           AS vnorm
+  FROM embeddings WHERE vec_id >= 4
+), assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             c.cv) DESC, c.cid) AS rn
+    FROM cand e CROSS JOIN cent c) WHERE rn = 1
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         round({_zip_dot_sql('e.embedding', 'q.qv')}
+               / (e.vnorm * q.qnorm), 6) AS cos_sim
+  FROM cand e
+  JOIN assigned a ON e.vec_id = a.vec_id
+  JOIN probe p ON a.cid = p.cid
+  JOIN q ON q.query_id = p.query_id
+)
+SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored) WHERE rank <= 3
+"""
+
+
+@member_sql(_KNN_JOIN_SQL)
+def ivf_knn_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched kNN JOIN — every query row gets its top-3 neighbours in
+    one job (`ivf_topk_join`): queries explode to their 2 nearest of 4
+    centroids as a column expression, meet the cell-assigned corpus on a
+    keyed equi-join, and a per-query window takes the top-k. The oracle
+    restates the whole path — per-query centroid ranking, corpus
+    assignment, probe join, and ranked scores — for ~1/7 of the
+    embeddings as queries at once."""
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        ivf_topk_join,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = [list(r.embedding) for r in
+                 emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()]
+    queries = (emb.filter(F.col("vec_id") % 7 == 0)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return ivf_topk_join(queries, emb.filter(F.col("vec_id") >= 4),
+                         centroids, k=3, n_probe=2)
+
+
 _SELF_TOPK_N = 40  # bounded slice: the member exists to verify the exact
 _SELF_TOPK_SQL = f"""
 WITH v AS (
@@ -943,6 +1012,8 @@ _ANN_MEMBERS = [
     ("blocked_mp", lsh_blocked_pairs_mp_q, ["id_a", "id_b"], ["cos_sim"]),
     ("ivf_assign", ivf_cell_assignment, ["vec_id", "ivf_cell"], []),
     ("ivf_topk", ivf_topk_search, ["vec_id"], ["cos_sim"]),
+    ("knn_join", ivf_knn_join_q, ["query_id", "vec_id", "rank"],
+     ["cos_sim"]),
     ("self_topk", cosine_self_topk_q, ["id_a", "id_b"], ["cos_sim"]),
 ]
 

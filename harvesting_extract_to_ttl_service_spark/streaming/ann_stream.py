@@ -128,6 +128,57 @@ def ivf_search(spark: SparkSession, index_dir: str,
     )
 
 
+def ivf_search_batch(spark: SparkSession, index_dir: str,
+                     queries: DataFrame, centroids: list[list[float]],
+                     k: int = 10, n_probe: int = 2,
+                     q_vec_col: str = "embedding",
+                     q_id_col: str = "query_id",
+                     id_col: str = "vec_id") -> DataFrame:
+    """Batched kNN join against the STORED index — the many-queries twin
+    of :func:`ivf_search` (one driver-ranked probe per call) built on
+    the same plan as `operators/similarity.ivf_topk_join`: each query
+    explodes to its ``n_probe`` nearest cells (a column expression), the
+    index is met by an equi-join on the cell, and a per-query window
+    takes the top-k.
+
+    Partition pruning with a DataFrame of queries: the probed-cell SET
+    is collected driver-side first (bounded by the centroid count — one
+    small job over the query batch) and applied as an IN-filter, so the
+    scan still touches only ``batch=*/ivf_cell=<probed>`` subtrees; the
+    query side then broadcasts into the join. Returns
+    ``(q_id_col, id_col, cos_sim, rank)``, per query equal to
+    :func:`ivf_search` with the same parameters."""
+    from pyspark.sql import Window
+
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        _probe_cells,
+    )
+
+    _check_ivf_sidecar(spark, index_dir, centroids)
+    q = (queries.select(F.col(q_id_col).alias("qid"),
+                        F.col(q_vec_col).alias("qv"))
+         .withColumn("qnorm", norm(F.col("qv")))
+         .withColumn("ivf_cell",
+                     F.explode(_probe_cells("qv", centroids, n_probe))))
+    cells = sorted(r.ivf_cell for r in
+                   q.select("ivf_cell").distinct().collect())
+    idx = (spark.read.option("basePath", index_dir).parquet(index_dir)
+           .filter(F.col("ivf_cell").isin(cells)))
+    w = (Window.partitionBy("qid")
+         .orderBy(F.col("cos_sim").desc(), F.col("id")))
+    return (
+        idx.join(F.broadcast(q), "ivf_cell")
+        .select("qid", "id",
+                F.round(dot(F.col("qv"), F.col("v"))
+                        / (F.col("qnorm") * F.col("vnorm")), 6)
+                .alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias(q_id_col), F.col("id").alias(id_col),
+                "cos_sim", "rank")
+    )
+
+
 def compact_ivf_index(spark: SparkSession, index_dir: str,
                       target_partitions: int | None = None) -> int:
     """Fold the per-batch index partitions into ``batch=-1``, PRESERVING

@@ -38,7 +38,12 @@ additionally cannot un-ship a document, so if a LATER batch delivered a
 smaller-id near-duplicate of an already-shipped survivor, both would
 ship. With arrival-ordered ids that case cannot arise, and the funnel
 parity is exact (tests/test_corpus_stream.py proves it on a 3-batch
-replayed stream).
+replayed stream). The precondition is ENFORCEABLE
+(``corpus_batch(enforce_monotone_ids=True)`` fails out-of-order batches
+against a persistent id watermark) and RESTORABLE
+(:func:`remap_arrival_ids` re-keys a disordered source with
+deterministic arrival-ordered ids, keeping the source id as a lineage
+column).
 
 Reference analogue: /root/reference/app.js:35-38 — the per-delta
 fire-and-forget processing loop — applied to the corpus-construction

@@ -121,3 +121,65 @@ def test_run_ivf_index_stream_end_to_end(spark, tmp_path, centroids):
     q = run_ivf_index_stream(st, idir, ckpt, centroids)
     q.awaitTermination(120)
     assert spark.read.option("basePath", idir).parquet(idir).count() == 10
+
+
+def test_ivf_topk_join_per_query_equals_single_query(spark, centroids):
+    """The batched kNN join's rows for each query equal a single-query
+    ivf_topk call with the same centroids/k/n_probe — the batching
+    changes job count, not answers."""
+    from pyspark.sql import functions as F
+
+    corpus = _vecs(spark, range(8, 64))
+    queries = (_vecs(spark, range(0, 8))
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        ivf_topk_join,
+    )
+
+    joined = ivf_topk_join(queries, corpus, centroids, k=4, n_probe=2)
+    rows = joined.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.cos_sim))
+    assert set(by_q) == set(range(0, 8))  # every query answered
+    for qid, got in by_q.items():
+        qvec = [1.0 if d == qid % DIM else 0.1 * ((qid * 7 + d) % 5)
+                for d in range(DIM)]
+        want = [(i + 1, r.vec_id, r.cos_sim) for i, r in enumerate(
+            ivf_topk(corpus, qvec, centroids, k=4, n_probe=2).collect())]
+        assert sorted(got) == want, qid
+
+
+def test_ivf_search_batch_matches_single_searches(spark, tmp_path,
+                                                  centroids):
+    """The stored-index batched search equals per-query ivf_search calls,
+    and its scan is pruned to the UNION of the queries' probed cells."""
+    from pyspark.sql import functions as F
+
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        ivf_search_batch,
+    )
+
+    idir = str(tmp_path / "ivf")
+    ivf_index_batch(_vecs(spark, range(8, 40)), 0, idir, centroids)
+    ivf_index_batch(_vecs(spark, range(40, 64)), 1, idir, centroids)
+    queries = (_vecs(spark, range(0, 6))
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+
+    batched = ivf_search_batch(spark, idir, queries, centroids, k=3,
+                               n_probe=2)
+    rows = batched.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.cos_sim))
+    for qid in range(0, 6):
+        qvec = [1.0 if d == qid % DIM else 0.1 * ((qid * 7 + d) % 5)
+                for d in range(DIM)]
+        want = [(i + 1, r.vec_id, r.cos_sim) for i, r in enumerate(
+            ivf_search(spark, idir, qvec, centroids, k=3,
+                       n_probe=2).collect())]
+        assert sorted(by_q[qid]) == want, qid
+
+    plan = batched._jdf.queryExecution().executedPlan().toString()
+    pf = plan[plan.find("PartitionFilters"):].split("]")[0]
+    assert "ivf_cell" in pf and " IN " in pf, plan
