@@ -18,6 +18,11 @@ Usage: python scale_probe.py [replicas ...]   (default: 1 2 5 10)
            IN THE LOOP after batch k (state file census before/after,
            post-compaction batch wall, replay-after-compaction
            idempotence check).
+       python scale_probe.py ann [n_replicas [n_queries]]
+           batched-kNN probe: corpus = embeddings replicated N× in a
+           stored cell-partitioned IVF index; measures ivf_search_batch
+           (all queries, one job) against the per-query ivf_search loop
+           — the job-amortization win of the kNN join.
        python scale_probe.py incr [replicas ...]
            incremental-dedup probe: corpus = N replicas with a parquet
            LSH index built ONCE; batch = one fresh replica duplicating
@@ -262,18 +267,85 @@ def probe_corpus_stream(spark, n: int, tmp: str,
     return rows
 
 
+def probe_ann(spark, n: int, n_queries: int, tmp: str) -> dict:
+    """Corpus = sf0.1 embeddings replicated n× (ids offset; vectors
+    perturbed per replica by a deterministic per-dim rotation so
+    replicas spread over cells), indexed ONCE into the stored
+    cell-partitioned IVF layout. Measures the batched kNN join
+    (ivf_search_batch: one job for all queries) against the per-query
+    ivf_search loop (one driver-ranked job each) at the same k/n_probe —
+    the per-query fixed cost (plan + scan setup) is what the batched
+    join amortizes."""
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        ivf_index_batch,
+        ivf_search,
+        ivf_search_batch,
+    )
+
+    base = load(spark, SF_DIR, "embeddings")
+    dim = len(base.select("embedding").head()[0])
+    parts = [base.select(
+        (F.col("vec_id") + F.lit(r * 10_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + F.lit(0.01 * r) * F.cos(i + F.lit(r)))
+        .alias("embedding")) for r in range(n)]
+    corpus = parts[0]
+    for p in parts[1:]:
+        corpus = corpus.unionByName(p)
+    corpus = corpus.localCheckpoint(eager=True)
+    res = {"corpus": corpus.count(), "queries": n_queries}
+
+    cents = train_ivf_centroids(base, k=16, dim=dim)
+    idir = f"{tmp}/ivf_{n}x"
+    t0 = time.time()
+    ivf_index_batch(corpus, 0, idir, cents)
+    res["index_s"] = round(time.time() - t0, 1)
+
+    qrows = base.orderBy("vec_id").limit(n_queries).collect()
+    queries = spark.createDataFrame(
+        [(r.vec_id, list(r.embedding)) for r in qrows],
+        "query_id long, embedding array<double>")
+    t0 = time.time()
+    res["batched_rows"] = ivf_search_batch(
+        spark, idir, queries, cents, k=10, n_probe=2).count()
+    res["batched_s"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    loop_rows = 0
+    for r in qrows:
+        loop_rows += len(ivf_search(spark, idir, list(r.embedding), cents,
+                                    k=10, n_probe=2).collect())
+    res["loop_rows"] = loop_rows
+    res["loop_s"] = round(time.time() - t0, 1)
+    return res
+
+
 def main():
     args = sys.argv[1:]
     incremental = bool(args) and args[0] == "incr"
     funnel = bool(args) and args[0] == "funnel"
     stream = bool(args) and args[0] == "stream"
-    if incremental or funnel or stream:
+    ann = bool(args) and args[0] == "ann"
+    if incremental or funnel or stream or ann:
         args = args[1:]
     explicit = [int(x) for x in args]
     replicas = explicit or [1, 2, 5, 10]
     tmp = tempfile.mkdtemp(prefix="scale_probe_")
     spark = get_spark("scale-probe")
     try:
+        if ann:
+            n = explicit[0] if explicit else 10
+            n_queries = explicit[1] if len(explicit) > 1 else 100
+            r = probe_ann(spark, n, n_queries, tmp)
+            print(f"corpus={r['corpus']} queries={r['queries']} "
+                  f"index_s={r['index_s']} "
+                  f"batched_s={r['batched_s']} ({r['batched_rows']} rows) "
+                  f"loop_s={r['loop_s']} ({r['loop_rows']} rows)")
+            return
         if stream:
             # stream [n [compact_at]]: optional compaction-in-the-loop.
             # Bare `stream` keeps the documented default n=10; only
