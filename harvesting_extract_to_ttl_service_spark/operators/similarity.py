@@ -159,6 +159,23 @@ def lsh_ann_topk_multiprobe(df: DataFrame, query_vec: list[float],
     )
 
 
+def keep_component_reps(df: DataFrame, pairs: DataFrame, id_col: str,
+                        max_iter: int = 20) -> DataFrame:
+    """Shared keep-one tail of every embedding dedup: near-dup pairs →
+    connected components → keep each cluster's minimum-id row (the
+    component representative). Returns the surviving rows of ``df``."""
+    from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+        connected_components,
+    )
+
+    comp = connected_components(
+        pairs.select("id_a", "id_b"),
+        df.select(F.col(id_col).alias("id")), max_iter=max_iter)
+    reps = (comp.filter(F.col("id") == F.col("component"))
+            .select(F.col("id").alias(id_col)))
+    return df.join(reps, id_col, "left_semi")
+
+
 def drop_embedding_neardups(df: DataFrame, threshold: float, dim: int,
                             vec_col: str = "embedding",
                             id_col: str = "vec_id", n_planes: int = 8,
@@ -174,18 +191,9 @@ def drop_embedding_neardups(df: DataFrame, threshold: float, dim: int,
     bucketing (cross-bucket near-dups are kept, not dropped — the safe
     direction for a dedup; raise ``probe_bits`` to drop more of the
     near-boundary duplicates)."""
-    from harvesting_extract_to_ttl_service_spark.operators.dedup import (
-        connected_components,
-    )
-
     pairs = lsh_blocked_pairs(df, threshold, dim, vec_col, id_col,
                               n_planes, materialize_mode, probe_bits)
-    comp = connected_components(
-        pairs.select("id_a", "id_b"),
-        df.select(F.col(id_col).alias("id")), max_iter=max_iter)
-    reps = (comp.filter(F.col("id") == F.col("component"))
-            .select(F.col("id").alias(id_col)))
-    return df.join(reps, id_col, "left_semi")
+    return keep_component_reps(df, pairs, id_col, max_iter)
 
 
 def probe_masks(n_planes: int, probe_bits: int) -> list[int]:
@@ -400,6 +408,91 @@ def ivf_topk_join(queries: DataFrame, vecs: DataFrame,
         .select(F.col("qid").alias(q_id_col), F.col("vid").alias(id_col),
                 "cos_sim", "rank")
     )
+
+
+def cluster_neardup_pairs(df: DataFrame, centroids: list[list[float]],
+                          threshold: float, vec_col: str = "embedding",
+                          id_col: str = "vec_id", n_probe: int = 1,
+                          materialize_mode: str = "local_checkpoint"
+                          ) -> DataFrame:
+    """Cluster-blocked embedding near-dup pairs (the SemDeDup shape,
+    Abbas et al. 2023): assign every vector to its nearest of ``k``
+    LEARNED centroids (:func:`ivf_assign` — e.g. from
+    :func:`train_ivf_centroids`), then refine with exact cosine only
+    WITHIN each cell. The second of the two blocking families for
+    semantic dedup — :func:`lsh_blocked_pairs` blocks on random
+    hyperplane signs, this blocks on data-adaptive k-means cells, which
+    concentrates true near-dups far better when the corpus is clustered
+    (the common case for crawled text).
+
+    Scale shape: one assignment pass (pure column expression), one
+    equi-join on ``ivf_cell`` — candidate volume is Σ|cell|², bounded by
+    choosing k ≈ n/target_cell_size, and never an all-pairs product.
+    Recall < 1 at cell boundaries; ``n_probe > 1`` recovers it by also
+    meeting each vector's ``n_probe`` nearest cells (both directions:
+    pair (a, b) is a candidate when either endpoint's probe list covers
+    the other's primary cell), at the cost of a distinct over the
+    surviving pairs.
+
+    Returns ``(id_a, id_b, cos_sim)`` with ``id_a < id_b``, one row per
+    pair, exact rounded cosine ≥ ``threshold``."""
+    b = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+         .withColumn("vnorm", norm(F.col("v"))))
+    b = ivf_assign(b, centroids, vec_col="v")
+    # one computation of the assign/norm stage feeds both self-join sides
+    # (identical non-exchange subtrees are not reused by the planner —
+    # the SCALE.md round-5 finding; strategy per operators/materialize.py)
+    b = materialize(b, materialize_mode)
+    from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+        _pin_join_parallelism,
+    )
+
+    if n_probe > 1:
+        probe = b.withColumn(
+            "ivf_cell", F.explode(_probe_cells("v", centroids, n_probe)))
+        a = _pin_join_parallelism(probe, "ivf_cell").alias("a")
+        c = _pin_join_parallelism(b, "ivf_cell").alias("c")
+        # symmetric probing needs both directions (a's probe list may
+        # cover c's primary but not vice versa), so the join keys id
+        # inequality and least/greatest + distinct canonicalize the pair
+        cond = ((F.col("a.ivf_cell") == F.col("c.ivf_cell"))
+                & (F.col("a.id") != F.col("c.id")))
+        pair_ids = [F.least(F.col("a.id"), F.col("c.id")).alias("id_a"),
+                    F.greatest(F.col("a.id"), F.col("c.id")).alias("id_b")]
+    else:
+        b = _pin_join_parallelism(b, "ivf_cell")
+        a, c = b.alias("a"), b.alias("c")
+        cond = ((F.col("a.ivf_cell") == F.col("c.ivf_cell"))
+                & (F.col("a.id") < F.col("c.id")))
+        pair_ids = [F.col("a.id").alias("id_a"), F.col("c.id").alias("id_b")]
+    pairs = (
+        a.join(c, cond)
+        .select(*pair_ids,
+                F.round(dot(F.col("a.v"), F.col("c.v"))
+                        / (F.col("a.vnorm") * F.col("c.vnorm")), 6)
+                .alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    # a probed pair can meet in up to two cells (each endpoint probing
+    # the other's primary); the distinct runs over the REFINED pairs —
+    # tiny relative to the candidate set — so its shuffle is cheap
+    return pairs.distinct() if n_probe > 1 else pairs
+
+
+def drop_cluster_neardups(df: DataFrame, centroids: list[list[float]],
+                          threshold: float, vec_col: str = "embedding",
+                          id_col: str = "vec_id", n_probe: int = 1,
+                          max_iter: int = 20,
+                          materialize_mode: str = "local_checkpoint"
+                          ) -> DataFrame:
+    """SemDeDup keep-one: :func:`cluster_neardup_pairs` → connected
+    components → keep each cluster's minimum-id row (shared tail with
+    :func:`drop_embedding_neardups`). Missed cross-cell near-dups are
+    KEPT, the safe direction for a dedup; raise ``n_probe`` to drop more
+    boundary duplicates."""
+    pairs = cluster_neardup_pairs(df, centroids, threshold, vec_col,
+                                  id_col, n_probe, materialize_mode)
+    return keep_component_reps(df, pairs, id_col, max_iter)
 
 
 def train_ivf_centroids(df: DataFrame, k: int, dim: int,

@@ -1006,6 +1006,55 @@ def lsh_blocked_pairs_mp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                              n_planes=_NEARDUP_PLANES, probe_bits=1)
 
 
+_SEM_DEDUP_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < 4
+), v AS (
+  SELECT vec_id, embedding,
+         sqrt(list_reduce(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+           AS vnorm
+  FROM embeddings WHERE vec_id >= 4
+), assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+                                             c.cv) DESC, c.cid) AS rn
+    FROM v CROSS JOIN cent c) WHERE rn = 1
+)
+SELECT id_a, id_b, cos_sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({_zip_dot_sql('a.embedding', 'b.embedding')}
+               / (a.vnorm * b.vnorm), 6) AS cos_sim
+  FROM v a JOIN assigned aa ON a.vec_id = aa.vec_id
+  JOIN v b ON a.vec_id < b.vec_id
+  JOIN assigned ab ON b.vec_id = ab.vec_id AND aa.cid = ab.cid)
+WHERE cos_sim >= 0.3
+"""
+
+
+@member_sql(_SEM_DEDUP_SQL)
+def semantic_cluster_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-blocked semantic near-dup pairs (the SemDeDup shape):
+    every corpus vector is assigned to its nearest of 4 centroids, exact
+    cosine refines within each cell only. The oracle restates the
+    argmax-cosine assignment (window-ranked, ties to the lowest cell id —
+    the same rule as `ivf_assign`) and the within-cell pair scores, so
+    blocking AND refinement are both verified. The data-adaptive twin of
+    the random-hyperplane `blocked_mp` member."""
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        cluster_neardup_pairs,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = [list(r.embedding) for r in
+                 emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()]
+    return cluster_neardup_pairs(emb.filter(F.col("vec_id") >= 4),
+                                 centroids, threshold=0.3)
+
+
 _ANN_MEMBERS = [
     ("lsh_topk", lsh_ann_topk_q, ["vec_id"], ["cos_sim"]),
     ("lsh_multiprobe", lsh_ann_multiprobe_q, ["vec_id"], ["cos_sim"]),
@@ -1014,6 +1063,7 @@ _ANN_MEMBERS = [
     ("ivf_topk", ivf_topk_search, ["vec_id"], ["cos_sim"]),
     ("knn_join", ivf_knn_join_q, ["query_id", "vec_id", "rank"],
      ["cos_sim"]),
+    ("sem_dedup", semantic_cluster_dedup_q, ["id_a", "id_b"], ["cos_sim"]),
     ("self_topk", cosine_self_topk_q, ["id_a", "id_b"], ["cos_sim"]),
 ]
 
@@ -1022,7 +1072,8 @@ _ANN_MEMBERS = [
 def ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale-path suite (tagged union, keeps the driver's 50-entry
     verification window): sign-LSH single- and multi-probe top-k, IVF
-    cell assignment, IVF probe search, and the exact all-pairs small-n
+    cell assignment, IVF probe search, the batched kNN join, SemDeDup
+    cluster-blocked near-dup pairs, and the exact all-pairs small-n
     baseline (self_topk) — each member keeps its own plan and full oracle
     restatement (bucket functions, Hamming-ball probe, centroid ranking,
     window-ranked exact pairs, final scores)."""

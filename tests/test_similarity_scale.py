@@ -269,3 +269,132 @@ def test_train_ivf_centroids_adversarial_leading_ids(spark):
     for r in out:
         by_blob.setdefault(r.blob, set()).add(r.ivf_cell)
     assert all(len(cells) == 1 for cells in by_blob.values())
+
+
+def _exact_pairs(rows, threshold):
+    """Python brute-force near-dup pairs over [(id, vec)] rows."""
+    out = set()
+    for i, (ia, va) in enumerate(rows):
+        for ib, vb in rows[i + 1:]:
+            if round(_pycos(va, vb), 6) >= threshold:
+                out.add((min(ia, ib), max(ia, ib)))
+    return out
+
+
+def test_cluster_neardup_single_cell_is_brute_force(spark, sf_dir):
+    """With one centroid every vector shares the cell, so the blocked
+    pairs must equal the exact all-pairs result — the blocking layer
+    verified against ground truth with the recall trade switched off."""
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        cluster_neardup_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .filter(F.col("vec_id") < 60).select("vec_id", "embedding"))
+    rows = [(r.vec_id, list(r.embedding)) for r in emb.collect()]
+    dim = len(rows[0][1])
+    expected = _exact_pairs(rows, 0.2)
+    got = {(r.id_a, r.id_b) for r in cluster_neardup_pairs(
+        emb, [[1.0] * dim], threshold=0.2).collect()}
+    assert got == expected
+    assert expected  # fixture must exercise the refine step
+
+
+def test_cluster_neardup_pairs_block_on_assigned_cell(spark, sf_dir):
+    """Every emitted pair shares the argmax-cosine cell of both
+    endpoints, its cosine is exact and ≥ threshold, and cross-cell
+    near-dups are absent (the documented recall trade at n_probe=1)."""
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        cluster_neardup_pairs,
+        ivf_assign,
+    )
+    from pyspark.sql import functions as F
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", "embedding"))
+    cents = [list(r.embedding) for r in
+             emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()]
+    corpus = emb.filter(F.col("vec_id") >= 4)
+    cell = {r.vec_id: r.ivf_cell
+            for r in ivf_assign(corpus, cents).collect()}
+    vec = {r.vec_id: list(r.embedding) for r in corpus.collect()}
+    got = {(r.id_a, r.id_b): r.cos_sim for r in cluster_neardup_pairs(
+        corpus, cents, threshold=0.3).collect()}
+    assert got
+    for (a, b), cs in got.items():
+        assert a < b
+        assert cell[a] == cell[b]
+        assert cs >= 0.3
+        assert abs(cs - round(_pycos(vec[a], vec[b]), 6)) < 1e-9
+    # completeness within cells: every same-cell pair over threshold is in
+    expected = {p for p in _exact_pairs(list(vec.items()), 0.3)
+                if cell[p[0]] == cell[p[1]]}
+    assert set(got) == expected
+
+
+def test_cluster_neardup_multiprobe_superset_and_unique(spark, sf_dir):
+    """n_probe=2 recovers boundary pairs: the result is a strict-or-equal
+    superset of n_probe=1, each pair appears exactly once, and every
+    extra pair is a genuine cross-cell near-dup."""
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        cluster_neardup_pairs,
+        ivf_assign,
+    )
+    from pyspark.sql import functions as F
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", "embedding"))
+    cents = [list(r.embedding) for r in
+             emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()]
+    corpus = emb.filter(F.col("vec_id") >= 4)
+    one = cluster_neardup_pairs(corpus, cents, threshold=0.25).collect()
+    two = cluster_neardup_pairs(corpus, cents, threshold=0.25,
+                                n_probe=2).collect()
+    keys1 = {(r.id_a, r.id_b) for r in one}
+    keys2 = [(r.id_a, r.id_b) for r in two]
+    assert len(keys2) == len(set(keys2))  # one row per pair after probing
+    assert set(keys2) >= keys1
+    cell = {r.vec_id: r.ivf_cell
+            for r in ivf_assign(corpus, cents).collect()}
+    for a, b in set(keys2) - keys1:
+        assert cell[a] != cell[b]  # the recovered pairs cross a boundary
+
+
+def test_drop_cluster_neardups_keep_one(spark, sf_dir):
+    """Keep-one semantics equal a python union-find over the same pairs
+    (the drop_embedding_neardups contract, cluster-blocked)."""
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        cluster_neardup_pairs,
+        drop_cluster_neardups,
+    )
+    from pyspark.sql import functions as F
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", "embedding"))
+    cents = [list(r.embedding) for r in
+             emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()]
+    corpus = emb.filter(F.col("vec_id") >= 4)
+    pairs = [(r.id_a, r.id_b) for r in
+             cluster_neardup_pairs(corpus, cents, threshold=0.3).collect()]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = [r.vec_id for r in corpus.select("vec_id").collect()]
+    for i in ids:
+        find(i)
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {i for i in ids if find(i) == i}
+    got = {r.vec_id for r in drop_cluster_neardups(
+        corpus, cents, threshold=0.3).collect()}
+    assert got == expected
+    assert pairs and len(got) < len(ids)
