@@ -268,12 +268,35 @@ def assign_shards(df: DataFrame, n_shards: int, id_col: str = "doc_id",
     return df.withColumn("shard", (h % n_shards).cast("int"))
 
 
+def epoch_shuffle(df: DataFrame, epoch: int, id_col: str = "doc_id",
+                  salt: str = "epoch",
+                  key_col: str = "shuffle_key") -> DataFrame:
+    """Seeded deterministic global shuffle — the per-epoch document
+    reordering every pretraining run needs: training order must be
+    random-looking, DIFFERENT each epoch, and exactly reproducible for
+    restarts/audits. Appends ``key_col`` = md5 hash fraction of
+    ``(id, '{salt}{epoch}')``; ordering by ``(key_col, id)`` IS the
+    shuffled order. No data moves here — the key is a pure column
+    expression; the one shuffle happens where the order is consumed
+    (:func:`write_training_shards` ``order_col=``, whose shard
+    repartition it shares). Distinct epochs give independent orders
+    (the salt decouples them, same trick as sample-vs-shard); the
+    DuckDB oracle recomputes the key bit-for-bit
+    (:func:`hash_fraction_sql`)."""
+    return df.withColumn(
+        key_col, hash_fraction(F.col(id_col), f"{salt}{epoch}"))
+
+
 def _pack_columns(df: DataFrame, budget_tokens: int, shard_col: str,
-                  text_col: str, id_col: str) -> DataFrame:
+                  text_col: str, id_col: str,
+                  order_col: str | None = None) -> DataFrame:
     """All of ``df``'s columns plus the packing columns (n_tokens,
-    start_offset, chunk) — one window cumsum per shard."""
+    start_offset, chunk) — one window cumsum per shard. ``order_col``
+    prepends a concatenation-order key (e.g. :func:`epoch_shuffle`'s)
+    ahead of the ``id_col`` tiebreak."""
     toks = token_count(F.col(text_col))
-    w = (Window.partitionBy(shard_col).orderBy(id_col)
+    order = [order_col, id_col] if order_col is not None else [id_col]
+    w = (Window.partitionBy(shard_col).orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, -1))
     start = F.coalesce(F.sum(toks).over(w), F.lit(0).cast("long"))
     return df.select(
@@ -285,30 +308,42 @@ def _pack_columns(df: DataFrame, budget_tokens: int, shard_col: str,
 
 def pack_chunks(df: DataFrame, budget_tokens: int,
                 shard_col: str = "shard", text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
+                id_col: str = "doc_id",
+                order_col: str | None = None) -> DataFrame:
     """Concatenate-and-chunk packing: within each shard, documents are
     concatenated in id order and the token stream is cut into
     ``budget_tokens``-sized context windows; a document belongs to the
     chunk where it STARTS (chunk = floor(start_offset / budget)). This is
     the packing pretraining loaders actually use — deterministic, order-
     defined, and a single window cumsum per shard (the shard is the window
-    partition, so no global sort).
+    partition, so no global sort). ``order_col`` (e.g.
+    :func:`epoch_shuffle`'s key) replaces id order with a seeded shuffled
+    concatenation order — same plan shape, same single window.
 
     Returns (shard, chunk, start_offset) per document plus its token
     count."""
     return _pack_columns(df, budget_tokens, shard_col, text_col,
-                         id_col).select(
+                         id_col, order_col).select(
         F.col(shard_col), F.col(id_col), "n_tokens", "start_offset", "chunk")
 
 
 def write_training_shards(df: DataFrame, out_dir: str, n_shards: int,
                           budget_tokens: int, text_col: str = "text",
                           id_col: str = "doc_id",
-                          salt: str = "shard") -> None:
+                          salt: str = "shard",
+                          shuffle_epoch: int | None = None) -> None:
     """The corpus stage's deliverable: shard-partitioned parquet training
-    shards, each shard's rows sorted by (chunk, id) so a loader streams
-    the concatenate-and-chunk token stream in order with a plain file
+    shards, each shard's rows sorted in concatenation order so a loader
+    streams the concatenate-and-chunk token stream with a plain file
     read — no sort at load time.
+
+    ``shuffle_epoch`` switches the concatenation order from id order to
+    the seeded per-epoch shuffled order (:func:`epoch_shuffle`): the
+    written rows carry the ``shuffle_key`` and sort by (chunk, key, id),
+    so each epoch's artifact is an independently-shuffled, exactly
+    reproducible cut — at no extra cost (the shuffle key rides the one
+    existing shard repartition; the window and within-partition sort
+    just use it).
 
     Layout: ``out_dir/shard=<k>/`` with every row carrying its packing
     coordinates (n_tokens, start_offset, chunk). One shuffle total: the
@@ -316,14 +351,21 @@ def write_training_shards(df: DataFrame, out_dir: str, n_shards: int,
     one task (one file per shard directory, no small-files spray) and
     feeds the same-keyed window, and the sort is within-partition only —
     there is no global sort at any scale."""
+    if shuffle_epoch is not None:
+        df = epoch_shuffle(df, shuffle_epoch, id_col)
+    order_col = "shuffle_key" if shuffle_epoch is not None else None
     sharded = (assign_shards(df, n_shards, id_col, salt)
                .repartition(n_shards, F.col("shard")))
     # repartition BEFORE the window: the window's required clustering on
     # `shard` is already satisfied, so Catalyst adds no second exchange —
     # the plan has exactly one shuffle (pinned by test).
-    packed = _pack_columns(sharded, budget_tokens, "shard", text_col, id_col)
+    packed = _pack_columns(sharded, budget_tokens, "shard", text_col,
+                           id_col, order_col)
+    sort_cols = (["shard", "chunk"]
+                 + ([order_col] if order_col is not None else [])
+                 + [id_col])
     (packed
-     .sortWithinPartitions("shard", "chunk", id_col)
+     .sortWithinPartitions(*sort_cols)
      .write.mode("overwrite").partitionBy("shard").parquet(out_dir))
 
 
@@ -674,11 +716,64 @@ def build_training_corpus(docs: DataFrame,
 
 def pack_chunk_stats(df: DataFrame, budget_tokens: int,
                      shard_col: str = "shard", text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     order_col: str | None = None) -> DataFrame:
     """Per-(shard, chunk) packing summary: documents and tokens starting
     in each context window. The downstream loader contract: every chunk
     except a shard's last should start ~budget_tokens apart."""
-    packed = pack_chunks(df, budget_tokens, shard_col, text_col, id_col)
+    packed = pack_chunks(df, budget_tokens, shard_col, text_col, id_col,
+                         order_col)
     return (packed.groupBy(shard_col, "chunk")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_tokens").alias("n_tokens")))
+
+
+def corpus_report(df: DataFrame, strata_col: str = "lang",
+                  text_col: str = "text", id_col: str = "doc_id",
+                  quantiles: tuple[float, ...] = (0.5, 0.9),
+                  exact_quantiles: bool = True) -> DataFrame:
+    """The data-card statistics job — the per-stratum summary every
+    dataset release ships (and every mixing/cap decision reads): doc and
+    token counts, distinct-text count (exact-dup pressure via the
+    normalized content fingerprint), the stratum's share of the corpus
+    token mass, and token-length quantiles.
+
+    Scale shape: ONE aggregation pass over the corpus (grouped by
+    stratum), then a window over the aggregated rows — the window's
+    single partition holds #strata rows (languages/sources, not
+    documents), so it is a driver-scale no-op, never a corpus shuffle.
+    The distinct-text count is a two-level hash aggregate on a 16-hex
+    fingerprint (Spark plans count(DISTINCT) as a partial-dedup expand —
+    no raw text crosses the shuffle, only 8-byte-ish fingerprints).
+
+    ``exact_quantiles=True`` (the oracle-matched default) uses Spark's
+    exact ``percentile``, which buffers each stratum's token counts in
+    executor memory — fine up to ~10^8 docs per stratum, and what the
+    DuckDB ``quantile_cont`` twin restates bit-for-bit. At 100 TB flip
+    it to False: ``approx_percentile`` (t-digest, mergeable, bounded
+    memory) with the same output columns, no oracle guarantee.
+
+    Returns one row per stratum: ``(stratum, n_docs, n_tokens,
+    n_distinct_texts, token_share, p<q>_tokens...)``, doubles rounded to
+    6 decimals so float-sum order cannot flip a value hash."""
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        fingerprint,
+    )
+
+    toks = token_count(F.col(text_col))
+    qcol = (
+        (lambda c, p: F.percentile(c, F.lit(p))) if exact_quantiles
+        else (lambda c, p: F.approx_percentile(c, F.lit(p), F.lit(10000))))
+    per = (df.groupBy(F.col(strata_col).alias("stratum"))
+           .agg(F.count("*").alias("n_docs"),
+                F.sum(toks).alias("n_tokens"),
+                F.countDistinct(fingerprint(F.col(text_col)))
+                .alias("n_distinct_texts"),
+                *[F.round(qcol(toks, p).cast("double"), 6)
+                  .alias(f"p{int(p * 100)}_tokens") for p in quantiles]))
+    share_w = Window.partitionBy()  # #strata rows — see docstring
+    return per.select(
+        "stratum", "n_docs", "n_tokens", "n_distinct_texts",
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(share_w), 6)
+        .alias("token_share"),
+        *[f"p{int(p * 100)}_tokens" for p in quantiles])

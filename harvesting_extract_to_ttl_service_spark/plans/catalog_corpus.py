@@ -21,8 +21,11 @@ from harvesting_extract_to_ttl_service_spark.operators.corpus import (
     benchmark_contamination,
     benchmark_contamination_minhash,
     capped_stratified_sample,
+    corpus_report,
+    epoch_shuffle,
     hash_fraction_sql,
     pack_chunk_stats,
+    pack_chunks,
     temperature_mixture,
 )
 from harvesting_extract_to_ttl_service_spark.operators.text import token_count
@@ -475,6 +478,65 @@ def corpus_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens", F.round("avg_logprob", 6).alias("avg_logprob"))
 
 
+_SHUFFLE_EPOCH = 7
+
+
+@member_sql(f"""
+WITH t AS (
+  SELECT doc_id, {_SHARD_EXPR} AS shard, len({_TOKS}) AS toks,
+         {hash_fraction_sql('doc_id', f'epoch{_SHUFFLE_EPOCH}')} AS sk
+  FROM documents
+), s AS (
+  SELECT shard, doc_id,
+         coalesce(sum(toks) OVER (PARTITION BY shard ORDER BY sk, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS start_offset
+  FROM t
+)
+SELECT doc_id, shard,
+       CAST(floor(start_offset / {float(_PACK_BUDGET)}) AS BIGINT) AS chunk,
+       start_offset
+FROM s
+""")
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded per-epoch global shuffle feeding the packer: concatenation
+    order inside each shard is the epoch-{epoch} hash-fraction order, not
+    id order. The per-document start_offset is the exact prefix sum over
+    that order, so the oracle verifies the ENTIRE shuffled permutation —
+    any out-of-place document shifts every later offset in its shard."""
+    docs = assign_shards(load(spark, sf_dir, "documents"), _N_SHARDS)
+    shuf = epoch_shuffle(docs, _SHUFFLE_EPOCH)
+    return pack_chunks(shuf, _PACK_BUDGET, order_col="shuffle_key").select(
+        "doc_id", "shard", "chunk", "start_offset")
+
+
+_FP_SQL = ("substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),"
+           " 1, 16)")
+
+
+@member_sql(f"""
+WITH t AS (
+  SELECT lang, len({_TOKS}) AS toks, {_FP_SQL} AS fp FROM documents
+), per AS (
+  SELECT lang AS stratum, count(*) AS n_docs, sum(toks) AS n_tokens,
+         count(DISTINCT fp) AS n_distinct_texts,
+         round(quantile_cont(toks, 0.5), 6) AS p50_tokens,
+         round(quantile_cont(toks, 0.9), 6) AS p90_tokens
+  FROM t GROUP BY 1
+)
+SELECT stratum, n_docs, n_tokens, n_distinct_texts,
+       round(n_tokens / (sum(n_tokens) OVER ()), 6) AS token_share,
+       p50_tokens, p90_tokens
+FROM per
+""")
+def corpus_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-card statistics (operators/corpus.corpus_report): per-language
+    doc/token counts, distinct normalized fingerprints, token-mass share,
+    and exact token-length quantiles (Spark `percentile` vs DuckDB
+    `quantile_cont` — both linear-interpolating, rounded to 6 dp)."""
+    return corpus_report(load(spark, sf_dir, "documents"))
+
+
 _CORPUS_MEMBERS = [
     ("sample", corpus_sample, ["doc_id", "lang"], []),
     ("mix", corpus_mix, ["lang", "n_docs", "n_tokens"],
@@ -490,6 +552,11 @@ _CORPUS_MEMBERS = [
     ("lm", corpus_lm, ["doc_id", "n_tokens"], ["avg_logprob"]),
     ("tsample", corpus_tsample, ["doc_id", "lang"], []),
     ("tsample_exact", corpus_tsample_exact, ["doc_id", "lang"], []),
+    ("shuffle", corpus_shuffle,
+     ["doc_id", "shard", "chunk", "start_offset"], []),
+    ("report", corpus_report_q,
+     ["stratum", "n_docs", "n_tokens", "n_distinct_texts"],
+     ["token_share", "p50_tokens", "p90_tokens"]),
 ]
 
 

@@ -416,6 +416,7 @@ def finalize_corpus(spark: SparkSession, corpus_dir: str,
                     temperature_budget_tokens: int | None = None,
                     temperature_exact: bool = False,
                     n_shards: int = 16, budget_tokens: int = 2048,
+                    shuffle_epoch: int | None = None,
                     text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """The quiesce-time finalization job over a STREAMED corpus — the
@@ -446,7 +447,10 @@ def finalize_corpus(spark: SparkSession, corpus_dir: str,
          loader-ordered), REPLACING ``out_dir`` — unlike the per-batch
          incremental ``shards/`` tree, a finalized artifact is a
          point-in-time snapshot of the whole corpus, re-cut per
-         training run.
+         training run. ``shuffle_epoch`` makes that cut a seeded
+         per-epoch global shuffle (``operators/corpus.epoch_shuffle``):
+         run finalize once per epoch with epoch = 0, 1, ... for
+         independently-ordered, exactly-reproducible training artifacts.
 
     Returns the finalized survivors (lazy; ``out_dir=None`` for a
     dry/inspection run). Every stage is a broadcast-rate hash filter or
@@ -498,7 +502,8 @@ def finalize_corpus(spark: SparkSession, corpus_dir: str,
         survivors = sdf.select(*orig)
     if out_dir is not None:
         write_training_shards(survivors, out_dir, n_shards,
-                              budget_tokens, text_col, id_col)
+                              budget_tokens, text_col, id_col,
+                              shuffle_epoch=shuffle_epoch)
     return survivors
 
 

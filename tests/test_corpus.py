@@ -712,3 +712,124 @@ def test_temperature_sample_exact_prefix_cut(spark):
     # original columns, unmodified rows
     assert {r.doc_id: r.text for r in kept} == {
         i: "tok " * (3 + i % 5) for i in kept_ids}
+
+
+def test_epoch_shuffle_reproducible_and_epoch_independent(docs):
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        epoch_shuffle,
+    )
+
+    a = epoch_shuffle(docs, 0).select("doc_id", "shuffle_key").collect()
+    b = epoch_shuffle(docs, 0).select("doc_id", "shuffle_key").collect()
+    c = {r.doc_id: r.shuffle_key
+         for r in epoch_shuffle(docs, 1).select("doc_id",
+                                                "shuffle_key").collect()}
+    # same epoch → bit-identical keys; different epoch → a different order
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    order0 = [r.doc_id for r in sorted(a, key=lambda r: (r.shuffle_key,
+                                                         r.doc_id))]
+    order1 = sorted(c, key=lambda d: (c[d], d))
+    assert order0 != order1 and sorted(order0) == sorted(order1)
+    assert all(0.0 <= r.shuffle_key < 1.0 for r in a)
+
+
+def test_shuffled_packing_prefix_sum_follows_shuffled_order(docs):
+    """pack_chunks(order_col=shuffle_key): each start_offset is the exact
+    token prefix sum over the SHUFFLED within-shard order, and the chunk
+    assignment moves with the epoch while conserving the token budget."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        epoch_shuffle,
+    )
+
+    sharded = assign_shards(docs, 4)
+    shuf = epoch_shuffle(sharded, 3)
+    packed = pack_chunks(shuf, 20, order_col="shuffle_key").collect()
+    keys = {r.doc_id: r[1] for r in
+            shuf.select("doc_id", "shuffle_key").collect()}
+    by_shard = {}
+    for r in packed:
+        by_shard.setdefault(r.shard, []).append(r)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: (keys[r.doc_id], r.doc_id))
+        running = 0
+        for r in rows:
+            assert r.start_offset == running
+            assert r.chunk == running // 20
+            running += r.n_tokens
+    # id-order packing (no order_col) differs from the shuffled packing
+    plain = {(r.shard, r.doc_id): r.start_offset
+             for r in pack_chunks(sharded, 20).collect()}
+    assert any(plain[(r.shard, r.doc_id)] != r.start_offset for r in packed)
+
+
+def test_write_training_shards_shuffle_epoch_artifacts(docs, tmp_path):
+    """Per-epoch shard artifacts: same epoch re-cuts byte-identically,
+    different epochs order independently, and the written rows are sorted
+    in loader order (chunk, shuffle_key, id) within each shard file."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        write_training_shards,
+    )
+
+    spark = docs.sparkSession
+    e0, e0b, e1 = (str(tmp_path / d) for d in ("e0", "e0b", "e1"))
+    for out, epoch in ((e0, 0), (e0b, 0), (e1, 1)):
+        write_training_shards(docs, out, n_shards=4, budget_tokens=20,
+                              shuffle_epoch=epoch)
+    r0 = spark.read.parquet(e0).collect()
+    r0b = spark.read.parquet(e0b).collect()
+    r1 = spark.read.parquet(e1).collect()
+    key = lambda r: (r.shard, r.doc_id)
+    assert sorted(((key(r), r.start_offset) for r in r0)) == \
+        sorted(((key(r), r.start_offset) for r in r0b))
+    assert {key(r) for r in r0} == {key(r) for r in r1}
+    assert sorted(((key(r), r.start_offset) for r in r0)) != \
+        sorted(((key(r), r.start_offset) for r in r1))
+    # loader order: within each shard partition file, rows come back in
+    # (chunk, shuffle_key, doc_id) order with start_offset monotone
+    for shard in {r.shard for r in r0}:
+        rows = [r for r in spark.read.parquet(f"{e0}/shard={shard}")
+                .collect()]
+        offs = [r.start_offset for r in rows]
+        assert offs == sorted(offs)
+
+
+def test_corpus_report_hand_computed(spark):
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        corpus_report,
+    )
+
+    rows = [
+        (0, "a b c", "en"),        # 3 tokens
+        (1, "a b c", "en"),        # exact dup of 0 (same fingerprint)
+        (2, "a b c d e", "en"),    # 5 tokens
+        (3, "x y", "fr"),          # 2 tokens
+        (4, "x  Y", "fr"),         # normalizes to dup of... no: 'x y' vs 'x Y'->lower 'x y' → dup of 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.stratum: r for r in corpus_report(df).collect()}
+    en, fr = out["en"], out["fr"]
+    assert (en.n_docs, en.n_tokens, en.n_distinct_texts) == (3, 11, 2)
+    assert (fr.n_docs, fr.n_tokens, fr.n_distinct_texts) == (2, 4, 1)
+    assert abs(en.token_share - round(11 / 15, 6)) < 1e-9
+    assert abs(fr.token_share - round(4 / 15, 6)) < 1e-9
+    # exact linear-interpolated quantiles: en tokens [3, 3, 5]
+    assert en.p50_tokens == 3.0
+    assert abs(en.p90_tokens - (3 + 0.8 * 2)) < 1e-6
+    assert fr.p50_tokens == 2.0
+
+
+def test_corpus_report_approx_path_runs(docs):
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        corpus_report,
+    )
+
+    exact = {r.stratum: r for r in corpus_report(docs).collect()}
+    appr = {r.stratum: r
+            for r in corpus_report(docs, exact_quantiles=False).collect()}
+    assert set(exact) == set(appr)
+    for s in exact:
+        # counts/shares identical; quantiles within the small-n regime
+        # where t-digest is exact
+        assert exact[s].n_docs == appr[s].n_docs
+        assert exact[s].token_share == appr[s].token_share
+        assert abs(exact[s].p50_tokens - appr[s].p50_tokens) <= 1.0
