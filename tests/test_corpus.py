@@ -833,3 +833,21 @@ def test_corpus_report_approx_path_runs(docs):
         assert exact[s].n_docs == appr[s].n_docs
         assert exact[s].token_share == appr[s].token_share
         assert abs(exact[s].p50_tokens - appr[s].p50_tokens) <= 1.0
+
+
+def test_shuffled_packing_single_shuffle(docs):
+    """The epoch-shuffle key rides the one shard repartition: ordering the
+    packing window by (shuffle_key, id) instead of id adds NO exchange —
+    the shuffled artifact costs the same one shuffle as the id-ordered
+    one."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        _pack_columns,
+        epoch_shuffle,
+    )
+
+    sharded = (epoch_shuffle(assign_shards(docs, 4), 2)
+               .repartition(4, F.col("shard")))
+    plan = (_pack_columns(sharded, 30, "shard", "text", "doc_id",
+                          order_col="shuffle_key")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange") - plan.count("ReusedExchange") == 1
