@@ -268,6 +268,83 @@ def assign_shards(df: DataFrame, n_shards: int, id_col: str = "doc_id",
     return df.withColumn("shard", (h % n_shards).cast("int"))
 
 
+def split_bounds(weights: dict[str, float]) -> list[tuple[str, float]]:
+    """Cumulative upper bounds for :func:`assign_split`'s CASE chain, in
+    ``weights``' insertion order. Exposed so an oracle can embed the SAME
+    Python-float bounds (0.8 + 0.1 is 0.9000000000000001 — re-deriving
+    the cumsum in SQL would disagree on the boundary hash fractions)."""
+    total = sum(weights.values())
+    if not 0.999999 <= total <= 1.000001:
+        raise ValueError(f"split weights sum to {total}, expected 1")
+    out, cum = [], 0.0
+    for name, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative split weight {name}={w}")
+        cum += w
+        out.append((name, cum))
+    return out
+
+
+def assign_split(df: DataFrame, weights: dict[str, float],
+                 key_col: str = "doc_id", salt: str = "split",
+                 split_col: str = "split") -> DataFrame:
+    """Deterministic train/validation/test split: the row's hash fraction
+    of ``key_col`` lands in cumulative ``weights`` ranges (insertion
+    order). Pure per-row function — no sampling state, rerun-stable,
+    engine-portable (the oracle recomputes membership bit-for-bit), and
+    every row lands in exactly one split (the last split absorbs the
+    remaining range, so float dust cannot orphan a row).
+
+    NOTE: splitting by document id LEAKS near-duplicates across splits —
+    a train doc's near-copy in the holdout set inflates eval. Use
+    :func:`split_by_component` for the leakage-safe form."""
+    bounds = split_bounds(weights)
+    frac = hash_fraction(F.col(key_col), salt)
+    expr = None
+    for name, cum in bounds[:-1]:
+        cond = frac < F.lit(cum)
+        expr = (F.when(cond, F.lit(name)) if expr is None
+                else expr.when(cond, F.lit(name)))
+    last = F.lit(bounds[-1][0])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
+def split_by_component(df: DataFrame, pairs: DataFrame,
+                       weights: dict[str, float], id_col: str = "doc_id",
+                       salt: str = "split", split_col: str = "split",
+                       max_iter: int = 20) -> DataFrame:
+    """Leakage-safe corpus split: hash the duplicate-cluster
+    REPRESENTATIVE, not the document id, so every member of a near-dup
+    cluster lands in the same split — the eval-integrity requirement a
+    plain id-hash split silently violates (a held-out document whose
+    near-copy trains is contamination by construction). ``pairs`` is any
+    near-dup pair generator's output (``id_a``/``id_b`` —
+    MinHash-LSH, SimHash, embedding-LSH, SemDeDup cells...).
+
+    Scale shape: connected components over the pair graph (hash-to-min,
+    O(diameter) rounds over the pair set — pairs, not the corpus), then
+    ONE co-partitioned equi-join on id to attach labels, then the same
+    pure CASE chain as :func:`assign_split` keyed on ``component``.
+    Singletons are their own representative, so for them the assignment
+    is literally ``assign_split`` on the id — adding a pair generator
+    only MOVES cluster members between splits, never reshuffles the
+    unaffected corpus.
+
+    Returns ``df`` plus ``component`` (lineage) and ``split_col``."""
+    from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+        connected_components,
+    )
+
+    comp = connected_components(
+        pairs.select("id_a", "id_b"),
+        df.select(F.col(id_col).alias("id")), max_iter=max_iter)
+    labeled = df.join(
+        comp.select(F.col("id").alias(id_col), "component"), id_col)
+    return assign_split(labeled, weights, key_col="component", salt=salt,
+                        split_col=split_col)
+
+
 def epoch_shuffle(df: DataFrame, epoch: int, id_col: str = "doc_id",
                   salt: str = "epoch",
                   key_col: str = "shuffle_key") -> DataFrame:

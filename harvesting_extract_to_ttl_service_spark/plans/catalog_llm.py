@@ -383,6 +383,64 @@ def dedup_strip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens_before", "n_tokens_removed")
 
 
+_SPLIT_WEIGHTS = {"train": 0.8, "holdout": 0.1, "test": 0.1}
+
+
+def _split_oracle() -> str:
+    """Leakage-safe split restated: recursive-CTE components over the
+    LSH pair graph (the clusters oracle), then the SAME Python-float
+    cumulative bounds as `split_bounds` in a CASE over the component's
+    hash fraction — boundary-exact, since 0.8 + 0.1 is
+    0.9000000000000001 in both places."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        hash_fraction_sql,
+        split_bounds,
+    )
+
+    bounds = split_bounds(_SPLIT_WEIGHTS)
+    case = " ".join(f"WHEN hf < {cum!r} THEN '{name}'"
+                    for name, cum in bounds[:-1])
+    return f"""
+WITH RECURSIVE pairs AS (
+{_minhash_lsh_oracle()}
+), edges AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(s, t) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+), comp AS (
+  SELECT s AS doc_id, CAST(min(t) AS BIGINT) AS component
+  FROM reach GROUP BY s
+)
+SELECT doc_id, component,
+       CASE {case} ELSE '{bounds[-1][0]}' END AS split
+FROM (SELECT doc_id, component,
+             {hash_fraction_sql('component', 'split')} AS hf FROM comp)
+"""
+
+
+@member_sql(_split_oracle())
+def dedup_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/holdout/test split
+    (operators/corpus.split_by_component): the split key is the near-dup
+    CLUSTER representative, so a held-out document can never have a
+    near-copy in train — the eval-integrity property a plain id-hash
+    split silently violates. Components over the MinHash-LSH pair graph;
+    the oracle re-derives clusters recursively and the boundary-exact
+    CASE chain."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        split_by_component,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_similarity(docs, threshold=0.3)
+    return split_by_component(docs, pairs, _SPLIT_WEIGHTS).select(
+        "doc_id", "component", "split")
+
+
 _DEDUP_MEMBERS = [
     ("exact", dedup_exact_docs, ["fp", "canonical_id", "group_size"], []),
     ("ngram", dedup_ngram_jaccard, ["id_a", "id_b"], ["jaccard"]),
@@ -391,6 +449,7 @@ _DEDUP_MEMBERS = [
     ("hot", dedup_hot_passages, ["hash", "n_docs"], []),
     ("strip", dedup_strip_stats,
      ["doc_id", "n_tokens_before", "n_tokens_removed"], []),
+    ("split", dedup_split, ["doc_id", "component", "split"], []),
 ]
 
 

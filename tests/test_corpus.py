@@ -851,3 +851,48 @@ def test_shuffled_packing_single_shuffle(docs):
                           order_col="shuffle_key")
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Exchange") - plan.count("ReusedExchange") == 1
+
+
+def test_assign_split_partitions_completely(docs):
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        assign_split,
+    )
+
+    w = {"train": 0.8, "holdout": 0.1, "test": 0.1}
+    out = assign_split(docs, w).collect()
+    assert len(out) == 60
+    labels = {r.split for r in out}
+    assert labels <= set(w)
+    # deterministic rerun; train dominates at these weights
+    again = assign_split(docs, w).collect()
+    assert sorted((r.doc_id, r.split) for r in out) == \
+        sorted((r.doc_id, r.split) for r in again)
+    n_train = sum(1 for r in out if r.split == "train")
+    assert n_train > 30
+    with pytest.raises(ValueError):
+        assign_split(docs, {"train": 0.5, "test": 0.1})
+
+
+def test_split_by_component_never_straddles_clusters(spark):
+    """Planted near-dup clusters (as a pair list) must land whole in one
+    split; singletons get exactly the id-hash assignment (component =
+    own id)."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        assign_split,
+        split_by_component,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(40)], "doc_id long, text string")
+    # clusters: {0..4} chained, {10, 11}, everything else singleton
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long")
+    w = {"train": 0.6, "holdout": 0.2, "test": 0.2}
+    out = {r.doc_id: r for r in split_by_component(docs, pairs, w).collect()}
+    assert len(out) == 40
+    assert len({out[i].split for i in range(5)}) == 1
+    assert out[10].split == out[11].split
+    assert all(out[i].component == 0 for i in range(5))
+    plain = {r.doc_id: r.split for r in assign_split(docs, w).collect()}
+    singletons = set(range(40)) - set(range(5)) - {10, 11}
+    assert all(out[i].split == plain[i] for i in singletons)
