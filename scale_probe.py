@@ -23,6 +23,9 @@ Usage: python scale_probe.py [replicas ...]   (default: 1 2 5 10)
            stored cell-partitioned IVF index; measures ivf_search_batch
            (all queries, one job) against the per-query ivf_search loop
            — the job-amortization win of the kNN join.
+       python scale_probe.py finalize [replicas ...]
+           finalize-artifact probe: seeded-epoch-shuffled training-shard
+           write over N replicas — the quiesce-time job; expected linear.
        python scale_probe.py incr [replicas ...]
            incremental-dedup probe: corpus = N replicas with a parquet
            LSH index built ONCE; batch = one fresh replica duplicating
@@ -267,6 +270,27 @@ def probe_corpus_stream(spark, n: int, tmp: str,
     return rows
 
 
+def probe_finalize(spark, n: int, tmp: str) -> dict:
+    """Finalize-artifact probe: write a seeded-epoch-shuffled training
+    shard set over N replicas of sf0.1 documents and measure the wall.
+    Expected shape: LINEAR in corpus size — the job is one scan (tokens +
+    shuffle key are column expressions), one repartition on shard, one
+    within-partition window+sort, one write; a superlinear curve would
+    mean the window or the write is not staying per-shard."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        write_training_shards,
+    )
+
+    docs = replicate_documents(spark, n)
+    out = f"{tmp}/shards_{n}"
+    t0 = time.time()
+    write_training_shards(docs, out, n_shards=32, budget_tokens=2048,
+                          shuffle_epoch=0)
+    wall = round(time.time() - t0, 1)
+    rows = spark.read.parquet(out).count()
+    return {"label": f"{n}x", "docs": rows, "wall_s": wall}
+
+
 def probe_ann(spark, n: int, n_queries: int, tmp: str) -> dict:
     """Corpus = sf0.1 embeddings replicated n× (ids offset; vectors
     perturbed per replica by a deterministic per-dim rotation so
@@ -330,7 +354,8 @@ def main():
     funnel = bool(args) and args[0] == "funnel"
     stream = bool(args) and args[0] == "stream"
     ann = bool(args) and args[0] == "ann"
-    if incremental or funnel or stream or ann:
+    finalize = bool(args) and args[0] == "finalize"
+    if incremental or funnel or stream or ann or finalize:
         args = args[1:]
     explicit = [int(x) for x in args]
     replicas = explicit or [1, 2, 5, 10]
@@ -345,6 +370,12 @@ def main():
                   f"index_s={r['index_s']} "
                   f"batched_s={r['batched_s']} ({r['batched_rows']} rows) "
                   f"loop_s={r['loop_s']} ({r['loop_rows']} rows)")
+            return
+        if finalize:
+            print(f"{'scale':>6} {'docs':>8} {'wall_s':>7}")
+            for n in replicas:
+                r = probe_finalize(spark, n, tmp)
+                print(f"{r['label']:>6} {r['docs']:>8} {r['wall_s']:>7}")
             return
         if stream:
             # stream [n [compact_at]]: optional compaction-in-the-loop.
