@@ -268,6 +268,47 @@ def assign_shards(df: DataFrame, n_shards: int, id_col: str = "doc_id",
     return df.withColumn("shard", (h % n_shards).cast("int"))
 
 
+def score_buckets(df: DataFrame, n_buckets: int = 4,
+                  score_col: str = "avg_logprob",
+                  bucket_col: str = "bucket",
+                  exact: bool = True) -> DataFrame:
+    """Curriculum / quality-ablation bucketing: split the corpus into
+    ``n_buckets`` equal-population tiers of a continuous score (the
+    unigram-LM log-prob, an embedding distance, a classifier logit...).
+    The standard ablation/curriculum primitive — train on the top tier,
+    schedule tiers easy→hard, or A/B a tier's marginal value.
+
+    Scale shape: ONE tiny aggregation computes the n_buckets-1 quantile
+    thresholds (collected to the driver — a bounded, fixed-size collect
+    of doubles), then the bucket is a pure column expression counting
+    thresholds at or below the row's score: no window over the corpus,
+    no global sort, no join. ``exact=False`` swaps the threshold
+    aggregate to t-digest ``approx_percentile`` for the 100 TB path
+    (same downstream expression, no oracle guarantee).
+
+    Determinism note: thresholds and scores are rounded to 6 decimals
+    before comparison so both engines bucket identical values (the same
+    convention the LM member uses). NULL scores get a NULL bucket.
+    Buckets are 0 (lowest scores) .. n_buckets-1 (highest)."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets={n_buckets}: need at least 2")
+    qf = F.percentile if exact else (
+        lambda c, p: F.approx_percentile(c, p, F.lit(10000)))
+    ps = [i / n_buckets for i in range(1, n_buckets)]
+    score = F.round(F.col(score_col), 6)
+    row = df.select(*[
+        F.round(qf(score, F.lit(p)).cast("double"), 6).alias(f"t{i}")
+        for i, p in enumerate(ps)]).first()
+    thresholds = [row[i] for i in range(len(ps))]
+    b = None
+    for t in thresholds:
+        ind = (score >= F.lit(float(t))).cast("int")
+        b = ind if b is None else b + ind
+    return df.withColumn(
+        bucket_col, F.when(F.col(score_col).isNull(), F.lit(None)
+                           .cast("int")).otherwise(b))
+
+
 def split_bounds(weights: dict[str, float]) -> list[tuple[str, float]]:
     """Cumulative upper bounds for :func:`assign_split`'s CASE chain, in
     ``weights``' insertion order. Exposed so an oracle can embed the SAME

@@ -445,7 +445,7 @@ def corpus_tsample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LM_ALPHA = 0.5
 
 
-@member_sql(f"""
+_LM_SQL = f"""
 WITH tk AS (
   SELECT doc_id, unnest({_TOKS_LOW}) AS t FROM documents
 ), pd AS (
@@ -460,7 +460,10 @@ SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
              / sum(c), 6) AS avg_logprob
 FROM pd JOIN vc USING (t), tot
 GROUP BY 1
-""")
+"""
+
+
+@member_sql(_LM_SQL)
 def corpus_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM perplexity-proxy quality score (CCNet-tradition): each
     document's mean token log-probability under the corpus's own
@@ -476,6 +479,42 @@ def corpus_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return unigram_logprob(docs, alpha=_LM_ALPHA).select(
         "doc_id", "n_tokens", F.round("avg_logprob", 6).alias("avg_logprob"))
+
+
+_N_QBUCKETS = 4
+
+
+@member_sql(f"""
+WITH lm AS ({_LM_SQL}
+), th AS (
+  SELECT round(quantile_cont(avg_logprob, 0.25), 6) AS t0,
+         round(quantile_cont(avg_logprob, 0.50), 6) AS t1,
+         round(quantile_cont(avg_logprob, 0.75), 6) AS t2
+  FROM lm
+)
+SELECT doc_id,
+       (CASE WHEN avg_logprob >= t0 THEN 1 ELSE 0 END +
+        CASE WHEN avg_logprob >= t1 THEN 1 ELSE 0 END +
+        CASE WHEN avg_logprob >= t2 THEN 1 ELSE 0 END) AS bucket
+FROM lm, th
+""")
+def corpus_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum bucketing (operators/corpus.score_buckets): quartile
+    tiers of the unigram-LM quality score — thresholds from one tiny
+    quantile aggregate (bounded driver collect of 3 doubles), bucket a
+    pure column expression. The oracle recomputes thresholds with
+    `quantile_cont` over the same 6-dp-rounded scores and re-counts."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        score_buckets,
+    )
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        unigram_logprob,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    scores = unigram_logprob(docs, alpha=_LM_ALPHA).select(
+        "doc_id", F.round("avg_logprob", 6).alias("avg_logprob"))
+    return score_buckets(scores, _N_QBUCKETS).select("doc_id", "bucket")
 
 
 _SHUFFLE_EPOCH = 7
@@ -554,6 +593,7 @@ _CORPUS_MEMBERS = [
     ("tsample_exact", corpus_tsample_exact, ["doc_id", "lang"], []),
     ("shuffle", corpus_shuffle,
      ["doc_id", "shard", "chunk", "start_offset"], []),
+    ("buckets", corpus_buckets, ["doc_id", "bucket"], []),
     ("report", corpus_report_q,
      ["stratum", "n_docs", "n_tokens", "n_distinct_texts"],
      ["token_share", "p50_tokens", "p90_tokens"]),

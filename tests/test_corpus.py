@@ -896,3 +896,34 @@ def test_split_by_component_never_straddles_clusters(spark):
     plain = {r.doc_id: r.split for r in assign_split(docs, w).collect()}
     singletons = set(range(40)) - set(range(5)) - {10, 11}
     assert all(out[i].split == plain[i] for i in singletons)
+
+
+def test_score_buckets_equal_population_tiers(spark):
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        score_buckets,
+    )
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)],
+                               "doc_id long, score double")
+    out = score_buckets(df, 4, score_col="score").collect()
+    counts = {}
+    for r in out:
+        counts[r.bucket] = counts.get(r.bucket, 0) + 1
+    # quartiles of 0..99: ~equal tiers, monotone in score
+    assert set(counts) == {0, 1, 2, 3}
+    assert all(20 <= c <= 30 for c in counts.values())
+    by_id = {r.doc_id: r.bucket for r in out}
+    assert all(by_id[i] <= by_id[j]
+               for i in range(100) for j in (i + 1,) if j < 100)
+    # null scores bucket to null; exact vs approx agree on this ramp
+    withnull = spark.createDataFrame([(0, None), (1, 1.0), (2, 2.0)],
+                                     "doc_id long, score double")
+    r0 = {r.doc_id: r.bucket
+          for r in score_buckets(withnull, 2, score_col="score").collect()}
+    assert r0[0] is None and {r0[1], r0[2]} == {0, 1}
+    appr = {r.doc_id: r.bucket
+            for r in score_buckets(df, 4, score_col="score",
+                                   exact=False).collect()}
+    assert sum(1 for i in by_id if by_id[i] != appr[i]) <= 5
+    with pytest.raises(ValueError):
+        score_buckets(df, 1, score_col="score")
