@@ -387,6 +387,51 @@ def pii_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
         .alias("n_phones"))
 
 
+IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+# Redaction rules, applied IN ORDER — order is semantic, not cosmetic:
+# emails first (their domains may contain dotted digits), then IPv4
+# (dotted digit runs the phone rule would otherwise swallow), then
+# phone-shaped digit runs. Replacement tokens contain no digits or '@',
+# so an earlier replacement can never create a later match. Same
+# no-lookaround portability contract as the detector regexes above.
+PII_REDACT_RULES: list[tuple[str, str, str]] = [
+    ("email", EMAIL_RE, "<EMAIL>"),
+    ("ip", IPV4_RE, "<IP>"),
+    ("phone", PHONE_RE, "<PHONE>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               rules: list[tuple[str, str, str]] | None = None) -> DataFrame:
+    """PII redaction — the scrub step downstream of
+    :func:`pii_signals`' cheap pre-filter: rewrite ``text_col`` with
+    every match of each rule's regex replaced by its placeholder token,
+    and report per-kind match counts (``n_redacted_<kind>``) so the
+    pipeline can audit redaction volume per document.
+
+    Counts are taken on the text AS EACH RULE SEES IT (after the earlier
+    rules' replacements), so ``sum(n_redacted_*)`` is exactly the number
+    of placeholder tokens inserted — no double counting when patterns
+    overlap (an IPv4 is also phone-shaped).
+
+    Scale shape: a single projection of chained ``regexp_replace`` /
+    ``regexp_extract_all`` column expressions — whole-stage codegen,
+    no UDF, no shuffle, embarrassingly parallel over any partitioning.
+    Reference analogue: the reference pipeline has no scrub stage (its
+    payloads are public RDFa crawls); this is extension surface for the
+    training-data funnel (SURVEY.md §2C)."""
+    cur: Column = F.col(text_col)
+    counts: list[Column] = []
+    for kind, pat, repl in (rules or PII_REDACT_RULES):
+        counts.append(F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+                      .alias(f"n_redacted_{kind}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    return df.select(
+        *[cur.alias(c) if c == text_col else F.col(c) for c in df.columns],
+        *counts)
+
+
 def annotate_documents(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """Text-analysis projection over a documents table (``id_col`` must be

@@ -369,6 +369,79 @@ def corpus_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_emails", "n_urls", "n_phones")
 
 
+# The redact oracle restates the sequential rule application as explicit
+# stages: each stage counts the kind's matches on the PREVIOUS stage's
+# text, then rewrites — exactly redact_pii's chained-expression contract.
+_REDACT_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_REDACT_IP = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+_REDACT_PHONE = "\\+?[0-9][0-9()\\-. ]{7,}[0-9]"
+
+_REDACT_SQL = f"""
+WITH t0 AS (
+  SELECT doc_id,
+         text || CASE doc_id % 4
+           WHEN 0 THEN ' contact bob' || doc_id || '@example.com now'
+           WHEN 1 THEN ' server at 10.0.0.' || (doc_id % 250) || ' up'
+           WHEN 2 THEN ' call +3225551234 now'
+           ELSE '' END AS text
+  FROM documents WHERE doc_id < 200
+), s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{_REDACT_EMAIL}'))
+           AS n_redacted_email,
+         regexp_replace(text, '{_REDACT_EMAIL}', '<EMAIL>', 'g') AS text
+  FROM t0
+), s2 AS (
+  SELECT doc_id, n_redacted_email,
+         len(regexp_extract_all(text, '{_REDACT_IP}')) AS n_redacted_ip,
+         regexp_replace(text, '{_REDACT_IP}', '<IP>', 'g') AS text
+  FROM s1
+), s3 AS (
+  SELECT doc_id, n_redacted_email, n_redacted_ip,
+         len(regexp_extract_all(text, '{_REDACT_PHONE}'))
+           AS n_redacted_phone,
+         regexp_replace(text, '{_REDACT_PHONE}', '<PHONE>', 'g') AS text
+  FROM s2
+)
+SELECT doc_id, n_redacted_email, n_redacted_ip, n_redacted_phone,
+       substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
+              1, 16) AS fp
+FROM s3
+"""
+
+
+@member_sql(_REDACT_SQL)
+def corpus_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/text.redact_pii): emails → <EMAIL>,
+    IPv4 → <IP>, phone-shaped digit runs → <PHONE>, applied in that
+    order over docs with planted contact strings (the corpus_pii
+    pattern, plus an IP class). The fingerprint of the REWRITTEN text
+    pins the full replacement output, not just the counts; the per-kind
+    counts pin the no-double-counting order contract (an IPv4 is also
+    phone-shaped, so counting on the pre-redaction text would differ)."""
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        fingerprint,
+        redact_pii,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.concat(F.lit(" contact bob"), F.col("doc_id"),
+                            F.lit("@example.com now")))
+            .when(F.col("doc_id") % 4 == 1,
+                  F.concat(F.lit(" server at 10.0.0."),
+                           F.col("doc_id") % 250, F.lit(" up")))
+            .when(F.col("doc_id") % 4 == 2, F.lit(" call +3225551234 now"))
+            .otherwise(F.lit(""))).alias("text"))
+    return redact_pii(injected).select(
+        "doc_id", "n_redacted_email", "n_redacted_ip", "n_redacted_phone",
+        fingerprint(F.col("text")).alias("fp"))
+
+
 @member_sql(f"""
 WITH c AS (
   SELECT lang, count(*) AS n_docs,
@@ -588,6 +661,9 @@ _CORPUS_MEMBERS = [
     ("rep", corpus_repetition, ["doc_id", "n_lines"],
      ["dup_line_ratio", "top_bigram_ratio"]),
     ("pii", corpus_pii, ["doc_id", "n_emails", "n_urls", "n_phones"], []),
+    ("redact", corpus_redact,
+     ["doc_id", "n_redacted_email", "n_redacted_ip", "n_redacted_phone",
+      "fp"], []),
     ("lm", corpus_lm, ["doc_id", "n_tokens"], ["avg_logprob"]),
     ("tsample", corpus_tsample, ["doc_id", "lang"], []),
     ("tsample_exact", corpus_tsample_exact, ["doc_id", "lang"], []),

@@ -294,6 +294,46 @@ def test_pii_signals_counts(spark):
     assert got[4] == (0, 0, 0)
 
 
+def test_redact_pii_rewrites_and_counts(spark):
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        redact_pii,
+    )
+
+    docs = spark.createDataFrame([
+        (1, "write to a@b.org or c.d+x@e-f.co today"),
+        (2, "server 192.168.1.250 then call +3225551234 now"),
+        (3, "plain text with no contact info at all"),
+        (4, ""),
+    ], "doc_id long, text string")
+    got = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert got[1].text == "write to <EMAIL> or <EMAIL> today"
+    assert (got[1].n_redacted_email, got[1].n_redacted_ip,
+            got[1].n_redacted_phone) == (2, 0, 0)
+    # the IP rule must fire BEFORE the phone rule (an IPv4 is
+    # phone-shaped), and counts must not double-count across rules
+    assert got[2].text == "server <IP> then call <PHONE> now"
+    assert (got[2].n_redacted_email, got[2].n_redacted_ip,
+            got[2].n_redacted_phone) == (0, 1, 1)
+    assert got[3].text == docs.collect()[2].text
+    assert (got[4].n_redacted_email, got[4].n_redacted_ip,
+            got[4].n_redacted_phone) == (0, 0, 0)
+
+
+def test_redact_pii_preserves_schema_order(spark):
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        redact_pii,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x", "a@b.org", "en")],
+        "doc_id long, pre string, text string, lang string")
+    out = redact_pii(docs)
+    assert out.columns == ["doc_id", "pre", "text", "lang",
+                           "n_redacted_email", "n_redacted_ip",
+                           "n_redacted_phone"]
+    assert out.first().text == "<EMAIL>"
+
+
 def test_funnel_repetition_and_pii_stages(spark):
     from harvesting_extract_to_ttl_service_spark.operators.corpus import (
         build_training_corpus,
