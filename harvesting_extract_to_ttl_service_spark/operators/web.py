@@ -1,0 +1,115 @@
+"""URL canonicalization and URL-keyed deduplication — the crawl-side
+front door of a training-data pipeline (CommonCrawl-style corpora carry
+one row per FETCH, and the same page is fetched under dozens of URL
+spellings: scheme/host case, default ports, tracking parameters, param
+order, trailing slashes, fragments).
+
+Everything here is a pure column expression over portable regex/array
+primitives (``regexp_extract`` / ``regexp_replace`` / ``split`` /
+``array_sort``), so the DuckDB oracle restates normalization
+bit-for-bit and the Spark plan stays inside whole-stage codegen — no
+UDF, no shuffle until the keep-one window, which groups by the
+normalized URL exactly like content dedup groups by fingerprint.
+
+Reference analogue: none — the reference service consumes URLs only as
+opaque task payloads (`/root/reference/lib/pipeline-import.js`); this is
+extension surface for the LLM-corpus funnel (SURVEY.md §2C).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# scheme://host[:port]  — RFC 3986 scheme charset; host = authority up
+# to the first /, ?, or #. No lookaround (Java regex + RE2 portability).
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+# tracking parameters dropped during canonicalization (the usual
+# Google/Facebook click-attribution set; extend per deployment)
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref)="
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical form of an absolute http(s) URL:
+
+    * scheme and host lowercased (path/query stay case-sensitive);
+    * default port stripped (``:80`` for http, ``:443`` for https);
+    * fragment dropped;
+    * tracking query parameters dropped (:data:`TRACKING_PARAM_RE`),
+      the survivors sorted lexicographically and rejoined;
+    * trailing path slashes trimmed, empty path rendered as ``/``.
+
+    Returns NULL for strings that do not parse as ``scheme://host...``
+    (callers route those to a reject lane rather than silently keeping
+    arbitrary keys). Pure column expression — evaluated in-scan."""
+    no_frag = F.regexp_replace(url, r"#.*", "")
+    scheme = F.lower(F.regexp_extract(no_frag, _SCHEME_RE, 1))
+    hostport = F.lower(F.regexp_extract(no_frag, _HOST_RE, 1))
+    host = F.when(scheme == "http",
+                  F.regexp_replace(hostport, r":80$", "")) \
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", "")) \
+        .otherwise(hostport)
+    raw_path = F.regexp_extract(no_frag, _PATH_RE, 1)
+    trimmed = F.regexp_replace(raw_path, r"/+$", "")
+    path = F.when(trimmed == "", F.lit("/")).otherwise(trimmed)
+    query = F.regexp_extract(no_frag, _QUERY_RE, 1)
+    params = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE)))
+    qnorm = F.when(F.size(params) > 0,
+                   F.concat(F.lit("?"), F.concat_ws("&", params))) \
+        .otherwise(F.lit(""))
+    return F.when((scheme == "") | (hostport == ""),
+                  F.lit(None).cast("string")) \
+        .otherwise(F.concat(scheme, F.lit("://"), host, path, qnorm))
+
+
+def normalize_url_sql(url_expr: str) -> str:
+    """DuckDB restatement of :func:`normalize_url` (oracle twin — keep
+    the two in lockstep)."""
+    no_frag = f"regexp_replace({url_expr}, '#.*', '')"
+    scheme = f"lower(regexp_extract({no_frag}, '{_SCHEME_RE}', 1))"
+    hostport = f"lower(regexp_extract({no_frag}, '{_HOST_RE}', 1))"
+    host = (f"CASE WHEN {scheme} = 'http' "
+            f"THEN regexp_replace({hostport}, ':80$', '') "
+            f"WHEN {scheme} = 'https' "
+            f"THEN regexp_replace({hostport}, ':443$', '') "
+            f"ELSE {hostport} END")
+    trimmed = (f"regexp_replace(regexp_extract({no_frag}, '{_PATH_RE}', 1),"
+               f" '/+$', '')")
+    path = f"CASE WHEN {trimmed} = '' THEN '/' ELSE {trimmed} END"
+    params = (f"list_sort(list_filter(string_split("
+              f"regexp_extract({no_frag}, '\\?([^#]*)', 1), '&'), "
+              f"p -> p != '' AND NOT regexp_matches(p, "
+              f"'{TRACKING_PARAM_RE}')))")
+    qnorm = (f"CASE WHEN len({params}) > 0 "
+             f"THEN '?' || array_to_string({params}, '&') ELSE '' END")
+    return (f"CASE WHEN {scheme} = '' OR {hostport} = '' THEN NULL "
+            f"ELSE {scheme} || '://' || {host} || {path} || {qnorm} END")
+
+
+def drop_url_duplicates(df: DataFrame, url_col: str = "url",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id row per canonical URL (first delivery wins — the
+    same keep-one convention as content dedup, so the two stages compose
+    without reordering surprises). Rows whose URL does not canonicalize
+    (NULL key) are PASSED THROUGH untouched, one per row: failing to
+    parse is not evidence of duplication, and collapsing all NULL keys
+    into one row would silently delete unrelated documents.
+
+    Adds the canonical key as ``_norm_url`` so downstream stages (and
+    tests) can see the grouping key. Shuffle shape: one hash exchange on
+    the canonical URL — the key space is the distinct-page count, no
+    skew beyond genuinely hot pages (AQE handles those)."""
+    from pyspark.sql import Window
+
+    keyed = df.withColumn("_norm_url", normalize_url(F.col(url_col)))
+    w = Window.partitionBy("_norm_url").orderBy(F.col(id_col))
+    dups = (keyed.filter(F.col("_norm_url").isNotNull())
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+    return dups.unionByName(keyed.filter(F.col("_norm_url").isNull()))

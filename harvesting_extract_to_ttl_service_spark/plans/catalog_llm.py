@@ -441,6 +441,70 @@ def dedup_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "component", "split")
 
 
+def _url_oracle() -> str:
+    from harvesting_extract_to_ttl_service_spark.operators.web import (
+        normalize_url_sql,
+    )
+
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN 'HTTPS://Ex.ORG:443/a/' || (doc_id % 20)
+                       || '/?utm_source=x&b=2&a=1#frag'
+           WHEN 1 THEN 'https://ex.org/a/' || (doc_id % 20) || '?a=1&b=2'
+           WHEN 2 THEN 'http://EX.org:80/a/' || (doc_id % 20) || '/'
+           WHEN 3 THEN 'not a url at all ' || doc_id
+           ELSE 'https://ex.org/b/' || doc_id || '?gclid=zz'
+         END AS url
+  FROM documents WHERE doc_id < 200
+), n AS (
+  SELECT doc_id, {normalize_url_sql('url')} AS norm_url FROM u
+), k AS (
+  SELECT doc_id, norm_url,
+         row_number() OVER (PARTITION BY norm_url ORDER BY doc_id) AS rn
+  FROM n WHERE norm_url IS NOT NULL
+)
+SELECT doc_id, norm_url FROM k WHERE rn = 1
+UNION ALL
+SELECT doc_id, norm_url FROM n WHERE norm_url IS NULL
+"""
+
+
+@member_sql(_url_oracle())
+def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-keyed dedup (operators/web.py): canonicalize crawl URLs
+    (case, default ports, tracking params, param order, trailing slash,
+    fragment) and keep the min-id row per canonical form; unparseable
+    URLs pass through on the NULL lane. The fixture plants five URL
+    spelling classes per doc_id — classes 0 and 1 canonicalize to the
+    SAME key so cross-class collapses are exercised, class 3 never
+    parses. The oracle restates the full canonicalization via
+    normalize_url_sql and replays keep-one independently."""
+    from harvesting_extract_to_ttl_service_spark.operators.web import (
+        drop_url_duplicates,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    k = F.col("doc_id") % 20
+    u = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("HTTPS://Ex.ORG:443/a/"), k,
+                        F.lit("/?utm_source=x&b=2&a=1#frag")))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.lit("https://ex.org/a/"), k, F.lit("?a=1&b=2")))
+        .when(F.col("doc_id") % 5 == 2,
+              F.concat(F.lit("http://EX.org:80/a/"), k, F.lit("/")))
+        .when(F.col("doc_id") % 5 == 3,
+              F.concat(F.lit("not a url at all "), F.col("doc_id")))
+        .otherwise(F.concat(F.lit("https://ex.org/b/"), F.col("doc_id"),
+                            F.lit("?gclid=zz")))
+        .alias("url"))
+    return drop_url_duplicates(u, "url", "doc_id").select(
+        "doc_id", F.col("_norm_url").alias("norm_url"))
+
+
 _DEDUP_MEMBERS = [
     ("exact", dedup_exact_docs, ["fp", "canonical_id", "group_size"], []),
     ("ngram", dedup_ngram_jaccard, ["id_a", "id_b"], ["jaccard"]),
@@ -450,6 +514,7 @@ _DEDUP_MEMBERS = [
     ("strip", dedup_strip_stats,
      ["doc_id", "n_tokens_before", "n_tokens_removed"], []),
     ("split", dedup_split, ["doc_id", "component", "split"], []),
+    ("url", dedup_url, ["doc_id", "norm_url"], []),
 ]
 
 
