@@ -387,6 +387,81 @@ def pii_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
         .alias("n_phones"))
 
 
+def hash_bucket_weights(spark, n_buckets: int,
+                        salt: str = "clfw") -> DataFrame:
+    """Deterministic pseudo-random weight table ``(bucket, weight)`` with
+    weights in [-1, 1) — a stand-in for offline-trained classifier
+    weights that both engines can re-derive bit-for-bit (demos, oracles,
+    tests). Real deployments load their trained table instead."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        hash_fraction,
+    )
+
+    return spark.range(n_buckets).select(
+        F.col("id").alias("bucket"),
+        F.round(2 * hash_fraction(F.col("id"), salt) - 1, 6)
+        .alias("weight"))
+
+
+def hashed_linear_score(df: DataFrame, weights: DataFrame,
+                        n_buckets: int = 1024, bias: float = 0.0,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        salt: str = "clf") -> DataFrame:
+    """FastText-style linear classifier INFERENCE over hashed bag-of-words
+    features — the quality-classifier scoring pass of a training-data
+    pipeline (CCNet/GPT-3 tradition: a tiny linear model trained offline
+    against a reference corpus, applied to every crawl document):
+
+        score = sigmoid(bias + Σ_b weight[b] · tf(b))
+
+    where ``b = floor(hash_fraction(token) · n_buckets)`` (the hashing
+    trick: fixed feature width, no vocabulary build) and ``tf(b)`` is the
+    bucket's token-count share of the document.
+
+    ``weights`` is ``(bucket: long, weight: double)`` — broadcast, never
+    shuffled; buckets absent from it score 0 but still count toward the
+    normalizer (a LEFT join, so a sparse model degrades gracefully
+    instead of silently renormalizing). ``bucket`` must be unique per
+    row (a trained model's key is); duplicates would double-count.
+
+    Scale shape — same two-level aggregation as :func:`unigram_logprob`:
+    (doc, bucket) partials finish map-side, so raw token instances never
+    reach a join or shuffle; the weight join touches ≤ n_buckets rows
+    per doc-bucket group. Rows with no tokens keep score
+    sigmoid(bias). Returns ``df`` + ``n_tokens`` + ``clf_score``
+    (rounded to 6 dp — cross-engine float-sum pinning, corpus_lm's
+    convention)."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        hash_fraction,
+    )
+    from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+        spread_for_cpu,
+    )
+
+    df = spread_for_cpu(df)
+    ex = df.select(F.col(id_col).alias("_id"),
+                   F.explode(tokens(F.lower(F.col(text_col)))).alias("t"))
+    bucket = F.floor(hash_fraction(F.col("t"), salt)
+                     * F.lit(n_buckets)).cast("long")
+    pd_ = (ex.select("_id", bucket.alias("bucket"))
+           .groupBy("_id", "bucket").agg(F.count("*").alias("_c")))
+    scored = (pd_.join(F.broadcast(weights), "bucket", "left")
+              .groupBy("_id").agg(
+                  (F.sum(F.col("_c") * F.coalesce(F.col("weight"),
+                                                  F.lit(0.0)))
+                   / F.sum("_c")).alias("_dot"),
+                  F.sum("_c").alias("_n")))
+    joined = df.join(scored, df[id_col] == scored["_id"], "left")
+    score = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(-(F.lit(float(bias))
+                  + F.coalesce(F.col("_dot"), F.lit(0.0)))))
+    return joined.select(
+        *df.columns,
+        F.coalesce(F.col("_n"), F.lit(0).cast("long")).alias("n_tokens"),
+        F.round(score, 6).alias("clf_score"))
+
+
 IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
 
 # Redaction rules, applied IN ORDER — order is semantic, not cosmetic:

@@ -554,6 +554,51 @@ def corpus_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens", F.round("avg_logprob", 6).alias("avg_logprob"))
 
 
+_CLF_BUCKETS = 64
+_CLF_BIAS = -0.1
+
+
+@member_sql(f"""
+WITH tk AS (
+  SELECT doc_id, unnest({_TOKS_LOW}) AS t FROM documents
+), pd AS (
+  SELECT doc_id,
+         CAST(floor({hash_fraction_sql('t', 'clf')} * {_CLF_BUCKETS})
+              AS BIGINT) AS bucket,
+         count(*) AS c
+  FROM tk GROUP BY 1, 2
+), w AS (
+  SELECT r.range AS bucket,
+         round(2 * {hash_fraction_sql('r.range', 'clfw')} - 1, 6) AS weight
+  FROM range({_CLF_BUCKETS}) r
+), s AS (
+  SELECT doc_id, sum(c * coalesce(weight, 0)) / sum(c) AS dot,
+         CAST(sum(c) AS BIGINT) AS n_tokens
+  FROM pd LEFT JOIN w USING (bucket) GROUP BY 1
+)
+SELECT doc_id, n_tokens,
+       round(1 / (1 + exp(-({_CLF_BIAS} + dot))), 6) AS clf_score
+FROM s
+""")
+def corpus_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear quality classifier inference
+    (operators/text.hashed_linear_score): sigmoid(bias + Σ w[b]·tf(b))
+    over hashing-trick bag-of-words buckets, weights a broadcast table
+    both engines re-derive deterministically (hash_bucket_weights). The
+    oracle restates bucketing, the left weight join (sparse-model
+    semantics), the tf normalizer, and the sigmoid independently."""
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        hash_bucket_weights,
+        hashed_linear_score,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    w = hash_bucket_weights(spark, _CLF_BUCKETS)
+    return hashed_linear_score(docs, w, n_buckets=_CLF_BUCKETS,
+                               bias=_CLF_BIAS).select(
+        "doc_id", "n_tokens", "clf_score")
+
+
 _N_QBUCKETS = 4
 
 
@@ -665,6 +710,7 @@ _CORPUS_MEMBERS = [
      ["doc_id", "n_redacted_email", "n_redacted_ip", "n_redacted_phone",
       "fp"], []),
     ("lm", corpus_lm, ["doc_id", "n_tokens"], ["avg_logprob"]),
+    ("clf", corpus_clf, ["doc_id", "n_tokens"], ["clf_score"]),
     ("tsample", corpus_tsample, ["doc_id", "lang"], []),
     ("tsample_exact", corpus_tsample_exact, ["doc_id", "lang"], []),
     ("shuffle", corpus_shuffle,

@@ -334,6 +334,71 @@ def test_redact_pii_preserves_schema_order(spark):
     assert out.first().text == "<EMAIL>"
 
 
+def test_hashed_linear_score_matches_python_mirror(spark):
+    import hashlib
+    import math
+    from collections import Counter
+
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        hash_bucket_weights,
+        hashed_linear_score,
+    )
+
+    def hf(key, salt):
+        h = hashlib.md5(f"{key}:{salt}".encode()).hexdigest()[:8]
+        return int(h, 16) / 2 ** 32
+
+    B, bias = 16, 0.25
+    texts = {1: "Alpha beta BETA gamma", 2: "solo", 3: ""}
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    w = hash_bucket_weights(spark, B)
+    out = {r.doc_id: (r.n_tokens, r.clf_score)
+           for r in hashed_linear_score(docs, w, n_buckets=B,
+                                        bias=bias).collect()}
+    for d, t in texts.items():
+        toks = t.lower().split()
+        if toks:
+            c = Counter(int(hf(tok, "clf") * B) for tok in toks)
+            dot = sum(n * round(2 * hf(b, "clfw") - 1, 6)
+                      for b, n in c.items()) / sum(c.values())
+        else:
+            dot = 0.0
+        expect = round(1 / (1 + math.exp(-(bias + dot))), 6)
+        assert out[d] == (len(toks), expect), d
+
+
+def test_hashed_linear_score_sparse_weights_keep_normalizer(spark):
+    """Buckets missing from the weight table contribute 0 to the dot
+    product but still count toward the tf normalizer — a sparse model
+    must not silently renormalize over its own support."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        hash_fraction,
+    )
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        hashed_linear_score,
+    )
+
+    B = 8
+    docs = spark.createDataFrame([(1, "aa bb aa")],
+                                 "doc_id long, text string")
+    b_aa, b_bb = [
+        r.b for r in spark.createDataFrame([("aa",), ("bb",)], "t string")
+        .select(F.floor(hash_fraction(F.col("t"), "clf") * B)
+                .cast("long").alias("b")).collect()
+    ]
+    assert b_aa != b_bb  # fixture precondition
+    only_aa = spark.createDataFrame([(b_aa, 0.9)],
+                                    "bucket long, weight double")
+    got = hashed_linear_score(docs, only_aa, n_buckets=B).first()
+    # dot = (2*0.9 + 1*0.0) / 3, NOT (2*0.9) / 2
+    assert got.clf_score == round(1 / (1 + math.exp(-(2 * 0.9 / 3))), 6)
+
+
 def test_funnel_repetition_and_pii_stages(spark):
     from harvesting_extract_to_ttl_service_spark.operators.corpus import (
         build_training_corpus,
