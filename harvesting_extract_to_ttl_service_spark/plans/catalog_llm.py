@@ -1179,6 +1179,62 @@ def semantic_cluster_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  centroids, threshold=0.3)
 
 
+def _int_dot_sql(a: str, b: str) -> str:
+    """DuckDB twin of similarity.int_dot(): exact BIGINT accumulation."""
+    return (f"list_reduce(list_transform(list_zip({a}, {b}), "
+            f"z -> CAST(z[1] AS BIGINT) * CAST(z[2] AS BIGINT)), "
+            f"(x, y) -> x + y)")
+
+
+_QUANT_SQL = f"""
+WITH m AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+           AS mabs
+  FROM embeddings
+), c AS (
+  SELECT vec_id,
+         CASE WHEN mabs > 0 THEN list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 127 / mabs + 0.5)
+                        AS BIGINT))
+         ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS codes
+  FROM m
+), q AS (SELECT codes AS qc FROM c WHERE vec_id = 0)
+SELECT c.vec_id,
+       round(CAST({_int_dot_sql('c.codes', 'q.qc')} AS DOUBLE)
+             / (sqrt(CAST({_int_dot_sql('c.codes', 'c.codes')} AS DOUBLE))
+                * sqrt(CAST({_int_dot_sql('q.qc', 'q.qc')} AS DOUBLE))),
+             6) AS cos_sim
+FROM c, q
+WHERE c.vec_id <> 0
+ORDER BY cos_sim DESC, c.vec_id
+LIMIT 10
+"""
+
+
+@member_sql(_QUANT_SQL)
+def quantized_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized brute-force cosine top-10 vs the vec_id=0 vector
+    (similarity.quantize_int8 + quantized_cosine_topk): per-vector
+    symmetric scales cancel out of cosine, so the score is exact integer
+    arithmetic — the compressed-storage twin of `embedding_cosine_topk`
+    (float32 → 1 byte/dim ≈ 4× smaller scans at 100 TB). The oracle
+    restates quantization (explicit floor-half-up) and the integer dot
+    end-to-end; the query's codes come out of the SAME quantized table
+    on both sides."""
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        quantize_int8,
+        quantized_cosine_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    qt = quantize_int8(emb)
+    qcodes = [int(c) for c in
+              qt.filter(F.col("vec_id") == 0).select("codes").head()[0]]
+    return quantized_cosine_topk(qt.filter(F.col("vec_id") != 0), qcodes,
+                                 k=10)
+
+
 _ANN_MEMBERS = [
     ("lsh_topk", lsh_ann_topk_q, ["vec_id"], ["cos_sim"]),
     ("lsh_multiprobe", lsh_ann_multiprobe_q, ["vec_id"], ["cos_sim"]),
@@ -1189,6 +1245,7 @@ _ANN_MEMBERS = [
      ["cos_sim"]),
     ("sem_dedup", semantic_cluster_dedup_q, ["id_a", "id_b"], ["cos_sim"]),
     ("self_topk", cosine_self_topk_q, ["id_a", "id_b"], ["cos_sim"]),
+    ("quant", quantized_topk_q, ["vec_id"], ["cos_sim"]),
 ]
 
 

@@ -24,6 +24,65 @@ def _centroids():
     return out
 
 
+def test_quantize_int8_roundtrip_and_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    rows = [(0, [0.5, -1.0, 0.25, 0.0]),
+            (1, [3.0, 3.0, 3.0, 3.0]),
+            (2, [0.0, 0.0, 0.0, 0.0])]   # all-zero vector edge case
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qt = quantize_int8(df)
+    got = {r.vec_id: r for r in qt.collect()}
+    assert got[0].codes == [64, -127, 32, 0]  # floor(0.5*127/1 + 0.5) = 64
+    assert got[0].scale == 1.0 / 127
+    assert got[1].codes == [127, 127, 127, 127]
+    assert got[2].codes == [0, 0, 0, 0] and got[2].scale == 0.0
+    # reconstruction error ≤ scale/2 per component
+    rec = (qt.join(df, "vec_id")
+           .select("vec_id", "scale",
+                   F.zip_with(dequantize_int8(F.col("codes"),
+                                              F.col("scale")),
+                              F.col("embedding"),
+                              lambda a, b: F.abs(a - b)).alias("err"))
+           .collect())
+    for r in rec:
+        assert all(e <= r.scale / 2 + 1e-12 for e in r.err), r
+
+
+def test_quantized_cosine_topk_close_to_exact(spark):
+    import math
+    import random
+
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        cosine_topk,
+        quantize_int8,
+        quantized_cosine_topk,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qvec = rows[0][1]
+    exact = {r.vec_id: r.cos_sim
+             for r in cosine_topk(df.filter("vec_id != 0"), qvec, k=10)
+             .collect()}
+    qt = quantize_int8(df)
+    qcodes = qt.filter("vec_id = 0").head().codes
+    approx = {r.vec_id: r.cos_sim
+              for r in quantized_cosine_topk(qt.filter("vec_id != 0"),
+                                             qcodes, k=10).collect()}
+    # int8 cosine error is ~1e-2 worst case at dim 16; the top sets
+    # should mostly agree and scores should be close where they overlap
+    assert len(set(exact) & set(approx)) >= 8
+    for v in set(exact) & set(approx):
+        assert math.isclose(exact[v], approx[v], abs_tol=0.03)
+
+
 def test_ivf_assign_256_centroids_bounded(spark):
     rows = [(i, [math.cos(0.5 * i + 0.1 * d) for d in range(DIM)])
             for i in range(200)]
