@@ -209,6 +209,81 @@ def strip_repeated_substrings(df: DataFrame, text_col: str = "text",
         (F.size("_toks") - F.size("_kept")).alias("n_tokens_removed"))
 
 
+def shingle_positions(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      window: int = 8) -> DataFrame:
+    """(id, pos, hash) rows: each ``window``-word rolling shingle of the
+    lowercased token stream with its 1-based token position — the
+    position-carrying form of :func:`rolling_hashes` (which discards
+    positions because hot-passage counting doesn't need them)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(rolling_hashes(F.col(text_col), window))
+        .alias("pos0", "hash")).select(
+        "id", (F.col("pos0") + 1).alias("pos"), "hash")
+
+
+def common_span_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", window: int = 8,
+                      min_span: int = 16,
+                      max_df: int | None = None) -> DataFrame:
+    """Cross-document SHARED SPANS: for every document pair, every
+    maximal run of identical consecutive tokens at least ``min_span``
+    tokens long, with its start position in each document — the
+    pair-level exact-substring dedup of the 'deduplicating training
+    data' tradition (:func:`hot_passages` finds corpus-FREQUENT
+    passages; this finds long verbatim overlap between two documents
+    even when each passage occurs only twice).
+
+    Plan: (1) position-carrying shingle rows; (2) optional hot-shingle
+    drop (``max_df``: shingles in more than that many documents leave
+    the candidate join — boilerplate is :func:`hot_passages`' job, and
+    a corpus-hot shingle would explode the join quadratically);
+    (3) hash equi-join (id_a < id_b) → matching coordinates;
+    (4) gaps-and-islands along each pair's DIAGONAL pos_a − pos_b:
+    consecutive shingle matches on one diagonal are one run, so a run
+    of ``r`` matching shingles is a shared span of ``r + window − 1``
+    tokens. The window partitions by (pair, diagonal) — fine-grained
+    keys, no skew; within one diagonal pos_b is determined by pos_a, so
+    positions are unique and row_number is stable.
+
+    Returns ``(id_a, id_b, start_a, start_b, span_tokens)`` per maximal
+    qualifying run. Scale shape: everything is keyed — shingle-hash
+    equi-join with pinned reduce parallelism (the LSH join's measured
+    AQE hazard), no all-pairs term once ``max_df`` bounds per-hash
+    fan-out. Documents shorter than ``window`` contribute one truncated
+    shingle (mirrored by the oracle); spans they join are nominally
+    counted at full window width."""
+    from pyspark.sql import Window
+
+    from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+        _pin_join_parallelism,
+        spread_for_cpu,
+    )
+
+    sp = shingle_positions(spread_for_cpu(df), text_col, id_col, window)
+    if max_df is not None:
+        hot = (sp.groupBy("hash")
+               .agg(F.count_distinct("id").alias("_df"))
+               .filter(F.col("_df") > max_df).select("hash"))
+        sp = sp.join(hot, "hash", "left_anti")
+    a = _pin_join_parallelism(sp, "hash").select(
+        F.col("id").alias("id_a"), F.col("pos").alias("pa"), "hash")
+    b = _pin_join_parallelism(sp, "hash").select(
+        F.col("id").alias("id_b"), F.col("pos").alias("pb"), "hash")
+    m = (a.join(b, "hash")
+         .filter(F.col("id_a") < F.col("id_b"))
+         .select("id_a", "id_b", "pa", "pb",
+                 (F.col("pa") - F.col("pb")).alias("d")))
+    w = Window.partitionBy("id_a", "id_b", "d").orderBy("pa")
+    r = m.withColumn("isl", F.col("pa") - F.row_number().over(w))
+    runs = (r.groupBy("id_a", "id_b", "d", "isl")
+            .agg(F.min("pa").alias("start_a"), F.min("pb").alias("start_b"),
+                 (F.count("*") + window - 1).alias("span_tokens")))
+    return (runs.filter(F.col("span_tokens") >= min_span)
+            .select("id_a", "id_b", "start_a", "start_b", "span_tokens"))
+
+
 def unigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus unigram counts ``(t, ct)`` over lowercased whitespace
     tokens — the trainable half of :func:`unigram_logprob`. Persist the

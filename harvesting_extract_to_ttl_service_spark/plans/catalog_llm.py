@@ -441,6 +441,74 @@ def dedup_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "component", "split")
 
 
+_SPAN_WINDOW = 8
+_SPAN_MIN = 10
+# 12 marker tokens absent from the fixture vocabulary, shared verbatim
+# by every doc_id % 3 == 0 document — a planted cross-doc span longer
+# than _SPAN_MIN whose start position differs per document.
+_SPAN_MARKER = ("alphaq betaq gammaq deltaq epsq zetaq etaq thetaq "
+                "iotaq kappaq lambdaq muq")
+
+_SPAN_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(
+           CASE WHEN doc_id % 3 = 0
+                THEN text || ' {_SPAN_MARKER}' ELSE text END)), '\\s+'),
+           x -> x != '') AS w
+  FROM documents WHERE doc_id < 60
+), ix AS (
+  SELECT doc_id, w,
+         unnest(generate_series(1, greatest(len(w) - {_SPAN_WINDOW} + 1,
+                                            1))) AS pos
+  FROM t
+), sp AS (
+  SELECT doc_id, pos,
+         substr(md5(array_to_string(w[pos:pos+{_SPAN_WINDOW - 1}], ' ')),
+                1, 16) AS h
+  FROM ix
+), m AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.pos AS pa, b.pos AS pb, a.pos - b.pos AS d
+  FROM sp a JOIN sp b ON a.h = b.h AND a.doc_id < b.doc_id
+), r AS (
+  SELECT id_a, id_b, d, pa, pb,
+         pa - row_number() OVER (PARTITION BY id_a, id_b, d ORDER BY pa)
+           AS isl
+  FROM m
+), runs AS (
+  SELECT id_a, id_b, min(pa) AS start_a, min(pb) AS start_b,
+         count(*) + {_SPAN_WINDOW} - 1 AS span_tokens
+  FROM r GROUP BY id_a, id_b, d, isl
+)
+SELECT id_a, id_b, start_a, start_b, span_tokens
+FROM runs WHERE span_tokens >= {_SPAN_MIN}
+"""
+
+
+@member_sql(_SPAN_SQL)
+def dedup_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document shared spans (operators/text.common_span_pairs):
+    maximal runs of ≥{min} identical consecutive tokens between document
+    pairs, with start positions — pair-level exact-substring dedup. The
+    fixture plants a 12-token marker passage on every third document (at
+    a per-doc position, since document lengths differ); the oracle
+    re-derives positional shingles, the diagonal gaps-and-islands run
+    merge, and the span arithmetic independently."""
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        common_span_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    planted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"), F.lit(" " + _SPAN_MARKER)))
+        .otherwise(F.col("text")).alias("text"))
+    return common_span_pairs(planted, window=_SPAN_WINDOW,
+                             min_span=_SPAN_MIN)
+
+
 def _url_oracle() -> str:
     from harvesting_extract_to_ttl_service_spark.operators.web import (
         normalize_url_sql,
@@ -515,6 +583,8 @@ _DEDUP_MEMBERS = [
      ["doc_id", "n_tokens_before", "n_tokens_removed"], []),
     ("split", dedup_split, ["doc_id", "component", "split"], []),
     ("url", dedup_url, ["doc_id", "norm_url"], []),
+    ("span", dedup_common_spans,
+     ["id_a", "id_b", "start_a", "start_b", "span_tokens"], []),
 ]
 
 

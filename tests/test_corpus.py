@@ -334,6 +334,59 @@ def test_redact_pii_preserves_schema_order(spark):
     assert out.first().text == "<EMAIL>"
 
 
+def test_common_span_pairs_planted_span_and_positions(spark):
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        common_span_pairs,
+    )
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"          # 10 tokens
+    docs = spark.createDataFrame([
+        (1, "a1 a2 a3 " + shared + " a4"),              # span starts at 4
+        (2, "b1 " + shared + " b2 b3 b4 b5"),           # span starts at 2
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12"),  # no overlap
+    ], "doc_id long, text string")
+    out = common_span_pairs(docs, window=4, min_span=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert (r.start_a, r.start_b, r.span_tokens) == (4, 2, 10)
+
+
+def test_common_span_pairs_min_span_and_split_runs(spark):
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        common_span_pairs,
+    )
+
+    # two separate shared runs in one pair: 6 tokens and 9 tokens —
+    # with min_span=8 only the long one survives; the short one is a
+    # different diagonal/island, never merged
+    docs = spark.createDataFrame([
+        (1, "x1 x2 q1 q2 q3 q4 q5 q6 x3 x4 r1 r2 r3 r4 r5 r6 r7 r8 r9"),
+        (2, "q1 q2 q3 q4 q5 q6 y1 y2 y3 y4 y5 r1 r2 r3 r4 r5 r6 r7 r8 r9"),
+    ], "doc_id long, text string")
+    out = common_span_pairs(docs, window=4, min_span=8).collect()
+    assert [(r.start_a, r.start_b, r.span_tokens) for r in out] \
+        == [(11, 12, 9)]
+    both = common_span_pairs(docs, window=4, min_span=5).collect()
+    assert sorted((r.start_a, r.start_b, r.span_tokens) for r in both) \
+        == [(3, 1, 6), (11, 12, 9)]
+
+
+def test_common_span_pairs_max_df_drops_boilerplate(spark):
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        common_span_pairs,
+    )
+
+    footer = " f1 f2 f3 f4 f5 f6 f7 f8"
+    docs = spark.createDataFrame(
+        [(i, f"u{i}a u{i}b u{i}c" + footer) for i in range(1, 6)],
+        "doc_id long, text string")
+    dense = common_span_pairs(docs, window=4, min_span=8)
+    assert dense.count() == 10            # all 5-choose-2 pairs
+    capped = common_span_pairs(docs, window=4, min_span=8, max_df=3)
+    assert capped.count() == 0            # footer shingles are corpus-hot
+
+
 def test_hashed_linear_score_matches_python_mirror(spark):
     import hashlib
     import math
