@@ -284,6 +284,62 @@ def common_span_pairs(df: DataFrame, text_col: str = "text",
             .select("id_a", "id_b", "start_a", "start_b", "span_tokens"))
 
 
+def strip_shared_spans(df: DataFrame, spans: DataFrame | None = None,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       window: int = 8, min_span: int = 16,
+                       max_df: int | None = None) -> DataFrame:
+    """The removal step over :func:`common_span_pairs`' detections:
+    delete from each HIGHER-id document every token covered by a
+    qualifying shared span (the lower-id copy survives intact — the
+    same first-delivery-wins convention as every keep-one in this
+    package, so the span text remains in the corpus exactly once per
+    detected pair-run).
+
+    ``spans`` defaults to running the detector with the given
+    parameters; pass a precomputed frame to strip against an existing
+    detection (e.g. one computed with a document-frequency cap).
+
+    Plan: spans explode into (id, pos) covered coordinates (output is
+    span-sized, tiny next to the corpus), the token stream anti-joins
+    them, and surviving tokens reassemble ordered by position. Original
+    casing is preserved — detection is case-folded, but positions index
+    the raw whitespace token stream, which is case-identical. A fully
+    covered document comes back as the empty string (kept, not
+    dropped — dropping is a policy for the caller's filter stage).
+
+    Returns ``df`` with ``text_col`` rewritten plus
+    ``n_tokens_removed``."""
+    if spans is None:
+        spans = common_span_pairs(df, text_col, id_col, window,
+                                  min_span, max_df)
+    covered = (spans.select(
+        F.col("id_b").alias("_cid"),
+        F.explode(F.sequence(
+            F.col("start_b"),
+            F.col("start_b") + F.col("span_tokens") - 1)).alias("_pos"))
+        .distinct())
+    toks = df.select(
+        F.col(id_col).alias("_tid"),
+        F.posexplode(tokens(F.col(text_col))).alias("_pos0", "_tok")
+    ).select("_tid", (F.col("_pos0") + 1).alias("_pos"), "_tok")
+    kept = toks.join(
+        covered,
+        (toks["_tid"] == covered["_cid"]) & (toks["_pos"] == covered["_pos"]),
+        "left_anti")
+    re = kept.groupBy("_tid").agg(
+        F.concat_ws(" ", F.transform(
+            F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
+            lambda s: s.getField("_tok"))).alias("_new"),
+        F.count("*").alias("_n_kept"))
+    joined = df.join(re, df[id_col] == re["_tid"], "left")
+    n_before = token_count(F.col(text_col))
+    return joined.select(
+        *[F.coalesce(F.col("_new"), F.lit("")).alias(c) if c == text_col
+          else F.col(c) for c in df.columns],
+        (n_before - F.coalesce(F.col("_n_kept"), F.lit(0)))
+        .cast("long").alias("n_tokens_removed"))
+
+
 def unigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus unigram counts ``(t, ct)`` over lowercased whitespace
     tokens — the trainable half of :func:`unigram_logprob`. Persist the

@@ -387,6 +387,47 @@ def test_common_span_pairs_max_df_drops_boilerplate(spark):
     assert capped.count() == 0            # footer shingles are corpus-hot
 
 
+def test_strip_shared_spans_keeps_first_and_converges(spark):
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        common_span_pairs,
+        strip_shared_spans,
+    )
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    docs = spark.createDataFrame([
+        (1, "a1 a2 a3 " + shared + " a4"),
+        (2, "b1 " + shared + " b2 b3 b4 b5"),
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12"),
+    ], "doc_id long, text string")
+    out = strip_shared_spans(docs, window=4, min_span=8)
+    got = {r.doc_id: r for r in out.collect()}
+    # lower-id copy intact; higher-id copy loses exactly the span
+    assert got[1].text == docs.collect()[0].text
+    assert got[1].n_tokens_removed == 0
+    assert got[2].text == "b1 b2 b3 b4 b5"
+    assert got[2].n_tokens_removed == 10
+    assert got[3].n_tokens_removed == 0
+    # fixpoint: re-running the detector on the stripped corpus is empty
+    assert common_span_pairs(out.select("doc_id", "text"),
+                             window=4, min_span=8).count() == 0
+
+
+def test_strip_shared_spans_fully_covered_doc_empties(spark):
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        strip_shared_spans,
+    )
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    docs = spark.createDataFrame([
+        (1, "intro " + shared),
+        (2, shared),                      # nothing but the span
+    ], "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           strip_shared_spans(docs, window=4, min_span=8).collect()}
+    assert got[2].text == "" and got[2].n_tokens_removed == 8
+    assert got[1].n_tokens_removed == 0
+
+
 def test_hashed_linear_score_matches_python_mirror(spark):
     import hashlib
     import math
