@@ -747,6 +747,7 @@ def build_training_corpus(docs: DataFrame,
                           decontam_threshold: float = 0.5,
                           cap_per_lang: int | None = None,
                           cap_strata_col: str = "lang",
+                          url_col: str | None = None,
                           text_col: str = "text",
                           id_col: str = "doc_id") -> DataFrame:
     """The composed corpus-construction funnel — every stage an operator
@@ -760,6 +761,9 @@ def build_training_corpus(docs: DataFrame,
          (``max_pii_signals``: emails+urls+phones), and LM quality floor
          (``min_avg_logprob`` against a frozen ``lm_counts`` model) from
          the same module (:func:`filter_documents`);
+      1.5 URL dedup (``url_col`` given): keep the min-id row per
+         canonical URL (operators/web.py `normalize_url` — crawl-level
+         dedup before content-level; unparseable URLs pass through);
       2. exact dedup: keep the min-id row per normalized text;
       3. near-dup dedup (``near_dup_threshold`` not None): MinHash-LSH
          pairs → connected components → keep each cluster's min-id
@@ -792,6 +796,18 @@ def build_training_corpus(docs: DataFrame,
         docs, min_quality, langs, max_dup_line_ratio, max_top_bigram_ratio,
         max_pii_signals, min_avg_logprob, lm_counts, lm_alpha,
         strip_hot, strip_window, text_col=text_col, id_col=id_col)
+
+    if url_col is not None:
+        # crawl-level dedup BEFORE content dedup (one fetch per page
+        # before one copy per text) — keep-min-id per canonical URL,
+        # unparseable URLs pass through (operators/web.py). The helper's
+        # diagnostic key column stays internal to the stage.
+        from harvesting_extract_to_ttl_service_spark.operators.web import (
+            drop_url_duplicates,
+        )
+
+        survivors = drop_url_duplicates(survivors, url_col, id_col) \
+            .drop("_norm_url")
 
     survivors = drop_exact_duplicates(survivors, text_col, id_col)
 

@@ -202,6 +202,50 @@ def _check_monotone_ids(docs: DataFrame, batch_id: int, corpus_dir: str,
      .parquet(f"{corpus_dir}/idwatermark/batch={batch_id}"))
 
 
+def _url_dedup_stage(filtered: DataFrame, batch_id: int, corpus_dir: str,
+                     url_col: str, id_col: str) -> DataFrame:
+    """Streaming twin of the batch funnel's URL-dedup stage
+    (operators/corpus.build_training_corpus ``url_col``): keep-one per
+    canonical URL within the batch, then drop rows whose canonical URL
+    already sits in the ``urls/batch=*`` store; rows that fail to
+    canonicalize (NULL key) pass through untouched, exactly like the
+    batch stage's NULL lane.
+
+    Store rows are ``(id, u)`` — ``u`` = 16-hex md5 of the canonical
+    URL (fixed width; the raw URL never persists) keyed by the doc id
+    that claimed it, which is what makes the replay-after-compaction
+    own-id anti-join (the fingerprint store's guard) work here too.
+    Probe shape mirrors the fingerprint probe exactly: batch side
+    BROADCASTS, store side only SCANS."""
+    from harvesting_extract_to_ttl_service_spark.operators.web import (
+        drop_url_duplicates,
+    )
+
+    spark = filtered.sparkSession
+    keyed = (drop_url_duplicates(filtered, url_col, id_col)
+             .withColumn("_u", F.when(
+                 F.col("_norm_url").isNotNull(),
+                 F.substring(F.md5(F.col("_norm_url")), 1, 16)))
+             .drop("_norm_url"))
+    stored = read_state_except(spark, f"{corpus_dir}/urls", batch_id)
+    if stored is not None:
+        own_ids = keyed.select(F.col(id_col).alias("id"))
+        stored = stored.join(F.broadcast(own_ids), "id", "left_anti")
+        batch_us = keyed.filter(F.col("_u").isNotNull()) \
+            .select("_u").distinct()
+        hit = (stored.select(F.col("u").alias("_u"))
+               .join(F.broadcast(batch_us), "_u", "left_semi")
+               .distinct())
+        kept = keyed.join(F.broadcast(hit), "_u", "left_anti")
+    else:
+        kept = keyed
+    (kept.filter(F.col("_u").isNotNull())
+     .select(F.col(id_col).alias("id"), F.col("_u").alias("u"))
+     .write.mode("overwrite")
+     .parquet(f"{corpus_dir}/urls/batch={batch_id}"))
+    return kept.drop("_u")
+
+
 def corpus_batch(docs: DataFrame, batch_id: int, corpus_dir: str,
                  benchmark: DataFrame | None = None, *,
                  min_quality: float = 0.4,
@@ -221,6 +265,7 @@ def corpus_batch(docs: DataFrame, batch_id: int, corpus_dir: str,
                  num_hashes: int = 32, bands: int = 8, shingle_n: int = 3,
                  n_shards: int | None = None,
                  budget_tokens: int | None = None,
+                 url_col: str | None = None,
                  text_col: str = "text", id_col: str = "doc_id",
                  materialize_mode: str = "persist",
                  enforce_monotone_ids: bool = False) -> None:
@@ -229,6 +274,10 @@ def corpus_batch(docs: DataFrame, batch_id: int, corpus_dir: str,
 
     * ``fingerprints/batch=<id>`` — ``(id, fp)`` content fingerprints of
       each batch's exact-unique survivors (the exact-dedup store);
+    * ``urls/batch=<id>`` (``url_col`` given) — ``(id, u)`` canonical-URL
+      hashes claimed by each batch (the crawl-dedup store,
+      :func:`_url_dedup_stage` — runs BEFORE content dedup, mirroring
+      the batch funnel's stage order);
     * ``index/`` ``pairs/`` ``components/`` — the LSH index, near-dup
       pairs, and component labels maintained by
       :func:`~.dedup_stream.dedup_batch`;
@@ -268,6 +317,10 @@ def corpus_batch(docs: DataFrame, batch_id: int, corpus_dir: str,
         docs, min_quality, langs, max_dup_line_ratio, max_top_bigram_ratio,
         max_pii_signals, min_avg_logprob, lm_counts, lm_alpha,
         strip_hot, strip_window, text_col=text_col, id_col=id_col)
+
+    if url_col is not None:
+        filtered = _url_dedup_stage(filtered, batch_id, corpus_dir,
+                                    url_col, id_col)
 
     # exact dedup: keep-one within the batch, then drop texts already in
     # the store (first delivery wins — with arrival-ordered ids that IS
@@ -537,10 +590,12 @@ def compact_corpus_state(spark: SparkSession, corpus_dir: str,
     # idwatermark folds with the generic append-only compactor: the rows
     # keep their in-row src_batch, so the replay self-exclusion in
     # _check_monotone_ids still works from batch=-1
+    # urls is append-only (id, u) facts like fingerprints — same fold
     for name, compactor in (("fingerprints", compact_dedup_index),
                             ("index", compact_dedup_index),
                             ("components", compact_components),
-                            ("idwatermark", compact_dedup_index)):
+                            ("idwatermark", compact_dedup_index),
+                            ("urls", compact_dedup_index)):
         path = f"{corpus_dir}/{name}"
         fs, root = _hadoop_fs(spark, path)
         # a table may be absent by configuration (near_dup_threshold=None

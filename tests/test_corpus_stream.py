@@ -68,6 +68,64 @@ def test_stream_matches_batch_funnel(spark, tmp_path):
     assert set(read_corpus(spark, cdir).columns) == {"doc_id", "text"}
 
 
+URL_SCHEMA = "doc_id long, text string, url string"
+
+URL_BATCHES = [
+    [(1, T_A, "https://ex.org/a?b=2&a=1"),
+     (2, T_B, "https://ex.org/b")],
+    [(10, T_C, "HTTPS://EX.ORG:443/a/?a=1&b=2&utm_x=1"),  # canonical == 1
+     (11, T_D, "not a url")],
+    [(20, T_D, "also not a url"),       # exact text copy of 11
+     (21, T_C, "https://ex.org/c")],    # text copy of 10 — but 10 lost
+]
+URL_FUNNEL = dict(min_quality=0.0, near_dup_threshold=None, url_col="url")
+
+
+def test_stream_url_dedup_matches_batch_funnel(spark, tmp_path):
+    """URL-keyed crawl dedup ahead of content dedup, streamed against the
+    urls/batch=* store, equals the batch funnel over the union: doc 10
+    is dropped by URL (canonical form equals doc 1's) BEFORE its text
+    could shadow doc 21; doc 20 is dropped by the fingerprint store
+    (null URLs pass the URL stage); 21 survives in both."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        build_training_corpus,
+    )
+
+    cdir = str(tmp_path / "corpus")
+    for i, rows in enumerate(URL_BATCHES):
+        corpus_batch(spark.createDataFrame(rows, URL_SCHEMA), i, cdir,
+                     **URL_FUNNEL)
+    got = _survivor_ids(spark, cdir)
+    all_docs = spark.createDataFrame(
+        [r for rows in URL_BATCHES for r in rows], URL_SCHEMA)
+    funnel = {r.doc_id for r in build_training_corpus(
+        all_docs, **URL_FUNNEL).collect()}
+    assert got == funnel == {1, 2, 11, 21}
+    assert set(read_corpus(spark, cdir).columns) \
+        == {"doc_id", "text", "url"}
+
+
+def test_stream_url_dedup_replay_after_compaction(spark, tmp_path):
+    """A batch replayed after compact_corpus_state folds the urls store
+    into batch=-1 must not match its OWN url hashes (the own-id
+    anti-join guard) — survivors identical before and after."""
+    from harvesting_extract_to_ttl_service_spark.streaming.corpus_stream import (
+        compact_corpus_state,
+    )
+
+    cdir = str(tmp_path / "corpus")
+    for i, rows in enumerate(URL_BATCHES):
+        corpus_batch(spark.createDataFrame(rows, URL_SCHEMA), i, cdir,
+                     **URL_FUNNEL)
+    before = _survivor_ids(spark, cdir)
+    folded = compact_corpus_state(spark, cdir)
+    assert folded["urls"] > 0
+    for i, rows in enumerate(URL_BATCHES):
+        corpus_batch(spark.createDataFrame(rows, URL_SCHEMA), i, cdir,
+                     **URL_FUNNEL)
+    assert _survivor_ids(spark, cdir) == before == {1, 2, 11, 21}
+
+
 def test_corpus_batch_replay_idempotent(spark, tmp_path):
     """A replayed micro-batch (failure before the checkpoint commit)
     rewrites its own fingerprint/index/pairs/components/corpus
