@@ -26,6 +26,12 @@ Usage: python scale_probe.py [replicas ...]   (default: 1 2 5 10)
        python scale_probe.py finalize [replicas ...]
            finalize-artifact probe: seeded-epoch-shuffled training-shard
            write over N replicas — the quiesce-time job; expected linear.
+       python scale_probe.py span [replicas ...]
+           shared-span probe: common_span_pairs (positional-shingle
+           equi-join + diagonal islands) over N re-salted replicas with
+           the document-frequency cap on — pair volume and wall should
+           curve ~linearly in corpus size once max_df bounds per-hash
+           fan-out.
        python scale_probe.py incr [replicas ...]
            incremental-dedup probe: corpus = N replicas with a parquet
            LSH index built ONCE; batch = one fresh replica duplicating
@@ -113,6 +119,24 @@ def probe(spark, docs, label: str) -> dict:
         docs, bits=60, max_hamming=6, blocks=7).count()
     res["simhash_s"] = round(time.time() - t0, 1)
     return res
+
+
+def probe_spans(spark, n: int) -> dict:
+    """Shared-span detection over n replicas (each internally identical
+    to sf0.1 documents, cross-replica shingles distinct by the re-salt):
+    with max_df capping per-hash fan-out, matches come only from
+    within-replica repeats, so pair volume and wall should both scale
+    ~linearly in n."""
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        common_span_pairs,
+    )
+
+    docs = replicate_documents(spark, n).localCheckpoint(eager=True)
+    n_docs = docs.count()
+    t0 = time.time()
+    cnt = common_span_pairs(docs, window=8, min_span=12, max_df=20).count()
+    return {"label": f"{n}x", "docs": n_docs, "span_pairs": cnt,
+            "span_s": round(time.time() - t0, 1)}
 
 
 def probe_incremental(spark, n: int, tmp: str) -> dict:
@@ -351,11 +375,12 @@ def probe_ann(spark, n: int, n_queries: int, tmp: str) -> dict:
 def main():
     args = sys.argv[1:]
     incremental = bool(args) and args[0] == "incr"
+    span = bool(args) and args[0] == "span"
     funnel = bool(args) and args[0] == "funnel"
     stream = bool(args) and args[0] == "stream"
     ann = bool(args) and args[0] == "ann"
     finalize = bool(args) and args[0] == "finalize"
-    if incremental or funnel or stream or ann or finalize:
+    if incremental or funnel or stream or ann or finalize or span:
         args = args[1:]
     explicit = [int(x) for x in args]
     replicas = explicit or [1, 2, 5, 10]
@@ -399,6 +424,14 @@ def main():
                 r = probe_funnel(spark, n)
                 print(f"{r['label']:>6} {r['docs']:>7} "
                       f"{r['survivors']:>10} {r['funnel_s']:>9}")
+            return
+        if span:
+            print(f"{'scale':>6} {'docs':>8} {'span_pairs':>11} "
+                  f"{'span_s':>7}")
+            for n in replicas:
+                r = probe_spans(spark, n)
+                print(f"{r['label']:>6} {r['docs']:>8} "
+                      f"{r['span_pairs']:>11} {r['span_s']:>7}")
             return
         if incremental:
             print(f"{'scale':>6} {'corpus':>8} {'batch':>6} {'build_s':>8} "
