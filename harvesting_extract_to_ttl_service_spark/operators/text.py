@@ -284,6 +284,35 @@ def common_span_pairs(df: DataFrame, text_col: str = "text",
             .select("id_a", "id_b", "start_a", "start_b", "span_tokens"))
 
 
+def ngram_novelty(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", window: int = 8) -> DataFrame:
+    """Per-document novelty: the fraction of the document's DISTINCT
+    ``window``-word shingles that occur in NO other document — the
+    memorization-risk / templatedness signal dual to
+    :func:`hot_passages` (which surfaces the passages; this scores the
+    documents). 1.0 = every passage unique to the doc; 0.0 = everything
+    it says, some other document also says.
+
+    Plan: per-doc distinct shingle hashes (explode + array_distinct,
+    partition-local), document frequency per hash (map-side-combinable
+    count over the shingle vocabulary), one equi-join back on the hash
+    — everything keyed by the shingle vocabulary, no pair term at all,
+    so this is strictly cheaper than any pair generator. Returns
+    ``(id_col, n_shingles, novelty)``; documents shorter than the
+    window contribute their single truncated shingle."""
+    e = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(
+            rolling_hashes(F.col(text_col), window))).alias("hash"))
+    dfreq = e.groupBy("hash").agg(F.count("*").alias("_df"))
+    return (e.join(dfreq, "hash")
+            .groupBy("_id")
+            .agg(F.count("*").alias("n_shingles"),
+                 F.round(F.avg((F.col("_df") == 1).cast("int")), 6)
+                 .alias("novelty"))
+            .select(F.col("_id").alias(id_col), "n_shingles", "novelty"))
+
+
 def strip_shared_spans(df: DataFrame, spans: DataFrame | None = None,
                        text_col: str = "text", id_col: str = "doc_id",
                        window: int = 8, min_span: int = 16,

@@ -92,6 +92,47 @@ def normalize_url_sql(url_expr: str) -> str:
             f"ELSE {scheme} || '://' || {host} || {path} || {qnorm} END")
 
 
+def url_host(url: Column) -> Column:
+    """Lowercased host of an absolute URL, any ``:port`` stripped; NULL
+    when the string has no ``scheme://host`` shape. Pure column
+    expression (the grouping key for per-domain corpus statistics)."""
+    hostport = F.lower(F.regexp_extract(url, _HOST_RE, 1))
+    host = F.regexp_replace(hostport, r":[0-9]+$", "")
+    return F.when(host == "", F.lit(None).cast("string")).otherwise(host)
+
+
+def url_host_sql(url_expr: str) -> str:
+    """DuckDB restatement of :func:`url_host` (oracle twin)."""
+    host = (f"regexp_replace(lower(regexp_extract({url_expr}, "
+            f"'{_HOST_RE}', 1)), ':[0-9]+$', '')")
+    return f"CASE WHEN {host} = '' THEN NULL ELSE {host} END"
+
+
+def domain_stats(df: DataFrame, url_col: str = "url",
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-domain corpus composition — the source-mix report a web-scale
+    corpus publishes (and the input to per-domain caps, the URL-keyed
+    analogue of ``capped_stratified_sample``): document count, token
+    count, and token-mass share per host; rows whose URL has no host
+    group under NULL. One grouped aggregation over a pure-expression
+    key plus a domains-sized window for the share — the corpus is
+    scanned once and only domain-level rows shuffle."""
+    from pyspark.sql import Window
+
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        token_count,
+    )
+
+    per = (df.groupBy(url_host(F.col(url_col)).alias("host"))
+           .agg(F.count("*").alias("n_docs"),
+                F.sum(token_count(F.col(text_col))).alias("n_tokens")))
+    share = F.col("n_tokens") / F.sum("n_tokens").over(
+        Window.partitionBy())
+    return per.select("host", "n_docs", "n_tokens",
+                      F.round(share, 6).alias("token_share"))
+
+
 def drop_url_duplicates(df: DataFrame, url_col: str = "url",
                         id_col: str = "doc_id") -> DataFrame:
     """Keep the min-id row per canonical URL (first delivery wins — the

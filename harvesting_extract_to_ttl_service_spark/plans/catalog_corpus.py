@@ -29,6 +29,7 @@ from harvesting_extract_to_ttl_service_spark.operators.corpus import (
     temperature_mixture,
 )
 from harvesting_extract_to_ttl_service_spark.operators.text import token_count
+from harvesting_extract_to_ttl_service_spark.operators.web import url_host_sql
 from harvesting_extract_to_ttl_service_spark.plans.suites import (
     member_sql,
     suite_df,
@@ -554,6 +555,94 @@ def corpus_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens", F.round("avg_logprob", 6).alias("avg_logprob"))
 
 
+_NOV_WINDOW = 8
+
+
+@member_sql(f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_LOW} AS w FROM documents WHERE doc_id < 500
+), ix AS (
+  SELECT doc_id, w,
+         unnest(generate_series(1, greatest(len(w) - {_NOV_WINDOW} + 1, 1)))
+           AS pos
+  FROM t
+), sp AS (
+  SELECT DISTINCT doc_id,
+         substr(md5(array_to_string(w[pos:pos+{_NOV_WINDOW - 1}], ' ')),
+                1, 16) AS hash
+  FROM ix
+), dfreq AS (
+  SELECT hash, count(*) AS df FROM sp GROUP BY 1
+)
+SELECT doc_id, count(*) AS n_shingles,
+       round(avg(CASE WHEN df = 1 THEN 1 ELSE 0 END), 6) AS novelty
+FROM sp JOIN dfreq USING (hash)
+GROUP BY 1
+""")
+def corpus_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty (operators/text.ngram_novelty): the
+    fraction of each doc's distinct 8-token shingles occurring in no
+    other document — the memorization-risk signal dual to the
+    hot-passage detector. Everything keyed by the shingle vocabulary
+    (no pair term); the oracle re-derives positional shingles, document
+    frequencies, and the per-doc mean."""
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        ngram_novelty,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return ngram_novelty(docs, window=_NOV_WINDOW)
+
+
+@member_sql(f"""
+WITH u AS (
+  SELECT doc_id, text,
+         CASE doc_id % 4
+           WHEN 0 THEN 'https://' || source || '.example.org/p/' || doc_id
+           WHEN 1 THEN 'HTTP://' || upper(source) || '.Example.ORG:8080/q'
+           WHEN 2 THEN 'https://cdn.example.net/x/' || doc_id
+           ELSE 'relative/path/' || doc_id
+         END AS url
+  FROM documents WHERE doc_id < 300
+), h AS (
+  SELECT doc_id, text, {url_host_sql('url')} AS host FROM u
+), per AS (
+  SELECT host, count(*) AS n_docs,
+         sum(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x != ''))) AS n_tokens
+  FROM h GROUP BY 1
+)
+SELECT host, n_docs, n_tokens,
+       round(n_tokens / (sum(n_tokens) OVER ()), 6) AS token_share
+FROM per
+""")
+def corpus_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus composition (operators/web.domain_stats): doc
+    and token counts plus token-mass share per URL host, planted URL
+    classes exercising case folding, explicit ports, a shared CDN host,
+    and a no-host NULL lane. The oracle restates host extraction via
+    url_host_sql and re-aggregates."""
+    from harvesting_extract_to_ttl_service_spark.operators.web import (
+        domain_stats,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    u = docs.select(
+        "doc_id", "text",
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("https://"), F.col("source"),
+                        F.lit(".example.org/p/"), F.col("doc_id")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("HTTP://"), F.upper(F.col("source")),
+                       F.lit(".Example.ORG:8080/q")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("https://cdn.example.net/x/"),
+                       F.col("doc_id")))
+        .otherwise(F.concat(F.lit("relative/path/"), F.col("doc_id")))
+        .alias("url"))
+    return domain_stats(u)
+
+
 _CLF_BUCKETS = 64
 _CLF_BIAS = -0.1
 
@@ -711,6 +800,9 @@ _CORPUS_MEMBERS = [
       "fp"], []),
     ("lm", corpus_lm, ["doc_id", "n_tokens"], ["avg_logprob"]),
     ("clf", corpus_clf, ["doc_id", "n_tokens"], ["clf_score"]),
+    ("novelty", corpus_novelty, ["doc_id", "n_shingles"], ["novelty"]),
+    ("domains", corpus_domains, ["host", "n_docs", "n_tokens"],
+     ["token_share"]),
     ("tsample", corpus_tsample, ["doc_id", "lang"], []),
     ("tsample_exact", corpus_tsample_exact, ["doc_id", "lang"], []),
     ("shuffle", corpus_shuffle,

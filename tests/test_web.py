@@ -63,6 +63,43 @@ def test_normalize_url_matches_duckdb_twin(spark):
     assert spark_vals == duck_vals
 
 
+def test_url_host_and_domain_stats(spark):
+    from harvesting_extract_to_ttl_service_spark.operators.web import (
+        domain_stats,
+    )
+
+    df = spark.createDataFrame([
+        (1, "w1 w2 w3", "https://A.ex.org:8443/p"),
+        (2, "w1 w2", "http://a.EX.org/q"),
+        (3, "w1", "https://b.ex.org/"),
+        (4, "w1 w2 w3 w4", "no scheme here"),
+    ], "doc_id long, text string, url string")
+    got = {r.host: (r.n_docs, r.n_tokens, r.token_share)
+           for r in domain_stats(df).collect()}
+    assert got["a.ex.org"] == (2, 5, 0.5)     # port + case folded
+    assert got["b.ex.org"] == (1, 1, 0.1)
+    assert got[None] == (1, 4, 0.4)           # no-host NULL lane
+
+
+def test_ngram_novelty_planted(spark):
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        ngram_novelty,
+    )
+
+    shared = "s1 s2 s3 s4 s5"
+    docs = spark.createDataFrame([
+        (1, shared + " a1 a2 a3"),
+        (2, shared + " b1 b2 b3"),
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8"),
+    ], "doc_id long, text string")
+    got = {r.doc_id: (r.n_shingles, r.novelty)
+           for r in ngram_novelty(docs, window=4).collect()}
+    # 8 tokens → 5 shingles of width 4; docs 1/2 share exactly the two
+    # shingles fully inside the planted prefix
+    assert got[1] == (5, 0.6) and got[2] == (5, 0.6)
+    assert got[3] == (5, 1.0)
+
+
 def test_drop_url_duplicates_keep_min_and_null_lane(spark):
     df = spark.createDataFrame([
         (1, "https://ex.org/p?b=2&a=1"),
