@@ -75,8 +75,7 @@ def cosine_self_join_topk(df: DataFrame, k: int = 5, vec_col: str = "embedding",
     )
 
 
-def quantize_int8(df: DataFrame, vec_col: str = "embedding",
-                  id_col: str = "vec_id") -> DataFrame:
+def quantize_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Per-vector symmetric int8 quantization of an embedding column —
     the storage-compression step of a 100 TB vector corpus (float32 →
     1 byte/dim + one scale/vector ≈ 4× smaller scans, and the integer
@@ -90,20 +89,34 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding",
     `round` is HALF_UP, DuckDB's is HALF_EVEN — spelling the floor keeps
     both engines bit-identical). An all-zero vector quantizes to
     all-zero codes with scale 0. Pure column expressions, one
-    projection, no shuffle. Returns ``(id_col, codes, scale)``."""
+    projection, no shuffle. Returns every non-vector column of ``df``
+    (the vector column is REPLACED — this is compression, not
+    annotation) plus ``codes`` and ``scale``."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     mabs = F.array_max(F.transform(v, F.abs))
     codes = F.when(
         mabs > 0,
         F.transform(v, lambda x: F.floor(x * 127 / mabs + 0.5).cast("int"))
     ).otherwise(F.transform(v, lambda x: F.lit(0)))
-    return df.select(F.col(id_col), codes.alias("codes"),
-                     (mabs / 127.0).alias("scale"))
+    return df.select(*[c for c in df.columns if c != vec_col],
+                     codes.alias("codes"), (mabs / 127.0).alias("scale"))
 
 
 def dequantize_int8(codes: Column, scale: Column) -> Column:
     """Reconstruct the (lossy) double vector: code_i · scale."""
     return F.transform(codes, lambda c: c.cast("double") * scale)
+
+
+def quantize_vec_int8(vec: list[float]) -> tuple[list[int], float]:
+    """Driver-side Python mirror of :func:`quantize_int8` for a single
+    query vector (both run the same floor-half-up formula in double
+    precision, so a query quantized here scores identically to one
+    quantized in-plan)."""
+    m = max(abs(float(x)) for x in vec)
+    if m == 0:
+        return [0] * len(vec), 0.0
+    return ([math.floor(float(x) * 127 / m + 0.5) for x in vec],
+            m / 127)
 
 
 def int_dot(a: Column, b: Column) -> Column:

@@ -66,30 +66,57 @@ def _centroid_digest(centroids: list[list[float]]) -> str:
 
 
 def _check_ivf_sidecar(spark: SparkSession, index_dir: str,
-                       centroids: list[list[float]]) -> None:
+                       centroids: list[list[float]],
+                       quantized: bool = False) -> None:
+    # `quantized` is part of the index's identity like the centroids:
+    # an int8 index has no `v` column to float-search and vice versa, so
+    # mixing modes must refuse up front. Backfilled for indexes built
+    # before the flag existed (all float — behavior-identical default).
     _check_sidecar_params(
         spark, index_dir,
         {"k": len(centroids), "dim": len(centroids[0]),
-         "centroids_md5": _centroid_digest(centroids)},
-        filename="_ivf_params.json")
+         "centroids_md5": _centroid_digest(centroids),
+         "quantized": quantized},
+        filename="_ivf_params.json",
+        defaults={"quantized": False})
 
 
 def ivf_index_batch(vecs: DataFrame, batch_id: int, index_dir: str,
                     centroids: list[list[float]],
                     vec_col: str = "embedding",
-                    id_col: str = "vec_id") -> None:
+                    id_col: str = "vec_id",
+                    quantize: bool = False) -> None:
     """Append one micro-batch of vectors to the persistent IVF index:
     one `ivf_assign` projection (pure column expression — no shuffle
     beyond the partitioned write) + one ``batch=<id>`` overwrite,
     partitioned by cell. A replayed batch rewrites its own directory
     byte-identically (assignment is deterministic given the pinned
-    centroids), so the index needs no transactional store."""
+    centroids), so the index needs no transactional store.
+
+    ``quantize=True`` stores int8 codes + per-vector scale instead of
+    the float vector (operators/similarity.quantize_int8 — ~4× smaller
+    index; assignment still runs on the FLOAT input, so cell membership
+    is identical to the float index), plus the integer code norm so
+    quantized searches never recompute it. The mode is pinned in the
+    sidecar — float searches against an int8 index refuse up front."""
     spark = vecs.sparkSession
-    _check_ivf_sidecar(spark, index_dir, centroids)
-    assigned = (ivf_assign(vecs.select(F.col(id_col).alias("id"),
-                                       F.col(vec_col).alias("v")),
-                           centroids, vec_col="v")
-                .withColumn("vnorm", norm(F.col("v"))))
+    _check_ivf_sidecar(spark, index_dir, centroids, quantized=quantize)
+    assigned = ivf_assign(vecs.select(F.col(id_col).alias("id"),
+                                      F.col(vec_col).alias("v")),
+                          centroids, vec_col="v")
+    if quantize:
+        from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+            int_dot,
+            quantize_int8,
+        )
+
+        # quantization is a projection over the SAME rows — it rides the
+        # assignment select, no join, no extra exchange
+        assigned = quantize_int8(assigned, vec_col="v").withColumn(
+            "cnorm",
+            F.sqrt(int_dot(F.col("codes"), F.col("codes")).cast("double")))
+    else:
+        assigned = assigned.withColumn("vnorm", norm(F.col("v")))
     (assigned.write.mode("overwrite").partitionBy("ivf_cell")
      .parquet(f"{index_dir}/batch={batch_id}"))
 
@@ -97,7 +124,8 @@ def ivf_index_batch(vecs: DataFrame, batch_id: int, index_dir: str,
 def ivf_search(spark: SparkSession, index_dir: str,
                query_vec: list[float], centroids: list[list[float]],
                k: int = 10, n_probe: int = 2,
-               id_col: str = "vec_id") -> DataFrame:
+               id_col: str = "vec_id",
+               quantized: bool = False) -> DataFrame:
     """Top-k cosine search over the accumulated index. The ``n_probe``
     nearest cells are ranked driver-side (the centroid list is tiny and
     already local); the cell IN-filter reaches the scan as a
@@ -105,8 +133,16 @@ def ivf_search(spark: SparkSession, index_dir: str,
     subtrees are read. Results equal `operators/similarity.ivf_topk`
     over the same vectors with the same centroids (the parity the tests
     pin) — but the per-vector assignment and norm were paid at ingest,
-    not per query."""
-    _check_ivf_sidecar(spark, index_dir, centroids)
+    not per query.
+
+    ``quantized=True`` searches an int8 index (built with
+    ``ivf_index_batch(quantize=True)``): the query quantizes driver-side
+    with the same floor-half-up formula and candidates score in exact
+    integer arithmetic against the stored codes (per-vector scales
+    cancel out of cosine — operators/similarity.quantized_cosine_topk's
+    math, over the pruned cells only). Mode mismatch against the
+    sidecar refuses before any I/O."""
+    _check_ivf_sidecar(spark, index_dir, centroids, quantized=quantized)
 
     def _cos(a: list[float], b: list[float]) -> float:
         num = sum(float(x) * float(y) for x, y in zip(a, b))
@@ -115,14 +151,26 @@ def ivf_search(spark: SparkSession, index_dir: str,
 
     probed = sorted(range(len(centroids)),
                     key=lambda i: (-_cos(query_vec, centroids[i]), i))[:n_probe]
-    qn = math.sqrt(sum(float(x) ** 2 for x in query_vec))
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     idx = spark.read.option("basePath", index_dir).parquet(index_dir)
+    idx = idx.filter(F.col("ivf_cell").isin(probed))
+    if quantized:
+        from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+            int_dot,
+            quantize_vec_int8,
+        )
+
+        qcodes, _ = quantize_vec_int8(query_vec)
+        qn = math.sqrt(sum(c * c for c in qcodes))
+        qc = F.array(*[F.lit(int(c)) for c in qcodes])
+        score = (int_dot(F.col("codes"), qc).cast("double")
+                 / (F.col("cnorm") * F.lit(qn)))
+    else:
+        qn = math.sqrt(sum(float(x) ** 2 for x in query_vec))
+        q = F.array(*[F.lit(float(x)) for x in query_vec])
+        score = dot(F.col("v"), q) / (F.col("vnorm") * F.lit(qn))
     return (
-        idx.filter(F.col("ivf_cell").isin(probed))
-        .select(F.col("id").alias(id_col),
-                F.round(dot(F.col("v"), q) / (F.col("vnorm") * F.lit(qn)),
-                        6).alias("cos_sim"))
+        idx.select(F.col("id").alias(id_col),
+                   F.round(score, 6).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), id_col)
         .limit(k)
     )
@@ -220,13 +268,13 @@ def run_ivf_index_stream(vecs_stream: DataFrame, index_dir: str,
                          vec_col: str = "embedding",
                          id_col: str = "vec_id",
                          trigger_available_now: bool = True,
-                         on_batch=None):
+                         on_batch=None, quantize: bool = False):
     """Attach the IVF indexer to a streaming vector source — same
     checkpoint + batch=<id> replay contract as the dedup streams."""
 
     def batch_fn(df: DataFrame, batch_id: int) -> None:
         ivf_index_batch(df, batch_id, index_dir, centroids, vec_col,
-                        id_col)
+                        id_col, quantize=quantize)
         if on_batch is not None:
             on_batch(batch_id)
 

@@ -78,6 +78,74 @@ def test_ivf_index_replay_and_sidecar(spark, tmp_path, centroids):
         ivf_search(spark, idir, query, other, k=3).collect()
 
 
+def test_quantized_ivf_index_search_and_mode_pinning(spark, tmp_path,
+                                                     centroids):
+    """An int8 index (quantize=True) searches in exact integer
+    arithmetic: results equal quantized_cosine_topk over the SAME
+    vectors restricted to the probed cells; a float search against the
+    int8 index (or vice versa) refuses via the sidecar; replay
+    rewrites identically; compaction preserves results."""
+    from pyspark.sql import functions as F
+
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        ivf_assign,
+        quantize_int8,
+        quantized_cosine_topk,
+        quantize_vec_int8,
+    )
+
+    idir = str(tmp_path / "ivfq")
+    ivf_index_batch(_vecs(spark, range(0, 32)), 0, idir, centroids,
+                    quantize=True)
+    ivf_index_batch(_vecs(spark, range(32, 64)), 1, idir, centroids,
+                    quantize=True)
+
+    query = [1.0] + [0.05] * (DIM - 1)
+    got = [tuple(r) for r in ivf_search(
+        spark, idir, query, centroids, k=5, n_probe=2,
+        quantized=True).collect()]
+
+    # independent expectation: quantize the union, restrict to the two
+    # probed cells (re-derived via ivf_assign on floats), brute-force
+    # integer-cosine top-k
+    all_vecs = _vecs(spark, range(64))
+    assigned = ivf_assign(all_vecs, centroids)
+    import math
+
+    def cos(a, b):
+        return (sum(x * y for x, y in zip(a, b))
+                / (math.sqrt(sum(x * x for x in a))
+                   * math.sqrt(sum(y * y for y in b))))
+
+    probed = sorted(range(len(centroids)),
+                    key=lambda i: (-cos(query, centroids[i]), i))[:2]
+    cand = assigned.filter(F.col("ivf_cell").isin(probed)) \
+        .select("vec_id", "embedding")
+    qcodes, _ = quantize_vec_int8(query)
+    want = [tuple(r) for r in quantized_cosine_topk(
+        quantize_int8(cand), qcodes, k=5).collect()]
+    assert got == want
+
+    # mode mismatch refuses both ways
+    with pytest.raises(ValueError):
+        ivf_search(spark, idir, query, centroids, k=5, quantized=False)
+    fdir = str(tmp_path / "ivff")
+    ivf_index_batch(_vecs(spark, range(0, 16)), 0, fdir, centroids)
+    with pytest.raises(ValueError):
+        ivf_search(spark, fdir, query, centroids, k=5, quantized=True)
+
+    # replay + compaction keep the quantized answer
+    ivf_index_batch(_vecs(spark, range(0, 32)), 0, idir, centroids,
+                    quantize=True)
+    assert [tuple(r) for r in ivf_search(
+        spark, idir, query, centroids, k=5, n_probe=2,
+        quantized=True).collect()] == got
+    assert compact_ivf_index(spark, idir) == 2
+    assert [tuple(r) for r in ivf_search(
+        spark, idir, query, centroids, k=5, n_probe=2,
+        quantized=True).collect()] == got
+
+
 def test_ivf_compact_preserves_cells_and_results(spark, tmp_path,
                                                  centroids):
     """Compaction folds batch partitions into batch=-1 while KEEPING the
