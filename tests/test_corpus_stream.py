@@ -313,6 +313,32 @@ def test_fingerprint_probe_scans_store_without_shuffle(spark, tmp_path):
     assert "Exchange hashpartitioning" not in store_branch, plan
 
 
+def test_url_store_probe_scans_store_without_shuffle(spark, tmp_path):
+    """The canonical-URL store probe keeps the fingerprint probe's
+    discipline: batch side broadcasts, store side only SCANS — no hash
+    exchange over the accumulated urls store."""
+    from pyspark.sql import functions as F
+
+    from harvesting_extract_to_ttl_service_spark.streaming.dedup_stream import (
+        read_state_except,
+    )
+
+    cdir = str(tmp_path / "corpus")
+    for i, rows in enumerate(URL_BATCHES[:2]):
+        corpus_batch(spark.createDataFrame(rows, URL_SCHEMA), i, cdir,
+                     **URL_FUNNEL)
+
+    stored = read_state_except(spark, f"{cdir}/urls", 99)
+    batch_us = spark.createDataFrame([("ab",), ("cd",)], "_u string")
+    hit = (stored.select(F.col("u").alias("_u"))
+           .join(F.broadcast(batch_us), "_u", "left_semi"))
+    plan = hit._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    store_branch = plan.split("BroadcastHashJoin")[1] \
+        .split("BroadcastQueryStage")[0]
+    assert "Exchange hashpartitioning" not in store_branch, plan
+
+
 def test_frozen_strip_hot_shared_by_batch_and_stream(spark, tmp_path):
     """A FROZEN hot-passage table makes boilerplate stripping a pure
     per-document rewrite: batch and streaming funnels strip the same
