@@ -135,6 +135,28 @@ def capped_stratified_sample(df: DataFrame, cap: int,
     )
 
 
+def score_weighted_sample(df: DataFrame, score_col: str,
+                          gamma: float = 1.0, floor: float = 0.0,
+                          id_col: str = "doc_id",
+                          salt: str = "wsample") -> DataFrame:
+    """Quality-weighted sampling: keep each row with probability
+    ``floor + (1 - floor) · clamp01(score)^gamma`` — the
+    keep-the-good-docs-more-often sampler of quality-classifier corpus
+    construction (a high-quality doc survives ~always, a zero-scored
+    doc survives at the exploration ``floor``). ``gamma > 1`` sharpens
+    the preference, ``gamma < 1`` flattens it.
+
+    Membership is the package's deterministic hash fraction of the id —
+    reproducible across runs/engines, one filter expression on the
+    scan, no shuffle, no RNG state. Composes with the other samplers
+    (each uses its own salt, so decisions stay independent)."""
+    s = F.least(F.lit(1.0), F.greatest(F.lit(0.0),
+                                       F.col(score_col).cast("double")))
+    rate = (F.lit(float(floor))
+            + F.lit(1.0 - float(floor)) * F.pow(s, F.lit(float(gamma))))
+    return df.filter(hash_fraction(F.col(id_col), salt) < rate)
+
+
 def temperature_mixture(df: DataFrame, strata_col: str = "lang",
                         text_col: str = "text", alpha: float = 0.5,
                         budget_tokens: int = 1_000_000) -> DataFrame:

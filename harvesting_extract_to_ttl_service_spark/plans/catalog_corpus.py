@@ -646,8 +646,7 @@ def corpus_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CLF_BUCKETS = 64
 _CLF_BIAS = -0.1
 
-
-@member_sql(f"""
+_CLF_SQL = f"""
 WITH tk AS (
   SELECT doc_id, unnest({_TOKS_LOW}) AS t FROM documents
 ), pd AS (
@@ -668,7 +667,10 @@ WITH tk AS (
 SELECT doc_id, n_tokens,
        round(1 / (1 + exp(-({_CLF_BIAS} + dot))), 6) AS clf_score
 FROM s
-""")
+"""
+
+
+@member_sql(_CLF_SQL)
 def corpus_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-feature linear quality classifier inference
     (operators/text.hashed_linear_score): sigmoid(bias + Σ w[b]·tf(b))
@@ -686,6 +688,40 @@ def corpus_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_linear_score(docs, w, n_buckets=_CLF_BUCKETS,
                                bias=_CLF_BIAS).select(
         "doc_id", "n_tokens", "clf_score")
+
+
+_WS_GAMMA = 2.0
+_WS_FLOOR = 0.05
+
+
+@member_sql(f"""
+WITH clf AS ({_CLF_SQL}
+)
+SELECT doc_id FROM clf
+WHERE {hash_fraction_sql('doc_id', 'wsample')}
+      < {_WS_FLOOR} + {1.0 - _WS_FLOOR}
+        * pow(least(1.0, greatest(0.0, clf_score)), {_WS_GAMMA})
+""")
+def corpus_wsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sampling (operators/corpus.score_weighted_sample)
+    over the hashed-classifier score: keep probability
+    floor + (1-floor)·score^gamma, membership the deterministic id hash
+    fraction. The rate derives from the 6-dp-rounded score, so both
+    engines compare the identical double."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        score_weighted_sample,
+    )
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        hash_bucket_weights,
+        hashed_linear_score,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    scored = hashed_linear_score(docs, hash_bucket_weights(spark,
+                                                           _CLF_BUCKETS),
+                                 n_buckets=_CLF_BUCKETS, bias=_CLF_BIAS)
+    return score_weighted_sample(scored, "clf_score", gamma=_WS_GAMMA,
+                                 floor=_WS_FLOOR).select("doc_id")
 
 
 _N_QBUCKETS = 4
@@ -801,6 +837,7 @@ _CORPUS_MEMBERS = [
     ("lm", corpus_lm, ["doc_id", "n_tokens"], ["avg_logprob"]),
     ("clf", corpus_clf, ["doc_id", "n_tokens"], ["clf_score"]),
     ("novelty", corpus_novelty, ["doc_id", "n_shingles"], ["novelty"]),
+    ("wsample", corpus_wsample, ["doc_id"], []),
     ("domains", corpus_domains, ["host", "n_docs", "n_tokens"],
      ["token_share"]),
     ("tsample", corpus_tsample, ["doc_id", "lang"], []),

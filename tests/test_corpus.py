@@ -334,6 +334,34 @@ def test_redact_pii_preserves_schema_order(spark):
     assert out.first().text == "<EMAIL>"
 
 
+def test_score_weighted_sample_rates(spark):
+    """Keep probability floor + (1-floor)·clamp01(score)^gamma: a
+    score-1 doc always survives, negative/None-ish scores survive at
+    the floor, and the realized rate over many ids tracks the formula."""
+    import hashlib
+
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        score_weighted_sample,
+    )
+
+    def hf(key, salt):
+        h = hashlib.md5(f"{key}:{salt}".encode()).hexdigest()[:8]
+        return int(h, 16) / 2 ** 32
+
+    n = 2000
+    rows = [(i, [1.0, 0.5, 0.0, -3.0][i % 4]) for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, score double")
+    kept = {r.doc_id for r in score_weighted_sample(
+        docs, "score", gamma=2.0, floor=0.1).collect()}
+    expect = {i for i, s in rows
+              if hf(i, "wsample")
+              < 0.1 + 0.9 * (min(1.0, max(0.0, s)) ** 2.0)}
+    assert kept == expect
+    assert all(i in kept for i in range(0, n, 4))     # score 1 → always
+    floor_kept = [i for i in kept if i % 4 == 3]      # clamped to floor
+    assert 0 < len(floor_kept) < n / 4 * 0.25
+
+
 def test_common_span_pairs_planted_span_and_positions(spark):
     from harvesting_extract_to_ttl_service_spark.operators.text import (
         common_span_pairs,
