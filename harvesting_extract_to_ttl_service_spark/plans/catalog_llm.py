@@ -489,8 +489,8 @@ FROM runs WHERE span_tokens >= {_SPAN_MIN}
 @member_sql(_SPAN_SQL)
 def dedup_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document shared spans (operators/text.common_span_pairs):
-    maximal runs of ≥{min} identical consecutive tokens between document
-    pairs, with start positions — pair-level exact-substring dedup. The
+    maximal runs of ≥ min_span identical consecutive tokens between
+    document pairs, with start positions — pair-level substring dedup. The
     fixture plants a 12-token marker passage on every third document (at
     a per-doc position, since document lengths differ); the oracle
     re-derives positional shingles, the diagonal gaps-and-islands run
