@@ -328,45 +328,52 @@ def strip_shared_spans(df: DataFrame, spans: DataFrame | None = None,
     parameters; pass a precomputed frame to strip against an existing
     detection (e.g. one computed with a document-frequency cap).
 
-    Plan: spans explode into (id, pos) covered coordinates (output is
-    span-sized, tiny next to the corpus), the token stream anti-joins
-    them, and surviving tokens reassemble ordered by position. Original
-    casing is preserved — detection is case-folded, but positions index
-    the raw whitespace token stream, which is case-identical. A fully
-    covered document comes back as the empty string (kept, not
-    dropped — dropping is a policy for the caller's filter stage).
+    Plan — the rewrite never shuffles the corpus: spans aggregate to
+    ONE RANGE LIST PER COVERED DOC (an array of (start, end) structs —
+    one entry per span, not per covered token), that small table joins
+    back on the id, and the rewrite is a pure column expression that
+    keeps each token whose position falls in no range. Tokens never
+    leave their row (contrast: explode-and-reassemble would shuffle the
+    entire token stream — the exact cost the hot-passage strip also
+    avoids). Per-token work is O(spans covering the doc), which the
+    detector's min_span already bounds. Original casing is preserved —
+    detection is case-folded, but positions index the raw whitespace
+    token stream, which is case-identical. A fully covered document
+    comes back as the empty string (kept, not dropped — dropping is a
+    policy for the caller's filter stage).
 
     Returns ``df`` with ``text_col`` rewritten plus
     ``n_tokens_removed``."""
     if spans is None:
         spans = common_span_pairs(df, text_col, id_col, window,
                                   min_span, max_df)
-    covered = (spans.select(
+    ranges = (spans.select(
         F.col("id_b").alias("_cid"),
-        F.explode(F.sequence(
-            F.col("start_b"),
-            F.col("start_b") + F.col("span_tokens") - 1)).alias("_pos"))
-        .distinct())
-    toks = df.select(
-        F.col(id_col).alias("_tid"),
-        F.posexplode(tokens(F.col(text_col))).alias("_pos0", "_tok")
-    ).select("_tid", (F.col("_pos0") + 1).alias("_pos"), "_tok")
-    kept = toks.join(
-        covered,
-        (toks["_tid"] == covered["_cid"]) & (toks["_pos"] == covered["_pos"]),
-        "left_anti")
-    re = kept.groupBy("_tid").agg(
-        F.concat_ws(" ", F.transform(
-            F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
-            lambda s: s.getField("_tok"))).alias("_new"),
-        F.count("*").alias("_n_kept"))
-    joined = df.join(re, df[id_col] == re["_tid"], "left")
-    n_before = token_count(F.col(text_col))
+        F.struct(
+            F.col("start_b").alias("s"),
+            (F.col("start_b") + F.col("span_tokens") - 1).alias("e"))
+        .alias("_r"))
+        .distinct()
+        .groupBy("_cid").agg(F.collect_list("_r").alias("_cov")))
+    joined = df.join(ranges, df[id_col] == ranges["_cid"], "left")
+    toks = tokens(F.col(text_col))
+    indexed = F.transform(
+        toks, lambda t, i: F.struct(t.alias("t"), (i + 1).alias("p")))
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            F.col("_cov"),
+            lambda r: (s.getField("p") >= r.getField("s"))
+            & (s.getField("p") <= r.getField("e"))))
+    new_text = F.when(
+        F.col("_cov").isNull(), F.col(text_col)).otherwise(
+        F.concat_ws(" ", F.transform(kept, lambda s: s.getField("t"))))
+    n_removed = F.when(F.col("_cov").isNull(), F.lit(0)).otherwise(
+        F.size(toks) - F.size(kept))
     return joined.select(
-        *[F.coalesce(F.col("_new"), F.lit("")).alias(c) if c == text_col
-          else F.col(c) for c in df.columns],
-        (n_before - F.coalesce(F.col("_n_kept"), F.lit(0)))
-        .cast("long").alias("n_tokens_removed"))
+        *[new_text.alias(c) if c == text_col else F.col(c)
+          for c in df.columns],
+        n_removed.cast("long").alias("n_tokens_removed"))
 
 
 def unigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
