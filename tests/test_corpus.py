@@ -334,6 +334,61 @@ def test_redact_pii_preserves_schema_order(spark):
     assert out.first().text == "<EMAIL>"
 
 
+def test_common_span_pairs_matches_python_mirror_property(spark):
+    """Hypothesis sweep: on random token sequences from a tiny alphabet
+    (maximizing accidental overlap), the shingle-join + diagonal-island
+    detector must equal a brute-force mirror that enumerates MAXIMAL
+    matching token runs of length ≥ min_span directly from the
+    definition (every run ≥ window yields a full island of matching
+    shingles; islands shorter than min_span are filtered on both
+    sides)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        common_span_pairs,
+    )
+
+    W, MIN = 3, 4
+    docs_strategy = st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=W,
+                 max_size=14),
+        min_size=2, max_size=4)
+
+    def mirror(docs):
+        out = set()
+        for ai in range(len(docs)):
+            for bi in range(ai + 1, len(docs)):
+                a, b = docs[ai], docs[bi]
+                for i in range(len(a)):
+                    for j in range(len(b)):
+                        if a[i] != b[j]:
+                            continue
+                        if i > 0 and j > 0 and a[i - 1] == b[j - 1]:
+                            continue  # not run start → not maximal
+                        ln = 0
+                        while (i + ln < len(a) and j + ln < len(b)
+                               and a[i + ln] == b[j + ln]):
+                            ln += 1
+                        if ln >= MIN:
+                            out.add((ai + 1, bi + 1, i + 1, j + 1, ln))
+        return out
+
+    @given(docs=docs_strategy)
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def check(docs):
+        df = spark.createDataFrame(
+            [(i + 1, " ".join(t)) for i, t in enumerate(docs)],
+            "doc_id long, text string")
+        got = {(r.id_a, r.id_b, r.start_a, r.start_b, r.span_tokens)
+               for r in common_span_pairs(df, window=W,
+                                          min_span=MIN).collect()}
+        assert got == mirror(docs), docs
+
+    check()
+
+
 def test_score_weighted_sample_rates(spark):
     """Keep probability floor + (1-floor)·clamp01(score)^gamma: a
     score-1 doc always survives, negative/None-ish scores survive at
