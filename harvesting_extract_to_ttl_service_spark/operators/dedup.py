@@ -667,6 +667,22 @@ def simhash_candidates(df: DataFrame, text_col: str = "text",
     policy allows; treat radius 6 at 60 bits as a ≤100k-docs-per-shard
     tool and use MinHash-LSH (duplicate-mass-bound, measured linear) for
     corpus-wide sweeps."""
+    return hamming_neardup_pairs(simhash_table(df, text_col, id_col, bits),
+                                 bits, max_hamming, blocks,
+                                 materialize_mode)
+
+
+def hamming_neardup_pairs(sh: DataFrame, bits: int = 60,
+                          max_hamming: int = 3, blocks: int = 4,
+                          materialize_mode: str = "local_checkpoint",
+                          ) -> DataFrame:
+    """The fingerprint-agnostic tail of :func:`simhash_candidates`: given
+    any ``(id, sh)`` table of ``bits``-bit fingerprints (SimHash over
+    text, perceptual image hashes, …), produce all pairs within
+    ``max_hamming`` via the pigeonhole bit-block equi-join + exact
+    bit_count(xor) filter. Same quadratic-at-fixed-radius scale label as
+    SimHash (SCALE.md) — the candidate volume depends only on the
+    fingerprint distribution, not on what was hashed."""
     if blocks <= max_hamming:
         raise ValueError(
             f"pigeonhole completeness needs blocks > max_hamming "
@@ -675,7 +691,6 @@ def simhash_candidates(df: DataFrame, text_col: str = "text",
     base, rem = divmod(bits, blocks)
     sizes = [base + 1 if i < rem else base for i in range(blocks)]
     offsets = [sum(sizes[:i]) for i in range(blocks)]
-    sh = simhash_table(df, text_col, id_col, bits)
     blocked = sh.select(
         "id", "sh",
         F.posexplode(F.array(*[

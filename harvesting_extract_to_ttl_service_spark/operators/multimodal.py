@@ -370,6 +370,128 @@ def sample_video_frames(media: DataFrame, every_nth: int = 10) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(batches, schema)
 
 # --------------------------------------------------------------------------
+# Perceptual image hashing (aHash) + image near-dup
+# --------------------------------------------------------------------------
+
+AHASH_CELLS = 60  # 60 bits: bit 63 never set, so the hash is a plain
+#                   non-negative BIGINT in every engine (the SimHash
+#                   convention — operators/dedup.py uses 60 for the
+#                   same sign-safety reason)
+
+IMAGE_AHASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("ahash", T.LongType(), True),
+])
+
+
+def fake_image_pixels(payload: bytes, cells: int = AHASH_CELLS) -> list[int]:
+    """Deterministic fake grayscale 'pixels' for the aHash kernel:
+    cell i = first byte of md5(md5(payload).hexdigest() + ':' + i) —
+    the same md5-chain trick as the other fake kernels, chosen so a SQL
+    oracle can restate every pixel from the payload text."""
+    ph = hashlib.md5(payload).hexdigest()
+    return [int(hashlib.md5(f"{ph}:{i}".encode()).hexdigest()[:2], 16)
+            for i in range(cells)]
+
+
+def ahash_from_pixels(pixels: list[int]) -> int:
+    """Average hash: bit i set iff pixel i exceeds the mean. The mean is
+    an exact integer sum divided once in double precision, so every
+    engine computes the identical threshold."""
+    m = sum(pixels) / len(pixels)
+    v = 0
+    for i, p in enumerate(pixels):
+        if p > m:
+            v |= 1 << i
+    return v
+
+
+def fake_image_ahash(payload: bytes, cells: int = AHASH_CELLS) -> int:
+    return ahash_from_pixels(fake_image_pixels(payload, cells))
+
+
+def pil_image_ahash(payload: bytes, cells: int = AHASH_CELLS) -> int:
+    """Real aHash via PIL (executor-side import, absent in this
+    container): decode → grayscale → resize to a 6×10 grid → mean
+    threshold. Same bit layout as the fake kernel (row-major cell i)."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as e:
+        raise NotImplementedError(
+            "PIL not installed on this executor; use the 'fake' kernel "
+            "for plumbing/parity or install Pillow for real hashing"
+        ) from e
+    img = Image.open(io.BytesIO(payload)).convert("L").resize(
+        (6, cells // 6), Image.BILINEAR)
+    px = list(img.getdata())[:cells]
+    return ahash_from_pixels(px)
+
+
+def auto_image_ahash(payload: bytes, cells: int = AHASH_CELLS) -> int:
+    """PIL when the executor has it, per-payload fallback to the fake
+    kernel (the auto_image_decode dispatch shape)."""
+    try:
+        return pil_image_ahash(payload, cells)
+    except NotImplementedError:
+        return fake_image_ahash(payload, cells)
+    except Exception:  # noqa: BLE001 — PIL present, payload undecodable
+        return fake_image_ahash(payload, cells)
+
+
+_AHASH_KERNELS = {
+    "fake": fake_image_ahash,
+    "pil": pil_image_ahash,
+    "auto": auto_image_ahash,
+}
+
+
+def image_ahash(media: DataFrame, kernel: str = "fake",
+                cells: int = AHASH_CELLS) -> DataFrame:
+    """Per-image perceptual hash over binary payloads (``mapInPandas``
+    — the payload dies inside the UDF; only (media_id, 60-bit hash)
+    ever shuffles). ``kernel``: 'fake' (deterministic md5-pixel chain —
+    what engine-parity oracles restate), 'pil' (real decode, raises
+    where Pillow is absent), 'auto' (PIL with per-payload fake
+    fallback)."""
+    if kernel not in _AHASH_KERNELS:
+        raise ValueError(f"unknown ahash kernel {kernel!r}; "
+                         f"one of {sorted(_AHASH_KERNELS)}")
+    fn = _AHASH_KERNELS[kernel]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "ahash": [fn(p, cells) if p is not None else None
+                          for p in pdf["payload"]],
+            })
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, IMAGE_AHASH_SCHEMA)
+
+
+def image_neardup_pairs(media: DataFrame, kernel: str = "fake",
+                        max_hamming: int = 6, blocks: int = 7,
+                        cells: int = AHASH_CELLS) -> DataFrame:
+    """Near-duplicate IMAGE pairs: perceptual hashes within
+    ``max_hamming`` bits — re-encodes, light crops, and brightness
+    shifts move few aHash bits, so this is the image-side analogue of
+    SimHash text dedup, and it reuses the SAME pigeonhole bit-block
+    join (operators/dedup.hamming_neardup_pairs), inheriting its scale
+    label (quadratic at fixed radius — shard-level tool)."""
+    from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+        hamming_neardup_pairs,
+    )
+
+    sh = image_ahash(media, kernel, cells).select(
+        F.col("media_id").alias("id"), F.col("ahash").alias("sh"))
+    return hamming_neardup_pairs(sh, bits=cells, max_hamming=max_hamming,
+                                 blocks=blocks)
+
+
+# --------------------------------------------------------------------------
 # Image resize
 # --------------------------------------------------------------------------
 

@@ -1386,9 +1386,43 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "width", "height", "checksum")
 
 
+@member_sql("""
+WITH px AS (
+  SELECT doc_id AS media_id, unnest(range(0, 60)) AS i, md5(text) AS ph
+  FROM documents WHERE doc_id < 200
+), pv AS (
+  SELECT media_id, i,
+         CAST(concat('0x', substr(md5(ph || ':' || i), 1, 2)) AS INT) AS p
+  FROM px
+), m AS (
+  SELECT media_id, avg(p) AS mean FROM pv GROUP BY 1
+)
+SELECT media_id,
+       CAST(sum(CASE WHEN p > mean THEN (CAST(1 AS BIGINT) << i)
+                ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS ahash
+FROM pv JOIN m USING (media_id)
+GROUP BY 1
+""")
+def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashing plumbing (operators/multimodal.
+    image_ahash): 60-bit average hash over the deterministic fake pixel
+    grid (md5 chain), computed in the Arrow mapInPandas kernel — the
+    fingerprint feeding image near-dup (image_neardup_pairs reuses the
+    SimHash pigeonhole join). The oracle re-derives every pixel, the
+    mean threshold, and the bit packing from the payload text."""
+    from harvesting_extract_to_ttl_service_spark.operators.multimodal import (
+        image_ahash,
+    )
+
+    media = documents_as_media(
+        load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
+    return image_ahash(media, kernel="fake")
+
+
 _MULTIMODAL_MEMBERS = [
     ("image", multimodal_image_meta,
      ["media_id", "width", "height", "n_bytes", "checksum"], []),
+    ("phash", multimodal_image_phash, ["media_id", "ahash"], []),
     ("resize", multimodal_image_resize,
      ["media_id", "src_width", "src_height", "width", "height", "checksum"],
      []),

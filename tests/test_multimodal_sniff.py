@@ -287,3 +287,49 @@ def test_pil_resize_dispatch(monkeypatch):
 
     assert pil_image_resize(b"payload", 12, 7) == b"resized:12x7"
     assert auto_image_resize(b"payload", 12, 7) == b"resized:12x7"
+
+
+def test_image_ahash_python_mirror_and_determinism():
+    import hashlib
+
+    from harvesting_extract_to_ttl_service_spark.operators.multimodal import (
+        ahash_from_pixels,
+        fake_image_ahash,
+        fake_image_pixels,
+        pil_image_ahash,
+    )
+
+    payload = b"some image bytes"
+    px = fake_image_pixels(payload)
+    assert len(px) == 60 and all(0 <= p <= 255 for p in px)
+    ph = hashlib.md5(payload).hexdigest()
+    assert px[7] == int(hashlib.md5(f"{ph}:7".encode()).hexdigest()[:2], 16)
+    h = fake_image_ahash(payload)
+    assert h == ahash_from_pixels(px)
+    assert 0 <= h < (1 << 60)                     # sign-safe bigint
+    assert fake_image_ahash(payload) == h         # deterministic
+    assert fake_image_ahash(b"other bytes") != h
+    # all-equal pixels: strict > mean sets no bits
+    assert ahash_from_pixels([5] * 60) == 0
+    with pytest.raises(NotImplementedError, match="PIL"):
+        pil_image_ahash(payload)
+
+
+def test_image_neardup_pairs_planted_duplicates(spark):
+    from pyspark.sql import functions as F
+
+    from harvesting_extract_to_ttl_service_spark.operators.multimodal import (
+        documents_as_media,
+        image_neardup_pairs,
+    )
+
+    # 3 distinct payloads, each delivered twice under different ids →
+    # exactly 3 hamming-0 pairs (random fake hashes sit far apart)
+    docs = spark.createDataFrame(
+        [(i, f"payload body number {i % 3} with enough words")
+         for i in range(6)],
+        "doc_id long, text string")
+    pairs = image_neardup_pairs(documents_as_media(docs),
+                                max_hamming=6, blocks=7).collect()
+    assert sorted((r.id_a, r.id_b, r.hamming) for r in pairs) \
+        == [(0, 3, 0), (1, 4, 0), (2, 5, 0)]
