@@ -133,6 +133,40 @@ def domain_stats(df: DataFrame, url_col: str = "url",
                       F.round(share, 6).alias("token_share"))
 
 
+def _host_matches(host: Column, domains: list[str]) -> Column:
+    """True iff ``host`` equals one of ``domains`` or is a subdomain of
+    one (suffix semantics: 'example.org' covers 'cdn.example.org' but
+    NOT 'notexample.org')."""
+    arr = F.array(*[F.lit(d.lower()) for d in domains])
+    return F.exists(arr, lambda d: (host == d)
+                    | host.endswith(F.concat(F.lit("."), d)))
+
+
+def filter_domains(df: DataFrame, url_col: str = "url",
+                   allow: list[str] | None = None,
+                   block: list[str] | None = None) -> DataFrame:
+    """Domain allow/block filtering — the blocklist pass of a crawl
+    pipeline. ``block``: drop rows whose URL host is (a subdomain of)
+    any listed domain; ``allow``: keep ONLY such rows; both: allow
+    first, then block (carve-outs). Rows with no parseable host are
+    DROPPED under ``allow`` (they cannot prove membership) and KEPT
+    under ``block`` (they cannot match a blocked domain) — the
+    conservative reading of each list.
+
+    The lists are literal arrays in the plan (blocklists are
+    config-sized); the filter is a pure column expression on the scan —
+    no join, no shuffle."""
+    if allow is None and block is None:
+        raise ValueError("filter_domains: pass allow=, block=, or both")
+    host = url_host(F.col(url_col))
+    out = df
+    if allow is not None:
+        out = out.filter(host.isNotNull() & _host_matches(host, allow))
+    if block is not None:
+        out = out.filter(host.isNull() | ~_host_matches(host, block))
+    return out
+
+
 def drop_url_duplicates(df: DataFrame, url_col: str = "url",
                         id_col: str = "doc_id") -> DataFrame:
     """Keep the min-id row per canonical URL (first delivery wins — the

@@ -114,3 +114,28 @@ def test_drop_url_duplicates_keep_min_and_null_lane(spark):
     by_id = {r.doc_id: r._norm_url for r in out}
     assert by_id[1] == "https://ex.org/p?a=1&b=2"
     assert by_id[4] is None and by_id[5] is None
+
+
+def test_filter_domains_allow_block_and_suffix(spark):
+    from harvesting_extract_to_ttl_service_spark.operators.web import (
+        filter_domains,
+    )
+
+    df = spark.createDataFrame([
+        (1, "https://ex.org/a"),
+        (2, "https://cdn.ex.org/b"),          # subdomain of ex.org
+        (3, "https://notex.org/c"),           # NOT a subdomain
+        (4, "https://spam.net/d"),
+        (5, "garbage"),                       # no host
+    ], "doc_id long, url string")
+    ids = lambda d: sorted(r.doc_id for r in d.collect())  # noqa: E731
+    assert ids(filter_domains(df, allow=["ex.org"])) == [1, 2]
+    assert ids(filter_domains(df, block=["ex.org"])) == [3, 4, 5]
+    assert ids(filter_domains(df, block=["spam.net", "NOTEX.ORG"])) \
+        == [1, 2, 5]
+    assert ids(filter_domains(df, allow=["ex.org", "spam.net"],
+                              block=["cdn.ex.org"])) == [1, 4]
+    import pytest
+
+    with pytest.raises(ValueError):
+        filter_domains(df)
