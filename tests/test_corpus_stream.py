@@ -199,7 +199,7 @@ def test_compact_corpus_state_preserves_dedup(spark, tmp_path):
 
     folded = compact_corpus_state(spark, cdir)
     assert folded == {"fingerprints": 2, "index": 2, "components": 2,
-                      "idwatermark": 0}
+                      "idwatermark": 0, "urls": 0}
     assert _survivor_ids(spark, cdir) == before
 
     # batch 2 against the compacted state: 20 is an exact copy of 1
@@ -447,7 +447,7 @@ def test_corpus_batch_replay_after_compaction(spark, tmp_path):
 
     assert compact_corpus_state(spark, cdir) \
         == {"fingerprints": 3, "index": 3, "components": 3,
-            "idwatermark": 0}
+            "idwatermark": 0, "urls": 0}
 
     # replay every batch post-compaction (worst case: all ids already in
     # batch=-1 state)
