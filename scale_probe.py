@@ -369,6 +369,40 @@ def probe_ann(spark, n: int, n_queries: int, tmp: str) -> dict:
                                     k=10, n_probe=2).collect())
     res["loop_rows"] = loop_rows
     res["loop_s"] = round(time.time() - t0, 1)
+
+    # int8 twin: same corpus, quantized index — measures the build cost
+    # delta, the on-disk compression, and the searched-bytes win of the
+    # integer scoring path
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        quantize_vec_int8,
+        quantized_cosine_topk,  # noqa: F401 — parity twin, probed via search
+    )
+
+    qdir = f"{tmp}/ivfq_{n}x"
+    t0 = time.time()
+    ivf_index_batch(corpus, 0, qdir, cents, quantize=True)
+    res["q_index_s"] = round(time.time() - t0, 1)
+
+    def _du(path):
+        import os
+
+        total = 0
+        for root, _, files in os.walk(path):
+            total += sum(os.path.getsize(os.path.join(root, f))
+                         for f in files)
+        return total
+
+    res["index_mb"] = round(_du(idir) / 1e6, 1)
+    res["q_index_mb"] = round(_du(qdir) / 1e6, 1)
+
+    t0 = time.time()
+    qloop_rows = 0
+    for r in qrows:
+        qloop_rows += len(ivf_search(spark, qdir, list(r.embedding),
+                                     cents, k=10, n_probe=2,
+                                     quantized=True).collect())
+    res["q_loop_rows"] = qloop_rows
+    res["q_loop_s"] = round(time.time() - t0, 1)
     return res
 
 
@@ -395,6 +429,9 @@ def main():
                   f"index_s={r['index_s']} "
                   f"batched_s={r['batched_s']} ({r['batched_rows']} rows) "
                   f"loop_s={r['loop_s']} ({r['loop_rows']} rows)")
+            print(f"float index {r['index_mb']} MB | int8 index "
+                  f"{r['q_index_mb']} MB (build {r['q_index_s']}s) | "
+                  f"int8 loop_s={r['q_loop_s']} ({r['q_loop_rows']} rows)")
             return
         if finalize:
             print(f"{'scale':>6} {'docs':>8} {'wall_s':>7}")
