@@ -239,6 +239,12 @@ def _url_dedup_stage(filtered: DataFrame, batch_id: int, corpus_dir: str,
         kept = keyed.join(F.broadcast(hit), "_u", "left_anti")
     else:
         kept = keyed
+    # materialization cut BEFORE the store write: the write is an action,
+    # and without the cut the whole upstream subtree (filter_documents +
+    # the keep-one window) would execute once here and AGAIN when the
+    # fingerprint stage materializes downstream — the duplicate-subtree
+    # hazard SCALE.md's round-5 audit measured at 2-5×.
+    kept = materialize(kept, "local_checkpoint")
     (kept.filter(F.col("_u").isNotNull())
      .select(F.col(id_col).alias("id"), F.col("_u").alias("u"))
      .write.mode("overwrite")
