@@ -267,6 +267,38 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
     )
 
 
+def corpus_overlap(a: DataFrame, b: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Cross-corpus exact-overlap report — the first question about a
+    new crawl ``b`` against an existing corpus ``a``: how much of it is
+    new? One row: document and distinct-text counts per side, the
+    number of distinct texts present in BOTH, and the fraction of b's
+    DOCUMENTS whose text already exists in a (``frac_b_seen`` — the
+    recrawl rate; 6-dp rounded for cross-engine hashing).
+
+    Plan: per-side fingerprint aggregates plus one fp-keyed semi-join —
+    the corpora are scanned once each and only (fp, count) rows
+    shuffle; nothing pairs up documents, so this is strictly cheaper
+    than any dedup pass and the right pre-flight before one."""
+    fa = (a.select(fingerprint(F.col(text_col)).alias("fp"))
+          .groupBy("fp").agg(F.count("*").alias("na")))
+    fb = (b.select(fingerprint(F.col(text_col)).alias("fp"))
+          .groupBy("fp").agg(F.count("*").alias("nb")))
+    j = fa.join(fb, "fp", "full")
+    return j.agg(
+        F.coalesce(F.sum("na"), F.lit(0)).cast("long").alias("n_docs_a"),
+        F.count("na").cast("long").alias("n_texts_a"),
+        F.coalesce(F.sum("nb"), F.lit(0)).cast("long").alias("n_docs_b"),
+        F.count("nb").cast("long").alias("n_texts_b"),
+        F.count(F.when(F.col("na").isNotNull()
+                       & F.col("nb").isNotNull(), 1))
+        .cast("long").alias("n_texts_shared"),
+        F.round(F.sum(F.when(F.col("na").isNotNull(),
+                             F.coalesce(F.col("nb"), F.lit(0)))
+                      .otherwise(F.lit(0))) / F.sum("nb"), 6)
+        .alias("frac_b_seen"))
+
+
 def drop_exact_duplicates(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id") -> DataFrame:
     """Keep the min-id row per identical (normalized) text."""

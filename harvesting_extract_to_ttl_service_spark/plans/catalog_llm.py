@@ -509,6 +509,49 @@ def dedup_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                              min_span=_SPAN_MIN)
 
 
+_OVERLAP_FP = ("substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', "
+               "'g')), 1, 16)")
+
+_OVERLAP_SQL = f"""
+WITH fa AS (
+  SELECT {_OVERLAP_FP} AS fp, count(*) AS na
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+), fb AS (
+  SELECT {_OVERLAP_FP} AS fp, count(*) AS nb
+  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1
+), j AS (
+  SELECT na, nb FROM fa FULL OUTER JOIN fb USING (fp)
+)
+SELECT CAST(coalesce(sum(na), 0) AS BIGINT) AS n_docs_a,
+       CAST(count(na) AS BIGINT) AS n_texts_a,
+       CAST(coalesce(sum(nb), 0) AS BIGINT) AS n_docs_b,
+       CAST(count(nb) AS BIGINT) AS n_texts_b,
+       CAST(count(CASE WHEN na IS NOT NULL AND nb IS NOT NULL
+                  THEN 1 END) AS BIGINT) AS n_texts_shared,
+       round(sum(CASE WHEN na IS NOT NULL THEN coalesce(nb, 0)
+                 ELSE 0 END) / sum(nb), 6) AS frac_b_seen
+FROM j
+"""
+
+
+@member_sql(_OVERLAP_SQL)
+def dedup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus overlap report (operators/dedup.corpus_overlap):
+    'corpus a' = even doc_ids, 'corpus b' = odd — the new-crawl
+    pre-flight (docs/distinct-texts per side, shared texts, and the
+    fraction of b's documents already present in a). The fixture's
+    natural exact duplicates straddle the parity split, so every
+    counter is exercised; the oracle re-derives the full-outer
+    fingerprint join and each aggregate."""
+    from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+        corpus_overlap,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return corpus_overlap(docs.filter(F.col("doc_id") % 2 == 0),
+                          docs.filter(F.col("doc_id") % 2 == 1))
+
+
 def _url_oracle() -> str:
     from harvesting_extract_to_ttl_service_spark.operators.web import (
         normalize_url_sql,
@@ -585,6 +628,9 @@ _DEDUP_MEMBERS = [
     ("url", dedup_url, ["doc_id", "norm_url"], []),
     ("span", dedup_common_spans,
      ["id_a", "id_b", "start_a", "start_b", "span_tokens"], []),
+    ("overlap", dedup_overlap,
+     ["n_docs_a", "n_texts_a", "n_docs_b", "n_texts_b", "n_texts_shared"],
+     ["frac_b_seen"]),
 ]
 
 

@@ -389,6 +389,33 @@ def test_common_span_pairs_matches_python_mirror_property(spark):
     check()
 
 
+def test_corpus_overlap_counts(spark):
+    from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+        corpus_overlap,
+    )
+
+    a = spark.createDataFrame([
+        (1, "shared text one"), (2, "shared text one"),  # internal dup
+        (3, "only in a"),
+    ], "doc_id long, text string")
+    b = spark.createDataFrame([
+        (10, "shared text one"),      # seen in a
+        (11, "Shared  TEXT one"),     # normalizes to the same fp
+        (12, "brand new text"),
+        (13, "brand new text"),       # b-internal dup, unseen
+    ], "doc_id long, text string")
+    r = corpus_overlap(a, b).first()
+    assert (r.n_docs_a, r.n_texts_a) == (3, 2)
+    assert (r.n_docs_b, r.n_texts_b) == (4, 2)
+    assert r.n_texts_shared == 1
+    assert r.frac_b_seen == 0.5       # docs 10,11 of 4
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    r2 = corpus_overlap(empty, b).first()
+    assert (r2.n_docs_a, r2.n_texts_shared) == (0, 0)
+    assert r2.frac_b_seen == 0.0
+
+
 def test_score_weighted_sample_rates(spark):
     """Keep probability floor + (1-floor)·clamp01(score)^gamma: a
     score-1 doc always survives, negative/None-ish scores survive at
