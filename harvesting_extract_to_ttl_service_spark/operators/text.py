@@ -284,6 +284,89 @@ def common_span_pairs(df: DataFrame, text_col: str = "text",
             .select("id_a", "id_b", "start_a", "start_b", "span_tokens"))
 
 
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have",
+                    "with"]
+
+
+def gopher_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The Gopher-rule quality signals (Rae et al. 2021, Appendix A —
+    the published heuristic battery most corpus builds start from), as
+    pure column expressions in ONE projection:
+
+    * ``n_words`` / ``mean_word_len`` — whitespace words;
+    * ``symbol_word_ratio`` — '#' and ellipsis occurrences per word;
+    * ``frac_bullet_lines`` / ``frac_ellipsis_lines`` — lines starting
+      with a bullet mark / ending with an ellipsis;
+    * ``frac_alpha_words`` — words containing at least one letter;
+    * ``n_stop_hits`` — distinct members of the 8-word Gopher stopword
+      set present.
+
+    Complements :func:`quality_score` (a composite) and
+    :func:`repetition_signals` (the Gopher repetition table) — these
+    are the structural rules; :func:`gopher_filter` applies the
+    published thresholds."""
+    t = F.col(text_col)
+    words = tokens(t)
+    n_words = F.size(words)
+    mean_wl = F.when(n_words > 0,
+                     F.aggregate(words, F.lit(0),
+                                 lambda acc, w: acc + F.length(w))
+                     / n_words).otherwise(F.lit(0.0))
+    n_sym = (F.size(F.regexp_extract_all(t, F.lit(r"#"), 0))
+             + F.size(F.regexp_extract_all(t, F.lit(r"\.\.\.|…"), 0)))
+    sym_ratio = F.when(n_words > 0, n_sym / n_words).otherwise(F.lit(0.0))
+    lines = F.filter(F.split(t, "\n"), lambda ln: F.trim(ln) != "")
+    n_lines = F.size(lines)
+    bullet = F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike(r"^[-*•]")))
+    ellip = F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$")))
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    low = tokens(F.lower(t))
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(low),
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])))
+    return df.select(
+        *df.columns,
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(sym_ratio, 4).alias("symbol_word_ratio"),
+        F.round(F.when(n_lines > 0, bullet / n_lines)
+                .otherwise(F.lit(0.0)), 4).alias("frac_bullet_lines"),
+        F.round(F.when(n_lines > 0, ellip / n_lines)
+                .otherwise(F.lit(0.0)), 4).alias("frac_ellipsis_lines"),
+        F.round(F.when(n_words > 0, alpha / n_words)
+                .otherwise(F.lit(0.0)), 4).alias("frac_alpha_words"),
+        stop_hits.cast("long").alias("n_stop_hits"))
+
+
+def gopher_filter(df: DataFrame, text_col: str = "text",
+                  min_words: int = 50, max_words: int = 100_000,
+                  min_mean_word_len: float = 3.0,
+                  max_mean_word_len: float = 10.0,
+                  max_symbol_word_ratio: float = 0.1,
+                  max_bullet_lines: float = 0.9,
+                  max_ellipsis_lines: float = 0.3,
+                  min_alpha_words: float = 0.8,
+                  min_stop_hits: int = 2) -> DataFrame:
+    """Apply the published Gopher thresholds over
+    :func:`gopher_signals`; returns the surviving rows with the
+    ORIGINAL columns (signals stay internal). One projection + one
+    filter on the scan — composes in front of the funnel's
+    `filter_documents`."""
+    s = gopher_signals(df, text_col)
+    keep = ((F.col("n_words") >= min_words)
+            & (F.col("n_words") <= max_words)
+            & (F.col("mean_word_len") >= min_mean_word_len)
+            & (F.col("mean_word_len") <= max_mean_word_len)
+            & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+            & (F.col("frac_bullet_lines") <= max_bullet_lines)
+            & (F.col("frac_ellipsis_lines") <= max_ellipsis_lines)
+            & (F.col("frac_alpha_words") >= min_alpha_words)
+            & (F.col("n_stop_hits") >= min_stop_hits))
+    return s.filter(keep).select(*df.columns)
+
+
 def ngram_novelty(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", window: int = 8) -> DataFrame:
     """Per-document novelty: the fraction of the document's DISTINCT

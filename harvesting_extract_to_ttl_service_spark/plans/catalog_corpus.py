@@ -690,6 +690,46 @@ def corpus_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens", "clf_score")
 
 
+@member_sql(f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS} AS w, {_TOKS_LOW} AS lw
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_words,
+       CAST(len(list_intersect(list_distinct(lw),
+            ['the','be','to','of','and','that','have','with']))
+            AS BIGINT) AS n_stop_hits,
+       round(CASE WHEN len(w) > 0 THEN
+             list_reduce(list_transform(w, x -> len(x)), (a, b) -> a + b)
+             / len(w) ELSE 0.0 END, 4) AS mean_word_len,
+       round(CASE WHEN len(w) > 0 THEN
+             (len(regexp_extract_all(text, '#'))
+              + len(regexp_extract_all(text, '\\.\\.\\.|…'))) / len(w)
+             ELSE 0.0 END, 4) AS symbol_word_ratio,
+       round(CASE WHEN len(w) > 0 THEN
+             len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+             / len(w) ELSE 0.0 END, 4) AS frac_alpha_words
+FROM t
+""")
+def corpus_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher structural-quality signals (operators/text.gopher_signals
+    — the published Rae et al. heuristic battery): word counts, mean
+    word length, symbol-per-word ratio, alphabetic-word fraction, and
+    the 8-word stopword presence count, each restated independently by
+    the oracle. Line-level signals (bullet/ellipsis fractions) are
+    exercised by multi-line unit fixtures — the corpus fixture is
+    single-line."""
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        gopher_signals,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return gopher_signals(docs).select(
+        "doc_id", "n_words", "n_stop_hits", "mean_word_len",
+        "symbol_word_ratio", "frac_alpha_words")
+
+
 _WS_GAMMA = 2.0
 _WS_FLOOR = 0.05
 
@@ -838,6 +878,8 @@ _CORPUS_MEMBERS = [
     ("clf", corpus_clf, ["doc_id", "n_tokens"], ["clf_score"]),
     ("novelty", corpus_novelty, ["doc_id", "n_shingles"], ["novelty"]),
     ("wsample", corpus_wsample, ["doc_id"], []),
+    ("gopher", corpus_gopher, ["doc_id", "n_words", "n_stop_hits"],
+     ["mean_word_len", "symbol_word_ratio", "frac_alpha_words"]),
     ("domains", corpus_domains, ["host", "n_docs", "n_tokens"],
      ["token_share"]),
     ("tsample", corpus_tsample, ["doc_id", "lang"], []),

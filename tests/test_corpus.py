@@ -389,6 +389,37 @@ def test_common_span_pairs_matches_python_mirror_property(spark):
     check()
 
 
+def test_gopher_signals_and_filter(spark):
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        gopher_filter,
+        gopher_signals,
+    )
+
+    good = ("the quick brown fox jumps over that lazy dog and runs off "
+            "to be with all of those other happy animals in the field "
+            "while birds have sung and the sun sets slowly over hills "
+            "with a warm glow that makes everything look golden today "
+            "and everyone agrees it is a very fine evening indeed yes")
+    docs = spark.createDataFrame([
+        (1, good),                                       # passes all
+        (2, "- item one\n- item two\n- item three\nplain line"),
+        (3, "line one...\nline two…\nline three\nline four"),
+        (4, "# ## ### #### " + good),                    # symbol soup
+        (5, "12 34 56 78 90 11 22 33 44 55"),            # no alpha words
+    ], "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_signals(docs).collect()}
+    assert got[1].n_words >= 50 and got[1].n_stop_hits >= 2
+    assert got[1].frac_alpha_words == 1.0
+    assert got[2].frac_bullet_lines == 0.75
+    assert got[3].frac_ellipsis_lines == 0.5
+    assert got[4].symbol_word_ratio > 0.05
+    assert got[5].frac_alpha_words == 0.0
+    kept = {r.doc_id for r in gopher_filter(docs).collect()}
+    assert kept == {1}
+    # filter returns ONLY the original columns
+    assert gopher_filter(docs).columns == ["doc_id", "text"]
+
+
 def test_corpus_overlap_counts(spark):
     from harvesting_extract_to_ttl_service_spark.operators.dedup import (
         corpus_overlap,
