@@ -664,6 +664,8 @@ def filter_documents(docs: DataFrame, min_quality: float = 0.4,
                      lm_alpha: float = 0.5,
                      strip_hot: DataFrame | None = None,
                      strip_window: int = 8,
+                     redact: bool = False,
+                     gopher: bool | dict = False,
                      text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Stage 1 of the corpus funnel: heuristic quality ≥ ``min_quality``,
@@ -689,10 +691,35 @@ def filter_documents(docs: DataFrame, min_quality: float = 0.4,
     ``text_col`` first, deleting tokens covered by a known boilerplate
     window (:func:`~..text.strip_repeated_substrings`) — run before the
     quality score so boilerplate neither inflates nor sinks it, and
-    before dedup so fingerprints/signatures see the real content."""
+    before dedup so fingerprints/signatures see the real content.
+
+    ``redact=True`` rewrites ``text_col`` through
+    :func:`~..text.redact_pii` FIRST (before every signal — scrubbed
+    corpora should score, dedup, and ship the scrubbed text; note the
+    PII-signal cap then sees placeholders, so combine the two only
+    deliberately). ``gopher`` applies the published structural rules
+    (:func:`~..text.gopher_filter`): ``True`` for the standard
+    thresholds, or a dict of that function's keyword overrides. Both
+    are pure per-document rewrites/filters, so batch/stream funnel
+    parity is preserved by construction."""
     from harvesting_extract_to_ttl_service_spark.operators.text import (
         annotate_documents,
     )
+
+    if redact:
+        from harvesting_extract_to_ttl_service_spark.operators.text import (
+            redact_pii,
+        )
+
+        docs = redact_pii(docs, text_col).select(*docs.columns)
+
+    if gopher:
+        from harvesting_extract_to_ttl_service_spark.operators.text import (
+            gopher_filter,
+        )
+
+        gopher_kwargs = gopher if isinstance(gopher, dict) else {}
+        docs = gopher_filter(docs, text_col, **gopher_kwargs)
 
     if strip_hot is not None:
         from harvesting_extract_to_ttl_service_spark.operators.text import (
@@ -763,6 +790,8 @@ def build_training_corpus(docs: DataFrame,
                           lm_alpha: float = 0.5,
                           strip_hot: DataFrame | None = None,
                           strip_window: int = 8,
+                          redact: bool = False,
+                          gopher: bool | dict = False,
                           near_dup_threshold: float | None = 0.7,
                           decontam_min_overlap: int = 2,
                           decontam_mode: str = "shingle",
@@ -817,7 +846,8 @@ def build_training_corpus(docs: DataFrame,
     survivors = filter_documents(
         docs, min_quality, langs, max_dup_line_ratio, max_top_bigram_ratio,
         max_pii_signals, min_avg_logprob, lm_counts, lm_alpha,
-        strip_hot, strip_window, text_col=text_col, id_col=id_col)
+        strip_hot, strip_window, redact=redact, gopher=gopher,
+        text_col=text_col, id_col=id_col)
 
     if url_col is not None:
         # crawl-level dedup BEFORE content dedup (one fetch per page

@@ -264,6 +264,8 @@ def corpus_batch(docs: DataFrame, batch_id: int, corpus_dir: str,
                  lm_alpha: float = 0.5,
                  strip_hot: DataFrame | None = None,
                  strip_window: int = 8,
+                 redact: bool = False,
+                 gopher: bool | dict = False,
                  near_dup_threshold: float | None = 0.7,
                  decontam_min_overlap: int = 2,
                  decontam_mode: str = "shingle",
@@ -322,7 +324,8 @@ def corpus_batch(docs: DataFrame, batch_id: int, corpus_dir: str,
     filtered = filter_documents(
         docs, min_quality, langs, max_dup_line_ratio, max_top_bigram_ratio,
         max_pii_signals, min_avg_logprob, lm_counts, lm_alpha,
-        strip_hot, strip_window, text_col=text_col, id_col=id_col)
+        strip_hot, strip_window, redact=redact, gopher=gopher,
+        text_col=text_col, id_col=id_col)
 
     if url_col is not None:
         filtered = _url_dedup_stage(filtered, batch_id, corpus_dir,

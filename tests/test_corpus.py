@@ -389,6 +389,65 @@ def test_common_span_pairs_matches_python_mirror_property(spark):
     check()
 
 
+def test_funnel_gopher_and_redact_stages(spark):
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        build_training_corpus,
+    )
+
+    good = ("the quick brown fox jumps over that lazy dog and runs off "
+            "to be with all of those other happy animals in the field "
+            "while birds have sung and the sun sets slowly over hills "
+            "with a warm glow that makes everything look golden today "
+            "and everyone agrees it is a very fine evening indeed yes")
+    docs = spark.createDataFrame([
+        (1, good),
+        (2, "way too short to pass the gopher word-count rule"),
+        (3, "please contact me at someone@example.com about " + good),
+    ], "doc_id long, text string")
+    out = build_training_corpus(docs, min_quality=0.0,
+                                near_dup_threshold=None,
+                                gopher=True, redact=True)
+    got = {r.doc_id: r.text for r in out.collect()}
+    assert set(got) == {1, 3}
+    assert got[3].startswith("please contact me at <EMAIL> about")
+    # redaction happens inside the funnel's shared filter stage, so the
+    # SHIPPED text is the scrubbed text
+    assert "someone@example.com" not in got[3]
+
+
+def test_stream_gopher_redact_matches_batch_funnel(spark, tmp_path):
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        build_training_corpus,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.corpus_stream import (
+        corpus_batch,
+        read_corpus,
+    )
+
+    good = ("the quick brown fox jumps over that lazy dog and runs off "
+            "to be with all of those other happy animals in the field "
+            "while birds have sung and the sun sets slowly over hills "
+            "with a warm glow that makes everything look golden today "
+            "and everyone agrees it is a very fine evening indeed yes")
+    batches = [
+        [(1, good), (2, "too short for gopher")],
+        [(10, "mail x@y.org then " + good + " thanks")],
+    ]
+    kw = dict(min_quality=0.0, near_dup_threshold=None,
+              gopher=True, redact=True)
+    cdir = str(tmp_path / "corpus")
+    for i, rows in enumerate(batches):
+        corpus_batch(spark.createDataFrame(rows, "doc_id long, text string"),
+                     i, cdir, **kw)
+    got = {(r.doc_id, r.text) for r in read_corpus(spark, cdir).collect()}
+    all_docs = spark.createDataFrame([r for b in batches for r in b],
+                                     "doc_id long, text string")
+    want = {(r.doc_id, r.text)
+            for r in build_training_corpus(all_docs, **kw).collect()}
+    assert got == want and {d for d, _ in got} == {1, 10}
+    assert all("@" not in t or "<EMAIL>" in t for _, t in got)
+
+
 def test_gopher_signals_and_filter(spark):
     from harvesting_extract_to_ttl_service_spark.operators.text import (
         gopher_filter,
