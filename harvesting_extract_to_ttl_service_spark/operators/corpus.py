@@ -509,6 +509,98 @@ def write_training_shards(df: DataFrame, out_dir: str, n_shards: int,
      .write.mode("overwrite").partitionBy("shard").parquet(out_dir))
 
 
+def write_shard_manifest(spark, out_dir: str, budget_tokens: int,
+                         shuffle_epoch: int | None = None) -> dict:
+    """Write ``_shards_manifest.json`` next to a
+    :func:`write_training_shards` artifact: the packing config plus
+    per-shard document/token/chunk counts — the integrity contract a
+    loader checks before training (a missing shard directory or a
+    partial rewrite is silent otherwise: parquet reads whatever files
+    exist). One scan of the just-written artifact, aggregated to
+    shard-level rows (a bounded driver collect of n_shards rows).
+    Returns the manifest dict."""
+    import json
+
+    from harvesting_extract_to_ttl_service_spark.sources.files import (
+        _hadoop_fs,
+    )
+
+    rows = (spark.read.parquet(out_dir)
+            .groupBy("shard")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens"),
+                 (F.max("chunk") + 1).alias("n_chunks"))
+            .collect())
+    manifest = {
+        "budget_tokens": budget_tokens,
+        "shuffle_epoch": shuffle_epoch,
+        "n_shards": len(rows),
+        "shards": {str(r.shard): {"n_docs": r.n_docs,
+                                  "n_tokens": int(r.n_tokens),
+                                  "n_chunks": int(r.n_chunks)}
+                   for r in sorted(rows, key=lambda r: r.shard)},
+    }
+    fs, _ = _hadoop_fs(spark, out_dir)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(
+        f"{out_dir}/_shards_manifest.json")
+    out = fs.create(jpath, True)
+    try:
+        out.write(json.dumps(manifest).encode())
+    finally:
+        out.close()
+    return manifest
+
+
+def check_shard_manifest(spark, out_dir: str) -> dict:
+    """Loader-side integrity check: re-aggregate the artifact and
+    compare against ``_shards_manifest.json``; raises on any mismatch
+    (missing shard dir, partial rewrite, wrong artifact) and returns
+    the verified manifest. Cost: one scan of the shard coordinates
+    (column-pruned — no text column is read)."""
+    import json
+
+    from harvesting_extract_to_ttl_service_spark.sources.files import (
+        _hadoop_fs,
+    )
+
+    fs, _ = _hadoop_fs(spark, out_dir)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(
+        f"{out_dir}/_shards_manifest.json")
+    if not fs.exists(jpath):
+        raise ValueError(f"no _shards_manifest.json under {out_dir} — "
+                         f"not a manifested shard artifact")
+    stream = fs.open(jpath)
+    try:
+        buf = spark._jvm.java.io.BufferedReader(
+            spark._jvm.java.io.InputStreamReader(stream, "UTF-8"))
+        data = []
+        line = buf.readLine()
+        while line is not None:
+            data.append(line)
+            line = buf.readLine()
+    finally:
+        stream.close()
+    want = json.loads("\n".join(data))
+    have = {
+        str(r.shard): {"n_docs": r.n_docs, "n_tokens": int(r.n_tokens),
+                       "n_chunks": int(r.n_chunks)}
+        for r in (spark.read.parquet(out_dir)
+                  .groupBy("shard")
+                  .agg(F.count("*").alias("n_docs"),
+                       F.sum("n_tokens").alias("n_tokens"),
+                       (F.max("chunk") + 1).alias("n_chunks"))
+                  .collect())
+    }
+    if have != want["shards"]:
+        missing = sorted(set(want["shards"]) - set(have))
+        changed = sorted(k for k in set(want["shards"]) & set(have)
+                         if want["shards"][k] != have[k])
+        raise ValueError(
+            f"shard artifact at {out_dir} does not match its manifest: "
+            f"missing shards {missing}, changed shards {changed}")
+    return want
+
+
 def _stratum_frame(df: DataFrame, strata_col: str, text_col: str,
                    id_col: str) -> tuple[DataFrame, str]:
     """Resolve the stratum column for a sampling stage: the

@@ -1326,3 +1326,42 @@ def test_score_buckets_equal_population_tiers(spark):
     assert sum(1 for i in by_id if by_id[i] != appr[i]) <= 5
     with pytest.raises(ValueError):
         score_buckets(df, 1, score_col="score")
+
+
+def test_shard_manifest_roundtrip_and_tamper_detection(spark, tmp_path):
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        assign_shards,
+        check_shard_manifest,
+        pack_chunks,
+        write_shard_manifest,
+        write_training_shards,
+    )
+
+    rows = [(i, " ".join(f"w{j}" for j in range(3 + i % 5)))
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, n_shards=4, budget_tokens=16)
+    m = write_shard_manifest(spark, out, budget_tokens=16)
+    assert m["n_shards"] == 4 and m["budget_tokens"] == 16
+    assert sum(s["n_docs"] for s in m["shards"].values()) == 40
+    # per-shard counts agree with the packing operator
+    want = pack_chunks(assign_shards(docs, 4), budget_tokens=16)
+    per = {str(r.shard): r.n for r in
+           want.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    assert {k: v["n_docs"] for k, v in m["shards"].items()} == per
+
+    assert check_shard_manifest(spark, out) == m
+
+    # tamper: delete one shard directory → the loader check must raise
+    import shutil
+
+    shutil.rmtree(f"{out}/shard=2")
+    with pytest.raises(ValueError, match="missing shards \\['2'\\]"):
+        check_shard_manifest(spark, out)
+
+    # no manifest at all → explicit refusal
+    out2 = str(tmp_path / "bare")
+    write_training_shards(docs, out2, n_shards=2, budget_tokens=16)
+    with pytest.raises(ValueError, match="not a manifested"):
+        check_shard_manifest(spark, out2)
