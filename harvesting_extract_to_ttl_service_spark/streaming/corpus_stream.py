@@ -563,9 +563,17 @@ def finalize_corpus(spark: SparkSession, corpus_dir: str,
                           budget_tokens=temperature_budget_tokens)
         survivors = sdf.select(*orig)
     if out_dir is not None:
+        from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+            write_shard_manifest,
+        )
+
         write_training_shards(survivors, out_dir, n_shards,
                               budget_tokens, text_col, id_col,
                               shuffle_epoch=shuffle_epoch)
+        # the finalized artifact ships with its integrity contract: a
+        # loader runs check_shard_manifest before training
+        write_shard_manifest(spark, out_dir, budget_tokens,
+                             shuffle_epoch=shuffle_epoch)
     return survivors
 
 
