@@ -139,3 +139,47 @@ def test_filter_domains_allow_block_and_suffix(spark):
 
     with pytest.raises(ValueError):
         filter_domains(df)
+
+
+def test_normalize_url_duckdb_lockstep_property(spark):
+    """Hypothesis sweep: over generated scheme/host/port/path/params/
+    fragment combinations (including tracking params, weird case, empty
+    segments, and non-URLs), the Spark expression and the DuckDB twin
+    must produce the identical canonical string — the lockstep contract
+    normalize_url_sql documents."""
+    import duckdb
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    scheme = st.sampled_from(["http", "HTTP", "https", "HTTPS", "ftp", ""])
+    host = st.sampled_from(["Ex.ORG", "a.b.ex.org", "EX.org", ""])
+    port = st.sampled_from(["", ":80", ":443", ":8080"])
+    path = st.sampled_from(["", "/", "/A/b", "/a//b/", "/x/"])
+    param = st.sampled_from(["a=1", "B=2", "utm_source=x", "fbclid=9",
+                             "ref=r", "z", ""])
+    params = st.lists(param, max_size=4)
+    frag = st.sampled_from(["", "#f", "#a?b=1"])
+    parts = st.tuples(scheme, host, port, path, params, frag)
+
+    con = duckdb.connect()
+
+    @given(cases=st.lists(parts, min_size=1, max_size=8))
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def check(cases):
+        urls = []
+        for s, h, p, pa, pr, f in cases:
+            q = "?" + "&".join(pr) if pr else ""
+            sep = "://" if s else ""
+            urls.append(f"{s}{sep}{h}{p}{pa}{q}{f}")
+        df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                                   "i long, url string")
+        got = [r.n for r in df.select(
+            "i", normalize_url(F.col("url")).alias("n"))
+            .orderBy("i").collect()]
+        want = [con.execute("SELECT " + normalize_url_sql(
+            "'" + u.replace("'", "''") + "'")).fetchone()[0]
+            for u in urls]
+        assert got == want, urls
+
+    check()
