@@ -183,3 +183,46 @@ def test_normalize_url_duckdb_lockstep_property(spark):
         assert got == want, urls
 
     check()
+
+
+def test_redact_pii_accounting_and_idempotence_property(spark):
+    """Hypothesis sweep: per-kind counts must equal the placeholder
+    tokens actually inserted (the no-double-counting order contract),
+    and redaction is idempotent — placeholders contain no digits or
+    '@', so a second pass changes nothing."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        redact_pii,
+    )
+
+    piece = st.sampled_from([
+        "plain", "words", "bob@example.com", "x.y+z@mail.co",
+        "10.0.0.1", "192.168.255.254", "+3225551234", "(02) 555-9876",
+        "almost@nope", "1.2.3", "#", "end.",
+    ])
+    texts = st.lists(st.lists(piece, max_size=8).map(" ".join),
+                     min_size=1, max_size=6)
+
+    @given(texts=texts)
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def check(texts):
+        df = spark.createDataFrame(list(enumerate(texts)),
+                                   "doc_id long, text string")
+        out = redact_pii(df).collect()
+        for r in out:
+            assert r.text.count("<EMAIL>") == r.n_redacted_email, r
+            assert r.text.count("<IP>") == r.n_redacted_ip, r
+            assert r.text.count("<PHONE>") == r.n_redacted_phone, r
+        again = {r.doc_id: r for r in redact_pii(
+            spark.createDataFrame([(r.doc_id, r.text) for r in out],
+                                  "doc_id long, text string")).collect()}
+        for r in out:
+            a = again[r.doc_id]
+            assert a.text == r.text
+            assert (a.n_redacted_email, a.n_redacted_ip,
+                    a.n_redacted_phone) == (0, 0, 0)
+
+    check()
