@@ -1,0 +1,258 @@
+"""Trained-model import for the classifier surface — the bridge from an
+OFFLINE-trained text classifier (fastText-style supervised model, a
+sklearn linear head, any token→weight export) to this package's
+hashing-trick inference operators (operators/text.py
+:func:`~..operators.text.hashed_linear_score`), plus the multi-class
+head that upgrades :func:`~..operators.text.lang_id` from marker-list
+heuristics to real model weights.
+
+Why this exists: language ID and quality scoring are the first two
+MODEL passes of every production corpus funnel (CCNet/GPT-3 tradition —
+a tiny linear model trained offline, applied to every crawl document).
+The inference operators score any ``(bucket, weight)`` table, but a
+real deployment starts from an exported model FILE; this module is the
+loader that turns such a file into the broadcastable weight tables the
+operators consume, entirely inside the DataFrame API (the model file is
+read DISTRIBUTED — a 10 GB ``.vec`` export is just another text scan).
+
+File format — the fastText ``.vec`` text convention (public format:
+first line ``<n_rows> <dim>``, then one row per token:
+``token v1 v2 ... v<dim>``, whitespace-separated). A binary
+(single-output) model is ``dim=1``; a supervised multi-class export is
+``dim=k`` with a caller-supplied ``labels`` list mapping vector
+positions to class names (fastText's ``__label__x`` order).
+
+Hash-collision policy: tokens that land in the same bucket have their
+weights SUMMED (the standard hashing-trick estimator — collisions are
+noise the training already tolerates, and summation keeps the loaded
+table exactly equivalent to scoring with per-token weights when there
+are no collisions). The per-bucket sum folds a TOKEN-SORTED array so
+both engines add the floats in the same order (the same cross-engine
+float-sum pinning as temperature_mixture's denominator).
+
+Reference analogue: none — the reference service runs no model passes
+(`/root/reference/app.js` is a harvest/extract pipeline); this is
+extension surface for the LLM-corpus funnel (SURVEY.md §2C).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def parse_vec_model(spark: SparkSession, path: str,
+                    dim: int | None = None) -> DataFrame:
+    """Distributed parse of a fastText-style ``.vec`` text export into
+    ``(token string, vec array<double>)``.
+
+    * header lines (all-integer rows, the ``<n> <dim>`` convention) are
+      dropped wherever they appear — a concatenated/partitioned export
+      may carry one per part-file;
+    * ``dim``, when given, is ENFORCED in-plan (``assert_true``): a row
+      with the wrong arity or an unparsable float fails the scan loudly
+      instead of feeding NULL weights downstream.
+
+    One text scan, pure column expressions — no driver-side parsing, so
+    the model file can be arbitrarily large and lands already
+    partitioned for the hash step."""
+    parts = F.split(F.trim(F.col("value")), r"\s+")
+    skip = (F.trim(F.col("value")) == "") \
+        | F.trim(F.col("value")).rlike(r"^[0-9]+(\s+[0-9]+)*$")
+    vec = F.transform(F.slice(parts, 2, F.size(parts) - 1),
+                      lambda v: v.cast("double"))
+    if dim is not None:
+        # two subtleties: the guard lives INSIDE the vec column
+        # (when/raise_error — a dropped assert_true column would be
+        # pruned away with the projection), and it re-tests the
+        # header/blank condition itself (Catalyst is free to evaluate
+        # projection expressions before or interleaved with the
+        # header-dropping filter, so the guard must not fire on rows
+        # the filter is about to discard).
+        ok = (F.size(vec) == dim) & ~F.exists(vec, lambda v: v.isNull())
+        vec = F.when(skip, F.lit(None).cast("array<double>")) \
+            .when(ok, vec) \
+            .otherwise(F.raise_error(F.concat(
+                F.lit(f"parse_vec_model: expected {dim} parsable floats "
+                      f"per row, got a malformed row for token "),
+                parts.getItem(0))))
+    return (spark.read.text(path)
+            .filter(~skip)
+            .select(parts.getItem(0).alias("token"), vec.alias("vec")))
+
+
+def hash_vec_weights(vecs: DataFrame, labels: list[str],
+                     n_buckets: int = 1024,
+                     salt: str = "clf") -> DataFrame:
+    """Fold a parsed ``(token, vec)`` model into the long-form
+    multi-class weight table ``(bucket, label, weight)`` consumed by
+    :func:`hashed_multiclass_score`.
+
+    ``bucket`` is the SAME hashing-trick bucket the scorer assigns to
+    document tokens (``floor(hash_fraction(token, salt) · n_buckets)``)
+    — loader and scorer must share ``salt``/``n_buckets`` or every
+    lookup misses. Colliding tokens' weights are summed over a
+    token-sorted fold (see module docstring), rounded to 6 dp so the
+    broadcast table is bit-identical across engines.
+
+    Output is at most ``n_buckets × len(labels)`` rows — broadcast
+    material by construction, never a shuffle partner."""
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"hash_vec_weights: duplicate labels {labels}")
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        hash_fraction,
+    )
+
+    label_arr = F.array(*[F.lit(str(lb)) for lb in labels])
+    bucket = F.floor(hash_fraction(F.col("token"), salt)
+                     * F.lit(n_buckets)).cast("long")
+    exploded = vecs.select(
+        bucket.alias("bucket"), F.col("token"),
+        F.posexplode(F.col("vec")).alias("i", "w")).select(
+        "bucket", F.element_at(label_arr, F.col("i") + 1).alias("label"),
+        "token", "w")
+    return (exploded.groupBy("bucket", "label")
+            .agg(F.sort_array(F.collect_list(F.struct("token", "w")))
+                 .alias("_ws"))
+            .select("bucket", "label",
+                    F.round(F.aggregate(
+                        "_ws", F.lit(0.0),
+                        lambda acc, s: acc + s.getField("w")), 6)
+                    .alias("weight")))
+
+
+def hash_vec_weights_binary(vecs: DataFrame, n_buckets: int = 1024,
+                            salt: str = "clf") -> DataFrame:
+    """The ``dim=1`` convenience: fold a single-output model export into
+    the ``(bucket, weight)`` table
+    :func:`~..operators.text.hashed_linear_score` consumes directly —
+    same bucket function, same token-sorted collision sum."""
+    # guard folded into the weight column itself (a dropped assert_true
+    # column would be pruned away — see parse_vec_model)
+    one = vecs.select(
+        "token",
+        F.when(F.size(F.col("vec")) == 1,
+               F.element_at(F.col("vec"), 1))
+        .otherwise(F.raise_error(F.lit(
+            "hash_vec_weights_binary: model is not a single-output "
+            "export — use hash_vec_weights with a labels list")))
+        .alias("w"))
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        hash_fraction,
+    )
+
+    bucket = F.floor(hash_fraction(F.col("token"), salt)
+                     * F.lit(n_buckets)).cast("long")
+    return (one.select(bucket.alias("bucket"), "token", "w")
+            .groupBy("bucket")
+            .agg(F.sort_array(F.collect_list(F.struct("token", "w")))
+                 .alias("_ws"))
+            .select("bucket",
+                    F.round(F.aggregate(
+                        "_ws", F.lit(0.0),
+                        lambda acc, s: acc + s.getField("w")), 6)
+                    .alias("weight")))
+
+
+def hashed_multiclass_score(df: DataFrame, weights: DataFrame,
+                            labels: list[str],
+                            biases: list[float] | None = None,
+                            n_buckets: int = 1024,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            salt: str = "clf",
+                            pred_col: str = "pred",
+                            score_col: str = "pred_logit",
+                            unknown: str = "und") -> DataFrame:
+    """Multi-class linear inference over hashed bag-of-words features —
+    the k-headed sibling of
+    :func:`~..operators.text.hashed_linear_score`:
+
+        logit_l = bias_l + Σ_b weight[b, l] · tf(b)
+        pred    = argmax_l logit_l
+
+    ``weights`` is the long-form ``(bucket, label, weight)`` table from
+    :func:`hash_vec_weights` — BROADCAST (≤ n_buckets·k rows), never
+    shuffled. ``tf(b)`` is the bucket's token-count share, so document
+    length cancels exactly as in the binary scorer. Buckets absent from
+    the model contribute 0 to every head but still count toward the
+    normalizer (sparse-model semantics, via the tf denominator being
+    the TOTAL token count).
+
+    Scale shape — the binary scorer's two-level aggregation plus one
+    classes-sized dimension: (doc, bucket) partials finish map-side,
+    the weight join fans each doc-bucket row out to at most k label
+    rows, and the argmax is a per-doc aggregate over k rows
+    (``min(struct(-logit, label))`` — deterministic tie-break: highest
+    logit, then label ascending; logits are pre-rounded to 6 dp so the
+    comparison is cross-engine stable). Token instances never reach a
+    join or shuffle.
+
+    Documents with no tokens predict ``unknown`` with NULL score (the
+    :func:`~..operators.text.lang_id` 'und' convention — a bias-only
+    argmax would just report which class the model assumes a priori).
+
+    Returns ``df`` + ``n_tokens`` + ``pred_col`` + ``score_col`` (the
+    winning logit, 6 dp)."""
+    if biases is not None and len(biases) != len(labels):
+        raise ValueError(
+            f"hashed_multiclass_score: {len(biases)} biases for "
+            f"{len(labels)} labels")
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        hash_fraction,
+    )
+    from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+        spread_for_cpu,
+    )
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        tokens,
+    )
+
+    spark = df.sparkSession
+    b = biases or [0.0] * len(labels)
+    label_rows = [(str(lb), float(bi)) for lb, bi in zip(labels, b)]
+    heads = spark.createDataFrame(label_rows, "label string, bias double")
+
+    df = spread_for_cpu(df)
+    ex = df.select(F.col(id_col).alias("_id"),
+                   F.explode(tokens(F.lower(F.col(text_col)))).alias("t"))
+    bucket = F.floor(hash_fraction(F.col("t"), salt)
+                     * F.lit(n_buckets)).cast("long")
+    pd_ = (ex.select("_id", bucket.alias("bucket"))
+           .groupBy("_id", "bucket").agg(F.count("*").alias("_c")))
+    totals = pd_.groupBy("_id").agg(F.sum("_c").alias("_n"))
+    dots = (pd_.join(F.broadcast(weights), "bucket")
+            .groupBy("_id", "label")
+            .agg(F.sum(F.col("_c") * F.col("weight")).alias("_num")))
+    logits = (totals.crossJoin(F.broadcast(heads))
+              .join(dots, ["_id", "label"], "left")
+              .select("_id", "_n", "label",
+                      F.round(F.col("bias")
+                              + F.coalesce(F.col("_num"), F.lit(0.0))
+                              / F.col("_n"), 6).alias("_logit")))
+    win = (logits.groupBy("_id", "_n")
+           .agg(F.min(F.struct((-F.col("_logit")).alias("nl"),
+                               F.col("label").alias("l"))).alias("_w")))
+    joined = df.join(win, df[id_col] == win["_id"], "left")
+    return joined.select(
+        *df.columns,
+        F.coalesce(F.col("_n"), F.lit(0).cast("long")).alias("n_tokens"),
+        F.coalesce(F.col("_w").getField("l"), F.lit(unknown))
+        .alias(pred_col),
+        F.round(-F.col("_w").getField("nl"), 6).alias(score_col))
+
+
+def lang_id_model(df: DataFrame, weights: DataFrame, labels: list[str],
+                  biases: list[float] | None = None,
+                  n_buckets: int = 1024, text_col: str = "text",
+                  id_col: str = "doc_id", salt: str = "clf") -> DataFrame:
+    """Model-backed language ID — :func:`hashed_multiclass_score` with
+    the :func:`~..operators.text.lang_id` output convention
+    (``lang_pred``, 'und' for token-less docs, plus ``lang_logit``):
+    load a trained fastText-style LID export with
+    :func:`parse_vec_model` → :func:`hash_vec_weights` and every
+    document gets its argmax language in one broadcast-joined pass —
+    the marker-list heuristic's production replacement."""
+    return hashed_multiclass_score(
+        df, weights, labels, biases, n_buckets, text_col, id_col, salt,
+        pred_col="lang_pred", score_col="lang_logit")

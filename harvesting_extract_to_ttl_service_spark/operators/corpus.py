@@ -149,9 +149,15 @@ def score_weighted_sample(df: DataFrame, score_col: str,
     Membership is the package's deterministic hash fraction of the id —
     reproducible across runs/engines, one filter expression on the
     scan, no shuffle, no RNG state. Composes with the other samplers
-    (each uses its own salt, so decisions stay independent)."""
-    s = F.least(F.lit(1.0), F.greatest(F.lit(0.0),
-                                       F.col(score_col).cast("double")))
+    (each uses its own salt, so decisions stay independent).
+
+    NULL scores coalesce to 0.0: an unscored document survives at the
+    exploration ``floor`` rather than silently vanishing (a NULL rate
+    would fail the filter comparison and drop the row — the one
+    outcome a sampler must never produce implicitly)."""
+    s = F.least(F.lit(1.0), F.greatest(
+        F.lit(0.0), F.coalesce(F.col(score_col).cast("double"),
+                               F.lit(0.0))))
     rate = (F.lit(float(floor))
             + F.lit(1.0 - float(floor)) * F.pow(s, F.lit(float(gamma))))
     return df.filter(hash_fraction(F.col(id_col), salt) < rate)
@@ -790,7 +796,9 @@ def filter_documents(docs: DataFrame, min_quality: float = 0.4,
     corpora should score, dedup, and ship the scrubbed text; note the
     PII-signal cap then sees placeholders, so combine the two only
     deliberately). ``gopher`` applies the published structural rules
-    (:func:`~..text.gopher_filter`): ``True`` for the standard
+    (:func:`~..text.gopher_filter`) AFTER the ``strip_hot`` rewrite —
+    structural quality is judged on the text that ships, not on
+    boilerplate the funnel deletes anyway: ``True`` for the standard
     thresholds, or a dict of that function's keyword overrides. Both
     are pure per-document rewrites/filters, so batch/stream funnel
     parity is preserved by construction."""
@@ -805,14 +813,6 @@ def filter_documents(docs: DataFrame, min_quality: float = 0.4,
 
         docs = redact_pii(docs, text_col).select(*docs.columns)
 
-    if gopher:
-        from harvesting_extract_to_ttl_service_spark.operators.text import (
-            gopher_filter,
-        )
-
-        gopher_kwargs = gopher if isinstance(gopher, dict) else {}
-        docs = gopher_filter(docs, text_col, **gopher_kwargs)
-
     if strip_hot is not None:
         from harvesting_extract_to_ttl_service_spark.operators.text import (
             strip_repeated_substrings,
@@ -821,6 +821,18 @@ def filter_documents(docs: DataFrame, min_quality: float = 0.4,
         docs = strip_repeated_substrings(
             docs, text_col, id_col, strip_window,
             hot=strip_hot).select(*docs.columns)
+
+    # Gopher AFTER the boilerplate strip: the structural rules
+    # (word count, line shapes, stopword hits) must score the content
+    # that will actually ship — a mostly-boilerplate page must not pass
+    # min_words on text that the strip stage then deletes.
+    if gopher:
+        from harvesting_extract_to_ttl_service_spark.operators.text import (
+            gopher_filter,
+        )
+
+        gopher_kwargs = gopher if isinstance(gopher, dict) else {}
+        docs = gopher_filter(docs, text_col, **gopher_kwargs)
 
     annotated = annotate_documents(docs, text_col=text_col, id_col=id_col)
     kept = annotated.filter(F.col("quality") >= min_quality)

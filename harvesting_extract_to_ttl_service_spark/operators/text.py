@@ -223,10 +223,23 @@ def shingle_positions(df: DataFrame, text_col: str = "text",
         "id", (F.col("pos0") + 1).alias("pos"), "hash")
 
 
+# Default per-shingle document-frequency cap for the shared-span
+# detector. A shingle present in d documents contributes O(d²) candidate
+# rows to the hash equi-join, so ONE corpus-hot shingle (boilerplate, a
+# license header) turns the detector quadratic — the single silent
+# scale footgun this module had. 256 is ~2× the largest near-dup
+# cluster the dedup policies tolerate before keep-one collapses it, far
+# above any genuine pairwise-shared passage, and caps the per-hash term
+# at a constant. Pass ``max_df=None`` to opt out EXPLICITLY (exhaustive
+# small-corpus forensics only).
+DEFAULT_SPAN_MAX_DF = 256
+
+
 def common_span_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", window: int = 8,
                       min_span: int = 16,
-                      max_df: int | None = None) -> DataFrame:
+                      max_df: int | None = DEFAULT_SPAN_MAX_DF
+                      ) -> DataFrame:
     """Cross-document SHARED SPANS: for every document pair, every
     maximal run of identical consecutive tokens at least ``min_span``
     tokens long, with its start position in each document — the
@@ -235,10 +248,12 @@ def common_span_pairs(df: DataFrame, text_col: str = "text",
     passages; this finds long verbatim overlap between two documents
     even when each passage occurs only twice).
 
-    Plan: (1) position-carrying shingle rows; (2) optional hot-shingle
-    drop (``max_df``: shingles in more than that many documents leave
-    the candidate join — boilerplate is :func:`hot_passages`' job, and
-    a corpus-hot shingle would explode the join quadratically);
+    Plan: (1) position-carrying shingle rows; (2) hot-shingle drop
+    (``max_df``, ON BY DEFAULT at :data:`DEFAULT_SPAN_MAX_DF`: shingles
+    in more than that many documents leave the candidate join —
+    boilerplate is :func:`hot_passages`' job, and a corpus-hot shingle
+    would explode the join quadratically; ``max_df=None`` is the
+    explicit unbounded opt-out);
     (3) hash equi-join (id_a < id_b) → matching coordinates;
     (4) gaps-and-islands along each pair's DIAGONAL pos_a − pos_b:
     consecutive shingle matches on one diagonal are one run, so a run
@@ -253,13 +268,28 @@ def common_span_pairs(df: DataFrame, text_col: str = "text",
     AQE hazard), no all-pairs term once ``max_df`` bounds per-hash
     fan-out. Documents shorter than ``window`` contribute one truncated
     shingle (mirrored by the oracle); spans they join are nominally
-    counted at full window width."""
+    counted at full window width.
+
+    ``min_span < window`` is REJECTED: a shared run shorter than the
+    shingle window produces no matching shingle at all, so such a
+    setting would silently under-report every span in
+    ``[min_span, window-1]`` — shrink ``window`` instead (the same
+    loud-refusal convention as dedup.py's ``blocks > max_hamming``
+    guard)."""
     from pyspark.sql import Window
 
     from harvesting_extract_to_ttl_service_spark.operators.dedup import (
         _pin_join_parallelism,
         spread_for_cpu,
     )
+
+    if min_span < window:
+        raise ValueError(
+            f"common_span_pairs: min_span={min_span} < window={window} "
+            f"cannot be honored — runs shorter than the shingle window "
+            f"leave no shingle to match, so spans in [{min_span}, "
+            f"{window - 1}] would be silently missed. Lower window to "
+            f"at most min_span (detection is exact for runs ≥ window).")
 
     sp = shingle_positions(spread_for_cpu(df), text_col, id_col, window)
     if max_df is not None:
@@ -306,7 +336,12 @@ def gopher_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     are the structural rules; :func:`gopher_filter` applies the
     published thresholds."""
     t = F.col(text_col)
-    words = tokens(t)
+    # ONE token array, lowered once: every signal that reads it is
+    # case-invariant (sizes, per-token lengths, contains-a-letter), and
+    # the stopword intersection needs the lowered form — so the cased
+    # duplicate the first cut computed was pure repeated work inside
+    # codegen (measurable on 100 kB documents).
+    words = tokens(F.lower(t))
     n_words = F.size(words)
     mean_wl = F.when(n_words > 0,
                      F.aggregate(words, F.lit(0),
@@ -322,9 +357,8 @@ def gopher_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     ellip = F.size(F.filter(
         lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$")))
     alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
-    low = tokens(F.lower(t))
     stop_hits = F.size(F.array_intersect(
-        F.array_distinct(low),
+        F.array_distinct(words),
         F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])))
     return df.select(
         *df.columns,
@@ -399,7 +433,8 @@ def ngram_novelty(df: DataFrame, text_col: str = "text",
 def strip_shared_spans(df: DataFrame, spans: DataFrame | None = None,
                        text_col: str = "text", id_col: str = "doc_id",
                        window: int = 8, min_span: int = 16,
-                       max_df: int | None = None) -> DataFrame:
+                       max_df: int | None = DEFAULT_SPAN_MAX_DF
+                       ) -> DataFrame:
     """The removal step over :func:`common_span_pairs`' detections:
     delete from each HIGHER-id document every token covered by a
     qualifying shared span (the lower-id copy survives intact — the

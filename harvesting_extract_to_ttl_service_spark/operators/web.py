@@ -25,6 +25,15 @@ from pyspark.sql import functions as F
 # to the first /, ?, or #. No lookaround (Java regex + RE2 portability).
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+# userinfo prefix of the authority ("user:pass@"). Stripped before the
+# host is used as a canonical/grouping key: keeping it would let
+# `user@host` defeat or spoof suffix-based allow/block matching and
+# split per-domain stats (credentials are also not part of the
+# resource identity for dedup purposes). Greedy `.*@` because RFC 3986
+# ends userinfo at the LAST '@' of the authority (an unencoded '@' may
+# appear inside a password); applied to the already-extracted authority,
+# which contains no '/', so greediness cannot cross into the path.
+_USERINFO_RE = r"^.*@"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
 _QUERY_RE = r"\?([^#]*)"
 
@@ -48,7 +57,8 @@ def normalize_url(url: Column) -> Column:
     arbitrary keys). Pure column expression — evaluated in-scan."""
     no_frag = F.regexp_replace(url, r"#.*", "")
     scheme = F.lower(F.regexp_extract(no_frag, _SCHEME_RE, 1))
-    hostport = F.lower(F.regexp_extract(no_frag, _HOST_RE, 1))
+    hostport = F.lower(F.regexp_replace(
+        F.regexp_extract(no_frag, _HOST_RE, 1), _USERINFO_RE, ""))
     host = F.when(scheme == "http",
                   F.regexp_replace(hostport, r":80$", "")) \
         .when(scheme == "https", F.regexp_replace(hostport, r":443$", "")) \
@@ -73,7 +83,8 @@ def normalize_url_sql(url_expr: str) -> str:
     the two in lockstep)."""
     no_frag = f"regexp_replace({url_expr}, '#.*', '')"
     scheme = f"lower(regexp_extract({no_frag}, '{_SCHEME_RE}', 1))"
-    hostport = f"lower(regexp_extract({no_frag}, '{_HOST_RE}', 1))"
+    hostport = (f"lower(regexp_replace(regexp_extract({no_frag}, "
+                f"'{_HOST_RE}', 1), '{_USERINFO_RE}', ''))")
     host = (f"CASE WHEN {scheme} = 'http' "
             f"THEN regexp_replace({hostport}, ':80$', '') "
             f"WHEN {scheme} = 'https' "
@@ -96,15 +107,17 @@ def url_host(url: Column) -> Column:
     """Lowercased host of an absolute URL, any ``:port`` stripped; NULL
     when the string has no ``scheme://host`` shape. Pure column
     expression (the grouping key for per-domain corpus statistics)."""
-    hostport = F.lower(F.regexp_extract(url, _HOST_RE, 1))
+    hostport = F.lower(F.regexp_replace(
+        F.regexp_extract(url, _HOST_RE, 1), _USERINFO_RE, ""))
     host = F.regexp_replace(hostport, r":[0-9]+$", "")
     return F.when(host == "", F.lit(None).cast("string")).otherwise(host)
 
 
 def url_host_sql(url_expr: str) -> str:
     """DuckDB restatement of :func:`url_host` (oracle twin)."""
-    host = (f"regexp_replace(lower(regexp_extract({url_expr}, "
-            f"'{_HOST_RE}', 1)), ':[0-9]+$', '')")
+    host = (f"regexp_replace(lower(regexp_replace(regexp_extract("
+            f"{url_expr}, '{_HOST_RE}', 1), '{_USERINFO_RE}', '')), "
+            f"':[0-9]+$', '')")
     return f"CASE WHEN {host} = '' THEN NULL ELSE {host} END"
 
 

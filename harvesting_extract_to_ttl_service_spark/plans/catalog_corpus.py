@@ -740,7 +740,8 @@ WITH clf AS ({_CLF_SQL}
 SELECT doc_id FROM clf
 WHERE {hash_fraction_sql('doc_id', 'wsample')}
       < {_WS_FLOOR} + {1.0 - _WS_FLOOR}
-        * pow(least(1.0, greatest(0.0, clf_score)), {_WS_GAMMA})
+        * pow(least(1.0, greatest(0.0, coalesce(clf_score, 0.0))),
+              {_WS_GAMMA})
 """)
 def corpus_wsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted sampling (operators/corpus.score_weighted_sample)

@@ -211,10 +211,16 @@ def _url_dedup_stage(filtered: DataFrame, batch_id: int, corpus_dir: str,
     canonicalize (NULL key) pass through untouched, exactly like the
     batch stage's NULL lane.
 
-    Store rows are ``(id, u)`` — ``u`` = 16-hex md5 of the canonical
-    URL (fixed width; the raw URL never persists) keyed by the doc id
-    that claimed it, which is what makes the replay-after-compaction
-    own-id anti-join (the fingerprint store's guard) work here too.
+    Store rows are ``(id, u)`` — ``u`` = the FULL 32-hex md5 of the
+    canonical URL (fixed width; the raw URL never persists) keyed by
+    the doc id that claimed it, which is what makes the
+    replay-after-compaction own-id anti-join (the fingerprint store's
+    guard) work here too. The full 128-bit digest matters: a 64-bit
+    prefix starts birthday-colliding around ~5×10⁹ distinct URLs —
+    squarely web-crawl scale — and a collision here silently DROPS an
+    unrelated later document (and diverges from the batch funnel,
+    which dedups on the canonical URL itself). 2⁻¹²⁸ keeps the
+    collision lane out of reach while staying fixed-width.
     Probe shape mirrors the fingerprint probe exactly: batch side
     BROADCASTS, store side only SCANS."""
     from harvesting_extract_to_ttl_service_spark.operators.web import (
@@ -225,7 +231,7 @@ def _url_dedup_stage(filtered: DataFrame, batch_id: int, corpus_dir: str,
     keyed = (drop_url_duplicates(filtered, url_col, id_col)
              .withColumn("_u", F.when(
                  F.col("_norm_url").isNotNull(),
-                 F.substring(F.md5(F.col("_norm_url")), 1, 16)))
+                 F.md5(F.col("_norm_url"))))
              .drop("_norm_url"))
     stored = read_state_except(spark, f"{corpus_dir}/urls", batch_id)
     if stored is not None:

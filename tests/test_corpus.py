@@ -1365,3 +1365,103 @@ def test_shard_manifest_roundtrip_and_tamper_detection(spark, tmp_path):
     write_training_shards(docs, out2, n_shards=2, budget_tokens=16)
     with pytest.raises(ValueError, match="not a manifested"):
         check_shard_manifest(spark, out2)
+
+
+def test_common_span_pairs_rejects_min_span_below_window(spark):
+    """min_span < window is a silent-under-report setting (runs shorter
+    than the shingle window leave no shingle to match) — the detector
+    must refuse loudly, mirroring dedup.py's blocks > max_hamming
+    guard. strip_shared_spans forwards the same parameters, so the
+    refusal covers it too."""
+    import pytest
+
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        common_span_pairs,
+        strip_shared_spans,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c d e f"), (2, "a b c d e f")],
+                                 "doc_id long, text string")
+    with pytest.raises(ValueError, match="min_span=4 < window=8"):
+        common_span_pairs(docs, window=8, min_span=4)
+    with pytest.raises(ValueError, match="min_span"):
+        strip_shared_spans(docs, window=8, min_span=4)
+    # the boundary itself is legal: min_span == window
+    assert common_span_pairs(docs, window=4, min_span=4).count() == 1
+
+
+def test_common_span_pairs_default_max_df_is_bounded(spark):
+    """The document-frequency cap is ON BY DEFAULT: a corpus-hot
+    shingle (present in > DEFAULT_SPAN_MAX_DF documents) leaves the
+    candidate join without the caller passing anything, so the one
+    silent quadratic footgun needs an EXPLICIT max_df=None opt-out."""
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        DEFAULT_SPAN_MAX_DF,
+        common_span_pairs,
+    )
+
+    n = DEFAULT_SPAN_MAX_DF + 4
+    footer = " f1 f2 f3 f4 f5 f6 f7 f8"
+    docs = spark.createDataFrame(
+        [(i, f"u{i}a u{i}b u{i}c" + footer) for i in range(1, n + 1)],
+        "doc_id long, text string")
+    # default: the footer shingles are corpus-hot → no candidate pairs
+    assert common_span_pairs(docs, window=4, min_span=8).count() == 0
+    # explicit opt-out restores the exhaustive (quadratic) behavior
+    sample = docs.filter(F.col("doc_id") <= 5)
+    assert common_span_pairs(sample, window=4, min_span=8,
+                             max_df=None).count() == 10
+
+
+def test_funnel_gopher_runs_after_boilerplate_strip(spark):
+    """Gopher structural rules must score the text that SHIPS: a
+    mostly-boilerplate page whose word count clears min_words only
+    thanks to a footer that strip_hot then deletes must be DROPPED,
+    not kept as an 8-word stub."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        filter_documents,
+    )
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        hot_passages,
+    )
+
+    footer = " ".join(f"f{i}" for i in range(1, 25))        # 24 tokens
+    thin = "u1 u2 u3 u4 u5 u6 u7 u8 " + footer              # 32 → 8
+    fat = " ".join(f"w{i}" for i in range(1, 25)) + " " + footer  # 48 → 24
+    docs = spark.createDataFrame([(1, thin), (2, fat)],
+                                 "doc_id long, text string")
+    ref = spark.createDataFrame(
+        [(100, "ref page one body " + footer),
+         (101, "ref page two body " + footer)],
+        "doc_id long, text string")
+    hot = hot_passages(ref, window=8)
+    out = filter_documents(
+        docs, min_quality=0.0, strip_hot=hot,
+        gopher={"min_words": 20, "min_stop_hits": 0,
+                "min_mean_word_len": 0.0, "min_alpha_words": 0.0})
+    got = {r.doc_id: r.text for r in out.collect()}
+    assert set(got) == {2}
+    assert got[2] == " ".join(f"w{i}" for i in range(1, 25))
+
+
+def test_score_weighted_sample_null_score_survives_at_floor(spark):
+    """NULL scores must behave exactly like score 0.0 (survive at the
+    exploration floor), never silently vanish on a NULL comparison."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        score_weighted_sample,
+    )
+
+    rows = [(i, None if i % 2 == 0 else 0.0) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, score double")
+    # floor=1.0: every row survives, NULL-scored included
+    assert score_weighted_sample(docs, "score", floor=1.0).count() == 40
+    # any floor: NULL-scored and zero-scored rows make identical
+    # decisions (same id-hash, same effective rate)
+    kept = {r.doc_id for r in
+            score_weighted_sample(docs, "score", floor=0.31).collect()}
+    zeroed = docs.select("doc_id", F.lit(0.0).alias("score"))
+    want = {r.doc_id for r in
+            score_weighted_sample(zeroed, "score", floor=0.31).collect()}
+    assert kept == want
+    # floor=0.0: rate is exactly 0 → nothing survives (and nothing errs)
+    assert score_weighted_sample(docs, "score", floor=0.0).count() == 0

@@ -1,0 +1,199 @@
+"""Trained-model import (functions/models.py): fastText-style .vec
+parsing, hashing-trick weight folding (collision policy: token-sorted
+sum), binary + multi-class inference parity with a pure-Python mirror,
+and the model-backed lang_id upgrade."""
+
+import hashlib
+import math
+import os
+from collections import Counter, defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from harvesting_extract_to_ttl_service_spark.functions.models import (
+    hash_vec_weights,
+    hash_vec_weights_binary,
+    hashed_multiclass_score,
+    lang_id_model,
+    parse_vec_model,
+)
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "..", "fixtures",
+                       "lid_mini.vec")
+LABELS = ["de", "en", "es", "fr", "zh"]
+
+
+def _hash_fraction(key: str, salt: str) -> float:
+    h = int(hashlib.md5(f"{key}:{salt}".encode()).hexdigest()[:8], 16)
+    return h / 2 ** 32
+
+
+def _bucket(token: str, n_buckets: int, salt: str = "clf") -> int:
+    return int(_hash_fraction(token, salt) * n_buckets)
+
+
+def _read_fixture():
+    rows = {}
+    with open(FIXTURE) as f:
+        header = f.readline().split()
+        for line in f:
+            parts = line.split()
+            rows[parts[0]] = [float(v) for v in parts[1:]]
+    return int(header[0]), int(header[1]), rows
+
+
+def test_parse_vec_model_reads_fixture(spark):
+    n, dim, want = _read_fixture()
+    got = {r.token: list(r.vec)
+           for r in parse_vec_model(spark, FIXTURE, dim=dim).collect()}
+    assert len(got) == n == len(want)
+    assert got == pytest.approx(want)
+
+
+def test_parse_vec_model_enforces_dim(spark, tmp_path):
+    p = str(tmp_path / "bad.vec")
+    with open(p, "w") as f:
+        f.write("2 3\nok 0.1 0.2 0.3\nshort 0.1 0.2\n")
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    with pytest.raises(SparkRuntimeException,
+                       match="malformed row for token"):
+        parse_vec_model(spark, p, dim=3).collect()
+    # without the dim contract the malformed row passes through raw
+    assert parse_vec_model(spark, p).count() == 2
+
+
+def test_hash_vec_weights_collision_sum_mirror(spark):
+    """The loaded (bucket, label, weight) table equals the Python
+    mirror's per-bucket token-sorted weight sums — with n_buckets far
+    below the vocabulary so collisions actually happen."""
+    n, dim, vecs = _read_fixture()
+    nb = 16  # 79 tokens into 16 buckets → collisions guaranteed
+    want = defaultdict(float)
+    for t in sorted(vecs):
+        for i, lb in enumerate(LABELS):
+            want[(_bucket(t, nb), lb)] += vecs[t][i]
+    want = {k: round(v, 6) for k, v in want.items()}
+    got = {(r.bucket, r.label): r.weight
+           for r in hash_vec_weights(
+               parse_vec_model(spark, FIXTURE, dim=dim),
+               LABELS, n_buckets=nb).collect()}
+    assert got == pytest.approx(want)
+    with pytest.raises(ValueError, match="duplicate labels"):
+        hash_vec_weights(parse_vec_model(spark, FIXTURE), ["a", "a"])
+
+
+def test_hash_vec_weights_binary_feeds_linear_scorer(spark, tmp_path):
+    """A dim=1 export folds into hashed_linear_score's (bucket, weight)
+    table and the score matches a Python mirror of the whole chain."""
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        hashed_linear_score,
+    )
+
+    model = {"good": 1.5, "fine": 0.5, "bad": -2.0, "awful": -1.0}
+    p = str(tmp_path / "quality.vec")
+    with open(p, "w") as f:
+        f.write(f"{len(model)} 1\n")
+        for t, w in sorted(model.items()):
+            f.write(f"{t} {w}\n")
+    nb, bias = 8, -0.1
+    vecs = parse_vec_model(spark, p, dim=1)
+    weights = hash_vec_weights_binary(vecs, n_buckets=nb)
+    docs = spark.createDataFrame(
+        [(1, "good good fine unknown"), (2, "bad awful"), (3, "")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.clf_score)
+           for r in hashed_linear_score(docs, weights, n_buckets=nb,
+                                        bias=bias).collect()}
+
+    folded = defaultdict(float)
+    for t in sorted(model):
+        folded[_bucket(t, nb)] += model[t]
+    folded = {b: round(w, 6) for b, w in folded.items()}
+    for doc_id, text in [(1, "good good fine unknown"), (2, "bad awful")]:
+        toks = text.split()
+        cnt = Counter(_bucket(t, nb) for t in toks)
+        dot = sum(c * folded.get(b, 0.0) for b, c in cnt.items()) / len(toks)
+        want = round(1 / (1 + math.exp(-(bias + dot))), 6)
+        assert got[doc_id] == (len(toks), pytest.approx(want)), doc_id
+    assert got[3] == (0, pytest.approx(round(
+        1 / (1 + math.exp(-bias)), 6)))
+
+    # a multi-class file must be refused by the binary fold
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    with pytest.raises(SparkRuntimeException, match="not a single-output"):
+        hash_vec_weights_binary(
+            parse_vec_model(spark, FIXTURE), n_buckets=nb).collect()
+
+
+def _mirror_multiclass(texts, vecs, labels, nb, biases, salt="clf"):
+    folded = defaultdict(float)
+    for t in sorted(vecs):
+        for i, lb in enumerate(labels):
+            folded[(_bucket(t, nb, salt), lb)] += vecs[t][i]
+    folded = {k: round(v, 6) for k, v in folded.items()}
+    out = {}
+    for doc_id, text in texts:
+        toks = text.lower().split()
+        if not toks:
+            out[doc_id] = (0, "und", None)
+            continue
+        cnt = Counter(_bucket(t, nb, salt) for t in toks)
+        logits = {}
+        for i, lb in enumerate(labels):
+            dot = sum(c * folded.get((b, lb), 0.0)
+                      for b, c in cnt.items()) / len(toks)
+            logits[lb] = round((biases[i] if biases else 0.0) + dot, 6)
+        pred = min(logits, key=lambda lb: (-logits[lb], lb))
+        out[doc_id] = (len(toks), pred, logits[pred])
+    return out
+
+
+def test_multiclass_score_matches_python_mirror(spark):
+    n, dim, vecs = _read_fixture()
+    nb = 32
+    biases = [0.05, -0.02, 0.0, 0.01, -0.3]
+    texts = [
+        (1, "der hund ist nicht ein tier mit fell"),
+        (2, "the cat and the dog is that it for with"),
+        (3, "le chat est dans la maison pour une nuit"),
+        (4, "table row batch merge window data query"),  # corpus words
+        (5, ""),                                          # token-less
+        (6, "zzz qqq www"),                               # all unseen
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    weights = hash_vec_weights(parse_vec_model(spark, FIXTURE, dim=dim),
+                               LABELS, n_buckets=nb)
+    got = {r.doc_id: (r.n_tokens, r.pred, r.pred_logit)
+           for r in hashed_multiclass_score(
+               docs, weights, LABELS, biases=biases,
+               n_buckets=nb).collect()}
+    want = _mirror_multiclass(texts, vecs, LABELS, nb, biases)
+    for doc_id in want:
+        g, w = got[doc_id], want[doc_id]
+        assert g[:2] == w[:2], (doc_id, g, w)
+        if w[2] is None:
+            assert g[2] is None
+        else:
+            assert g[2] == pytest.approx(w[2])
+    # the marker-heavy docs land on their languages
+    assert got[1][1] == "de" and got[2][1] == "en" and got[3][1] == "fr"
+    with pytest.raises(ValueError, match="biases"):
+        hashed_multiclass_score(docs, weights, LABELS, biases=[0.0])
+
+
+def test_lang_id_model_output_convention(spark):
+    n, dim, _ = _read_fixture()
+    weights = hash_vec_weights(parse_vec_model(spark, FIXTURE, dim=dim),
+                               LABELS, n_buckets=64)
+    docs = spark.createDataFrame(
+        [(1, "die der das und ist"), (2, "")],
+        "doc_id long, text string")
+    out = lang_id_model(docs, weights, LABELS, n_buckets=64)
+    assert out.columns == ["doc_id", "text", "n_tokens", "lang_pred",
+                           "lang_logit"]
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[1].lang_pred == "de" and got[1].lang_logit > 1.0
+    assert got[2].lang_pred == "und" and got[2].lang_logit is None
