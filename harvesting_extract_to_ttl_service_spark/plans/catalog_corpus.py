@@ -730,6 +730,100 @@ def corpus_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         "symbol_word_ratio", "frac_alpha_words")
 
 
+# --- multi-class model import (functions/models.py) -------------------
+# The checked-in fastText-style fixture model: the Spark side LOADS the
+# file through the distributed parser (parse_vec_model →
+# hash_vec_weights → lang_id_model), while the oracle re-parses the
+# SAME file in plain Python at import time and inlines it as VALUES —
+# so the loader chain itself is inside the verified path, and the
+# DuckDB side restates bucketing, the token-sorted collision sum, the
+# tf dot, the biases, and the argmax tie-break independently.
+_MCLF_PATH = __import__("os").path.join(
+    __import__("os").path.dirname(__file__), "..", "..", "fixtures",
+    "lid_mini.vec")
+_MCLF_LABELS = ["de", "en", "es", "fr", "zh"]
+_MCLF_BIASES = [0.05, -0.02, 0.0, 0.01, -0.3]
+_MCLF_BUCKETS = 64
+
+
+def _mclf_model_values() -> str:
+    rows = []
+    with open(_MCLF_PATH) as f:
+        f.readline()  # header
+        for line in f:
+            parts = line.split()
+            for lb, w in zip(_MCLF_LABELS, parts[1:]):
+                rows.append(f"('{parts[0]}', '{lb}', {float(w)!r})")
+    return ", ".join(rows)
+
+
+_MCLF_SQL = f"""
+WITH model(token, cls, w) AS (VALUES {_mclf_model_values()}),
+fold AS (
+  SELECT CAST(floor({hash_fraction_sql('token', 'clf')} * {_MCLF_BUCKETS})
+              AS BIGINT) AS bucket, cls,
+         round(list_reduce(list(w ORDER BY token), (x, y) -> x + y), 6)
+           AS weight
+  FROM model GROUP BY 1, 2
+), tk AS (
+  SELECT doc_id, unnest({_TOKS_LOW}) AS t FROM documents
+), pd AS (
+  SELECT doc_id,
+         CAST(floor({hash_fraction_sql('t', 'clf')} * {_MCLF_BUCKETS})
+              AS BIGINT) AS bucket,
+         count(*) AS c
+  FROM tk GROUP BY 1, 2
+), tot AS (
+  SELECT doc_id, sum(c) AS n FROM pd GROUP BY 1
+), heads(cls, bias) AS (
+  VALUES {", ".join(f"('{lb}', {b!r})"
+                    for lb, b in zip(_MCLF_LABELS, _MCLF_BIASES))}
+), dots AS (
+  SELECT doc_id, cls, sum(c * weight) AS num
+  FROM pd JOIN fold USING (bucket) GROUP BY 1, 2
+), logits AS (
+  SELECT t.doc_id, h.cls, t.n,
+         round(h.bias + coalesce(d.num, 0) / t.n, 6) AS logit
+  FROM tot t CROSS JOIN heads h
+  LEFT JOIN dots d ON d.doc_id = t.doc_id AND d.cls = h.cls
+), win AS (
+  SELECT doc_id, n, cls, logit FROM logits
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+                             ORDER BY logit DESC, cls) = 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(w.n, 0) AS BIGINT) AS n_tokens,
+       coalesce(w.cls, 'und') AS lang_pred,
+       w.logit AS lang_logit
+FROM documents d LEFT JOIN win w USING (doc_id)
+"""
+
+
+@member_sql(_MCLF_SQL)
+def corpus_mclf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-backed multi-class language ID (functions/models.py
+    lang_id_model over the checked-in fastText-style fixture export):
+    the distributed .vec parse, the hashing-trick weight fold
+    (collision policy: token-sorted sum), the k-headed tf dot with
+    per-class biases, and the deterministic argmax (logit desc, label
+    asc) are ALL exercised against an oracle that re-derives them from
+    the same model file."""
+    from harvesting_extract_to_ttl_service_spark.functions.models import (
+        hash_vec_weights,
+        lang_id_model,
+        parse_vec_model,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    weights = hash_vec_weights(
+        parse_vec_model(spark, _MCLF_PATH, dim=len(_MCLF_LABELS)),
+        _MCLF_LABELS, n_buckets=_MCLF_BUCKETS)
+    return lang_id_model(docs, weights, _MCLF_LABELS,
+                         biases=_MCLF_BIASES,
+                         n_buckets=_MCLF_BUCKETS).select(
+        "doc_id", "n_tokens", "lang_pred", "lang_logit")
+
+
 _WS_GAMMA = 2.0
 _WS_FLOOR = 0.05
 
@@ -877,6 +971,8 @@ _CORPUS_MEMBERS = [
       "fp"], []),
     ("lm", corpus_lm, ["doc_id", "n_tokens"], ["avg_logprob"]),
     ("clf", corpus_clf, ["doc_id", "n_tokens"], ["clf_score"]),
+    ("mclf", corpus_mclf, ["doc_id", "n_tokens", "lang_pred"],
+     ["lang_logit"]),
     ("novelty", corpus_novelty, ["doc_id", "n_shingles"], ["novelty"]),
     ("wsample", corpus_wsample, ["doc_id"], []),
     ("gopher", corpus_gopher, ["doc_id", "n_words", "n_stop_hits"],
