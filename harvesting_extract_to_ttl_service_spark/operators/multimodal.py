@@ -474,19 +474,41 @@ def image_ahash(media: DataFrame, kernel: str = "fake",
 
 def image_neardup_pairs(media: DataFrame, kernel: str = "fake",
                         max_hamming: int = 6, blocks: int = 7,
-                        cells: int = AHASH_CELLS) -> DataFrame:
+                        cells: int = AHASH_CELLS,
+                        method: str = "pigeonhole",
+                        n_tables: int = 16,
+                        bits_per_table: int = 16) -> DataFrame:
     """Near-duplicate IMAGE pairs: perceptual hashes within
     ``max_hamming`` bits — re-encodes, light crops, and brightness
     shifts move few aHash bits, so this is the image-side analogue of
-    SimHash text dedup, and it reuses the SAME pigeonhole bit-block
-    join (operators/dedup.hamming_neardup_pairs), inheriting its scale
-    label (quadratic at fixed radius — shard-level tool)."""
+    SimHash text dedup. Two candidate generators over the same exact
+    Hamming verify:
+
+    * ``method='pigeonhole'`` (default) — the COMPLETE bit-block
+      equi-join (operators/dedup.hamming_neardup_pairs): every true
+      pair is found, but candidate volume is quadratic at fixed radius
+      — the documented ≤100k-images-per-shard tool;
+    * ``method='banded'`` — banded multi-index hashing
+      (operators/dedup.hamming_banded_pairs): ``n_tables`` wide
+      bit-sample keys, ~linear candidate growth, probabilistic recall
+      (operators/dedup.banded_hamming_recall — ≈0.91 at the default
+      radius 6, 1.0 for exact-duplicate hashes). The corpus-wide path,
+      exactly as MinHash-LSH is for text."""
     from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+        hamming_banded_pairs,
         hamming_neardup_pairs,
     )
 
     sh = image_ahash(media, kernel, cells).select(
         F.col("media_id").alias("id"), F.col("ahash").alias("sh"))
+    if method == "banded":
+        return hamming_banded_pairs(sh, bits=cells,
+                                    max_hamming=max_hamming,
+                                    n_tables=n_tables,
+                                    bits_per_table=bits_per_table)
+    if method != "pigeonhole":
+        raise ValueError(f"unknown method {method!r}; "
+                         f"one of ['pigeonhole', 'banded']")
     return hamming_neardup_pairs(sh, bits=cells, max_hamming=max_hamming,
                                  blocks=blocks)
 

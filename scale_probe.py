@@ -32,6 +32,13 @@ Usage: python scale_probe.py [replicas ...]   (default: 1 2 5 10)
            the document-frequency cap on — pair volume and wall should
            curve ~linearly in corpus size once max_df bounds per-hash
            fan-out.
+       python scale_probe.py mih [replicas ...]
+           banded multi-index hashing probe: candidate collisions and
+           verified pairs for hamming_banded_pairs (16 tables x 16-bit
+           sampled keys) vs the complete radius-6 pigeonhole join over
+           the same simhash table — the subquadratic-vs-quadratic curve
+           that makes the banded path the corpus-wide image/simhash
+           near-dup tool.
        python scale_probe.py incr [replicas ...]
            incremental-dedup probe: corpus = N replicas with a parquet
            LSH index built ONCE; batch = one fresh replica duplicating
@@ -137,6 +144,62 @@ def probe_spans(spark, n: int) -> dict:
     cnt = common_span_pairs(docs, window=8, min_span=12, max_df=20).count()
     return {"label": f"{n}x", "docs": n_docs, "span_pairs": cnt,
             "span_s": round(time.time() - t0, 1)}
+
+
+def probe_mih(spark, n: int) -> dict:
+    """Banded multi-index hashing vs the pigeonhole bit-block join over
+    the SAME 60-bit simhash table (n re-salted replicas): candidate
+    collision volume and verified-pair wall for each. The pigeonhole
+    join's radius-6 blocks are ~8.5 bits wide (2^8.5 buckets → measured
+    quadratic collisions); the banded tables are 16 bits wide (2^16
+    buckets → the same intrinsic n²-random term at a ~180× smaller
+    constant, at the cost of ≈0.91 recall at h=6,
+    operators/dedup.banded_hamming_recall). Measured: SCALE.md round-10
+    table (71× fewer candidates at 10×, flat wall, linear true pairs)."""
+    from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+        banded_bit_positions,
+        hamming_banded_pairs,
+    )
+
+    docs = replicate_documents(spark, n).localCheckpoint(eager=True)
+    sh = simhash_table(docs, bits=60).localCheckpoint(eager=True)
+    res = {"label": f"{n}x", "docs": sh.count()}
+
+    # pigeonhole: radius-6 complete blocking (7 blocks over 60 bits)
+    t0 = time.time()
+    blocked = sh.select("id", F.posexplode(F.array(*[
+        F.shiftright("sh", o).bitwiseAND((1 << s) - 1)
+        for o, s in zip([0, 9, 18, 27, 35, 43, 51], [9, 9, 9, 8, 8, 8, 9])
+    ])).alias("blk", "blk_val"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    res["pigeon_coll"] = a.join(
+        b, (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.blk_val") == F.col("b.blk_val"))
+        & (F.col("a.id") < F.col("b.id"))).count()
+    res["pigeon_s"] = round(time.time() - t0, 1)
+
+    # banded MIH: 16 tables × 16-bit sampled keys, same radius
+    t0 = time.time()
+    keys = []
+    for pos in banded_bit_positions(60, 16, 16):
+        key = F.lit(0).cast("long")
+        for i, p in enumerate(pos):
+            key = key.bitwiseOR(
+                F.shiftleft(F.shiftright("sh", p).bitwiseAND(1), i))
+        keys.append(key)
+    tabled = sh.select("id", F.posexplode(F.array(*keys))
+                       .alias("tbl", "key"))
+    a, b = tabled.alias("a"), tabled.alias("b")
+    res["banded_coll"] = a.join(
+        b, (F.col("a.tbl") == F.col("b.tbl"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.id") < F.col("b.id"))).count()
+    res["banded_coll_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    res["banded_pairs"] = hamming_banded_pairs(
+        sh, 60, max_hamming=6, n_tables=16, bits_per_table=16).count()
+    res["banded_s"] = round(time.time() - t0, 1)
+    return res
 
 
 def probe_incremental(spark, n: int, tmp: str) -> dict:
@@ -409,12 +472,13 @@ def probe_ann(spark, n: int, n_queries: int, tmp: str) -> dict:
 def main():
     args = sys.argv[1:]
     incremental = bool(args) and args[0] == "incr"
+    mih = bool(args) and args[0] == "mih"
     span = bool(args) and args[0] == "span"
     funnel = bool(args) and args[0] == "funnel"
     stream = bool(args) and args[0] == "stream"
     ann = bool(args) and args[0] == "ann"
     finalize = bool(args) and args[0] == "finalize"
-    if incremental or funnel or stream or ann or finalize or span:
+    if incremental or funnel or stream or ann or finalize or span or mih:
         args = args[1:]
     explicit = [int(x) for x in args]
     replicas = explicit or [1, 2, 5, 10]
@@ -469,6 +533,17 @@ def main():
                 r = probe_spans(spark, n)
                 print(f"{r['label']:>6} {r['docs']:>8} "
                       f"{r['span_pairs']:>11} {r['span_s']:>7}")
+            return
+        if mih:
+            print(f"{'scale':>6} {'docs':>8} {'pigeon_coll':>12} "
+                  f"{'pigeon_s':>9} {'banded_coll':>12} "
+                  f"{'banded_pairs':>13} {'banded_s':>9}")
+            for n in replicas:
+                r = probe_mih(spark, n)
+                print(f"{r['label']:>6} {r['docs']:>8} "
+                      f"{r['pigeon_coll']:>12} {r['pigeon_s']:>9} "
+                      f"{r['banded_coll']:>12} {r['banded_pairs']:>13} "
+                      f"{r['banded_s']:>9}")
             return
         if incremental:
             print(f"{'scale':>6} {'corpus':>8} {'batch':>6} {'build_s':>8} "

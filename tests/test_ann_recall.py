@@ -19,7 +19,13 @@ operators sell are what the floors pin:
 
 i.e. multi-probe recovers 2-4× recall at every plane count, and IVF's
 n_probe knob is monotone. Floors sit under the measured values so the
-test pins behavior without overfitting the fixture."""
+test pins behavior without overfitting the fixture.
+
+int8 rows (2026-08-15, k=K+1 self-excluded protocol — see
+test_quantized_paths_recall_panel): quantized brute force 1.00;
+quantized IVF = float IVF exactly (0.41 / 0.67 at n_probe 1 / 2) with
+identical per-cell candidate counts — per-vector symmetric int8 costs
+zero measured recall at 16 dims."""
 
 import math
 
@@ -106,3 +112,76 @@ def test_ivf_probe_count_is_monotone_recall_knob(spark, sf_dir, corpus):
                  lambda df, q: ivf_topk(df, q, cents, k=K, n_probe=2))
     assert r2 > r1
     assert r2 >= 0.6
+
+
+def test_quantized_paths_recall_panel(spark, sf_dir, corpus, tmp_path):
+    """int8 rows of the recall panel (measured 2026-08-15, same fixture
+    and 10-query panel):
+
+        quantized brute force          1.00   (float exact: 1.00)
+        quantized IVF n_probe=1        0.41   (float IVF:   0.41)
+        quantized IVF n_probe=2        0.67   (float IVF:   0.67)
+
+    i.e. per-vector symmetric int8 costs ZERO measured recall at 16
+    dims — the scales cancel out of cosine and the integer scoring is
+    exact — and the candidate sets are IDENTICAL by construction
+    (assignment runs on the float input at build time, pinned below by
+    the per-cell row-count equality). Floors sit under the measured
+    values; the float-vs-quant recall DELTA is pinned to < 0.05 so a
+    quantization regression cannot hide inside a loose floor."""
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        quantize_int8,
+        quantize_vec_int8,
+        quantized_cosine_topk,
+        train_ivf_centroids,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        ivf_index_batch,
+        ivf_search,
+    )
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", "embedding"))
+    qids = sorted(corpus)[:N_QUERIES]
+    dim = len(corpus[qids[0]])
+
+    # int8 brute force vs float exact truth
+    qdf = quantize_int8(emb).select("vec_id", "codes")
+    total = 0.0
+    for qid in qids:
+        qc, _ = quantize_vec_int8(corpus[qid])
+        got = {r.vec_id for r in quantized_cosine_topk(
+            qdf.filter(F.col("vec_id") != qid), qc, k=K).collect()}
+        total += len(got & _exact_topk(corpus, qid)) / K
+    assert total / len(qids) >= 0.9   # measured 1.0
+
+    # int8 IVF vs float IVF over stored indexes with the SAME centroids
+    cents = train_ivf_centroids(emb, 4, dim, max_iter=5)
+    recalls = {}
+    cell_counts = {}
+    for quant in (False, True):
+        d = str(tmp_path / ("q" if quant else "f"))
+        ivf_index_batch(emb, 0, d, cents, quantize=quant)
+        idx = spark.read.option("basePath", d).parquet(d)
+        cell_counts[quant] = {
+            r.ivf_cell: r.n for r in
+            idx.groupBy("ivf_cell").agg(F.count("*").alias("n")).collect()}
+        for n_probe in (1, 2):
+            total = 0.0
+            for qid in qids:
+                res = ivf_search(spark, d, corpus[qid], cents, k=K + 1,
+                                 n_probe=n_probe, quantized=quant).collect()
+                got = [r.vec_id for r in res if r.vec_id != qid][:K]
+                total += len(set(got) & _exact_topk(corpus, qid)) / K
+            recalls[(quant, n_probe)] = total / len(qids)
+
+    # identical candidate volume: assignment ran on the float input
+    assert cell_counts[True] == cell_counts[False]
+    # floors under the measured values
+    assert recalls[(True, 1)] >= 0.35    # measured 0.41
+    assert recalls[(True, 2)] >= 0.55    # measured 0.67
+    assert recalls[(True, 2)] > recalls[(True, 1)]   # knob still monotone
+    # quantization may not silently cost recall vs the float path
+    for n_probe in (1, 2):
+        assert abs(recalls[(True, n_probe)]
+                   - recalls[(False, n_probe)]) < 0.05

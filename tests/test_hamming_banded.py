@@ -1,0 +1,122 @@
+"""Banded multi-index Hamming near-dup (operators/dedup.py
+hamming_banded_pairs): planted-pair recall vs both the combinatorial
+prediction and an exact Python mirror of the bit-sampling plan, the
+no-false-positive guarantee, and the image-side wiring."""
+
+import hashlib
+
+import pytest
+
+from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+    banded_bit_positions,
+    banded_hamming_recall,
+    hamming_banded_pairs,
+)
+
+BITS, RADIUS, L, R = 60, 6, 16, 16
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:16], 16) & ((1 << 60) - 1)
+
+
+def _flip_positions(s: str, k: int) -> list[int]:
+    """k distinct deterministic bit positions derived from md5(s)."""
+    out, i = [], 0
+    while len(out) < k:
+        p = _h60(f"{s}|flip{i}") % BITS
+        if p not in out:
+            out.append(p)
+        i += 1
+    return out
+
+
+def _planted(n_pairs: int, hamming: int):
+    rows = []
+    for i in range(n_pairs):
+        base = _h60(f"pair{hamming}_{i}")
+        flipped = base
+        for p in _flip_positions(f"pair{hamming}_{i}", hamming):
+            flipped ^= 1 << p
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, flipped))
+    return rows
+
+
+def test_recall_formula_sanity():
+    assert banded_hamming_recall(BITS, 0, L, R) == pytest.approx(1.0)
+    # monotone decreasing in hamming
+    vals = [banded_hamming_recall(BITS, h, L, R) for h in range(0, 10)]
+    assert vals == sorted(vals, reverse=True)
+    assert vals[6] > 0.85            # the documented default operating point
+    assert vals[3] > 0.97
+    # a pair with more diffs than the sample can avoid is unreachable
+    assert banded_hamming_recall(8, 5, 4, 4) == 0.0
+    with pytest.raises(ValueError, match="bits_per_table"):
+        banded_bit_positions(8, 2, 9)
+
+
+def test_planted_pairs_match_python_mirror_exactly(spark):
+    """The emitted pair set equals the mirror's prediction pair-for-pair
+    (the bit samples are plan-time constants, so which true pairs are
+    FOUND is deterministic), and measured recall sits near the
+    combinatorial estimate."""
+    n = 150
+    rows = _planted(n, RADIUS)
+    positions = banded_bit_positions(BITS, L, R)
+    want = set()
+    for i in range(n):
+        diff = rows[2 * i][1] ^ rows[2 * i + 1][1]
+        if any(all(not (diff >> p) & 1 for p in pos) for pos in positions):
+            want.add((2 * i, 2 * i + 1))
+    # sanity on the fixture itself: recall near the formula's prediction
+    pred = banded_hamming_recall(BITS, RADIUS, L, R)
+    assert len(want) / n == pytest.approx(pred, abs=0.10)
+
+    sh = spark.createDataFrame(rows, "id long, sh long")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in hamming_banded_pairs(sh, BITS, RADIUS, L, R).collect()}
+    assert set(got) == want
+    assert all(h == RADIUS for h in got.values())
+
+
+def test_exact_duplicates_always_found_and_no_false_positives(spark):
+    rows = _planted(80, 0) + [(1000 + i, _h60(f"noise{i}"))
+                              for i in range(100)]
+    sh = spark.createDataFrame(rows, "id long, sh long")
+    got = {(r.id_a, r.id_b) for r in
+           hamming_banded_pairs(sh, BITS, RADIUS, L, R).collect()}
+    planted = {(2 * i, 2 * i + 1) for i in range(80)}
+    assert planted <= got                 # h=0 recall is exactly 1.0
+    # anything extra must be a genuine ≤RADIUS pair (exact verify):
+    by_id = dict(rows)
+    for a, b in got - planted:
+        assert bin(by_id[a] ^ by_id[b]).count("1") <= RADIUS
+
+
+def test_radius_above_sample_slack_finds_nothing(spark):
+    """Pairs whose distance exceeds max_hamming are never emitted even
+    when banding collides (the exact verify is the gate)."""
+    rows = _planted(40, RADIUS + 4)
+    sh = spark.createDataFrame(rows, "id long, sh long")
+    got = hamming_banded_pairs(sh, BITS, RADIUS, L, R).collect()
+    assert got == []
+
+
+def test_image_neardup_banded_method(spark):
+    from harvesting_extract_to_ttl_service_spark.operators.multimodal import (
+        image_neardup_pairs,
+    )
+
+    rows = [(i, bytes([i % 7]) * 32) for i in range(12)]  # dups mod 7
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    banded = {(r.id_a, r.id_b) for r in
+              image_neardup_pairs(media, method="banded").collect()}
+    complete = {(r.id_a, r.id_b) for r in
+                image_neardup_pairs(media, method="pigeonhole").collect()}
+    # identical payloads → identical hashes → h=0 → banded finds ALL of
+    # them (recall 1.0 at h=0); and banded never exceeds the complete set
+    exact_dups = {(i, i + 7) for i in range(5)}
+    assert exact_dups <= banded <= complete
+    with pytest.raises(ValueError, match="unknown method"):
+        image_neardup_pairs(media, method="nope")
