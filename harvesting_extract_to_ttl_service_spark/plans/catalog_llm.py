@@ -616,6 +616,74 @@ def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("_norm_url").alias("norm_url"))
 
 
+def _mih_positions_sql() -> str:
+    """The banded bit-sampling plan inlined as VALUES (tbl, i, p) —
+    the oracle re-derives the 16-bit table keys from the SAME plan-time
+    constants the Spark operator uses."""
+    from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+        banded_bit_positions,
+    )
+
+    rows = []
+    for t, pos in enumerate(banded_bit_positions(60, 16, 16)):
+        rows.extend(f"({t}, {i}, {p})" for i, p in enumerate(pos))
+    return ", ".join(rows)
+
+
+@member_sql(f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS} AS w FROM documents WHERE doc_id < 1000
+), g AS (
+  SELECT doc_id, unnest({_grams_sql(2)}) AS g FROM w
+), hh AS (
+  SELECT doc_id, {_HASH60} AS hv FROM g
+), bits AS (
+  SELECT doc_id, k,
+         sum(CASE WHEN (hv >> k) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hh, (SELECT unnest(range(0, 60)) AS k)
+  GROUP BY doc_id, k
+), sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS v
+  FROM bits GROUP BY doc_id
+), pos(tbl, i, p) AS (
+  VALUES {{MIH_POSITIONS}}
+), keys AS (
+  SELECT s.doc_id, pos.tbl,
+         sum(((s.v >> pos.p) & 1) << pos.i) AS key
+  FROM sh s CROSS JOIN pos GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM keys a JOIN keys b
+    ON a.tbl = b.tbl AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b, bit_count(xor(sa.v, sb.v)) AS hamming
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.id_a
+JOIN sh sb ON sb.doc_id = c.id_b
+WHERE bit_count(xor(sa.v, sb.v)) <= 6
+""".replace("{MIH_POSITIONS}", _mih_positions_sql()))
+def dedup_mih(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded multi-index Hamming near-dup
+    (operators/dedup.hamming_banded_pairs — the corpus-wide,
+    probabilistic-recall sibling of the complete pigeonhole join in
+    `simhash_pairs`): 16 tables of 16-bit sampled simhash keys, exact
+    bit_count verify. The oracle re-derives the simhash table AND the
+    banding from the same plan-time bit positions, so the emitted
+    subset (which true pairs the banding looks at) is verified
+    pair-for-pair, not just counted."""
+    from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+        hamming_banded_pairs,
+        simhash_table,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    sh = simhash_table(docs, bits=60)
+    return hamming_banded_pairs(sh, bits=60, max_hamming=6,
+                                n_tables=16, bits_per_table=16).select(
+        F.col("id_a"), F.col("id_b"), F.col("hamming"))
+
+
 _DEDUP_MEMBERS = [
     ("exact", dedup_exact_docs, ["fp", "canonical_id", "group_size"], []),
     ("ngram", dedup_ngram_jaccard, ["id_a", "id_b"], ["jaccard"]),
@@ -628,6 +696,7 @@ _DEDUP_MEMBERS = [
     ("url", dedup_url, ["doc_id", "norm_url"], []),
     ("span", dedup_common_spans,
      ["id_a", "id_b", "start_a", "start_b", "span_tokens"], []),
+    ("mih", dedup_mih, ["id_a", "id_b", "hamming"], []),
     ("overlap", dedup_overlap,
      ["n_docs_a", "n_texts_a", "n_docs_b", "n_texts_b", "n_texts_shared"],
      ["frac_b_seen"]),
