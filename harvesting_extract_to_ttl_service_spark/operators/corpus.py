@@ -764,6 +764,8 @@ def filter_documents(docs: DataFrame, min_quality: float = 0.4,
                      strip_window: int = 8,
                      redact: bool = False,
                      gopher: bool | dict = False,
+                     lid_model: dict | None = None,
+                     quality_model: dict | None = None,
                      text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Stage 1 of the corpus funnel: heuristic quality ≥ ``min_quality``,
@@ -801,7 +803,23 @@ def filter_documents(docs: DataFrame, min_quality: float = 0.4,
     boilerplate the funnel deletes anyway: ``True`` for the standard
     thresholds, or a dict of that function's keyword overrides. Both
     are pure per-document rewrites/filters, so batch/stream funnel
-    parity is preserved by construction."""
+    parity is preserved by construction.
+
+    TRAINED-MODEL gates (functions/models.py — load exported weights
+    with ``parse_vec_model`` + ``hash_vec_weights``/``_binary``; the
+    models must be FROZEN for the usual batch/stream-parity reason):
+
+    * ``lid_model = {"weights": DF(bucket, label, weight),
+      "labels": [...], "biases": [...]?, "n_buckets": 1024?}`` —
+      the language allowlist (``langs``) is then decided by
+      ``lang_id_model``'s multi-class argmax instead of the marker-list
+      heuristic (the production LID pass);
+    * ``quality_model = {"weights": DF(bucket, weight),
+      "min_score": float, "bias": 0.0?, "n_buckets": 1024?}`` — an
+      ADDITIONAL gate after the heuristic quality filter:
+      ``hashed_linear_score`` ≥ ``min_score`` (the CCNet/GPT-3-style
+      classifier pass; the heuristic floor stays useful as the cheap
+      first cut)."""
     from harvesting_extract_to_ttl_service_spark.operators.text import (
         annotate_documents,
     )
@@ -836,9 +854,48 @@ def filter_documents(docs: DataFrame, min_quality: float = 0.4,
 
     annotated = annotate_documents(docs, text_col=text_col, id_col=id_col)
     kept = annotated.filter(F.col("quality") >= min_quality)
-    if langs is not None:
+    if langs is not None and lid_model is None:
         kept = kept.filter(F.col("lang_pred").isin(list(langs)))
     survivors = kept.select(*docs.columns)
+
+    if lid_model is not None:
+        if langs is None:
+            raise ValueError(
+                "lid_model without langs has nothing to filter — pass "
+                "the language allowlist the model's argmax should gate")
+        missing = {"weights", "labels"} - set(lid_model)
+        if missing:
+            raise ValueError(f"lid_model missing keys {sorted(missing)}")
+        from harvesting_extract_to_ttl_service_spark.functions.models import (
+            lang_id_model,
+        )
+
+        keep = (lang_id_model(
+            survivors, lid_model["weights"], lid_model["labels"],
+            biases=lid_model.get("biases"),
+            n_buckets=lid_model.get("n_buckets", 1024),
+            text_col=text_col, id_col=id_col)
+            .filter(F.col("lang_pred").isin(list(langs)))
+            .select(id_col))
+        survivors = survivors.join(keep, id_col, "left_semi")
+
+    if quality_model is not None:
+        missing = {"weights", "min_score"} - set(quality_model)
+        if missing:
+            raise ValueError(
+                f"quality_model missing keys {sorted(missing)}")
+        from harvesting_extract_to_ttl_service_spark.operators.text import (
+            hashed_linear_score,
+        )
+
+        keep = (hashed_linear_score(
+            survivors, quality_model["weights"],
+            n_buckets=quality_model.get("n_buckets", 1024),
+            bias=quality_model.get("bias", 0.0),
+            text_col=text_col, id_col=id_col)
+            .filter(F.col("clf_score") >= quality_model["min_score"])
+            .select(id_col))
+        survivors = survivors.join(keep, id_col, "left_semi")
 
     if max_dup_line_ratio is not None or max_top_bigram_ratio is not None:
         from harvesting_extract_to_ttl_service_spark.operators.text import (
@@ -896,6 +953,8 @@ def build_training_corpus(docs: DataFrame,
                           strip_window: int = 8,
                           redact: bool = False,
                           gopher: bool | dict = False,
+                          lid_model: dict | None = None,
+                          quality_model: dict | None = None,
                           near_dup_threshold: float | None = 0.7,
                           decontam_min_overlap: int = 2,
                           decontam_mode: str = "shingle",
@@ -951,6 +1010,7 @@ def build_training_corpus(docs: DataFrame,
         docs, min_quality, langs, max_dup_line_ratio, max_top_bigram_ratio,
         max_pii_signals, min_avg_logprob, lm_counts, lm_alpha,
         strip_hot, strip_window, redact=redact, gopher=gopher,
+        lid_model=lid_model, quality_model=quality_model,
         text_col=text_col, id_col=id_col)
 
     if url_col is not None:

@@ -272,6 +272,8 @@ def corpus_batch(docs: DataFrame, batch_id: int, corpus_dir: str,
                  strip_window: int = 8,
                  redact: bool = False,
                  gopher: bool | dict = False,
+                 lid_model: dict | None = None,
+                 quality_model: dict | None = None,
                  near_dup_threshold: float | None = 0.7,
                  decontam_min_overlap: int = 2,
                  decontam_mode: str = "shingle",
@@ -331,6 +333,7 @@ def corpus_batch(docs: DataFrame, batch_id: int, corpus_dir: str,
         docs, min_quality, langs, max_dup_line_ratio, max_top_bigram_ratio,
         max_pii_signals, min_avg_logprob, lm_counts, lm_alpha,
         strip_hot, strip_window, redact=redact, gopher=gopher,
+        lid_model=lid_model, quality_model=quality_model,
         text_col=text_col, id_col=id_col)
 
     if url_col is not None:

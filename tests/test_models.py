@@ -197,3 +197,107 @@ def test_lang_id_model_output_convention(spark):
     got = {r.doc_id: r for r in out.collect()}
     assert got[1].lang_pred == "de" and got[1].lang_logit > 1.0
     assert got[2].lang_pred == "und" and got[2].lang_logit is None
+
+
+def _lid_fixture(spark):
+    dim = 5
+    weights = hash_vec_weights(parse_vec_model(spark, FIXTURE, dim=dim),
+                               LABELS, n_buckets=64)
+    return {"weights": weights, "labels": LABELS, "n_buckets": 64}
+
+
+def test_funnel_lid_model_gate(spark):
+    """filter_documents(lid_model=...) decides the language allowlist by
+    the trained model's argmax instead of the marker heuristic — and
+    refuses a model without an allowlist to gate."""
+    import pytest as _pytest
+
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        filter_documents,
+    )
+
+    de = ("der die das und ist nicht ein mit " * 4).strip()
+    en = ("the and of to in is that it for with " * 4).strip()
+    fr = ("le la les et est pas un une dans pour " * 4).strip()
+    docs = spark.createDataFrame([(1, de), (2, en), (3, fr)],
+                                 "doc_id long, text string")
+    lid = _lid_fixture(spark)
+    got = {r.doc_id for r in filter_documents(
+        docs, min_quality=0.0, langs=["de", "fr"],
+        lid_model=lid).collect()}
+    assert got == {1, 3}
+    with _pytest.raises(ValueError, match="lid_model without langs"):
+        filter_documents(docs, min_quality=0.0, lid_model=lid)
+    with _pytest.raises(ValueError, match="missing keys"):
+        filter_documents(docs, min_quality=0.0, langs=["de"],
+                         lid_model={"weights": lid["weights"]})
+
+
+def test_funnel_quality_model_gate(spark, tmp_path):
+    """filter_documents(quality_model=...) gates on the loaded binary
+    classifier's score — docs the model dislikes drop even when the
+    heuristic floor passes them."""
+    import pytest as _pytest
+
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        filter_documents,
+    )
+
+    p = str(tmp_path / "quality.vec")
+    with open(p, "w") as f:
+        f.write("2 1\ngood 3.0\nbad -3.0\n")
+    weights = hash_vec_weights_binary(parse_vec_model(spark, p, dim=1),
+                                      n_buckets=32)
+    docs = spark.createDataFrame(
+        [(1, "good good good text here"), (2, "bad bad bad text here")],
+        "doc_id long, text string")
+    got = {r.doc_id for r in filter_documents(
+        docs, min_quality=0.0,
+        quality_model={"weights": weights, "min_score": 0.5,
+                       "n_buckets": 32}).collect()}
+    assert got == {1}
+    with _pytest.raises(ValueError, match="missing keys.*min_score"):
+        filter_documents(docs, min_quality=0.0,
+                         quality_model={"weights": weights})
+
+
+def test_stream_model_gates_match_batch_funnel(spark, tmp_path):
+    """The frozen-model gates are pure per-document functions, so the
+    streaming funnel with lid_model + quality_model ships exactly the
+    batch funnel's survivor set."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        build_training_corpus,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.corpus_stream import (
+        corpus_batch,
+        read_corpus,
+    )
+
+    p = str(tmp_path / "quality.vec")
+    with open(p, "w") as f:
+        f.write("2 1\ngut 3.0\nschlecht -3.0\n")
+    qweights = hash_vec_weights_binary(parse_vec_model(spark, p, dim=1),
+                                       n_buckets=32)
+    de_good = ("der die das und ist nicht ein mit gut gut " * 3).strip()
+    de_bad = ("der die das und ist nicht ein mit schlecht schlecht "
+              * 3).strip()
+    en_good = ("the and of to in is that it for with gut gut " * 3).strip()
+    batches = [[(1, de_good), (2, de_bad)], [(10, en_good), (11, de_good)]]
+    kw = dict(min_quality=0.0, langs=["de"], near_dup_threshold=None,
+              lid_model=_lid_fixture(spark),
+              quality_model={"weights": qweights, "min_score": 0.5,
+                             "n_buckets": 32})
+    cdir = str(tmp_path / "corpus")
+    for i, rows in enumerate(batches):
+        corpus_batch(spark.createDataFrame(rows,
+                                           "doc_id long, text string"),
+                     i, cdir, **kw)
+    got = {(r.doc_id, r.text) for r in read_corpus(spark, cdir).collect()}
+    all_docs = spark.createDataFrame([r for b in batches for r in b],
+                                     "doc_id long, text string")
+    want = {(r.doc_id, r.text)
+            for r in build_training_corpus(all_docs, **kw).collect()}
+    assert got == want
+    # doc 1 passes both gates; 2 fails quality; 10 fails LID; 11 is an
+    # exact dup of 1's text → deduped
+    assert {d for d, _ in got} == {1}
