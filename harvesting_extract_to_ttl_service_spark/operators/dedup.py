@@ -828,16 +828,7 @@ def hamming_banded_pairs(sh: DataFrame, bits: int = 60,
     materialization cut feeding both self-join sides, pinned reduce
     parallelism on the (table, key) join (the measured AQE
     serialization hazard), distinct after the verify."""
-    positions = banded_bit_positions(bits, n_tables, bits_per_table, seed)
-    keys = []
-    for pos in positions:
-        key = F.lit(0).cast("long")
-        for i, p in enumerate(pos):
-            key = key.bitwiseOR(
-                F.shiftleft(F.shiftright("sh", p).bitwiseAND(1), i))
-        keys.append(key)
-    tabled = sh.select(
-        "id", "sh", F.posexplode(F.array(*keys)).alias("tbl", "key"))
+    tabled = hamming_banded_index(sh, bits, n_tables, bits_per_table, seed)
     tabled = materialize(tabled, materialize_mode)
     tabled = _pin_join_parallelism(tabled, "tbl", "key")
     a = tabled.alias("a")
@@ -852,3 +843,100 @@ def hamming_banded_pairs(sh: DataFrame, bits: int = 60,
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def hamming_banded_index(sh: DataFrame, bits: int = 60,
+                         n_tables: int = 16, bits_per_table: int = 16,
+                         seed: int = 0xDA7A) -> DataFrame:
+    """The persistable banded-key table behind
+    :func:`hamming_banded_pairs`: ``(id, sh, tbl, key)`` — one row per
+    fingerprint per index table, keys from the plan-time bit samples
+    (:func:`banded_bit_positions`). Write it to parquet once and
+    :func:`incremental_hamming_pairs` probes it per batch without
+    re-keying the corpus — the exact analogue of
+    :func:`minhash_band_index` for Hamming-space fingerprints
+    (perceptual image hashes, SimHash). The fingerprint rides along so
+    the verify step never needs a second corpus join. Keep
+    (bits, n_tables, bits_per_table, seed) constant for an index's
+    lifetime — record them next to the index (the streaming loops'
+    sidecar convention)."""
+    positions = banded_bit_positions(bits, n_tables, bits_per_table, seed)
+    keys = []
+    for pos in positions:
+        key = F.lit(0).cast("long")
+        for i, p in enumerate(pos):
+            key = key.bitwiseOR(
+                F.shiftleft(F.shiftright("sh", p).bitwiseAND(1), i))
+        keys.append(key)
+    return sh.select(
+        "id", "sh", F.posexplode(F.array(*keys)).alias("tbl", "key"))
+
+
+def incremental_hamming_pairs(new_sh: DataFrame, index: DataFrame,
+                              bits: int = 60, max_hamming: int = 6,
+                              n_tables: int = 16, bits_per_table: int = 16,
+                              seed: int = 0xDA7A,
+                              broadcast_new: bool = True,
+                              materialize_mode: str = "local_checkpoint",
+                              new_index: DataFrame | None = None,
+                              ) -> DataFrame:
+    """Incremental Hamming near-dup: pairs for a NEW batch of
+    fingerprints against a stored banded ``index``
+    (:func:`hamming_banded_index`, typically read back from parquet)
+    plus within-batch pairs — without re-keying any corpus fingerprint.
+    The image/SimHash twin of :func:`incremental_minhash_pairs`, and
+    the 100 TB operating mode for perceptual-hash dedup: only the batch
+    is keyed, the batch's banded table (tiny) is BROADCAST against the
+    index scan, and the corpus side never shuffles. Pass
+    ``broadcast_new=False`` for an over-broadcast-size batch (falls
+    back to a shuffled equi-join on (tbl, key)).
+
+    Same replay-safety contract as the MinHash twin: the vs-index join
+    carries an explicit ``a.id != b.id`` guard, so a batch replayed
+    after its keys were folded into the index stays harmless (its
+    within-batch pairs surface from both branches and collapse in the
+    shared distinct). Returns ``(id_a, id_b, hamming)`` with
+    id_a < id_b, hamming ≤ ``max_hamming``; pairs are new×corpus and
+    new×new — never corpus×corpus (emitted when the index was built).
+    Recall semantics are the banded join's
+    (:func:`banded_hamming_recall`). After the batch, append
+    ``new_index`` (exactly the index schema) — one cheap parquet append
+    per batch."""
+    want_cols = {"id", "sh", "tbl", "key"}
+    if set(index.columns) != want_cols:
+        raise ValueError(
+            f"index columns {sorted(index.columns)} do not match the "
+            f"hamming_banded_index schema {sorted(want_cols)}; was the "
+            f"index built with hamming_banded_index and the same "
+            f"parameters?")
+    new_tab = (new_index if new_index is not None
+               else hamming_banded_index(new_sh, bits, n_tables,
+                                         bits_per_table, seed))
+    new_tab = materialize(new_tab, materialize_mode)
+    probe = F.broadcast(new_tab) if broadcast_new else \
+        _pin_join_parallelism(new_tab, "tbl", "key")
+    store = index if broadcast_new else \
+        _pin_join_parallelism(index, "tbl", "key")
+    vs_index = (
+        probe.alias("a").join(
+            store.alias("b"),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") != F.col("b.id")))
+        .select(
+            F.least("a.id", "b.id").alias("id_a"),
+            F.greatest("a.id", "b.id").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+            .alias("hamming")))
+    a = _pin_join_parallelism(new_tab, "tbl", "key").alias("a")
+    b = _pin_join_parallelism(new_tab, "tbl", "key").alias("b")
+    vs_self = (
+        a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+                .alias("hamming")))
+    return (vs_index.unionByName(vs_self)
+            .distinct()
+            .filter(F.col("hamming") <= max_hamming))

@@ -120,3 +120,63 @@ def test_image_neardup_banded_method(spark):
     assert exact_dups <= banded <= complete
     with pytest.raises(ValueError, match="unknown method"):
         image_neardup_pairs(media, method="nope")
+
+
+def test_incremental_hamming_pairs_matches_full_recompute(spark):
+    """Batch-vs-index pairs ∪ the index build's own pairs == one full
+    banded run over the union, and the incremental call never emits
+    corpus×corpus pairs."""
+    from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+        hamming_banded_index,
+        incremental_hamming_pairs,
+    )
+
+    corpus_rows = _planted(60, RADIUS)                  # ids 0..119
+    batch_rows = (
+        [(500, corpus_rows[0][1])]                      # exact dup of id 0
+        + [(501, corpus_rows[2][1] ^ 0b11)]             # near id 2 (h=2+...)
+        + [(510, _h60("fresh1")), (511, _h60("fresh1"))]  # within-batch dup
+        + [(520, _h60("alone"))])
+    corpus = spark.createDataFrame(corpus_rows, "id long, sh long")
+    batch = spark.createDataFrame(batch_rows, "id long, sh long")
+    index = hamming_banded_index(corpus, BITS, L, R)
+
+    incr = {(r.id_a, r.id_b) for r in incremental_hamming_pairs(
+        batch, index, BITS, RADIUS, L, R).collect()}
+    # never corpus×corpus
+    assert all(a >= 500 or b >= 500 for a, b in incr)
+    # the guaranteed h=0 pairs are present
+    assert (0, 500) in incr and (510, 511) in incr
+    # equivalence on batch-touching pairs vs one full recompute
+    full = {(r.id_a, r.id_b) for r in hamming_banded_pairs(
+        corpus.unionByName(batch), BITS, RADIUS, L, R).collect()}
+    full_touching_batch = {(a, b) for a, b in full
+                           if a >= 500 or b >= 500}
+    assert incr == full_touching_batch
+    # shuffled-join fallback returns the identical set
+    incr_shuffled = {(r.id_a, r.id_b) for r in incremental_hamming_pairs(
+        batch, index, BITS, RADIUS, L, R,
+        broadcast_new=False).collect()}
+    assert incr_shuffled == incr
+
+
+def test_incremental_hamming_replay_and_schema_guard(spark):
+    """A batch replayed after its keys were folded into the index must
+    not self-pair (the a.id != b.id guard), and a wrong-schema index is
+    refused up front."""
+    import pytest as _pytest
+
+    from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+        hamming_banded_index,
+        incremental_hamming_pairs,
+    )
+
+    rows = _planted(20, 0)
+    sh = spark.createDataFrame(rows, "id long, sh long")
+    index = hamming_banded_index(sh, BITS, L, R)
+    # replay: the batch IS already in the index
+    got = {(r.id_a, r.id_b) for r in incremental_hamming_pairs(
+        sh, index, BITS, RADIUS, L, R).collect()}
+    assert got == {(2 * i, 2 * i + 1) for i in range(20)}
+    with _pytest.raises(ValueError, match="hamming_banded_index schema"):
+        incremental_hamming_pairs(sh, sh, BITS, RADIUS, L, R)
