@@ -620,3 +620,108 @@ def run_embedding_dedup_stream(vecs_stream: DataFrame, index_dir: str,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def hamming_dedup_batch(sh: DataFrame, batch_id: int, index_dir: str,
+                        pairs_dir: str, bits: int = 60,
+                        max_hamming: int = 6, n_tables: int = 16,
+                        bits_per_table: int = 16, seed: int = 0xDA7A,
+                        id_col: str = "id", sh_col: str = "sh",
+                        materialize_mode: str = "persist",
+                        broadcast_new: bool = True,
+                        components_dir: str | None = None) -> None:
+    """The HAMMING-fingerprint twin of :func:`dedup_batch` /
+    :func:`embedding_dedup_batch` — perceptual image hashes or SimHash
+    deduplicated micro-batch by micro-batch against a growing banded
+    multi-index (operators/dedup.hamming_banded_index): one
+    ``(id, sh, tbl, key)`` row per fingerprint per table, stored per
+    batch under the same replay-idempotent ``batch=<id>`` layout, with
+    the same store-side discipline (batch broadcast, index scanned on
+    the (tbl, key) equi-join, never shuffled; ``broadcast_new=False``
+    for over-broadcast-size batches).
+
+    Emits ``(id_a, id_b, hamming)`` pairs (batch×index ∪ batch×batch,
+    exact bit_count verify ≤ ``max_hamming``) via
+    operators/dedup.incremental_hamming_pairs — recall follows the
+    banded join's (operators/dedup.banded_hamming_recall; 1.0 for
+    exact-duplicate hashes). The accumulated pairs over any batch split
+    equal one `hamming_banded_pairs` run over the union (keys are
+    plan-time constants), the parity the tests pin. The
+    ``_mih_params.json`` sidecar pins (bits, n_tables, bits_per_table,
+    seed, max_hamming) for the index's lifetime — a mid-stream change
+    to any of them would make the pair stream's recall batch-dependent;
+    `compact_dedup_index` folds this index's partitions too (it is
+    layout-generic).
+
+    ``components_dir`` maintains the same cross-batch id→component
+    table as the text and embedding paths (:func:`update_components` —
+    all three share it), so keep-one decisions stay stable as batches
+    arrive. Pipeline shape for images: image_ahash (Arrow kernel) →
+    this loop — only (media_id, 60-bit hash) rows ever reach state."""
+    from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+        hamming_banded_index,
+        incremental_hamming_pairs,
+    )
+
+    spark = sh.sparkSession
+    _check_sidecar_params(
+        spark, index_dir,
+        {"bits": bits, "n_tables": n_tables,
+         "bits_per_table": bits_per_table, "seed": seed,
+         "max_hamming": max_hamming},
+        filename="_mih_params.json")
+    base = sh.select(F.col(id_col).alias("id"), F.col(sh_col).alias("sh"))
+    newb = hamming_banded_index(base, bits, n_tables, bits_per_table, seed)
+    newb = materialize(newb, materialize_mode)
+    try:
+        index = _read_index_except(spark, index_dir, batch_id)
+        if index is None:
+            index = newb.limit(0)
+        pairs = incremental_hamming_pairs(
+            base, index, bits, max_hamming, n_tables, bits_per_table,
+            seed, broadcast_new=broadcast_new,
+            materialize_mode="none", new_index=newb)
+        pairs.write.mode("overwrite").parquet(
+            f"{pairs_dir}/batch={batch_id}")
+        newb.write.mode("overwrite").parquet(
+            f"{index_dir}/batch={batch_id}")
+    finally:
+        if materialize_mode == "persist":
+            newb.unpersist()
+    if components_dir is not None:
+        update_components(
+            sh.select(F.col(id_col).alias("id")),
+            spark.read.parquet(f"{pairs_dir}/batch={batch_id}"),
+            components_dir, batch_id, id_col="id")
+
+
+def run_hamming_dedup_stream(sh_stream: DataFrame, index_dir: str,
+                             pairs_dir: str, checkpoint: str,
+                             bits: int = 60, max_hamming: int = 6,
+                             n_tables: int = 16, bits_per_table: int = 16,
+                             seed: int = 0xDA7A,
+                             id_col: str = "id", sh_col: str = "sh",
+                             trigger_available_now: bool = True,
+                             on_batch: Callable[[int], None] | None = None,
+                             components_dir: str | None = None):
+    """Attach the Hamming dedup loop to a streaming fingerprint source —
+    the perceptual-hash twin of :func:`run_dedup_stream` /
+    :func:`run_embedding_dedup_stream`, same checkpoint + batch=<id>
+    replay contract."""
+
+    def batch_fn(df: DataFrame, batch_id: int) -> None:
+        hamming_dedup_batch(df, batch_id, index_dir, pairs_dir, bits,
+                            max_hamming, n_tables, bits_per_table, seed,
+                            id_col, sh_col,
+                            components_dir=components_dir)
+        if on_batch is not None:
+            on_batch(batch_id)
+
+    writer = (
+        sh_stream.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

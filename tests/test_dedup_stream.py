@@ -594,3 +594,85 @@ def test_embedding_multiprobe_recovers_boundary_pairs(spark, tmp_path):
     with pytest.raises(ValueError, match="silently missed"):
         embedding_dedup_batch(_vecs(spark, [(3, v1)]), 2, index_dir,
                               pairs_dir, DIM, n_planes=2, threshold=0.99)
+
+
+def _h60s(s):
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:16], 16) & ((1 << 60) - 1)
+
+
+def test_hamming_stream_matches_batch_pairs(spark, tmp_path):
+    """Accumulated hamming_dedup_batch pairs over a 3-batch split equal
+    one hamming_banded_pairs run over the union (keys are plan-time
+    constants), and the shared component table drives keep-one."""
+    from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+        hamming_banded_pairs,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.dedup_stream import (
+        hamming_dedup_batch,
+        read_components,
+    )
+
+    base = _h60s("imgA")
+    rows = [
+        [(1, base), (2, _h60s("imgB"))],
+        [(10, base), (11, _h60s("imgC"))],          # exact dup of 1
+        [(20, base ^ 0b101), (21, _h60s("imgD"))],  # h=2 from 1/10
+    ]
+    idir, pdir, cdir = (str(tmp_path / d) for d in
+                        ("index", "pairs", "comp"))
+    for i, batch in enumerate(rows):
+        hamming_dedup_batch(
+            spark.createDataFrame(batch, "id long, sh long"), i, idir,
+            pdir, components_dir=cdir)
+    got = {(r.id_a, r.id_b, r.hamming) for r in
+           spark.read.parquet(pdir).collect()}
+    union = spark.createDataFrame([r for b in rows for r in b],
+                                  "id long, sh long")
+    want = {(r.id_a, r.id_b, r.hamming) for r in
+            hamming_banded_pairs(union).collect()}
+    assert got == want
+    assert (1, 10, 0) in got and (1, 20, 2) in got and (10, 20, 2) in got
+    comps = {r.id: r.component for r in
+             read_components(spark, cdir).collect()}
+    assert comps[1] == comps[10] == comps[20] == 1
+    # keep-one: min id per component survives
+    keep = {i for i, c in comps.items() if c == i}
+    assert keep == {1, 2, 11, 21}
+
+
+def test_hamming_stream_replay_sidecar_and_compaction(spark, tmp_path):
+    """Replayed batches rewrite their partitions byte-identically, a
+    parameter change refuses against the sidecar, and replay AFTER
+    compact_dedup_index stays self-pair-free."""
+    import pytest
+
+    from harvesting_extract_to_ttl_service_spark.streaming.dedup_stream import (
+        compact_dedup_index,
+        hamming_dedup_batch,
+    )
+
+    rows = [[(1, _h60s("x")), (2, _h60s("x"))],
+            [(10, _h60s("x")), (11, _h60s("y"))]]
+    idir, pdir = str(tmp_path / "index"), str(tmp_path / "pairs")
+    dfs = [spark.createDataFrame(b, "id long, sh long") for b in rows]
+    for i, df in enumerate(dfs):
+        hamming_dedup_batch(df, i, idir, pdir)
+    before = {(r.id_a, r.id_b) for r in spark.read.parquet(pdir).collect()}
+    assert before == {(1, 2), (1, 10), (2, 10)}
+
+    # replay batch 1 → identical pairs
+    hamming_dedup_batch(dfs[1], 1, idir, pdir)
+    assert {(r.id_a, r.id_b) for r in
+            spark.read.parquet(pdir).collect()} == before
+
+    # parameter drift refuses against the sidecar
+    with pytest.raises(ValueError, match="built with"):
+        hamming_dedup_batch(dfs[1], 2, idir, pdir, bits_per_table=14)
+
+    # compact, then replay: the a.id != b.id guard keeps it harmless
+    assert compact_dedup_index(spark, idir) == 2
+    hamming_dedup_batch(dfs[1], 1, idir, pdir)
+    assert {(r.id_a, r.id_b) for r in
+            spark.read.parquet(pdir).collect()} == before
