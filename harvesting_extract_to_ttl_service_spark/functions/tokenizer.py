@@ -1,0 +1,147 @@
+"""Trained-tokenizer import — true byte-pair-encoding token counts from
+an exported merges table, replacing the whitespace/regex approximations
+(operators/text.py ``token_count`` / ``bpe_ish_token_count``) wherever a
+corpus budget must be measured in the TRAINING tokenizer's units
+(shard budgets, temperature allocations, context-window packing all key
+on token counts; a 15% systematic miscount is a 15% mis-sized corpus).
+
+File format — the original BPE convention (Sennrich et al.; the public
+``merges.txt`` shape): optional ``#version`` header, then one merge per
+line, ``left right``, in PRIORITY order (earlier line = applied first).
+Words are whitespace-split, encoded as character sequences with a
+``</w>`` end-of-word marker, and merges apply lowest-rank-first until
+none match — the standard greedy BPE loop, deterministic given the
+merges list.
+
+Execution shape: the merges table is TINY (50k lines ≈ 500 kB) and
+ships to executors inside the UDF closure; the encode loop is genuinely
+imperative per word, so this is an Arrow-batched ``mapInPandas`` kernel
+by design — the documented slow path, used for budget-accounting passes
+that emit ONE NUMBER per document (token arrays never shuffle unless
+explicitly asked for). A per-batch word-level memo exploits Zipf: each
+distinct word is encoded once per Arrow batch, so the amortized cost
+per token is a dict lookup.
+
+Reference analogue: none — extension surface for the LLM-corpus funnel
+(SURVEY.md §2C), the tokenizer-import sibling of functions/models.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+END_OF_WORD = "</w>"
+
+
+def load_bpe_merges(spark, path: str) -> list[tuple[str, str]]:
+    """Read a merges file into the priority-ordered pair list. Goes
+    through ``spark.read.text`` so the file may live on any Hadoop
+    filesystem (hdfs/s3a), then collects DRIVER-side — bounded by the
+    tokenizer's merge count (tens of thousands of tiny rows, the same
+    bounded-collect class as k-means centroids). Lines starting with
+    ``#`` and blank lines are skipped; a line without exactly two
+    fields raises (a truncated merges file must not silently change
+    every count downstream)."""
+    rows = [r.value for r in spark.read.text(path).collect()]
+    merges: list[tuple[str, str]] = []
+    for ln in rows:
+        s = ln.strip()
+        if not s or s.startswith("#"):
+            continue
+        parts = s.split(" ")
+        if len(parts) != 2:
+            raise ValueError(
+                f"load_bpe_merges: malformed merge line {s!r} "
+                f"(expected 'left right')")
+        merges.append((parts[0], parts[1]))
+    return merges
+
+
+def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]
+                    ) -> list[str]:
+    """Pure-Python BPE encode of one word (characters + ``</w>``,
+    lowest-rank merge applied repeatedly). The single-word kernel both
+    the Spark operator and the test mirror share — one implementation,
+    no drift."""
+    symbols = list(word) + [END_OF_WORD]
+    while len(symbols) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(symbols) - 1):
+            r = ranks.get((symbols[i], symbols[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        symbols[best_i:best_i + 2] = [symbols[best_i]
+                                      + symbols[best_i + 1]]
+    return symbols
+
+
+def bpe_token_count(df: DataFrame, merges: list[tuple[str, str]],
+                    text_col: str = "text", id_col: str = "doc_id",
+                    lowercase: bool = False,
+                    emit_tokens: bool = False) -> DataFrame:
+    """Per-document token count under the loaded BPE tokenizer —
+    returns ``df`` + ``n_bpe_tokens`` (and, with ``emit_tokens=True``,
+    the ``bpe_tokens`` array — OFF by default: per-token rows/arrays
+    multiply the shuffled bytes by the token count, and budget
+    accounting needs only the number).
+
+    Arrow-batched ``mapInPandas`` (never row-at-a-time): the ranks dict
+    rides the closure, a per-batch word memo collapses Zipf-repeated
+    words to one encode each. NULL text counts 0 tokens (the NULL lane
+    stays explicit). Join shape: none — one projection-like pass, the
+    operator preserves partitioning."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    if len(ranks) != len(merges):
+        raise ValueError("bpe_token_count: duplicate merge pairs — a "
+                         "later duplicate would silently never apply")
+    out_fields = df.schema.fields + [
+        T.StructField("n_bpe_tokens", T.LongType(), False)]
+    if emit_tokens:
+        out_fields.append(
+            T.StructField("bpe_tokens",
+                          T.ArrayType(T.StringType()), True))
+    out_schema = T.StructType(out_fields)
+    cols = df.columns
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, list[str]] = {}
+
+        def enc(word: str) -> list[str]:
+            got = memo.get(word)
+            if got is None:
+                got = memo[word] = bpe_encode_word(word, ranks)
+            return got
+
+        for pdf in it:
+            counts = []
+            toks_col = []
+            for text in pdf[text_col]:
+                if text is None:
+                    counts.append(0)
+                    toks_col.append(None)
+                    continue
+                s = text.lower() if lowercase else text
+                n = 0
+                toks: list[str] | None = [] if emit_tokens else None
+                for w in s.split():
+                    t = enc(w)
+                    n += len(t)
+                    if toks is not None:
+                        toks.extend(t)
+                counts.append(n)
+                toks_col.append(toks)
+            out = pdf[cols].copy()
+            out["n_bpe_tokens"] = counts
+            if emit_tokens:
+                out["bpe_tokens"] = toks_col
+            yield out
+
+    return df.mapInPandas(batches, out_schema)

@@ -165,7 +165,8 @@ def score_weighted_sample(df: DataFrame, score_col: str,
 
 def temperature_mixture(df: DataFrame, strata_col: str = "lang",
                         text_col: str = "text", alpha: float = 0.5,
-                        budget_tokens: int = 1_000_000) -> DataFrame:
+                        budget_tokens: int = 1_000_000,
+                        count_col: str | None = None) -> DataFrame:
     """Per-stratum token-budget allocation with temperature ``alpha``
     (multilingual-sampling tradition: share_s ∝ n_s^alpha; alpha=1 is
     proportional, alpha→0 is uniform). Returns one row per stratum with
@@ -175,10 +176,18 @@ def temperature_mixture(df: DataFrame, strata_col: str = "lang",
     The denominator Σ n_s^alpha is folded over a stratum-sorted array so
     both engines add the pow() terms in the same order (see module
     docstring); everything else is integer arithmetic until the final
-    division."""
+    division.
+
+    ``count_col`` switches the token unit from the whitespace count of
+    ``text_col`` to a PRECOMPUTED per-document count column — pass the
+    output of functions/tokenizer.bpe_token_count to budget in the
+    TRAINING tokenizer's units (one upstream Arrow pass; every
+    downstream budget stage then agrees on the unit)."""
+    toks = (F.col(count_col) if count_col is not None
+            else token_count(F.col(text_col)))
     counts = df.groupBy(strata_col).agg(
         F.count("*").alias("n_docs"),
-        F.sum(token_count(F.col(text_col))).alias("n_tokens"))
+        F.sum(toks).alias("n_tokens"))
     w = counts.withColumn(
         "_w", F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha))))
     denom = (
@@ -203,7 +212,8 @@ def temperature_sample(df: DataFrame, strata_col: str = "lang",
                        text_col: str = "text", id_col: str = "doc_id",
                        alpha: float = 0.5,
                        budget_tokens: int = 1_000_000,
-                       salt: str = "tsample") -> DataFrame:
+                       salt: str = "tsample",
+                       count_col: str | None = None) -> DataFrame:
     """The sampler that REALIZES :func:`temperature_mixture`'s
     allocation: per stratum, keep each document with probability
     alloc_tokens_s / n_tokens_s (clamped at 1), so the kept corpus's
@@ -220,9 +230,10 @@ def temperature_sample(df: DataFrame, strata_col: str = "lang",
     deviation from the target budget is O(1/√n_docs); for an exact cut
     on small strata, sort the survivors and trim.
 
-    Returns the sampled rows of ``df`` (original columns)."""
+    Returns the sampled rows of ``df`` (original columns).
+    ``count_col``: see :func:`temperature_mixture`."""
     mix = temperature_mixture(df, strata_col, text_col, alpha,
-                              budget_tokens)
+                              budget_tokens, count_col)
     # n_tokens = 0 (a stratum whose documents ALL tokenize empty) would
     # make the rate NULL (Spark division by zero) and the hash compare
     # silently false — pin that to an explicit keep-nothing 0.0: the
@@ -247,7 +258,8 @@ def temperature_sample_exact(df: DataFrame, strata_col: str = "lang",
                              text_col: str = "text",
                              id_col: str = "doc_id", alpha: float = 0.5,
                              budget_tokens: int = 1_000_000,
-                             salt: str = "tsample") -> DataFrame:
+                             salt: str = "tsample",
+                             count_col: str | None = None) -> DataFrame:
     """The EXACT token-prefix cut :func:`temperature_sample`'s docstring
     delegates for small strata: instead of realizing the per-stratum
     allocation as an expected-value keep RATE, order each stratum's
@@ -267,13 +279,14 @@ def temperature_sample_exact(df: DataFrame, strata_col: str = "lang",
 
     Returns the kept rows of ``df`` (original columns)."""
     mix = temperature_mixture(df, strata_col, text_col, alpha,
-                              budget_tokens)
+                              budget_tokens, count_col)
     allocs = mix.select(strata_col, "alloc_tokens")
     w = (Window.partitionBy(strata_col)
          .orderBy(hash_fraction(F.col(id_col), salt), F.col(id_col))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (
-        df.withColumn("_nt", token_count(F.col(text_col)))
+        df.withColumn("_nt", F.col(count_col) if count_col is not None
+                      else token_count(F.col(text_col)))
         .withColumn("_cum", F.sum("_nt").over(w))
         .join(F.broadcast(allocs), strata_col)
         .filter(F.col("_cum") - F.col("_nt") < F.col("alloc_tokens"))
@@ -435,12 +448,16 @@ def epoch_shuffle(df: DataFrame, epoch: int, id_col: str = "doc_id",
 
 def _pack_columns(df: DataFrame, budget_tokens: int, shard_col: str,
                   text_col: str, id_col: str,
-                  order_col: str | None = None) -> DataFrame:
+                  order_col: str | None = None,
+                  count_col: str | None = None) -> DataFrame:
     """All of ``df``'s columns plus the packing columns (n_tokens,
     start_offset, chunk) — one window cumsum per shard. ``order_col``
     prepends a concatenation-order key (e.g. :func:`epoch_shuffle`'s)
-    ahead of the ``id_col`` tiebreak."""
-    toks = token_count(F.col(text_col))
+    ahead of the ``id_col`` tiebreak. ``count_col``: a precomputed
+    per-document token count to pack by (trained-tokenizer units — see
+    :func:`temperature_mixture`)."""
+    toks = (F.col(count_col) if count_col is not None
+            else token_count(F.col(text_col)))
     order = [order_col, id_col] if order_col is not None else [id_col]
     w = (Window.partitionBy(shard_col).orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, -1))
@@ -455,7 +472,8 @@ def _pack_columns(df: DataFrame, budget_tokens: int, shard_col: str,
 def pack_chunks(df: DataFrame, budget_tokens: int,
                 shard_col: str = "shard", text_col: str = "text",
                 id_col: str = "doc_id",
-                order_col: str | None = None) -> DataFrame:
+                order_col: str | None = None,
+                count_col: str | None = None) -> DataFrame:
     """Concatenate-and-chunk packing: within each shard, documents are
     concatenated in id order and the token stream is cut into
     ``budget_tokens``-sized context windows; a document belongs to the
@@ -467,9 +485,9 @@ def pack_chunks(df: DataFrame, budget_tokens: int,
     concatenation order — same plan shape, same single window.
 
     Returns (shard, chunk, start_offset) per document plus its token
-    count."""
+    count. ``count_col``: see :func:`temperature_mixture`."""
     return _pack_columns(df, budget_tokens, shard_col, text_col,
-                         id_col, order_col).select(
+                         id_col, order_col, count_col).select(
         F.col(shard_col), F.col(id_col), "n_tokens", "start_offset", "chunk")
 
 
@@ -477,7 +495,8 @@ def write_training_shards(df: DataFrame, out_dir: str, n_shards: int,
                           budget_tokens: int, text_col: str = "text",
                           id_col: str = "doc_id",
                           salt: str = "shard",
-                          shuffle_epoch: int | None = None) -> None:
+                          shuffle_epoch: int | None = None,
+                          count_col: str | None = None) -> None:
     """The corpus stage's deliverable: shard-partitioned parquet training
     shards, each shard's rows sorted in concatenation order so a loader
     streams the concatenate-and-chunk token stream with a plain file
@@ -506,7 +525,7 @@ def write_training_shards(df: DataFrame, out_dir: str, n_shards: int,
     # `shard` is already satisfied, so Catalyst adds no second exchange —
     # the plan has exactly one shuffle (pinned by test).
     packed = _pack_columns(sharded, budget_tokens, "shard", text_col,
-                           id_col, order_col)
+                           id_col, order_col, count_col)
     sort_cols = (["shard", "chunk"]
                  + ([order_col] if order_col is not None else [])
                  + [id_col])

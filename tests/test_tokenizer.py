@@ -1,0 +1,115 @@
+"""True-BPE tokenizer import (functions/tokenizer.py): merges-file
+loading, the greedy lowest-rank-first encode loop against hand-derived
+sequences, and the Arrow-batched count operator."""
+
+import os
+
+import pytest
+
+from harvesting_extract_to_ttl_service_spark.functions.tokenizer import (
+    bpe_encode_word,
+    bpe_token_count,
+    load_bpe_merges,
+)
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "..", "fixtures",
+                       "bpe_mini_merges.txt")
+
+
+def test_load_merges_and_encode_hand_derived(spark):
+    merges = load_bpe_merges(spark, FIXTURE)
+    assert merges[0] == ("e", "</w>") and len(merges) == 10
+    ranks = {p: i for i, p in enumerate(merges)}
+    # full-word merges
+    assert bpe_encode_word("the", ranks) == ["the</w>"]
+    assert bpe_encode_word("data", ranks) == ["data</w>"]
+    # partial coverage: 'thing' → th + ing</w> ... with 'th' applied
+    # first (rank 1 < rank 7 'i n'), then in, ing, ing</w>
+    assert bpe_encode_word("thing", ranks) == ["th", "ing</w>"]
+    # no applicable merge: characters + the end marker survive
+    assert bpe_encode_word("zed", ranks) == ["z", "e", "d", "</w>"]
+    assert bpe_encode_word("", ranks) == ["</w>"]
+
+
+def test_load_merges_rejects_malformed(spark, tmp_path):
+    p = str(tmp_path / "bad.txt")
+    with open(p, "w") as f:
+        f.write("a b\none two three\n")
+    with pytest.raises(ValueError, match="malformed merge line"):
+        load_bpe_merges(spark, p)
+
+
+def test_bpe_token_count_operator(spark):
+    merges = load_bpe_merges(spark, FIXTURE)
+    docs = spark.createDataFrame([
+        (1, "the data"),            # 1 + 1
+        (2, "thing the thing"),     # 2 + 1 + 2
+        (3, "zed"),                 # 4
+        (4, None),                  # NULL lane: 0
+        (5, ""),                    # no words: 0
+        (6, "THE"),                 # cased: no merges hit → 4
+    ], "doc_id long, text string")
+    got = {r.doc_id: r.n_bpe_tokens
+           for r in bpe_token_count(docs, merges).collect()}
+    assert got == {1: 2, 2: 5, 3: 4, 4: 0, 5: 0, 6: 4}
+    # lowercase folds doc 6 onto the trained-case vocabulary
+    low = {r.doc_id: r.n_bpe_tokens
+           for r in bpe_token_count(docs, merges,
+                                    lowercase=True).collect()}
+    assert low[6] == 1 and low[1] == 2
+    # emit_tokens carries the actual sequences (off by default)
+    toks = {r.doc_id: r.bpe_tokens for r in
+            bpe_token_count(docs, merges, emit_tokens=True).collect()}
+    assert toks[1] == ["the</w>", "data</w>"]
+    assert toks[2] == ["th", "ing</w>", "the</w>", "th", "ing</w>"]
+    assert toks[4] is None
+    assert "bpe_tokens" not in bpe_token_count(docs, merges).columns
+    with pytest.raises(ValueError, match="duplicate merge"):
+        bpe_token_count(docs, merges + [merges[0]])
+
+
+def test_bpe_count_matches_per_word_kernel_on_fixture(spark, sf_dir):
+    """Operator vs the shared kernel applied word-by-word in plain
+    Python over real fixture documents — catches batching/memo bugs."""
+    merges = load_bpe_merges(spark, FIXTURE)
+    ranks = {p: i for i, p in enumerate(merges)}
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text").filter("doc_id < 50"))
+    got = {r.doc_id: r.n_bpe_tokens
+           for r in bpe_token_count(docs, merges).collect()}
+    for r in docs.collect():
+        want = sum(len(bpe_encode_word(w, ranks)) for w in r.text.split())
+        assert got[r.doc_id] == want, r.doc_id
+
+
+def test_budget_stages_accept_trained_tokenizer_counts(spark):
+    """count_col threads BPE counts through packing and temperature
+    budgeting: the packed offsets/chunks equal the same operators run
+    over a text whose whitespace count equals the BPE count — i.e. the
+    unit swap is complete, not partial."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        pack_chunks,
+        temperature_mixture,
+    )
+
+    merges = load_bpe_merges(spark, FIXTURE)
+    docs = spark.createDataFrame([
+        (1, "the data", "en"),          # 2 bpe tokens (4 ws tokens? 2 ws)
+        (2, "thing the thing", "en"),   # 5 bpe tokens (3 ws)
+        (3, "zed", "de"),               # 4 bpe tokens (1 ws)
+    ], "doc_id long, text string, lang string")
+    counted = bpe_token_count(docs, merges)
+
+    packed = {r.doc_id: (r.n_tokens, r.start_offset, r.chunk)
+              for r in pack_chunks(
+                  counted, budget_tokens=6, shard_col="lang",
+                  count_col="n_bpe_tokens").collect()}
+    # en shard: doc1 starts at 0 (2 toks), doc2 at 2 (5 toks) → chunk 0
+    assert packed[1] == (2, 0, 0)
+    assert packed[2] == (5, 2, 0)
+    assert packed[3] == (4, 0, 0)
+
+    mix = {r.lang: (r.n_docs, r.n_tokens) for r in temperature_mixture(
+        counted, budget_tokens=100,
+        count_col="n_bpe_tokens").collect()}
+    assert mix["en"] == (2, 7) and mix["de"] == (1, 4)
