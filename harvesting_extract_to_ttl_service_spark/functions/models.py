@@ -179,14 +179,18 @@ def hashed_multiclass_score(df: DataFrame, weights: DataFrame,
     normalizer (sparse-model semantics, via the tf denominator being
     the TOTAL token count).
 
-    Scale shape — the binary scorer's two-level aggregation plus one
-    classes-sized dimension: (doc, bucket) partials finish map-side,
-    the weight join fans each doc-bucket row out to at most k label
-    rows, and the argmax is a per-doc aggregate over k rows
-    (``min(struct(-logit, label))`` — deterministic tie-break: highest
-    logit, then label ascending; logits are pre-rounded to 6 dp so the
-    comparison is cross-engine stable). Token instances never reach a
-    join or shuffle.
+    Scale shape — EXACTLY the binary scorer's two-level aggregation,
+    k heads wide: the long weight table pivots to one row per bucket
+    with k weight columns (a tiny plan-time reshape), that wide table
+    broadcasts onto the (doc, bucket) partials, and ONE
+    map-side-combinable groupBy(doc) computes the token total plus all
+    k dots together — no per-label join, no classes×docs intermediate,
+    no cross join (the first cut paid two sort-merge joins for those;
+    this shape plans broadcast-only). The argmax is then a pure
+    projection: ``array_min(array(struct(-logit_i, label_i)))`` —
+    deterministic tie-break: highest logit, then label ascending;
+    logits are pre-rounded to 6 dp so the comparison is cross-engine
+    stable. Token instances never reach a join or shuffle.
 
     Documents with no tokens predict ``unknown`` with NULL score (the
     :func:`~..operators.text.lang_id` 'und' convention — a bias-only
@@ -208,10 +212,15 @@ def hashed_multiclass_score(df: DataFrame, weights: DataFrame,
         tokens,
     )
 
-    spark = df.sparkSession
     b = biases or [0.0] * len(labels)
-    label_rows = [(str(lb), float(bi)) for lb, bi in zip(labels, b)]
-    heads = spark.createDataFrame(label_rows, "label string, bias double")
+    # long → wide: one row per bucket, one weight column per class.
+    # Plan-time reshape of a ≤n_buckets×k table; column names are
+    # positional (_w0.._wk-1) so arbitrary label strings can't collide
+    # with SQL identifier rules.
+    wide = (weights.groupBy("bucket")
+            .pivot("label", [str(lb) for lb in labels])
+            .agg(F.first("weight"))
+            .toDF("bucket", *[f"_w{i}" for i in range(len(labels))]))
 
     df = spread_for_cpu(df)
     ex = df.select(F.col(id_col).alias("_id"),
@@ -220,19 +229,19 @@ def hashed_multiclass_score(df: DataFrame, weights: DataFrame,
                      * F.lit(n_buckets)).cast("long")
     pd_ = (ex.select("_id", bucket.alias("bucket"))
            .groupBy("_id", "bucket").agg(F.count("*").alias("_c")))
-    totals = pd_.groupBy("_id").agg(F.sum("_c").alias("_n"))
-    dots = (pd_.join(F.broadcast(weights), "bucket")
-            .groupBy("_id", "label")
-            .agg(F.sum(F.col("_c") * F.col("weight")).alias("_num")))
-    logits = (totals.crossJoin(F.broadcast(heads))
-              .join(dots, ["_id", "label"], "left")
-              .select("_id", "_n", "label",
-                      F.round(F.col("bias")
-                              + F.coalesce(F.col("_num"), F.lit(0.0))
-                              / F.col("_n"), 6).alias("_logit")))
-    win = (logits.groupBy("_id", "_n")
-           .agg(F.min(F.struct((-F.col("_logit")).alias("nl"),
-                               F.col("label").alias("l"))).alias("_w")))
+    agg = (pd_.join(F.broadcast(wide), "bucket", "left")
+           .groupBy("_id").agg(
+               F.sum("_c").alias("_n"),
+               *[F.sum(F.col("_c")
+                       * F.coalesce(F.col(f"_w{i}"), F.lit(0.0)))
+                 .alias(f"_d{i}") for i in range(len(labels))]))
+    scored = F.array(*[
+        F.struct(
+            (-(F.round(F.lit(float(bi))
+                       + F.col(f"_d{i}") / F.col("_n"), 6))).alias("nl"),
+            F.lit(str(lb)).alias("l"))
+        for i, (lb, bi) in enumerate(zip(labels, b))])
+    win = agg.select("_id", "_n", F.array_min(scored).alias("_w"))
     joined = df.join(win, df[id_col] == win["_id"], "left")
     return joined.select(
         *df.columns,

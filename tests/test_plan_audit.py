@@ -22,7 +22,10 @@ QUERIES = entry_mod.queries()
 #                   small-corpus baseline (the suite's other members ARE
 #                   the scale path), and the broadcast side is bounded.
 #   corpus_suite  — the mixture denominator is a one-row broadcast
-#                   (a scalar) cross-joined onto a strata-sized frame.
+#                   (a scalar) cross-joined onto a strata-sized frame,
+#                   and the mclf member cross-joins the k-row broadcast
+#                   label/bias table onto per-doc totals (k = number of
+#                   model classes, a constant).
 BNLJ_OK = {"ann_suite", "corpus_suite"}
 
 
