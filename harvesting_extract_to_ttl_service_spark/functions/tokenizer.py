@@ -20,7 +20,11 @@ by design — the documented slow path, used for budget-accounting passes
 that emit ONE NUMBER per document (token arrays never shuffle unless
 explicitly asked for). A per-batch word-level memo exploits Zipf: each
 distinct word is encoded once per Arrow batch, so the amortized cost
-per token is a dict lookup.
+per token is a dict lookup. Measured (sf0.1, 5,000 docs, 1.35M tokens,
+local[32], 2026-08-15): 2.9 s vs 0.4 s for the whitespace column
+expression — ~7× the cost for the correct unit, embarrassingly
+parallel, paid once per corpus (persist ``n_bpe_tokens`` with the
+docs; every downstream budget stage reads the column).
 
 Reference analogue: none — extension surface for the LLM-corpus funnel
 (SURVEY.md §2C), the tokenizer-import sibling of functions/models.py.
