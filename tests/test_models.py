@@ -301,3 +301,54 @@ def test_stream_model_gates_match_batch_funnel(spark, tmp_path):
     # doc 1 passes both gates; 2 fails quality; 10 fails LID; 11 is an
     # exact dup of 1's text → deduped
     assert {d for d, _ in got} == {1}
+
+
+def test_multiclass_scorer_matches_mirror_property(spark):
+    """Hypothesis sweep: over random small models (2-4 classes, tiny
+    vocab, random weights/biases) and random documents (in-vocab and
+    OOV words, empty docs), the Spark argmax head and the pure-Python
+    mirror agree on (n_tokens, pred, logit) for every document."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    word = st.sampled_from(vocab + ["oov1", "oov2"])
+    weight = st.integers(-300, 300).map(lambda v: v / 100.0)
+
+    @given(
+        n_classes=st.integers(2, 4),
+        model=st.dictionaries(st.sampled_from(vocab),
+                              st.lists(weight, min_size=4, max_size=4),
+                              min_size=1),
+        biases=st.lists(weight, min_size=4, max_size=4),
+        docs=st.lists(st.lists(word, max_size=8), min_size=1,
+                      max_size=5),
+    )
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def check(n_classes, model, biases, docs):
+        labels = [f"c{i}" for i in range(n_classes)]
+        nb = 8  # tiny bucket space → collisions exercised every example
+        vecs = {t: v[:n_classes] for t, v in model.items()}
+        wdf = hash_vec_weights(
+            spark.createDataFrame(
+                [(t, v) for t, v in sorted(vecs.items())],
+                "token string, vec array<double>"),
+            labels, n_buckets=nb)
+        texts = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+        got = {r.doc_id: (r.n_tokens, r.pred, r.pred_logit)
+               for r in hashed_multiclass_score(
+                   spark.createDataFrame(texts, "doc_id long, text string"),
+                   wdf, labels, biases=biases[:n_classes],
+                   n_buckets=nb).collect()}
+        want = _mirror_multiclass(texts, vecs, labels, nb,
+                                  biases[:n_classes])
+        for doc_id, w in want.items():
+            g = got[doc_id]
+            assert g[:2] == w[:2], (doc_id, g, w, vecs)
+            if w[2] is None:
+                assert g[2] is None
+            else:
+                assert g[2] == pytest.approx(w[2])
+
+    check()
