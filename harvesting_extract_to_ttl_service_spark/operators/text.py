@@ -861,3 +861,61 @@ def annotate_documents(df: DataFrame, text_col: str = "text",
         lang_pred.alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def hashed_text_embedding(df: DataFrame, dim: int = 32,
+                          text_col: str = "text",
+                          id_col: str = "doc_id",
+                          salt: str = "temb",
+                          normalize: bool = True) -> DataFrame:
+    """Signed feature-hashing text embedding — the model-free dense
+    vectorizer that connects the TEXT corpus to the embedding stack
+    (sign-LSH / IVF / SemDeDup / int8 all consume an
+    ``array<double>``): each lowercased whitespace token hashes to one
+    of ``dim`` buckets with a ±1 sign (signed hashing cancels collision
+    bias in expectation — Weinberger et al.'s hashing trick), the
+    document's vector is the signed bucket-count histogram, L2
+    normalized so downstream cosine works out of the box.
+
+    Classic cheap baseline, not a learned embedding: near-identical
+    token multisets → near-identical vectors, which is exactly the
+    lexical-similarity signal cluster-blocked dedup wants when no
+    encoder is available (plug a real model's vectors in anywhere —
+    the column contract is the same).
+
+    Plan: ONE projection, NO shuffle — the vector assembles in-row by
+    folding the token array once per component
+    (``transform(sequence, i -> aggregate(tokens, ...))``; O(dim ·
+    tokens) expression work per document, the right trade against an
+    explode + groupBy + re-assemble whose shuffle would dwarf it at any
+    ``dim`` this is meant for, ≤64). Both the fold (document order) and
+    the norm (component order) add floats in a pinned order, so a SQL
+    twin reproduces the doubles bit-for-bit. Token-less documents embed
+    as the zero vector (normalize divides only positive norms — no
+    NULL/NaN lane).
+
+    Returns ``(id_col, n_tokens, embedding)``."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        hash_fraction,
+    )
+
+    t = tokens(F.lower(F.col(text_col)))
+    signed = F.transform(t, lambda w: F.struct(
+        F.floor(hash_fraction(w, salt) * dim).cast("int").alias("b"),
+        F.when(hash_fraction(w, salt + "s") < 0.5, F.lit(-1.0))
+        .otherwise(F.lit(1.0)).alias("s")))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.aggregate(
+            signed, F.lit(0.0),
+            lambda acc, p: acc + F.when(p.getField("b") == i,
+                                        p.getField("s"))
+            .otherwise(F.lit(0.0))))
+    if normalize:
+        nrm = F.sqrt(F.aggregate(vec, F.lit(0.0),
+                                 lambda acc, x: acc + x * x))
+        vec = F.when(nrm > 0,
+                     F.transform(vec, lambda x: F.round(x / nrm, 6))) \
+            .otherwise(vec)
+    return df.select(F.col(id_col), F.size(t).alias("n_tokens"),
+                     vec.alias("embedding"))

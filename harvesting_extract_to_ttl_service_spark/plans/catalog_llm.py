@@ -1420,7 +1420,70 @@ def quantized_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  k=10)
 
 
+from harvesting_extract_to_ttl_service_spark.operators.corpus import (  # noqa: E402
+    hash_fraction_sql,
+)
+
+_TEMB_DIM = 32
+_TEMB_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_WORDS} AS w FROM documents WHERE doc_id < 200
+), s AS (
+  SELECT doc_id, len(w) AS n_tokens,
+         list_transform(w, x -> struct_pack(
+           b := CAST(floor({{HF}} * {_TEMB_DIM}) AS INT),
+           s := CASE WHEN {{HFS}} < 0.5 THEN -1.0 ELSE 1.0 END)) AS ps
+  FROM t
+), v AS (
+  SELECT doc_id, n_tokens,
+         list_transform(range(0, {_TEMB_DIM}), i ->
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(ps,
+             p -> CASE WHEN p.b = i THEN p.s ELSE CAST(0.0 AS DOUBLE) END)),
+             (a, b) -> a + b)) AS vec
+  FROM s
+), nv AS (
+  SELECT doc_id, n_tokens, vec,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(vec, x -> x * x)), (a, b) -> a + b)) AS nrm
+  FROM v
+), e AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN nrm > 0
+              THEN list_transform(vec, x -> round(x / nrm, 6))
+              ELSE vec END AS embedding
+  FROM nv
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       embedding[1] AS e0, embedding[2] AS e1, embedding[3] AS e2
+FROM e
+""".replace("{HF}", hash_fraction_sql("x", "temb")) \
+   .replace("{HFS}", hash_fraction_sql("x", "tembs"))
+
+
+@member_sql(_TEMB_SQL)
+def hashed_text_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed feature-hashing text embedding (operators/text.py
+    hashed_text_embedding): the model-free vectorizer that feeds the
+    TEXT corpus into this suite's embedding stack — in-row fold, no
+    shuffle, both engines add the floats in pinned (document, then
+    component) order. Verified on the first three components per
+    document (the suite's three value slots)."""
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        hashed_text_embedding,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    e = hashed_text_embedding(docs, dim=_TEMB_DIM)
+    return e.select(
+        "doc_id", "n_tokens",
+        F.col("embedding").getItem(0).alias("e0"),
+        F.col("embedding").getItem(1).alias("e1"),
+        F.col("embedding").getItem(2).alias("e2"))
+
+
 _ANN_MEMBERS = [
+    ("temb", hashed_text_embedding_q, ["doc_id", "n_tokens"],
+     ["e0", "e1", "e2"]),
     ("lsh_topk", lsh_ann_topk_q, ["vec_id"], ["cos_sim"]),
     ("lsh_multiprobe", lsh_ann_multiprobe_q, ["vec_id"], ["cos_sim"]),
     ("blocked_mp", lsh_blocked_pairs_mp_q, ["id_a", "id_b"], ["cos_sim"]),

@@ -1465,3 +1465,43 @@ def test_score_weighted_sample_null_score_survives_at_floor(spark):
     assert kept == want
     # floor=0.0: rate is exactly 0 → nothing survives (and nothing errs)
     assert score_weighted_sample(docs, "score", floor=0.0).count() == 0
+
+
+def test_hashed_text_embedding_feeds_semantic_dedup(spark):
+    """The model-free vectorizer closes the text → embedding →
+    semantic-dedup loop: unit-norm vectors, zero vector for token-less
+    docs, near-identical token multisets land as cluster-blocked
+    near-dup pairs while unrelated docs do not."""
+    import math
+
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        cluster_neardup_pairs,
+        train_ivf_centroids,
+    )
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        hashed_text_embedding,
+    )
+
+    a = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = spark.createDataFrame([
+        (1, a),
+        (2, a + " today"),                       # near-identical multiset
+        (3, "spark shuffles partitioned data across executor machines"),
+        (4, ""),
+    ], "doc_id long, text string")
+    emb = hashed_text_embedding(docs, dim=32)
+    rows = {r.doc_id: r for r in emb.collect()}
+    for i in (1, 2, 3):
+        assert math.isclose(sum(x * x for x in rows[i].embedding), 1.0,
+                            rel_tol=1e-4), i
+    assert rows[4].embedding == [0.0] * 32 and rows[4].n_tokens == 0
+    # determinism: same text → identical vector
+    assert rows[1].embedding == hashed_text_embedding(
+        docs.filter("doc_id = 1"), dim=32).first().embedding
+
+    vecs = emb.filter("n_tokens > 0").select(
+        F.col("doc_id").alias("vec_id"), "embedding")
+    cents = train_ivf_centroids(vecs, 2, 32, max_iter=4)
+    pairs = {(r.id_a, r.id_b): r.cos_sim for r in cluster_neardup_pairs(
+        vecs, cents, threshold=0.8).collect()}
+    assert set(pairs) == {(1, 2)} and pairs[(1, 2)] > 0.9
