@@ -488,6 +488,7 @@ def finalize_corpus(spark: SparkSession, corpus_dir: str,
                     temperature_exact: bool = False,
                     n_shards: int = 16, budget_tokens: int = 2048,
                     shuffle_epoch: int | None = None,
+                    bpe_merges: list[tuple[str, str]] | None = None,
                     text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """The quiesce-time finalization job over a STREAMED corpus — the
@@ -523,6 +524,15 @@ def finalize_corpus(spark: SparkSession, corpus_dir: str,
          run finalize once per epoch with epoch = 0, 1, ... for
          independently-ordered, exactly-reproducible training artifacts.
 
+    ``bpe_merges`` (functions/tokenizer.load_bpe_merges) switches EVERY
+    token unit in this job — the temperature mixture's counts and the
+    shard/packing budgets — to the trained tokenizer, via one Arrow
+    counting pass whose ``n_bpe_tokens`` column also ships inside the
+    artifact (a training loader can audit its budgets without
+    re-tokenizing). The finalized artifact is where trained units
+    matter: the per-batch incremental ``shards/`` tree keeps the cheap
+    whitespace unit.
+
     Returns the finalized survivors (lazy; ``out_dir=None`` for a
     dry/inspection run). Every stage is a broadcast-rate hash filter or
     a shard-partitioned write — no global sort, no corpus shuffle beyond
@@ -552,6 +562,15 @@ def finalize_corpus(spark: SparkSession, corpus_dir: str,
                          "temperature_budget_tokens (the token "
                          "budget the mixture realizes)")
     survivors = read_corpus(spark, corpus_dir)
+    count_col = None
+    if bpe_merges is not None:
+        from harvesting_extract_to_ttl_service_spark.functions.tokenizer import (
+            bpe_token_count,
+        )
+
+        survivors = bpe_token_count(survivors, bpe_merges, text_col,
+                                    id_col)
+        count_col = "n_bpe_tokens"
     if cap_per_lang is not None or temperature_alpha is not None:
         # resolve the stratum frame ONCE for both sampling stages — with
         # the predicted-language fallback, going through the per-stage
@@ -569,7 +588,8 @@ def finalize_corpus(spark: SparkSession, corpus_dir: str,
                        else temperature_sample)
             sdf = sampler(sdf, strata_col=col, text_col=text_col,
                           id_col=id_col, alpha=temperature_alpha,
-                          budget_tokens=temperature_budget_tokens)
+                          budget_tokens=temperature_budget_tokens,
+                          count_col=count_col)
         survivors = sdf.select(*orig)
     if out_dir is not None:
         from harvesting_extract_to_ttl_service_spark.operators.corpus import (
@@ -578,7 +598,8 @@ def finalize_corpus(spark: SparkSession, corpus_dir: str,
 
         write_training_shards(survivors, out_dir, n_shards,
                               budget_tokens, text_col, id_col,
-                              shuffle_epoch=shuffle_epoch)
+                              shuffle_epoch=shuffle_epoch,
+                              count_col=count_col)
         # the finalized artifact ships with its integrity contract: a
         # loader runs check_shard_manifest before training
         write_shard_manifest(spark, out_dir, budget_tokens,

@@ -113,3 +113,34 @@ def test_budget_stages_accept_trained_tokenizer_counts(spark):
         counted, budget_tokens=100,
         count_col="n_bpe_tokens").collect()}
     assert mix["en"] == (2, 7) and mix["de"] == (1, 4)
+
+
+def test_finalize_corpus_in_trained_tokenizer_units(spark, tmp_path):
+    """finalize_corpus(bpe_merges=...) budgets the whole quiesce job in
+    the trained unit: packed n_tokens equal BPE counts (not whitespace),
+    the artifact carries n_bpe_tokens, and the manifest agrees."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        check_shard_manifest,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.corpus_stream import (
+        corpus_batch,
+        finalize_corpus,
+    )
+
+    merges = load_bpe_merges(spark, FIXTURE)
+    ranks = {p: i for i, p in enumerate(merges)}
+    rows = [(1, "the data zed"), (2, "thing zed thing")]
+    cdir, out = str(tmp_path / "corpus"), str(tmp_path / "final")
+    corpus_batch(spark.createDataFrame(rows, "doc_id long, text string"),
+                 0, cdir, min_quality=0.0, near_dup_threshold=None)
+    finalize_corpus(spark, cdir, out, n_shards=1, budget_tokens=16,
+                    bpe_merges=merges)
+    art = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    for doc_id, text in rows:
+        want = sum(len(bpe_encode_word(w, ranks)) for w in text.split())
+        assert art[doc_id].n_tokens == want          # packed in BPE units
+        assert art[doc_id].n_bpe_tokens == want      # audit column ships
+        assert want != len(text.split())             # units actually differ
+    m = check_shard_manifest(spark, out)
+    assert m["shards"]["0"]["n_tokens"] == sum(
+        r.n_tokens for r in art.values())
