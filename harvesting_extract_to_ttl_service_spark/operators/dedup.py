@@ -679,7 +679,9 @@ def simhash_candidates(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", bits: int = 60,
                        max_hamming: int = 3, blocks: int = 4,
                        materialize_mode: str = "local_checkpoint",
-                       ) -> DataFrame:
+                       method: str = "pigeonhole",
+                       n_tables: int = 16,
+                       bits_per_table: int = 16) -> DataFrame:
     """SimHash near-dup candidates: split the fingerprint into ``blocks``
     bit-blocks (pigeonhole: pairs within ``max_hamming`` ≤ blocks-1 bit
     diffs must agree on ≥1 block), equi-join per block, then exact Hamming
@@ -698,9 +700,24 @@ def simhash_candidates(df: DataFrame, text_col: str = "text",
     radius 2 (3×20-bit) 6.8k. Prefer the tightest radius the dedup
     policy allows; treat radius 6 at 60 bits as a ≤100k-docs-per-shard
     tool and use MinHash-LSH (duplicate-mass-bound, measured linear) for
-    corpus-wide sweeps."""
-    return hamming_neardup_pairs(simhash_table(df, text_col, id_col, bits),
-                                 bits, max_hamming, blocks,
+    corpus-wide sweeps.
+
+    ``method='banded'`` swaps the complete pigeonhole join for the
+    banded multi-index join (:func:`hamming_banded_pairs`,
+    ``n_tables``×``bits_per_table``-bit sampled keys): ~2 orders of
+    magnitude fewer candidates at the round-10 probe, probabilistic
+    recall (:func:`banded_hamming_recall`) — the corpus-wide simhash
+    sweep when MinHash-LSH's shingle cost is the bottleneck and a
+    bounded miss rate is acceptable."""
+    sh = simhash_table(df, text_col, id_col, bits)
+    if method == "banded":
+        return hamming_banded_pairs(sh, bits, max_hamming, n_tables,
+                                    bits_per_table,
+                                    materialize_mode=materialize_mode)
+    if method != "pigeonhole":
+        raise ValueError(f"unknown method {method!r}; "
+                         f"one of ['pigeonhole', 'banded']")
+    return hamming_neardup_pairs(sh, bits, max_hamming, blocks,
                                  materialize_mode)
 
 

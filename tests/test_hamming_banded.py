@@ -180,3 +180,28 @@ def test_incremental_hamming_replay_and_schema_guard(spark):
     assert got == {(2 * i, 2 * i + 1) for i in range(20)}
     with _pytest.raises(ValueError, match="hamming_banded_index schema"):
         incremental_hamming_pairs(sh, sh, BITS, RADIUS, L, R)
+
+
+def test_simhash_candidates_banded_method(spark):
+    """simhash_candidates(method='banded') routes through the banded
+    multi-index join: a subset of the complete pigeonhole result over
+    the same fingerprints, exact-duplicate texts always found."""
+    import pytest as _pytest
+
+    from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+        simhash_candidates,
+    )
+
+    a = ("the quick brown fox jumps over the lazy dog and runs along "
+         "the river bank before the sun sets behind the green hills")
+    docs = spark.createDataFrame(
+        [(1, a), (2, a), (3, "totally different text about spark jobs "
+                             "and shuffle partitions in a big cluster")],
+        "doc_id long, text string")
+    complete = {(r.id_a, r.id_b) for r in simhash_candidates(
+        docs, max_hamming=6, blocks=7).collect()}
+    banded = {(r.id_a, r.id_b) for r in simhash_candidates(
+        docs, max_hamming=6, method="banded").collect()}
+    assert (1, 2) in banded and banded <= complete
+    with _pytest.raises(ValueError, match="unknown method"):
+        simhash_candidates(docs, method="nope")
