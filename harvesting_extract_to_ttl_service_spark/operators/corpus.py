@@ -1146,3 +1146,58 @@ def corpus_report(df: DataFrame, strata_col: str = "lang",
         F.round(F.col("n_tokens") / F.sum("n_tokens").over(share_w), 6)
         .alias("token_share"),
         *[f"p{int(p * 100)}_tokens" for p in quantiles])
+
+
+def split_long_documents(df: DataFrame, max_tokens: int,
+                         overlap: int = 0,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Split each document into ``max_tokens``-sized pieces with
+    ``overlap`` tokens of context carried between consecutive pieces —
+    the long-document chunking a pretraining loader applies BEFORE
+    packing (a 200k-token document must become ~context-window pieces;
+    truncation throws the tail away, and packing whole docs would put
+    the 199k-th token in the same attention window as the 1st). Overlap
+    preserves continuation context at piece boundaries (the classic
+    stride trick).
+
+    Pure column expressions + one ``posexplode`` — tokens are sliced
+    in-row from the document's own token array, so nothing shuffles and
+    the output is exactly as partitioned as the input; piece count per
+    document is ceil((n - max_tokens) / (max_tokens - overlap)) + 1.
+    Token-less documents survive as one empty piece (dropping is the
+    caller's filter policy, the strip operators' convention). Text
+    reassembles whitespace-normalized (single spaces — the same
+    convention as the strip/span rewrites; positions index the
+    whitespace token stream).
+
+    Returns ``df``'s columns with ``text_col`` rewritten per piece,
+    plus ``piece`` (0-based), ``piece_start`` (1-based token offset in
+    the original), and ``n_tokens`` (piece length). ``(id_col, piece)``
+    is the natural child key downstream."""
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(
+            f"split_long_documents: overlap={overlap} must satisfy "
+            f"0 <= overlap < max_tokens={max_tokens} — a step of "
+            f"max_tokens - overlap <= 0 would never advance")
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        tokens,
+    )
+
+    step = max_tokens - overlap
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    n_pieces = F.when(n <= max_tokens, F.lit(1)).otherwise(
+        F.ceil((n - max_tokens) / F.lit(float(step))) + 1).cast("int")
+    exploded = df.select(
+        *df.columns, n.alias("_n"),
+        F.posexplode(F.sequence(F.lit(0), n_pieces - 1))
+        .alias("piece", "_unused")).drop("_unused")
+    start = F.col("piece") * step + 1
+    sliced = F.slice(tokens(F.col(text_col)), start, max_tokens)
+    return exploded.select(
+        *[F.concat_ws(" ", sliced).alias(c) if c == text_col
+          else F.col(c) for c in df.columns],
+        F.col("piece"),
+        start.cast("long").alias("piece_start"),
+        F.size(sliced).cast("long").alias("n_tokens"))

@@ -954,6 +954,55 @@ def corpus_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_report(load(spark, sf_dir, "documents"))
 
 
+_CHUNK_MAX = 64
+_CHUNK_OVERLAP = 8
+_CHUNK_STEP = _CHUNK_MAX - _CHUNK_OVERLAP
+
+
+@member_sql(f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS w FROM documents WHERE doc_id < 300
+), p AS (
+  SELECT doc_id, w,
+         CASE WHEN len(w) <= {_CHUNK_MAX} THEN 1
+              ELSE CAST(ceil((len(w) - {_CHUNK_MAX})
+                        / CAST({_CHUNK_STEP} AS DOUBLE)) AS INT) + 1
+         END AS np
+  FROM t
+), e AS (
+  SELECT doc_id, w, unnest(range(0, np)) AS piece FROM p
+), sl AS (
+  SELECT doc_id, CAST(piece AS INT) AS piece,
+         CAST(piece * {_CHUNK_STEP} + 1 AS BIGINT) AS piece_start,
+         w[(piece * {_CHUNK_STEP} + 1):(piece * {_CHUNK_STEP}
+            + {_CHUNK_MAX})] AS s
+  FROM e
+)
+SELECT doc_id, piece, piece_start,
+       CAST(len(s) AS BIGINT) AS n_tokens,
+       substr(md5(array_to_string(s, ' ')), 1, 16) AS fp
+FROM sl
+""")
+def corpus_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-document window/stride chunking
+    (operators/corpus.split_long_documents): max_tokens pieces with an
+    overlap stride, in-row slices, one posexplode. The oracle re-derives
+    piece counts, start offsets, slice lengths, AND the reassembled
+    piece text (fingerprinted) independently."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        split_long_documents,
+    )
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        fingerprint,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return split_long_documents(
+        docs.select("doc_id", "text"), _CHUNK_MAX, _CHUNK_OVERLAP).select(
+        "doc_id", "piece", "piece_start", "n_tokens",
+        fingerprint(F.col("text")).alias("fp"))
+
+
 _CORPUS_MEMBERS = [
     ("sample", corpus_sample, ["doc_id", "lang"], []),
     ("mix", corpus_mix, ["lang", "n_docs", "n_tokens"],
@@ -984,6 +1033,8 @@ _CORPUS_MEMBERS = [
     ("shuffle", corpus_shuffle,
      ["doc_id", "shard", "chunk", "start_offset"], []),
     ("buckets", corpus_buckets, ["doc_id", "bucket"], []),
+    ("chunks", corpus_chunks,
+     ["doc_id", "piece", "piece_start", "n_tokens", "fp"], []),
     ("report", corpus_report_q,
      ["stratum", "n_docs", "n_tokens", "n_distinct_texts"],
      ["token_share", "p50_tokens", "p90_tokens"]),

@@ -1505,3 +1505,39 @@ def test_hashed_text_embedding_feeds_semantic_dedup(spark):
     pairs = {(r.id_a, r.id_b): r.cos_sim for r in cluster_neardup_pairs(
         vecs, cents, threshold=0.8).collect()}
     assert set(pairs) == {(1, 2)} and pairs[(1, 2)] > 0.9
+
+
+def test_split_long_documents_pieces_and_overlap(spark):
+    """Window/stride chunking: full coverage of the token stream, the
+    overlap repeated between consecutive pieces, short docs untouched,
+    token-less docs kept as one empty piece, bad strides refused."""
+    import pytest
+
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        split_long_documents,
+    )
+
+    text = " ".join(f"w{i}" for i in range(1, 11))      # 10 tokens
+    docs = spark.createDataFrame(
+        [(1, text), (2, "a b c"), (3, "")],
+        "doc_id long, text string")
+    out = {(r.doc_id, r.piece): r for r in split_long_documents(
+        docs, max_tokens=4, overlap=1).collect()}
+    # doc 1: step 3 → pieces at 1, 4, 7, 10 → ceil((10-4)/3)+1 = 3? no:
+    # ceil(6/3)+1 = 3 pieces at starts 1, 4, 7 — the last covers 7..10
+    p1 = [out[(1, i)] for i in range(3)]
+    assert [(r.piece_start, r.n_tokens) for r in p1] == \
+        [(1, 4), (4, 4), (7, 4)]
+    assert p1[0].text == "w1 w2 w3 w4"
+    assert p1[1].text == "w4 w5 w6 w7"       # 1-token overlap carried
+    assert p1[2].text == "w7 w8 w9 w10"
+    assert (1, 3) not in out                 # no phantom piece
+    # short doc: one piece, untouched content
+    assert out[(2, 0)].text == "a b c" and out[(2, 0)].n_tokens == 3
+    # token-less doc survives as one empty piece
+    assert out[(3, 0)].text == "" and out[(3, 0)].n_tokens == 0
+    # coverage: every original token appears in some piece of doc 1
+    covered = {w for r in p1 for w in r.text.split()}
+    assert covered == {f"w{i}" for i in range(1, 11)}
+    with pytest.raises(ValueError, match="overlap"):
+        split_long_documents(docs, max_tokens=4, overlap=4)
