@@ -39,6 +39,11 @@ Usage: python scale_probe.py [replicas ...]   (default: 1 2 5 10)
            the same simhash table — the subquadratic-vs-quadratic curve
            that makes the banded path the corpus-wide image/simhash
            near-dup tool.
+       python scale_probe.py imih [replicas ...]
+           incremental-Hamming probe: banded multi-index built once per
+           corpus size, one exact-recrawl batch probed against it vs
+           the full banded recompute — flat-vs-linear, the
+           incremental_hamming_pairs justification.
        python scale_probe.py incr [replicas ...]
            incremental-dedup probe: corpus = N replicas with a parquet
            LSH index built ONCE; batch = one fresh replica duplicating
@@ -199,6 +204,49 @@ def probe_mih(spark, n: int) -> dict:
     res["banded_pairs"] = hamming_banded_pairs(
         sh, 60, max_hamming=6, n_tables=16, bits_per_table=16).count()
     res["banded_s"] = round(time.time() - t0, 1)
+    return res
+
+
+def probe_incremental_hamming(spark, n: int, tmp: str) -> dict:
+    """The Hamming twin of the incremental probe: corpus = n replicas'
+    simhash table stored ONCE as a banded multi-index parquet; batch =
+    one exact-recrawl replica of replica 0. Measures the batch-vs-index
+    probe against the full banded recompute as the corpus grows — the
+    flat-vs-linear curve that justifies incremental_hamming_pairs for
+    perceptual-hash dedup at 100 TB."""
+    from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+        hamming_banded_index,
+        hamming_banded_pairs,
+        incremental_hamming_pairs,
+    )
+
+    corpus = replicate_documents(spark, n).localCheckpoint(eager=True)
+    base = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    batch_docs = base.select(
+        (F.col("doc_id") + F.lit(n * 10_000_000)).alias("doc_id"),
+        F.col("text")).localCheckpoint(eager=True)
+    corpus_sh = simhash_table(corpus, bits=60).localCheckpoint(eager=True)
+    batch_sh = simhash_table(batch_docs, bits=60) \
+        .localCheckpoint(eager=True)
+
+    res = {"label": f"{n}x", "corpus_docs": corpus_sh.count(),
+           "batch_docs": batch_sh.count()}
+    idx_path = f"{tmp}/mih_index_{n}x"
+    t0 = time.time()
+    hamming_banded_index(corpus_sh).write.mode("overwrite") \
+        .parquet(idx_path)
+    res["index_build_s"] = round(time.time() - t0, 1)
+
+    index = spark.read.parquet(idx_path)
+    t0 = time.time()
+    res["incr_pairs"] = incremental_hamming_pairs(
+        batch_sh, index, max_hamming=6).count()
+    res["incr_s"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    res["full_pairs"] = hamming_banded_pairs(
+        corpus_sh.unionByName(batch_sh), max_hamming=6).count()
+    res["full_s"] = round(time.time() - t0, 1)
     return res
 
 
@@ -472,13 +520,15 @@ def probe_ann(spark, n: int, n_queries: int, tmp: str) -> dict:
 def main():
     args = sys.argv[1:]
     incremental = bool(args) and args[0] == "incr"
+    imih = bool(args) and args[0] == "imih"
     mih = bool(args) and args[0] == "mih"
     span = bool(args) and args[0] == "span"
     funnel = bool(args) and args[0] == "funnel"
     stream = bool(args) and args[0] == "stream"
     ann = bool(args) and args[0] == "ann"
     finalize = bool(args) and args[0] == "finalize"
-    if incremental or funnel or stream or ann or finalize or span or mih:
+    if incremental or funnel or stream or ann or finalize or span \
+            or mih or imih:
         args = args[1:]
     explicit = [int(x) for x in args]
     replicas = explicit or [1, 2, 5, 10]
@@ -544,6 +594,17 @@ def main():
                       f"{r['pigeon_coll']:>12} {r['pigeon_s']:>9} "
                       f"{r['banded_coll']:>12} {r['banded_pairs']:>13} "
                       f"{r['banded_s']:>9}")
+            return
+        if imih:
+            print(f"{'scale':>6} {'corpus':>8} {'batch':>6} {'build_s':>8} "
+                  f"{'incr_pairs':>11} {'incr_s':>7} {'full_pairs':>11} "
+                  f"{'full_s':>7}")
+            for n in replicas:
+                r = probe_incremental_hamming(spark, n, tmp)
+                print(f"{r['label']:>6} {r['corpus_docs']:>8} "
+                      f"{r['batch_docs']:>6} {r['index_build_s']:>8} "
+                      f"{r['incr_pairs']:>11} {r['incr_s']:>7} "
+                      f"{r['full_pairs']:>11} {r['full_s']:>7}")
             return
         if incremental:
             print(f"{'scale':>6} {'corpus':>8} {'batch':>6} {'build_s':>8} "
