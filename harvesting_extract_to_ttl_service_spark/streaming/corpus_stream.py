@@ -221,6 +221,10 @@ def _url_dedup_stage(filtered: DataFrame, batch_id: int, corpus_dir: str,
     unrelated later document (and diverges from the batch funnel,
     which dedups on the canonical URL itself). 2⁻¹²⁸ keeps the
     collision lane out of reach while staying fixed-width.
+    UPGRADE NOTE: stores written by the earlier 16-hex cut hold keys
+    the full-width probe can never match — re-key such a store (one
+    pass over the raw URLs, or accept re-admitting the pre-upgrade
+    URL set once) rather than mixing widths silently.
     Probe shape mirrors the fingerprint probe exactly: batch side
     BROADCASTS, store side only SCANS."""
     from harvesting_extract_to_ttl_service_spark.operators.web import (
