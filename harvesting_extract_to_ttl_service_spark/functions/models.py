@@ -154,6 +154,17 @@ def hash_vec_weights_binary(vecs: DataFrame, n_buckets: int = 1024,
                     .alias("weight")))
 
 
+def _ordered_dot(i: int):
+    """Bucket-ordered dot-product fold for class ``i`` over the packed
+    ``_rows`` array (a two-arg lambda built per class — PySpark infers
+    higher-order-function arity from the Python signature, so a default
+    ``i=i`` third parameter would mis-declare a 3-arg merge)."""
+    return F.aggregate(
+        "_rows", F.lit(0.0),
+        lambda a, r: a + r.getField("c").cast("double")
+        * r.getField(f"w{i}"))
+
+
 def hashed_multiclass_score(df: DataFrame, weights: DataFrame,
                             labels: list[str],
                             biases: list[float] | None = None,
@@ -229,12 +240,25 @@ def hashed_multiclass_score(df: DataFrame, weights: DataFrame,
                      * F.lit(n_buckets)).cast("long")
     pd_ = (ex.select("_id", bucket.alias("bucket"))
            .groupBy("_id", "bucket").agg(F.count("*").alias("_c")))
+    # the per-doc dot products fold a BUCKET-SORTED array, not an
+    # unordered SUM: partition order varies run to run, and a float sum
+    # whose rounded 6th decimal sits on a half boundary would flip
+    # nondeterministically against the oracle (observed once at sf0.01
+    # before this pin — the same cross-engine float-order discipline as
+    # temperature_mixture's denominator)
     agg = (pd_.join(F.broadcast(wide), "bucket", "left")
            .groupBy("_id").agg(
-               F.sum("_c").alias("_n"),
-               *[F.sum(F.col("_c")
-                       * F.coalesce(F.col(f"_w{i}"), F.lit(0.0)))
-                 .alias(f"_d{i}") for i in range(len(labels))]))
+               F.sort_array(F.collect_list(F.struct(
+                   F.col("bucket").alias("b"), F.col("_c").alias("c"),
+                   *[F.coalesce(F.col(f"_w{i}"), F.lit(0.0))
+                     .alias(f"w{i}") for i in range(len(labels))])))
+               .alias("_rows"))
+           .select(
+               "_id",
+               F.aggregate("_rows", F.lit(0).cast("long"),
+                           lambda a, r: a + r.getField("c")).alias("_n"),
+               *[_ordered_dot(i).alias(f"_d{i}")
+                 for i in range(len(labels))]))
     scored = F.array(*[
         F.struct(
             (-(F.round(F.lit(float(bi))

@@ -730,12 +730,29 @@ def hashed_linear_score(df: DataFrame, weights: DataFrame,
                      * F.lit(n_buckets)).cast("long")
     pd_ = (ex.select("_id", bucket.alias("bucket"))
            .groupBy("_id", "bucket").agg(F.count("*").alias("_c")))
+    # bucket-sorted fold instead of an unordered SUM: partition order
+    # varies run to run, and a dot product whose rounded 6th decimal
+    # sits on a half boundary would flip nondeterministically against
+    # the oracle (observed on the multi-class sibling; same pin there
+    # and in the DuckDB twin — the temperature_mixture float-order
+    # convention)
     scored = (pd_.join(F.broadcast(weights), "bucket", "left")
               .groupBy("_id").agg(
-                  (F.sum(F.col("_c") * F.coalesce(F.col("weight"),
-                                                  F.lit(0.0)))
-                   / F.sum("_c")).alias("_dot"),
-                  F.sum("_c").alias("_n")))
+                  F.sort_array(F.collect_list(F.struct(
+                      F.col("bucket").alias("b"), F.col("_c").alias("c"),
+                      F.coalesce(F.col("weight"), F.lit(0.0))
+                      .alias("w")))).alias("_rows"))
+              .select(
+                  "_id",
+                  F.aggregate("_rows", F.lit(0).cast("long"),
+                              lambda a, r: a + r.getField("c"))
+                  .alias("_n"),
+                  F.aggregate("_rows", F.lit(0.0),
+                              lambda a, r: a
+                              + r.getField("c").cast("double")
+                              * r.getField("w")).alias("_num"))
+              .withColumn("_dot", F.col("_num") / F.col("_n"))
+              .drop("_num"))
     joined = df.join(scored, df[id_col] == scored["_id"], "left")
     score = F.lit(1.0) / (
         F.lit(1.0)

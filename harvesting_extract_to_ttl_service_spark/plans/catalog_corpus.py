@@ -660,7 +660,12 @@ WITH tk AS (
          round(2 * {hash_fraction_sql('r.range', 'clfw')} - 1, 6) AS weight
   FROM range({_CLF_BUCKETS}) r
 ), s AS (
-  SELECT doc_id, sum(c * coalesce(weight, 0)) / sum(c) AS dot,
+  -- bucket-ordered fold (see the mclf oracle's dots note): matches the
+  -- Spark side's bucket-sorted aggregate double-for-double
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list(c * coalesce(weight, 0) ORDER BY bucket)),
+           (a, b) -> a + b) / sum(c) AS dot,
          CAST(sum(c) AS BIGINT) AS n_tokens
   FROM pd LEFT JOIN w USING (bucket) GROUP BY 1
 )
@@ -779,7 +784,13 @@ fold AS (
   VALUES {", ".join(f"('{lb}', {b!r})"
                     for lb, b in zip(_MCLF_LABELS, _MCLF_BIASES))}
 ), dots AS (
-  SELECT doc_id, cls, sum(c * weight) AS num
+  -- bucket-ordered fold, NOT an unordered SUM: matches the Spark
+  -- side's bucket-sorted aggregate exactly (the +0.0 terms Spark folds
+  -- for non-model buckets are float-identity, so the nonzero
+  -- subsequence in the same order yields the identical double)
+  SELECT doc_id, cls,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list(c * weight ORDER BY bucket)), (a, b) -> a + b) AS num
   FROM pd JOIN fold USING (bucket) GROUP BY 1, 2
 ), logits AS (
   SELECT t.doc_id, h.cls, t.n,
