@@ -144,3 +144,66 @@ def test_finalize_corpus_in_trained_tokenizer_units(spark, tmp_path):
     m = check_shard_manifest(spark, out)
     assert m["shards"]["0"]["n_tokens"] == sum(
         r.n_tokens for r in art.values())
+
+
+def test_bpe_kernel_matches_sequential_formulation_property():
+    """Hypothesis sweep: the greedy lowest-rank-first kernel equals the
+    ORIGINAL sequential formulation (apply each merge in priority order
+    to every occurrence before moving to the next) — the standard BPE
+    equivalence, which holds for WELL-FORMED merge tables (every
+    merge's constituents are base symbols or products of EARLIER
+    merges, the invariant BPE training guarantees by construction; an
+    arbitrary pair list can violate it, e.g. a rank-0 merge consuming a
+    token only a rank-1 merge produces, and then the two formulations
+    legitimately diverge). The generator therefore builds tables the
+    way training does — each merge drawn from the current symbol set —
+    so a subtle kernel bug (wrong tie-break, missed re-scan) cannot
+    hide behind the hand-picked fixtures."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from harvesting_extract_to_ttl_service_spark.functions.tokenizer import (
+        END_OF_WORD,
+    )
+
+    alphabet = ["a", "b", "c"]
+
+    def build_merges(picks):
+        symbols = list(alphabet) + [END_OF_WORD]
+        merges = []
+        for i, j in picks:
+            left = symbols[i % len(symbols)]
+            right = symbols[j % len(symbols)]
+            if (left, right) in merges:
+                continue
+            merges.append((left, right))
+            symbols.append(left + right)
+        return merges
+
+    def sequential(word, merges):
+        symbols = list(word) + [END_OF_WORD]
+        for left, right in merges:
+            i = 0
+            while i < len(symbols) - 1:
+                if symbols[i] == left and symbols[i + 1] == right:
+                    symbols[i:i + 2] = [left + right]
+                    if i > 0:
+                        i -= 1  # a new pair may form with the left neighbor
+                else:
+                    i += 1
+        return symbols
+
+    idx = st.tuples(st.integers(0, 40), st.integers(0, 40))
+
+    @given(picks=st.lists(idx, max_size=12),
+           words=st.lists(st.text(alphabet=alphabet, max_size=8),
+                          min_size=1, max_size=6))
+    @settings(max_examples=300, deadline=None)
+    def check(picks, words):
+        merges = build_merges(picks)
+        ranks = {p: i for i, p in enumerate(merges)}
+        for w in words:
+            assert bpe_encode_word(w, ranks) == sequential(w, merges), \
+                (w, merges)
+
+    check()
