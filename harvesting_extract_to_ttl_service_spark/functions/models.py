@@ -193,15 +193,21 @@ def hashed_multiclass_score(df: DataFrame, weights: DataFrame,
     Scale shape — EXACTLY the binary scorer's two-level aggregation,
     k heads wide: the long weight table pivots to one row per bucket
     with k weight columns (a tiny plan-time reshape), that wide table
-    broadcasts onto the (doc, bucket) partials, and ONE
-    map-side-combinable groupBy(doc) computes the token total plus all
-    k dots together — no per-label join, no classes×docs intermediate,
-    no cross join (the first cut paid two sort-merge joins for those;
-    this shape plans broadcast-only). The argmax is then a pure
-    projection: ``array_min(array(struct(-logit_i, label_i)))`` —
-    deterministic tie-break: highest logit, then label ascending;
-    logits are pre-rounded to 6 dp so the comparison is cross-engine
-    stable. Token instances never reach a join or shuffle.
+    broadcasts onto the (doc, bucket) partials, and ONE groupBy(doc)
+    computes the token total plus all k dots together — no per-label
+    join, no classes×docs intermediate, no cross join (the first cut
+    paid two sort-merge joins for those; this shape plans
+    broadcast-only). The per-doc dots fold a BUCKET-SORTED packed array
+    rather than an unordered SUM (cross-engine float-order determinism
+    — see the inline note), which trades the final map-side sum
+    compression for correctness: the shuffle still moves one row per
+    (doc, bucket) — the same row count the (doc, bucket) partials
+    already move — just k+2 numbers wide instead of 2. The argmax is
+    then a pure projection:
+    ``array_min(array(struct(-logit_i, label_i)))`` — deterministic
+    tie-break: highest logit, then label ascending; logits are
+    pre-rounded to 6 dp so the comparison is cross-engine stable.
+    Token instances never reach a join or shuffle.
 
     Documents with no tokens predict ``unknown`` with NULL score (the
     :func:`~..operators.text.lang_id` 'und' convention — a bias-only
