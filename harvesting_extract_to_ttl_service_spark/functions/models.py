@@ -49,9 +49,10 @@ def parse_vec_model(spark: SparkSession, path: str,
     * header lines (all-integer rows, the ``<n> <dim>`` convention) are
       dropped wherever they appear — a concatenated/partitioned export
       may carry one per part-file;
-    * ``dim``, when given, is ENFORCED in-plan (``assert_true``): a row
-      with the wrong arity or an unparsable float fails the scan loudly
-      instead of feeding NULL weights downstream.
+    * ``dim``, when given, is ENFORCED in-plan (a ``when``/
+      ``raise_error`` guard inside the vec column): a row with the
+      wrong arity or an unparsable float fails the scan loudly instead
+      of feeding NULL weights downstream.
 
     One text scan, pure column expressions — no driver-side parsing, so
     the model file can be arbitrarily large and lands already
