@@ -1201,3 +1201,78 @@ def split_long_documents(df: DataFrame, max_tokens: int,
         F.col("piece"),
         start.cast("long").alias("piece_start"),
         F.size(sliced).cast("long").alias("n_tokens"))
+
+
+def mix_sources(frames: dict[str, DataFrame],
+                weights: dict[str, float],
+                budget_tokens: int,
+                text_col: str = "text", id_col: str = "doc_id",
+                salt: str = "mixsrc",
+                count_col: str | None = None) -> DataFrame:
+    """EXPLICIT-WEIGHT data mixing across SOURCES — the cross-corpus
+    sibling of :func:`temperature_sample` (which derives shares from
+    stratum sizes; here the pipeline owner states them: "40% web, 30%
+    code, 20% books, 10% wiki", the way production pretraining mixes
+    are actually specified): each named corpus is downsampled so its
+    expected token mass is ``share_s · budget_tokens``, where shares
+    are the normalized ``weights``.
+
+    Mechanics — one union, one tiny per-source aggregate, one scan:
+    rate_s = min(1, share_s·budget / tokens_s), membership the
+    deterministic hash fraction of ``(source, id)`` — the SOURCE is
+    part of the key because independent corpora may reuse ids, and an
+    id-only key would correlate their keep decisions. A source whose
+    corpus is SMALLER than its allocation keeps everything (rate
+    clamps at 1) — the mix then under-delivers that share, which is
+    reported rather than silently re-normalized: the returned frame
+    carries a ``source`` column, so ``corpus_report(strata_col=
+    'source')`` audits the realized mix. All frames must share the
+    schema (a mixing job's contract; validated up front).
+
+    ``count_col``: budget in a precomputed token unit (see
+    :func:`temperature_mixture` — pass BPE counts to mix in trained
+    tokenizer units). Returns the sampled union with ``source``
+    prepended."""
+    if set(frames) != set(weights):
+        raise ValueError(
+            f"mix_sources: frames {sorted(frames)} and weights "
+            f"{sorted(weights)} name different sources")
+    if not frames:
+        raise ValueError("mix_sources: no sources")
+    bad = {s: w for s, w in weights.items() if not w > 0}
+    if bad:
+        raise ValueError(f"mix_sources: non-positive weights {bad}")
+    cols = None
+    for name, df in frames.items():
+        if cols is None:
+            cols = df.columns
+        elif df.columns != cols:
+            raise ValueError(
+                f"mix_sources: source {name!r} columns {df.columns} "
+                f"differ from {cols} — mixing needs one schema")
+    total_w = sum(float(w) for w in weights.values())
+    union = None
+    for name in sorted(frames):
+        part = frames[name].select(F.lit(name).alias("source"),
+                                   *frames[name].columns)
+        union = part if union is None else union.unionByName(part)
+    toks = (F.col(count_col) if count_col is not None
+            else token_count(F.col(text_col)))
+    counts = union.groupBy("source").agg(F.sum(toks).alias("_toks"))
+    share = {s: float(w) / total_w for s, w in weights.items()}
+    share_expr = F.lit(None).cast("double")
+    for s, v in sorted(share.items()):
+        share_expr = F.when(F.col("source") == s,
+                            F.lit(v)).otherwise(share_expr)
+    rates = counts.select(
+        "source",
+        F.when(F.col("_toks") <= 0, F.lit(0.0))
+        .otherwise(F.least(
+            F.lit(1.0),
+            share_expr * F.lit(float(budget_tokens)) / F.col("_toks")))
+        .alias("_rate"))
+    key = F.concat(F.col("source"), F.lit("|"),
+                   F.col(id_col).cast("string"))
+    return (union.join(F.broadcast(rates), "source")
+            .filter(hash_fraction(key, salt) < F.col("_rate"))
+            .drop("_rate"))

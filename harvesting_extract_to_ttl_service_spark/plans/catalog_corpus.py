@@ -1014,6 +1014,58 @@ def corpus_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint(F.col("text")).alias("fp"))
 
 
+_MIXSRC_BUDGET = 20_000
+_MIXSRC_W = {"codeish": 1.0, "webish": 3.0, "wikiish": 1.0}
+_MIXSRC_TOTAL_W = sum(_MIXSRC_W.values())
+
+
+@member_sql(f"""
+WITH u AS (
+  SELECT CASE WHEN doc_id < 300 THEN 'webish'
+              WHEN doc_id < 450 THEN 'codeish'
+              ELSE 'wikiish' END AS source,
+         doc_id, len({_TOKS}) AS toks
+  FROM documents
+), c AS (
+  SELECT source, sum(toks) AS t FROM u GROUP BY 1
+), r AS (
+  SELECT source,
+         CASE WHEN t <= 0 THEN 0.0 ELSE least(1.0,
+           (CASE source {" ".join(
+               f"WHEN '{k}' THEN {v / _MIXSRC_TOTAL_W!r}"
+               for k, v in sorted(_MIXSRC_W.items()))} END)
+           * {float(_MIXSRC_BUDGET)} / t) END AS rate
+  FROM c
+)
+SELECT u.source, u.doc_id
+FROM u JOIN r USING (source)
+WHERE {hash_fraction_sql(
+    "concat(u.source, '|', CAST(u.doc_id AS VARCHAR))", "mixsrc")}
+      < r.rate
+""")
+def corpus_mixsrc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-weight cross-source mixing
+    (operators/corpus.mix_sources — '60% web, 20% code, 20% wiki' as a
+    pipeline owner states it): three pseudo-sources carved from the
+    documents fixture, per-source keep rate share·budget/tokens, with
+    membership keyed by (source, id). The oracle re-derives the
+    per-source token masses, the rate clamp, and every membership
+    decision."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        mix_sources,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    frames = {
+        "webish": docs.filter(F.col("doc_id") < 300),
+        "codeish": docs.filter((F.col("doc_id") >= 300)
+                               & (F.col("doc_id") < 450)),
+        "wikiish": docs.filter(F.col("doc_id") >= 450),
+    }
+    return mix_sources(frames, _MIXSRC_W, _MIXSRC_BUDGET).select(
+        "source", "doc_id")
+
+
 _CORPUS_MEMBERS = [
     ("sample", corpus_sample, ["doc_id", "lang"], []),
     ("mix", corpus_mix, ["lang", "n_docs", "n_tokens"],
@@ -1040,6 +1092,7 @@ _CORPUS_MEMBERS = [
     ("domains", corpus_domains, ["host", "n_docs", "n_tokens"],
      ["token_share"]),
     ("tsample", corpus_tsample, ["doc_id", "lang"], []),
+    ("mixsrc", corpus_mixsrc, ["source", "doc_id"], []),
     ("tsample_exact", corpus_tsample_exact, ["doc_id", "lang"], []),
     ("shuffle", corpus_shuffle,
      ["doc_id", "shard", "chunk", "start_offset"], []),

@@ -1541,3 +1541,54 @@ def test_split_long_documents_pieces_and_overlap(spark):
     assert covered == {f"w{i}" for i in range(1, 11)}
     with pytest.raises(ValueError, match="overlap"):
         split_long_documents(docs, max_tokens=4, overlap=4)
+
+
+def test_mix_sources_explicit_weights(spark):
+    """Explicit-weight cross-source mixing: expected token mass tracks
+    the stated shares, small sources clamp at keep-everything,
+    membership is keyed by (source, id) so id reuse across corpora
+    cannot correlate decisions, and contract violations refuse."""
+    import pytest
+
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        mix_sources,
+    )
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        token_count,
+    )
+
+    web = spark.createDataFrame(
+        [(i, "w " * 20) for i in range(400)], "doc_id long, text string")
+    code = spark.createDataFrame(
+        [(i, "c " * 20) for i in range(400)], "doc_id long, text string")
+    wiki = spark.createDataFrame(
+        [(i, "k " * 20) for i in range(5)], "doc_id long, text string")
+    out = mix_sources({"web": web, "code": code, "wiki": wiki},
+                      {"web": 3.0, "code": 1.0, "wiki": 1.0},
+                      budget_tokens=4000)
+    got = {r.source: (r.n, r.toks) for r in out.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum(token_count(F.col("text"))).alias("toks")).collect()}
+    # shares: web 0.6*4000=2400, code 0.2*4000=800 of 8000 each;
+    # wiki 0.2*4000=800 > its 100 tokens → keeps all 5 docs
+    assert got["wiki"] == (5, 100)
+    assert abs(got["web"][1] - 2400) < 600       # ±~4σ of 120-doc draw
+    assert abs(got["code"][1] - 800) < 400
+    # (source, id)-keyed membership: same ids, independent decisions
+    kept_web = {r.doc_id for r in out.filter("source = 'web'").collect()}
+    kept_code = {r.doc_id for r in out.filter("source = 'code'").collect()}
+    assert kept_web != kept_code
+    # determinism
+    out2 = mix_sources({"web": web, "code": code, "wiki": wiki},
+                       {"web": 3.0, "code": 1.0, "wiki": 1.0},
+                       budget_tokens=4000)
+    assert sorted((r.source, r.doc_id) for r in out2.collect()) == \
+        sorted((r.source, r.doc_id) for r in out.collect())
+    with pytest.raises(ValueError, match="different sources"):
+        mix_sources({"web": web}, {"web": 1.0, "code": 1.0}, 100)
+    with pytest.raises(ValueError, match="non-positive"):
+        mix_sources({"web": web}, {"web": 0.0}, 100)
+    with pytest.raises(ValueError, match="one schema"):
+        mix_sources({"web": web,
+                     "bad": web.select("text", "doc_id")},
+                    {"web": 1.0, "bad": 1.0}, 100)
