@@ -46,9 +46,14 @@ def parse_vec_model(spark: SparkSession, path: str,
     """Distributed parse of a fastText-style ``.vec`` text export into
     ``(token string, vec array<double>)``.
 
-    * header lines (all-integer rows, the ``<n> <dim>`` convention) are
-      dropped wherever they appear — a concatenated/partitioned export
-      may carry one per part-file;
+    * header lines (the two-field ``<n> <dim>`` convention) are dropped
+      wherever they appear — a concatenated/partitioned export may
+      carry one per part-file. A row is a header only when it is
+      all-integer AND has exactly 2 fields (plus, with ``dim`` given
+      and ≠ 1, any all-integer row of the wrong arity): a legitimate
+      data row whose token is numeric and whose weights are
+      integer-formatted (a quantized export's ``2020 1 0 0 0 0``) is
+      DATA, not a header, and is loaded;
     * ``dim``, when given, is ENFORCED in-plan (a ``when``/
       ``raise_error`` guard inside the vec column): a row with the
       wrong arity or an unparsable float fails the scan loudly instead
@@ -58,8 +63,16 @@ def parse_vec_model(spark: SparkSession, path: str,
     the model file can be arbitrarily large and lands already
     partitioned for the hash step."""
     parts = F.split(F.trim(F.col("value")), r"\s+")
-    skip = (F.trim(F.col("value")) == "") \
-        | F.trim(F.col("value")).rlike(r"^[0-9]+(\s+[0-9]+)*$")
+    all_int = F.trim(F.col("value")).rlike(r"^[0-9]+(\s+[0-9]+)*$")
+    # Two-field all-integer = header, ALWAYS (the .vec convention —
+    # every export leads with '<n> <dim>', so at dim=1 a header is
+    # shape-identical to a data row and the convention wins); with dim
+    # known, an all-integer row of any OTHER wrong arity is also
+    # skipped as header debris rather than fed to the arity guard.
+    header = all_int & (F.size(parts) == 2)
+    if dim is not None and dim != 1:
+        header = header | (all_int & (F.size(parts) != dim + 1))
+    skip = (F.trim(F.col("value")) == "") | header
     vec = F.transform(F.slice(parts, 2, F.size(parts) - 1),
                       lambda v: v.cast("double"))
     if dim is not None:

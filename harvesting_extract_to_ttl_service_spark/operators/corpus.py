@@ -829,16 +829,21 @@ def filter_documents(docs: DataFrame, min_quality: float = 0.4,
     models must be FROZEN for the usual batch/stream-parity reason):
 
     * ``lid_model = {"weights": DF(bucket, label, weight),
-      "labels": [...], "biases": [...]?, "n_buckets": 1024?}`` —
-      the language allowlist (``langs``) is then decided by
-      ``lang_id_model``'s multi-class argmax instead of the marker-list
-      heuristic (the production LID pass);
+      "labels": [...], "biases": [...]?, "n_buckets": 1024?,
+      "salt": "clf"?}`` — the language allowlist (``langs``) is then
+      decided by ``lang_id_model``'s multi-class argmax instead of the
+      marker-list heuristic (the production LID pass);
     * ``quality_model = {"weights": DF(bucket, weight),
-      "min_score": float, "bias": 0.0?, "n_buckets": 1024?}`` — an
-      ADDITIONAL gate after the heuristic quality filter:
-      ``hashed_linear_score`` ≥ ``min_score`` (the CCNet/GPT-3-style
-      classifier pass; the heuristic floor stays useful as the cheap
-      first cut)."""
+      "min_score": float, "bias": 0.0?, "n_buckets": 1024?,
+      "salt": "clf"?}`` — an ADDITIONAL gate after the heuristic
+      quality filter: ``hashed_linear_score`` ≥ ``min_score`` (the
+      CCNet/GPT-3-style classifier pass; the heuristic floor stays
+      useful as the cheap first cut).
+
+    Both dicts accept the same ``salt`` the loader
+    (``hash_vec_weights``) was given — loader and scorer MUST agree on
+    (salt, n_buckets) or every bucket lookup misses silently, which is
+    why the key is threaded here rather than silently pinned."""
     from harvesting_extract_to_ttl_service_spark.operators.text import (
         annotate_documents,
     )
@@ -893,6 +898,7 @@ def filter_documents(docs: DataFrame, min_quality: float = 0.4,
             survivors, lid_model["weights"], lid_model["labels"],
             biases=lid_model.get("biases"),
             n_buckets=lid_model.get("n_buckets", 1024),
+            salt=lid_model.get("salt", "clf"),
             text_col=text_col, id_col=id_col)
             .filter(F.col("lang_pred").isin(list(langs)))
             .select(id_col))
@@ -911,6 +917,7 @@ def filter_documents(docs: DataFrame, min_quality: float = 0.4,
             survivors, quality_model["weights"],
             n_buckets=quality_model.get("n_buckets", 1024),
             bias=quality_model.get("bias", 0.0),
+            salt=quality_model.get("salt", "clf"),
             text_col=text_col, id_col=id_col)
             .filter(F.col("clf_score") >= quality_model["min_score"])
             .select(id_col))
@@ -1165,7 +1172,8 @@ def split_long_documents(df: DataFrame, max_tokens: int,
     in-row from the document's own token array, so nothing shuffles and
     the output is exactly as partitioned as the input; piece count per
     document is ceil((n - max_tokens) / (max_tokens - overlap)) + 1.
-    Token-less documents survive as one empty piece (dropping is the
+    Token-less documents — empty, whitespace-only, AND NULL text —
+    survive as one empty piece with ``n_tokens = 0`` (dropping is the
     caller's filter policy, the strip operators' convention). Text
     reassembles whitespace-normalized (single spaces — the same
     convention as the strip/span rewrites; positions index the
@@ -1185,7 +1193,13 @@ def split_long_documents(df: DataFrame, max_tokens: int,
     )
 
     step = max_tokens - overlap
-    t = tokens(F.col(text_col))
+    # NULL text must ride the explicit-NULL lane, not sizeOfNull's:
+    # tokens(NULL) is a NULL array, whose F.size is -1 (legacy) or NULL
+    # (ANSI) — either corrupts n_pieces / downstream token-budget sums.
+    # Coalescing to an empty array makes a NULL-text doc one empty
+    # piece, the same contract as an empty-string doc.
+    t = F.coalesce(tokens(F.col(text_col)),
+                   F.array().cast("array<string>"))
     n = F.size(t)
     n_pieces = F.when(n <= max_tokens, F.lit(1)).otherwise(
         F.ceil((n - max_tokens) / F.lit(float(step))) + 1).cast("int")
@@ -1194,7 +1208,10 @@ def split_long_documents(df: DataFrame, max_tokens: int,
         F.posexplode(F.sequence(F.lit(0), n_pieces - 1))
         .alias("piece", "_unused")).drop("_unused")
     start = F.col("piece") * step + 1
-    sliced = F.slice(tokens(F.col(text_col)), start, max_tokens)
+    sliced = F.slice(
+        F.coalesce(tokens(F.col(text_col)),
+                   F.array().cast("array<string>")),
+        start, max_tokens)
     return exploded.select(
         *[F.concat_ws(" ", sliced).alias(c) if c == text_col
           else F.col(c) for c in df.columns],

@@ -771,17 +771,38 @@ def banded_bit_positions(bits: int, n_tables: int, bits_per_table: int,
     """The deterministic bit-sampling plan behind
     :func:`hamming_banded_pairs`: for each of ``n_tables`` index
     tables, a sorted sample of ``bits_per_table`` distinct bit
-    positions, drawn with a seeded PRNG at PLAN time (driver-side
-    constant — reproducible across runs/engines, and small enough to
-    inline into an oracle restatement)."""
-    import random
+    positions, drawn at PLAN time (driver-side constant —
+    reproducible across runs/engines, and small enough to inline into
+    an oracle restatement).
+
+    The draws come from an explicit Fisher–Yates partial shuffle whose
+    randomness is md5 of ``"{seed}:{table}:{step}"`` — the same
+    portable hash family the repo's data-path hashing uses — NOT
+    ``random.Random.sample()``: Python documents cross-version output
+    stability only for ``Random.random()``, so a stdlib-``sample``
+    plan could silently change under a Python upgrade and stop
+    matching every persisted :func:`hamming_banded_index`. md5 is
+    format-frozen forever, so the same (bits, n_tables,
+    bits_per_table, seed) always yields the same plan on any Python /
+    any engine; the streaming sidecar additionally persists the
+    concrete position lists and verifies them on every reopen
+    (streaming/dedup_stream.hamming_dedup_batch)."""
+    import hashlib
 
     if bits_per_table > bits:
         raise ValueError(
             f"bits_per_table={bits_per_table} > bits={bits}")
-    rng = random.Random(seed)
-    return [sorted(rng.sample(range(bits), bits_per_table))
-            for _ in range(n_tables)]
+    out = []
+    for t in range(n_tables):
+        arr = list(range(bits))
+        for i in range(bits_per_table):
+            draw = int.from_bytes(
+                hashlib.md5(f"{seed}:{t}:{i}".encode()).digest()[:8],
+                "big")
+            j = i + draw % (bits - i)
+            arr[i], arr[j] = arr[j], arr[i]
+        out.append(sorted(arr[:bits_per_table]))
+    return out
 
 
 def banded_hamming_recall(bits: int, hamming: int, n_tables: int,

@@ -222,9 +222,12 @@ def _url_dedup_stage(filtered: DataFrame, batch_id: int, corpus_dir: str,
     which dedups on the canonical URL itself). 2⁻¹²⁸ keeps the
     collision lane out of reach while staying fixed-width.
     UPGRADE NOTE: stores written by the earlier 16-hex cut hold keys
-    the full-width probe can never match — re-key such a store (one
-    pass over the raw URLs, or accept re-admitting the pre-upgrade
-    URL set once) rather than mixing widths silently.
+    the full-width probe can never match — such a store now FAILS
+    LOUDLY (an in-plan width guard on every stored key, the
+    _check_sidecar_params discipline applied to a format that has no
+    sidecar): silently mixing widths would re-admit the entire
+    pre-upgrade URL set with no error. Re-key the store (one pass
+    over the raw URLs) or rebuild it, as the error says.
     Probe shape mirrors the fingerprint probe exactly: batch side
     BROADCASTS, store side only SCANS."""
     from harvesting_extract_to_ttl_service_spark.operators.web import (
@@ -243,7 +246,20 @@ def _url_dedup_stage(filtered: DataFrame, batch_id: int, corpus_dir: str,
         stored = stored.join(F.broadcast(own_ids), "id", "left_anti")
         batch_us = keyed.filter(F.col("_u").isNotNull()) \
             .select("_u").distinct()
-        hit = (stored.select(F.col("u").alias("_u"))
+        # In-plan key-width guard (inside the SURVIVING _u column — the
+        # repo's when/raise_error discipline): a store written by the
+        # pre-upgrade 16-hex cut can never match a 32-hex probe, so a
+        # legacy key is a loud error, not a silent recall-zero.
+        stored_u = F.when(
+            F.length("u") == 32, F.col("u")
+        ).otherwise(F.raise_error(F.concat(
+            F.lit(f"url-dedup store at {corpus_dir}/urls holds a key "
+                  f"of width "), F.length("u"),
+            F.lit(" (expected 32-hex md5): this store predates the "
+                  "full-width key format and its keys can never match "
+                  "new probes — re-key it from the raw URLs or rebuild "
+                  "it before resuming the stream"))))
+        hit = (stored.select(stored_u.alias("_u"))
                .join(F.broadcast(batch_us), "_u", "left_semi")
                .distinct())
         kept = keyed.join(F.broadcast(hit), "_u", "left_anti")

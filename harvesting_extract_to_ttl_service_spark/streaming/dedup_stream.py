@@ -648,8 +648,10 @@ def hamming_dedup_batch(sh: DataFrame, batch_id: int, index_dir: str,
     equal one `hamming_banded_pairs` run over the union (keys are
     plan-time constants), the parity the tests pin. The
     ``_mih_params.json`` sidecar pins (bits, n_tables, bits_per_table,
-    seed, max_hamming) for the index's lifetime — a mid-stream change
-    to any of them would make the pair stream's recall batch-dependent;
+    seed, max_hamming) PLUS the concrete bit-position lists for the
+    index's lifetime — a mid-stream change to any of them would make
+    the pair stream's recall batch-dependent, and verifying the lists
+    (not just the seed) catches a derivation drift too;
     `compact_dedup_index` folds this index's partitions too (it is
     layout-generic).
 
@@ -659,16 +661,26 @@ def hamming_dedup_batch(sh: DataFrame, batch_id: int, index_dir: str,
     arrive. Pipeline shape for images: image_ahash (Arrow kernel) →
     this loop — only (media_id, 60-bit hash) rows ever reach state."""
     from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+        banded_bit_positions,
         hamming_banded_index,
         incremental_hamming_pairs,
     )
 
     spark = sh.sparkSession
+    # The sidecar pins the CONCRETE position lists, not just the seed:
+    # the seed only identifies the plan if the derivation function never
+    # changes, whereas the lists are the plan — a stored index whose
+    # keys were cut from different samples fails loudly here instead of
+    # silently missing pairs. (banded_bit_positions is itself portable
+    # md5-Fisher–Yates, so lists and seed should never disagree; the
+    # lists are the belt to that suspender.)
     _check_sidecar_params(
         spark, index_dir,
         {"bits": bits, "n_tables": n_tables,
          "bits_per_table": bits_per_table, "seed": seed,
-         "max_hamming": max_hamming},
+         "max_hamming": max_hamming,
+         "positions": banded_bit_positions(bits, n_tables,
+                                           bits_per_table, seed)},
         filename="_mih_params.json")
     base = sh.select(F.col(id_col).alias("id"), F.col(sh_col).alias("sh"))
     newb = hamming_banded_index(base, bits, n_tables, bits_per_table, seed)

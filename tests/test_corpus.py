@@ -1519,7 +1519,7 @@ def test_split_long_documents_pieces_and_overlap(spark):
 
     text = " ".join(f"w{i}" for i in range(1, 11))      # 10 tokens
     docs = spark.createDataFrame(
-        [(1, text), (2, "a b c"), (3, "")],
+        [(1, text), (2, "a b c"), (3, ""), (4, None)],
         "doc_id long, text string")
     out = {(r.doc_id, r.piece): r for r in split_long_documents(
         docs, max_tokens=4, overlap=1).collect()}
@@ -1536,6 +1536,10 @@ def test_split_long_documents_pieces_and_overlap(spark):
     assert out[(2, 0)].text == "a b c" and out[(2, 0)].n_tokens == 3
     # token-less doc survives as one empty piece
     assert out[(3, 0)].text == "" and out[(3, 0)].n_tokens == 0
+    # NULL text rides the same lane — one empty piece, n_tokens 0, not
+    # the -1 / dropped-row corruption sizeOfNull(NULL array) would give
+    assert out[(4, 0)].text == "" and out[(4, 0)].n_tokens == 0
+    assert (4, 1) not in out
     # coverage: every original token appears in some piece of doc 1
     covered = {w for r in p1 for w in r.text.split()}
     assert covered == {f"w{i}" for i in range(1, 11)}

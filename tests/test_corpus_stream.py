@@ -105,6 +105,30 @@ def test_stream_url_dedup_matches_batch_funnel(spark, tmp_path):
         == {"doc_id", "text", "url"}
 
 
+def test_stream_url_dedup_refuses_legacy_key_width(spark, tmp_path):
+    """A urls store written by the pre-upgrade 16-hex key cut can never
+    match a 32-hex probe — mixing widths would silently re-admit every
+    pre-upgrade URL, so the probe fails loudly instead (the in-plan
+    width guard; the sidecar discipline applied to a store that has no
+    sidecar)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    cdir = str(tmp_path / "corpus")
+    corpus_batch(spark.createDataFrame(URL_BATCHES[0], URL_SCHEMA), 0,
+                 cdir, **URL_FUNNEL)
+    # truncate the stored keys to the legacy 16-hex width in place
+    urls = spark.read.parquet(f"{cdir}/urls/batch=0") \
+        .select("id", F.substring("u", 1, 16).alias("u")).collect()
+    spark.createDataFrame(urls, "id long, u string") \
+        .write.mode("overwrite").parquet(f"{cdir}/urls/batch=0")
+    # the raise_error may surface as SparkRuntimeException or wrapped in
+    # AQE's stage-materialization error — the message is the contract
+    with pytest.raises(Exception, match="holds a key of width"):
+        corpus_batch(spark.createDataFrame(URL_BATCHES[1], URL_SCHEMA),
+                     1, cdir, **URL_FUNNEL)
+
+
 def test_stream_url_dedup_replay_after_compaction(spark, tmp_path):
     """A batch replayed after compact_corpus_state folds the urls store
     into batch=-1 must not match its OWN url hashes (the own-id

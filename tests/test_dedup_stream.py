@@ -671,6 +671,27 @@ def test_hamming_stream_replay_sidecar_and_compaction(spark, tmp_path):
     with pytest.raises(ValueError, match="built with"):
         hamming_dedup_batch(dfs[1], 2, idir, pdir, bits_per_table=14)
 
+    # the sidecar pins the CONCRETE position lists, not just the seed:
+    # a store whose sidecar lacks them (or carries different lists —
+    # e.g. keys cut by a drifted derivation) refuses instead of
+    # silently missing every cross-batch pair
+    import json
+
+    from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+        banded_bit_positions,
+    )
+
+    sidecar = tmp_path / "index" / "_mih_params.json"
+    crc = tmp_path / "index" / "._mih_params.json.crc"
+    have = json.loads(sidecar.read_text())
+    assert have["positions"] == banded_bit_positions(60, 16, 16)
+    legacy = {k: v for k, v in have.items() if k != "positions"}
+    crc.unlink(missing_ok=True)   # direct rewrite invalidates hadoop crc
+    sidecar.write_text(json.dumps(legacy))
+    with pytest.raises(ValueError, match="built with"):
+        hamming_dedup_batch(dfs[1], 2, idir, pdir)
+    sidecar.write_text(json.dumps(have))
+
     # compact, then replay: the a.id != b.id guard keeps it harmless
     assert compact_dedup_index(spark, idir) == 2
     hamming_dedup_batch(dfs[1], 1, idir, pdir)

@@ -43,6 +43,29 @@ def _planted(n_pairs: int, hamming: int):
     return rows
 
 
+def test_bit_position_plan_is_pinned_forever():
+    """The default bit-sampling plan is a FORMAT, not a sample: every
+    persisted hamming_banded_index keys fingerprints with it, so the
+    derivation must never drift — across Python versions (why it is
+    md5-Fisher–Yates, not random.Random.sample) or across refactors
+    (why this test pins the concrete lists)."""
+    pos = banded_bit_positions(60, 16, 16)
+    # structural invariants
+    assert len(pos) == 16
+    assert all(len(p) == 16 and p == sorted(set(p)) for p in pos)
+    assert all(0 <= b < 60 for p in pos for b in p)
+    # the exact default plan, pinned value-for-value (first two tables)
+    # and by digest (all 16) — a mismatch here means every stored index
+    # in the wild just became unreadable: do NOT "fix" the test, revert
+    # the derivation.
+    assert pos[0] == [7, 10, 12, 13, 15, 17, 20, 36,
+                      38, 43, 47, 48, 49, 50, 54, 55]
+    assert pos[1] == [6, 7, 10, 16, 17, 19, 22, 25,
+                      28, 30, 32, 36, 38, 47, 57, 58]
+    digest = hashlib.md5(repr(pos).encode()).hexdigest()
+    assert digest == "1111b2a1737e343b6505699c99be3cbb", digest
+
+
 def test_recall_formula_sanity():
     assert banded_hamming_recall(BITS, 0, L, R) == pytest.approx(1.0)
     # monotone decreasing in hamming

@@ -64,6 +64,24 @@ def test_parse_vec_model_enforces_dim(spark, tmp_path):
     assert parse_vec_model(spark, p).count() == 2
 
 
+def test_parse_vec_model_numeric_token_row_is_data(spark, tmp_path):
+    """A data row whose token is numeric AND whose weights are
+    integer-formatted (a quantized export's '2020 1 0 0 0 0') is NOT a
+    header: only the two-field '<n> <dim>' shape (or, with dim known,
+    an all-integer row of the wrong arity) is dropped."""
+    p = str(tmp_path / "quant.vec")
+    with open(p, "w") as f:
+        f.write("3 5\n2020 1 0 0 0 0\nok 0.1 0.2 0.3 0.4 0.5\n"
+                "7 2 2 2 2 2\n")
+    got = {r.token: list(r.vec)
+           for r in parse_vec_model(spark, p, dim=5).collect()}
+    assert got["2020"] == [1.0, 0.0, 0.0, 0.0, 0.0]
+    assert got["7"] == [2.0] * 5
+    assert set(got) == {"2020", "ok", "7"}
+    # and without dim: header is strictly the 2-field shape
+    assert parse_vec_model(spark, p).count() == 3
+
+
 def test_hash_vec_weights_collision_sum_mirror(spark):
     """The loaded (bucket, label, weight) table equals the Python
     mirror's per-bucket token-sorted weight sums — with n_buckets far
@@ -259,6 +277,44 @@ def test_funnel_quality_model_gate(spark, tmp_path):
     with _pytest.raises(ValueError, match="missing keys.*min_score"):
         filter_documents(docs, min_quality=0.0,
                          quality_model={"weights": weights})
+
+
+def test_funnel_model_gates_thread_salt(spark, tmp_path):
+    """The model dicts accept the loader's salt and thread it to the
+    scorer — weights loaded under a non-default salt must still gate
+    (a salt mismatch makes every bucket lookup miss silently, leaving
+    bias-only scores: doc 2 would survive the quality gate and the LID
+    gate would stop separating languages)."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        filter_documents,
+    )
+
+    # quality gate under salt='q2': with the salt threaded, doc 2 drops
+    p = str(tmp_path / "quality.vec")
+    with open(p, "w") as f:
+        f.write("2 1\ngood 3.0\nbad -3.0\n")
+    qw = hash_vec_weights_binary(parse_vec_model(spark, p, dim=1),
+                                 n_buckets=32, salt="q2")
+    docs = spark.createDataFrame(
+        [(1, "good good good text here"), (2, "bad bad bad text here")],
+        "doc_id long, text string")
+    got = {r.doc_id for r in filter_documents(
+        docs, min_quality=0.0,
+        quality_model={"weights": qw, "min_score": 0.5,
+                       "n_buckets": 32, "salt": "q2"}).collect()}
+    assert got == {1}
+    # LID gate under salt='lid2': argmax still separates de from fr
+    lw = hash_vec_weights(parse_vec_model(spark, FIXTURE, dim=5),
+                          LABELS, n_buckets=64, salt="lid2")
+    de = ("der die das und ist nicht ein mit " * 4).strip()
+    fr = ("le la les et est pas un une dans pour " * 4).strip()
+    ldocs = spark.createDataFrame([(1, de), (2, fr)],
+                                  "doc_id long, text string")
+    got = {r.doc_id for r in filter_documents(
+        ldocs, min_quality=0.0, langs=["de"],
+        lid_model={"weights": lw, "labels": LABELS, "n_buckets": 64,
+                   "salt": "lid2"}).collect()}
+    assert got == {1}
 
 
 def test_stream_model_gates_match_batch_funnel(spark, tmp_path):
