@@ -87,31 +87,85 @@ def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]
     return symbols
 
 
+def bpe_vocab(merges: list[tuple[str, str]],
+              specials: tuple[str, ...] = ("<unk>",)) -> dict[str, int]:
+    """Deterministic token→id mapping derived from the merges list
+    alone — no second file to ship or version-skew: ``specials`` take
+    the first ids (``specials[0]`` doubles as the OOV bucket), then
+    every symbol the tokenizer can emit FROM ITS TRAINED MERGES (each
+    merge's left, right, and merged output, plus the ``</w>`` marker)
+    in sorted order. A symbol outside the table — a character the
+    training corpus never produced a merge for — maps to the first
+    special: trained-vocab coverage is exactly what a real BPE export's
+    vocab file carries, and an explicit OOV id beats a silent drop.
+
+    The id assignment is a pure function of the merges file, so the
+    trainer-side loader rebuilds the identical table from the same
+    file (and the DuckDB oracle restates it independently)."""
+    if len(set(specials)) != len(specials):
+        raise ValueError(f"bpe_vocab: duplicate specials {specials}")
+    syms = {END_OF_WORD}
+    for left, right in merges:
+        syms.update((left, right, left + right))
+    overlap = syms & set(specials)
+    if overlap:
+        raise ValueError(
+            f"bpe_vocab: specials collide with merge symbols "
+            f"{sorted(overlap)}")
+    return {tok: i for i, tok in
+            enumerate(list(specials) + sorted(syms))}
+
+
+def bpe_vocab_table(spark, merges: list[tuple[str, str]],
+                    specials: tuple[str, ...] = ("<unk>",)) -> DataFrame:
+    """:func:`bpe_vocab` as a ``(token, token_id)`` DataFrame —
+    broadcast material (≤ a few × merge count rows) for joins against
+    token streams, and the shape the vocab sidecar persists."""
+    vocab = bpe_vocab(merges, specials)
+    return spark.createDataFrame(
+        sorted(vocab.items(), key=lambda kv: kv[1]),
+        T.StructType([T.StructField("token", T.StringType(), False),
+                      T.StructField("token_id", T.LongType(), False)]))
+
+
 def bpe_token_count(df: DataFrame, merges: list[tuple[str, str]],
                     text_col: str = "text", id_col: str = "doc_id",
                     lowercase: bool = False,
-                    emit_tokens: bool = False) -> DataFrame:
+                    emit_tokens: bool = False,
+                    emit_ids: bool = False,
+                    vocab: dict[str, int] | None = None) -> DataFrame:
     """Per-document token count under the loaded BPE tokenizer —
     returns ``df`` + ``n_bpe_tokens`` (and, with ``emit_tokens=True``,
-    the ``bpe_tokens`` array — OFF by default: per-token rows/arrays
-    multiply the shuffled bytes by the token count, and budget
-    accounting needs only the number).
+    the ``bpe_tokens`` string array; with ``emit_ids=True``, the
+    ``bpe_ids`` id array under ``vocab`` — default
+    :func:`bpe_vocab`(merges), OOV → the first special's id. Both are
+    OFF by default: per-token rows/arrays multiply the shuffled bytes
+    by the token count, and budget accounting needs only the number).
 
     Arrow-batched ``mapInPandas`` (never row-at-a-time): the ranks dict
     rides the closure, a per-batch word memo collapses Zipf-repeated
-    words to one encode each. NULL text counts 0 tokens (the NULL lane
-    stays explicit). Join shape: none — one projection-like pass, the
-    operator preserves partitioning."""
+    words to one encode each. NULL text counts 0 tokens with NULL
+    token/id arrays (the NULL lane stays explicit — downstream array
+    consumers must coalesce, see operators/corpus
+    ``split_long_documents``). Join shape: none — one projection-like
+    pass, the operator preserves partitioning."""
     ranks = {pair: i for i, pair in enumerate(merges)}
     if len(ranks) != len(merges):
         raise ValueError("bpe_token_count: duplicate merge pairs — a "
                          "later duplicate would silently never apply")
+    if emit_ids and vocab is None:
+        vocab = bpe_vocab(merges)
+    unk_id = min(vocab.values()) if emit_ids else None
     out_fields = df.schema.fields + [
         T.StructField("n_bpe_tokens", T.LongType(), False)]
     if emit_tokens:
         out_fields.append(
             T.StructField("bpe_tokens",
                           T.ArrayType(T.StringType()), True))
+    if emit_ids:
+        out_fields.append(
+            T.StructField("bpe_ids",
+                          T.ArrayType(T.LongType()), True))
     out_schema = T.StructType(out_fields)
     cols = df.columns
 
@@ -127,14 +181,17 @@ def bpe_token_count(df: DataFrame, merges: list[tuple[str, str]],
         for pdf in it:
             counts = []
             toks_col = []
+            ids_col = []
             for text in pdf[text_col]:
                 if text is None:
                     counts.append(0)
                     toks_col.append(None)
+                    ids_col.append(None)
                     continue
                 s = text.lower() if lowercase else text
                 n = 0
-                toks: list[str] | None = [] if emit_tokens else None
+                toks: list[str] | None = \
+                    [] if (emit_tokens or emit_ids) else None
                 for w in s.split():
                     t = enc(w)
                     n += len(t)
@@ -142,10 +199,14 @@ def bpe_token_count(df: DataFrame, merges: list[tuple[str, str]],
                         toks.extend(t)
                 counts.append(n)
                 toks_col.append(toks)
+                if emit_ids:
+                    ids_col.append([vocab.get(t, unk_id) for t in toks])
             out = pdf[cols].copy()
             out["n_bpe_tokens"] = counts
             if emit_tokens:
                 out["bpe_tokens"] = toks_col
+            if emit_ids:
+                out["bpe_ids"] = ids_col
             yield out
 
     return df.mapInPandas(batches, out_schema)

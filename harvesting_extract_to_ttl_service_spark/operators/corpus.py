@@ -473,7 +473,8 @@ def pack_chunks(df: DataFrame, budget_tokens: int,
                 shard_col: str = "shard", text_col: str = "text",
                 id_col: str = "doc_id",
                 order_col: str | None = None,
-                count_col: str | None = None) -> DataFrame:
+                count_col: str | None = None,
+                keep: tuple[str, ...] = ()) -> DataFrame:
     """Concatenate-and-chunk packing: within each shard, documents are
     concatenated in id order and the token stream is cut into
     ``budget_tokens``-sized context windows; a document belongs to the
@@ -485,10 +486,13 @@ def pack_chunks(df: DataFrame, budget_tokens: int,
     concatenation order — same plan shape, same single window.
 
     Returns (shard, chunk, start_offset) per document plus its token
-    count. ``count_col``: see :func:`temperature_mixture`."""
+    count. ``count_col``: see :func:`temperature_mixture`. ``keep``
+    appends pass-through columns from ``df`` (e.g. a ``bpe_ids`` array
+    riding next to its packing coordinates)."""
     return _pack_columns(df, budget_tokens, shard_col, text_col,
                          id_col, order_col, count_col).select(
-        F.col(shard_col), F.col(id_col), "n_tokens", "start_offset", "chunk")
+        F.col(shard_col), F.col(id_col), "n_tokens", "start_offset",
+        "chunk", *keep)
 
 
 def write_training_shards(df: DataFrame, out_dir: str, n_shards: int,
@@ -624,6 +628,111 @@ def check_shard_manifest(spark, out_dir: str) -> dict:
             f"shard artifact at {out_dir} does not match its manifest: "
             f"missing shards {missing}, changed shards {changed}")
     return want
+
+
+def write_token_id_shards(df: DataFrame, merges: list[tuple[str, str]],
+                          out_dir: str, n_shards: int,
+                          budget_tokens: int,
+                          text_col: str = "text",
+                          id_col: str = "doc_id",
+                          salt: str = "shard",
+                          shuffle_epoch: int | None = None,
+                          lowercase: bool = False,
+                          vocab: dict[str, int] | None = None) -> dict:
+    """The DIRECTLY-TRAINABLE artifact: BPE-encode every document under
+    the imported tokenizer (functions/tokenizer.bpe_token_count,
+    ``emit_ids``), drop the text, and write
+    :func:`write_training_shards`-shaped shard-partitioned parquet
+    whose rows carry ``bpe_ids array<long>`` with packing coordinates
+    already in TRAINED-TOKENIZER units (``count_col='n_bpe_tokens'``)
+    — the last step between :func:`finalize_corpus`'s text survivors
+    and what a pretraining loader actually consumes (id arrays, not
+    strings). Also writes the ``_shards_manifest.json`` integrity
+    contract and a ``_vocab.json`` sidecar (token→id,
+    functions/tokenizer.bpe_vocab) so the loader can decode/debug
+    without re-deriving the table.
+
+    Plan shape = the text writer's exactly: one Arrow encode pass
+    (id arrays never shuffle on their own — they ride the single shard
+    repartition), one shuffle total, within-partition sort only.
+    Returns the manifest dict."""
+    import json
+
+    from harvesting_extract_to_ttl_service_spark.functions.tokenizer import (
+        bpe_token_count,
+        bpe_vocab,
+    )
+    from harvesting_extract_to_ttl_service_spark.sources.files import (
+        _hadoop_fs,
+    )
+
+    if vocab is None:
+        vocab = bpe_vocab(merges)
+    spark = df.sparkSession
+    enc = bpe_token_count(df.select(id_col, text_col), merges,
+                          text_col=text_col, id_col=id_col,
+                          lowercase=lowercase, emit_ids=True,
+                          vocab=vocab).drop(text_col)
+    write_training_shards(enc, out_dir, n_shards, budget_tokens,
+                          text_col=text_col, id_col=id_col, salt=salt,
+                          shuffle_epoch=shuffle_epoch,
+                          count_col="n_bpe_tokens")
+    fs, _ = _hadoop_fs(spark, out_dir)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(
+        f"{out_dir}/_vocab.json")
+    out = fs.create(jpath, True)
+    try:
+        out.write(json.dumps(vocab).encode())
+    finally:
+        out.close()
+    return write_shard_manifest(spark, out_dir, budget_tokens,
+                                shuffle_epoch)
+
+
+def read_token_id_shard(spark, out_dir: str, shard: int,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Loader-side read of one :func:`write_token_id_shards` shard in
+    exact concatenation order — rows ordered by (chunk,
+    [shuffle_key,] id), the same order the writer sorted, so
+    concatenating ``bpe_ids`` row by row reproduces the shard's token
+    stream and ``floor(start_offset / budget)`` boundaries cut it into
+    context windows. The ``shard = k`` filter partition-prunes the
+    scan to the one ``shard=k`` directory."""
+    df = (spark.read.option("basePath", out_dir).parquet(out_dir)
+          .filter(F.col("shard") == shard))
+    order = (["chunk", "shuffle_key", id_col]
+             if "shuffle_key" in df.columns else ["chunk", id_col])
+    return df.orderBy(*order)
+
+
+def read_token_id_vocab(spark, out_dir: str) -> dict[str, int]:
+    """Read back the ``_vocab.json`` sidecar written by
+    :func:`write_token_id_shards` (Hadoop FS API — the artifact may
+    live on hdfs/s3a)."""
+    import json
+
+    from harvesting_extract_to_ttl_service_spark.sources.files import (
+        _hadoop_fs,
+    )
+
+    fs, _ = _hadoop_fs(spark, out_dir)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(
+        f"{out_dir}/_vocab.json")
+    if not fs.exists(jpath):
+        raise ValueError(f"no _vocab.json under {out_dir} — not a "
+                         f"token-id shard artifact")
+    stream = fs.open(jpath)
+    try:
+        buf = spark._jvm.java.io.BufferedReader(
+            spark._jvm.java.io.InputStreamReader(stream, "UTF-8"))
+        data = []
+        line = buf.readLine()
+        while line is not None:
+            data.append(line)
+            line = buf.readLine()
+    finally:
+        stream.close()
+    return json.loads("\n".join(data))
 
 
 def _stratum_frame(df: DataFrame, strata_col: str, text_col: str,

@@ -1066,6 +1066,152 @@ def corpus_mixsrc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "doc_id")
 
 
+# --- token-id shard emission (functions/tokenizer.py + pack_chunks) ---
+# The Spark side runs the real chain: merges-file load → BPE encode with
+# id emission under the derived vocab → shard assignment → packing in
+# TRAINED-tokenizer units. The oracle restates ALL of it independently:
+# it re-parses the same merges file in plain Python, re-derives the
+# vocab table with its own few lines, and re-runs the greedy
+# lowest-rank-first BPE loop as a recursive CTE over symbol lists — so
+# the id sequences are verified end-to-end, not copied.
+_TOKID_DOCS = 60
+_TOKID_BUDGET = 512
+_TOKID_BIG = 1_000_000
+_BPE_FIXTURE = __import__("os").path.join(
+    __import__("os").path.dirname(__file__), "..", "..", "fixtures",
+    "bpe_mini_merges.txt")
+
+
+def _tokid_merges() -> list[tuple[str, str]]:
+    out = []
+    with open(_BPE_FIXTURE) as f:
+        for ln in f:
+            s = ln.strip()
+            if not s or s.startswith("#"):
+                continue
+            left, right = s.split(" ")
+            out.append((left, right))
+    return out
+
+
+def _tokid_rank_map_sql() -> str:
+    entries = ", ".join(f"'{left} {right}': {i}"
+                        for i, (left, right) in
+                        enumerate(_tokid_merges()))
+    return f"MAP {{{entries}}}"
+
+
+def _tokid_vocab_values() -> str:
+    syms = {"</w>"}
+    for left, right in _tokid_merges():
+        syms.update((left, right, left + right))
+    toks = ["<unk>"] + sorted(syms)
+    return ", ".join(f"('{t}', {i})" for i, t in enumerate(toks))
+
+
+@member_sql(f"""
+WITH RECURSIVE
+rk AS (SELECT {_tokid_rank_map_sql()} AS m),
+vocab(tok, tid) AS (VALUES {_tokid_vocab_values()}),
+docs AS (
+  SELECT doc_id, {_TOKS} AS w FROM documents
+  WHERE doc_id < {_TOKID_DOCS}
+),
+words AS (SELECT DISTINCT unnest(w) AS word FROM docs),
+enc AS (
+  SELECT word,
+         list_append(list_transform(range(1, length(word) + 1),
+                                    i -> word[i]), '</w>') AS syms
+  FROM words
+  UNION ALL
+  SELECT word,
+         syms[1:bi - 1] || [syms[bi] || syms[bi + 1]]
+           || syms[(bi + 2):len(syms)]
+  FROM (
+    SELECT word, syms,
+           list_position(pr, list_min(pr)) AS bi, list_min(pr) AS mr
+    FROM (
+      SELECT word, syms,
+             list_transform(range(1, len(syms)), i ->
+               coalesce(m[syms[i] || ' ' || syms[i + 1]][1],
+                        {_TOKID_BIG})) AS pr
+      FROM enc, rk
+    )
+  )
+  WHERE mr < {_TOKID_BIG}
+),
+final AS (
+  SELECT word, syms FROM (
+    SELECT e.word, e.syms,
+           coalesce(list_min(list_transform(range(1, len(e.syms)), i ->
+             coalesce(m[e.syms[i] || ' ' || e.syms[i + 1]][1],
+                      {_TOKID_BIG}))), {_TOKID_BIG}) AS mr
+    FROM enc e, rk
+  ) WHERE mr >= {_TOKID_BIG}
+),
+dw AS (
+  SELECT doc_id, unnest(range(1, len(w) + 1)) AS wpos, w FROM docs
+),
+dsym AS (
+  SELECT doc_id, wpos, unnest(range(1, len(f.syms) + 1)) AS spos, f.syms
+  FROM (SELECT doc_id, wpos, w[wpos] AS word FROM dw) d
+  JOIN final f USING (word)
+),
+ids AS (
+  SELECT s.doc_id,
+         list(coalesce(v.tid, 0) ORDER BY s.wpos, s.spos) AS idl
+  FROM (SELECT doc_id, wpos, spos, syms[spos] AS sym FROM dsym) s
+  LEFT JOIN vocab v ON v.tok = s.sym
+  GROUP BY s.doc_id
+),
+alldocs AS (
+  SELECT d.doc_id, coalesce(i.idl, []) AS idl
+  FROM docs d LEFT JOIN ids i USING (doc_id)
+),
+s AS (
+  SELECT doc_id, {_SHARD_EXPR} AS shard, len(idl) AS n_tokens, idl,
+         coalesce(sum(len(idl)) OVER (
+             PARTITION BY {_SHARD_EXPR} ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS start_offset
+  FROM alldocs
+)
+SELECT doc_id, shard,
+       CAST(floor(start_offset / {float(_TOKID_BUDGET)}) AS BIGINT)
+         AS chunk,
+       start_offset, CAST(n_tokens AS BIGINT) AS n_tokens,
+       array_to_string(list_transform(idl, x -> CAST(x AS VARCHAR)), '-')
+         AS ids
+FROM s
+""")
+def corpus_tokids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-id shard emission: the merges-file tokenizer import
+    (functions/tokenizer.load_bpe_merges → bpe_token_count emit_ids
+    under the bpe_vocab id table) feeding pack_chunks with the budget
+    in trained units — every document's exact BPE id sequence plus its
+    (shard, chunk, start_offset) packing coordinates, the row shape
+    write_token_id_shards persists."""
+    from harvesting_extract_to_ttl_service_spark.functions.tokenizer import (
+        bpe_token_count,
+        bpe_vocab,
+        load_bpe_merges,
+    )
+
+    merges = load_bpe_merges(spark, _BPE_FIXTURE)
+    vocab = bpe_vocab(merges)
+    docs = (load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < _TOKID_DOCS)
+            .select("doc_id", "text"))
+    enc = bpe_token_count(docs, merges, emit_ids=True, vocab=vocab)
+    packed = pack_chunks(assign_shards(enc, _N_SHARDS), _TOKID_BUDGET,
+                         count_col="n_bpe_tokens", keep=("bpe_ids",))
+    return packed.select(
+        "doc_id", "shard", "chunk", "start_offset", "n_tokens",
+        F.concat_ws("-", F.transform("bpe_ids",
+                                     lambda x: x.cast("string")))
+        .alias("ids"))
+
+
 _CORPUS_MEMBERS = [
     ("sample", corpus_sample, ["doc_id", "lang"], []),
     ("mix", corpus_mix, ["lang", "n_docs", "n_tokens"],
@@ -1102,6 +1248,9 @@ _CORPUS_MEMBERS = [
     ("report", corpus_report_q,
      ["stratum", "n_docs", "n_tokens", "n_distinct_texts"],
      ["token_share", "p50_tokens", "p90_tokens"]),
+    ("tokids", corpus_tokids,
+     ["doc_id", "shard", "chunk", "start_offset", "n_tokens", "ids"],
+     []),
 ]
 
 

@@ -146,6 +146,111 @@ def test_finalize_corpus_in_trained_tokenizer_units(spark, tmp_path):
         r.n_tokens for r in art.values())
 
 
+def test_bpe_vocab_and_id_emission(spark):
+    """The derived vocab is a pure function of the merges (specials
+    first, then sorted trained symbols), and emit_ids maps every
+    emitted symbol through it — OOV symbols to the first special, NULL
+    text to a NULL array."""
+    from harvesting_extract_to_ttl_service_spark.functions.tokenizer import (
+        bpe_vocab,
+        bpe_vocab_table,
+    )
+
+    merges = load_bpe_merges(spark, FIXTURE)
+    vocab = bpe_vocab(merges)
+    # specials lead; symbols are exactly {lefts, rights, products, </w>}
+    assert vocab["<unk>"] == 0
+    want_syms = {"</w>"}
+    for left, right in merges:
+        want_syms.update((left, right, left + right))
+    assert set(vocab) == {"<unk>"} | want_syms
+    assert sorted(vocab.values()) == list(range(len(vocab)))
+    assert [t for t, _ in sorted(vocab.items(), key=lambda kv: kv[1])] \
+        == ["<unk>"] + sorted(want_syms)
+    # the table form round-trips the dict
+    tbl = {r.token: r.token_id
+           for r in bpe_vocab_table(spark, merges).collect()}
+    assert tbl == vocab
+    with pytest.raises(ValueError, match="duplicate specials"):
+        bpe_vocab(merges, specials=("<u>", "<u>"))
+    with pytest.raises(ValueError, match="collide"):
+        bpe_vocab(merges, specials=("th",))
+
+    docs = spark.createDataFrame(
+        [(1, "the data"), (2, "zed"), (3, None)],
+        "doc_id long, text string")
+    got = {r.doc_id: r.bpe_ids for r in
+           bpe_token_count(docs, merges, emit_ids=True,
+                           vocab=vocab).collect()}
+    assert got[1] == [vocab["the</w>"], vocab["data</w>"]]
+    # 'z' is untrained → <unk>; 'e', 'd', '</w>' are trained symbols
+    assert got[2] == [0, vocab["e"], vocab["d"], vocab["</w>"]]
+    assert got[3] is None
+
+
+def test_write_and_read_token_id_shards(spark, tmp_path):
+    """End-to-end trainable artifact: write_token_id_shards encodes,
+    packs in trained units, and persists id arrays + manifest + vocab
+    sidecar; reading each shard back in loader order reproduces the
+    exact concatenated id stream of a plain-Python mirror."""
+    from collections import defaultdict
+
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        check_shard_manifest,
+        read_token_id_shard,
+        read_token_id_vocab,
+        write_token_id_shards,
+    )
+    from harvesting_extract_to_ttl_service_spark.functions.tokenizer import (
+        bpe_vocab,
+    )
+    import hashlib
+
+    merges = load_bpe_merges(spark, FIXTURE)
+    ranks = {p: i for i, p in enumerate(merges)}
+    vocab = bpe_vocab(merges)
+    rows = [(i, f"the data thing zed doc{i} " * (i % 4 + 1))
+            for i in range(24)] + [(24, ""), (25, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "idshards")
+    manifest = write_token_id_shards(docs, merges, out, n_shards=3,
+                                     budget_tokens=32)
+    assert read_token_id_vocab(spark, out) == vocab
+    check_shard_manifest(spark, out)
+
+    # python mirror: shard via the same md5 expression, concat in id
+    # order, budget in BPE units
+    def shard_of(doc_id):
+        h = hashlib.md5(f"{doc_id}:shard".encode()).hexdigest()[:8]
+        return int(h, 16) % 3
+
+    def ids_of(text):
+        if not text:
+            return []
+        return [vocab.get(s, 0) for w in text.split()
+                for s in bpe_encode_word(w, ranks)]
+
+    streams = defaultdict(list)
+    offsets = {}
+    for doc_id, text in sorted(rows):
+        k = shard_of(doc_id)
+        offsets[doc_id] = len(streams[k])
+        streams[k].extend(ids_of(text))
+
+    assert manifest["n_shards"] == 3
+    for k in range(3):
+        back = read_token_id_shard(spark, out, k).collect()
+        flat = [i for r in back for i in (r.bpe_ids or [])]
+        assert flat == streams[k], k
+        for r in back:
+            assert r.start_offset == offsets[r.doc_id]
+            assert r.chunk == r.start_offset // 32
+            assert r.n_tokens == len(ids_of(dict(rows)[r.doc_id]))
+        assert manifest["shards"][str(k)]["n_tokens"] == len(streams[k])
+    # the artifact ships ids, not text
+    assert "text" not in spark.read.parquet(out).columns
+
+
 def test_bpe_kernel_matches_sequential_formulation_property():
     """Hypothesis sweep: the greedy lowest-rank-first kernel equals the
     ORIGINAL sequential formulation (apply each merge in priority order
