@@ -309,3 +309,141 @@ def lang_id_model(df: DataFrame, weights: DataFrame, labels: list[str],
     return hashed_multiclass_score(
         df, weights, labels, biases, n_buckets, text_col, id_col, salt,
         pred_col="lang_pred", score_col="lang_logit")
+
+
+def _dot_component(j: int):
+    """Per-component fold over the token-sorted packed rows. A factory,
+    NOT a default-arg lambda: PySpark infers higher-order-function
+    arity from the Python signature, so ``lambda a, r, j=j`` would
+    mis-declare a 3-arg merge."""
+    return F.aggregate(
+        "_rows", F.lit(0.0),
+        lambda a, r: a + r.getField("cw") * r.getField("v").getItem(j))
+
+
+def doc_embedding(df: DataFrame, vecs: DataFrame, dim: int,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  lowercase: bool = True,
+                  token_weights: DataFrame | None = None,
+                  normalize: bool = True) -> DataFrame:
+    """MODEL-BACKED document embeddings: the weighted mean of a trained
+    token-vector table (:func:`parse_vec_model`'s ``(token, vec)``)
+    over each document's tokens, L2-normalized — the trained-semantics
+    replacement for the model-free hashed baseline
+    (operators/text.hashed_text_embedding), emitting the SAME
+    ``(id, embedding array<double>)`` column contract so the whole ANN
+    stack (sign-LSH / IVF / SemDeDup / kNN-join / int8) consumes it
+    unchanged.
+
+        emb_j = Σ_t w(t)·tf(doc,t)·vec_t[j] / Σ_t w(t)·tf(doc,t)
+
+    ``token_weights`` is an optional ``(token, weight)`` multiplier —
+    pass :func:`sif_token_weights` for SIF (Arora et al.'s
+    a/(a+p(t)) reweighting), or idf weights, or nothing for the plain
+    tf mean. Tokens absent from the model contribute to neither
+    numerator nor denominator (covered-token mean — the fastText
+    sentence-vector convention for OOV without subwords); documents
+    with NO covered tokens take the explicit NULL lane (NULL embedding,
+    ``n_model_tokens = 0``) rather than an arbitrary zero vector.
+
+    Scale shape — the :func:`hashed_multiclass_score` discipline
+    applied to vectors: tokens collapse to (doc, token, count) partials
+    BEFORE any join (Zipf: the shuffle moves distinct-token rows, not
+    token instances), the model table joins BROADCAST (≤vocab rows —
+    never a shuffle partner), and ONE groupBy(doc) folds a
+    TOKEN-SORTED packed array per dot component (the pinned float-order
+    discipline: partition order varies run to run, so an unordered
+    float SUM feeding a 6-dp-rounded value would flake on half-boundary
+    values; the weighted denominator is float too, so it folds the same
+    sorted array). The normalize pass then runs in component order on
+    the assembled array. No per-component join, no token-instance
+    shuffle, no collect.
+
+    Returns ``(id_col, n_tokens, n_model_tokens, embedding)`` —
+    ``n_tokens`` = all token instances, ``n_model_tokens`` = covered
+    instances, components rounded to 6 dp."""
+    from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+        spread_for_cpu,
+    )
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        tokens,
+    )
+
+    df = spread_for_cpu(df)
+    # NULL text rides the token-less lane (0 tokens, NULL embedding),
+    # not sizeOfNull's -1/NULL
+    t = F.coalesce(tokens(F.lower(F.col(text_col)) if lowercase
+                          else F.col(text_col)),
+                   F.array().cast("array<string>"))
+    base = df.select(F.col(id_col).alias("_id"), t.alias("_t"))
+    ex = base.select("_id", F.explode("_t").alias("t"))
+    cnt = ex.groupBy("_id", "t").agg(F.count("*").alias("_c"))
+    model = vecs.select(F.col("token").alias("t"), F.col("vec"))
+    if token_weights is not None:
+        model = model.join(
+            F.broadcast(token_weights
+                        .select(F.col("token").alias("t"),
+                                F.col("weight").alias("_tw"))),
+            "t", "left").withColumn(
+                "_tw", F.coalesce(F.col("_tw"), F.lit(1.0)))
+    else:
+        model = model.withColumn("_tw", F.lit(1.0))
+    covered = cnt.join(F.broadcast(model), "t")
+    agg = (covered.groupBy("_id").agg(
+        F.sum("_c").alias("_nm"),
+        F.sort_array(F.collect_list(F.struct(
+            F.col("t").alias("t"),
+            (F.col("_c").cast("double") * F.col("_tw")).alias("cw"),
+            F.col("vec").alias("v")))).alias("_rows")))
+    den = F.aggregate("_rows", F.lit(0.0),
+                      lambda a, r: a + r.getField("cw"))
+    mean = F.array(*[(_dot_component(j) / den).alias(f"_m{j}")
+                     for j in range(dim)])
+    folded = agg.select("_id", "_nm", mean.alias("_mean"))
+    vec = F.col("_mean")
+    if normalize:
+        nrm = F.sqrt(F.aggregate("_mean", F.lit(0.0),
+                                 lambda a, x: a + x * x))
+        vec = F.when(nrm > 0,
+                     F.transform("_mean", lambda x: F.round(x / nrm, 6))) \
+            .otherwise(F.transform("_mean", lambda x: F.round(x, 6)))
+    else:
+        vec = F.transform("_mean", lambda x: F.round(x, 6))
+    emb = folded.select("_id", "_nm", vec.alias("embedding"))
+    counts = base.select("_id", F.size("_t").alias("n_tokens"))
+    joined = counts.join(emb, "_id", "left")
+    return joined.select(
+        F.col("_id").alias(id_col), "n_tokens",
+        F.coalesce(F.col("_nm"), F.lit(0).cast("long"))
+        .alias("n_model_tokens"),
+        "embedding")
+
+
+def sif_token_weights(df: DataFrame, a: float = 1e-3,
+                      text_col: str = "text",
+                      lowercase: bool = True) -> DataFrame:
+    """Smooth-inverse-frequency token weights (Arora et al. 2017):
+    ``weight(t) = a / (a + p(t))`` with ``p`` the token's share of all
+    token instances in ``df`` — frequent tokens (stopwords) shrink
+    toward a/(a+p)≈a/p, rare tokens toward 1. Feed the result to
+    :func:`doc_embedding` ``token_weights`` for SIF-weighted means.
+
+    One exploded count aggregate; the total-instances scalar rides a
+    one-row broadcast cross join (the repo's bounded-scalar pattern).
+    Weights round to 6 dp so the broadcast table is bit-identical
+    across engines."""
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        tokens,
+    )
+
+    t = tokens(F.lower(F.col(text_col)) if lowercase
+               else F.col(text_col))
+    ex = df.select(F.explode(t).alias("token"))
+    cnt = ex.groupBy("token").agg(F.count("*").alias("_c"))
+    total = cnt.agg(F.sum("_c").alias("_total"))
+    return (cnt.crossJoin(F.broadcast(total))
+            .select("token",
+                    F.round(F.lit(float(a))
+                            / (F.lit(float(a))
+                               + F.col("_c") / F.col("_total")), 6)
+                    .alias("weight")))

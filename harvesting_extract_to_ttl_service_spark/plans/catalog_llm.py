@@ -1481,8 +1481,103 @@ def hashed_text_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").getItem(2).alias("e2"))
 
 
+# --- model-backed document embeddings (functions/models.py) -----------
+# The trained-vector replacement for the hashed baseline above: tf-
+# weighted mean of the checked-in fastText-style fixture's token
+# vectors. The Spark side runs the real loader chain (parse_vec_model →
+# doc_embedding); the oracle re-parses the SAME .vec file in plain
+# Python at import time (the mclf convention) and restates the
+# covered-token counts, the token-sorted weighted fold, the mean, and
+# the component-ordered L2 normalize independently.
+_MEMB_DIM = 5
+_MEMB_PATH = __import__("os").path.join(
+    __import__("os").path.dirname(__file__), "..", "..", "fixtures",
+    "lid_mini.vec")
+
+
+def _memb_model_values() -> str:
+    rows = []
+    with open(_MEMB_PATH) as f:
+        f.readline()  # header
+        for line in f:
+            parts = line.split()
+            vals = ", ".join(f"{float(x)!r}" for x in parts[1:])
+            rows.append(f"('{parts[0]}', [{vals}])")
+    return ", ".join(rows)
+
+
+_MEMB_SQL = f"""
+WITH model(t, v) AS (VALUES {{MEMB_MODEL}}),
+d AS (
+  SELECT doc_id, {_WORDS} AS w FROM documents WHERE doc_id < 200
+), tk AS (
+  SELECT doc_id, unnest(w) AS t FROM d
+), cnt AS (
+  SELECT doc_id, t, count(*) AS c FROM tk GROUP BY 1, 2
+), cov AS (
+  SELECT doc_id, sum(c) AS nm,
+         list(struct_pack(t := t, cw := CAST(c AS DOUBLE), v := v)
+              ORDER BY t) AS rows
+  FROM cnt JOIN model USING (t) GROUP BY doc_id
+), folded AS (
+  SELECT doc_id, nm,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(rows, r -> r.cw)), (a, b) -> a + b) AS den,
+         list_transform(range(0, {_MEMB_DIM}), j ->
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(rows, r -> r.cw * r.v[j + 1])),
+             (a, b) -> a + b)) AS dots
+  FROM cov
+), mean AS (
+  SELECT doc_id, nm,
+         list_transform(dots, x -> x / den) AS m
+  FROM folded
+), norm AS (
+  SELECT doc_id, nm, m,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(m, x -> x * x)), (a, b) -> a + b)) AS nrm
+  FROM mean
+), emb AS (
+  SELECT doc_id, nm,
+         CASE WHEN nrm > 0 THEN list_transform(m, x -> round(x / nrm, 6))
+              ELSE list_transform(m, x -> round(x, 6)) END AS e
+  FROM norm
+)
+SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_tokens,
+       CAST(coalesce(emb.nm, 0) AS BIGINT) AS n_model_tokens,
+       emb.e[1] AS e0, emb.e[2] AS e1, emb.e[3] AS e2
+FROM d LEFT JOIN emb USING (doc_id)
+""".replace("{MEMB_MODEL}", _memb_model_values())
+
+
+@member_sql(_MEMB_SQL)
+def doc_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-backed document embedding (functions/models.doc_embedding):
+    tf-weighted covered-token mean of the fixture model's vectors, L2
+    normalized, NULL lane for uncovered docs — broadcast model join,
+    one groupBy(doc), token-sorted float folds in both engines.
+    Verified on the first three components (the suite's value slots);
+    NULL-embedding docs surface as NULL slots."""
+    from harvesting_extract_to_ttl_service_spark.functions.models import (
+        doc_embedding,
+        parse_vec_model,
+    )
+
+    docs = (load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 200).select("doc_id", "text"))
+    vecs = parse_vec_model(spark, _MEMB_PATH, dim=_MEMB_DIM)
+    e = doc_embedding(docs, vecs, dim=_MEMB_DIM)
+    return e.select(
+        "doc_id", "n_tokens", "n_model_tokens",
+        F.col("embedding").getItem(0).alias("e0"),
+        F.col("embedding").getItem(1).alias("e1"),
+        F.col("embedding").getItem(2).alias("e2"))
+
+
 _ANN_MEMBERS = [
     ("temb", hashed_text_embedding_q, ["doc_id", "n_tokens"],
+     ["e0", "e1", "e2"]),
+    ("memb", doc_embedding_q, ["doc_id", "n_tokens", "n_model_tokens"],
      ["e0", "e1", "e2"]),
     ("lsh_topk", lsh_ann_topk_q, ["vec_id"], ["cos_sim"]),
     ("lsh_multiprobe", lsh_ann_multiprobe_q, ["vec_id"], ["cos_sim"]),

@@ -359,6 +359,105 @@ def test_stream_model_gates_match_batch_funnel(spark, tmp_path):
     assert {d for d, _ in got} == {1}
 
 
+def _mirror_doc_embedding(text, model, weights=None, dim=5):
+    """Plain-Python restatement of doc_embedding's spec: covered-token
+    weighted mean over token-sorted rows, component-ordered L2 norm."""
+    from collections import Counter
+
+    cnt = Counter((text or "").lower().split())
+    rows = sorted((t, c) for t, c in cnt.items() if t in model)
+    if not rows:
+        return sum(cnt.values()), 0, None
+    den = 0.0
+    dots = [0.0] * dim
+    nm = 0
+    for t, c in rows:
+        w = c * (weights.get(t, 1.0) if weights else 1.0)
+        den += w
+        nm += c
+        for j in range(dim):
+            dots[j] += w * model[t][j]
+    mean = [d / den for d in dots]
+    nrm = math.sqrt(sum(x * x for x in mean))
+    if nrm > 0:
+        mean = [x / nrm for x in mean]
+    return sum(cnt.values()), nm, [round(x, 6) for x in mean]
+
+
+def test_doc_embedding_matches_python_mirror(spark):
+    """Model-backed document embedding: tf and SIF-weighted means both
+    equal the plain-Python restatement value-for-value; uncovered /
+    empty / NULL docs take the explicit NULL lane."""
+    from harvesting_extract_to_ttl_service_spark.functions.models import (
+        doc_embedding,
+        sif_token_weights,
+    )
+
+    _, _, model = _read_fixture()
+    texts = [(1, "die der die und zzz"), (2, "the the of en999"),
+             (3, "zzz qqq"), (4, ""), (5, None),
+             (6, "le la le la le est")]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    vecs = parse_vec_model(spark, FIXTURE, dim=5)
+
+    got = {r.doc_id: r for r in doc_embedding(docs, vecs, 5).collect()}
+    for doc_id, text in texts:
+        n, nm, emb = _mirror_doc_embedding(text, model)
+        assert got[doc_id].n_tokens == n, doc_id
+        assert got[doc_id].n_model_tokens == nm, doc_id
+        if emb is None:
+            assert got[doc_id].embedding is None, doc_id
+        else:
+            assert got[doc_id].embedding == pytest.approx(emb), doc_id
+
+    # SIF weights: recompute the mirror with a/(a+p) multipliers
+    sif = sif_token_weights(docs)
+    wmap = {r.token: r.weight for r in sif.collect()}
+    total = sum(len((t or "").lower().split()) for _, t in texts)
+    for t, w in wmap.items():
+        inst = sum((txt or "").lower().split().count(t)
+                   for _, txt in texts)
+        assert w == pytest.approx(round(1e-3 / (1e-3 + inst / total), 6))
+    gots = {r.doc_id: r for r in
+            doc_embedding(docs, vecs, 5, token_weights=sif).collect()}
+    for doc_id, text in texts:
+        n, nm, emb = _mirror_doc_embedding(text, model, wmap)
+        assert gots[doc_id].n_model_tokens == nm
+        if emb is None:
+            assert gots[doc_id].embedding is None
+        else:
+            assert gots[doc_id].embedding == pytest.approx(emb), doc_id
+
+
+def test_doc_embedding_feeds_ann_stack(spark):
+    """The trained-vector embedding is a drop-in for the hashed baseline:
+    text → doc_embedding → k-means → cluster-blocked near-dup finds the
+    planted same-language pair and nothing across languages."""
+    from harvesting_extract_to_ttl_service_spark.functions.models import (
+        doc_embedding,
+    )
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        cluster_neardup_pairs,
+        train_ivf_centroids,
+    )
+
+    de = "die der und die das ist nicht der die und"
+    docs = spark.createDataFrame(
+        [(1, de), (2, de + " ein"),                    # near-identical de
+         (3, "the of the and a to the of is the"),     # en
+         (4, "le la les le est une le la du le")],     # fr
+        "doc_id long, text string")
+    vecs = parse_vec_model(spark, FIXTURE, dim=5)
+    emb = doc_embedding(docs, vecs, 5).filter(
+        F.col("embedding").isNotNull())
+    cents = train_ivf_centroids(emb, k=2, dim=5, id_col="doc_id")
+    pairs = {(r.id_a, r.id_b): r.cos_sim for r in cluster_neardup_pairs(
+        emb, cents, threshold=0.95, id_col="doc_id",
+        n_probe=2).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
+    assert all({a, b} == {1, 2} for a, b in pairs)
+
+
 def test_multiclass_scorer_matches_mirror_property(spark):
     """Hypothesis sweep: over random small models (2-4 classes, tiny
     vocab, random weights/biases) and random documents (in-vocab and
