@@ -179,6 +179,36 @@ def _ordered_dot(i: int):
         * r.getField(f"w{i}"))
 
 
+def _gram_slicer(wrapped, n: int):
+    """Per-n transform lambda. A factory, not a default-arg lambda —
+    PySpark reads higher-order arity from the Python signature, and
+    ``lambda i, n=n`` would mis-declare the 2-arg (element, index)
+    variant."""
+    return lambda i: wrapped.substr(i, F.lit(n))
+
+
+def subword_features(t, min_n: int, max_n: int):
+    """fastText's actual feature set for one token: the word itself
+    PLUS boundary-marked character n-grams — ``<word>`` sliced into
+    every n-gram for n in [min_n, max_n] (Bojanowski et al. 2017). The
+    markers make prefix/suffix grams distinct features (``<sc`` ≠
+    ``sch``), which is most of what carries language identity for
+    unseen words. Pure column expression over one token column; grams
+    longer than the wrapped token contribute nothing (Spark's
+    ``sequence`` would COUNT DOWN for stop < start, so the empty case
+    is guarded explicitly)."""
+    wrapped = F.concat(F.lit("<"), t, F.lit(">"))
+    parts = [F.array(t)]
+    for n in range(min_n, max_n + 1):
+        count = F.length(wrapped) - (n - 1)
+        parts.append(
+            F.when(count >= 1,
+                   F.transform(F.sequence(F.lit(1), count),
+                               _gram_slicer(wrapped, n)))
+            .otherwise(F.array().cast("array<string>")))
+    return F.concat(*parts)
+
+
 def hashed_multiclass_score(df: DataFrame, weights: DataFrame,
                             labels: list[str],
                             biases: list[float] | None = None,
@@ -188,7 +218,9 @@ def hashed_multiclass_score(df: DataFrame, weights: DataFrame,
                             salt: str = "clf",
                             pred_col: str = "pred",
                             score_col: str = "pred_logit",
-                            unknown: str = "und") -> DataFrame:
+                            unknown: str = "und",
+                            char_ngrams: tuple[int, int] | None = None
+                            ) -> DataFrame:
     """Multi-class linear inference over hashed bag-of-words features —
     the k-headed sibling of
     :func:`~..operators.text.hashed_linear_score`:
@@ -227,6 +259,18 @@ def hashed_multiclass_score(df: DataFrame, weights: DataFrame,
     :func:`~..operators.text.lang_id` 'und' convention — a bias-only
     argmax would just report which class the model assumes a priori).
 
+    ``char_ngrams=(min_n, max_n)`` switches the feature set from whole
+    words to :func:`subword_features` — each token contributes itself
+    plus its boundary-marked character n-grams, all hashed into the
+    SAME bucket space (fastText's subword trick: a model export whose
+    rows include n-gram strings like ``<sc`` simply folds them into
+    buckets via the unchanged :func:`hash_vec_weights`, and unseen
+    words still hit their n-grams' weights). With subwords on,
+    ``n_tokens`` counts FEATURE instances (the tf normalizer's unit —
+    document length cancels per feature, fastText's mean-of-features
+    hidden layer); the word path and its output meaning are unchanged
+    by default.
+
     Returns ``df`` + ``n_tokens`` + ``pred_col`` + ``score_col`` (the
     winning logit, 6 dp)."""
     if biases is not None and len(biases) != len(labels):
@@ -256,6 +300,16 @@ def hashed_multiclass_score(df: DataFrame, weights: DataFrame,
     df = spread_for_cpu(df)
     ex = df.select(F.col(id_col).alias("_id"),
                    F.explode(tokens(F.lower(F.col(text_col)))).alias("t"))
+    if char_ngrams is not None:
+        min_n, max_n = char_ngrams
+        if not 1 <= min_n <= max_n:
+            raise ValueError(
+                f"hashed_multiclass_score: char_ngrams={char_ngrams} "
+                f"must satisfy 1 <= min_n <= max_n")
+        ex = ex.select(
+            "_id",
+            F.explode(subword_features(F.col("t"), min_n, max_n))
+            .alias("t"))
     bucket = F.floor(hash_fraction(F.col("t"), salt)
                      * F.lit(n_buckets)).cast("long")
     pd_ = (ex.select("_id", bucket.alias("bucket"))
@@ -298,7 +352,9 @@ def hashed_multiclass_score(df: DataFrame, weights: DataFrame,
 def lang_id_model(df: DataFrame, weights: DataFrame, labels: list[str],
                   biases: list[float] | None = None,
                   n_buckets: int = 1024, text_col: str = "text",
-                  id_col: str = "doc_id", salt: str = "clf") -> DataFrame:
+                  id_col: str = "doc_id", salt: str = "clf",
+                  char_ngrams: tuple[int, int] | None = None
+                  ) -> DataFrame:
     """Model-backed language ID — :func:`hashed_multiclass_score` with
     the :func:`~..operators.text.lang_id` output convention
     (``lang_pred``, 'und' for token-less docs, plus ``lang_logit``):
@@ -308,7 +364,8 @@ def lang_id_model(df: DataFrame, weights: DataFrame, labels: list[str],
     the marker-list heuristic's production replacement."""
     return hashed_multiclass_score(
         df, weights, labels, biases, n_buckets, text_col, id_col, salt,
-        pred_col="lang_pred", score_col="lang_logit")
+        pred_col="lang_pred", score_col="lang_logit",
+        char_ngrams=char_ngrams)
 
 
 def _dot_component(j: int):

@@ -939,9 +939,11 @@ def filter_documents(docs: DataFrame, min_quality: float = 0.4,
 
     * ``lid_model = {"weights": DF(bucket, label, weight),
       "labels": [...], "biases": [...]?, "n_buckets": 1024?,
-      "salt": "clf"?}`` — the language allowlist (``langs``) is then
-      decided by ``lang_id_model``'s multi-class argmax instead of the
-      marker-list heuristic (the production LID pass);
+      "salt": "clf"?, "char_ngrams": (min_n, max_n)?}`` — the language
+      allowlist (``langs``) is then decided by ``lang_id_model``'s
+      multi-class argmax instead of the marker-list heuristic (the
+      production LID pass; ``char_ngrams`` turns on fastText's subword
+      features for models exported with n-gram rows);
     * ``quality_model = {"weights": DF(bucket, weight),
       "min_score": float, "bias": 0.0?, "n_buckets": 1024?,
       "salt": "clf"?}`` — an ADDITIONAL gate after the heuristic
@@ -1003,11 +1005,14 @@ def filter_documents(docs: DataFrame, min_quality: float = 0.4,
             lang_id_model,
         )
 
+        char_ngrams = lid_model.get("char_ngrams")
         keep = (lang_id_model(
             survivors, lid_model["weights"], lid_model["labels"],
             biases=lid_model.get("biases"),
             n_buckets=lid_model.get("n_buckets", 1024),
             salt=lid_model.get("salt", "clf"),
+            char_ngrams=(tuple(char_ngrams) if char_ngrams is not None
+                         else None),
             text_col=text_col, id_col=id_col)
             .filter(F.col("lang_pred").isin(list(langs)))
             .select(id_col))

@@ -835,6 +835,106 @@ def corpus_mclf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens", "lang_pred", "lang_logit")
 
 
+# --- subword (char n-gram) LID (functions/models.py char_ngrams) ------
+# The fastText-actual feature set: each token contributes itself plus
+# its boundary-marked character 3-grams, all hashed into the shared
+# bucket space; the fixture model carries n-gram rows (<sc, sch, ing,
+# eau, ...) so unseen words still pull their language's weight. The
+# oracle re-parses the subword fixture AND re-generates the exact
+# feature multiset (word + '<'||t||'>' slices) independently.
+_MCLFSUB_PATH = __import__("os").path.join(
+    __import__("os").path.dirname(__file__), "..", "..", "fixtures",
+    "lid_mini_sub.vec")
+_MCLFSUB_DOCS = 200
+_MCLFSUB_N = 3  # char_ngrams=(3, 3)
+
+
+def _mclfsub_model_values() -> str:
+    rows = []
+    with open(_MCLFSUB_PATH) as f:
+        f.readline()  # header
+        for line in f:
+            parts = line.split()
+            for lb, w in zip(_MCLF_LABELS, parts[1:]):
+                rows.append(f"('{parts[0]}', '{lb}', {float(w)!r})")
+    return ", ".join(rows)
+
+
+_MCLFSUB_SQL = f"""
+WITH model(token, cls, w) AS (VALUES {_mclfsub_model_values()}),
+fold AS (
+  SELECT CAST(floor({hash_fraction_sql('token', 'clf')} * {_MCLF_BUCKETS})
+              AS BIGINT) AS bucket, cls,
+         round(list_reduce(list(w ORDER BY token), (x, y) -> x + y), 6)
+           AS weight
+  FROM model GROUP BY 1, 2
+), tk AS (
+  SELECT doc_id, unnest({_TOKS_LOW}) AS t FROM documents
+  WHERE doc_id < {_MCLFSUB_DOCS}
+), ft AS (
+  SELECT doc_id, unnest([t] || list_transform(
+           range(1, length('<' || t || '>') - {_MCLFSUB_N - 1} + 1),
+           i -> substr('<' || t || '>', i, {_MCLFSUB_N}))) AS t
+  FROM tk
+), pd AS (
+  SELECT doc_id,
+         CAST(floor({hash_fraction_sql('t', 'clf')} * {_MCLF_BUCKETS})
+              AS BIGINT) AS bucket,
+         count(*) AS c
+  FROM ft GROUP BY 1, 2
+), tot AS (
+  SELECT doc_id, sum(c) AS n FROM pd GROUP BY 1
+), heads(cls) AS (
+  VALUES {", ".join(f"('{lb}')" for lb in _MCLF_LABELS)}
+), dots AS (
+  SELECT doc_id, cls,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list(c * weight ORDER BY bucket)), (a, b) -> a + b) AS num
+  FROM pd JOIN fold USING (bucket) GROUP BY 1, 2
+), logits AS (
+  SELECT t.doc_id, h.cls, t.n,
+         round(coalesce(d.num, 0) / t.n, 6) AS logit
+  FROM tot t CROSS JOIN heads h
+  LEFT JOIN dots d ON d.doc_id = t.doc_id AND d.cls = h.cls
+), win AS (
+  SELECT doc_id, n, cls, logit FROM logits
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+                             ORDER BY logit DESC, cls) = 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(w.n, 0) AS BIGINT) AS n_tokens,
+       coalesce(w.cls, 'und') AS lang_pred,
+       w.logit AS lang_logit
+FROM (SELECT doc_id FROM documents WHERE doc_id < {_MCLFSUB_DOCS}) d
+LEFT JOIN win w USING (doc_id)
+"""
+
+
+@member_sql(_MCLFSUB_SQL)
+def corpus_mclfsub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-featured language ID (functions/models.py
+    hashed_multiclass_score ``char_ngrams``): word + boundary-marked
+    char-3-gram features hashed into the shared bucket space, scored
+    against the subword fixture model — feature generation, bucketing,
+    the token-sorted collision fold, the tf-per-feature dot, and the
+    argmax all restated independently by the oracle."""
+    from harvesting_extract_to_ttl_service_spark.functions.models import (
+        hash_vec_weights,
+        lang_id_model,
+        parse_vec_model,
+    )
+
+    docs = (load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < _MCLFSUB_DOCS))
+    weights = hash_vec_weights(
+        parse_vec_model(spark, _MCLFSUB_PATH, dim=len(_MCLF_LABELS)),
+        _MCLF_LABELS, n_buckets=_MCLF_BUCKETS)
+    return lang_id_model(docs, weights, _MCLF_LABELS,
+                         n_buckets=_MCLF_BUCKETS,
+                         char_ngrams=(_MCLFSUB_N, _MCLFSUB_N)).select(
+        "doc_id", "n_tokens", "lang_pred", "lang_logit")
+
+
 _WS_GAMMA = 2.0
 _WS_FLOOR = 0.05
 
@@ -1251,6 +1351,8 @@ _CORPUS_MEMBERS = [
     ("tokids", corpus_tokids,
      ["doc_id", "shard", "chunk", "start_offset", "n_tokens", "ids"],
      []),
+    ("mclfsub", corpus_mclfsub, ["doc_id", "n_tokens", "lang_pred"],
+     ["lang_logit"]),
 ]
 
 

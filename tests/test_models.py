@@ -146,7 +146,8 @@ def test_hash_vec_weights_binary_feeds_linear_scorer(spark, tmp_path):
             parse_vec_model(spark, FIXTURE), n_buckets=nb).collect()
 
 
-def _mirror_multiclass(texts, vecs, labels, nb, biases, salt="clf"):
+def _mirror_multiclass(texts, vecs, labels, nb, biases, salt="clf",
+                       featurize=None):
     folded = defaultdict(float)
     for t in sorted(vecs):
         for i, lb in enumerate(labels):
@@ -155,6 +156,8 @@ def _mirror_multiclass(texts, vecs, labels, nb, biases, salt="clf"):
     out = {}
     for doc_id, text in texts:
         toks = text.lower().split()
+        if featurize is not None:
+            toks = [f for w in toks for f in featurize(w)]
         if not toks:
             out[doc_id] = (0, "und", None)
             continue
@@ -200,6 +203,99 @@ def test_multiclass_score_matches_python_mirror(spark):
     assert got[1][1] == "de" and got[2][1] == "en" and got[3][1] == "fr"
     with pytest.raises(ValueError, match="biases"):
         hashed_multiclass_score(docs, weights, LABELS, biases=[0.0])
+
+
+SUB_FIXTURE = os.path.join(os.path.dirname(__file__), "..", "fixtures",
+                           "lid_mini_sub.vec")
+
+
+def _read_sub_fixture():
+    rows = {}
+    with open(SUB_FIXTURE) as f:
+        f.readline()
+        for line in f:
+            parts = line.split()
+            rows[parts[0]] = [float(x) for x in parts[1:]]
+    return rows
+
+
+def test_subword_features_and_scorer_match_mirror(spark):
+    """char_ngrams=(min,max): the feature set is word + boundary-marked
+    n-grams, all hashed into the shared bucket space — Spark scorer vs
+    a plain-Python restatement, and UNSEEN words still land on their
+    language via their n-grams (the point of subwords)."""
+    from harvesting_extract_to_ttl_service_spark.functions.models import (
+        subword_features,
+    )
+
+    # the feature generator alone, against hand-derived slices
+    feats = spark.createDataFrame([("schnell",), ("x",)], "t string") \
+        .select(subword_features(F.col("t"), 3, 4).alias("f")).collect()
+    wrapped = "<schnell>"
+    want = (["schnell"]
+            + [wrapped[i:i + 3] for i in range(len(wrapped) - 2)]
+            + [wrapped[i:i + 4] for i in range(len(wrapped) - 3)])
+    assert feats[0].f == want
+    assert feats[1].f == ["x", "<x>"]  # 3-grams of '<x>'; no 4-gram
+
+    vecs = _read_sub_fixture()
+    nb = 64
+    texts = [
+        (1, "schneller schnitt der die"),    # de: sch/ch> grams + words
+        (2, "thinking things the"),          # en: <th/ing/ng>
+        (3, "beaux chateaux le"),            # fr: eau/ux>
+        (4, "zhang zhao"),                   # zh: <zh/ang/ao>
+        (5, "unseen wording"),               # en via ing/ng> only
+        (6, ""),
+    ]
+
+    def featurize(w):
+        ww = f"<{w}>"
+        return [w] + [ww[i:i + 3] for i in range(len(ww) - 2)]
+
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    weights = hash_vec_weights(parse_vec_model(spark, SUB_FIXTURE, dim=5),
+                               LABELS, n_buckets=nb)
+    got = {r.doc_id: (r.n_tokens, r.pred, r.pred_logit)
+           for r in hashed_multiclass_score(
+               docs, weights, LABELS, n_buckets=nb,
+               char_ngrams=(3, 3)).collect()}
+    want = _mirror_multiclass(texts, vecs, LABELS, nb, None,
+                              featurize=featurize)
+    for doc_id in want:
+        g, w = got[doc_id], want[doc_id]
+        assert g[:2] == w[:2], (doc_id, g, w)
+        if w[2] is None:
+            assert g[2] is None
+        else:
+            assert g[2] == pytest.approx(w[2])
+    assert got[1][1] == "de" and got[2][1] == "en"
+    assert got[3][1] == "fr" and got[4][1] == "zh"
+    assert got[5][1] == "en"        # no word hit — subwords carried it
+    with pytest.raises(ValueError, match="char_ngrams"):
+        hashed_multiclass_score(docs, weights, LABELS, n_buckets=nb,
+                                char_ngrams=(3, 2))
+
+
+def test_funnel_lid_model_gate_with_subwords(spark):
+    """The lid_model dict threads char_ngrams through filter_documents:
+    docs whose words are unseen still gate onto their n-grams'
+    language."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        filter_documents,
+    )
+
+    weights = hash_vec_weights(parse_vec_model(spark, SUB_FIXTURE, dim=5),
+                               LABELS, n_buckets=64)
+    docs = spark.createDataFrame(
+        [(1, "schwimmen schreiben dich"),      # de by subwords only
+         (2, "thinking wording singing")],     # en by subwords only
+        "doc_id long, text string")
+    got = {r.doc_id for r in filter_documents(
+        docs, min_quality=0.0, langs=["de"],
+        lid_model={"weights": weights, "labels": LABELS,
+                   "n_buckets": 64, "char_ngrams": (3, 3)}).collect()}
+    assert got == {1}
 
 
 def test_lang_id_model_output_convention(spark):
