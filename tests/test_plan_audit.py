@@ -16,17 +16,21 @@ SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.001")
 
 QUERIES = entry_mod.queries()
 
-# Entries where a BroadcastNestedLoopJoin is the INTENDED shape, each
-# with the reason it is scale-safe:
-#   ann_suite     — the self_topk member is the documented exact all-pairs
-#                   small-corpus baseline (the suite's other members ARE
-#                   the scale path), and the broadcast side is bounded.
-#   corpus_suite  — the mixture denominator is a one-row broadcast
-#                   (a scalar) cross-joined onto a strata-sized frame,
-#                   and the mclf member cross-joins the k-row broadcast
-#                   label/bias table onto per-doc totals (k = number of
-#                   model classes, a constant).
-BNLJ_OK = {"ann_suite", "corpus_suite"}
+# Entries where BroadcastNestedLoopJoins are INTENDED, pinned to the
+# EXACT member-level count (not a suite-wide pass, which would let a
+# new member smuggle in an unintended nested-loop join). Every pinned
+# BNLJ is a bounded broadcast:
+#   ann_suite (1)    — self_topk: the documented exact all-pairs
+#                      small-corpus baseline (the suite's other members
+#                      ARE the scale path), broadcast side bounded.
+#   corpus_suite (5) — one-row broadcast scalars cross-joined onto
+#                      bounded frames: mix (the mixture denominator),
+#                      lm (the corpus token total), tsample +
+#                      tsample_exact (the temperature rate scalar),
+#                      buckets (the quantile-thresholds row).
+# A count BELOW the pin is also a failure: it means a member's shape
+# changed and this table is stale — re-derive it, don't loosen it.
+BNLJ_EXPECTED = {"ann_suite": 1, "corpus_suite": 5}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
@@ -34,8 +38,8 @@ def test_plan_has_no_antipatterns(spark, name):
     plan = (QUERIES[name](spark, SF_DIR)
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan, name
-    if name not in BNLJ_OK:
-        assert "BroadcastNestedLoopJoin" not in plan, name
+    assert plan.count("BroadcastNestedLoopJoin") \
+        == BNLJ_EXPECTED.get(name, 0), name
     # Python may cross the boundary only Arrow-batched (ArrowEvalPython,
     # MapInPandas, FlatMapGroupsInPandas*) — never row-at-a-time
     assert "BatchEvalPython" not in plan, name
