@@ -263,6 +263,118 @@ def compact_ivf_index(spark: SparkSession, index_dir: str,
     return len(batches)
 
 
+def retrain_ivf_index(spark: SparkSession, index_dir: str,
+                      k: int | None = None, max_iter: int = 10,
+                      tol: float = 1e-4,
+                      target_partitions: int | None = None
+                      ) -> list[list[float]]:
+    """IVF maintenance: re-center a DRIFTED index. Centroids are
+    digest-frozen by design (a mid-stream change would make search
+    recall batch-dependent), so a stream whose vector distribution has
+    drifted away from the original training sample keeps paying
+    boundary-recall losses forever. This job re-trains k-means over the
+    ACCUMULATED index, rewrites it layout-preservingly under the new
+    cells (one consolidated ``batch=-1``, still partitioned by
+    ``ivf_cell`` — searches keep partition-pruning), re-pins the
+    sidecar to the new digest, and returns the new centroids for the
+    caller to resume :func:`ivf_index_batch` / :func:`ivf_search`
+    with. ``k`` defaults to the index's current cell count; quantized
+    indexes retrain on the dequantized vectors (same lossy floats
+    every component consumes) and keep their stored codes byte-wise.
+
+    Crash safety — LOUD, never silent: the sidecar flips to an
+    in-progress marker (``retraining: true``) BEFORE any data moves,
+    and only the final step removes it. `_check_sidecar_params`
+    refuses a marked sidecar (the extra key can never match a
+    search's expected params), so a crash mid-rewrite leaves every
+    search/ingest failing with the stored-params message instead of
+    probing wrong cells; recovery is re-running this job, which is
+    idempotent over the surviving rows: cell assignments are
+    recomputed FROM THE VECTORS (the stored ivf_cell is never
+    trusted), and duplicate ids from a crash between the batch=-1
+    write and the old-batch deletes collapse via dropDuplicates(id).
+
+    Replay note: after a retrain, a replayed source batch would write
+    ``batch=<id>`` rows ASSIGNED UNDER THE NEW CENTROIDS (assignment
+    is a pure function of vector and pinned centroids), which is
+    exactly what the consolidated rows already are — the
+    replay-idempotence contract survives the re-centering."""
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        dequantize_int8,
+        train_ivf_centroids,
+    )
+    from harvesting_extract_to_ttl_service_spark.sources.files import (
+        _hadoop_fs,
+    )
+
+    fs, _ = _hadoop_fs(spark, index_dir)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    side = jpath(f"{index_dir}/_ivf_params.json")
+    if not fs.exists(side):
+        raise ValueError(f"no _ivf_params.json under {index_dir} — "
+                         f"not an IVF index")
+    stream = fs.open(side)
+    try:
+        buf = spark._jvm.java.io.BufferedReader(
+            spark._jvm.java.io.InputStreamReader(stream, "UTF-8"))
+        data = []
+        line = buf.readLine()
+        while line is not None:
+            data.append(line)
+            line = buf.readLine()
+    finally:
+        stream.close()
+    params = json.loads("\n".join(data))
+    params.setdefault("quantized", False)
+    params.pop("retraining", None)  # recovering from a crashed retrain
+    quantized = params["quantized"]
+    k = k if k is not None else params["k"]
+
+    idx = (spark.read.option("basePath", index_dir).parquet(index_dir)
+           .drop("batch", "ivf_cell").dropDuplicates(["id"]))
+    if quantized:
+        train_src = idx.withColumn(
+            "v", dequantize_int8(F.col("codes"), F.col("scale")))
+    else:
+        train_src = idx
+    centroids = train_ivf_centroids(train_src, k, params["dim"],
+                                    vec_col="v", id_col="id",
+                                    max_iter=max_iter, tol=tol)
+
+    def _write_sidecar(d: dict) -> None:
+        out = fs.create(side, True)
+        try:
+            out.write(json.dumps(d).encode())
+        finally:
+            out.close()
+
+    new_params = {"k": k, "dim": params["dim"],
+                  "centroids_md5": _centroid_digest(centroids),
+                  "quantized": quantized}
+    _write_sidecar({**new_params, "retraining": True})
+
+    reassigned = ivf_assign(train_src, centroids, vec_col="v")
+    if quantized:
+        reassigned = reassigned.drop("v")  # codes are the stored payload
+    if target_partitions is not None:
+        reassigned = reassigned.repartition(target_partitions,
+                                            F.col("ivf_cell"))
+    batches = [r.batch for r in
+               (spark.read.option("basePath", index_dir)
+                .parquet(index_dir).select("batch").distinct().collect())]
+    tmp = f"{index_dir}/_retrain_tmp"
+    reassigned.write.mode("overwrite").partitionBy("ivf_cell").parquet(tmp)
+    (spark.read.option("basePath", tmp).parquet(tmp)
+     .write.mode("overwrite").partitionBy("ivf_cell")
+     .parquet(f"{index_dir}/batch=-1"))
+    for b in batches:
+        if b != -1:
+            fs.delete(jpath(f"{index_dir}/batch={b}"), True)
+    fs.delete(jpath(tmp), True)
+    _write_sidecar(new_params)
+    return centroids
+
+
 def run_ivf_index_stream(vecs_stream: DataFrame, index_dir: str,
                          checkpoint: str, centroids: list[list[float]],
                          vec_col: str = "embedding",

@@ -170,6 +170,126 @@ def test_ivf_compact_preserves_cells_and_results(spark, tmp_path,
     assert spark.read.option("basePath", idir).parquet(idir).count() == 56
 
 
+def test_retrain_ivf_index_recenters_and_repins(spark, tmp_path,
+                                                centroids):
+    """The drift-maintenance job: retrain re-centers over the ACCUMULATED
+    index, search with the NEW centroids equals a fresh ivf_topk over
+    the same vectors, the OLD centroids refuse (digest re-pinned), the
+    layout stays cell-partitioned, and ingest resumes under the new
+    digest."""
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        retrain_ivf_index,
+    )
+
+    idir = str(tmp_path / "ivf")
+    # centroids fixture was trained on 0..63; ingest includes a drifted
+    # tail (ids 64..95 lean on shifted axes)
+    ivf_index_batch(_vecs(spark, range(0, 48)), 0, idir, centroids)
+    ivf_index_batch(_vecs(spark, range(48, 96)), 1, idir, centroids)
+
+    new_cents = retrain_ivf_index(spark, idir)
+    assert len(new_cents) == len(centroids)
+    assert new_cents != centroids
+
+    query = [1.0] + [0.05] * (DIM - 1)
+    got = [tuple(r) for r in ivf_search(
+        spark, idir, query, new_cents, k=5, n_probe=2).collect()]
+    want = [tuple(r) for r in ivf_topk(
+        _vecs(spark, range(96)), query, new_cents, k=5,
+        n_probe=2).collect()]
+    assert got == want
+
+    # the old centroids can never probe this index again
+    with pytest.raises(ValueError, match="built with"):
+        ivf_search(spark, idir, query, centroids, k=5)
+    # layout: one consolidated batch, still cell-partitioned
+    assert sorted(d for d in os.listdir(idir)
+                  if d.startswith("batch=")) == ["batch=-1"]
+    assert any(d.startswith("ivf_cell=")
+               for d in os.listdir(f"{idir}/batch=-1"))
+    # ingest resumes under the new digest; the old one refuses
+    ivf_index_batch(_vecs(spark, range(96, 104)), 2, idir, new_cents)
+    assert spark.read.option("basePath", idir).parquet(idir) \
+        .count() == 104
+    with pytest.raises(ValueError, match="built with"):
+        ivf_index_batch(_vecs(spark, range(104, 108)), 3, idir,
+                        centroids)
+
+
+def test_retrain_ivf_index_crash_marker_and_recovery(spark, tmp_path,
+                                                     centroids):
+    """A crashed retrain leaves the in-progress sidecar marker, which
+    makes EVERY search/ingest refuse loudly (never silent wrong-cell
+    probes); re-running the job recovers, including collapsing the
+    duplicate ids a mid-swap crash can leave."""
+    import json as _json
+
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        retrain_ivf_index,
+    )
+
+    idir = str(tmp_path / "ivf")
+    ivf_index_batch(_vecs(spark, range(0, 32)), 0, idir, centroids)
+
+    # simulate the crash window: marker written, old batch dir also
+    # duplicated into batch=-1 (the worst mid-swap state)
+    side = f"{idir}/_ivf_params.json"
+    crc = f"{idir}/._ivf_params.json.crc"
+    params = _json.loads(open(side).read())
+    os.path.exists(crc) and os.unlink(crc)
+    with open(side, "w") as f:
+        f.write(_json.dumps({**params, "retraining": True}))
+    dup = spark.read.option("basePath", idir).parquet(idir).drop("batch")
+    dup.write.mode("overwrite").partitionBy("ivf_cell") \
+        .parquet(f"{idir}/batch=-1")
+
+    query = [1.0] + [0.05] * (DIM - 1)
+    with pytest.raises(ValueError, match="built with"):
+        ivf_search(spark, idir, query, centroids, k=5)
+    with pytest.raises(ValueError, match="built with"):
+        ivf_index_batch(_vecs(spark, range(32, 40)), 1, idir, centroids)
+
+    new_cents = retrain_ivf_index(spark, idir)
+    idx = spark.read.option("basePath", idir).parquet(idir)
+    assert idx.count() == 32                       # duplicates collapsed
+    got = [tuple(r) for r in ivf_search(
+        spark, idir, query, new_cents, k=5, n_probe=2).collect()]
+    want = [tuple(r) for r in ivf_topk(
+        _vecs(spark, range(32)), query, new_cents, k=5,
+        n_probe=2).collect()]
+    assert got == want
+
+
+def test_retrain_ivf_index_quantized_keeps_codes(spark, tmp_path,
+                                                 centroids):
+    """Quantized indexes retrain on the dequantized floats and keep the
+    stored int8 codes byte-wise; quantized search works under the new
+    digest and the float mode still refuses."""
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        retrain_ivf_index,
+    )
+
+    idir = str(tmp_path / "ivf")
+    ivf_index_batch(_vecs(spark, range(0, 48)), 0, idir, centroids,
+                    quantize=True)
+    before = {r.id: (list(r.codes), r.scale) for r in
+              spark.read.option("basePath", idir).parquet(idir)
+              .select("id", "codes", "scale").collect()}
+
+    new_cents = retrain_ivf_index(spark, idir)
+    after = {r.id: (list(r.codes), r.scale) for r in
+             spark.read.option("basePath", idir).parquet(idir)
+             .select("id", "codes", "scale").collect()}
+    assert after == before
+
+    query = [1.0] + [0.05] * (DIM - 1)
+    got = ivf_search(spark, idir, query, new_cents, k=5, n_probe=2,
+                     quantized=True).collect()
+    assert len(got) == 5 and got[0].cos_sim >= got[-1].cos_sim
+    with pytest.raises(ValueError, match="built with"):
+        ivf_search(spark, idir, query, new_cents, k=5, quantized=False)
+
+
 def test_run_ivf_index_stream_end_to_end(spark, tmp_path, centroids):
     """The foreachBatch wiring: a file stream drained under a checkpoint
     indexes each delivery exactly once."""
