@@ -629,3 +629,188 @@ def train_ivf_centroids(df: DataFrame, k: int, dim: int,
         if drift < tol:
             break
     return centroids
+
+
+# --- product quantization (IVF-PQ's compression half) -----------------
+#
+# PQ (Jégou et al. 2011): split each dim-vector into m contiguous
+# sub-blocks, quantize every block to one of ksub learned sub-centroids,
+# store m small codes per vector — dim×4 bytes shrink to m bytes
+# (m=8, dim=512: 64×), and search scores candidates WITHOUT
+# reconstructing, via per-block lookup tables (ADC). The int8 path
+# above compresses 4×; this is the order-of-magnitude path a 100 TB
+# embedding corpus actually needs, and the standard pairing with the
+# IVF index (IVF prunes WHICH vectors to score, PQ makes scoring them
+# cheap).
+#
+# Determinism discipline (the repo's oracle contract): sub-centroid
+# assignment is an argmin over component-ordered L2 folds with
+# ties → smallest code; every cross-component float fold fixes its
+# order (left fold, 0.0 init) so a SQL restatement reproduces the
+# doubles bit-for-bit; ADC lookup tables are driver-computed with the
+# same fold order.
+
+
+def _pq_shapes(codebooks: list[list[list[float]]]) -> tuple[int, int, int]:
+    m = len(codebooks)
+    if m == 0:
+        raise ValueError("pq: empty codebook list")
+    ksub = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    for b, book in enumerate(codebooks):
+        if len(book) != ksub or any(len(c) != sub for c in book):
+            raise ValueError(
+                f"pq: codebook {b} is ragged — every block needs the "
+                f"same ksub={ksub} centroids of sub={sub} components")
+    return m, ksub, sub
+
+
+def _pq_code(subv: Column, book: list[list[float]]) -> Column:
+    """argmin-L2 sub-centroid code for one block: component-ordered
+    squared-distance folds, array_min struct tie-break to the smallest
+    code — the same deterministic argmin shape as ivf_assign."""
+    cands = []
+    for j, c in enumerate(book):
+        cl = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(subv, cl,
+                       lambda x, y: (x.cast("double") - y)
+                       * (x.cast("double") - y)),
+            F.lit(0.0), lambda a, x: a + x)
+        cands.append(F.struct(d.alias("d"), F.lit(j).alias("j")))
+    return F.array_min(F.array(*cands)).getField("j")
+
+
+def _fold_sum(terms: list[float]) -> float:
+    acc = 0.0
+    for t in terms:
+        acc += float(t)
+    return acc
+
+
+def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
+              vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """Encode vectors to PQ codes: ``(id_col, codes array<int> length m,
+    pnorm)`` — ``pnorm`` is the reconstruction's L2 norm (blocks are
+    orthogonal coordinate segments, so ‖x̂‖² = Σ_b ‖c_{b,code_b}‖²),
+    precomputed from the codebook norms and stored so cosine ADC never
+    touches the codebooks at search time. Pure projection — no shuffle,
+    no join; expression work is m·ksub folds of sub components per row
+    (linear in dim·ksub), the trade that buys m-byte storage."""
+    m, ksub, sub = _pq_shapes(codebooks)
+    codes = F.array(*[
+        _pq_code(F.slice(F.col(vec_col), b * sub + 1, sub), codebooks[b])
+        for b in range(m)])
+    n2 = [[_fold_sum([x * x for x in c]) for c in book]
+          for book in codebooks]
+    out = df.select(F.col(id_col), codes.alias("codes"))
+    p2 = F.lit(0.0)
+    for b in range(m):
+        p2 = p2 + F.element_at(
+            F.array(*[F.lit(v) for v in n2[b]]),
+            F.col("codes").getItem(b) + 1)
+    return out.select(id_col, "codes",
+                      F.round(F.sqrt(p2), 6).alias("pnorm"))
+
+
+def pq_adc_topk(codes_df: DataFrame, query_vec: list[float],
+                codebooks: list[list[list[float]]], k: int = 10,
+                id_col: str = "vec_id") -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query stays exact,
+    every candidate scores as cosine(q, x̂) via per-block lookup tables
+    LUT[b][j] = q_b·c_{b,j} computed ONCE driver-side (m·ksub doubles
+    — control-plane sized), so the per-row work is m array lookups and
+    one add chain, never a dim-length fold. Approximate by exactly the
+    quantization error (the only approximation — scores on the
+    reconstructions are exact and deterministic, so a SQL oracle
+    reproduces them bit-for-bit). Zero-reconstruction rows (pnorm 0 —
+    cosine undefined) are excluded, the zero-vector convention the
+    hashed embedding documents. Returns ``(id_col, cos_sim)``."""
+    m, ksub, sub = _pq_shapes(codebooks)
+    if len(query_vec) != m * sub:
+        raise ValueError(
+            f"pq_adc_topk: query dim {len(query_vec)} != m·sub "
+            f"{m * sub}")
+    lut = [[_fold_sum([float(query_vec[b * sub + i]) * float(c[i])
+                       for i in range(sub)])
+            for c in book] for b, book in enumerate(codebooks)]
+    qnorm = math.sqrt(_fold_sum([float(x) * float(x)
+                                 for x in query_vec]))
+    num = F.lit(0.0)
+    for b in range(m):
+        num = num + F.element_at(
+            F.array(*[F.lit(v) for v in lut[b]]),
+            F.col("codes").getItem(b) + 1)
+    return (
+        codes_df.filter(F.col("pnorm") > 0)
+        .select(F.col(id_col),
+                F.round(num / (F.col("pnorm") * F.lit(qnorm)), 6)
+                .alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), id_col)
+        .limit(k)
+    )
+
+
+def train_pq_codebooks(df: DataFrame, m: int, ksub: int, dim: int,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id",
+                       max_iter: int = 10,
+                       tol: float = 1e-4) -> list[list[list[float]]]:
+    """Per-block L2 k-means sub-codebooks — the trainer that makes the
+    PQ path self-contained, the :func:`train_ivf_centroids` shape run
+    once per block (m is small — 4-16 — so the driver loop is m
+    bounded jobs per iteration; each job is one argmin projection plus
+    one map-side-combinable AVG per (code, component), shuffle size
+    ksub·sub partials per partition, corpus-size-independent).
+
+    Initialization is the IVF trainer's deterministic, id-layout-free
+    trick per block: the ksub vectors with the smallest md5 hash
+    fractions seed every block's codebook (same seed ROWS across
+    blocks — each block slices its own segment). Empty codes keep
+    their previous sub-centroid; convergence is L∞ drift over all
+    blocks below ``tol``."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        hash_fraction,
+    )
+
+    if dim % m:
+        raise ValueError(f"train_pq_codebooks: dim={dim} not divisible "
+                         f"by m={m}")
+    sub = dim // m
+    init = (df.select(id_col, vec_col)
+            .orderBy(hash_fraction(F.col(id_col), salt="pq-init"),
+                     id_col)
+            .limit(ksub).collect())
+    if len(init) < ksub:
+        raise ValueError(f"ksub={ksub} exceeds corpus size {len(init)}")
+    books = [[[float(x) for x in row[vec_col][b * sub:(b + 1) * sub]]
+              for row in init] for b in range(m)]
+
+    for _ in range(max_iter):
+        drift = 0.0
+        new_books = []
+        for b, book in enumerate(books):
+            sliced = df.select(
+                F.slice(F.col(vec_col), b * sub + 1, sub).alias("subv"))
+            assigned = sliced.select(
+                _pq_code(F.col("subv"), book).alias("code"), "subv")
+            sums = (assigned
+                    .select("code",
+                            F.posexplode(F.col("subv")).alias("d", "x"))
+                    .groupBy("code", "d").agg(F.avg("x").alias("mu"))
+                    .collect())
+            new_book = [list(c) for c in book]
+            by_code: dict[int, list[float]] = {}
+            for row in sums:
+                by_code.setdefault(row.code, [0.0] * sub)[row.d] = row.mu
+            for code, vec in by_code.items():
+                new_book[code] = vec
+            drift = max(drift,
+                        max(abs(a - o) for cn, co in zip(new_book, book)
+                            for a, o in zip(cn, co)))
+            new_books.append(new_book)
+        books = new_books
+        if drift < tol:
+            break
+    return books

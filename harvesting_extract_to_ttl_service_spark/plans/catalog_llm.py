@@ -1420,6 +1420,97 @@ def quantized_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  k=10)
 
 
+# --- product quantization (operators/similarity.py pq_*) --------------
+# Codebooks are data-derived and fully restatable (the IVF members'
+# convention): sub-codebook b = the b-th 16-component slice of
+# embeddings vec_id 0..15. The oracle re-derives the codebooks, every
+# argmin-L2 code, the reconstruction norms, the ADC lookup tables, and
+# the final cosine — all with the same component-ordered folds.
+_PQ_M = 4
+_PQ_KSUB = 16
+_PQ_SUB = 16  # dim 64 / m
+_PQ_K = 10
+
+_PQ_SQL = f"""
+WITH cb AS (
+  SELECT b, vec_id AS j,
+         embedding[b*{_PQ_SUB}+1 : b*{_PQ_SUB}+{_PQ_SUB}] AS c
+  FROM embeddings, (SELECT unnest(range(0, {_PQ_M})) AS b)
+  WHERE vec_id < {_PQ_KSUB}
+), x AS (
+  SELECT vec_id, b,
+         embedding[b*{_PQ_SUB}+1 : b*{_PQ_SUB}+{_PQ_SUB}] AS xb
+  FROM embeddings, (SELECT unnest(range(0, {_PQ_M})) AS b)
+  WHERE vec_id >= {_PQ_KSUB}
+), d AS (
+  SELECT x.vec_id, x.b, cb.j,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, {_PQ_SUB} + 1),
+             i -> (xb[i] - c[i]) * (xb[i] - c[i]))),
+           (a, v) -> a + v) AS dist
+  FROM x JOIN cb USING (b)
+), code AS (
+  SELECT vec_id, b, j AS cj FROM d
+  QUALIFY row_number() OVER (PARTITION BY vec_id, b
+                             ORDER BY dist, j) = 1
+), q AS (
+  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+), lut AS (
+  SELECT cb.b, cb.j,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, {_PQ_SUB} + 1),
+             i -> qv[cb.b*{_PQ_SUB}+i] * c[i])), (a, v) -> a + v) AS dp,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, {_PQ_SUB} + 1),
+             i -> c[i] * c[i])), (a, v) -> a + v) AS n2
+  FROM cb, q
+), sc AS (
+  SELECT code.vec_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(l.dp ORDER BY code.b)), (a, v) -> a + v) AS num,
+         round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(l.n2 ORDER BY code.b)), (a, v) -> a + v)), 6) AS pnorm
+  FROM code JOIN lut l ON l.b = code.b AND l.j = code.cj
+  GROUP BY code.vec_id
+), qn AS (
+  SELECT sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+    list_transform(qv, v -> v * v)), (a, v) -> a + v)) AS qnorm
+  FROM q
+)
+SELECT vec_id, round(num / (pnorm * qnorm), 6) AS cos_sim
+FROM sc, qn
+WHERE pnorm > 0
+ORDER BY cos_sim DESC, vec_id
+LIMIT {_PQ_K}
+"""
+
+
+@member_sql(_PQ_SQL)
+def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ADC top-10 vs the vec_id=0 vector
+    (similarity.pq_encode + pq_adc_topk): m=4 blocks × ksub=16
+    sub-centroids (the first 16 embeddings' slices — data-derived and
+    restatable), argmin-L2 codes, reconstruction-norm cosine via
+    driver-computed lookup tables. The order-of-magnitude compression
+    path (m bytes/vector) next to int8's 4× — scoring never touches
+    the original vectors."""
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    seeds = (emb.filter(F.col("vec_id") < _PQ_KSUB)
+             .orderBy("vec_id").collect())
+    books = [[[float(x) for x in r.embedding[b * _PQ_SUB:(b + 1) * _PQ_SUB]]
+              for r in seeds] for b in range(_PQ_M)]
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).select("embedding")
+            .head()[0]]
+    codes = pq_encode(emb.filter(F.col("vec_id") >= _PQ_KSUB), books)
+    return pq_adc_topk(codes, qvec, books, k=_PQ_K)
+
+
 from harvesting_extract_to_ttl_service_spark.operators.corpus import (  # noqa: E402
     hash_fraction_sql,
 )
@@ -1589,6 +1680,7 @@ _ANN_MEMBERS = [
     ("sem_dedup", semantic_cluster_dedup_q, ["id_a", "id_b"], ["cos_sim"]),
     ("self_topk", cosine_self_topk_q, ["id_a", "id_b"], ["cos_sim"]),
     ("quant", quantized_topk_q, ["vec_id"], ["cos_sim"]),
+    ("pq", pq_adc_topk_q, ["vec_id"], ["cos_sim"]),
 ]
 
 
