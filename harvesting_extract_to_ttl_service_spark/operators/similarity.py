@@ -689,28 +689,31 @@ def _fold_sum(terms: list[float]) -> float:
 
 
 def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
-              vec_col: str = "embedding",
-              id_col: str = "vec_id") -> DataFrame:
-    """Encode vectors to PQ codes: ``(id_col, codes array<int> length m,
-    pnorm)`` — ``pnorm`` is the reconstruction's L2 norm (blocks are
-    orthogonal coordinate segments, so ‖x̂‖² = Σ_b ‖c_{b,code_b}‖²),
-    precomputed from the codebook norms and stored so cosine ADC never
-    touches the codebooks at search time. Pure projection — no shuffle,
-    no join; expression work is m·ksub folds of sub components per row
-    (linear in dim·ksub), the trade that buys m-byte storage."""
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode vectors to PQ codes: every column but ``vec_col`` rides
+    through (the :func:`quantize_int8` convention — an ``ivf_cell``
+    annotation stays on its row with no join), plus ``codes``
+    (array<int>, length m) and ``pnorm`` — the reconstruction's L2 norm
+    (blocks are orthogonal coordinate segments, so
+    ‖x̂‖² = Σ_b ‖c_{b,code_b}‖²), precomputed from the codebook norms
+    and stored so cosine ADC never touches the codebooks at search
+    time. Pure projection — no shuffle, no join; expression work is
+    m·ksub folds of sub components per row (linear in dim·ksub), the
+    trade that buys m-byte storage."""
     m, ksub, sub = _pq_shapes(codebooks)
     codes = F.array(*[
         _pq_code(F.slice(F.col(vec_col), b * sub + 1, sub), codebooks[b])
         for b in range(m)])
     n2 = [[_fold_sum([x * x for x in c]) for c in book]
           for book in codebooks]
-    out = df.select(F.col(id_col), codes.alias("codes"))
+    keep = [c for c in df.columns if c != vec_col]
+    out = df.select(*keep, codes.alias("codes"))
     p2 = F.lit(0.0)
     for b in range(m):
         p2 = p2 + F.element_at(
             F.array(*[F.lit(v) for v in n2[b]]),
             F.col("codes").getItem(b) + 1)
-    return out.select(id_col, "codes",
+    return out.select(*keep, "codes",
                       F.round(F.sqrt(p2), 6).alias("pnorm"))
 
 

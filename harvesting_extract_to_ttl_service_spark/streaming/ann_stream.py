@@ -65,27 +65,43 @@ def _centroid_digest(centroids: list[list[float]]) -> str:
     return hashlib.md5(payload.encode()).hexdigest()
 
 
+def _pq_digest(codebooks: list[list[list[float]]]) -> str:
+    """PQ-codebook twin of :func:`_centroid_digest`: any change to m,
+    ksub, sub, or one coordinate changes the digest."""
+    payload = json.dumps([[[repr(float(x)) for x in c] for c in book]
+                          for book in codebooks])
+    return hashlib.md5(payload.encode()).hexdigest()
+
+
 def _check_ivf_sidecar(spark: SparkSession, index_dir: str,
                        centroids: list[list[float]],
-                       quantized: bool = False) -> None:
-    # `quantized` is part of the index's identity like the centroids:
-    # an int8 index has no `v` column to float-search and vice versa, so
-    # mixing modes must refuse up front. Backfilled for indexes built
-    # before the flag existed (all float — behavior-identical default).
+                       quantized: bool = False,
+                       pq_codebooks: list[list[list[float]]] | None = None
+                       ) -> None:
+    # `quantized` / `pq_md5` are part of the index's identity like the
+    # centroids: an int8 index has no `v` column to float-search, a PQ
+    # index has neither, and PQ codes cut from different codebooks mean
+    # different vectors — so mixing modes/codebooks must refuse up
+    # front. Backfilled for indexes built before each flag existed
+    # (all float — behavior-identical defaults).
     _check_sidecar_params(
         spark, index_dir,
         {"k": len(centroids), "dim": len(centroids[0]),
          "centroids_md5": _centroid_digest(centroids),
-         "quantized": quantized},
+         "quantized": quantized,
+         "pq_md5": (None if pq_codebooks is None
+                    else _pq_digest(pq_codebooks))},
         filename="_ivf_params.json",
-        defaults={"quantized": False})
+        defaults={"quantized": False, "pq_md5": None})
 
 
 def ivf_index_batch(vecs: DataFrame, batch_id: int, index_dir: str,
                     centroids: list[list[float]],
                     vec_col: str = "embedding",
                     id_col: str = "vec_id",
-                    quantize: bool = False) -> None:
+                    quantize: bool = False,
+                    pq_codebooks: list[list[list[float]]] | None = None
+                    ) -> None:
     """Append one micro-batch of vectors to the persistent IVF index:
     one `ivf_assign` projection (pure column expression — no shuffle
     beyond the partitioned write) + one ``batch=<id>`` overwrite,
@@ -97,14 +113,32 @@ def ivf_index_batch(vecs: DataFrame, batch_id: int, index_dir: str,
     the float vector (operators/similarity.quantize_int8 — ~4× smaller
     index; assignment still runs on the FLOAT input, so cell membership
     is identical to the float index), plus the integer code norm so
-    quantized searches never recompute it. The mode is pinned in the
-    sidecar — float searches against an int8 index refuse up front."""
+    quantized searches never recompute it. ``pq_codebooks`` stores
+    m-byte PRODUCT-QUANTIZED codes + reconstruction norm instead
+    (operators/similarity.pq_encode — the order-of-magnitude
+    compression; same float-input assignment, so cell membership again
+    matches the float index; this IS the classic IVF-PQ index). The
+    mode AND the codebook digest are pinned in the sidecar — float
+    searches against a compressed index, or probes cut from different
+    codebooks, refuse up front."""
+    if quantize and pq_codebooks is not None:
+        raise ValueError("ivf_index_batch: quantize (int8) and "
+                         "pq_codebooks are mutually exclusive modes")
     spark = vecs.sparkSession
-    _check_ivf_sidecar(spark, index_dir, centroids, quantized=quantize)
+    _check_ivf_sidecar(spark, index_dir, centroids, quantized=quantize,
+                       pq_codebooks=pq_codebooks)
     assigned = ivf_assign(vecs.select(F.col(id_col).alias("id"),
                                       F.col(vec_col).alias("v")),
                           centroids, vec_col="v")
-    if quantize:
+    if pq_codebooks is not None:
+        from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+            pq_encode,
+        )
+
+        # encode is a projection over the SAME rows — the cell column
+        # rides along, no join, no extra exchange
+        assigned = pq_encode(assigned, pq_codebooks, vec_col="v")
+    elif quantize:
         from harvesting_extract_to_ttl_service_spark.operators.similarity import (
             int_dot,
             quantize_int8,
@@ -125,7 +159,9 @@ def ivf_search(spark: SparkSession, index_dir: str,
                query_vec: list[float], centroids: list[list[float]],
                k: int = 10, n_probe: int = 2,
                id_col: str = "vec_id",
-               quantized: bool = False) -> DataFrame:
+               quantized: bool = False,
+               pq_codebooks: list[list[list[float]]] | None = None
+               ) -> DataFrame:
     """Top-k cosine search over the accumulated index. The ``n_probe``
     nearest cells are ranked driver-side (the centroid list is tiny and
     already local); the cell IN-filter reaches the scan as a
@@ -140,9 +176,17 @@ def ivf_search(spark: SparkSession, index_dir: str,
     with the same floor-half-up formula and candidates score in exact
     integer arithmetic against the stored codes (per-vector scales
     cancel out of cosine — operators/similarity.quantized_cosine_topk's
-    math, over the pruned cells only). Mode mismatch against the
-    sidecar refuses before any I/O."""
-    _check_ivf_sidecar(spark, index_dir, centroids, quantized=quantized)
+    math, over the pruned cells only). ``pq_codebooks`` searches a PQ
+    index (built with ``ivf_index_batch(pq_codebooks=...)``) by ADC:
+    per-block lookup tables computed once driver-side, per-candidate
+    work = m array lookups — IVF prunes WHICH vectors to score, PQ
+    makes scoring them cheap, the classic pairing. Mode or codebook
+    mismatch against the sidecar refuses before any I/O."""
+    if quantized and pq_codebooks is not None:
+        raise ValueError("ivf_search: quantized (int8) and "
+                         "pq_codebooks are mutually exclusive modes")
+    _check_ivf_sidecar(spark, index_dir, centroids, quantized=quantized,
+                       pq_codebooks=pq_codebooks)
 
     def _cos(a: list[float], b: list[float]) -> float:
         num = sum(float(x) * float(y) for x, y in zip(a, b))
@@ -153,7 +197,30 @@ def ivf_search(spark: SparkSession, index_dir: str,
                     key=lambda i: (-_cos(query_vec, centroids[i]), i))[:n_probe]
     idx = spark.read.option("basePath", index_dir).parquet(index_dir)
     idx = idx.filter(F.col("ivf_cell").isin(probed))
-    if quantized:
+    if pq_codebooks is not None:
+        from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+            _fold_sum,
+            _pq_shapes,
+        )
+
+        m, ksub, sub = _pq_shapes(pq_codebooks)
+        if len(query_vec) != m * sub:
+            raise ValueError(
+                f"ivf_search: query dim {len(query_vec)} != m·sub "
+                f"{m * sub}")
+        lut = [[_fold_sum([float(query_vec[b * sub + i]) * float(c[i])
+                           for i in range(sub)])
+                for c in book] for b, book in enumerate(pq_codebooks)]
+        qn = math.sqrt(_fold_sum([float(x) * float(x)
+                                  for x in query_vec]))
+        num = F.lit(0.0)
+        for b in range(m):
+            num = num + F.element_at(
+                F.array(*[F.lit(v) for v in lut[b]]),
+                F.col("codes").getItem(b) + 1)
+        score = num / (F.col("pnorm") * F.lit(qn))
+        idx = idx.filter(F.col("pnorm") > 0)
+    elif quantized:
         from harvesting_extract_to_ttl_service_spark.operators.similarity import (
             int_dot,
             quantize_vec_int8,
@@ -266,7 +333,8 @@ def compact_ivf_index(spark: SparkSession, index_dir: str,
 def retrain_ivf_index(spark: SparkSession, index_dir: str,
                       k: int | None = None, max_iter: int = 10,
                       tol: float = 1e-4,
-                      target_partitions: int | None = None
+                      target_partitions: int | None = None,
+                      pq_codebooks: list[list[list[float]]] | None = None
                       ) -> list[list[float]]:
     """IVF maintenance: re-center a DRIFTED index. Centroids are
     digest-frozen by design (a mid-stream change would make search
@@ -326,13 +394,41 @@ def retrain_ivf_index(spark: SparkSession, index_dir: str,
         stream.close()
     params = json.loads("\n".join(data))
     params.setdefault("quantized", False)
+    params.setdefault("pq_md5", None)
     params.pop("retraining", None)  # recovering from a crashed retrain
     quantized = params["quantized"]
+    if params["pq_md5"] is not None:
+        if pq_codebooks is None:
+            raise ValueError(
+                f"index at {index_dir} is product-quantized "
+                f"(pq_md5={params['pq_md5']}): pass the SAME codebooks "
+                f"to retrain — the stored codes are meaningless "
+                f"without them")
+        if _pq_digest(pq_codebooks) != params["pq_md5"]:
+            raise ValueError(
+                f"retrain_ivf_index: supplied codebooks digest "
+                f"{_pq_digest(pq_codebooks)} != the index's "
+                f"{params['pq_md5']} — wrong codebooks would "
+                f"reconstruct garbage")
+    elif pq_codebooks is not None:
+        raise ValueError(f"index at {index_dir} is not "
+                         f"product-quantized — drop pq_codebooks")
     k = k if k is not None else params["k"]
 
     idx = (spark.read.option("basePath", index_dir).parquet(index_dir)
            .drop("batch", "ivf_cell").dropDuplicates(["id"]))
-    if quantized:
+    if pq_codebooks is not None:
+        # reconstruct x̂ = concat of the coded sub-centroids — the same
+        # lossy floats every ADC search scores, so recentering sees the
+        # index's actual geometry; codes stay byte-wise untouched
+        parts = []
+        for b, book in enumerate(pq_codebooks):
+            table = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                              for c in book])
+            parts.append(F.element_at(table,
+                                      F.col("codes").getItem(b) + 1))
+        train_src = idx.withColumn("v", F.concat(*parts))
+    elif quantized:
         train_src = idx.withColumn(
             "v", dequantize_int8(F.col("codes"), F.col("scale")))
     else:
@@ -350,11 +446,12 @@ def retrain_ivf_index(spark: SparkSession, index_dir: str,
 
     new_params = {"k": k, "dim": params["dim"],
                   "centroids_md5": _centroid_digest(centroids),
-                  "quantized": quantized}
+                  "quantized": quantized,
+                  "pq_md5": params["pq_md5"]}
     _write_sidecar({**new_params, "retraining": True})
 
     reassigned = ivf_assign(train_src, centroids, vec_col="v")
-    if quantized:
+    if quantized or pq_codebooks is not None:
         reassigned = reassigned.drop("v")  # codes are the stored payload
     if target_partitions is not None:
         reassigned = reassigned.repartition(target_partitions,
@@ -380,13 +477,16 @@ def run_ivf_index_stream(vecs_stream: DataFrame, index_dir: str,
                          vec_col: str = "embedding",
                          id_col: str = "vec_id",
                          trigger_available_now: bool = True,
-                         on_batch=None, quantize: bool = False):
+                         on_batch=None, quantize: bool = False,
+                         pq_codebooks: list[list[list[float]]] | None
+                         = None):
     """Attach the IVF indexer to a streaming vector source — same
     checkpoint + batch=<id> replay contract as the dedup streams."""
 
     def batch_fn(df: DataFrame, batch_id: int) -> None:
         ivf_index_batch(df, batch_id, index_dir, centroids, vec_col,
-                        id_col, quantize=quantize)
+                        id_col, quantize=quantize,
+                        pq_codebooks=pq_codebooks)
         if on_batch is not None:
             on_batch(batch_id)
 

@@ -290,6 +290,91 @@ def test_retrain_ivf_index_quantized_keeps_codes(spark, tmp_path,
         ivf_search(spark, idir, query, new_cents, k=5, quantized=False)
 
 
+def test_ivf_pq_index_search_and_mode_pinning(spark, tmp_path,
+                                              centroids):
+    """The IVF-PQ pairing: ingest stores m-byte PQ codes (cell
+    membership identical to the float index — assignment runs on the
+    float input), ADC search over the pruned cells equals pq_adc_topk
+    restricted to those cells, and mode/codebook mismatches refuse."""
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        train_pq_codebooks,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        retrain_ivf_index,
+    )
+
+    m, ksub = 4, 8
+    books = train_pq_codebooks(_vecs(spark, range(64)), m, ksub, DIM,
+                               max_iter=3)
+    idir = str(tmp_path / "ivfpq")
+    ivf_index_batch(_vecs(spark, range(0, 32)), 0, idir, centroids,
+                    pq_codebooks=books)
+    ivf_index_batch(_vecs(spark, range(32, 64)), 1, idir, centroids,
+                    pq_codebooks=books)
+
+    idx = spark.read.option("basePath", idir).parquet(idir)
+    assert set(idx.columns) == {"id", "codes", "pnorm", "ivf_cell",
+                                "batch"}
+    # cell membership matches the float index's
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    want_cells = {r.vec_id: r.ivf_cell for r in ivf_assign(
+        _vecs(spark, range(64)), centroids).collect()}
+    got_cells = {r.id: r.ivf_cell for r in idx.collect()}
+    assert got_cells == want_cells
+
+    # ADC search over the probed cells == pq_adc_topk restricted to them
+    import math as _math
+
+    query = [1.0] + [0.05] * (DIM - 1)
+    got = [tuple(r) for r in ivf_search(
+        spark, idir, query, centroids, k=5, n_probe=2,
+        pq_codebooks=books).collect()]
+
+    def _cosq(a, b):
+        num = sum(float(x) * float(y) for x, y in zip(a, b))
+        return num / (_math.sqrt(sum(x * x for x in a))
+                      * _math.sqrt(sum(y * y for y in b)))
+
+    top2 = sorted(range(len(centroids)),
+                  key=lambda i: (-_cosq(query, centroids[i]), i))[:2]
+    cand_ids = [i for i, c in want_cells.items() if c in top2]
+    want = [tuple(r) for r in pq_adc_topk(
+        pq_encode(_vecs(spark, cand_ids), books), query, books,
+        k=5).collect()]
+    assert got == want
+
+    # mode / codebook pinning
+    with pytest.raises(ValueError, match="built with"):
+        ivf_search(spark, idir, query, centroids, k=5)  # float mode
+    other = train_pq_codebooks(_vecs(spark, range(64)), m, 4, DIM,
+                               max_iter=1)
+    with pytest.raises(ValueError, match="built with"):
+        ivf_search(spark, idir, query, centroids, k=5,
+                   pq_codebooks=other)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        ivf_index_batch(_vecs(spark, range(64, 66)), 2, idir, centroids,
+                        quantize=True, pq_codebooks=books)
+
+    # retrain: codes byte-wise identical, requires the SAME codebooks
+    before = {r.id: list(r.codes) for r in idx.collect()}
+    with pytest.raises(ValueError, match="pass the SAME codebooks"):
+        retrain_ivf_index(spark, idir)
+    with pytest.raises(ValueError, match="digest"):
+        retrain_ivf_index(spark, idir, pq_codebooks=other)
+    new_cents = retrain_ivf_index(spark, idir, pq_codebooks=books)
+    after = {r.id: list(r.codes) for r in
+             spark.read.option("basePath", idir).parquet(idir).collect()}
+    assert after == before
+    got2 = ivf_search(spark, idir, query, new_cents, k=5, n_probe=2,
+                      pq_codebooks=books).collect()
+    assert len(got2) == 5
+
+
 def test_run_ivf_index_stream_end_to_end(spark, tmp_path, centroids):
     """The foreachBatch wiring: a file stream drained under a checkpoint
     indexes each delivery exactly once."""
