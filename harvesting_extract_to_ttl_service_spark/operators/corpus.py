@@ -656,14 +656,9 @@ def write_token_id_shards(df: DataFrame, merges: list[tuple[str, str]],
     (id arrays never shuffle on their own — they ride the single shard
     repartition), one shuffle total, within-partition sort only.
     Returns the manifest dict."""
-    import json
-
     from harvesting_extract_to_ttl_service_spark.functions.tokenizer import (
         bpe_token_count,
         bpe_vocab,
-    )
-    from harvesting_extract_to_ttl_service_spark.sources.files import (
-        _hadoop_fs,
     )
 
     if vocab is None:
@@ -677,6 +672,22 @@ def write_token_id_shards(df: DataFrame, merges: list[tuple[str, str]],
                           text_col=text_col, id_col=id_col, salt=salt,
                           shuffle_epoch=shuffle_epoch,
                           count_col="n_bpe_tokens")
+    write_vocab_sidecar(spark, out_dir, vocab)
+    return write_shard_manifest(spark, out_dir, budget_tokens,
+                                shuffle_epoch)
+
+
+def write_vocab_sidecar(spark, out_dir: str,
+                        vocab: dict[str, int]) -> None:
+    """Persist the token→id table next to an id-array artifact
+    (``_vocab.json`` — Hadoop FS API, the artifact may live on
+    hdfs/s3a); :func:`read_token_id_vocab` is the read side."""
+    import json
+
+    from harvesting_extract_to_ttl_service_spark.sources.files import (
+        _hadoop_fs,
+    )
+
     fs, _ = _hadoop_fs(spark, out_dir)
     jpath = spark._jvm.org.apache.hadoop.fs.Path(
         f"{out_dir}/_vocab.json")
@@ -685,8 +696,6 @@ def write_token_id_shards(df: DataFrame, merges: list[tuple[str, str]],
         out.write(json.dumps(vocab).encode())
     finally:
         out.close()
-    return write_shard_manifest(spark, out_dir, budget_tokens,
-                                shuffle_epoch)
 
 
 def read_token_id_shard(spark, out_dir: str, shard: int,

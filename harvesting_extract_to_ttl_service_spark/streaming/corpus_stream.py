@@ -509,6 +509,7 @@ def finalize_corpus(spark: SparkSession, corpus_dir: str,
                     n_shards: int = 16, budget_tokens: int = 2048,
                     shuffle_epoch: int | None = None,
                     bpe_merges: list[tuple[str, str]] | None = None,
+                    emit_token_ids: bool = False,
                     text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """The quiesce-time finalization job over a STREAMED corpus — the
@@ -553,6 +554,15 @@ def finalize_corpus(spark: SparkSession, corpus_dir: str,
     matter: the per-batch incremental ``shards/`` tree keeps the cheap
     whitespace unit.
 
+    ``emit_token_ids=True`` (requires ``bpe_merges``) makes the SAME
+    Arrow pass also emit ``bpe_ids`` (token ids under the derived
+    vocab, functions/tokenizer.bpe_vocab — no second encode), and the
+    written artifact becomes the DIRECTLY-TRAINABLE id-array form:
+    text dropped, ``_vocab.json`` sidecar next to the manifest, read
+    back with operators/corpus.read_token_id_shard /
+    read_token_id_vocab — the stream-quiesce twin of
+    operators/corpus.write_token_id_shards.
+
     Returns the finalized survivors (lazy; ``out_dir=None`` for a
     dry/inspection run). Every stage is a broadcast-rate hash filter or
     a shard-partitioned write — no global sort, no corpus shuffle beyond
@@ -581,6 +591,9 @@ def finalize_corpus(spark: SparkSession, corpus_dir: str,
         raise ValueError("temperature_alpha requires "
                          "temperature_budget_tokens (the token "
                          "budget the mixture realizes)")
+    if emit_token_ids and bpe_merges is None:
+        raise ValueError("emit_token_ids requires bpe_merges — token "
+                         "ids are defined by the trained tokenizer")
     survivors = read_corpus(spark, corpus_dir)
     count_col = None
     if bpe_merges is not None:
@@ -589,7 +602,7 @@ def finalize_corpus(spark: SparkSession, corpus_dir: str,
         )
 
         survivors = bpe_token_count(survivors, bpe_merges, text_col,
-                                    id_col)
+                                    id_col, emit_ids=emit_token_ids)
         count_col = "n_bpe_tokens"
     if cap_per_lang is not None or temperature_alpha is not None:
         # resolve the stratum frame ONCE for both sampling stages — with
@@ -616,10 +629,22 @@ def finalize_corpus(spark: SparkSession, corpus_dir: str,
             write_shard_manifest,
         )
 
-        write_training_shards(survivors, out_dir, n_shards,
+        to_write = survivors
+        if emit_token_ids:
+            to_write = survivors.drop(text_col)
+        write_training_shards(to_write, out_dir, n_shards,
                               budget_tokens, text_col, id_col,
                               shuffle_epoch=shuffle_epoch,
                               count_col=count_col)
+        if emit_token_ids:
+            from harvesting_extract_to_ttl_service_spark.functions.tokenizer import (  # noqa: E501
+                bpe_vocab,
+            )
+            from harvesting_extract_to_ttl_service_spark.operators.corpus import (  # noqa: E501
+                write_vocab_sidecar,
+            )
+
+            write_vocab_sidecar(spark, out_dir, bpe_vocab(bpe_merges))
         # the finalized artifact ships with its integrity contract: a
         # loader runs check_shard_manifest before training
         write_shard_manifest(spark, out_dir, budget_tokens,

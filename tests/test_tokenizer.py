@@ -146,6 +146,51 @@ def test_finalize_corpus_in_trained_tokenizer_units(spark, tmp_path):
         r.n_tokens for r in art.values())
 
 
+def test_finalize_corpus_emits_token_id_artifact(spark, tmp_path):
+    """finalize_corpus(emit_token_ids=True): the streamed corpus
+    quiesces straight into the id-array trainable artifact — text
+    dropped, exact id sequences in loader order, vocab sidecar and
+    manifest intact; and the flag refuses without a tokenizer."""
+    import pytest as _pytest
+
+    from harvesting_extract_to_ttl_service_spark.functions.tokenizer import (
+        bpe_vocab,
+    )
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        check_shard_manifest,
+        read_token_id_shard,
+        read_token_id_vocab,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.corpus_stream import (
+        corpus_batch,
+        finalize_corpus,
+    )
+
+    merges = load_bpe_merges(spark, FIXTURE)
+    ranks = {p: i for i, p in enumerate(merges)}
+    vocab = bpe_vocab(merges)
+    rows = [(1, "the data zed"), (2, "thing zed thing"),
+            (3, "data the in")]
+    cdir, out = str(tmp_path / "corpus"), str(tmp_path / "final")
+    corpus_batch(spark.createDataFrame(rows, "doc_id long, text string"),
+                 0, cdir, min_quality=0.0, near_dup_threshold=None)
+    finalize_corpus(spark, cdir, out, n_shards=1, budget_tokens=16,
+                    bpe_merges=merges, emit_token_ids=True)
+    assert "text" not in spark.read.parquet(out).columns
+    assert read_token_id_vocab(spark, out) == vocab
+    check_shard_manifest(spark, out)
+    back = read_token_id_shard(spark, out, 0).collect()
+    assert [r.doc_id for r in back] == [1, 2, 3]
+    for r in back:
+        text = dict(rows)[r.doc_id]
+        want = [vocab.get(s, 0) for w in text.split()
+                for s in bpe_encode_word(w, ranks)]
+        assert list(r.bpe_ids) == want, r.doc_id
+        assert r.n_tokens == len(want)
+    with _pytest.raises(ValueError, match="requires bpe_merges"):
+        finalize_corpus(spark, cdir, out, emit_token_ids=True)
+
+
 def test_bpe_vocab_and_id_emission(spark):
     """The derived vocab is a pure function of the merges (specials
     first, then sorted trained symbols), and emit_ids maps every
