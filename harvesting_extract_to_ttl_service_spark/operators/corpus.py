@@ -889,6 +889,62 @@ def benchmark_contamination_minhash(docs: DataFrame, benchmark: DataFrame,
     )
 
 
+def benchmark_contamination_semantic(corpus_vecs: DataFrame,
+                                     bench_vecs: DataFrame,
+                                     centroids: list[list[float]],
+                                     threshold: float,
+                                     n_probe: int = 2,
+                                     vec_col: str = "embedding",
+                                     id_col: str = "doc_id",
+                                     bench_id_col: str = "bench_id"
+                                     ) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space sibling of the
+    shingle (:func:`benchmark_contamination`) and MinHash
+    (:func:`benchmark_contamination_minhash`) checks: a paraphrased
+    eval question shares few shingles with its source but sits right
+    next to it in embedding space, so modern pipelines run all three.
+    Flags corpus vectors whose exact cosine to ANY benchmark vector
+    reaches ``threshold``. Feed either real model embeddings or the
+    in-repo bridges (text.hashed_text_embedding / models.doc_embedding).
+
+    Scale shape — IVF-blocked, asymmetric in the right direction: the
+    corpus side takes ONE `ivf_assign` projection (never exploded,
+    never shuffled — its cell is unique per row, so no distinct is
+    needed afterwards); the BENCHMARK side — thousands of rows vs the
+    corpus's billions — explodes to its ``n_probe`` nearest cells and
+    BROADCASTS into the cell equi-join. Recall follows IVF probing
+    (boundary pairs need n_probe > 1), candidates are Σ|cell∩probe|,
+    never corpus×bench.
+
+    Returns ``(id_col, bench_id_col, cos_sim)`` — exact rounded cosine
+    ≥ threshold, one row per flagged (corpus, bench) pair."""
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        _probe_cells,
+        dot,
+        ivf_assign,
+        norm,
+    )
+
+    c = (corpus_vecs.select(F.col(id_col).alias("_cid"),
+                            F.col(vec_col).alias("_cv"))
+         .withColumn("_cnorm", norm(F.col("_cv"))))
+    c = ivf_assign(c, centroids, vec_col="_cv")
+    b = (bench_vecs.select(F.col(bench_id_col).alias("_bid"),
+                           F.col(vec_col).alias("_bv"))
+         .withColumn("_bnorm", norm(F.col("_bv")))
+         .withColumn("ivf_cell",
+                     F.explode(_probe_cells("_bv", centroids, n_probe))))
+    return (
+        c.join(F.broadcast(b), "ivf_cell")
+        .select(F.col("_cid").alias(id_col),
+                F.col("_bid").alias(bench_id_col),
+                F.round(dot(F.col("_cv"), F.col("_bv"))
+                        / (F.col("_cnorm") * F.col("_bnorm")), 6)
+                .alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def filter_documents(docs: DataFrame, min_quality: float = 0.4,
                      langs: list[str] | None = None,
                      max_dup_line_ratio: float | None = None,

@@ -752,13 +752,20 @@ _MCLF_BUCKETS = 64
 
 
 def _mclf_model_values() -> str:
+    # CAST every weight literal to DOUBLE: a bare "2.0" VALUES literal
+    # is DECIMAL in DuckDB, and the collision fold / tf products would
+    # then run in EXACT decimal arithmetic — off by an ulp from the
+    # Spark side's double math exactly at round-half boundaries (bit at
+    # round 11 via the mclfsub member, doc 119: .1758375 fell on the
+    # boundary and the two engines rounded apart).
     rows = []
     with open(_MCLF_PATH) as f:
         f.readline()  # header
         for line in f:
             parts = line.split()
             for lb, w in zip(_MCLF_LABELS, parts[1:]):
-                rows.append(f"('{parts[0]}', '{lb}', {float(w)!r})")
+                rows.append(f"('{parts[0]}', '{lb}', "
+                            f"CAST({float(w)!r} AS DOUBLE))")
     return ", ".join(rows)
 
 
@@ -781,7 +788,7 @@ fold AS (
 ), tot AS (
   SELECT doc_id, sum(c) AS n FROM pd GROUP BY 1
 ), heads(cls, bias) AS (
-  VALUES {", ".join(f"('{lb}', {b!r})"
+  VALUES {", ".join(f"('{lb}', CAST({b!r} AS DOUBLE))"
                     for lb, b in zip(_MCLF_LABELS, _MCLF_BIASES))}
 ), dots AS (
   -- bucket-ordered fold, NOT an unordered SUM: matches the Spark
@@ -850,13 +857,16 @@ _MCLFSUB_N = 3  # char_ngrams=(3, 3)
 
 
 def _mclfsub_model_values() -> str:
+    # CAST AS DOUBLE: see _mclf_model_values — decimal-exact folds
+    # diverge from double math at round-half boundaries.
     rows = []
     with open(_MCLFSUB_PATH) as f:
         f.readline()  # header
         for line in f:
             parts = line.split()
             for lb, w in zip(_MCLF_LABELS, parts[1:]):
-                rows.append(f"('{parts[0]}', '{lb}', {float(w)!r})")
+                rows.append(f"('{parts[0]}', '{lb}', "
+                            f"CAST({float(w)!r} AS DOUBLE))")
     return ", ".join(rows)
 
 

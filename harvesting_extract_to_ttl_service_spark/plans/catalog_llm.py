@@ -1259,6 +1259,75 @@ def ivf_knn_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                          centroids, k=3, n_probe=2)
 
 
+_DECON_SEM_T = 0.3
+_DECON_SEM_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < 4
+), c AS (
+  SELECT vec_id, embedding,
+         sqrt(list_reduce(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+           AS vnorm
+  FROM embeddings WHERE vec_id >= 4 AND vec_id < 480
+), b AS (
+  SELECT vec_id AS bench_id, embedding AS bv,
+         sqrt(list_reduce(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+           AS bnorm
+  FROM embeddings WHERE vec_id >= 480
+), assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, ct.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             ct.cv) DESC, ct.cid) AS rn
+    FROM c e CROSS JOIN cent ct) WHERE rn = 1
+), probe AS (
+  SELECT bench_id, cid FROM (
+    SELECT b.bench_id, ct.cid,
+           row_number() OVER (PARTITION BY b.bench_id
+             ORDER BY list_cosine_similarity(CAST(b.bv AS DOUBLE[]), ct.cv)
+                      DESC, ct.cid) AS rn
+    FROM b CROSS JOIN cent ct) WHERE rn <= 2
+)
+SELECT e.vec_id AS doc_id, b.bench_id,
+       round({_zip_dot_sql('e.embedding', 'b.bv')}
+             / (e.vnorm * b.bnorm), 6) AS cos_sim
+FROM c e
+JOIN assigned a ON e.vec_id = a.vec_id
+JOIN probe p ON a.cid = p.cid
+JOIN b ON b.bench_id = p.bench_id
+WHERE round({_zip_dot_sql('e.embedding', 'b.bv')}
+            / (e.vnorm * b.bnorm), 6) >= {_DECON_SEM_T}
+"""
+
+
+@member_sql(_DECON_SEM_SQL)
+def decontam_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic benchmark decontamination
+    (operators/corpus.benchmark_contamination_semantic): corpus vectors
+    (vec_id 4..479) whose exact cosine to any eval vector (vec_id ≥
+    480) reaches {t}, IVF-blocked — corpus assigned once (never
+    exploded), the SMALL bench side probes its 2 nearest of 4 cells and
+    broadcasts. The oracle restates assignment, per-bench probing, the
+    blocked join, and every score — the paraphrase-leakage check
+    shingle/MinHash decontam cannot do."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        benchmark_contamination_semantic,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = [list(r.embedding) for r in
+                 emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()]
+    corpus = (emb.filter((F.col("vec_id") >= 4) & (F.col("vec_id") < 480))
+              .select(F.col("vec_id").alias("doc_id"), "embedding"))
+    bench = (emb.filter(F.col("vec_id") >= 480)
+             .select(F.col("vec_id").alias("bench_id"), "embedding"))
+    return benchmark_contamination_semantic(
+        corpus, bench, centroids, threshold=_DECON_SEM_T, n_probe=2)
+
+
 _SELF_TOPK_N = 40  # bounded slice: the member exists to verify the exact
 _SELF_TOPK_SQL = f"""
 WITH v AS (
@@ -1587,13 +1656,16 @@ _MEMB_PATH = __import__("os").path.join(
 
 
 def _memb_model_values() -> str:
+    # CAST AS DOUBLE[]: bare numeric VALUES literals are DECIMAL in
+    # DuckDB, and decimal-exact arithmetic diverges from the Spark
+    # side's double math at round-half boundaries (the mclfsub lesson).
     rows = []
     with open(_MEMB_PATH) as f:
         f.readline()  # header
         for line in f:
             parts = line.split()
             vals = ", ".join(f"{float(x)!r}" for x in parts[1:])
-            rows.append(f"('{parts[0]}', [{vals}])")
+            rows.append(f"('{parts[0]}', CAST([{vals}] AS DOUBLE[]))")
     return ", ".join(rows)
 
 
@@ -1681,6 +1753,8 @@ _ANN_MEMBERS = [
     ("self_topk", cosine_self_topk_q, ["id_a", "id_b"], ["cos_sim"]),
     ("quant", quantized_topk_q, ["vec_id"], ["cos_sim"]),
     ("pq", pq_adc_topk_q, ["vec_id"], ["cos_sim"]),
+    ("decon_sem", decontam_semantic_q, ["doc_id", "bench_id"],
+     ["cos_sim"]),
 ]
 
 

@@ -851,6 +851,46 @@ def test_minhash_decontam_catches_paraphrase(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_semantic_decontam_blocks_and_probes(spark):
+    """Embedding-space decontamination: a paraphrase-shaped planted
+    neighbour (high cosine, low lexical overlap) is flagged, unrelated
+    vectors are not, n_probe > 1 recovers a cell-boundary pair the
+    single-probe join misses, and the bench side is the broadcast
+    side."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        benchmark_contamination_semantic,
+    )
+
+    # two well-separated cells on axes 0 / 1; corpus doc 10 sits right
+    # next to bench 100 (same cell), corpus doc 11 sits BETWEEN cells
+    # (boundary: nearest cell 0, its contaminating bench 101 lives in
+    # cell 1's direction)
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    corpus = spark.createDataFrame(
+        [(10, [0.9, 0.1, 0.0, 0.0]),      # cell 0, near bench 100
+         (11, [0.72, 0.69, 0.0, 0.0]),    # boundary, near bench 101
+         (12, [0.0, 0.0, 1.0, 0.0])],     # unrelated
+        "doc_id long, embedding array<double>")
+    bench = spark.createDataFrame(
+        [(100, [0.88, 0.12, 0.0, 0.0]),   # cell 0
+         (101, [0.60, 0.80, 0.0, 0.0])],  # cell 1
+        "bench_id long, embedding array<double>")
+
+    one = {(r.doc_id, r.bench_id) for r in benchmark_contamination_semantic(
+        corpus, bench, cents, threshold=0.9, n_probe=1).collect()}
+    two = {(r.doc_id, r.bench_id): r.cos_sim
+           for r in benchmark_contamination_semantic(
+               corpus, bench, cents, threshold=0.9, n_probe=2).collect()}
+    assert (10, 100) in one
+    assert (11, 101) not in one          # boundary pair missed at 1 probe
+    assert set(two) == {(10, 100), (11, 101)}
+    assert all(v >= 0.9 for v in two.values())
+
+    plan = (benchmark_contamination_semantic(corpus, bench, cents, 0.9)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+
+
 def test_funnel_minhash_decontam_mode(spark):
     """decontam_mode='minhash' inside the composed funnel drops the
     planted paraphrase and keeps the boilerplate-overlap doc."""
