@@ -517,6 +517,120 @@ def probe_ann(spark, n: int, n_queries: int, tmp: str) -> dict:
     return res
 
 
+def probe_pq(spark, n: int, n_queries: int, tmp: str) -> dict:
+    """PQ compression economics at n× the sf0.1 embeddings (same
+    replication as probe_ann): index bytes float vs int8 vs PQ(m=8),
+    per-query ADC search wall vs the float/int8 loops, and the
+    brute-force PQ scan vs exact cosine — the scan-size-vs-recall trade
+    the 100 TB corpus actually buys."""
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        cosine_topk,
+        pq_adc_topk,
+        pq_encode,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        ivf_index_batch,
+        ivf_search,
+    )
+
+    base = load(spark, SF_DIR, "embeddings")
+    dim = len(base.select("embedding").head()[0])
+    parts = [base.select(
+        (F.col("vec_id") + F.lit(r * 10_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + F.lit(0.01 * r) * F.cos(i + F.lit(r)))
+        .alias("embedding")) for r in range(n)]
+    corpus = parts[0]
+    for p in parts[1:]:
+        corpus = corpus.unionByName(p)
+    corpus = corpus.localCheckpoint(eager=True)
+    res = {"corpus": corpus.count(), "queries": n_queries}
+
+    cents = train_ivf_centroids(base, k=16, dim=dim)
+    t0 = time.time()
+    books = train_pq_codebooks(base, m=8, ksub=64, dim=dim, max_iter=5)
+    res["train_s"] = round(time.time() - t0, 1)
+
+    def _du(path):
+        import os
+
+        total = 0
+        for root, _, files in os.walk(path):
+            total += sum(os.path.getsize(os.path.join(root, f))
+                         for f in files)
+        return total
+
+    dirs = {}
+    for mode, kw in [("float", {}), ("int8", {"quantize": True}),
+                     ("pq", {"pq_codebooks": books})]:
+        d = f"{tmp}/pq_{mode}_{n}x"
+        t0 = time.time()
+        ivf_index_batch(corpus, 0, d, cents, **kw)
+        res[f"{mode}_build_s"] = round(time.time() - t0, 1)
+        res[f"{mode}_mb"] = round(_du(d) / 1e6, 1)
+        dirs[mode] = d
+
+    qrows = base.orderBy("vec_id").limit(n_queries).collect()
+    for mode, kw in [("float", {}), ("int8", {"quantized": True}),
+                     ("pq", {"pq_codebooks": books})]:
+        t0 = time.time()
+        rows = 0
+        for r in qrows:
+            rows += len(ivf_search(spark, dirs[mode], list(r.embedding),
+                                   cents, k=10, n_probe=2,
+                                   **kw).collect())
+        res[f"{mode}_loop_s"] = round(time.time() - t0, 1)
+        res[f"{mode}_loop_rows"] = rows
+
+    # brute force over the whole corpus: exact cosine vs full-scan ADC
+    q0 = list(qrows[0].embedding)
+    t0 = time.time()
+    cosine_topk(corpus, q0, k=10).collect()
+    res["brute_exact_s"] = round(time.time() - t0, 1)
+    enc = pq_encode(corpus, books).localCheckpoint(eager=True)
+    t0 = time.time()
+    pq_adc_topk(enc, q0, books, k=10).collect()
+    res["brute_adc_s"] = round(time.time() - t0, 1)
+    return res
+
+
+def probe_demb(spark, n: int) -> dict:
+    """Model-backed document embeddings at n× the sf0.1 documents:
+    wall should stay linear — the shuffle moves distinct-token partials
+    (Zipf-bounded), the model table broadcasts, one groupBy(doc)."""
+    import os
+
+    from harvesting_extract_to_ttl_service_spark.functions.models import (
+        doc_embedding,
+        parse_vec_model,
+    )
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "lid_mini.vec")
+    vecs = parse_vec_model(spark, path, dim=5)
+    # id-offset-only replication (no token suffix): doc_embedding is a
+    # per-document projection + Zipf-bounded partials, so identical
+    # texts across replicas measure the real shape — and the model must
+    # still COVER the replicas (the dedup probes' suffix would make
+    # every replica OOV)
+    base = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    parts = [base.select(
+        (F.col("doc_id") + F.lit(r * 10_000_000)).alias("doc_id"),
+        "text") for r in range(n)]
+    docs = parts[0]
+    for p in parts[1:]:
+        docs = docs.unionByName(p)
+    t0 = time.time()
+    out = doc_embedding(docs, vecs, dim=5)
+    cnt = out.count()
+    covered = out.filter(F.col("embedding").isNotNull()).count()
+    return {"label": f"{n}x", "docs": cnt, "covered": covered,
+            "wall_s": round(time.time() - t0, 1)}
+
+
 def main():
     args = sys.argv[1:]
     incremental = bool(args) and args[0] == "incr"
@@ -526,9 +640,11 @@ def main():
     funnel = bool(args) and args[0] == "funnel"
     stream = bool(args) and args[0] == "stream"
     ann = bool(args) and args[0] == "ann"
+    pq = bool(args) and args[0] == "pq"
+    demb = bool(args) and args[0] == "demb"
     finalize = bool(args) and args[0] == "finalize"
     if incremental or funnel or stream or ann or finalize or span \
-            or mih or imih:
+            or mih or imih or pq or demb:
         args = args[1:]
     explicit = [int(x) for x in args]
     replicas = explicit or [1, 2, 5, 10]
@@ -546,6 +662,27 @@ def main():
             print(f"float index {r['index_mb']} MB | int8 index "
                   f"{r['q_index_mb']} MB (build {r['q_index_s']}s) | "
                   f"int8 loop_s={r['q_loop_s']} ({r['q_loop_rows']} rows)")
+            return
+        if pq:
+            n = explicit[0] if explicit else 10
+            n_queries = explicit[1] if len(explicit) > 1 else 50
+            r = probe_pq(spark, n, n_queries, tmp)
+            print(f"corpus={r['corpus']} queries={r['queries']} "
+                  f"codebook_train_s={r['train_s']}")
+            for mode in ("float", "int8", "pq"):
+                print(f"{mode:>5}: build_s={r[f'{mode}_build_s']} "
+                      f"index_mb={r[f'{mode}_mb']} "
+                      f"loop_s={r[f'{mode}_loop_s']} "
+                      f"({r[f'{mode}_loop_rows']} rows)")
+            print(f"brute exact_s={r['brute_exact_s']} "
+                  f"brute adc_s={r['brute_adc_s']}")
+            return
+        if demb:
+            print(f"{'scale':>6} {'docs':>8} {'covered':>8} {'wall_s':>7}")
+            for n in replicas:
+                r = probe_demb(spark, n)
+                print(f"{r['label']:>6} {r['docs']:>8} "
+                      f"{r['covered']:>8} {r['wall_s']:>7}")
             return
         if finalize:
             print(f"{'scale':>6} {'docs':>8} {'wall_s':>7}")
