@@ -1144,6 +1144,95 @@ def filter_documents(docs: DataFrame, min_quality: float = 0.4,
     return survivors
 
 
+def decontam_stage(survivors: DataFrame, benchmark: DataFrame,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   mode: str = "shingle", min_overlap: int = 2,
+                   threshold: float = 0.5,
+                   semantic_dim: int = 32, semantic_k: int = 8,
+                   semantic_n_probe: int = 2,
+                   semantic_centroids: list[list[float]] | None = None
+                   ) -> DataFrame:
+    """The decontamination stage both funnels share verbatim (the
+    batch :func:`build_training_corpus` and the streaming
+    ``corpus_batch`` — stream==batch parity by construction): drop
+    survivors flagged against the benchmark by the chosen check.
+
+    * ``'shingle'`` — ≥ ``min_overlap`` exact shared shingles
+      (:func:`benchmark_contamination`);
+    * ``'minhash'`` — banded-MinHash estimated Jaccard ≥ ``threshold``
+      (:func:`benchmark_contamination_minhash`) — paraphrases where
+      every individual shingle differs;
+    * ``'semantic'`` — embedding cosine ≥ ``threshold``
+      (:func:`benchmark_contamination_semantic` over the model-free
+      :func:`~..operators.text.hashed_text_embedding` bridge at
+      ``semantic_dim``) — reworded leakage with low LEXICAL overlap
+      that even MinHash misses. Blocking centroids default to k-means
+      over the BENCHMARK embeddings (``semantic_k`` cells, capped at
+      the benchmark size — cells concentrate exactly where
+      contamination can live; deterministic, so per-micro-batch
+      retraining in the stream reproduces the same cells and parity
+      holds); pass ``semantic_centroids`` to skip that small
+      per-call training job. Zero-embedding docs (token-less, or
+      fully sign-cancelled buckets) can't score a cosine and pass
+      through, like unparseable URLs in the URL stage.
+
+    Returns ``survivors`` minus the flagged rows."""
+    if mode == "shingle":
+        hits = benchmark_contamination(
+            survivors, benchmark, text_col, id_col,
+            min_overlap=min_overlap)
+    elif mode == "minhash":
+        hits = benchmark_contamination_minhash(
+            survivors, benchmark, text_col, id_col,
+            threshold=threshold)
+    elif mode == "semantic":
+        from harvesting_extract_to_ttl_service_spark.operators.similarity import (  # noqa: E501
+            train_ivf_centroids,
+        )
+        from harvesting_extract_to_ttl_service_spark.operators.text import (
+            hashed_text_embedding,
+        )
+
+        from harvesting_extract_to_ttl_service_spark.operators.materialize import (  # noqa: E501
+            materialize,
+        )
+
+        # materialization cuts on BOTH embedding sides: the hashed
+        # embedding is an in-plan expression (dim per-token folds), and
+        # without the cut every downstream centroid cosine / norm /
+        # assign would INLINE its own copy — k·dim duplicated fold
+        # subtrees whose planning alone took minutes at 480 docs (the
+        # duplicate-subtree hazard, SCALE.md round-5). After the cut the
+        # embedding is a data column computed once per row.
+        nonzero = F.aggregate("embedding", F.lit(0.0),
+                              lambda a, x: a + x * x) > 0
+        bemb = (hashed_text_embedding(benchmark, dim=semantic_dim,
+                                      text_col=text_col, id_col=id_col)
+                .filter(nonzero)
+                .select(F.col(id_col).alias("bench_id"), "embedding"))
+        bemb = materialize(bemb, "local_checkpoint")
+        if semantic_centroids is None:
+            k = min(semantic_k, bemb.count())
+            if k == 0:
+                return survivors  # empty/token-less benchmark
+            semantic_centroids = train_ivf_centroids(
+                bemb, k, semantic_dim, vec_col="embedding",
+                id_col="bench_id")
+        semb = (hashed_text_embedding(survivors, dim=semantic_dim,
+                                      text_col=text_col, id_col=id_col)
+                .filter(nonzero).select(id_col, "embedding"))
+        semb = materialize(semb, "local_checkpoint")
+        hits = benchmark_contamination_semantic(
+            semb, bemb, semantic_centroids, threshold=threshold,
+            n_probe=semantic_n_probe, id_col=id_col,
+            bench_id_col="bench_id")
+    else:
+        raise ValueError(f"decontam_mode={mode!r}: "
+                         f"one of 'shingle', 'minhash', 'semantic'")
+    dirty = hits.select(F.col(hits.columns[0]).alias(id_col)).distinct()
+    return survivors.join(dirty, id_col, "left_anti")
+
+
 def build_training_corpus(docs: DataFrame,
                           benchmark: DataFrame | None = None,
                           min_quality: float = 0.4,
@@ -1164,6 +1253,11 @@ def build_training_corpus(docs: DataFrame,
                           decontam_min_overlap: int = 2,
                           decontam_mode: str = "shingle",
                           decontam_threshold: float = 0.5,
+                          decontam_dim: int = 32,
+                          decontam_k: int = 8,
+                          decontam_n_probe: int = 2,
+                          decontam_centroids: list[list[float]] | None
+                          = None,
                           cap_per_lang: int | None = None,
                           cap_strata_col: str = "lang",
                           url_col: str | None = None,
@@ -1187,13 +1281,17 @@ def build_training_corpus(docs: DataFrame,
       3. near-dup dedup (``near_dup_threshold`` not None): MinHash-LSH
          pairs → connected components → keep each cluster's min-id
          representative (keep-one semantics, operators/dedup.py);
-      4. decontamination (``benchmark`` given): ``decontam_mode``
-         ``'shingle'`` drops docs sharing ≥ ``decontam_min_overlap``
-         exact shingles with any benchmark doc; ``'minhash'`` drops docs
-         whose banded-MinHash estimated Jaccard vs any benchmark doc
-         reaches ``decontam_threshold`` — catches lightly-paraphrased
-         leakage where every individual n-gram differs
-         (:func:`benchmark_contamination_minhash`);
+      4. decontamination (``benchmark`` given): :func:`decontam_stage`
+         — ``decontam_mode`` ``'shingle'`` drops docs sharing
+         ≥ ``decontam_min_overlap`` exact shingles with any benchmark
+         doc; ``'minhash'`` drops docs whose banded-MinHash estimated
+         Jaccard reaches ``decontam_threshold``
+         (lightly-paraphrased leakage); ``'semantic'`` drops docs whose
+         embedding cosine reaches ``decontam_threshold``
+         (reworded leakage with low lexical overlap — hashed-embedding
+         bridge at ``decontam_dim``, IVF-blocked on ``decontam_k``
+         benchmark-trained cells probed ``decontam_n_probe`` deep, or
+         caller-supplied ``decontam_centroids``);
       5. capped stratified sampling per language (``cap_per_lang``),
          stratified on ``cap_strata_col`` (default the source-provided
          ``lang`` column). When that column is absent the stratum falls
@@ -1243,19 +1341,13 @@ def build_training_corpus(docs: DataFrame,
         survivors = survivors.join(reps, id_col, "left_semi")
 
     if benchmark is not None:
-        if decontam_mode == "shingle":
-            hits = benchmark_contamination(
-                survivors, benchmark, text_col, id_col,
-                min_overlap=decontam_min_overlap)
-        elif decontam_mode == "minhash":
-            hits = benchmark_contamination_minhash(
-                survivors, benchmark, text_col, id_col,
-                threshold=decontam_threshold)
-        else:
-            raise ValueError(f"decontam_mode={decontam_mode!r}: "
-                             f"one of 'shingle', 'minhash'")
-        dirty = hits.select(F.col("doc_id").alias(id_col)).distinct()
-        survivors = survivors.join(dirty, id_col, "left_anti")
+        survivors = decontam_stage(
+            survivors, benchmark, text_col, id_col,
+            mode=decontam_mode, min_overlap=decontam_min_overlap,
+            threshold=decontam_threshold,
+            semantic_dim=decontam_dim, semantic_k=decontam_k,
+            semantic_n_probe=decontam_n_probe,
+            semantic_centroids=decontam_centroids)
 
     if cap_per_lang is not None:
         # re-annotating the (already shrunken) survivor set on fallback

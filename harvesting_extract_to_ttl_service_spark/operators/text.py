@@ -900,39 +900,63 @@ def hashed_text_embedding(df: DataFrame, dim: int = 32,
     encoder is available (plug a real model's vectors in anywhere —
     the column contract is the same).
 
-    Plan: ONE projection, NO shuffle — the vector assembles in-row by
-    folding the token array once per component
-    (``transform(sequence, i -> aggregate(tokens, ...))``; O(dim ·
-    tokens) expression work per document, the right trade against an
-    explode + groupBy + re-assemble whose shuffle would dwarf it at any
-    ``dim`` this is meant for, ≤64). Both the fold (document order) and
-    the norm (component order) add floats in a pinned order, so a SQL
-    twin reproduces the doubles bit-for-bit. Token-less documents embed
-    as the zero vector (normalize divides only positive norms — no
-    NULL/NaN lane).
+    Plan: each token instance is hashed ONCE (two md5s), partials
+    collapse map-side to ≤ ``dim`` ``(doc, bucket, signed-count)`` rows
+    per document, and one groupBy(doc) assembles the dense vector from
+    a bucket map. The first cut computed the histogram as dim in-row
+    folds over the token array — zero shuffle, but each fold
+    re-evaluated every token's two hashes, O(dim·tokens) md5 calls per
+    document (51 s for 480 fixture docs at dim=32, measured round 11);
+    this shape is ~dim× less compute for a map-side-combinable shuffle
+    of ≤ dim tiny rows per doc. Determinism is unchanged: the bucket
+    histogram sums ±1 INTEGERS (exact in any order), and the only
+    float folds — the norm (component order) and the division — stay
+    pinned, so the SQL twin still reproduces the doubles bit-for-bit.
+    Token-less documents embed as the zero vector (normalize divides
+    only positive norms — no NULL/NaN lane).
 
     Returns ``(id_col, n_tokens, embedding)``."""
     from harvesting_extract_to_ttl_service_spark.operators.corpus import (
         hash_fraction,
     )
+    from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+        spread_for_cpu,
+    )
 
-    t = tokens(F.lower(F.col(text_col)))
-    signed = F.transform(t, lambda w: F.struct(
-        F.floor(hash_fraction(w, salt) * dim).cast("int").alias("b"),
-        F.when(hash_fraction(w, salt + "s") < 0.5, F.lit(-1.0))
-        .otherwise(F.lit(1.0)).alias("s")))
+    df = spread_for_cpu(df)
+    base = df.select(F.col(id_col).alias("_id"),
+                     tokens(F.lower(F.col(text_col))).alias("_t"))
+    ex = base.select("_id", F.explode("_t").alias("w"))
+    bucket = F.floor(hash_fraction(F.col("w"), salt) * dim).cast("int")
+    sign = F.when(hash_fraction(F.col("w"), salt + "s") < 0.5,
+                  F.lit(-1)).otherwise(F.lit(1))
+    hist = (ex.select("_id", bucket.alias("b"), sign.alias("s"))
+            .groupBy("_id", "b")
+            .agg(F.sum("s").alias("v"), F.count("*").alias("c")))
+    agg = hist.groupBy("_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("b", "v"))))
+        .alias("_m"))
     vec = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.aggregate(
-            signed, F.lit(0.0),
-            lambda acc, p: acc + F.when(p.getField("b") == i,
-                                        p.getField("s"))
-            .otherwise(F.lit(0.0))))
+        lambda i: F.coalesce(F.element_at("_m", i.cast("int")),
+                             F.lit(0).cast("long")).cast("double"))
+    assembled = agg.select("_id", "n_tokens", vec.alias("embedding"))
     if normalize:
-        nrm = F.sqrt(F.aggregate(vec, F.lit(0.0),
+        nrm = F.sqrt(F.aggregate("embedding", F.lit(0.0),
                                  lambda acc, x: acc + x * x))
-        vec = F.when(nrm > 0,
-                     F.transform(vec, lambda x: F.round(x / nrm, 6))) \
-            .otherwise(vec)
-    return df.select(F.col(id_col), F.size(t).alias("n_tokens"),
-                     vec.alias("embedding"))
+        assembled = assembled.select(
+            "_id", "n_tokens",
+            F.when(nrm > 0,
+                   F.transform("embedding",
+                               lambda x: F.round(x / nrm, 6)))
+            .otherwise(F.col("embedding")).alias("embedding"))
+    # token-less docs never reach the explode — union their zero-vector
+    # lane back (a filter + union, not a corpus-wide join)
+    zero = F.array(*[F.lit(0.0)] * dim)
+    zero_docs = (base.filter(F.size("_t") == 0)
+                 .select("_id", F.lit(0).cast("long").alias("n_tokens"),
+                         zero.alias("embedding")))
+    return (assembled.unionByName(zero_docs)
+            .select(F.col("_id").alias(id_col), "n_tokens", "embedding"))

@@ -59,8 +59,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from harvesting_extract_to_ttl_service_spark.operators.corpus import (
-    benchmark_contamination,
-    benchmark_contamination_minhash,
+    decontam_stage,
     filter_documents,
 )
 from harvesting_extract_to_ttl_service_spark.operators.dedup import (
@@ -298,6 +297,10 @@ def corpus_batch(docs: DataFrame, batch_id: int, corpus_dir: str,
                  decontam_min_overlap: int = 2,
                  decontam_mode: str = "shingle",
                  decontam_threshold: float = 0.5,
+                 decontam_dim: int = 32,
+                 decontam_k: int = 8,
+                 decontam_n_probe: int = 2,
+                 decontam_centroids: list[list[float]] | None = None,
                  num_hashes: int = 32, bands: int = 8, shingle_n: int = 3,
                  n_shards: int | None = None,
                  budget_tokens: int | None = None,
@@ -433,19 +436,19 @@ def corpus_batch(docs: DataFrame, batch_id: int, corpus_dir: str,
             survivors = batch_docs
 
         if benchmark is not None:
-            if decontam_mode == "shingle":
-                hits = benchmark_contamination(
-                    survivors, benchmark, text_col, id_col,
-                    min_overlap=decontam_min_overlap)
-            elif decontam_mode == "minhash":
-                hits = benchmark_contamination_minhash(
-                    survivors, benchmark, text_col, id_col,
-                    threshold=decontam_threshold)
-            else:
-                raise ValueError(f"decontam_mode={decontam_mode!r}: "
-                                 f"one of 'shingle', 'minhash'")
-            dirty = hits.select(F.col("doc_id").alias(id_col)).distinct()
-            survivors = survivors.join(dirty, id_col, "left_anti")
+            # the stage shared verbatim with build_training_corpus —
+            # stream==batch decontam parity by construction (semantic
+            # mode included: the blocking centroids are a deterministic
+            # function of the frozen benchmark, so per-batch retraining
+            # reproduces the same cells; pass decontam_centroids to
+            # skip that small per-batch job)
+            survivors = decontam_stage(
+                survivors, benchmark, text_col, id_col,
+                mode=decontam_mode, min_overlap=decontam_min_overlap,
+                threshold=decontam_threshold,
+                semantic_dim=decontam_dim, semantic_k=decontam_k,
+                semantic_n_probe=decontam_n_probe,
+                semantic_centroids=decontam_centroids)
 
         survivors.write.mode("overwrite").parquet(
             f"{corpus_dir}/corpus/batch={batch_id}")

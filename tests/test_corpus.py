@@ -891,6 +891,43 @@ def test_semantic_decontam_blocks_and_probes(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_funnel_semantic_decontam_mode(spark):
+    """decontam_mode='semantic' catches REORDERED leakage that both
+    shingle and MinHash modes pass: a benchmark doc's words shuffled
+    share no 3-gram shingles (Jaccard ≈ 0) but have cosine 1.0 in the
+    bag-of-words embedding. Unrelated docs survive."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        build_training_corpus,
+    )
+
+    bench_words = [f"tok{i}" for i in range(12)]
+    shuffled = [bench_words[j] for j in
+                (7, 0, 5, 2, 9, 11, 1, 4, 10, 3, 8, 6)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(shuffled)),                      # reordered leak
+         (2, " ".join(f"other{i}" for i in range(12)))],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([(100, " ".join(bench_words))],
+                                  "doc_id long, text string")
+    kw = dict(min_quality=0.0, near_dup_threshold=None)
+
+    sem = {r.doc_id for r in build_training_corpus(
+        docs, bench, decontam_mode="semantic", decontam_threshold=0.9,
+        decontam_k=1, **kw).collect()}
+    assert sem == {2}
+    # the lexical modes PASS the reordered leak — the semantic gap
+    mh = {r.doc_id for r in build_training_corpus(
+        docs, bench, decontam_mode="minhash", decontam_threshold=0.3,
+        **kw).collect()}
+    sh = {r.doc_id for r in build_training_corpus(
+        docs, bench, decontam_mode="shingle", **kw).collect()}
+    assert mh == sh == {1, 2}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="decontam_mode"):
+        build_training_corpus(docs, bench, decontam_mode="nope", **kw)
+
+
 def test_funnel_minhash_decontam_mode(spark):
     """decontam_mode='minhash' inside the composed funnel drops the
     planted paraphrase and keeps the boilerplate-overlap doc."""

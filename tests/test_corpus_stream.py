@@ -150,6 +150,42 @@ def test_stream_url_dedup_replay_after_compaction(spark, tmp_path):
     assert _survivor_ids(spark, cdir) == before == {1, 2, 11, 21}
 
 
+def test_stream_semantic_decontam_matches_batch_funnel(spark, tmp_path):
+    """decontam_mode='semantic' in the streaming funnel equals the batch
+    funnel over the union: the stage is shared verbatim and the
+    benchmark-trained blocking centroids are a deterministic function
+    of the frozen benchmark, so per-batch retraining reproduces the
+    same cells every micro-batch."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        build_training_corpus,
+    )
+
+    bench_words = [f"tok{i}" for i in range(12)]
+    shuffled = [bench_words[j] for j in
+                (7, 0, 5, 2, 9, 11, 1, 4, 10, 3, 8, 6)]
+    batches = [
+        [(1, " ".join(shuffled)),                       # reordered leak
+         (2, " ".join(f"alpha{i}" for i in range(12)))],
+        [(11, " ".join(reversed(bench_words))),         # another leak
+         (12, " ".join(f"beta{i}" for i in range(12)))],
+    ]
+    bench = spark.createDataFrame([(100, " ".join(bench_words))],
+                                  "doc_id long, text string")
+    kw = dict(min_quality=0.0, near_dup_threshold=None,
+              decontam_mode="semantic", decontam_threshold=0.9,
+              decontam_k=1)
+    cdir = str(tmp_path / "corpus")
+    for i, rows in enumerate(batches):
+        corpus_batch(spark.createDataFrame(
+            rows, "doc_id long, text string"), i, cdir, bench, **kw)
+    got = _survivor_ids(spark, cdir)
+    want = {r.doc_id for r in build_training_corpus(
+        spark.createDataFrame([r for b in batches for r in b],
+                              "doc_id long, text string"),
+        bench, **kw).collect()}
+    assert got == want == {2, 12}
+
+
 def test_corpus_batch_replay_idempotent(spark, tmp_path):
     """A replayed micro-batch (failure before the checkpoint commit)
     rewrites its own fingerprint/index/pairs/components/corpus
