@@ -248,7 +248,9 @@ def ivf_search_batch(spark: SparkSession, index_dir: str,
                      k: int = 10, n_probe: int = 2,
                      q_vec_col: str = "embedding",
                      q_id_col: str = "query_id",
-                     id_col: str = "vec_id") -> DataFrame:
+                     id_col: str = "vec_id",
+                     pq_codebooks: list[list[list[float]]] | None = None
+                     ) -> DataFrame:
     """Batched kNN join against the STORED index — the many-queries twin
     of :func:`ivf_search` (one driver-ranked probe per call) built on
     the same plan as `operators/similarity.ivf_topk_join`: each query
@@ -260,16 +262,24 @@ def ivf_search_batch(spark: SparkSession, index_dir: str,
     is collected driver-side first (bounded by the centroid count — one
     small job over the query batch) and applied as an IN-filter, so the
     scan still touches only ``batch=*/ivf_cell=<probed>`` subtrees; the
-    query side then broadcasts into the join. Returns
+    query side then broadcasts into the join. ``pq_codebooks`` searches
+    a PQ index: each candidate scores as cosine(q, x̂) with the
+    reconstruction looked up per block from the codebook literal
+    (compute parity with the float path, but over the m-byte index —
+    single-query ADC tables don't apply when every query differs; the
+    win here is scanned bytes). Returns
     ``(q_id_col, id_col, cos_sim, rank)``, per query equal to
     :func:`ivf_search` with the same parameters."""
     from pyspark.sql import Window
 
     from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        _fold_sum,
+        _pq_shapes,
         _probe_cells,
     )
 
-    _check_ivf_sidecar(spark, index_dir, centroids)
+    _check_ivf_sidecar(spark, index_dir, centroids,
+                       pq_codebooks=pq_codebooks)
     q = (queries.select(F.col(q_id_col).alias("qid"),
                         F.col(q_vec_col).alias("qv"))
          .withColumn("qnorm", norm(F.col("qv")))
@@ -279,14 +289,29 @@ def ivf_search_batch(spark: SparkSession, index_dir: str,
                    q.select("ivf_cell").distinct().collect())
     idx = (spark.read.option("basePath", index_dir).parquet(index_dir)
            .filter(F.col("ivf_cell").isin(cells)))
+    if pq_codebooks is not None:
+        m, ksub, sub = _pq_shapes(pq_codebooks)
+        # per-block dot of the query slice against the coded
+        # sub-centroid; the block LUTs are pq_adc_topk's python folds,
+        # so batched results equal the single-query path bit-for-bit
+        # (dot() and _fold_sum left-fold the same component order)
+        num = F.lit(0.0)
+        for b, book in enumerate(pq_codebooks):
+            table = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                              for c in book])
+            num = num + dot(
+                F.slice(F.col("qv"), b * sub + 1, sub),
+                F.element_at(table, F.col("codes").getItem(b) + 1))
+        score = num / (F.col("pnorm") * F.col("qnorm"))
+        idx = idx.filter(F.col("pnorm") > 0)
+    else:
+        score = (dot(F.col("qv"), F.col("v"))
+                 / (F.col("qnorm") * F.col("vnorm")))
     w = (Window.partitionBy("qid")
          .orderBy(F.col("cos_sim").desc(), F.col("id")))
     return (
         idx.join(F.broadcast(q), "ivf_cell")
-        .select("qid", "id",
-                F.round(dot(F.col("qv"), F.col("v"))
-                        / (F.col("qnorm") * F.col("vnorm")), 6)
-                .alias("cos_sim"))
+        .select("qid", "id", F.round(score, 6).alias("cos_sim"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(F.col("qid").alias(q_id_col), F.col("id").alias(id_col),

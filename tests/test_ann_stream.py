@@ -360,6 +360,24 @@ def test_ivf_pq_index_search_and_mode_pinning(spark, tmp_path,
         ivf_index_batch(_vecs(spark, range(64, 66)), 2, idir, centroids,
                         quantize=True, pq_codebooks=books)
 
+    # batched PQ kNN join == the single-query PQ loop, row for row
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        ivf_search_batch,
+    )
+
+    queries = _vecs(spark, range(0, 12, 3)) \
+        .withColumnRenamed("vec_id", "query_id")
+    batched = {(r.query_id, r.rank): (r.vec_id, r.cos_sim)
+               for r in ivf_search_batch(
+                   spark, idir, queries, centroids, k=4, n_probe=2,
+                   pq_codebooks=books).collect()}
+    for qr in queries.collect():
+        single = ivf_search(spark, idir, list(qr.embedding), centroids,
+                            k=4, n_probe=2, pq_codebooks=books).collect()
+        for rank, r in enumerate(single, start=1):
+            assert batched[(qr.query_id, rank)] \
+                == (r.vec_id, r.cos_sim), (qr.query_id, rank)
+
     # retrain: codes byte-wise identical, requires the SAME codebooks
     before = {r.id: list(r.codes) for r in idx.collect()}
     with pytest.raises(ValueError, match="pass the SAME codebooks"):
