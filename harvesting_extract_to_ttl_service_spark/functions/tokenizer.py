@@ -133,14 +133,18 @@ def bpe_token_count(df: DataFrame, merges: list[tuple[str, str]],
                     lowercase: bool = False,
                     emit_tokens: bool = False,
                     emit_ids: bool = False,
-                    vocab: dict[str, int] | None = None) -> DataFrame:
+                    vocab: dict[str, int] | None = None,
+                    unk_token: str = "<unk>") -> DataFrame:
     """Per-document token count under the loaded BPE tokenizer —
     returns ``df`` + ``n_bpe_tokens`` (and, with ``emit_tokens=True``,
     the ``bpe_tokens`` string array; with ``emit_ids=True``, the
     ``bpe_ids`` id array under ``vocab`` — default
-    :func:`bpe_vocab`(merges), OOV → the first special's id. Both are
-    OFF by default: per-token rows/arrays multiply the shuffled bytes
-    by the token count, and budget accounting needs only the number).
+    :func:`bpe_vocab`(merges), OOV → ``vocab[unk_token]``, which must
+    be present when ids are emitted: a caller-supplied vocab without
+    an OOV bucket would otherwise silently map unknown symbols onto
+    some real token's id. Both are OFF by default: per-token
+    rows/arrays multiply the shuffled bytes by the token count, and
+    budget accounting needs only the number).
 
     Arrow-batched ``mapInPandas`` (never row-at-a-time): the ranks dict
     rides the closure, a per-batch word memo collapses Zipf-repeated
@@ -154,8 +158,13 @@ def bpe_token_count(df: DataFrame, merges: list[tuple[str, str]],
         raise ValueError("bpe_token_count: duplicate merge pairs — a "
                          "later duplicate would silently never apply")
     if emit_ids and vocab is None:
-        vocab = bpe_vocab(merges)
-    unk_id = min(vocab.values()) if emit_ids else None
+        vocab = bpe_vocab(merges, specials=(unk_token,))
+    if emit_ids and unk_token not in vocab:
+        raise ValueError(
+            f"bpe_token_count: unk_token {unk_token!r} is not in the "
+            f"vocab — without an explicit OOV id, unknown symbols "
+            f"would silently take a real token's id")
+    unk_id = vocab[unk_token] if emit_ids else None
     out_fields = df.schema.fields + [
         T.StructField("n_bpe_tokens", T.LongType(), False)]
     if emit_tokens:

@@ -1229,7 +1229,12 @@ def decontam_stage(survivors: DataFrame, benchmark: DataFrame,
     else:
         raise ValueError(f"decontam_mode={mode!r}: "
                          f"one of 'shingle', 'minhash', 'semantic'")
-    dirty = hits.select(F.col(hits.columns[0]).alias(id_col)).distinct()
+    # Select the flagged corpus id BY NAME per mode (shingle/minhash
+    # return it as 'doc_id', semantic echoes id_col) — never
+    # positionally, so a column reorder in a hit producer can't
+    # silently anti-join on the benchmark's ids.
+    flag_col = id_col if mode == "semantic" else "doc_id"
+    dirty = hits.select(F.col(flag_col).alias(id_col)).distinct()
     return survivors.join(dirty, id_col, "left_anti")
 
 

@@ -786,7 +786,18 @@ def banded_bit_positions(bits: int, n_tables: int, bits_per_table: int,
     bits_per_table, seed) always yields the same plan on any Python /
     any engine; the streaming sidecar additionally persists the
     concrete position lists and verifies them on every reopen
-    (streaming/dedup_stream.hamming_dedup_batch)."""
+    (streaming/dedup_stream.hamming_dedup_batch).
+
+    MIGRATION (round 11): the derivation changed from
+    ``random.Random.sample`` to this md5 scheme, so the same
+    parameters now produce a DIFFERENT plan than indexes persisted
+    before the change. Persisted :func:`hamming_banded_index` tables
+    from the old derivation must be REBUILT (re-key the fingerprints,
+    rewrite the partitions) — their keys were cut from different bit
+    samples and would silently miss pairs against new-plan keys. The
+    streaming path fails loudly (sidecar position-list + ``bit_plan``
+    verification names this change); non-streaming consumers of an
+    old persisted index must rebuild it themselves."""
     import hashlib
 
     if bits_per_table > bits:

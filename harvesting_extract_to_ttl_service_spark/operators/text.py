@@ -912,8 +912,11 @@ def hashed_text_embedding(df: DataFrame, dim: int = 32,
     histogram sums ±1 INTEGERS (exact in any order), and the only
     float folds — the norm (component order) and the division — stay
     pinned, so the SQL twin still reproduces the doubles bit-for-bit.
-    Token-less documents embed as the zero vector (normalize divides
-    only positive norms — no NULL/NaN lane).
+    Token-less documents — including NULL text, whose token array is
+    coalesced to empty exactly like :func:`doc_embedding`'s NULL lane —
+    embed as the zero vector with ``n_tokens=0`` (normalize divides
+    only positive norms — no NULL/NaN lane): one output row per input
+    row, always.
 
     Returns ``(id_col, n_tokens, embedding)``."""
     from harvesting_extract_to_ttl_service_spark.operators.corpus import (
@@ -924,8 +927,13 @@ def hashed_text_embedding(df: DataFrame, dim: int = 32,
     )
 
     df = spread_for_cpu(df)
-    base = df.select(F.col(id_col).alias("_id"),
-                     tokens(F.lower(F.col(text_col))).alias("_t"))
+    # NULL text tokenizes to a NULL array, which would neither reach
+    # the explode nor match size == 0 (size(NULL) is NULL) — coalesce
+    # to the empty array so NULL-text docs ride the zero-vector lane.
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.coalesce(tokens(F.lower(F.col(text_col))),
+                   F.array().cast("array<string>")).alias("_t"))
     ex = base.select("_id", F.explode("_t").alias("w"))
     bucket = F.floor(hash_fraction(F.col("w"), salt) * dim).cast("int")
     sign = F.when(hash_fraction(F.col("w"), salt + "s") < 0.5,

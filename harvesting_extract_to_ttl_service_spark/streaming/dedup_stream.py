@@ -49,7 +49,8 @@ def _check_index_params(spark: SparkSession, index_dir: str,
 def _check_sidecar_params(spark: SparkSession, index_dir: str,
                           want: dict,
                           filename: str = "_lsh_params.json",
-                          defaults: dict | None = None) -> None:
+                          defaults: dict | None = None,
+                          migration_notes: dict | None = None) -> None:
     """Verify (or record, on first write) an index's build parameters in
     a JSON sidecar next to the data. A parameter mismatch is
     UNDETECTABLE from the table schema — band hashes / sign buckets
@@ -61,7 +62,14 @@ def _check_sidecar_params(spark: SparkSession, index_dir: str,
     comparison — the upgrade path for parameters added after an index
     was built, whose default value is behavior-identical to the old
     code (a pre-upgrade index must keep working at the defaults, not
-    hard-fail every batch)."""
+    hard-fail every batch).
+
+    ``migration_notes`` maps a sidecar key to a remediation sentence
+    appended to the mismatch error when THAT key is ABSENT from the
+    stored sidecar (after ``defaults`` backfill) — the signature of a
+    pre-upgrade store — so a known breaking change (e.g. a
+    key-derivation rewrite) fails with instructions naming the change,
+    not a generic parameter diff."""
     import json
 
     from harvesting_extract_to_ttl_service_spark.sources.files import (
@@ -87,10 +95,14 @@ def _check_sidecar_params(spark: SparkSession, index_dir: str,
         for k, v in (defaults or {}).items():
             have.setdefault(k, v)
         if have != want:
+            notes = " ".join(
+                note for k, note in (migration_notes or {}).items()
+                if k not in have)
             raise ValueError(
                 f"dedup index at {index_dir} was built with {have}, "
                 f"query uses {want}: pairs would be silently missed — "
-                f"rebuild the index or match its parameters")
+                f"rebuild the index or match its parameters"
+                + (f". {notes}" if notes else ""))
         return
     out = fs.create(jpath, True)
     try:
@@ -680,8 +692,23 @@ def hamming_dedup_batch(sh: DataFrame, batch_id: int, index_dir: str,
          "bits_per_table": bits_per_table, "seed": seed,
          "max_hamming": max_hamming,
          "positions": banded_bit_positions(bits, n_tables,
-                                           bits_per_table, seed)},
-        filename="_mih_params.json")
+                                           bits_per_table, seed),
+         "bit_plan": "md5-fisher-yates"},
+        filename="_mih_params.json",
+        # An r11 sidecar carries matching md5-derived positions but
+        # predates the bit_plan tag — backfill it (behavior-identical).
+        # A pre-r11 sidecar has NO positions key at all, so the
+        # positions mismatch fires the derivation-change note below.
+        defaults={"bit_plan": "md5-fisher-yates"},
+        migration_notes={
+            "positions": (
+                "The bit-position derivation changed from "
+                "random.Random.sample to portable md5-Fisher-Yates "
+                "(round 11): indexes persisted under the old plan "
+                "must be rebuilt (re-key the fingerprints with "
+                "hamming_banded_index and rewrite the partitions) — "
+                "their keys were cut from different bit samples."),
+        })
     base = sh.select(F.col(id_col).alias("id"), F.col(sh_col).alias("sh"))
     newb = hamming_banded_index(base, bits, n_tables, bits_per_table, seed)
     newb = materialize(newb, materialize_mode)

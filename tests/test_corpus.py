@@ -1565,13 +1565,16 @@ def test_hashed_text_embedding_feeds_semantic_dedup(spark):
         (2, a + " today"),                       # near-identical multiset
         (3, "spark shuffles partitioned data across executor machines"),
         (4, ""),
+        (5, None),    # NULL text must embed, not vanish (r11 advisor)
     ], "doc_id long, text string")
     emb = hashed_text_embedding(docs, dim=32)
     rows = {r.doc_id: r for r in emb.collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}   # one output row per input row
     for i in (1, 2, 3):
         assert math.isclose(sum(x * x for x in rows[i].embedding), 1.0,
                             rel_tol=1e-4), i
-    assert rows[4].embedding == [0.0] * 32 and rows[4].n_tokens == 0
+    for i in (4, 5):
+        assert rows[i].embedding == [0.0] * 32 and rows[i].n_tokens == 0
     # determinism: same text → identical vector
     assert rows[1].embedding == hashed_text_embedding(
         docs.filter("doc_id = 1"), dim=32).first().embedding

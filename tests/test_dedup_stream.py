@@ -685,11 +685,20 @@ def test_hamming_stream_replay_sidecar_and_compaction(spark, tmp_path):
     crc = tmp_path / "index" / "._mih_params.json.crc"
     have = json.loads(sidecar.read_text())
     assert have["positions"] == banded_bit_positions(60, 16, 16)
-    legacy = {k: v for k, v in have.items() if k != "positions"}
+    assert have["bit_plan"] == "md5-fisher-yates"
+    legacy = {k: v for k, v in have.items()
+              if k not in ("positions", "bit_plan")}
     crc.unlink(missing_ok=True)   # direct rewrite invalidates hadoop crc
     sidecar.write_text(json.dumps(legacy))
-    with pytest.raises(ValueError, match="built with"):
+    # a pre-upgrade (Random.sample-era) sidecar fails with an error
+    # NAMING the derivation change, not a generic parameter diff
+    with pytest.raises(ValueError, match="md5-Fisher-Yates"):
         hamming_dedup_batch(dfs[1], 2, idir, pdir)
+    # an r11-era sidecar (positions present, bit_plan tag predating)
+    # keeps working — the tag is backfilled, behavior-identical
+    r11 = {k: v for k, v in have.items() if k != "bit_plan"}
+    sidecar.write_text(json.dumps(r11))
+    hamming_dedup_batch(dfs[1], 1, idir, pdir)
     sidecar.write_text(json.dumps(have))
 
     # compact, then replay: the a.id != b.id guard keeps it harmless

@@ -232,6 +232,25 @@ def test_bpe_vocab_and_id_emission(spark):
     assert got[2] == [0, vocab["e"], vocab["d"], vocab["</w>"]]
     assert got[3] is None
 
+    # OOV id follows vocab[unk_token], never the minimum id: a vocab
+    # where <unk> does NOT hold the smallest id still routes OOV to it
+    # (r11 advisor — min(vocab.values()) would hit <pad> here)
+    shifted = bpe_vocab(merges, specials=("<pad>", "<unk>"))
+    assert shifted["<unk>"] == 1
+    got2 = {r.doc_id: r.bpe_ids for r in
+            bpe_token_count(docs, merges, emit_ids=True,
+                            vocab=shifted).collect()}
+    assert got2[2][0] == 1
+    # a vocab without the OOV token refuses loudly...
+    no_unk = bpe_vocab(merges, specials=("<s>",))
+    with pytest.raises(ValueError, match="unk_token"):
+        bpe_token_count(docs, merges, emit_ids=True, vocab=no_unk)
+    # ...unless the caller names its OOV token explicitly
+    got3 = {r.doc_id: r.bpe_ids for r in
+            bpe_token_count(docs, merges, emit_ids=True, vocab=no_unk,
+                            unk_token="<s>").collect()}
+    assert got3[2][0] == no_unk["<s>"]
+
 
 def test_write_and_read_token_id_shards(spark, tmp_path):
     """End-to-end trainable artifact: write_token_id_shards encodes,
