@@ -817,3 +817,170 @@ def train_pq_codebooks(df: DataFrame, m: int, ksub: int, dim: int,
         if drift < tol:
             break
     return books
+
+
+def ivf_residuals(df: DataFrame, centroids: list[list[float]],
+                  vec_col: str = "embedding",
+                  out_col: str = "residual",
+                  materialize_mode: str = "local_checkpoint"
+                  ) -> DataFrame:
+    """Residual vectors w.r.t. each row's assigned IVF cell —
+    ``r = x − centroid(cell)`` (classic IVFADC, Jégou/Douze/Schmid
+    2011): the coarse quantizer absorbs the between-cell variance, so
+    a product quantizer trained on THESE vectors spends its entire
+    code budget on the within-cell variance and reconstructs with far
+    lower error at the same m. This is the trainer feed for residual
+    PQ: ``train_pq_codebooks(ivf_residuals(vecs, cents), …,
+    vec_col='residual')`` — assignment here is :func:`ivf_assign`
+    (argmax cosine, first-cell ties), the SAME rule
+    :func:`pq_encode_residual` and the IVF index use, so trained
+    codebooks see exactly the residual distribution they will encode.
+
+    Returns ``df`` + ``ivf_cell`` + ``out_col``. The residual is an
+    in-plan expression over a k·dim centroid literal table; the
+    default materialization cut keeps downstream per-centroid folds
+    (k-means training, `_pq_code` argmins) from inlining a copy of it
+    per candidate — the duplicate-subtree hazard SCALE.md documents.
+    Pass ``materialize_mode='none'`` when the consumer is a single
+    projection."""
+    from harvesting_extract_to_ttl_service_spark.operators.materialize import (  # noqa: E501
+        materialize,
+    )
+
+    cent = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                     for c in centroids])
+    out = ivf_assign(df, centroids, vec_col).withColumn(
+        out_col,
+        F.zip_with(F.col(vec_col),
+                   F.element_at(cent, F.col("ivf_cell") + 1),
+                   lambda x, y: x.cast("double") - y))
+    return materialize(out, materialize_mode)
+
+
+def pq_encode_residual(df: DataFrame,
+                       codebooks: list[list[list[float]]],
+                       centroids: list[list[float]],
+                       vec_col: str = "embedding",
+                       cell_col: str = "ivf_cell",
+                       materialize_mode: str = "local_checkpoint"
+                       ) -> DataFrame:
+    """RESIDUAL product-quantization encode — the IVFADC refinement of
+    :func:`pq_encode`: each vector's code quantizes ``x −
+    centroid(cell)`` instead of ``x`` itself, so the stored m bytes
+    describe only the within-cell variance the coarse quantizer left
+    behind (``codebooks`` must be trained on residuals —
+    :func:`ivf_residuals` + :func:`train_pq_codebooks`). The stored
+    ``pnorm`` is the norm of the FULL reconstruction ``x̂ =
+    centroid(cell) + r̂`` — the vector ADC cosine actually scores —
+    so search never needs the codebooks to normalize, exactly like
+    the raw path.
+
+    ``cell_col`` must already carry the :func:`ivf_assign` cell (the
+    index ingest computes it anyway; requiring it keeps encode a pure
+    function of (vector, cell) and guarantees the cell used for the
+    residual IS the cell the row is stored under — a mismatch would
+    reconstruct against the wrong centroid).
+
+    Plan shape — three projections with two materialization cuts, all
+    shuffle-free: (1) the residual column (one k·dim centroid-table
+    lookup + zip_with; cut so the m·ksub argmin folds in step 2 fold
+    over a DATA column instead of inlining the lookup per candidate),
+    (2) the argmin codes (same expression budget as :func:`pq_encode`;
+    cut so step 3's m per-block lookups don't re-inline m·ksub folds
+    each), (3) ``pnorm`` = one centroid lookup + m sub-centroid
+    lookups + a component-ordered fold over the reconstruction —
+    every term a literal-valued double given (cell, codes), so the
+    fold is exactly restatable in SQL. Returns all columns but
+    ``vec_col``, plus ``codes`` and ``pnorm``."""
+    from harvesting_extract_to_ttl_service_spark.operators.materialize import (  # noqa: E501
+        materialize,
+    )
+
+    m, ksub, sub = _pq_shapes(codebooks)
+    dim = len(centroids[0])
+    if dim != m * sub:
+        raise ValueError(
+            f"pq_encode_residual: centroid dim {dim} != m·sub "
+            f"{m * sub}")
+    if cell_col not in df.columns:
+        raise ValueError(
+            f"pq_encode_residual: no {cell_col!r} column — run "
+            f"ivf_assign first (the residual is relative to the "
+            f"STORED cell)")
+    cent = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                     for c in centroids])
+    keep = [c for c in df.columns if c != vec_col]
+    res = df.select(
+        *keep,
+        F.zip_with(F.col(vec_col),
+                   F.element_at(cent, F.col(cell_col) + 1),
+                   lambda x, y: x.cast("double") - y).alias("_rv"))
+    res = materialize(res, materialize_mode)
+    codes = F.array(*[
+        _pq_code(F.slice(F.col("_rv"), b * sub + 1, sub), codebooks[b])
+        for b in range(m)])
+    coded = materialize(res.select(*keep, codes.alias("codes")),
+                        materialize_mode)
+    tables = [F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                        for c in book]) for book in codebooks]
+    rhat = F.concat(*[
+        F.element_at(tables[b], F.col("codes").getItem(b) + 1)
+        for b in range(m)])
+    rec = F.zip_with(F.element_at(cent, F.col(cell_col) + 1), rhat,
+                     lambda x, y: x + y)
+    p2 = F.aggregate(rec, F.lit(0.0), lambda a, x: a + x * x)
+    return coded.select(*keep, "codes",
+                        F.round(F.sqrt(p2), 6).alias("pnorm"))
+
+
+def pq_adc_topk_residual(codes_df: DataFrame, query_vec: list[float],
+                         codebooks: list[list[list[float]]],
+                         centroids: list[list[float]], k: int = 10,
+                         id_col: str = "vec_id",
+                         cell_col: str = "ivf_cell") -> DataFrame:
+    """Asymmetric-distance top-k over RESIDUAL PQ codes
+    (:func:`pq_encode_residual` output): the reconstruction is
+    ``x̂ = centroid(cell) + r̂``, so the cosine numerator splits as
+    ``q·x̂ = q·centroid(cell) + Σ_b LUT[b][code_b]`` — the SAME
+    per-block lookup tables as :func:`pq_adc_topk` (built against the
+    residual codebooks) plus ONE per-cell constant, both driver-side
+    (k + m·ksub doubles — control-plane sized). Per-row work stays m+1
+    array lookups and an add chain; the denominator uses the stored
+    reconstruction norm. Scores are exact over the reconstructions
+    (deterministic — the add order is cell term first, then blocks in
+    order, matching the left-fold restatement), so residual ADC's only
+    approximation is the (smaller) residual quantization error.
+    Zero-reconstruction rows are excluded as in the raw path. Returns
+    ``(id_col, cos_sim)``. Cell-pruned search over a stored index:
+    ``streaming/ann_stream.ivf_search(pq_residual=True)``."""
+    m, ksub, sub = _pq_shapes(codebooks)
+    if len(query_vec) != m * sub:
+        raise ValueError(
+            f"pq_adc_topk_residual: query dim {len(query_vec)} != "
+            f"m·sub {m * sub}")
+    if len(centroids[0]) != m * sub:
+        raise ValueError(
+            f"pq_adc_topk_residual: centroid dim {len(centroids[0])} "
+            f"!= m·sub {m * sub}")
+    lut = [[_fold_sum([float(query_vec[b * sub + i]) * float(c[i])
+                       for i in range(sub)])
+            for c in book] for b, book in enumerate(codebooks)]
+    qcell = [_fold_sum([float(q) * float(x)
+                        for q, x in zip(query_vec, c)])
+             for c in centroids]
+    qnorm = math.sqrt(_fold_sum([float(x) * float(x)
+                                 for x in query_vec]))
+    num = F.element_at(F.array(*[F.lit(v) for v in qcell]),
+                       F.col(cell_col) + 1)
+    for b in range(m):
+        num = num + F.element_at(
+            F.array(*[F.lit(v) for v in lut[b]]),
+            F.col("codes").getItem(b) + 1)
+    return (
+        codes_df.filter(F.col("pnorm") > 0)
+        .select(F.col(id_col),
+                F.round(num / (F.col("pnorm") * F.lit(qnorm)), 6)
+                .alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), id_col)
+        .limit(k)
+    )

@@ -1580,6 +1580,143 @@ def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(codes, qvec, books, k=_PQ_K)
 
 
+# --- residual PQ / IVFADC (operators/similarity.py pq_*_residual) -----
+# Everything data-derived and restatable: coarse centroids = embeddings
+# vec_id 0..3 (the IVF members' convention), residual codebooks = the
+# m-block slices of the RESIDUALS of vec_id 4..19 w.r.t. their assigned
+# cells. The oracle independently re-derives assignment (cosine
+# ranking, first-cell ties), every residual, the codebooks, every
+# argmin code, the full-reconstruction norms ‖centroid + r̂‖, the
+# query-side block LUTs AND the per-cell q·centroid constant, and the
+# final cosine — all with the same component-ordered folds and the
+# same add order (cell term first, then blocks).
+_PQR_M = 4
+_PQR_SUB = 16  # dim 64 / m
+_PQR_KSUB = 16
+
+_PQRES_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < 4
+), pts AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id >= 4
+), assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT p.vec_id, c.cid,
+           row_number() OVER (PARTITION BY p.vec_id
+             ORDER BY list_cosine_similarity(p.v, c.cv) DESC,
+                      c.cid) AS rn
+    FROM pts p CROSS JOIN cent c) WHERE rn = 1
+), resid AS (
+  SELECT p.vec_id, a.cid,
+         list_transform(range(1, {_PQR_M * _PQR_SUB} + 1),
+                        i -> p.v[i] - c.cv[i]) AS rv
+  FROM pts p JOIN assigned a USING (vec_id)
+             JOIN cent c ON c.cid = a.cid
+), cb AS (
+  SELECT b, vec_id - 4 AS j,
+         rv[b*{_PQR_SUB}+1 : b*{_PQR_SUB}+{_PQR_SUB}] AS c
+  FROM resid, (SELECT unnest(range(0, {_PQR_M})) AS b)
+  WHERE vec_id BETWEEN 4 AND {4 + _PQR_KSUB - 1}
+), x AS (
+  SELECT vec_id, cid, b,
+         rv[b*{_PQR_SUB}+1 : b*{_PQR_SUB}+{_PQR_SUB}] AS xb
+  FROM resid, (SELECT unnest(range(0, {_PQR_M})) AS b)
+  WHERE vec_id >= {4 + _PQR_KSUB}
+), d AS (
+  SELECT x.vec_id, x.b, cb.j,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, {_PQR_SUB} + 1),
+             i -> (xb[i] - c[i]) * (xb[i] - c[i]))),
+           (a, v) -> a + v) AS dist
+  FROM x JOIN cb USING (b)
+), code AS (
+  SELECT vec_id, b, j AS cj FROM d
+  QUALIFY row_number() OVER (PARTITION BY vec_id, b
+                             ORDER BY dist, j) = 1
+), q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id = 0
+), lut AS (
+  SELECT cb.b, cb.j,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, {_PQR_SUB} + 1),
+             i -> qv[cb.b*{_PQR_SUB}+i] * c[i])), (a, v) -> a + v) AS dp
+  FROM cb, q
+), qc AS (
+  SELECT cid,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, {_PQR_M * _PQR_SUB} + 1),
+             i -> qv[i] * cv[i])), (a, v) -> a + v) AS qcell
+  FROM cent, q
+), rh AS (
+  SELECT code.vec_id, flatten(list(cb2.c ORDER BY code.b)) AS rhat
+  FROM code JOIN cb cb2 ON cb2.b = code.b AND cb2.j = code.cj
+  GROUP BY code.vec_id
+), pn AS (
+  SELECT r.vec_id,
+         round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, {_PQR_M * _PQR_SUB} + 1),
+             i -> (c.cv[i] + rh.rhat[i]) * (c.cv[i] + rh.rhat[i]))),
+           (a, v) -> a + v)), 6) AS pnorm
+  FROM rh JOIN resid r USING (vec_id) JOIN cent c ON c.cid = r.cid
+), sc AS (
+  SELECT code.vec_id,
+         list_reduce(list_prepend(qc.qcell,
+           list(l.dp ORDER BY code.b)), (a, v) -> a + v) AS num
+  FROM code JOIN lut l ON l.b = code.b AND l.j = code.cj
+            JOIN resid r2 ON r2.vec_id = code.vec_id
+            JOIN qc ON qc.cid = r2.cid
+  GROUP BY code.vec_id, qc.qcell
+), qn AS (
+  SELECT sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+    list_transform(qv, v -> v * v)), (a, v) -> a + v)) AS qnorm
+  FROM q
+)
+SELECT s.vec_id, round(s.num / (p.pnorm * qn.qnorm), 6) AS cos_sim
+FROM sc s JOIN pn p USING (vec_id), qn
+WHERE p.pnorm > 0
+ORDER BY cos_sim DESC, s.vec_id
+LIMIT {_PQ_K}
+"""
+
+
+@member_sql(_PQRES_SQL)
+def pq_residual_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-PQ (IVFADC) ADC top-10 vs the vec_id=0 vector
+    (similarity.ivf_residuals + pq_encode_residual +
+    pq_adc_topk_residual): codes quantize x − centroid(cell), pnorm
+    stores ‖centroid + r̂‖, and the score adds the per-cell
+    q·centroid constant to the block LUTs — the accuracy upgrade over
+    the raw `pq` member at the same m (tests/test_ann_recall.py pins
+    residual recall > raw recall on clustered vectors)."""
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        ivf_assign,
+        ivf_residuals,
+        pq_adc_topk_residual,
+        pq_encode_residual,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = [list(r.embedding) for r in
+             emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()]
+    seed_res = (ivf_residuals(
+        emb.filter((F.col("vec_id") >= 4)
+                   & (F.col("vec_id") < 4 + _PQR_KSUB)),
+        cents, materialize_mode="none")
+        .orderBy("vec_id").collect())
+    books = [[[float(x) for x in
+               r.residual[b * _PQR_SUB:(b + 1) * _PQR_SUB]]
+              for r in seed_res] for b in range(_PQR_M)]
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).select("embedding")
+            .head()[0]]
+    src = ivf_assign(emb.filter(F.col("vec_id") >= 4 + _PQR_KSUB), cents)
+    codes = pq_encode_residual(src, books, cents)
+    return pq_adc_topk_residual(codes, qvec, books, cents, k=_PQ_K)
+
+
 from harvesting_extract_to_ttl_service_spark.operators.corpus import (  # noqa: E402
     hash_fraction_sql,
 )
@@ -1753,6 +1890,7 @@ _ANN_MEMBERS = [
     ("self_topk", cosine_self_topk_q, ["id_a", "id_b"], ["cos_sim"]),
     ("quant", quantized_topk_q, ["vec_id"], ["cos_sim"]),
     ("pq", pq_adc_topk_q, ["vec_id"], ["cos_sim"]),
+    ("pqres", pq_residual_adc_topk_q, ["vec_id"], ["cos_sim"]),
     ("decon_sem", decontam_semantic_q, ["doc_id", "bench_id"],
      ["cos_sim"]),
 ]

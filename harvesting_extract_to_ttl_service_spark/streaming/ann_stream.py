@@ -76,23 +76,27 @@ def _pq_digest(codebooks: list[list[list[float]]]) -> str:
 def _check_ivf_sidecar(spark: SparkSession, index_dir: str,
                        centroids: list[list[float]],
                        quantized: bool = False,
-                       pq_codebooks: list[list[list[float]]] | None = None
-                       ) -> None:
-    # `quantized` / `pq_md5` are part of the index's identity like the
-    # centroids: an int8 index has no `v` column to float-search, a PQ
-    # index has neither, and PQ codes cut from different codebooks mean
-    # different vectors — so mixing modes/codebooks must refuse up
-    # front. Backfilled for indexes built before each flag existed
-    # (all float — behavior-identical defaults).
+                       pq_codebooks: list[list[list[float]]] | None = None,
+                       pq_residual: bool = False) -> None:
+    # `quantized` / `pq_md5` / `pq_residual` are part of the index's
+    # identity like the centroids: an int8 index has no `v` column to
+    # float-search, a PQ index has neither, PQ codes cut from different
+    # codebooks mean different vectors, and RESIDUAL codes are relative
+    # to each row's cell centroid (raw-decoding them reconstructs
+    # garbage) — so mixing modes/codebooks must refuse up front.
+    # Backfilled for indexes built before each flag existed (all
+    # float/raw — behavior-identical defaults).
     _check_sidecar_params(
         spark, index_dir,
         {"k": len(centroids), "dim": len(centroids[0]),
          "centroids_md5": _centroid_digest(centroids),
          "quantized": quantized,
          "pq_md5": (None if pq_codebooks is None
-                    else _pq_digest(pq_codebooks))},
+                    else _pq_digest(pq_codebooks)),
+         "pq_residual": bool(pq_codebooks is not None and pq_residual)},
         filename="_ivf_params.json",
-        defaults={"quantized": False, "pq_md5": None})
+        defaults={"quantized": False, "pq_md5": None,
+                  "pq_residual": False})
 
 
 def ivf_index_batch(vecs: DataFrame, batch_id: int, index_dir: str,
@@ -100,8 +104,8 @@ def ivf_index_batch(vecs: DataFrame, batch_id: int, index_dir: str,
                     vec_col: str = "embedding",
                     id_col: str = "vec_id",
                     quantize: bool = False,
-                    pq_codebooks: list[list[list[float]]] | None = None
-                    ) -> None:
+                    pq_codebooks: list[list[list[float]]] | None = None,
+                    pq_residual: bool = False) -> None:
     """Append one micro-batch of vectors to the persistent IVF index:
     one `ivf_assign` projection (pure column expression — no shuffle
     beyond the partitioned write) + one ``batch=<id>`` overwrite,
@@ -117,20 +121,42 @@ def ivf_index_batch(vecs: DataFrame, batch_id: int, index_dir: str,
     m-byte PRODUCT-QUANTIZED codes + reconstruction norm instead
     (operators/similarity.pq_encode — the order-of-magnitude
     compression; same float-input assignment, so cell membership again
-    matches the float index; this IS the classic IVF-PQ index). The
-    mode AND the codebook digest are pinned in the sidecar — float
-    searches against a compressed index, or probes cut from different
-    codebooks, refuse up front."""
+    matches the float index). ``pq_residual=True`` upgrades the PQ
+    store to classic IVFADC (Jégou et al. 2011): codes quantize the
+    RESIDUAL ``x − centroid(cell)`` instead of the raw vector
+    (operators/similarity.pq_encode_residual — train the codebooks on
+    residuals via ivf_residuals + train_pq_codebooks), concentrating
+    the m bytes on within-cell variance for measurably higher recall
+    at the same m (tests/test_ann_recall.py); ``pnorm`` stores the
+    full-reconstruction norm ``‖centroid + r̂‖`` so search shape is
+    unchanged. The mode AND the codebook digest are pinned in the
+    sidecar — float searches against a compressed index, probes cut
+    from different codebooks, or raw-ADC reads of residual codes,
+    refuse up front."""
     if quantize and pq_codebooks is not None:
         raise ValueError("ivf_index_batch: quantize (int8) and "
                          "pq_codebooks are mutually exclusive modes")
+    if pq_residual and pq_codebooks is None:
+        raise ValueError("ivf_index_batch: pq_residual requires "
+                         "pq_codebooks (residual-trained)")
     spark = vecs.sparkSession
     _check_ivf_sidecar(spark, index_dir, centroids, quantized=quantize,
-                       pq_codebooks=pq_codebooks)
+                       pq_codebooks=pq_codebooks,
+                       pq_residual=pq_residual)
     assigned = ivf_assign(vecs.select(F.col(id_col).alias("id"),
                                       F.col(vec_col).alias("v")),
                           centroids, vec_col="v")
-    if pq_codebooks is not None:
+    if pq_residual:
+        from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+            pq_encode_residual,
+        )
+
+        # residual encode keys off the SAME ivf_cell the row is stored
+        # under — still projection-shaped (its internal cuts are
+        # shuffle-free), no join
+        assigned = pq_encode_residual(assigned, pq_codebooks, centroids,
+                                      vec_col="v")
+    elif pq_codebooks is not None:
         from harvesting_extract_to_ttl_service_spark.operators.similarity import (
             pq_encode,
         )
@@ -160,8 +186,8 @@ def ivf_search(spark: SparkSession, index_dir: str,
                k: int = 10, n_probe: int = 2,
                id_col: str = "vec_id",
                quantized: bool = False,
-               pq_codebooks: list[list[list[float]]] | None = None
-               ) -> DataFrame:
+               pq_codebooks: list[list[list[float]]] | None = None,
+               pq_residual: bool = False) -> DataFrame:
     """Top-k cosine search over the accumulated index. The ``n_probe``
     nearest cells are ranked driver-side (the centroid list is tiny and
     already local); the cell IN-filter reaches the scan as a
@@ -180,13 +206,22 @@ def ivf_search(spark: SparkSession, index_dir: str,
     index (built with ``ivf_index_batch(pq_codebooks=...)``) by ADC:
     per-block lookup tables computed once driver-side, per-candidate
     work = m array lookups — IVF prunes WHICH vectors to score, PQ
-    makes scoring them cheap, the classic pairing. Mode or codebook
-    mismatch against the sidecar refuses before any I/O."""
+    makes scoring them cheap, the classic pairing.
+    ``pq_residual=True`` searches a residual (IVFADC) index: the
+    numerator splits as ``q·centroid(cell) + Σ_b LUT[b][code_b]`` —
+    the same block LUTs (against the residual codebooks) plus one
+    driver-computed constant per PROBED cell (n_probe doubles), so
+    per-candidate work stays m+1 lookups. Mode or codebook mismatch
+    against the sidecar refuses before any I/O."""
     if quantized and pq_codebooks is not None:
         raise ValueError("ivf_search: quantized (int8) and "
                          "pq_codebooks are mutually exclusive modes")
+    if pq_residual and pq_codebooks is None:
+        raise ValueError("ivf_search: pq_residual requires "
+                         "pq_codebooks")
     _check_ivf_sidecar(spark, index_dir, centroids, quantized=quantized,
-                       pq_codebooks=pq_codebooks)
+                       pq_codebooks=pq_codebooks,
+                       pq_residual=pq_residual)
 
     def _cos(a: list[float], b: list[float]) -> float:
         num = sum(float(x) * float(y) for x, y in zip(a, b))
@@ -213,7 +248,20 @@ def ivf_search(spark: SparkSession, index_dir: str,
                 for c in book] for b, book in enumerate(pq_codebooks)]
         qn = math.sqrt(_fold_sum([float(x) * float(x)
                                   for x in query_vec]))
-        num = F.lit(0.0)
+        if pq_residual:
+            # q·centroid per PROBED cell, driver-folded in component
+            # order (matches pq_adc_topk_residual's qcell folds, so
+            # stored-index search == the batch operator bit-for-bit)
+            qc = {c: _fold_sum([float(q) * float(x) for q, x in
+                                zip(query_vec, centroids[c])])
+                  for c in probed}
+            num = F.element_at(
+                F.map_from_arrays(
+                    F.array(*[F.lit(c) for c in probed]),
+                    F.array(*[F.lit(qc[c]) for c in probed])),
+                F.col("ivf_cell").cast("int"))
+        else:
+            num = F.lit(0.0)
         for b in range(m):
             num = num + F.element_at(
                 F.array(*[F.lit(v) for v in lut[b]]),
@@ -249,8 +297,8 @@ def ivf_search_batch(spark: SparkSession, index_dir: str,
                      q_vec_col: str = "embedding",
                      q_id_col: str = "query_id",
                      id_col: str = "vec_id",
-                     pq_codebooks: list[list[list[float]]] | None = None
-                     ) -> DataFrame:
+                     pq_codebooks: list[list[list[float]]] | None = None,
+                     pq_residual: bool = False) -> DataFrame:
     """Batched kNN join against the STORED index — the many-queries twin
     of :func:`ivf_search` (one driver-ranked probe per call) built on
     the same plan as `operators/similarity.ivf_topk_join`: each query
@@ -267,9 +315,13 @@ def ivf_search_batch(spark: SparkSession, index_dir: str,
     reconstruction looked up per block from the codebook literal
     (compute parity with the float path, but over the m-byte index —
     single-query ADC tables don't apply when every query differs; the
-    win here is scanned bytes). Returns
-    ``(q_id_col, id_col, cos_sim, rank)``, per query equal to
-    :func:`ivf_search` with the same parameters."""
+    win here is scanned bytes). ``pq_residual=True`` searches a
+    residual (IVFADC) index: the exploded query side — already one row
+    per (query, probed cell) — gains a ``q·centroid(cell)`` column
+    computed on the BROADCAST side (per query-cell pair, never per
+    candidate), and the numerator adds it to the per-block residual
+    dots. Returns ``(q_id_col, id_col, cos_sim, rank)``, per query
+    equal to :func:`ivf_search` with the same parameters."""
     from pyspark.sql import Window
 
     from harvesting_extract_to_ttl_service_spark.operators.similarity import (
@@ -278,13 +330,26 @@ def ivf_search_batch(spark: SparkSession, index_dir: str,
         _probe_cells,
     )
 
+    if pq_residual and pq_codebooks is None:
+        raise ValueError("ivf_search_batch: pq_residual requires "
+                         "pq_codebooks")
     _check_ivf_sidecar(spark, index_dir, centroids,
-                       pq_codebooks=pq_codebooks)
+                       pq_codebooks=pq_codebooks,
+                       pq_residual=pq_residual)
     q = (queries.select(F.col(q_id_col).alias("qid"),
                         F.col(q_vec_col).alias("qv"))
          .withColumn("qnorm", norm(F.col("qv")))
          .withColumn("ivf_cell",
                      F.explode(_probe_cells("qv", centroids, n_probe))))
+    if pq_residual:
+        # q·centroid(cell) per (query, probed cell) — computed once on
+        # the tiny exploded query side; dot() left-folds components in
+        # order, the same double as the single-query driver fold
+        cent = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                         for c in centroids])
+        q = q.withColumn(
+            "qcell", dot(F.col("qv"),
+                         F.element_at(cent, F.col("ivf_cell") + 1)))
     cells = sorted(r.ivf_cell for r in
                    q.select("ivf_cell").distinct().collect())
     idx = (spark.read.option("basePath", index_dir).parquet(index_dir)
@@ -294,8 +359,10 @@ def ivf_search_batch(spark: SparkSession, index_dir: str,
         # per-block dot of the query slice against the coded
         # sub-centroid; the block LUTs are pq_adc_topk's python folds,
         # so batched results equal the single-query path bit-for-bit
-        # (dot() and _fold_sum left-fold the same component order)
-        num = F.lit(0.0)
+        # (dot() and _fold_sum left-fold the same component order;
+        # residual mode prepends the qcell term, matching the
+        # single-query add order: cell constant first, then blocks)
+        num = F.col("qcell") if pq_residual else F.lit(0.0)
         for b, book in enumerate(pq_codebooks):
             table = F.array(*[F.array(*[F.lit(float(x)) for x in c])
                               for c in book])
@@ -420,7 +487,25 @@ def retrain_ivf_index(spark: SparkSession, index_dir: str,
     params = json.loads("\n".join(data))
     params.setdefault("quantized", False)
     params.setdefault("pq_md5", None)
+    params.setdefault("pq_residual", False)
     params.pop("retraining", None)  # recovering from a crashed retrain
+    if params["pq_residual"]:
+        # Residual codes are RELATIVE to their cell's centroid: new
+        # centroids invalidate every stored code, and the re-encode
+        # would have no crash-safe recovery (a crash mid-rewrite
+        # leaves rows encoded against centroids the sidecar no longer
+        # records — reconstruction becomes ambiguous, exactly the
+        # silent-garbage class this module refuses everywhere else).
+        # Recentering a residual index is a REBUILD from the source
+        # vectors, not a retrain.
+        raise ValueError(
+            f"index at {index_dir} is residual-PQ (IVFADC): its codes "
+            f"quantize x - centroid(cell), so re-centering invalidates "
+            f"every stored code — rebuild the index from the source "
+            f"vectors (retrain centroids there, re-run "
+            f"ivf_index_batch(pq_residual=True) with "
+            f"residual-retrained codebooks) instead of retraining "
+            f"in place")
     quantized = params["quantized"]
     if params["pq_md5"] is not None:
         if pq_codebooks is None:
@@ -472,7 +557,8 @@ def retrain_ivf_index(spark: SparkSession, index_dir: str,
     new_params = {"k": k, "dim": params["dim"],
                   "centroids_md5": _centroid_digest(centroids),
                   "quantized": quantized,
-                  "pq_md5": params["pq_md5"]}
+                  "pq_md5": params["pq_md5"],
+                  "pq_residual": False}
     _write_sidecar({**new_params, "retraining": True})
 
     reassigned = ivf_assign(train_src, centroids, vec_col="v")
@@ -504,14 +590,15 @@ def run_ivf_index_stream(vecs_stream: DataFrame, index_dir: str,
                          trigger_available_now: bool = True,
                          on_batch=None, quantize: bool = False,
                          pq_codebooks: list[list[list[float]]] | None
-                         = None):
+                         = None, pq_residual: bool = False):
     """Attach the IVF indexer to a streaming vector source — same
     checkpoint + batch=<id> replay contract as the dedup streams."""
 
     def batch_fn(df: DataFrame, batch_id: int) -> None:
         ivf_index_batch(df, batch_id, index_dir, centroids, vec_col,
                         id_col, quantize=quantize,
-                        pq_codebooks=pq_codebooks)
+                        pq_codebooks=pq_codebooks,
+                        pq_residual=pq_residual)
         if on_batch is not None:
             on_batch(batch_id)
 

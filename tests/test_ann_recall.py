@@ -331,3 +331,96 @@ def test_pq_block_count_is_monotone_recall_knob(spark, sf_dir, corpus):
         recalls.append(total / len(qids))
     assert recalls[0] < recalls[1], recalls
     assert recalls[1] >= 0.3, recalls
+
+
+def test_residual_pq_beats_raw_pq_on_clustered_vectors(spark):
+    """The classic IVFADC claim (Jégou et al. 2011), measured: on
+    CLUSTERED vectors — the shape real embeddings have; the coarse
+    quantizer absorbs between-cluster variance — residual PQ at the
+    same m reconstructs with lower total squared error AND higher
+    recall@10 than raw PQ. The panel is md5-derived (12 anchors, 300
+    points = anchor + bounded jitter), so every number here is exactly
+    reproducible: measured 2026-08-15, recall raw 0.55 → residual
+    0.61. (On the near-random embeddings fixture the two tie — no
+    between-cluster variance to absorb — which is why this pin runs on
+    a clustered panel.)"""
+    import hashlib
+
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        ivf_residuals,
+        pq_adc_topk,
+        pq_adc_topk_residual,
+        pq_encode,
+        pq_encode_residual,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    def h(s, i):
+        return int.from_bytes(
+            hashlib.md5(f"{s}:{i}".encode()).digest()[:4], "big") / 2**32
+
+    dim, n_anchor, n_pts = 32, 12, 300
+    anchors = [[2.0 * h(f"a{a}", i) - 1.0 for i in range(dim)]
+               for a in range(n_anchor)]
+    pts = {}
+    for p in range(n_pts):
+        a = anchors[p % n_anchor]
+        pts[p] = [a[i] + 0.15 * (2.0 * h(f"j{p}", i) - 1.0)
+                  for i in range(dim)]
+    emb = spark.createDataFrame(sorted(pts.items()),
+                                "vec_id long, embedding array<double>")
+
+    m, ksub, kcells = 4, 16, 12
+    sub = dim // m
+    cents = train_ivf_centroids(emb, kcells, dim, max_iter=5)
+    raw_books = train_pq_codebooks(emb, m, ksub, dim, max_iter=3)
+    res_books = train_pq_codebooks(
+        ivf_residuals(emb, cents), m, ksub, dim,
+        vec_col="residual", max_iter=3)
+
+    # python mirrors (assignment = argmax cosine, first centroid wins;
+    # codes = argmin L2, smallest j wins — both the operators' rules)
+    def cell_of(v):
+        best, best_s = 0, None
+        for i, c in enumerate(cents):
+            s = (sum(x * y for x, y in zip(v, c))
+                 / math.sqrt(sum(x * x for x in c)))
+            if best_s is None or s > best_s:
+                best, best_s = i, s
+        return best
+
+    def code_of(v, book):
+        return min(range(len(book)),
+                   key=lambda j: (sum((x - y) ** 2 for x, y in
+                                      zip(v, book[j])), j))
+
+    def sqerr(books, residual):
+        err = 0.0
+        for v in pts.values():
+            base = cents[cell_of(v)] if residual else [0.0] * dim
+            t = [x - b for x, b in zip(v, base)]
+            for b in range(m):
+                tb = t[b * sub:(b + 1) * sub]
+                c = books[b][code_of(tb, books[b])]
+                err += sum((x - y) ** 2 for x, y in zip(tb, c))
+        return err
+
+    assert sqerr(res_books, True) < sqerr(raw_books, False)
+
+    raw_codes = pq_encode(emb, raw_books).cache()
+    res_codes = pq_encode_residual(
+        ivf_residuals(emb, cents, materialize_mode="none")
+        .drop("residual"), res_books, cents).cache()
+    qids = sorted(pts)[:10]
+    r_raw = r_res = 0.0
+    for qid in qids:
+        truth = _exact_topk(pts, qid)
+        r_raw += len({r.vec_id for r in pq_adc_topk(
+            raw_codes.filter(F.col("vec_id") != qid), pts[qid],
+            raw_books, k=K).collect()} & truth) / K
+        r_res += len({r.vec_id for r in pq_adc_topk_residual(
+            res_codes.filter(F.col("vec_id") != qid), pts[qid],
+            res_books, cents, k=K).collect()} & truth) / K
+    assert r_res / len(qids) > r_raw / len(qids), (r_res, r_raw)
+    assert r_res / len(qids) >= 0.55   # measured 0.61

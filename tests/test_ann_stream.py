@@ -474,3 +474,114 @@ def test_ivf_search_batch_matches_single_searches(spark, tmp_path,
     plan = batched._jdf.queryExecution().executedPlan().toString()
     pf = plan[plan.find("PartitionFilters"):].split("]")[0]
     assert "ivf_cell" in pf and " IN " in pf, plan
+
+
+def test_ivf_residual_pq_index_search_and_pinning(spark, tmp_path,
+                                                  centroids):
+    """IVFADC: the residual index stores codes of x − centroid(cell)
+    (cell membership still identical to the float index), stored-index
+    ADC search equals pq_adc_topk_residual over the probed cells,
+    batched == single row for row, replays rewrite byte-identically,
+    and the sidecar pins the residual mode — raw-PQ reads of residual
+    codes and in-place retrains refuse loudly."""
+    import math as _math
+
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        ivf_assign,
+        ivf_residuals,
+        pq_adc_topk_residual,
+        pq_encode_residual,
+        train_pq_codebooks,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        ivf_search_batch,
+        retrain_ivf_index,
+    )
+
+    m, ksub = 4, 8
+    books = train_pq_codebooks(
+        ivf_residuals(_vecs(spark, range(64)), centroids),
+        m, ksub, DIM, vec_col="residual", max_iter=3)
+    idir = str(tmp_path / "ivfadc")
+    ivf_index_batch(_vecs(spark, range(0, 32)), 0, idir, centroids,
+                    pq_codebooks=books, pq_residual=True)
+    ivf_index_batch(_vecs(spark, range(32, 64)), 1, idir, centroids,
+                    pq_codebooks=books, pq_residual=True)
+
+    idx = spark.read.option("basePath", idir).parquet(idir)
+    assert set(idx.columns) == {"id", "codes", "pnorm", "ivf_cell",
+                                "batch"}
+    want_cells = {r.vec_id: r.ivf_cell for r in ivf_assign(
+        _vecs(spark, range(64)), centroids).collect()}
+    assert {r.id: r.ivf_cell for r in idx.collect()} == want_cells
+
+    # stored-index ADC search == the batch operator over probed cells
+    query = [1.0] + [0.05] * (DIM - 1)
+
+    def _cosq(a, b):
+        num = sum(float(x) * float(y) for x, y in zip(a, b))
+        return num / (_math.sqrt(sum(x * x for x in a))
+                      * _math.sqrt(sum(y * y for y in b)))
+
+    got = [tuple(r) for r in ivf_search(
+        spark, idir, query, centroids, k=5, n_probe=2,
+        pq_codebooks=books, pq_residual=True).collect()]
+    top2 = sorted(range(len(centroids)),
+                  key=lambda i: (-_cosq(query, centroids[i]), i))[:2]
+    cand_ids = [i for i, c in want_cells.items() if c in top2]
+    twin = pq_encode_residual(
+        ivf_assign(_vecs(spark, cand_ids), centroids), books, centroids)
+    want = [tuple(r) for r in pq_adc_topk_residual(
+        twin, query, books, centroids, k=5, id_col="vec_id").collect()]
+    assert got == want
+
+    # batched == single, row for row
+    queries = _vecs(spark, range(0, 12, 3)) \
+        .withColumnRenamed("vec_id", "query_id")
+    batched = {(r.query_id, r.rank): (r.vec_id, r.cos_sim)
+               for r in ivf_search_batch(
+                   spark, idir, queries, centroids, k=4, n_probe=2,
+                   pq_codebooks=books, pq_residual=True).collect()}
+    for qr in queries.collect():
+        single = ivf_search(spark, idir, list(qr.embedding), centroids,
+                            k=4, n_probe=2, pq_codebooks=books,
+                            pq_residual=True).collect()
+        for rank, r in enumerate(single, start=1):
+            assert batched[(qr.query_id, rank)] \
+                == (r.vec_id, r.cos_sim), (qr.query_id, rank)
+
+    # replay: batch 1 rewritten, search unchanged
+    ivf_index_batch(_vecs(spark, range(32, 64)), 1, idir, centroids,
+                    pq_codebooks=books, pq_residual=True)
+    assert [tuple(r) for r in ivf_search(
+        spark, idir, query, centroids, k=5, n_probe=2,
+        pq_codebooks=books, pq_residual=True).collect()] == got
+
+    # mode pinning: raw-PQ / float reads of residual codes refuse, as
+    # do residual searches of a raw index
+    with pytest.raises(ValueError, match="built with"):
+        ivf_search(spark, idir, query, centroids, k=5,
+                   pq_codebooks=books)
+    with pytest.raises(ValueError, match="built with"):
+        ivf_search(spark, idir, query, centroids, k=5)
+    with pytest.raises(ValueError, match="requires"):
+        ivf_search(spark, idir, query, centroids, k=5,
+                   pq_residual=True)
+    rawdir = str(tmp_path / "rawpq")
+    ivf_index_batch(_vecs(spark, range(0, 32)), 0, rawdir, centroids,
+                    pq_codebooks=books)
+    with pytest.raises(ValueError, match="built with"):
+        ivf_search(spark, rawdir, query, centroids, k=5,
+                   pq_codebooks=books, pq_residual=True)
+
+    # in-place retrain refuses: residual codes die with their centroids
+    with pytest.raises(ValueError, match="rebuild the index"):
+        retrain_ivf_index(spark, idir, pq_codebooks=books)
+
+    # encode guards: residual encode demands the cell column; index
+    # ingest demands residual-trained codebooks be passed
+    with pytest.raises(ValueError, match="ivf_cell"):
+        pq_encode_residual(_vecs(spark, range(4)), books, centroids)
+    with pytest.raises(ValueError, match="requires"):
+        ivf_index_batch(_vecs(spark, range(4)), 2, idir, centroids,
+                        pq_residual=True)
