@@ -539,7 +539,8 @@ def write_training_shards(df: DataFrame, out_dir: str, n_shards: int,
 
 
 def write_shard_manifest(spark, out_dir: str, budget_tokens: int,
-                         shuffle_epoch: int | None = None) -> dict:
+                         shuffle_epoch: int | None = None,
+                         extra: dict | None = None) -> dict:
     """Write ``_shards_manifest.json`` next to a
     :func:`write_training_shards` artifact: the packing config plus
     per-shard document/token/chunk counts — the integrity contract a
@@ -547,7 +548,10 @@ def write_shard_manifest(spark, out_dir: str, budget_tokens: int,
     partial rewrite is silent otherwise: parquet reads whatever files
     exist). One scan of the just-written artifact, aggregated to
     shard-level rows (a bounded driver collect of n_shards rows).
-    Returns the manifest dict."""
+    ``extra`` merges additional artifact-level keys into the manifest
+    (e.g. the token-id writer's separator convention) — the integrity
+    check ignores them, loaders read them. Returns the manifest
+    dict."""
     import json
 
     from harvesting_extract_to_ttl_service_spark.sources.files import (
@@ -568,6 +572,7 @@ def write_shard_manifest(spark, out_dir: str, budget_tokens: int,
                                   "n_tokens": int(r.n_tokens),
                                   "n_chunks": int(r.n_chunks)}
                    for r in sorted(rows, key=lambda r: r.shard)},
+        **(extra or {}),
     }
     fs, _ = _hadoop_fs(spark, out_dir)
     jpath = spark._jvm.org.apache.hadoop.fs.Path(
@@ -630,6 +635,29 @@ def check_shard_manifest(spark, out_dir: str) -> dict:
     return want
 
 
+def append_doc_separator(enc: DataFrame, eos_id: int,
+                         ids_col: str = "bpe_ids",
+                         count_col: str = "n_bpe_tokens") -> DataFrame:
+    """Append one document-separator id to each document's id array and
+    count it in the trained-unit budget — the step between BPE encoding
+    and packing that keeps context windows from bleeding across
+    unrelated documents (a pretraining loader cuts windows at
+    ``floor(offset / budget)``; without a separator a window spanning a
+    document boundary concatenates two texts with nothing marking the
+    seam). NULL id arrays (NULL text — the encode's explicit NULL
+    lane) become a bare ``[eos_id]``: the empty document still closes,
+    so the stream's doc boundaries stay 1:1 with its rows. Counting
+    the separator BEFORE packing means every offset/chunk coordinate
+    already includes it — the budget is measured in exactly the units
+    the loader consumes. Pure projection."""
+    return (enc
+            .withColumn(ids_col, F.concat(
+                F.coalesce(F.col(ids_col),
+                           F.array().cast("array<long>")),
+                F.array(F.lit(int(eos_id)).cast("long"))))
+            .withColumn(count_col, F.col(count_col) + 1))
+
+
 def write_token_id_shards(df: DataFrame, merges: list[tuple[str, str]],
                           out_dir: str, n_shards: int,
                           budget_tokens: int,
@@ -638,7 +666,8 @@ def write_token_id_shards(df: DataFrame, merges: list[tuple[str, str]],
                           salt: str = "shard",
                           shuffle_epoch: int | None = None,
                           lowercase: bool = False,
-                          vocab: dict[str, int] | None = None) -> dict:
+                          vocab: dict[str, int] | None = None,
+                          eos_token: str | None = None) -> dict:
     """The DIRECTLY-TRAINABLE artifact: BPE-encode every document under
     the imported tokenizer (functions/tokenizer.bpe_token_count,
     ``emit_ids``), drop the text, and write
@@ -652,6 +681,16 @@ def write_token_id_shards(df: DataFrame, merges: list[tuple[str, str]],
     functions/tokenizer.bpe_vocab) so the loader can decode/debug
     without re-deriving the table.
 
+    ``eos_token`` reserves a document-separator special in the vocab
+    (``bpe_vocab(merges, specials=('<unk>', eos_token))`` when the
+    vocab is derived; a caller-supplied vocab must already contain it)
+    and appends its id to every document (:func:`append_doc_separator`
+    — counted in the budget, so packing coordinates are in exactly the
+    units the loader consumes, and no context window ever spans a
+    document boundary without the separator marking the seam). The
+    convention is recorded in the manifest (``eos_token`` /
+    ``eos_id``) next to the packing config.
+
     Plan shape = the text writer's exactly: one Arrow encode pass
     (id arrays never shuffle on their own — they ride the single shard
     repartition), one shuffle total, within-partition sort only.
@@ -662,19 +701,29 @@ def write_token_id_shards(df: DataFrame, merges: list[tuple[str, str]],
     )
 
     if vocab is None:
-        vocab = bpe_vocab(merges)
+        vocab = (bpe_vocab(merges) if eos_token is None
+                 else bpe_vocab(merges, specials=("<unk>", eos_token)))
+    if eos_token is not None and eos_token not in vocab:
+        raise ValueError(
+            f"write_token_id_shards: eos_token {eos_token!r} is not "
+            f"in the vocab — reserve it as a special so the separator "
+            f"has a real id")
     spark = df.sparkSession
     enc = bpe_token_count(df.select(id_col, text_col), merges,
                           text_col=text_col, id_col=id_col,
                           lowercase=lowercase, emit_ids=True,
                           vocab=vocab).drop(text_col)
+    if eos_token is not None:
+        enc = append_doc_separator(enc, vocab[eos_token])
     write_training_shards(enc, out_dir, n_shards, budget_tokens,
                           text_col=text_col, id_col=id_col, salt=salt,
                           shuffle_epoch=shuffle_epoch,
                           count_col="n_bpe_tokens")
     write_vocab_sidecar(spark, out_dir, vocab)
+    extra = (None if eos_token is None
+             else {"eos_token": eos_token, "eos_id": vocab[eos_token]})
     return write_shard_manifest(spark, out_dir, budget_tokens,
-                                shuffle_epoch)
+                                shuffle_epoch, extra=extra)
 
 
 def write_vocab_sidecar(spark, out_dir: str,

@@ -1211,18 +1211,26 @@ def _tokid_rank_map_sql() -> str:
     return f"MAP {{{entries}}}"
 
 
-def _tokid_vocab_values() -> str:
+def _tokid_vocab_values(specials: tuple[str, ...] = ("<unk>",)) -> str:
     syms = {"</w>"}
     for left, right in _tokid_merges():
         syms.update((left, right, left + right))
-    toks = ["<unk>"] + sorted(syms)
+    toks = list(specials) + sorted(syms)
     return ", ".join(f"('{t}', {i})" for i, t in enumerate(toks))
 
 
-@member_sql(f"""
+def _tokid_sql(specials: tuple[str, ...] = ("<unk>",),
+               eos_id: int | None = None) -> str:
+    """The tokids oracle, parameterized on the specials table and an
+    optional document-separator id appended to every document's id
+    list (and counted in the packing budget) — the SQL twin of
+    operators/corpus.append_doc_separator. OOV stays id 0 (<unk>
+    leads the specials in both variants)."""
+    sep = "" if eos_id is None else f" || [{eos_id}]"
+    return f"""
 WITH RECURSIVE
 rk AS (SELECT {_tokid_rank_map_sql()} AS m),
-vocab(tok, tid) AS (VALUES {_tokid_vocab_values()}),
+vocab(tok, tid) AS (VALUES {_tokid_vocab_values(specials)}),
 docs AS (
   SELECT doc_id, {_TOKS} AS w FROM documents
   WHERE doc_id < {_TOKID_DOCS}
@@ -1275,7 +1283,7 @@ ids AS (
   GROUP BY s.doc_id
 ),
 alldocs AS (
-  SELECT d.doc_id, coalesce(i.idl, []) AS idl
+  SELECT d.doc_id, coalesce(i.idl, []){sep} AS idl
   FROM docs d LEFT JOIN ids i USING (doc_id)
 ),
 s AS (
@@ -1293,7 +1301,10 @@ SELECT doc_id, shard,
        array_to_string(list_transform(idl, x -> CAST(x AS VARCHAR)), '-')
          AS ids
 FROM s
-""")
+"""
+
+
+@member_sql(_tokid_sql())
 def corpus_tokids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-id shard emission: the merges-file tokenizer import
     (functions/tokenizer.load_bpe_merges → bpe_token_count emit_ids
@@ -1313,6 +1324,42 @@ def corpus_tokids(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("doc_id") < _TOKID_DOCS)
             .select("doc_id", "text"))
     enc = bpe_token_count(docs, merges, emit_ids=True, vocab=vocab)
+    packed = pack_chunks(assign_shards(enc, _N_SHARDS), _TOKID_BUDGET,
+                         count_col="n_bpe_tokens", keep=("bpe_ids",))
+    return packed.select(
+        "doc_id", "shard", "chunk", "start_offset", "n_tokens",
+        F.concat_ws("-", F.transform("bpe_ids",
+                                     lambda x: x.cast("string")))
+        .alias("ids"))
+
+
+@member_sql(_tokid_sql(specials=("<unk>", "<eos>"), eos_id=1))
+def corpus_tokeos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-id shards WITH document separators — the tokids pipeline
+    plus the reserved ``<eos>`` special (id 1: specials lead the vocab,
+    ``<unk>`` keeps id 0) appended per document and counted in the
+    budget (operators/corpus.append_doc_separator), so every packing
+    coordinate is in loader units and no context window spans a
+    document boundary without the separator marking the seam. The
+    oracle re-runs the BPE loop under the shifted vocab and restates
+    the appended id, the +1 counts, and the shifted offsets/chunks."""
+    from harvesting_extract_to_ttl_service_spark.functions.tokenizer import (
+        bpe_token_count,
+        bpe_vocab,
+        load_bpe_merges,
+    )
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        append_doc_separator,
+    )
+
+    merges = load_bpe_merges(spark, _BPE_FIXTURE)
+    vocab = bpe_vocab(merges, specials=("<unk>", "<eos>"))
+    docs = (load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < _TOKID_DOCS)
+            .select("doc_id", "text"))
+    enc = append_doc_separator(
+        bpe_token_count(docs, merges, emit_ids=True, vocab=vocab),
+        vocab["<eos>"])
     packed = pack_chunks(assign_shards(enc, _N_SHARDS), _TOKID_BUDGET,
                          count_col="n_bpe_tokens", keep=("bpe_ids",))
     return packed.select(
@@ -1359,6 +1406,9 @@ _CORPUS_MEMBERS = [
      ["stratum", "n_docs", "n_tokens", "n_distinct_texts"],
      ["token_share", "p50_tokens", "p90_tokens"]),
     ("tokids", corpus_tokids,
+     ["doc_id", "shard", "chunk", "start_offset", "n_tokens", "ids"],
+     []),
+    ("tokeos", corpus_tokeos,
      ["doc_id", "shard", "chunk", "start_offset", "n_tokens", "ids"],
      []),
     ("mclfsub", corpus_mclfsub, ["doc_id", "n_tokens", "lang_pred"],

@@ -513,6 +513,7 @@ def finalize_corpus(spark: SparkSession, corpus_dir: str,
                     shuffle_epoch: int | None = None,
                     bpe_merges: list[tuple[str, str]] | None = None,
                     emit_token_ids: bool = False,
+                    eos_token: str | None = None,
                     text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """The quiesce-time finalization job over a STREAMED corpus — the
@@ -564,7 +565,13 @@ def finalize_corpus(spark: SparkSession, corpus_dir: str,
     text dropped, ``_vocab.json`` sidecar next to the manifest, read
     back with operators/corpus.read_token_id_shard /
     read_token_id_vocab — the stream-quiesce twin of
-    operators/corpus.write_token_id_shards.
+    operators/corpus.write_token_id_shards. ``eos_token`` (requires
+    ``emit_token_ids``) reserves the document separator in the vocab
+    and appends its id per document BEFORE any budgeted stage
+    (operators/corpus.append_doc_separator), so temperature budgets
+    and packing coordinates are all in loader units and context
+    windows never span a document boundary unmarked; the convention
+    rides the manifest (``eos_token``/``eos_id``).
 
     Returns the finalized survivors (lazy; ``out_dir=None`` for a
     dry/inspection run). Every stage is a broadcast-rate hash filter or
@@ -597,15 +604,35 @@ def finalize_corpus(spark: SparkSession, corpus_dir: str,
     if emit_token_ids and bpe_merges is None:
         raise ValueError("emit_token_ids requires bpe_merges — token "
                          "ids are defined by the trained tokenizer")
+    if eos_token is not None and not emit_token_ids:
+        raise ValueError("eos_token requires emit_token_ids — the "
+                         "separator is an id-array convention")
     survivors = read_corpus(spark, corpus_dir)
     count_col = None
+    vocab = None
     if bpe_merges is not None:
         from harvesting_extract_to_ttl_service_spark.functions.tokenizer import (
             bpe_token_count,
+            bpe_vocab,
         )
 
+        if emit_token_ids:
+            vocab = (bpe_vocab(bpe_merges) if eos_token is None
+                     else bpe_vocab(bpe_merges,
+                                    specials=("<unk>", eos_token)))
         survivors = bpe_token_count(survivors, bpe_merges, text_col,
-                                    id_col, emit_ids=emit_token_ids)
+                                    id_col, emit_ids=emit_token_ids,
+                                    vocab=vocab)
+        if eos_token is not None:
+            from harvesting_extract_to_ttl_service_spark.operators.corpus import (  # noqa: E501
+                append_doc_separator,
+            )
+
+            # count the separator BEFORE any budgeted stage, so
+            # temperature budgets and packing coordinates are all in
+            # the units the loader consumes
+            survivors = append_doc_separator(survivors,
+                                             vocab[eos_token])
         count_col = "n_bpe_tokens"
     if cap_per_lang is not None or temperature_alpha is not None:
         # resolve the stratum frame ONCE for both sampling stages — with
@@ -640,18 +667,18 @@ def finalize_corpus(spark: SparkSession, corpus_dir: str,
                               shuffle_epoch=shuffle_epoch,
                               count_col=count_col)
         if emit_token_ids:
-            from harvesting_extract_to_ttl_service_spark.functions.tokenizer import (  # noqa: E501
-                bpe_vocab,
-            )
             from harvesting_extract_to_ttl_service_spark.operators.corpus import (  # noqa: E501
                 write_vocab_sidecar,
             )
 
-            write_vocab_sidecar(spark, out_dir, bpe_vocab(bpe_merges))
+            write_vocab_sidecar(spark, out_dir, vocab)
         # the finalized artifact ships with its integrity contract: a
         # loader runs check_shard_manifest before training
+        extra = (None if eos_token is None
+                 else {"eos_token": eos_token,
+                       "eos_id": vocab[eos_token]})
         write_shard_manifest(spark, out_dir, budget_tokens,
-                             shuffle_epoch=shuffle_epoch)
+                             shuffle_epoch=shuffle_epoch, extra=extra)
     return survivors
 
 

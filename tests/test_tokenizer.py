@@ -190,6 +190,27 @@ def test_finalize_corpus_emits_token_id_artifact(spark, tmp_path):
     with _pytest.raises(ValueError, match="requires bpe_merges"):
         finalize_corpus(spark, cdir, out, emit_token_ids=True)
 
+    # eos mode: the finalized artifact carries the separator per doc,
+    # counted in the budget, with the shifted vocab in the sidecar
+    out2 = str(tmp_path / "final_eos")
+    finalize_corpus(spark, cdir, out2, n_shards=1, budget_tokens=16,
+                    bpe_merges=merges, emit_token_ids=True,
+                    eos_token="<eos>")
+    vocab2 = bpe_vocab(merges, specials=("<unk>", "<eos>"))
+    assert read_token_id_vocab(spark, out2) == vocab2
+    m2 = check_shard_manifest(spark, out2)
+    assert m2["eos_token"] == "<eos>" and m2["eos_id"] == 1
+    back2 = read_token_id_shard(spark, out2, 0).collect()
+    for r in back2:
+        text = dict(rows)[r.doc_id]
+        want = [vocab2.get(s, 0) for w in text.split()
+                for s in bpe_encode_word(w, ranks)] + [1]
+        assert list(r.bpe_ids) == want, r.doc_id
+        assert r.n_tokens == len(want)
+    with _pytest.raises(ValueError, match="requires emit_token_ids"):
+        finalize_corpus(spark, cdir, out2, bpe_merges=merges,
+                        eos_token="<eos>")
+
 
 def test_bpe_vocab_and_id_emission(spark):
     """The derived vocab is a pure function of the merges (specials
@@ -376,3 +397,85 @@ def test_bpe_kernel_matches_sequential_formulation_property():
                 (w, merges)
 
     check()
+
+
+def test_token_id_shards_with_eos_separator(spark, tmp_path):
+    """Document-separator mode: the writer reserves <eos> in the vocab,
+    appends its id per document (counted in the budget), records the
+    convention in the manifest, and the loader-order stream cuts into
+    floor(offset/budget) windows that never span a document boundary
+    without the separator marking the seam."""
+    from collections import defaultdict
+
+    from harvesting_extract_to_ttl_service_spark.functions.tokenizer import (
+        bpe_vocab,
+    )
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        check_shard_manifest,
+        read_token_id_shard,
+        read_token_id_vocab,
+        write_token_id_shards,
+    )
+    import hashlib
+
+    merges = load_bpe_merges(spark, FIXTURE)
+    ranks = {p: i for i, p in enumerate(merges)}
+    vocab = bpe_vocab(merges, specials=("<unk>", "<eos>"))
+    assert vocab["<unk>"] == 0 and vocab["<eos>"] == 1
+    eos = vocab["<eos>"]
+    rows = [(i, f"the data thing zed doc{i} " * (i % 4 + 1))
+            for i in range(24)] + [(24, ""), (25, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "eosshards")
+    budget = 32
+    manifest = write_token_id_shards(docs, merges, out, n_shards=3,
+                                     budget_tokens=budget,
+                                     eos_token="<eos>")
+    assert manifest["eos_token"] == "<eos>" and manifest["eos_id"] == eos
+    assert read_token_id_vocab(spark, out) == vocab
+    check_shard_manifest(spark, out)
+
+    def shard_of(doc_id):
+        h = hashlib.md5(f"{doc_id}:shard".encode()).hexdigest()[:8]
+        return int(h, 16) % 3
+
+    def ids_of(text):
+        base = ([] if not text else
+                [vocab.get(s, 0) for w in text.split()
+                 for s in bpe_encode_word(w, ranks)])
+        return base + [eos]    # every doc closes, even empty/NULL ones
+
+    streams = defaultdict(list)
+    bounds = defaultdict(list)          # stream positions of doc ends
+    for doc_id, text in sorted(rows):
+        k = shard_of(doc_id)
+        streams[k].extend(ids_of(text))
+        bounds[k].append(len(streams[k]) - 1)
+
+    for k in range(3):
+        back = read_token_id_shard(spark, out, k).collect()
+        flat = [i for r in back for i in r.bpe_ids]
+        assert flat == streams[k], k
+        # every document's ids end with the separator, counted in
+        # n_tokens and hence in the packing coordinates
+        off = 0
+        for r in back:
+            assert r.bpe_ids[-1] == eos
+            assert r.n_tokens == len(r.bpe_ids)
+            assert r.start_offset == off
+            assert r.chunk == r.start_offset // budget
+            off += r.n_tokens
+        # no window spans a document boundary without a separator:
+        # between any two consecutive docs the stream carries eos at
+        # the first doc's last position, whatever window cuts around it
+        for pos in bounds[k]:
+            assert streams[k][pos] == eos
+
+    # a caller-supplied vocab missing the separator refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="eos_token"):
+        write_token_id_shards(docs, merges, str(tmp_path / "bad"),
+                              n_shards=2, budget_tokens=budget,
+                              vocab=bpe_vocab(merges),
+                              eos_token="<eos>")
