@@ -219,8 +219,8 @@ def hashed_multiclass_score(df: DataFrame, weights: DataFrame,
                             pred_col: str = "pred",
                             score_col: str = "pred_logit",
                             unknown: str = "und",
-                            char_ngrams: tuple[int, int] | None = None
-                            ) -> DataFrame:
+                            char_ngrams: tuple[int, int] | None = None,
+                            broadcast_model: bool = True) -> DataFrame:
     """Multi-class linear inference over hashed bag-of-words features —
     the k-headed sibling of
     :func:`~..operators.text.hashed_linear_score`:
@@ -271,6 +271,10 @@ def hashed_multiclass_score(df: DataFrame, weights: DataFrame,
     hidden layer); the word path and its output meaning are unchanged
     by default.
 
+    ``broadcast_model=False`` swaps the wide-weights broadcast for a
+    shuffle join on the bucket (results identical — use it when
+    n_buckets·k outgrows broadcast budgets).
+
     Returns ``df`` + ``n_tokens`` + ``pred_col`` + ``score_col`` (the
     winning logit, 6 dp)."""
     if biases is not None and len(biases) != len(labels):
@@ -320,7 +324,8 @@ def hashed_multiclass_score(df: DataFrame, weights: DataFrame,
     # nondeterministically against the oracle (observed once at sf0.01
     # before this pin — the same cross-engine float-order discipline as
     # temperature_mixture's denominator)
-    agg = (pd_.join(F.broadcast(wide), "bucket", "left")
+    wide = F.broadcast(wide) if broadcast_model else wide
+    agg = (pd_.join(wide, "bucket", "left")
            .groupBy("_id").agg(
                F.sort_array(F.collect_list(F.struct(
                    F.col("bucket").alias("b"), F.col("_c").alias("c"),
@@ -368,6 +373,15 @@ def lang_id_model(df: DataFrame, weights: DataFrame, labels: list[str],
         char_ngrams=char_ngrams)
 
 
+def _gram_mean_component(j: int):
+    """Per-component fold over the gram-sorted (gram, vec) rows of one
+    synthesized token. A factory, not a default-arg lambda (the PySpark
+    higher-order arity pitfall — see :func:`_dot_component`)."""
+    return F.aggregate(
+        "_gr", F.lit(0.0),
+        lambda a, r: a + r.getField("_gv").getItem(j))
+
+
 def _dot_component(j: int):
     """Per-component fold over the token-sorted packed rows. A factory,
     NOT a default-arg lambda: PySpark infers higher-order-function
@@ -382,7 +396,9 @@ def doc_embedding(df: DataFrame, vecs: DataFrame, dim: int,
                   text_col: str = "text", id_col: str = "doc_id",
                   lowercase: bool = True,
                   token_weights: DataFrame | None = None,
-                  normalize: bool = True) -> DataFrame:
+                  normalize: bool = True,
+                  char_ngrams: tuple[int, int] | None = None,
+                  broadcast_model: bool = True) -> DataFrame:
     """MODEL-BACKED document embeddings: the weighted mean of a trained
     token-vector table (:func:`parse_vec_model`'s ``(token, vec)``)
     over each document's tokens, L2-normalized — the trained-semantics
@@ -402,6 +418,31 @@ def doc_embedding(df: DataFrame, vecs: DataFrame, dim: int,
     sentence-vector convention for OOV without subwords); documents
     with NO covered tokens take the explicit NULL lane (NULL embedding,
     ``n_model_tokens = 0``) rather than an arbitrary zero vector.
+
+    ``char_ngrams=(min_n, max_n)`` turns on fastText's actual OOV
+    convention (Bojanowski et al. 2017): an uncovered token's vector is
+    SYNTHESIZED as the per-component mean of its boundary-marked
+    character-n-gram vectors (:func:`subword_features`) that the model
+    DOES ship — a ``.vec`` export whose rows include n-gram strings
+    like ``<sc`` serves both paths from one table. Synthesized tokens
+    join the weighted mean exactly like covered ones (their
+    ``token_weights`` multiplier applies); tokens whose n-grams are ALL
+    absent stay uncovered. Output gains ``n_subword_tokens`` (instances
+    embedded via synthesis; ``n_model_tokens`` stays direct-covered
+    only). Plan cost: one distinct-uncovered-token table (Zipf-bounded
+    — distinct words, not instances) explodes to its n-grams, meets the
+    model broadcast, and folds GRAM-SORTED per-component means (the
+    pinned float-order discipline), then rejoins the partials ON THE
+    TOKEN — a co-partitioned shuffle join, deliberately NOT broadcast:
+    the uncovered vocabulary is corpus-derived and unbounded.
+
+    ``broadcast_model=False`` swaps the model-side broadcast for a
+    shuffle join keyed on token: a real 2M-token × 300-dim ``.vec``
+    table is ~5 GB — far past sane broadcast sizes (default driver/
+    executor budgets cap autoBroadcast at tens of MB; keep the default
+    True only for models ≲ a few hundred thousand rows). Results are
+    identical; only the join strategy changes (the plan test pins no
+    BroadcastExchange on the model side when False).
 
     Scale shape — the :func:`hashed_multiclass_score` discipline
     applied to vectors: tokens collapse to (doc, token, count) partials
@@ -435,19 +476,64 @@ def doc_embedding(df: DataFrame, vecs: DataFrame, dim: int,
     base = df.select(F.col(id_col).alias("_id"), t.alias("_t"))
     ex = base.select("_id", F.explode("_t").alias("t"))
     cnt = ex.groupBy("_id", "t").agg(F.count("*").alias("_c"))
-    model = vecs.select(F.col("token").alias("t"), F.col("vec"))
-    if token_weights is not None:
-        model = model.join(
-            F.broadcast(token_weights
-                        .select(F.col("token").alias("t"),
-                                F.col("weight").alias("_tw"))),
-            "t", "left").withColumn(
-                "_tw", F.coalesce(F.col("_tw"), F.lit(1.0)))
-    else:
-        model = model.withColumn("_tw", F.lit(1.0))
-    covered = cnt.join(F.broadcast(model), "t")
-    agg = (covered.groupBy("_id").agg(
-        F.sum("_c").alias("_nm"),
+
+    def bc(d: DataFrame) -> DataFrame:
+        return F.broadcast(d) if broadcast_model else d
+
+    tw = (token_weights.select(F.col("token").alias("t"),
+                               F.col("weight").alias("_tw"))
+          if token_weights is not None else None)
+
+    def with_weight(d: DataFrame) -> DataFrame:
+        if tw is None:
+            return d.withColumn("_tw", F.lit(1.0))
+        return d.join(bc(tw), "t", "left").withColumn(
+            "_tw", F.coalesce(F.col("_tw"), F.lit(1.0)))
+
+    model = with_weight(vecs.select(F.col("token").alias("t"),
+                                    F.col("vec")))
+    parts = (cnt.join(bc(model), "t")
+             .select("_id", "t", "_c", "_tw", "vec",
+                     F.lit(0).alias("_sw")))
+    if char_ngrams is not None:
+        min_n, max_n = char_ngrams
+        if not 1 <= min_n <= max_n:
+            raise ValueError(
+                f"doc_embedding: char_ngrams={char_ngrams} must "
+                f"satisfy 1 <= min_n <= max_n")
+        # distinct UNCOVERED tokens (Zipf: words, not instances) →
+        # n-gram explode → model broadcast → gram-sorted component
+        # means; the rejoin onto the partials keys on the token — a
+        # co-partitioned shuffle join, deliberately not broadcast (the
+        # uncovered vocabulary is corpus-derived and unbounded)
+        uncov_toks = (cnt.select("t").distinct()
+                      .join(bc(vecs.select(F.col("token").alias("t"))),
+                            "t", "left_anti"))
+        grams = uncov_toks.select(
+            "t", F.explode(subword_features(F.col("t"), min_n, max_n))
+            .alias("g"))
+        gmodel = vecs.select(F.col("token").alias("g"),
+                             F.col("vec").alias("_gv"))
+        folded_grams = (grams.join(bc(gmodel), "g")
+                        .groupBy("t")
+                        .agg(F.sort_array(F.collect_list(
+                            F.struct(F.col("g"), F.col("_gv"))))
+                            .alias("_gr")))
+        synth_vec = F.array(*[
+            F.round(_gram_mean_component(j)
+                    / F.size("_gr").cast("double"), 6)
+            for j in range(dim)])
+        synth = with_weight(
+            folded_grams.select("t", synth_vec.alias("vec")))
+        parts = parts.unionByName(
+            cnt.join(synth, "t")
+            .select("_id", "t", "_c", "_tw", "vec",
+                    F.lit(1).alias("_sw")))
+    agg = (parts.groupBy("_id").agg(
+        F.sum(F.when(F.col("_sw") == 0, F.col("_c"))
+              .otherwise(F.lit(0))).alias("_nm"),
+        F.sum(F.when(F.col("_sw") == 1, F.col("_c"))
+              .otherwise(F.lit(0))).alias("_nsw"),
         F.sort_array(F.collect_list(F.struct(
             F.col("t").alias("t"),
             (F.col("_c").cast("double") * F.col("_tw")).alias("cw"),
@@ -456,7 +542,7 @@ def doc_embedding(df: DataFrame, vecs: DataFrame, dim: int,
                       lambda a, r: a + r.getField("cw"))
     mean = F.array(*[(_dot_component(j) / den).alias(f"_m{j}")
                      for j in range(dim)])
-    folded = agg.select("_id", "_nm", mean.alias("_mean"))
+    folded = agg.select("_id", "_nm", "_nsw", mean.alias("_mean"))
     vec = F.col("_mean")
     if normalize:
         nrm = F.sqrt(F.aggregate("_mean", F.lit(0.0),
@@ -466,14 +552,19 @@ def doc_embedding(df: DataFrame, vecs: DataFrame, dim: int,
             .otherwise(F.transform("_mean", lambda x: F.round(x, 6)))
     else:
         vec = F.transform("_mean", lambda x: F.round(x, 6))
-    emb = folded.select("_id", "_nm", vec.alias("embedding"))
+    emb = folded.select("_id", "_nm", "_nsw", vec.alias("embedding"))
     counts = base.select("_id", F.size("_t").alias("n_tokens"))
     joined = counts.join(emb, "_id", "left")
-    return joined.select(
-        F.col("_id").alias(id_col), "n_tokens",
+    out_cols = [
+        F.col("_id").alias(id_col), F.col("n_tokens"),
         F.coalesce(F.col("_nm"), F.lit(0).cast("long"))
         .alias("n_model_tokens"),
-        "embedding")
+    ]
+    if char_ngrams is not None:
+        out_cols.append(
+            F.coalesce(F.col("_nsw"), F.lit(0).cast("long"))
+            .alias("n_subword_tokens"))
+    return joined.select(*out_cols, "embedding")
 
 
 def sif_token_weights(df: DataFrame, a: float = 1e-3,

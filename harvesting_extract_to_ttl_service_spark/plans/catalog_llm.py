@@ -1792,12 +1792,12 @@ _MEMB_PATH = __import__("os").path.join(
     "lid_mini.vec")
 
 
-def _memb_model_values() -> str:
+def _memb_model_values(path: str = None) -> str:
     # CAST AS DOUBLE[]: bare numeric VALUES literals are DECIMAL in
     # DuckDB, and decimal-exact arithmetic diverges from the Spark
     # side's double math at round-half boundaries (the mclfsub lesson).
     rows = []
-    with open(_MEMB_PATH) as f:
+    with open(path or _MEMB_PATH) as f:
         f.readline()  # header
         for line in f:
             parts = line.split()
@@ -1874,10 +1874,112 @@ def doc_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").getItem(2).alias("e2"))
 
 
+_MEMBSW_PATH = __import__("os").path.join(
+    __import__("os").path.dirname(__file__), "..", "..", "fixtures",
+    "lid_mini_sub.vec")
+
+_MEMBSW_SQL = f"""
+WITH model(t, v) AS (VALUES {{MEMB_MODEL}}),
+d AS (
+  SELECT doc_id, {_WORDS} AS w FROM documents WHERE doc_id < 200
+), tk AS (
+  SELECT doc_id, unnest(w) AS t FROM d
+), cnt AS (
+  SELECT doc_id, t, count(*) AS c FROM tk GROUP BY 1, 2
+), uncov AS (
+  SELECT DISTINCT t FROM cnt WHERE t NOT IN (SELECT t FROM model)
+), grams AS (
+  SELECT t, unnest(list_prepend(t,
+    list_transform(range(1, length('<' || t || '>') - 1),
+                   i -> substr('<' || t || '>', i, 3)))) AS g
+  FROM uncov
+), synth AS (
+  SELECT grams.t,
+         list(struct_pack(g := grams.g, v := m.v)
+              ORDER BY grams.g) AS gr
+  FROM grams JOIN model m ON m.t = grams.g
+  GROUP BY grams.t
+), synthv AS (
+  SELECT t, list_transform(range(0, {_MEMB_DIM}), j ->
+    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(gr, r -> r.v[j + 1])), (a, b) -> a + b)
+      / len(gr), 6)) AS v
+  FROM synth
+), ext AS (
+  SELECT t, v, 0 AS sw FROM model
+  UNION ALL SELECT t, v, 1 AS sw FROM synthv
+), cov AS (
+  SELECT doc_id,
+         sum(CASE WHEN sw = 0 THEN c ELSE 0 END) AS nm,
+         sum(CASE WHEN sw = 1 THEN c ELSE 0 END) AS nsw,
+         list(struct_pack(t := t, cw := CAST(c AS DOUBLE), v := v)
+              ORDER BY t) AS rows
+  FROM cnt JOIN ext USING (t) GROUP BY doc_id
+), folded AS (
+  SELECT doc_id, nm, nsw,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(rows, r -> r.cw)), (a, b) -> a + b) AS den,
+         list_transform(range(0, {_MEMB_DIM}), j ->
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(rows, r -> r.cw * r.v[j + 1])),
+             (a, b) -> a + b)) AS dots
+  FROM cov
+), mean AS (
+  SELECT doc_id, nm, nsw,
+         list_transform(dots, x -> x / den) AS m
+  FROM folded
+), norm AS (
+  SELECT doc_id, nm, nsw, m,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(m, x -> x * x)), (a, b) -> a + b)) AS nrm
+  FROM mean
+), emb AS (
+  SELECT doc_id, nm, nsw,
+         CASE WHEN nrm > 0 THEN list_transform(m, x -> round(x / nrm, 6))
+              ELSE list_transform(m, x -> round(x, 6)) END AS e
+  FROM norm
+)
+SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_tokens,
+       CAST(coalesce(emb.nm, 0) AS BIGINT) AS n_model_tokens,
+       CAST(coalesce(emb.nsw, 0) AS BIGINT) AS n_subword_tokens,
+       emb.e[1] AS e0, emb.e[2] AS e1, emb.e[3] AS e2
+FROM d LEFT JOIN emb USING (doc_id)
+""".replace("{MEMB_MODEL}", _memb_model_values(_MEMBSW_PATH))
+
+
+@member_sql(_MEMBSW_SQL)
+def doc_embedding_subword_q(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """doc_embedding(char_ngrams=(3, 3)) — fastText's subword OOV
+    convention over a model shipping boundary-marked 3-gram rows
+    (fixtures/lid_mini_sub.vec): uncovered tokens embed as the
+    gram-sorted mean of their covered n-gram vectors and join the
+    weighted mean like covered tokens. The oracle independently
+    re-derives the uncovered vocabulary, every synthesized vector, the
+    extended-model fold, and the direct/synthesized instance counts."""
+    from harvesting_extract_to_ttl_service_spark.functions.models import (
+        doc_embedding,
+        parse_vec_model,
+    )
+
+    docs = (load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 200).select("doc_id", "text"))
+    vecs = parse_vec_model(spark, _MEMBSW_PATH, dim=_MEMB_DIM)
+    e = doc_embedding(docs, vecs, dim=_MEMB_DIM, char_ngrams=(3, 3))
+    return e.select(
+        "doc_id", "n_tokens", "n_model_tokens", "n_subword_tokens",
+        F.col("embedding").getItem(0).alias("e0"),
+        F.col("embedding").getItem(1).alias("e1"),
+        F.col("embedding").getItem(2).alias("e2"))
+
+
 _ANN_MEMBERS = [
     ("temb", hashed_text_embedding_q, ["doc_id", "n_tokens"],
      ["e0", "e1", "e2"]),
     ("memb", doc_embedding_q, ["doc_id", "n_tokens", "n_model_tokens"],
+     ["e0", "e1", "e2"]),
+    ("membsw", doc_embedding_subword_q,
+     ["doc_id", "n_tokens", "n_model_tokens", "n_subword_tokens"],
      ["e0", "e1", "e2"]),
     ("lsh_topk", lsh_ann_topk_q, ["vec_id"], ["cos_sim"]),
     ("lsh_multiprobe", lsh_ann_multiprobe_q, ["vec_id"], ["cos_sim"]),

@@ -603,3 +603,132 @@ def test_multiclass_scorer_matches_mirror_property(spark):
                 assert g[2] == pytest.approx(w[2])
 
     check()
+
+
+def _mirror_subword_vec(word, model, min_n, max_n, dim=5):
+    """Mirror of the synthesized-OOV vector: gram-sorted component mean
+    of the model-covered boundary-marked n-grams (plus the word itself,
+    which is absent by construction), rounded to 6 dp."""
+    feats = [word]
+    wrapped = f"<{word}>"
+    for n in range(min_n, max_n + 1):
+        feats.extend(wrapped[i:i + n]
+                     for i in range(len(wrapped) - n + 1))
+    rows = sorted((g, tuple(model[g])) for g in feats if g in model)
+    if not rows:
+        return None
+    comps = []
+    for j in range(dim):
+        acc = 0.0
+        for _, v in rows:
+            acc += v[j]
+        comps.append(round(acc / len(rows), 6))
+    return comps
+
+
+def test_doc_embedding_subword_oov_and_broadcast_optout(spark, tmp_path):
+    """fastText's actual OOV convention: with char_ngrams on, an unseen
+    word embeds as the mean of its model-covered n-gram vectors — the
+    mirror reproduces every value, the unseen word lands near its
+    language's seen words, and broadcast_model=False plans a shuffle
+    join with identical results (no BroadcastExchange on the model side
+    once the hint is gone and auto-broadcast is off)."""
+    from harvesting_extract_to_ttl_service_spark.functions.models import (
+        doc_embedding,
+    )
+
+    model = {
+        "hund": [1.0, 0.0, 0.1, 0.0, 0.0],
+        "katze": [0.9, 0.1, 0.1, 0.0, 0.0],
+        "dog": [0.0, 1.0, 0.0, 0.1, 0.0],
+        "cat": [0.1, 0.9, 0.0, 0.1, 0.0],
+        # 3-grams of '<schnell>' — German-leaning vectors
+        "<sc": [0.8, 0.2, 0.1, 0.0, 0.0],
+        "sch": [0.85, 0.15, 0.1, 0.0, 0.0],
+        "chn": [0.9, 0.1, 0.1, 0.0, 0.0],
+        "hne": [0.8, 0.2, 0.1, 0.0, 0.0],
+        "nel": [0.75, 0.25, 0.1, 0.0, 0.0],
+        "ell": [0.8, 0.2, 0.1, 0.0, 0.0],
+        "ll>": [0.85, 0.15, 0.1, 0.0, 0.0],
+    }
+    p = str(tmp_path / "toy.vec")
+    with open(p, "w") as f:
+        f.write(f"{len(model)} 5\n")
+        for t, v in model.items():
+            f.write(t + " " + " ".join(map(str, v)) + "\n")
+    vecs = parse_vec_model(spark, p, dim=5)
+    texts = [(1, "hund katze"), (2, "dog cat"),
+             (3, "schnell hund"),          # unseen word + covered word
+             (4, "schnell"),               # purely synthesized doc
+             (5, "xyzzy"), (6, None)]      # no coverage → NULL lane
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+
+    from harvesting_extract_to_ttl_service_spark.functions.models import (
+        doc_embedding as de,
+    )
+
+    got = {r.doc_id: r for r in
+           de(docs, vecs, 5, char_ngrams=(3, 3)).collect()}
+    # mirror: synthesized tokens behave as model entries
+    ext = dict(model)
+    ext["schnell"] = _mirror_subword_vec("schnell", model, 3, 3)
+    assert ext["schnell"] is not None
+    for doc_id, text in texts:
+        n, ncov, emb = _mirror_doc_embedding(text, ext)
+        nm_direct = sum(c for t, c in
+                        Counter((text or "").lower().split()).items()
+                        if t in model)
+        assert got[doc_id].n_tokens == n, doc_id
+        assert got[doc_id].n_model_tokens == nm_direct, doc_id
+        assert got[doc_id].n_subword_tokens == ncov - nm_direct, doc_id
+        if emb is None:
+            assert got[doc_id].embedding is None, doc_id
+        else:
+            assert got[doc_id].embedding == pytest.approx(emb), doc_id
+
+    # the unseen word lands near its language: cosine to the German
+    # doc beats cosine to the English doc by a wide margin
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (math.sqrt(sum(x * x for x in a))
+                      * math.sqrt(sum(y * y for y in b)))
+
+    synth_doc = list(got[4].embedding)
+    assert cos(synth_doc, list(got[1].embedding)) > 0.98  # measured .987
+    assert cos(synth_doc, list(got[1].embedding)) \
+        > cos(synth_doc, list(got[2].embedding)) + 0.3
+
+    # broadcast opt-out: identical rows, and with auto-broadcast off the
+    # model side plans a shuffle join (the hint is the only forcer)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = de(docs, vecs, 5, char_ngrams=(3, 3))
+        unhinted = de(docs, vecs, 5, char_ngrams=(3, 3),
+                      broadcast_model=False)
+        assert sorted(map(tuple, unhinted.collect())) \
+            == sorted(map(tuple, hinted.collect()))
+        assert "BroadcastExchange" in \
+            hinted._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in \
+            unhinted._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    with pytest.raises(ValueError, match="char_ngrams"):
+        de(docs, vecs, 5, char_ngrams=(3, 2))
+
+
+def test_multiclass_broadcast_optout_identical(spark):
+    """hashed_multiclass_score(broadcast_model=False): same predictions
+    and logits through a shuffle join on the bucket."""
+    _, _, model = _read_fixture()
+    weights = hash_vec_weights(
+        parse_vec_model(spark, FIXTURE, dim=5), LABELS, n_buckets=64)
+    docs = spark.createDataFrame(
+        [(1, "die der und"), (2, "the of a"), (3, None)],
+        "doc_id long, text string")
+    a = hashed_multiclass_score(docs, weights, LABELS, n_buckets=64)
+    b = hashed_multiclass_score(docs, weights, LABELS, n_buckets=64,
+                                broadcast_model=False)
+    assert sorted(map(tuple, a.collect())) \
+        == sorted(map(tuple, b.collect()))
