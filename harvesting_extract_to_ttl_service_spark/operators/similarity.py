@@ -761,18 +761,29 @@ def train_pq_codebooks(df: DataFrame, m: int, ksub: int, dim: int,
                        max_iter: int = 10,
                        tol: float = 1e-4) -> list[list[list[float]]]:
     """Per-block L2 k-means sub-codebooks — the trainer that makes the
-    PQ path self-contained, the :func:`train_ivf_centroids` shape run
-    once per block (m is small — 4-16 — so the driver loop is m
-    bounded jobs per iteration; each job is one argmin projection plus
-    one map-side-combinable AVG per (code, component), shuffle size
-    ksub·sub partials per partition, corpus-size-independent).
+    PQ path self-contained: ONE Spark job per Lloyd iteration for ALL
+    m blocks. Each row posexplodes to its m block slices (an in-row
+    generator, no shuffle), a lazily-evaluated when-chain applies the
+    matching block's argmin (only the matched branch's ksub folds run
+    per row — CASE semantics, so total fold work stays m·ksub per
+    vector, identical to per-block jobs), and a single
+    groupBy(block, code, component) AVG collects m·ksub·sub partials —
+    map-side-combinable, corpus-size-independent. The first cut looped
+    the blocks as m separate jobs per iteration; the blocks are
+    independent aggregations over the SAME rows, so fusing them cuts
+    the m× job-submission overhead that dominated at fixture scale
+    (SCALE.md: 85.5 s → re-measured after the fuse) without changing
+    any fold.
 
     Initialization is the IVF trainer's deterministic, id-layout-free
     trick per block: the ksub vectors with the smallest md5 hash
     fractions seed every block's codebook (same seed ROWS across
     blocks — each block slices its own segment). Empty codes keep
     their previous sub-centroid; convergence is L∞ drift over all
-    blocks below ``tol``."""
+    blocks below ``tol``. (AVG over doubles is partition-order
+    dependent in BOTH shapes — trained codebooks are snapshot
+    artifacts, digest-pinned at use; determinism of the ENCODE given a
+    codebook is what the oracle contract pins.)"""
     from harvesting_extract_to_ttl_service_spark.operators.corpus import (
         hash_fraction,
     )
@@ -791,28 +802,27 @@ def train_pq_codebooks(df: DataFrame, m: int, ksub: int, dim: int,
               for row in init] for b in range(m)]
 
     for _ in range(max_iter):
-        drift = 0.0
-        new_books = []
+        sliced = df.select(
+            F.posexplode(F.array(*[
+                F.slice(F.col(vec_col), b * sub + 1, sub)
+                for b in range(m)])).alias("b", "subv"))
+        code = None
         for b, book in enumerate(books):
-            sliced = df.select(
-                F.slice(F.col(vec_col), b * sub + 1, sub).alias("subv"))
-            assigned = sliced.select(
-                _pq_code(F.col("subv"), book).alias("code"), "subv")
-            sums = (assigned
-                    .select("code",
-                            F.posexplode(F.col("subv")).alias("d", "x"))
-                    .groupBy("code", "d").agg(F.avg("x").alias("mu"))
-                    .collect())
-            new_book = [list(c) for c in book]
-            by_code: dict[int, list[float]] = {}
-            for row in sums:
-                by_code.setdefault(row.code, [0.0] * sub)[row.d] = row.mu
-            for code, vec in by_code.items():
-                new_book[code] = vec
-            drift = max(drift,
-                        max(abs(a - o) for cn, co in zip(new_book, book)
-                            for a, o in zip(cn, co)))
-            new_books.append(new_book)
+            branch = _pq_code(F.col("subv"), book)
+            code = (F.when(F.col("b") == b, branch) if code is None
+                    else code.when(F.col("b") == b, branch))
+        sums = (sliced.select("b", code.alias("code"), "subv")
+                .select("b", "code",
+                        F.posexplode(F.col("subv")).alias("d", "x"))
+                .groupBy("b", "code", "d").agg(F.avg("x").alias("mu"))
+                .collect())
+        new_books = [[list(c) for c in book] for book in books]
+        for row in sums:
+            new_books[row.b][row.code][row.d] = row.mu
+        drift = max(abs(a - o)
+                    for nb, ob in zip(new_books, books)
+                    for cn, co in zip(nb, ob)
+                    for a, o in zip(cn, co))
         books = new_books
         if drift < tol:
             break

@@ -610,3 +610,182 @@ def run_ivf_index_stream(vecs_stream: DataFrame, index_dir: str,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _read_json_sidecar(spark: SparkSession, path: str) -> dict | None:
+    """Hadoop-FS JSON read (the index may live on hdfs/s3a); None when
+    absent."""
+    from harvesting_extract_to_ttl_service_spark.sources.files import (
+        _hadoop_fs,
+    )
+
+    fs, _ = _hadoop_fs(spark, path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        buf = spark._jvm.java.io.BufferedReader(
+            spark._jvm.java.io.InputStreamReader(stream, "UTF-8"))
+        data = []
+        line = buf.readLine()
+        while line is not None:
+            data.append(line)
+            line = buf.readLine()
+    finally:
+        stream.close()
+    return json.loads("\n".join(data))
+
+
+def _write_json_sidecar(spark: SparkSession, path: str, d: dict) -> None:
+    from harvesting_extract_to_ttl_service_spark.sources.files import (
+        _hadoop_fs,
+    )
+
+    fs, _ = _hadoop_fs(spark, path)
+    out = fs.create(spark._jvm.org.apache.hadoop.fs.Path(path), True)
+    try:
+        out.write(json.dumps(d).encode())
+    finally:
+        out.close()
+
+
+def ivf_dispersion(vecs: DataFrame, centroids: list[list[float]],
+                   vec_col: str = "embedding") -> dict:
+    """Cosine dispersion of a vector set around its assigned centroids:
+    ``dist = 1 − cos(v, centroid(cell))`` per row (assignment =
+    `ivf_assign`'s rule), aggregated to ``{n, mean_dist, p95_dist}``
+    (6 dp; p95 via ``percentile_approx`` — a monitoring statistic, the
+    scalable sketch is the point). Zero-norm vectors are excluded
+    (cosine undefined). One projection + one global aggregate."""
+    cent = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                     for c in centroids])
+    cnorms = F.array(*[
+        F.lit(math.sqrt(sum(float(x) * float(x) for x in c)))
+        for c in centroids])
+    assigned = ivf_assign(
+        vecs.select(F.col(vec_col).alias("v")), centroids, vec_col="v")
+    sim = (dot(F.col("v"), F.element_at(cent, F.col("ivf_cell") + 1))
+           / (norm(F.col("v"))
+              * F.element_at(cnorms, F.col("ivf_cell") + 1)))
+    row = (assigned.filter(norm(F.col("v")) > 0)
+           .select((F.lit(1.0) - sim).alias("dist"))
+           .agg(F.count("*").alias("n"),
+                F.round(F.avg("dist"), 6).alias("mean_dist"),
+                F.round(F.percentile_approx("dist", 0.95), 6)
+                .alias("p95_dist"))
+           .first())
+    return {"n": row.n, "mean_dist": row.mean_dist,
+            "p95_dist": row.p95_dist}
+
+
+def record_ivf_dispersion(spark: SparkSession, index_dir: str,
+                          centroids: list[list[float]],
+                          train_vecs: DataFrame,
+                          vec_col: str = "embedding") -> dict:
+    """Pin the TRAINING-TIME dispersion next to the index
+    (``_ivf_drift.json``): run this once over the sample the centroids
+    were trained on (or the first indexed batches), and
+    :func:`ivf_drift_report` later compares the accumulated index
+    against it — the cheap signal for WHEN :func:`retrain_ivf_index`
+    pays, instead of retraining on a timer. The record is keyed to the
+    centroid digest: recording against different centroids than the
+    index's refuses (a drift baseline for the wrong geometry would
+    make every later report nonsense)."""
+    params = _read_json_sidecar(spark, f"{index_dir}/_ivf_params.json")
+    if params is None:
+        raise ValueError(f"no _ivf_params.json under {index_dir} — "
+                         f"not an IVF index")
+    want = _centroid_digest(centroids)
+    if params["centroids_md5"] != want:
+        raise ValueError(
+            f"record_ivf_dispersion: centroid digest {want} != the "
+            f"index's {params['centroids_md5']} — record the baseline "
+            f"with the index's own centroids")
+    d = ivf_dispersion(train_vecs, centroids, vec_col)
+    d["centroids_md5"] = want
+    _write_json_sidecar(spark, f"{index_dir}/_ivf_drift.json", d)
+    return d
+
+
+def ivf_drift_report(spark: SparkSession, index_dir: str,
+                     centroids: list[list[float]],
+                     pq_codebooks: list[list[list[float]]] | None = None,
+                     ratio_threshold: float = 1.5) -> dict:
+    """Has the stream drifted away from the index's centroids? Compare
+    the ACCUMULATED index's dispersion (distance to assigned centroid,
+    :func:`ivf_dispersion` — quantized indexes measure the dequantized
+    codes, PQ indexes the reconstructions: the floats searches actually
+    score) against the training-time baseline
+    (:func:`record_ivf_dispersion`). Returns ``{trained, current,
+    mean_ratio, p95_ratio, drifted}`` — ``drifted`` when either ratio
+    exceeds ``ratio_threshold``; a stationary stream sits near 1.0.
+    The operator signal for scheduling :func:`retrain_ivf_index`
+    (float/int8/raw-PQ) or a rebuild (residual PQ): boundary-recall
+    losses grow with exactly this dispersion. One index scan, no
+    writes."""
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        dequantize_int8,
+    )
+
+    params = _read_json_sidecar(spark, f"{index_dir}/_ivf_params.json")
+    if params is None:
+        raise ValueError(f"no _ivf_params.json under {index_dir} — "
+                         f"not an IVF index")
+    params.setdefault("quantized", False)
+    params.setdefault("pq_md5", None)
+    params.setdefault("pq_residual", False)
+    want = _centroid_digest(centroids)
+    if params["centroids_md5"] != want:
+        raise ValueError(
+            f"ivf_drift_report: centroid digest {want} != the index's "
+            f"{params['centroids_md5']}")
+    trained = _read_json_sidecar(spark, f"{index_dir}/_ivf_drift.json")
+    if trained is None:
+        raise ValueError(
+            f"no _ivf_drift.json under {index_dir} — run "
+            f"record_ivf_dispersion over the training sample first")
+    if trained["centroids_md5"] != want:
+        raise ValueError(
+            f"ivf_drift_report: the drift baseline was recorded for "
+            f"centroids {trained['centroids_md5']}, the index now "
+            f"pins {want} — re-record after retraining")
+    idx = spark.read.option("basePath", index_dir).parquet(index_dir)
+    if params["pq_md5"] is not None:
+        if pq_codebooks is None or _pq_digest(pq_codebooks) \
+                != params["pq_md5"]:
+            raise ValueError(
+                f"index at {index_dir} is product-quantized: pass the "
+                f"SAME codebooks to reconstruct its vectors")
+        parts = []
+        sub = len(pq_codebooks[0][0])
+        for b, book in enumerate(pq_codebooks):
+            table = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                              for c in book])
+            parts.append(F.element_at(table,
+                                      F.col("codes").getItem(b) + 1))
+        rhat = F.concat(*parts)
+        if params["pq_residual"]:
+            cent = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                             for c in centroids])
+            vec = F.zip_with(
+                F.element_at(cent, F.col("ivf_cell") + 1), rhat,
+                lambda x, y: x + y)
+        else:
+            vec = rhat
+        src = idx.select(vec.alias("embedding"))
+    elif params["quantized"]:
+        src = idx.select(dequantize_int8(
+            F.col("codes"), F.col("scale")).alias("embedding"))
+    else:
+        src = idx.select(F.col("v").alias("embedding"))
+    current = ivf_dispersion(src, centroids)
+    mean_ratio = (round(current["mean_dist"] / trained["mean_dist"], 4)
+                  if trained["mean_dist"] else None)
+    p95_ratio = (round(current["p95_dist"] / trained["p95_dist"], 4)
+                 if trained["p95_dist"] else None)
+    drifted = any(r is not None and r > ratio_threshold
+                  for r in (mean_ratio, p95_ratio))
+    return {"trained": trained, "current": current,
+            "mean_ratio": mean_ratio, "p95_ratio": p95_ratio,
+            "drifted": drifted}

@@ -585,3 +585,70 @@ def test_ivf_residual_pq_index_search_and_pinning(spark, tmp_path,
     with pytest.raises(ValueError, match="requires"):
         ivf_index_batch(_vecs(spark, range(4)), 2, idir, centroids,
                         pq_residual=True)
+
+
+def test_ivf_drift_monitor(spark, tmp_path, centroids):
+    """The WHEN-to-retrain signal: a stationary stream reports ratios
+    near 1.0 and does not trip; a drifted batch (vectors far from every
+    training centroid) trips the report; digest/baseline mismatches
+    refuse. The quantized index measures the dequantized codes."""
+    from pyspark.sql import functions as F
+
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        ivf_drift_report,
+        record_ivf_dispersion,
+        retrain_ivf_index,
+    )
+
+    idir = str(tmp_path / "drift")
+    train = _vecs(spark, range(0, 32))
+    ivf_index_batch(train, 0, idir, centroids)
+    base = record_ivf_dispersion(spark, idir, centroids, train)
+    assert base["n"] == 32 and base["mean_dist"] > 0
+
+    # stationary: the same generator's later ids — same distribution
+    ivf_index_batch(_vecs(spark, range(32, 64)), 1, idir, centroids)
+    rep = ivf_drift_report(spark, idir, centroids)
+    assert not rep["drifted"], rep
+    assert 0.5 < rep["mean_ratio"] < 1.5
+
+    # drifted: vectors pointing AWAY from every training direction
+    drifted_rows = [(100 + i, [-3.0 if d == i % DIM else -0.4 - 0.05 * d
+                               for d in range(DIM)]) for i in range(32)]
+    ivf_index_batch(spark.createDataFrame(drifted_rows, V_SCHEMA), 2,
+                    idir, centroids)
+    rep2 = ivf_drift_report(spark, idir, centroids)
+    assert rep2["drifted"], rep2
+    assert rep2["mean_ratio"] > rep["mean_ratio"]
+
+    # wrong centroids refuse, for both record and report
+    other = [[1.0] * DIM for _ in range(2)]
+    with pytest.raises(ValueError, match="digest"):
+        record_ivf_dispersion(spark, idir, other, train)
+    with pytest.raises(ValueError, match="digest"):
+        ivf_drift_report(spark, idir, other)
+
+    # after a retrain the old baseline refuses (stale geometry) until
+    # re-recorded against the new centroids
+    new_cents = retrain_ivf_index(spark, idir)
+    with pytest.raises(ValueError, match="re-record"):
+        ivf_drift_report(spark, idir, new_cents)
+    record_ivf_dispersion(
+        spark, idir, new_cents,
+        spark.read.option("basePath", idir).parquet(idir)
+        .select(F.col("v").alias("embedding")))
+    rep3 = ivf_drift_report(spark, idir, new_cents)
+    assert not rep3["drifted"], rep3   # baseline == current by design
+
+    # missing baseline refuses
+    idir2 = str(tmp_path / "nodrift")
+    ivf_index_batch(train, 0, idir2, centroids)
+    with pytest.raises(ValueError, match="_ivf_drift"):
+        ivf_drift_report(spark, idir2, centroids)
+
+    # int8 index: report measures the dequantized codes
+    idir3 = str(tmp_path / "qdrift")
+    ivf_index_batch(train, 0, idir3, centroids, quantize=True)
+    record_ivf_dispersion(spark, idir3, centroids, train)
+    repq = ivf_drift_report(spark, idir3, centroids)
+    assert not repq["drifted"] and 0.5 < repq["mean_ratio"] < 1.5
