@@ -457,9 +457,18 @@ def doc_embedding(df: DataFrame, vecs: DataFrame, dim: int,
     the assembled array. No per-component join, no token-instance
     shuffle, no collect.
 
+    Per-row memory note: the pinned fold packs each document's
+    DISTINCT covered tokens × dim doubles into one collected array
+    before folding — O(distinct_tokens · dim) per row, so a very long
+    document against a 300-dim model makes a wide row. Bounded in
+    practice by upstream chunking (operators/corpus
+    ``split_long_documents`` — the funnel's convention); chunk first
+    if documents are unbounded.
+
     Returns ``(id_col, n_tokens, n_model_tokens, embedding)`` —
     ``n_tokens`` = all token instances, ``n_model_tokens`` = covered
-    instances, components rounded to 6 dp."""
+    instances, components rounded to 6 dp (plus ``n_subword_tokens``
+    when ``char_ngrams`` is set)."""
     from harvesting_extract_to_ttl_service_spark.operators.dedup import (
         spread_for_cpu,
     )

@@ -597,6 +597,94 @@ def probe_pq(spark, n: int, n_queries: int, tmp: str) -> dict:
     return res
 
 
+def probe_pqres(spark, n: int, n_queries: int, tmp: str) -> dict:
+    """Residual-PQ (IVFADC) vs raw-PQ recall at the SAME m over a
+    CLUSTERED corpus — the shape real embeddings have and the setting
+    where residual encoding pays (on the near-random sf embeddings the
+    two tie; the fixture-scale pin lives in tests/test_ann_recall.py).
+    Corpus: n×5,000 md5-deterministic points around 64 anchors (the
+    coarse quantizer gets one cell per anchor), everything generated
+    IN-PLAN — no driver loop. Measures index build walls (identical
+    bytes by construction — same m), the probed ADC search loop, and
+    recall@10 vs per-query exact cosine."""
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        hash_fraction,
+    )
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        cosine_topk,
+        ivf_residuals,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        ivf_index_batch,
+        ivf_search,
+    )
+
+    dim, n_anchor, m, ksub = 64, 64, 8, 16
+
+    def _hf(key, salt):
+        return hash_fraction(key, salt)
+
+    anchor = (F.col("vec_id") % n_anchor).cast("string")
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (2.0 * _hf(F.concat(anchor, F.lit(":"),
+                                      i.cast("string")), "anch") - 1.0)
+        + 0.15 * (2.0 * _hf(F.concat(F.col("vec_id").cast("string"),
+                                     F.lit(":"), i.cast("string")),
+                            "jit") - 1.0))
+    corpus = (spark.range(n * 5000)
+              .select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+              .localCheckpoint(eager=True))
+    res = {"corpus": corpus.count(), "queries": n_queries}
+
+    sample = corpus.filter(F.col("vec_id") < 5000)
+    t0 = time.time()
+    cents = train_ivf_centroids(sample, k=n_anchor, dim=dim, max_iter=4)
+    res["cent_train_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    raw_books = train_pq_codebooks(sample, m, ksub, dim, max_iter=3)
+    res["raw_train_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    res_books = train_pq_codebooks(
+        ivf_residuals(sample, cents), m, ksub, dim,
+        vec_col="residual", max_iter=3)
+    res["res_train_s"] = round(time.time() - t0, 1)
+
+    dirs = {}
+    for mode, books, kw in [("raw", raw_books, {}),
+                            ("res", res_books, {"pq_residual": True})]:
+        d = f"{tmp}/pqres_{mode}_{n}x"
+        t0 = time.time()
+        ivf_index_batch(corpus, 0, d, cents, pq_codebooks=books, **kw)
+        res[f"{mode}_build_s"] = round(time.time() - t0, 1)
+        dirs[mode] = d
+
+    qrows = corpus.orderBy("vec_id").limit(n_queries).collect()
+    truths = {}
+    t0 = time.time()
+    for r in qrows:
+        truths[r.vec_id] = {
+            x.vec_id for x in cosine_topk(
+                corpus.filter(F.col("vec_id") != r.vec_id),
+                list(r.embedding), k=10).collect()}
+    res["exact_loop_s"] = round(time.time() - t0, 1)
+    for mode, books, kw in [("raw", raw_books, {}),
+                            ("res", res_books, {"pq_residual": True})]:
+        t0 = time.time()
+        hit = 0
+        for r in qrows:
+            got = [x.vec_id for x in ivf_search(
+                spark, dirs[mode], list(r.embedding), cents, k=11,
+                n_probe=4, pq_codebooks=books, **kw).collect()
+                if x.vec_id != r.vec_id][:10]
+            hit += len(set(got) & truths[r.vec_id])
+        res[f"{mode}_loop_s"] = round(time.time() - t0, 1)
+        res[f"{mode}_recall"] = round(hit / (10 * len(qrows)), 3)
+    return res
+
+
 def probe_demb(spark, n: int) -> dict:
     """Model-backed document embeddings at n× the sf0.1 documents:
     wall should stay linear — the shuffle moves distinct-token partials
@@ -641,10 +729,11 @@ def main():
     stream = bool(args) and args[0] == "stream"
     ann = bool(args) and args[0] == "ann"
     pq = bool(args) and args[0] == "pq"
+    pqres = bool(args) and args[0] == "pqres"
     demb = bool(args) and args[0] == "demb"
     finalize = bool(args) and args[0] == "finalize"
     if incremental or funnel or stream or ann or finalize or span \
-            or mih or imih or pq or demb:
+            or mih or imih or pq or pqres or demb:
         args = args[1:]
     explicit = [int(x) for x in args]
     replicas = explicit or [1, 2, 5, 10]
@@ -676,6 +765,20 @@ def main():
                       f"({r[f'{mode}_loop_rows']} rows)")
             print(f"brute exact_s={r['brute_exact_s']} "
                   f"brute adc_s={r['brute_adc_s']}")
+            return
+        if pqres:
+            n = explicit[0] if explicit else 2
+            n_queries = explicit[1] if len(explicit) > 1 else 30
+            r = probe_pqres(spark, n, n_queries, tmp)
+            print(f"corpus={r['corpus']} queries={r['queries']} "
+                  f"cent_train_s={r['cent_train_s']} "
+                  f"raw_train_s={r['raw_train_s']} "
+                  f"res_train_s={r['res_train_s']} "
+                  f"exact_loop_s={r['exact_loop_s']}")
+            for mode in ("raw", "res"):
+                print(f"{mode:>4}: build_s={r[f'{mode}_build_s']} "
+                      f"loop_s={r[f'{mode}_loop_s']} "
+                      f"recall@10={r[f'{mode}_recall']}")
             return
         if demb:
             print(f"{'scale':>6} {'docs':>8} {'covered':>8} {'wall_s':>7}")
