@@ -1,0 +1,299 @@
+"""Lexical ranked retrieval (BM25) and lexical+vector hybrid fusion.
+
+The reference service (lblod/harvesting-extract-to-ttl-service) delegates
+every query to its SPARQL store and ships no ranked retrieval; this module
+is training-data extension surface (SURVEY.md §2C): corpus-scale lexical
+search over the ``documents`` table — an inverted posting table, BM25
+scoring (Robertson/Spärck Jones, with Lucene's always-positive
+``ln(1 + (N − df + ½)/(df + ½))`` idf), a batched multi-query variant, and
+reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) to combine the
+lexical ranking with the ANN stack's semantic ranking
+(operators/similarity.py) into one hybrid retriever.
+
+Scale notes (the 100 TB posture):
+
+* :func:`postings` is one explode + one map-side-combinable groupBy — the
+  same shape as every signature table in dedup.py; the document length
+  rides each posting row (denormalized, the classic inverted-index
+  layout), so scoring never joins back to the corpus.
+* The single-query path filters postings to the query's terms FIRST — an
+  IN-list that reaches a parquet scan as a pushed filter when the postings
+  are persisted (streaming/lexical_stream.py adds a term-hash bucket
+  partition on top, so the scan prunes whole directories) — per-query work
+  is proportional to the query terms' posting lists, not the corpus.
+* Document frequency, N and avgdl are one tiny aggregate each and join
+  back by broadcast — never a corpus-sized shuffle. N/avgdl come from
+  integer aggregates (count + sum of longs), so they are exact and
+  partition-order-independent.
+* The batched variant broadcasts the query-term table by default (query
+  batches are small next to the corpus), so the posting table never
+  shuffles; with ``broadcast_queries=False`` it shuffles on ``term``,
+  where a stopword-like term's posting list is the skew risk —
+  ``max_df_ratio`` prunes terms present in more than that fraction of
+  documents before the join (the standard IR guard doubling as the skew
+  guard).
+* Per-document scores are pinned left folds over term-sorted contribution
+  lists (the repo's float-fold discipline) — engine- and partition-order-
+  independent, so the DuckDB oracle restatement matches bit-for-bit; rank
+  is assigned over the ROUNDED score with an id tiebreak, so orderings
+  can't diverge in the last ulp either.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+from harvesting_extract_to_ttl_service_spark.operators.text import tokens
+
+DEFAULT_K1 = 1.2
+DEFAULT_B = 0.75
+DEFAULT_RRF_K = 60
+
+
+def terms(text: Column) -> Column:
+    """Retrieval tokenization: lowercased whitespace tokens, NULL-safe
+    (a NULL text is an empty document, not a dropped row)."""
+    return F.coalesce(tokens(F.lower(text)),
+                      F.array().cast("array<string>"))
+
+
+def postings(df: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Inverted posting table ``(id, term, tf, dl)``: one row per
+    (document, distinct term), with the document's total token count
+    denormalized onto every row. One explode + one map-side-combinable
+    groupBy; documents with no tokens yield no rows (they still count in
+    :func:`corpus_stats`)."""
+    t = terms(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), t.alias("_t"))
+    exploded = base.select(
+        "id", F.size("_t").alias("dl"), F.explode("_t").alias("term"))
+    # dl is constant per id, so first() is deterministic
+    return exploded.groupBy("id", "term").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl"))
+
+
+def corpus_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row corpus statistics ``(n_docs, sum_dl, avgdl)``. Integer
+    count + integer sum (exact, order-independent), avgdl derived as one
+    double division — the broadcastable scalar side of every BM25 plan."""
+    t = terms(F.col(text_col))
+    return (df.select(F.size(t).alias("dl"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"))
+            .withColumn("avgdl", F.col("sum_dl").cast("double")
+                        / F.col("n_docs")))
+
+
+def clean_query_terms(query_terms: list[str]) -> list[str]:
+    """Query-side twin of :func:`terms`: lowercase, drop empties,
+    distinct, sorted (the fold order every score uses)."""
+    return sorted({t.lower() for t in query_terms
+                   if t is not None and t.strip() != ""})
+
+
+def bm25_contrib(k1: float = DEFAULT_K1, b: float = DEFAULT_B) -> Column:
+    """Per-(document, term) BM25 contribution over columns
+    ``tf, dl, df, n_docs, avgdl``:
+
+        idf(term) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    with ``idf = ln(1 + (N − df + 0.5)/(df + 0.5))`` (Lucene's BM25 idf —
+    positive even for terms present in most documents, which matters on
+    small-vocabulary corpora). Operand order mirrors the oracle SQL
+    (plans/catalog_llm._bm25_sql) token for token so the doubles match."""
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    denom = (F.col("tf") + F.lit(float(k1))
+             * (F.lit(1.0) - F.lit(float(b))
+                + F.lit(float(b)) * F.col("dl") / F.col("avgdl")))
+    return idf * (F.col("tf") * F.lit(float(k1) + 1.0)) / denom
+
+
+def score_postings(ps: DataFrame, stats: DataFrame,
+                   k1: float = DEFAULT_K1, b: float = DEFAULT_B,
+                   group_cols: list[str] | None = None) -> DataFrame:
+    """Score a (pre-filtered) posting table against a one-row stats
+    frame: document frequency from the postings themselves (after any
+    query-term filter, df of a term = its row count per group-free term),
+    broadcast joins for the two scalar sides, then a pinned left fold of
+    the term-sorted contributions per document. Shared verbatim by the
+    ad-hoc path (:func:`bm25_topk`) and the persisted-index path
+    (streaming/lexical_stream.bm25_search) so the two can never drift.
+
+    ``group_cols`` defaults to ``["id"]``; the batched join passes
+    ``["query_id", "id"]`` (df must then be per-term ACROSS queries —
+    callers computing candidates per query pass a df table instead; see
+    :func:`bm25_topk_join`)."""
+    group_cols = group_cols or ["id"]
+    dfreq = ps.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (ps.join(F.broadcast(dfreq), "term")
+              .crossJoin(F.broadcast(stats))
+              .withColumn("contrib", bm25_contrib(k1, b)))
+    return fold_scores(scored, group_cols)
+
+
+def fold_scores(scored: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Pinned per-document score: sort the (term, contrib) structs, left-
+    fold the contributions from 0.0 in term order, round to 6 — the same
+    fold the DuckDB oracle states with list(c ORDER BY term) +
+    list_reduce. ``n_terms_hit`` rides along for match diagnostics."""
+    return (scored.groupBy(*group_cols)
+            .agg(F.sort_array(
+                F.collect_list(F.struct("term", "contrib"))).alias("_c"))
+            .select(*group_cols,
+                    F.size("_c").alias("n_terms_hit"),
+                    F.round(F.aggregate(
+                        "_c", F.lit(0.0),
+                        lambda a, x: a + x["contrib"]), 6).alias("score")))
+
+
+def _ranked(df: DataFrame, k: int, order_cols: list[Column],
+            part_cols: list[str] | None = None) -> DataFrame:
+    w = (Window.partitionBy(*part_cols) if part_cols
+         else Window.partitionBy())
+    return (df.withColumn("rank",
+                          F.row_number().over(w.orderBy(*order_cols)))
+            .filter(F.col("rank") <= k))
+
+
+def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
+              k1: float = DEFAULT_K1, b: float = DEFAULT_B,
+              text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Single-query BM25 top-k: ``(id_col, rank, n_terms_hit, score)``.
+    Postings filter to the query's terms before anything else (the
+    pushed-filter path once persisted); df/N/avgdl broadcast back; one
+    groupBy(id) fold; top-k = orderBy(rounded score, id) + limit, rank
+    assigned over the surviving ≤k rows (the unpartitioned window is k
+    rows by construction, never corpus-sized)."""
+    qt = clean_query_terms(query_terms)
+    ps = postings(df, text_col, id_col).filter(F.col("term").isin(qt))
+    agg = score_postings(ps, corpus_stats(df, text_col), k1, b)
+    top = (agg.orderBy(F.col("score").desc(), F.col("id"))
+           .limit(k))
+    return (_ranked(top, k, [F.col("score").desc(), F.col("id")])
+            .select(F.col("id").alias(id_col), "rank", "n_terms_hit",
+                    "score"))
+
+
+def bm25_topk_join(queries: DataFrame, docs: DataFrame, k: int = 10,
+                   k1: float = DEFAULT_K1, b: float = DEFAULT_B,
+                   max_df_ratio: float | None = None,
+                   broadcast_queries: bool = True,
+                   qid_col: str = "query_id", qtext_col: str = "text",
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Batched BM25: top-k per query row →
+    ``(qid_col, id_col, rank, n_terms_hit, score)``. Query texts tokenize
+    with the SAME tokenizer as documents (distinct terms — classic BM25
+    ignores query-side tf for short queries). The candidate join
+    broadcasts the query-term table by default (the posting table never
+    shuffles); ``broadcast_queries=False`` plans a shuffle join on
+    ``term`` for query batches too large to broadcast — there
+    ``max_df_ratio`` is the skew guard (drop terms in more than that
+    fraction of documents before joining; a pruned term contributes
+    nothing, exactly as if it were OOV). df is computed once per term
+    (not per query) over the postings restricted to the union of query
+    terms."""
+    qterms = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.explode(F.array_distinct(terms(F.col(qtext_col))))
+        .alias("term"))
+    ps = postings(docs, text_col, id_col)
+    stats = corpus_stats(docs, text_col)
+
+    uniq = qterms.select("term").distinct()
+    dfreq = (ps.join(F.broadcast(uniq), "term")
+             .groupBy("term").agg(F.count("*").alias("df")))
+    if max_df_ratio is not None:
+        dfreq = (dfreq.crossJoin(F.broadcast(stats.select("n_docs")))
+                 .filter(F.col("df")
+                         <= F.lit(float(max_df_ratio)) * F.col("n_docs"))
+                 .drop("n_docs"))
+    # dfreq is ≤ |query vocabulary| rows — always broadcastable; joining
+    # postings→dfreq first also APPLIES the max_df pruning to the big side
+    # before any query fan-out
+    cand = ps.join(F.broadcast(dfreq), "term")
+    cand = (cand.join(F.broadcast(qterms), "term") if broadcast_queries
+            else cand.repartition("term").join(qterms, "term"))
+    scored = (cand.crossJoin(F.broadcast(stats))
+              .withColumn("contrib", bm25_contrib(k1, b)))
+    agg = fold_scores(scored, ["qid", "id"])
+    out = _ranked(agg, k, [F.col("score").desc(), F.col("id")], ["qid"])
+    return out.select(F.col("qid").alias(qid_col),
+                      F.col("id").alias(id_col),
+                      "rank", "n_terms_hit", "score")
+
+
+def reciprocal_rank_fusion(rankings: list[tuple[str, DataFrame]],
+                           rrf_k: int = DEFAULT_RRF_K,
+                           id_col: str = "doc_id",
+                           rank_col: str = "rank") -> DataFrame:
+    """Reciprocal-rank fusion over named rankings:
+    ``rrf_score(d) = Σ_sources 1/(rrf_k + rank_source(d))`` →
+    ``(id_col, n_sources, rrf_score)``. Rank-only fusion needs no score
+    calibration between lexical and vector retrievers — the reason it is
+    the standard hybrid combiner. Each input must hold one row per id;
+    ids missing from a source simply contribute nothing. The fold is
+    pinned in source-name order (sorted struct list), so the double is
+    reproducible no matter how the union's partitions land."""
+    names = [n for n, _ in rankings]
+    if len(set(names)) != len(names):
+        raise ValueError(f"reciprocal_rank_fusion: duplicate source "
+                         f"names {names}")
+    tagged = None
+    for name, r in rankings:
+        d = r.select(F.lit(name).alias("src"),
+                     F.col(id_col).alias("id"),
+                     F.col(rank_col).cast("long").alias("rank"))
+        tagged = d if tagged is None else tagged.unionByName(d)
+    assert tagged is not None
+    return (tagged.groupBy("id")
+            .agg(F.sort_array(
+                F.collect_list(F.struct("src", "rank"))).alias("_r"))
+            .select(F.col("id").alias(id_col),
+                    F.size("_r").alias("n_sources"),
+                    F.round(F.aggregate(
+                        "_r", F.lit(0.0),
+                        lambda a, x: a + F.lit(1.0)
+                        / (F.lit(rrf_k) + x["rank"])), 6)
+                    .alias("rrf_score")))
+
+
+def hybrid_topk(docs: DataFrame, vecs: DataFrame,
+                query_terms: list[str], query_vec: list[float],
+                k: int = 10, n_candidates: int = 50,
+                rrf_k: int = DEFAULT_RRF_K,
+                k1: float = DEFAULT_K1, b: float = DEFAULT_B,
+                text_col: str = "text", id_col: str = "doc_id",
+                vec_col: str = "embedding",
+                vec_id_col: str = "vec_id") -> DataFrame:
+    """Hybrid lexical+semantic retrieval: BM25 top-``n_candidates`` over
+    the text corpus and exact cosine top-``n_candidates`` over the
+    embedding table (ids must agree), fused by reciprocal rank →
+    ``(id_col, rank, n_sources, rrf_score)``. Swap the cosine side for
+    ivf_search / pq_adc_topk at scale — fusion only consumes (id, rank),
+    so any retriever with a rank column plugs in."""
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    lex = bm25_topk(docs, query_terms, k=n_candidates, k1=k1, b=b,
+                    text_col=text_col, id_col=id_col)
+    sem = cosine_topk(vecs, query_vec, k=n_candidates, vec_col=vec_col,
+                      id_col=vec_id_col)
+    # cosine_topk returns ordered-but-unranked rows; rank them the way
+    # they were selected (rounded score desc, id) — ≤ n_candidates rows
+    sem = _ranked(sem, n_candidates,
+                  [F.col("cos_sim").desc(), F.col(vec_id_col)]).select(
+        F.col(vec_id_col).alias(id_col), "rank")
+    fused = reciprocal_rank_fusion(
+        [("lex", lex.select(id_col, "rank")), ("vec", sem)],
+        rrf_k=rrf_k, id_col=id_col)
+    top = (fused.orderBy(F.col("rrf_score").desc(), F.col(id_col))
+           .limit(k))
+    return (_ranked(top, k, [F.col("rrf_score").desc(), F.col(id_col)])
+            .select(id_col, "rank", "n_sources", "rrf_score"))

@@ -1973,6 +1973,212 @@ def doc_embedding_subword_q(spark: SparkSession, sf_dir: str
         F.col("embedding").getItem(2).alias("e2"))
 
 
+# --- lexical retrieval: BM25 + hybrid RRF (operators/retrieval.py) ------
+# k1/b are the classic BM25 defaults; every float literal in the oracle
+# is CAST({x!r} AS DOUBLE) so both engines parse the exact same double
+# (the DECIMAL-literal drift lesson). 'dup' is the fixture's one rare
+# term (df≈25/500) — the query mixes it with three common terms so idf
+# spans the fixture's whole range.
+_BM25_TERMS = ("dup", "hash", "spark", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_K = 10
+_RRF_CAND = 20
+_BM25J_QUERIES = [(0, "dup spark"), (1, "window hash merge"),
+                  (2, "key value store dup")]
+_BM25J_K = 5
+_BM25J_MAXDF = 0.5
+
+
+def _bm25_consts() -> tuple[str, str, str]:
+    return (f"CAST({_BM25_K1!r} AS DOUBLE)",
+            f"CAST({_BM25_K1 + 1.0!r} AS DOUBLE)",
+            f"CAST({_BM25_B!r} AS DOUBLE)")
+
+
+def _bm25_core_sql(term_filter: str, max_df: str | None = None) -> str:
+    """Shared BM25 CTE chain (docs → stats → tf → df → contributions):
+    the DuckDB twin of operators/retrieval's postings + corpus_stats +
+    bm25_contrib, with the same pinned operand order. ``term_filter``
+    is the SQL membership test over ``term``; ``max_df`` (a SQL double
+    expression) adds the df-pruning CTE the batched operator applies
+    when ``max_df_ratio`` is set."""
+    k1, k1p1, b = _bm25_consts()
+    dfk = (f""", dfk AS (
+  SELECT d.term, d.df FROM dfq d CROSS JOIN st s
+  WHERE d.df <= {max_df} * s.n_docs
+)""" if max_df is not None else "")
+    df_src = "dfk" if max_df is not None else "dfq"
+    return f"""
+dw AS (
+  SELECT doc_id, {_WORDS} AS w FROM documents
+), st AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(len(w)) AS DOUBLE) / count(*) AS avgdl
+  FROM dw
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf, min(dl) AS dl FROM (
+    SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM dw)
+  WHERE {term_filter} GROUP BY doc_id, term
+), dfq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+){dfk}, ctr AS (
+  SELECT t.doc_id, t.term,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (t.tf * {k1p1})
+           / (t.tf + {k1} * (1.0 - {b} + {b} * t.dl / s.avgdl)) AS c
+  FROM tf t JOIN {df_src} d USING (term) CROSS JOIN st s
+)"""
+
+
+_FOLD_C = ("round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+           "list(c ORDER BY term)), (a, x) -> a + x), 6)")
+
+_BM25_TLIST = ", ".join(f"'{t}'" for t in sorted(_BM25_TERMS))
+
+_BM25_SQL = f"""
+WITH {_bm25_core_sql(f"term IN ({_BM25_TLIST})")}, sc AS (
+  SELECT doc_id, count(*) AS n_terms_hit, {_FOLD_C} AS score
+  FROM ctr GROUP BY doc_id
+)
+SELECT doc_id, rank, n_terms_hit, score FROM (
+  SELECT doc_id, n_terms_hit, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM sc)
+WHERE rank <= {_BM25_K}
+"""
+
+
+@member_sql(_BM25_SQL)
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-query BM25 top-10 (operators/retrieval.bm25_topk) over the
+    full documents table: inverted postings filtered to the query terms,
+    Lucene idf, one-row stats broadcast, pinned term-ordered score fold.
+    The oracle independently re-derives postings, df, N/avgdl, every
+    contribution, the fold, and the rounded-score ranking."""
+    from harvesting_extract_to_ttl_service_spark.operators.retrieval import (
+        bm25_topk,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(docs, list(_BM25_TERMS), k=_BM25_K,
+                     k1=_BM25_K1, b=_BM25_B)
+
+
+def _bm25_join_oracle() -> str:
+    k1, k1p1, b = _bm25_consts()
+    vals = ", ".join(f"({i}, '{t}')" for i, t in _BM25J_QUERIES)
+    maxdf = f"CAST({_BM25J_MAXDF!r} AS DOUBLE)"
+    return f"""
+WITH qt AS (
+  SELECT query_id, unnest(list_distinct({_WORDS})) AS term
+  FROM (VALUES {vals}) AS t(query_id, text)
+), {_bm25_core_sql("term IN (SELECT term FROM qt)", max_df=maxdf)}, ctq AS (
+  SELECT q.query_id, t.doc_id, t.term, t.c
+  FROM ctr t JOIN qt q USING (term)
+), sc AS (
+  SELECT query_id, doc_id, count(*) AS n_terms_hit,
+         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(c ORDER BY term)), (a, x) -> a + x), 6) AS score
+  FROM ctq GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, rank, n_terms_hit, score FROM (
+  SELECT query_id, doc_id, n_terms_hit, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM sc)
+WHERE rank <= {_BM25J_K}
+"""
+
+
+@member_sql(_bm25_join_oracle())
+def bm25_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BM25 (operators/retrieval.bm25_topk_join): three query
+    rows (one with an OOV term, one whose terms ALL prune away) top-5
+    joined against the corpus with max_df pruning at 0.5 — only 'dup'
+    (df≈5%) survives, so the member exercises the skew guard for real:
+    queries 0 and 2 rank the dup-documents, query 1 returns nothing.
+    The oracle restates query tokenization, the shared-df convention
+    (per term, not per query), the pruning threshold, and the per-
+    (query, doc) fold."""
+    from harvesting_extract_to_ttl_service_spark.operators.retrieval import (
+        bm25_topk_join,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = spark.createDataFrame(_BM25J_QUERIES,
+                                    "query_id long, text string")
+    return bm25_topk_join(queries, docs, k=_BM25J_K, k1=_BM25_K1,
+                          b=_BM25_B, max_df_ratio=_BM25J_MAXDF)
+
+
+_VNORM_SQL = ("sqrt(list_reduce(list_transform(embedding, "
+              "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+              "(x, y) -> x + y))")
+
+_RRF_SQL = f"""
+WITH {_bm25_core_sql(f"term IN ({_BM25_TLIST})")}, sc AS (
+  SELECT doc_id, {_FOLD_C} AS score FROM ctr GROUP BY doc_id
+), lex AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+    FROM sc)
+  WHERE rank <= {_RRF_CAND}
+), q AS (
+  SELECT embedding AS qv, {_VNORM_SQL} AS qn
+  FROM embeddings WHERE vec_id = 0
+), vv AS (
+  SELECT vec_id, embedding, {_VNORM_SQL} AS vnorm FROM embeddings
+), cosd AS (
+  SELECT vec_id,
+         round({_zip_dot_sql('vv.embedding', 'q.qv')}
+               / (vv.vnorm * q.qn), 6) AS cos_sim
+  FROM vv CROSS JOIN q
+), vrank AS (
+  SELECT vec_id AS doc_id, rank FROM (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+    FROM cosd)
+  WHERE rank <= {_RRF_CAND}
+), uni AS (
+  SELECT 'lex' AS src, doc_id, rank FROM lex
+  UNION ALL
+  SELECT 'vec' AS src, doc_id, rank FROM vrank
+), fused AS (
+  SELECT doc_id, count(*) AS n_sources,
+         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(CAST(1.0 AS DOUBLE) / (60 + rank) ORDER BY src)),
+               (a, x) -> a + x), 6) AS rrf_score
+  FROM uni GROUP BY doc_id
+)
+SELECT doc_id, rank, n_sources, rrf_score FROM (
+  SELECT doc_id, n_sources, rrf_score,
+         row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
+  FROM fused)
+WHERE rank <= {_BM25_K}
+"""
+
+
+@member_sql(_RRF_SQL)
+def hybrid_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (operators/retrieval.hybrid_topk): BM25 top-20
+    over documents fused with exact-cosine top-20 over embeddings
+    (query = vec_id 0's vector, data-derived like every ANN member) by
+    reciprocal rank, k_rrf=60. The oracle restates BOTH retrievers end
+    to end plus the source-ordered RRF fold."""
+    from harvesting_extract_to_ttl_service_spark.operators.retrieval import (
+        hybrid_topk,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    return hybrid_topk(docs, emb, list(_BM25_TERMS), qvec, k=_BM25_K,
+                       n_candidates=_RRF_CAND, k1=_BM25_K1, b=_BM25_B)
+
+
 _ANN_MEMBERS = [
     ("temb", hashed_text_embedding_q, ["doc_id", "n_tokens"],
      ["e0", "e1", "e2"]),
@@ -1995,6 +2201,11 @@ _ANN_MEMBERS = [
     ("pqres", pq_residual_adc_topk_q, ["vec_id"], ["cos_sim"]),
     ("decon_sem", decontam_semantic_q, ["doc_id", "bench_id"],
      ["cos_sim"]),
+    ("bm25", bm25_topk_q, ["doc_id", "rank", "n_terms_hit"], ["score"]),
+    ("bm25j", bm25_join_q,
+     ["query_id", "doc_id", "rank", "n_terms_hit"], ["score"]),
+    ("rrf", hybrid_rrf_q, ["doc_id", "rank", "n_sources"],
+     ["rrf_score"]),
 ]
 
 
@@ -2006,7 +2217,10 @@ def ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster-blocked near-dup pairs, and the exact all-pairs small-n
     baseline (self_topk) — each member keeps its own plan and full oracle
     restatement (bucket functions, Hamming-ball probe, centroid ranking,
-    window-ranked exact pairs, final scores)."""
+    window-ranked exact pairs, final scores). Round 12 adds the lexical
+    retrieval members: bm25 (single-query top-k), bm25j (batched join
+    with max_df skew pruning), rrf (BM25 ⊕ cosine reciprocal-rank
+    fusion — the hybrid retriever)."""
     return suite_df(spark, sf_dir, _ANN_MEMBERS)
 
 

@@ -1,0 +1,266 @@
+"""Lexical retrieval (operators/retrieval.py) + the persisted BM25 index
+(streaming/lexical_stream.py): scores vs an independent python mirror,
+batched ≡ single-query, skew pruning, RRF fusion math, stored-index ≡
+ad-hoc parity, replay idempotence, sidecar refusal, and the pruning
+predicates actually reaching the parquet scan."""
+
+import json
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from harvesting_extract_to_ttl_service_spark.operators.retrieval import (
+    bm25_topk,
+    bm25_topk_join,
+    corpus_stats,
+    hybrid_topk,
+    postings,
+    reciprocal_rank_fusion,
+)
+from harvesting_extract_to_ttl_service_spark.streaming.lexical_stream import (
+    bm25_index_batch,
+    bm25_search,
+    run_bm25_index_stream,
+    term_bucket_py,
+)
+
+DOCS = [(0, "the cat sat on the mat"),
+        (1, "the dog sat"),
+        (2, "cat cat cat dog"),
+        (3, None),
+        (4, ""),
+        (5, "fish swim and CAT naps")]
+D_SCHEMA = "doc_id long, text string"
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, D_SCHEMA)
+
+
+def _mirror_bm25(query_terms, k1=1.2, b=0.75):
+    """Independent python BM25 over DOCS: Lucene idf, term-sorted left
+    fold, round-6 — the contract both the Spark path and the DuckDB
+    oracle state."""
+    tok = {i: (t or "").lower().split() for i, t in DOCS}
+    n = len(tok)
+    avgdl = sum(len(v) for v in tok.values()) / n
+    qt = sorted({t.lower() for t in query_terms if t and t.strip()})
+    dfreq = {t: sum(1 for v in tok.values() if t in v) for t in qt}
+    out = {}
+    for d, words in tok.items():
+        s, hits = 0.0, 0
+        for t in qt:
+            tf = words.count(t)
+            if tf == 0:
+                continue
+            hits += 1
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s = s + idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * len(words) / avgdl))
+        if hits:
+            out[d] = (hits, round(s, 6))
+    return out
+
+
+def test_bm25_matches_python_mirror(spark):
+    got = {r.doc_id: (r.n_terms_hit, r.score)
+           for r in bm25_topk(_docs(spark), ["cat", "dog", "absent"],
+                              k=10).collect()}
+    assert got == _mirror_bm25(["cat", "dog", "absent"])
+
+
+def test_bm25_rank_order_and_ties(spark):
+    rows = bm25_topk(_docs(spark), ["cat", "dog"], k=10).collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # equal scores order by doc_id (determinism the oracle also states)
+    for a, b2 in zip(rows, rows[1:]):
+        if a.score == b2.score:
+            assert a.doc_id < b2.doc_id
+
+
+def test_null_and_empty_docs_count_in_stats_but_never_rank(spark):
+    """Doc 3 (NULL) and doc 4 (empty) contribute to N and avgdl yet can
+    never appear in results; dropping them from the corpus CHANGES other
+    docs' scores (proof they entered the stats)."""
+    full = {r.doc_id: r.score
+            for r in bm25_topk(_docs(spark), ["cat"], k=10).collect()}
+    assert 3 not in full and 4 not in full
+    trimmed = spark.createDataFrame(
+        [d for d in DOCS if d[0] not in (3, 4)], D_SCHEMA)
+    cut = {r.doc_id: r.score
+           for r in bm25_topk(trimmed, ["cat"], k=10).collect()}
+    assert set(full) == set(cut) and full != cut
+
+
+def test_case_insensitive_query_and_doc(spark):
+    # "CAT" in doc 5 and query casing both normalize
+    got = {r.doc_id for r in
+           bm25_topk(_docs(spark), ["CaT"], k=10).collect()}
+    assert got == {0, 2, 5}
+
+
+def test_postings_shape(spark):
+    ps = postings(_docs(spark)).collect()
+    by = {(r.id, r.term): (r.tf, r.dl) for r in ps}
+    assert by[(2, "cat")] == (3, 4)
+    assert by[(0, "the")] == (2, 6)
+    assert not [r for r in ps if r.id in (3, 4)]
+    st = corpus_stats(_docs(spark)).head()
+    assert (st.n_docs, st.sum_dl) == (6, 18)
+    assert st.avgdl == 3.0
+
+
+def test_batched_join_equals_per_query(spark):
+    docs = _docs(spark)
+    queries = [(0, "cat dog"), (1, "fish the"), (2, "absent only")]
+    qdf = spark.createDataFrame(queries, "query_id long, text string")
+    got = bm25_topk_join(qdf, docs, k=4).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(
+            (r.rank, r.doc_id, r.n_terms_hit, r.score))
+    for qid, text in queries:
+        want = [(r.rank, r.doc_id, r.n_terms_hit, r.score)
+                for r in bm25_topk(docs, text.split(), k=4).collect()]
+        assert sorted(by_q.get(qid, [])) == sorted(want), qid
+
+
+def test_batched_join_shuffle_path_identical(spark):
+    docs = _docs(spark)
+    qdf = spark.createDataFrame([(0, "cat dog"), (1, "fish the")],
+                                "query_id long, text string")
+    a = sorted(map(tuple, bm25_topk_join(qdf, docs, k=4).collect()))
+    b = sorted(map(tuple, bm25_topk_join(
+        qdf, docs, k=4, broadcast_queries=False).collect()))
+    assert a == b
+
+
+def test_max_df_pruning_drops_common_terms(spark):
+    """With max_df_ratio=0.4 'the' (df 2/6) survives but 'cat' and 'sat'
+    (df 3/6 each) prune — scores become the-only."""
+    docs = _docs(spark)
+    qdf = spark.createDataFrame([(0, "cat the")],
+                                "query_id long, text string")
+    got = bm25_topk_join(qdf, docs, k=10, max_df_ratio=0.4).collect()
+    assert {r.doc_id for r in got} == {0, 1}  # the-docs, not cat-docs
+    assert all(r.n_terms_hit == 1 for r in got)
+    want = {r.doc_id: r.score
+            for r in bm25_topk(docs, ["the"], k=10).collect()}
+    assert {r.doc_id: r.score for r in got} == want
+
+
+def test_rrf_matches_python_mirror(spark):
+    lex = spark.createDataFrame([(0, 1), (1, 2), (2, 3)],
+                                "doc_id long, rank long")
+    vec = spark.createDataFrame([(1, 1), (3, 2)], "doc_id long, rank long")
+    got = {r.doc_id: (r.n_sources, r.rrf_score)
+           for r in reciprocal_rank_fusion(
+               [("lex", lex), ("vec", vec)]).collect()}
+    assert got == {
+        0: (1, round(1 / 61, 6)),
+        1: (2, round(1 / 62 + 1 / 61, 6)),
+        2: (1, round(1 / 63, 6)),
+        3: (1, round(1 / 62, 6))}
+
+
+def test_rrf_duplicate_source_refused(spark):
+    d = spark.createDataFrame([(0, 1)], "doc_id long, rank long")
+    with pytest.raises(ValueError, match="duplicate source"):
+        reciprocal_rank_fusion([("a", d), ("a", d)])
+
+
+def test_hybrid_topk_fixture(spark, sf_dir):
+    """Over the driver fixtures: valid rank sequence, descending fused
+    scores, and the doc both retrievers agree on outranks docs only one
+    found at the same reciprocal-rank budget."""
+    from harvesting_extract_to_ttl_service_spark.plans.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    rows = hybrid_topk(docs, emb, ["dup", "spark"], qvec, k=5,
+                       n_candidates=10).collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    scores = [r.rrf_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r.n_sources in (1, 2) for r in rows)
+
+
+# --- persisted index -----------------------------------------------------
+
+
+def test_index_parity_replay_and_refusal(spark, tmp_path):
+    idir = str(tmp_path / "bm25")
+    d1 = spark.createDataFrame(DOCS[:3], D_SCHEMA)
+    d2 = spark.createDataFrame(DOCS[3:], D_SCHEMA)
+    bm25_index_batch(d1, 0, idir, n_buckets=8)
+    bm25_index_batch(d2, 1, idir, n_buckets=8)
+    want = [tuple(r) for r in
+            bm25_topk(_docs(spark), ["cat", "dog"], k=5).collect()]
+    got = [tuple(r) for r in
+           bm25_search(spark, idir, ["cat", "dog"], k=5,
+                       n_buckets=8).collect()]
+    assert got == want
+    # replaying a batch rewrites its own directory — results unchanged
+    bm25_index_batch(d2, 1, idir, n_buckets=8)
+    got2 = [tuple(r) for r in
+            bm25_search(spark, idir, ["cat", "dog"], k=5,
+                        n_buckets=8).collect()]
+    assert got2 == want
+    # a different bucket count is a different index — refuse up front
+    with pytest.raises(Exception, match="n_buckets"):
+        bm25_search(spark, idir, ["cat"], n_buckets=16)
+
+
+def test_index_search_prunes_at_the_scan(spark, tmp_path):
+    """The bucket IN-list must land in the partition directories read
+    and the term IN-list in the parquet scan's data filters — the whole
+    point of persisting postings."""
+    idir = str(tmp_path / "bm25p")
+    bm25_index_batch(_docs(spark), 0, idir, n_buckets=8)
+    plan = (bm25_search(spark, idir, ["cat"], k=3, n_buckets=8)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "term" in plan and "PushedFilters" in plan
+    assert f"bucket={term_bucket_py('cat', 8)}" in plan \
+        or "bucket IN" in plan or "bucket#" in plan
+    # the only nested-loop join is the documented one-row stats scalar
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bucket_py_matches_spark(spark):
+    terms_ = ["cat", "dog", "fish", "the", "dup"]
+    from harvesting_extract_to_ttl_service_spark.streaming.lexical_stream import (  # noqa: E501
+        term_bucket,
+    )
+
+    df = spark.createDataFrame([(t,) for t in terms_], "term string")
+    got = {r.term: r.b for r in
+           df.select("term", term_bucket(F.col("term"), 8).alias("b"))
+           .collect()}
+    assert got == {t: term_bucket_py(t, 8) for t in terms_}
+
+
+def test_run_bm25_index_stream_end_to_end(spark, tmp_path):
+    sdir = str(tmp_path / "docs")
+    idir = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(sdir)
+    with open(f"{sdir}/b0.json", "w") as f:
+        for i, t in DOCS[:3]:
+            f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+    st = spark.readStream.schema(D_SCHEMA).json(sdir)
+    q = run_bm25_index_stream(st, idir, ckpt, n_buckets=8)
+    q.awaitTermination(120)
+    got = [tuple(r) for r in
+           bm25_search(spark, idir, ["cat"], k=5, n_buckets=8).collect()]
+    want = [tuple(r) for r in
+            bm25_topk(spark.createDataFrame(DOCS[:3], D_SCHEMA),
+                      ["cat"], k=5).collect()]
+    assert got == want
