@@ -1002,6 +1002,8 @@ def filter_documents(docs: DataFrame, min_quality: float = 0.4,
                      min_avg_logprob: float | None = None,
                      lm_counts: DataFrame | None = None,
                      lm_alpha: float = 0.5,
+                     min_avg_bigram_logprob: float | None = None,
+                     bigram_model_counts: DataFrame | None = None,
                      strip_hot: DataFrame | None = None,
                      strip_window: int = 8,
                      redact: bool = False,
@@ -1019,7 +1021,13 @@ def filter_documents(docs: DataFrame, min_quality: float = 0.4,
     FROZEN reference unigram model ``lm_counts`` —
     operators/text.py :func:`~..text.unigram_counts`; required with the
     floor, because a self-trained model would make the filter a
-    corpus-level statistic). Every signal is a per-document function of
+    corpus-level statistic). ``min_avg_bigram_logprob`` adds the
+    second-order fluency floor (mean conditional log-probability under
+    a frozen :func:`~..text.bigram_model` table
+    ``bigram_model_counts`` — catches in-vocabulary-but-scrambled text
+    the unigram floor scores as fluent); documents with fewer than two
+    tokens carry no bigram evidence and PASS this gate (anti-join on
+    failures, not semi-join on passes). Every signal is a per-document function of
     the text (and the frozen model) alone — no cross-document state —
     which is exactly why the batch funnel (:func:`build_training_corpus`)
     and its streaming twin (streaming/corpus_stream.py) can share this
@@ -1190,6 +1198,25 @@ def filter_documents(docs: DataFrame, min_quality: float = 0.4,
                 .select(id_col))
         survivors = survivors.join(keep, id_col, "left_semi")
 
+    if min_avg_bigram_logprob is not None:
+        if bigram_model_counts is None:
+            raise ValueError(
+                "min_avg_bigram_logprob requires bigram_model_counts "
+                "(a frozen reference model from bigram_model): a "
+                "self-trained score is a corpus-level statistic and "
+                "would differ between the batch and streaming funnels")
+        from harvesting_extract_to_ttl_service_spark.operators.text import (
+            bigram_logprob,
+        )
+
+        # anti-join on FAILURES: documents with < 2 tokens produce no
+        # score row and must pass (no bigram evidence ≠ disfluent)
+        drop = (bigram_logprob(survivors, text_col, id_col, lm_alpha,
+                               model=bigram_model_counts)
+                .filter(F.col("avg_logprob") < min_avg_bigram_logprob)
+                .select(id_col))
+        survivors = survivors.join(drop, id_col, "left_anti")
+
     return survivors
 
 
@@ -1297,6 +1324,8 @@ def build_training_corpus(docs: DataFrame,
                           min_avg_logprob: float | None = None,
                           lm_counts: DataFrame | None = None,
                           lm_alpha: float = 0.5,
+                          min_avg_bigram_logprob: float | None = None,
+                          bigram_model_counts: DataFrame | None = None,
                           strip_hot: DataFrame | None = None,
                           strip_window: int = 8,
                           redact: bool = False,
@@ -1366,6 +1395,7 @@ def build_training_corpus(docs: DataFrame,
     survivors = filter_documents(
         docs, min_quality, langs, max_dup_line_ratio, max_top_bigram_ratio,
         max_pii_signals, min_avg_logprob, lm_counts, lm_alpha,
+        min_avg_bigram_logprob, bigram_model_counts,
         strip_hot, strip_window, redact=redact, gopher=gopher,
         lid_model=lid_model, quality_model=quality_model,
         text_col=text_col, id_col=id_col)

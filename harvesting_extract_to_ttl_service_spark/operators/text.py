@@ -606,6 +606,100 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     )
 
 
+def _doc_bigrams(text: Column) -> Column:
+    """Adjacent lowercased-token pairs as ``struct<t1, t2>`` — n−1
+    bigrams for an n-token document, empty (not NULL, not an error) for
+    documents with fewer than two tokens. The explicit n ≥ 2 guard
+    matters: sequence(1, n−1) DESCENDS for n < 2 instead of being
+    empty."""
+    t = tokens(F.lower(text))
+    n = F.size(t)
+    pairs = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.struct(F.element_at(t, i).alias("t1"),
+                           F.element_at(t, i + 1).alias("t2")))
+    return F.when(n >= 2, pairs).otherwise(
+        F.array().cast("array<struct<t1:string,t2:string>>"))
+
+
+def bigram_model(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus bigram model ``(t1, t2, ct, ct1)``: count of each adjacent
+    token pair plus the context total ``ct1 = Σ_t2 ct(t1, t2)``
+    DENORMALIZED onto every row — the conditional-probability
+    denominator travels with the pair, so scoring joins on the pair key
+    only (pair keys are far less skewed than token keys: the hottest
+    bigram's document frequency bounds the multiplicity, not the
+    hottest token's). Persist to parquet to freeze a reference model,
+    exactly like :func:`unigram_counts`."""
+    bi = df.select(F.explode(_doc_bigrams(F.col(text_col))).alias("bg"))
+    m = (bi.select("bg.t1", "bg.t2")
+         .groupBy("t1", "t2").agg(F.count("*").alias("ct")))
+    ctx = m.groupBy("t1").agg(F.sum("ct").alias("ct1"))
+    # vocab-sized equi-join paid ONCE at train time, never at scoring
+    return m.join(ctx, "t1")
+
+
+def bigram_logprob(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", alpha: float = 0.5,
+                   materialize_mode: str = "local_checkpoint",
+                   model: DataFrame | None = None) -> DataFrame:
+    """Per-document mean bigram conditional log-probability — the
+    second-order companion of :func:`unigram_logprob` (fluency is a
+    sequence property: shuffled-but-in-vocabulary gibberish scores near
+    the corpus mode under a unigram model and collapses under this one):
+
+        score(d) = Σ_g c_d(g)·ln p(g) / Σ_g c_d(g)     g = (t1, t2)
+        p(t2|t1) = (C(t1,t2) + α) / (C1(t1) + α·V)
+
+    with corpus pair counts C, context totals C1, add-α smoothing, and
+    V = the number of distinct continuation types in the model (the
+    conditional distribution's support). Documents with fewer than two
+    tokens have no bigrams and drop out, like token-less documents in
+    the unigram scorer.
+
+    Scale shape mirrors the unigram scorer: per-(doc, pair) partials
+    first (map-side combinable), corpus counts from a second groupBy
+    over those partials, V as a one-row broadcast. The scoring join is
+    keyed on the PAIR — the model carries its own denominator
+    (:func:`bigram_model`), so no token-keyed (skew-prone) join exists
+    at score time and the unigram scorer's hot/cold split is not
+    needed here.
+
+    Pass ``model`` (a frozen :func:`bigram_model` table) to score
+    against a reference corpus: pairs absent from the model floor at
+    the conservative α/(0 + α·V) = 1/V — including seen-context/unseen-
+    continuation pairs, whose true C1 the pair-denormalized layout no
+    longer knows (documented trade: one join instead of two, exactness
+    only in the self-trained form).
+
+    Returns ``(id_col, n_bigrams, avg_logprob)``."""
+    from harvesting_extract_to_ttl_service_spark.operators.materialize import (
+        materialize,
+    )
+
+    bi = df.select(F.col(id_col),
+                   F.explode(_doc_bigrams(F.col(text_col))).alias("bg"))
+    per_doc = (bi.select(id_col, "bg.t1", "bg.t2")
+               .groupBy(id_col, "t1", "t2").agg(F.count("*").alias("c")))
+    if model is None:
+        # the partials feed the model subtree AND the scoring join —
+        # cut once or the text explode+count runs three times
+        per_doc = materialize(per_doc, materialize_mode)
+        m = per_doc.groupBy("t1", "t2").agg(F.sum("c").alias("ct"))
+        ctx = m.groupBy("t1").agg(F.sum("ct").alias("ct1"))
+        model = m.join(ctx, "t1")
+    vrow = model.agg(F.countDistinct("t2").alias("v"))
+    lp = F.log((F.coalesce(F.col("ct"), F.lit(0)) + F.lit(alpha))
+               / (F.coalesce(F.col("ct1"), F.lit(0))
+                  + F.lit(alpha) * F.col("v")))
+    return (per_doc.join(model, ["t1", "t2"], "left")
+            .crossJoin(F.broadcast(vrow))
+            .groupBy(id_col)
+            .agg(F.sum("c").alias("n_bigrams"),
+                 (F.sum(F.col("c") * lp) / F.sum("c"))
+                 .alias("avg_logprob")))
+
+
 def repetition_signals(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """Repetition-based quality signals (the Gopher-tradition filters the

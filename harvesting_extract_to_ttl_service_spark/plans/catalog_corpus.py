@@ -555,6 +555,51 @@ def corpus_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens", F.round("avg_logprob", 6).alias("avg_logprob"))
 
 
+_LM2_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOKS_LOW} AS w FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest([{{'t1': w[i], 't2': w[i + 1]}}
+                 for i in range(1, len(w))], recursive := true)
+  FROM tk WHERE len(w) >= 2
+), pd AS (
+  SELECT doc_id, t1, t2, count(*) AS c FROM bg GROUP BY 1, 2, 3
+), m AS (
+  SELECT t1, t2, CAST(sum(c) AS BIGINT) AS ct FROM pd GROUP BY 1, 2
+), cx AS (
+  SELECT t1, CAST(sum(ct) AS BIGINT) AS ct1 FROM m GROUP BY 1
+), vt AS (
+  SELECT count(DISTINCT t2) AS v FROM m
+)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+       round(sum(c * ln((ct + {_LM_ALPHA}) / (ct1 + {_LM_ALPHA} * v)))
+             / sum(c), 6) AS avg_logprob
+FROM pd JOIN m USING (t1, t2) JOIN cx USING (t1), vt
+GROUP BY 1
+"""
+
+
+@member_sql(_LM2_SQL)
+def corpus_lm2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency score (text.bigram_logprob): each document's
+    mean conditional log-probability p(t2|t1) under the corpus's own
+    add-α bigram model — the sequence-sensitive companion of the ``lm``
+    member (in-vocabulary-but-shuffled text collapses here). The oracle
+    independently re-derives the pair counts, the context totals, the
+    continuation-type count V, and the per-document average; the
+    six-decimal round pins the cross-engine sum-order float agreement,
+    as in ``lm``."""
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        bigram_logprob,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return bigram_logprob(docs, alpha=_LM_ALPHA).select(
+        "doc_id", "n_bigrams",
+        F.round("avg_logprob", 6).alias("avg_logprob"))
+
+
 _NOV_WINDOW = 8
 
 
@@ -1385,6 +1430,7 @@ _CORPUS_MEMBERS = [
      ["doc_id", "n_redacted_email", "n_redacted_ip", "n_redacted_phone",
       "fp"], []),
     ("lm", corpus_lm, ["doc_id", "n_tokens"], ["avg_logprob"]),
+    ("lm2", corpus_lm2, ["doc_id", "n_bigrams"], ["avg_logprob"]),
     ("clf", corpus_clf, ["doc_id", "n_tokens"], ["clf_score"]),
     ("mclf", corpus_mclf, ["doc_id", "n_tokens", "lang_pred"],
      ["lang_logit"]),

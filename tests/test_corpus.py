@@ -1019,6 +1019,124 @@ def test_unigram_logprob_frozen_model_oov(spark):
     assert abs(got.avg_logprob - want) < 1e-12
 
 
+def test_bigram_logprob_hand_computed(spark):
+    """score = Σ c·ln((C+α)/(C1+αV)) / Σ c on a hand-checkable corpus:
+    bigrams (a,a) (a,b) | (b,c) → C1(a)=2 C1(b)=1, V=|{a,b,c}|=3."""
+    import math
+
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        bigram_logprob,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a A b"), (2, "b c"), (3, "solo"), (4, None)],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in bigram_logprob(docs, alpha=0.5).collect()}
+    # docs with < 2 tokens have no bigrams and drop out
+    assert set(got) == {1, 2}
+    p_aa = math.log(1.5 / 3.5)   # (1+.5)/(2+.5*3)
+    p_bc = math.log(1.5 / 2.5)   # (1+.5)/(1+.5*3)
+    assert got[1].n_bigrams == 2 and got[2].n_bigrams == 1
+    assert abs(got[1].avg_logprob - p_aa) < 1e-12  # both pairs score p_aa
+    assert abs(got[2].avg_logprob - p_bc) < 1e-12
+
+
+def test_bigram_logprob_shuffled_text_collapses(spark):
+    """The reason a second-order score exists: a document whose tokens
+    are in-vocabulary but reordered keeps its unigram score (bag of
+    words) yet collapses under the bigram model."""
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        bigram_logprob,
+        unigram_logprob,
+    )
+
+    ordered = "the cat sat on the mat"
+    rows = [(i, ordered) for i in range(8)]
+    rows.append((99, "mat the on sat cat the"))  # same bag, shuffled
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uni = {r.doc_id: r.avg_logprob
+           for r in unigram_logprob(docs).collect()}
+    assert abs(uni[99] - uni[0]) < 1e-12  # unigram can't tell
+    bi = {r.doc_id: r.avg_logprob
+          for r in bigram_logprob(docs).collect()}
+    assert bi[99] < bi[0] - 1.0  # bigram collapses the shuffle
+
+
+def test_bigram_logprob_frozen_model_floor(spark):
+    """Against a frozen bigram_model, pairs absent from the model floor
+    at α/(0+αV) = 1/V — the documented conservative OOV treatment of
+    the pair-denormalized layout."""
+    import math
+
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        bigram_logprob,
+        bigram_model,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string")
+    model = bigram_model(ref)  # pairs (a,a) (a,b) (b,c); V=3
+    rows = {(r.t1, r.t2): (r.ct, r.ct1) for r in model.collect()}
+    assert rows == {("a", "a"): (1, 2), ("a", "b"): (1, 2),
+                    ("b", "c"): (1, 1)}
+    docs = spark.createDataFrame(
+        [(10, "c a"), (11, "a b")], "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           bigram_logprob(docs, alpha=0.5, model=model).collect()}
+    assert abs(got[10].avg_logprob - math.log(0.5 / 1.5)) < 1e-12  # 1/V
+    assert abs(got[11].avg_logprob - math.log(1.5 / 3.5)) < 1e-12  # exact
+
+
+def test_bigram_floor_shared_by_batch_and_stream(spark, tmp_path):
+    """min_avg_bigram_logprob with a frozen bigram_model drops the same
+    scrambled document from both funnels; a one-token document (no
+    bigram evidence) passes the gate; the floor without a frozen model
+    refuses."""
+    import pytest
+
+    from harvesting_extract_to_ttl_service_spark.operators.corpus import (
+        build_training_corpus,
+        filter_documents,
+    )
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        bigram_model,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.corpus_stream import (  # noqa: E501
+        corpus_batch,
+        read_corpus,
+    )
+
+    ref = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog "
+               "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    model = bigram_model(ref)
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "dog the over quick jumps lazy fox brown the"),  # scrambled
+        (3, "fox"),  # one token: no bigram evidence → passes
+    ]
+    params = dict(min_quality=0.0, near_dup_threshold=None,
+                  min_avg_bigram_logprob=-1.5, bigram_model_counts=model)
+
+    batch = {r.doc_id for r in build_training_corpus(
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        **params).collect()}
+    assert batch == {1, 3}
+
+    cdir = str(tmp_path / "corpus")
+    corpus_batch(spark.createDataFrame(docs[:2], "doc_id long, text string"),
+                 0, cdir, **params)
+    corpus_batch(spark.createDataFrame(docs[2:], "doc_id long, text string"),
+                 1, cdir, **params)
+    assert {r.doc_id for r in read_corpus(spark, cdir).collect()} == batch
+
+    with pytest.raises(ValueError, match="corpus-level"):
+        filter_documents(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            min_quality=0.0, min_avg_bigram_logprob=-1.5)
+
+
 def test_lm_floor_shared_by_batch_and_stream(spark, tmp_path):
     """min_avg_logprob with a frozen model is a per-document filter, so
     the batch funnel and the streaming funnel drop the same gibberish
