@@ -219,3 +219,154 @@ def bpe_token_count(df: DataFrame, merges: list[tuple[str, str]],
             yield out
 
     return df.mapInPandas(batches, out_schema)
+
+
+def _char_symbols(word) -> "F.Column":
+    """Initial BPE symbol sequence of a word column: its characters plus
+    the ``</w>`` end-of-word marker — exactly the state
+    :func:`bpe_encode_word` starts from, so trained merges and the
+    encoder agree by construction."""
+    return F.concat(
+        F.transform(F.sequence(F.lit(1), F.length(word)),
+                    lambda i: word.substr(i, F.lit(1))),
+        F.array(F.lit(END_OF_WORD)))
+
+
+def _apply_merge(s, p1: str, p2: str):
+    """Replace every non-overlapping left-to-right (p1, p2) adjacency in
+    a symbol array with the concatenated token — one pure-column fold
+    (state = emitted prefix + one-symbol carry), no UDF."""
+    merged = p1 + p2
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("carry"))
+
+    def step(acc, x):
+        take = (acc["carry"].isNotNull() & (acc["carry"] == F.lit(p1))
+                & (x == F.lit(p2)))
+        out = (F.when(take, F.concat(acc["out"],
+                                     F.array(F.lit(merged))))
+               .when(acc["carry"].isNull(), acc["out"])
+               .otherwise(F.concat(acc["out"], F.array(acc["carry"]))))
+        carry = F.when(take, F.lit(None).cast("string")).otherwise(x)
+        return F.struct(out.alias("out"), carry.alias("carry"))
+
+    def finish(acc):
+        return (F.when(acc["carry"].isNull(), acc["out"])
+                .otherwise(F.concat(acc["out"], F.array(acc["carry"]))))
+
+    return F.aggregate(s, init, step, finish)
+
+
+def train_bpe_merges(df: DataFrame, n_merges: int,
+                     text_col: str = "text",
+                     lowercase: bool = True,
+                     min_pair_count: int = 2,
+                     min_word_count: int = 1,
+                     materialize_mode: str = "local_checkpoint"
+                     ) -> list[tuple[str, str]]:
+    """Learn a BPE merge table FROM the corpus (Sennrich, Haddow &
+    Birch 2016) — the training half of this module's import/encode
+    path: the returned list is priority-ordered and directly
+    consumable by :func:`bpe_encode_word` / :func:`bpe_token_count` /
+    :func:`bpe_vocab`, and :func:`save_bpe_merges` round-trips it
+    through the public ``merges.txt`` format :func:`load_bpe_merges`
+    reads.
+
+    Algorithm, re-expressed set-oriented: BPE training never touches
+    raw text after the first pass — it operates on the DISTINCT-WORD
+    table with frequencies (Zipf-bounded: vocabulary-sized, not
+    corpus-sized), each word a symbol array starting as characters +
+    ``</w>``. Per merge step: one adjacency explode + groupBy(pair)
+    weighted count (map-side combinable), one argmax collected
+    driver-side (1 row — the k-means-centroid class of bounded
+    collect), one pure-column fold rewriting the symbol arrays
+    (:func:`_apply_merge` — no UDF). ``n_merges`` Spark jobs over the
+    word table, the same driver-loop cost class as
+    operators/similarity.train_pq_codebooks — and like every trainer
+    here, meant to run on a SAMPLE at 100 TB (the merge table is a
+    model, not a per-row artifact). The iterative lineage is cut per
+    step (operators/materialize), or the plan would nest ``n_merges``
+    folds deep.
+
+    Ties in the pair argmax break (count desc, left, right) —
+    deterministic across partitionings and engines, where the
+    reference implementation's dict-order tie is not. Training stops
+    early when the best pair's count drops below ``min_pair_count``
+    (default 2: merging a pair seen once memorizes one word).
+    ``min_word_count`` prunes hapax words from the table before
+    training — the standard noise cut for crawl-scale corpora.
+
+    Overlap counting matches the reference: "aaa" counts the (a, a)
+    adjacency twice even though one application rewrites it to
+    ``[aa, a]`` — counts are an upper bound on applications, for the
+    trainer a ranking signal only."""
+    from harvesting_extract_to_ttl_service_spark.operators.materialize import (
+        materialize,
+    )
+    from harvesting_extract_to_ttl_service_spark.operators.text import (
+        tokens,
+    )
+
+    if n_merges < 1:
+        raise ValueError(f"train_bpe_merges: n_merges={n_merges}")
+    text = F.col(text_col)
+    if lowercase:
+        text = F.lower(text)
+    words = (df.select(F.explode(F.coalesce(
+        tokens(text), F.array().cast("array<string>"))).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("c")))
+    if min_word_count > 1:
+        words = words.filter(F.col("c") >= min_word_count)
+    syms = words.select("c", _char_symbols(F.col("w")).alias("s"))
+
+    merges: list[tuple[str, str]] = []
+    adj = F.when(
+        F.size("s") >= 2,
+        F.transform(F.sequence(F.lit(1), F.size("s") - 1),
+                    lambda i: F.struct(
+                        F.element_at("s", i).alias("p1"),
+                        F.element_at("s", i + 1).alias("p2")))
+    ).otherwise(F.array().cast(
+        "array<struct<p1:string,p2:string>>"))
+    for _ in range(n_merges):
+        syms = materialize(syms, materialize_mode)
+        best = (syms.select("c", F.explode(adj).alias("p"))
+                .groupBy("p.p1", "p.p2").agg(F.sum("c").alias("n"))
+                .orderBy(F.col("n").desc(), "p1", "p2")
+                .limit(1).collect())
+        if not best or best[0].n < min_pair_count:
+            break
+        p1, p2 = best[0].p1, best[0].p2
+        merges.append((p1, p2))
+        syms = syms.select("c", _apply_merge(F.col("s"), p1, p2)
+                           .alias("s"))
+    return merges
+
+
+def save_bpe_merges(spark, merges: list[tuple[str, str]],
+                    path: str) -> None:
+    """Write a trained merge table in the public ``merges.txt`` format
+    (``#version`` header + one ``left right`` line per merge, priority
+    order) — :func:`load_bpe_merges` reads it back verbatim, so a
+    trained tokenizer ships exactly like an imported one. One tiny
+    driver-side file via the JVM Hadoop FS (works on hdfs/s3a), the
+    sidecar-write class of I/O."""
+    for left, right in merges:
+        if (" " in left) or (" " in right) or not left or not right:
+            raise ValueError(
+                f"save_bpe_merges: merge pair {(left, right)!r} cannot "
+                f"round-trip the space-delimited merges.txt format")
+    from harvesting_extract_to_ttl_service_spark.sources.files import (
+        _hadoop_fs,
+    )
+
+    fs, _ = _hadoop_fs(spark, path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    out = fs.create(jpath, True)
+    try:
+        body = "#version: 0.2\n" + "".join(
+            f"{left} {right}\n" for left, right in merges)
+        out.write(bytearray(body.encode("utf-8")))
+    finally:
+        out.close()

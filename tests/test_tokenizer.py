@@ -479,3 +479,126 @@ def test_token_id_shards_with_eos_separator(spark, tmp_path):
                               n_shards=2, budget_tokens=budget,
                               vocab=bpe_vocab(merges),
                               eos_token="<eos>")
+
+
+def _mirror_train(corpus, n_merges, min_pair=2):
+    """Reference-style BPE trainer (Sennrich get_stats/merge_vocab over
+    a word-frequency dict) with the operator's pinned tiebreak — the
+    independent implementation train_bpe_merges must reproduce."""
+    from collections import Counter
+
+    from harvesting_extract_to_ttl_service_spark.functions.tokenizer import (
+        END_OF_WORD,
+    )
+
+    words = Counter(w for line in corpus for w in line.lower().split())
+    vocab = {tuple(list(w) + [END_OF_WORD]): c for w, c in words.items()}
+    merges = []
+    for _ in range(n_merges):
+        stats = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += c
+        if not stats:
+            break
+        (p1, p2), n = min(stats.items(),
+                          key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if n < min_pair:
+            break
+        merges.append((p1, p2))
+        new = {}
+        for syms, c in vocab.items():
+            out, carry = [], None
+            for s in syms:
+                if carry is None:
+                    carry = s
+                elif carry == p1 and s == p2:
+                    out.append(p1 + p2)
+                    carry = None
+                else:
+                    out.append(carry)
+                    carry = s
+            if carry is not None:
+                out.append(carry)
+            new[tuple(out)] = new.get(tuple(out), 0) + c
+        vocab = new
+    return merges
+
+
+def test_train_bpe_merges_matches_reference_mirror(spark):
+    """The distributed trainer reproduces the sequential reference
+    algorithm merge for merge (same priorities, same tiebreaks) —
+    including merges of already-merged symbols and the </w> marker."""
+    from harvesting_extract_to_ttl_service_spark.functions.tokenizer import (
+        bpe_encode_word,
+        train_bpe_merges,
+    )
+
+    corpus = ["the cat sat on the mat", "the dog and the cat",
+              "that hat is the cat hat"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string")
+    got = train_bpe_merges(docs, 12)
+    assert got == _mirror_train(corpus, 12)
+    # the trained table drives the EXISTING encoder: the corpus's most
+    # frequent word compresses to one token
+    ranks = {p: i for i, p in enumerate(got)}
+    assert bpe_encode_word("the", ranks) == ["the</w>"]
+    assert bpe_encode_word("cat", ranks) == ["cat</w>"]
+
+
+def test_train_bpe_merges_early_stop_and_word_prune(spark):
+    """min_pair_count stops training before it memorizes hapax pairs;
+    min_word_count drops hapax words from the table entirely."""
+    from harvesting_extract_to_ttl_service_spark.functions.tokenizer import (
+        train_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "aa aa aa zq")], "doc_id long, text string")
+    got = train_bpe_merges(docs, 50)  # asks for 50, corpus supports few
+    # every learned merge involves the repeated word's symbols only
+    assert 0 < len(got) < 50
+    assert all("z" not in p1 + p2 and "q" not in p1 + p2
+               for p1, p2 in got)
+    pruned = train_bpe_merges(docs, 50, min_word_count=2)
+    assert pruned == got  # zq was never mergeable anyway
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_merges"):
+        train_bpe_merges(docs, 0)
+
+
+def test_train_save_load_count_roundtrip(spark, tmp_path):
+    """Trained merges ship like imported ones: save_bpe_merges →
+    load_bpe_merges is the identity, and bpe_token_count under the
+    trained tokenizer beats the character count (the merges DO
+    compress) while agreeing with the shared python kernel."""
+    from harvesting_extract_to_ttl_service_spark.functions.tokenizer import (
+        bpe_encode_word,
+        bpe_token_count,
+        load_bpe_merges,
+        save_bpe_merges,
+        train_bpe_merges,
+    )
+
+    corpus = ["spark shuffles spark scans spark sorts",
+              "spark plans spark jobs"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string")
+    merges = train_bpe_merges(docs, 16)
+    path = str(tmp_path / "merges.txt")
+    save_bpe_merges(spark, merges, path)
+    assert load_bpe_merges(spark, path) == merges
+
+    got = {r.doc_id: r.n_bpe_tokens
+           for r in bpe_token_count(docs, merges, lowercase=True)
+           .select("doc_id", "n_bpe_tokens").collect()}
+    ranks = {p: i for i, p in enumerate(merges)}
+    for i, line in enumerate(corpus):
+        want = sum(len(bpe_encode_word(w, ranks)) for w in line.split())
+        assert got[i] == want
+        assert got[i] < sum(len(w) + 1 for w in line.split())  # compresses
+
+    with pytest.raises(ValueError, match="round-trip"):
+        save_bpe_merges(spark, [("a b", "c")], str(tmp_path / "bad.txt"))
