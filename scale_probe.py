@@ -719,6 +719,76 @@ def probe_demb(spark, n: int) -> dict:
             "wall_s": round(time.time() - t0, 1)}
 
 
+def probe_bm25(spark, n: int, n_queries: int, tmp: str) -> dict:
+    """Lexical-search probe: documents replicated n× (per-replica token
+    suffix → vocabulary grows n×, each replica keeps its internal df
+    structure — the sharded-crawl shape), postings indexed ONCE into
+    the bucket-partitioned store. The claim under test: ad-hoc
+    bm25_topk re-derives the posting table per query, so its per-query
+    wall grows with the corpus; bm25_search over the PERSISTED index
+    reads only the probed buckets (partition pruning + term pushdown),
+    so its per-query wall should stay ~flat as n grows; the batched
+    join amortizes job overhead across all queries in one plan."""
+    from harvesting_extract_to_ttl_service_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_join,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.lexical_stream import (  # noqa: E501
+        bm25_index_batch,
+        bm25_search,
+    )
+
+    corpus = replicate_documents(spark, n).localCheckpoint(eager=True)
+    res = {"docs": corpus.count(), "queries": n_queries}
+
+    # query terms: replica-0 vocabulary pairs, cycled deterministically
+    base_vocab = sorted({w for r in
+                         load(spark, SF_DIR, "documents")
+                         .select("text").limit(200).collect()
+                         for w in (r.text or "").lower().split()})
+    qtexts = [f"{base_vocab[i % len(base_vocab)]} "
+              f"{base_vocab[(i * 7 + 3) % len(base_vocab)]}"
+              for i in range(n_queries)]
+
+    idir = f"{tmp}/bm25_{n}x"
+    t0 = time.time()
+    bm25_index_batch(corpus, 0, idir, n_buckets=64)
+    res["index_s"] = round(time.time() - t0, 1)
+
+    import os as _os
+    res["index_mb"] = round(sum(
+        _os.path.getsize(_os.path.join(root, f))
+        for root, _, files in _os.walk(idir) for f in files) / 1e6, 1)
+
+    # one untimed query per path first: the first plan in a session pays
+    # whole-stage codegen compilation, which would land entirely on the
+    # path that happens to run first
+    bm25_topk(corpus, qtexts[0].split(), k=10).collect()
+    t0 = time.time()
+    rows = 0
+    for qt in qtexts:
+        rows += len(bm25_topk(corpus, qt.split(), k=10).collect())
+    res["adhoc_rows"] = rows
+    res["adhoc_s"] = round(time.time() - t0, 1)
+
+    bm25_search(spark, idir, qtexts[0].split(), k=10,
+                n_buckets=64).collect()
+    t0 = time.time()
+    rows = 0
+    for qt in qtexts:
+        rows += len(bm25_search(spark, idir, qt.split(), k=10,
+                                n_buckets=64).collect())
+    res["stored_rows"] = rows
+    res["stored_s"] = round(time.time() - t0, 1)
+
+    queries = spark.createDataFrame(
+        list(enumerate(qtexts)), "query_id long, text string")
+    t0 = time.time()
+    res["batched_rows"] = bm25_topk_join(queries, corpus, k=10).count()
+    res["batched_s"] = round(time.time() - t0, 1)
+    return res
+
+
 def main():
     args = sys.argv[1:]
     incremental = bool(args) and args[0] == "incr"
@@ -728,12 +798,13 @@ def main():
     funnel = bool(args) and args[0] == "funnel"
     stream = bool(args) and args[0] == "stream"
     ann = bool(args) and args[0] == "ann"
+    bm25 = bool(args) and args[0] == "bm25"
     pq = bool(args) and args[0] == "pq"
     pqres = bool(args) and args[0] == "pqres"
     demb = bool(args) and args[0] == "demb"
     finalize = bool(args) and args[0] == "finalize"
     if incremental or funnel or stream or ann or finalize or span \
-            or mih or imih or pq or pqres or demb:
+            or mih or imih or pq or pqres or demb or bm25:
         args = args[1:]
     explicit = [int(x) for x in args]
     replicas = explicit or [1, 2, 5, 10]
@@ -751,6 +822,17 @@ def main():
             print(f"float index {r['index_mb']} MB | int8 index "
                   f"{r['q_index_mb']} MB (build {r['q_index_s']}s) | "
                   f"int8 loop_s={r['q_loop_s']} ({r['q_loop_rows']} rows)")
+            return
+        if bm25:
+            n = explicit[0] if explicit else 5
+            n_queries = explicit[1] if len(explicit) > 1 else 20
+            r = probe_bm25(spark, n, n_queries, tmp)
+            print(f"docs={r['docs']} queries={r['queries']} "
+                  f"index_s={r['index_s']} index_mb={r['index_mb']}")
+            print(f"adhoc_s={r['adhoc_s']} ({r['adhoc_rows']} rows) | "
+                  f"stored_s={r['stored_s']} ({r['stored_rows']} rows) | "
+                  f"batched_s={r['batched_s']} "
+                  f"({r['batched_rows']} rows)")
             return
         if pq:
             n = explicit[0] if explicit else 10
