@@ -153,3 +153,101 @@ def run_bm25_index_stream(docs_stream: DataFrame, index_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def compact_bm25_index(spark: SparkSession, index_dir: str,
+                       n_buckets: int = 64,
+                       target_partitions: int | None = None) -> int:
+    """Fold the per-batch posting/stats directories into one
+    ``batch=-1`` each, PRESERVING the bucket partitioning (dropping it
+    would turn every search back into a full scan) — the small-files
+    maintenance job a long-running ingest stream needs, exactly like
+    ann_stream.compact_ivf_index. Returns the number of posting batch
+    partitions folded (0 = nothing to do).
+
+    Crash safety is STRICTER than the IVF fold: a duplicated posting
+    row would DOUBLE a term's tf and df (scores are sums, where the
+    IVF top-k is per-id idempotent), so the write-new-then-delete-old
+    ordering is not enough. This job therefore (1) writes both
+    consolidated trees to underscore-hidden ``_compact_tmp_*``
+    directories first — hidden from every reader; (2) flips the
+    ``_bm25_params.json`` sidecar to an in-progress marker
+    (``compacting: true``) so every search/ingest refuses LOUDLY
+    (retrain_ivf_index's discipline — the extra key can never match a
+    caller's expected params); (3) per side, deletes the folded batch
+    dirs and renames the hidden tmp to ``batch=-1``; (4) clears the
+    marker. At no point does a reader see postings twice. Recovery
+    from any crash is re-running this job: with the marker set it
+    NEVER recomputes from the (possibly partially deleted) batch dirs
+    — it only promotes the surviving complete tmps, side by side, then
+    clears the marker."""
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        _read_json_sidecar,
+        _write_json_sidecar,
+    )
+    from harvesting_extract_to_ttl_service_spark.sources.files import (
+        _hadoop_fs,
+    )
+
+    fs, _ = _hadoop_fs(spark, index_dir)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    side_final = {s: f"{index_dir}/{s}/batch=-1"
+                  for s in ("postings", "stats")}
+    side_tmp = {s: f"{index_dir}/_compact_tmp_{s}"
+                for s in ("postings", "stats")}
+    scar = f"{index_dir}/_bm25_params.json"
+
+    def _batch_dirs(side: str) -> list:
+        root = jpath(f"{index_dir}/{side}")
+        if not fs.exists(root):
+            return []
+        return [st.getPath() for st in fs.listStatus(root)
+                if st.getPath().getName().startswith("batch=")]
+
+    def _promote(side: str) -> None:
+        tmp = jpath(side_tmp[side])
+        if not fs.exists(tmp):
+            return  # this side already promoted (resume after crash)
+        for b in _batch_dirs(side):
+            fs.delete(b, True)
+        fs.rename(tmp, jpath(side_final[side]))
+
+    params = _read_json_sidecar(spark, scar)
+    if params is None:
+        raise ValueError(f"compact_bm25_index: no index at {index_dir}")
+    if params.get("compacting"):
+        # resume: promote whatever complete tmps survive, never rebuild
+        if not any(fs.exists(jpath(side_tmp[s])) for s in side_tmp) \
+                and not fs.exists(jpath(side_final["postings"])):
+            raise ValueError(
+                f"compact_bm25_index: {index_dir} is marked compacting "
+                f"but has neither tmp nor consolidated data — restore "
+                f"from the source stream")
+        _promote("postings")
+        _promote("stats")
+        del params["compacting"]
+        _write_json_sidecar(spark, scar, params)
+        return 0
+    _check_bm25_sidecar(spark, index_dir, n_buckets)
+
+    folded = [p for p in _batch_dirs("postings")
+              if p.getName() != "batch=-1"]
+    if not folded:
+        return 0
+    ps = (spark.read.option("basePath", f"{index_dir}/postings")
+          .parquet(f"{index_dir}/postings").drop("batch"))
+    if target_partitions is not None:
+        ps = ps.repartition(target_partitions, F.col("bucket"))
+    (ps.write.mode("overwrite").partitionBy("bucket")
+     .parquet(side_tmp["postings"]))
+    (spark.read.parquet(f"{index_dir}/stats")
+     .agg(F.sum("n_docs").alias("n_docs"),
+          F.sum("sum_dl").alias("sum_dl"))
+     .coalesce(1).write.mode("overwrite")
+     .parquet(side_tmp["stats"]))
+
+    _write_json_sidecar(spark, scar, {**params, "compacting": True})
+    _promote("postings")
+    _promote("stats")
+    _write_json_sidecar(spark, scar, params)
+    return len(folded)

@@ -264,3 +264,97 @@ def test_run_bm25_index_stream_end_to_end(spark, tmp_path):
             bm25_topk(spark.createDataFrame(DOCS[:3], D_SCHEMA),
                       ["cat"], k=5).collect()]
     assert got == want
+
+
+def test_compact_bm25_index_parity_and_marker(spark, tmp_path):
+    """Compaction folds batch dirs into batch=-1 with identical search
+    results (postings AND additive stats), is a no-op when already
+    compact, keeps working for post-compaction ingest, and its
+    in-progress marker makes search refuse loudly until a resume run
+    clears it."""
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        _read_json_sidecar,
+        _write_json_sidecar,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.lexical_stream import (  # noqa: E501
+        compact_bm25_index,
+    )
+
+    idir = str(tmp_path / "bm25c")
+    bm25_index_batch(spark.createDataFrame(DOCS[:2], D_SCHEMA), 0, idir,
+                     n_buckets=8)
+    bm25_index_batch(spark.createDataFrame(DOCS[2:4], D_SCHEMA), 1, idir,
+                     n_buckets=8)
+    bm25_index_batch(spark.createDataFrame(DOCS[4:], D_SCHEMA), 2, idir,
+                     n_buckets=8)
+    want = [tuple(r) for r in
+            bm25_search(spark, idir, ["cat", "the"], k=6,
+                        n_buckets=8).collect()]
+
+    assert compact_bm25_index(spark, idir, n_buckets=8) == 3
+    got = [tuple(r) for r in
+           bm25_search(spark, idir, ["cat", "the"], k=6,
+                       n_buckets=8).collect()]
+    assert got == want
+    batches = {r.batch for r in
+               spark.read.option("basePath", f"{idir}/postings")
+               .parquet(f"{idir}/postings").select("batch")
+               .distinct().collect()}
+    assert batches == {-1}
+    # already compact → no-op
+    assert compact_bm25_index(spark, idir, n_buckets=8) == 0
+
+    # ingest continues after compaction; a second fold merges batch=-1
+    # with the new batch and the scores still match the ad-hoc path
+    extra = [(10, "another cat appears"), (11, "dogs bark")]
+    bm25_index_batch(spark.createDataFrame(extra, D_SCHEMA), 7, idir,
+                     n_buckets=8)
+    # count excludes the batch=-1 partition being merged into (the
+    # compact_ivf_index convention): one NEW batch folded
+    assert compact_bm25_index(spark, idir, n_buckets=8) == 1
+    all_docs = spark.createDataFrame(DOCS + extra, D_SCHEMA)
+    want2 = [tuple(r) for r in
+             bm25_topk(all_docs, ["cat", "the"], k=6).collect()]
+    got2 = [tuple(r) for r in
+            bm25_search(spark, idir, ["cat", "the"], k=6,
+                        n_buckets=8).collect()]
+    assert got2 == want2
+
+    # marker protocol: a compacting sidecar refuses search AND ingest;
+    # re-running the job resumes (here: nothing left to promote) and
+    # clears it
+    scar = f"{idir}/_bm25_params.json"
+    params = _read_json_sidecar(spark, scar)
+    _write_json_sidecar(spark, scar, {**params, "compacting": True})
+    with pytest.raises(Exception, match="compacting"):
+        bm25_search(spark, idir, ["cat"], n_buckets=8)
+    with pytest.raises(Exception, match="compacting"):
+        bm25_index_batch(spark.createDataFrame(extra, D_SCHEMA), 8, idir,
+                         n_buckets=8)
+    assert compact_bm25_index(spark, idir, n_buckets=8) == 0
+    assert _read_json_sidecar(spark, scar) == params
+    assert [tuple(r) for r in
+            bm25_search(spark, idir, ["cat", "the"], k=6,
+                        n_buckets=8).collect()] == want2
+
+
+def test_compact_bm25_marker_without_data_refuses(spark, tmp_path):
+    """A compacting marker with neither tmp nor consolidated data is an
+    unrecoverable half-state — the resume path must say so, not quietly
+    rebuild an empty index."""
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        _write_json_sidecar,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.lexical_stream import (  # noqa: E501
+        compact_bm25_index,
+    )
+
+    idir = str(tmp_path / "bm25x")
+    import os
+
+    os.makedirs(idir)
+    _write_json_sidecar(spark, f"{idir}/_bm25_params.json",
+                        {"n_buckets": 8, "tokenizer": "lower_ws",
+                         "version": 1, "compacting": True})
+    with pytest.raises(ValueError, match="restore"):
+        compact_bm25_index(spark, idir, n_buckets=8)
