@@ -297,3 +297,77 @@ def hybrid_topk(docs: DataFrame, vecs: DataFrame,
            .limit(k))
     return (_ranked(top, k, [F.col("rrf_score").desc(), F.col(id_col)])
             .select(id_col, "rank", "n_sources", "rrf_score"))
+
+
+def positional_postings(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Positional inverted postings ``(id, term, positions, tf, dl)`` —
+    the :func:`postings` layout plus each term's 0-based token offsets,
+    the structure phrase and proximity queries need. Same shape and
+    cost class: one posexplode + one map-side-combinable groupBy."""
+    t = terms(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), t.alias("_t"))
+    exploded = base.select(
+        "id", F.size("_t").alias("dl"),
+        F.posexplode("_t").alias("pos", "term"))
+    return (exploded.groupBy("id", "term")
+            .agg(F.collect_list("pos").alias("positions"),
+                 F.count("*").alias("tf"),
+                 F.first("dl").alias("dl")))
+
+
+def phrase_counts(df: DataFrame, phrase: list[str],
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Documents containing the EXACT phrase (adjacent tokens, in
+    order), with its occurrence count: ``(id, phrase_tf, dl)``. The
+    classic positional-index evaluation — word i's positions shift by
+    −i and the arrays intersect, so a document matches iff the running
+    intersection survives every word. Joins are keyed on the document
+    id over TERM-FILTERED postings (each side is one word's posting
+    list, not the corpus), and the running ``size > 0`` filter prunes
+    non-matching docs after every join. Overlapping occurrences count
+    individually ("a a a" contains "a a" twice — the positional-
+    intersection convention); repeated phrase words need no special
+    case, the same posting row just joins under two shifts."""
+    words = [w.lower() for w in phrase
+             if w is not None and w.strip() != ""]
+    if not words:
+        raise ValueError("phrase_counts: empty phrase")
+    pp = positional_postings(df, text_col, id_col).filter(
+        F.col("term").isin(sorted(set(words))))
+    base = (pp.filter(F.col("term") == words[0])
+            .select("id", F.col("positions").alias("acc"), "dl"))
+    for i, w in enumerate(words[1:], 1):
+        nxt = (pp.filter(F.col("term") == w)
+               .select("id", F.transform(
+                   "positions", lambda x: x - i).alias("_p")))
+        base = (base.join(nxt, "id")
+                .withColumn("acc", F.array_intersect("acc", "_p"))
+                .drop("_p")
+                .filter(F.size("acc") > 0))
+    return base.select("id", F.size("acc").alias("phrase_tf"), "dl")
+
+
+def phrase_topk(df: DataFrame, phrase: list[str], k: int = 10,
+                k1: float = DEFAULT_K1, b: float = DEFAULT_B,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """BM25 top-k treating the exact phrase as one indexing unit:
+    tf = the document's phrase occurrences, df = how many documents
+    contain the phrase at all, same saturation/length normalization —
+    → ``(id_col, rank, phrase_tf, score)``. Reuses
+    :func:`bm25_contrib` verbatim (single unit → no fold needed), so
+    the scoring arithmetic is pinned to the same operand order the
+    oracle states."""
+    pc = phrase_counts(df, phrase, text_col, id_col)
+    dfreq = pc.agg(F.count("*").alias("df"))
+    scored = (pc.withColumnRenamed("phrase_tf", "tf")
+              .crossJoin(F.broadcast(corpus_stats(df, text_col)))
+              .crossJoin(F.broadcast(dfreq))
+              .select("id", F.col("tf").alias("phrase_tf"),
+                      F.round(bm25_contrib(k1, b), 6).alias("score")))
+    top = scored.orderBy(F.col("score").desc(), F.col("id")).limit(k)
+    return (_ranked(top, k, [F.col("score").desc(), F.col("id")])
+            .select(F.col("id").alias(id_col), "rank", "phrase_tf",
+                    "score"))

@@ -2179,6 +2179,67 @@ def hybrid_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                        n_candidates=_RRF_CAND, k1=_BM25_K1, b=_BM25_B)
 
 
+_PHRASE = ("hash", "join")  # ~27 occurrences across ~26 docs per sf
+
+
+def _phrase_oracle() -> str:
+    k1, k1p1, b = _bm25_consts()
+    pos = [
+        (f"list_transform(list_filter(range(1, len(w) + 1), "
+         f"i -> w[i] = '{wd}'), x -> x - {j})" if j else
+         f"list_filter(range(1, len(w) + 1), i -> w[i] = '{wd}')")
+        for j, wd in enumerate(_PHRASE)]
+    inter = pos[0]
+    for p in pos[1:]:
+        inter = f"list_intersect({inter}, {p})"
+    return f"""
+WITH dw AS (
+  SELECT doc_id, {_WORDS} AS w FROM documents
+), st AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(len(w)) AS DOUBLE) / count(*) AS avgdl
+  FROM dw
+), pm AS (
+  SELECT doc_id, dl, tf FROM (
+    SELECT doc_id, len(w) AS dl, len({inter}) AS tf FROM dw)
+  WHERE tf > 0
+), dfq AS (
+  SELECT count(*) AS dfp FROM pm
+), sc AS (
+  SELECT doc_id, tf AS phrase_tf,
+         round(ln(1.0 + (s.n_docs - d.dfp + 0.5) / (d.dfp + 0.5))
+               * (tf * {k1p1})
+               / (tf + {k1} * (1.0 - {b} + {b} * dl / s.avgdl)),
+               6) AS score
+  FROM pm CROSS JOIN st s CROSS JOIN dfq d
+)
+SELECT doc_id, rank, phrase_tf, score FROM (
+  SELECT doc_id, phrase_tf, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM sc)
+WHERE rank <= {_BM25_K}
+"""
+
+
+@member_sql(_phrase_oracle())
+def phrase_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase BM25 top-10 (operators/retrieval.phrase_topk):
+    positional postings, word i's offsets shifted by −i and
+    intersected (the classic positional-index evaluation — offsets are
+    0-based in Spark and 1-based in the oracle, which cancels under
+    the relative shifts), the surviving occurrence count scored as one
+    BM25 unit with df = documents containing the phrase. The oracle
+    re-derives positions, the shifted intersection, phrase df, and the
+    score."""
+    from harvesting_extract_to_ttl_service_spark.operators.retrieval import (
+        phrase_topk,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return phrase_topk(docs, list(_PHRASE), k=_BM25_K,
+                       k1=_BM25_K1, b=_BM25_B)
+
+
 _ANN_MEMBERS = [
     ("temb", hashed_text_embedding_q, ["doc_id", "n_tokens"],
      ["e0", "e1", "e2"]),
@@ -2206,6 +2267,8 @@ _ANN_MEMBERS = [
      ["query_id", "doc_id", "rank", "n_terms_hit"], ["score"]),
     ("rrf", hybrid_rrf_q, ["doc_id", "rank", "n_sources"],
      ["rrf_score"]),
+    ("phrase", phrase_topk_q, ["doc_id", "rank", "phrase_tf"],
+     ["score"]),
 ]
 
 

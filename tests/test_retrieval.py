@@ -358,3 +358,70 @@ def test_compact_bm25_marker_without_data_refuses(spark, tmp_path):
                          "version": 1, "compacting": True})
     with pytest.raises(ValueError, match="restore"):
         compact_bm25_index(spark, idir, n_buckets=8)
+
+
+# --- phrase search ---------------------------------------------------------
+
+
+def test_phrase_counts_mirror(spark):
+    """Positional intersection vs a hand-computed mirror: adjacency, in
+    order, overlaps counted, repeated words handled by shifted joins of
+    the same posting row."""
+    from harvesting_extract_to_ttl_service_spark.operators.retrieval import (
+        phrase_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "the cat sat the cat ran"),
+         (1, "cat the sat"),
+         (2, "a a a b"),
+         (3, "the cat"),
+         (4, None)],
+        D_SCHEMA)
+    got = {r.id: r.phrase_tf
+           for r in phrase_counts(docs, ["the", "cat"]).collect()}
+    assert got == {0: 2, 3: 1}  # doc 1 has the words, not the phrase
+    # overlapping occurrences: "a a a" contains "a a" twice
+    got2 = {r.id: r.phrase_tf
+            for r in phrase_counts(docs, ["a", "a"]).collect()}
+    assert got2 == {2: 2}
+    # three-word phrase with a repeat
+    got3 = {r.id: r.phrase_tf
+            for r in phrase_counts(docs, ["a", "a", "b"]).collect()}
+    assert got3 == {2: 1}
+    with pytest.raises(ValueError, match="empty phrase"):
+        phrase_counts(docs, ["  "])
+
+
+def test_phrase_topk_scores_as_one_bm25_unit(spark):
+    """phrase_topk ranks by phrase occurrences with BM25 saturation and
+    df = documents containing the phrase; its scores equal a hand
+    mirror of the same formula."""
+    import math
+
+    from harvesting_extract_to_ttl_service_spark.operators.retrieval import (
+        phrase_topk,
+    )
+
+    pairs = [(0, "hash join beats loop join"),
+             (1, "hash join hash join wins"),
+             (2, "hash only here"),
+             (3, "join only here"),
+             (4, "nothing at all")]
+    docs = spark.createDataFrame(pairs, D_SCHEMA)
+    rows = phrase_topk(docs, ["hash", "join"], k=10).collect()
+    got = {r.doc_id: (r.rank, r.phrase_tf, r.score) for r in rows}
+    assert set(got) == {0, 1}
+    assert got[1][1] == 2 and got[0][1] == 1
+    assert got[1][0] == 1  # two occurrences outrank one
+
+    k1, b = 1.2, 0.75
+    n, avgdl, dfp = 5, (5 + 5 + 3 + 3 + 3) / 5, 2
+    idf = math.log(1.0 + (n - dfp + 0.5) / (dfp + 0.5))
+
+    def want(tf, dl):
+        return round(idf * (tf * (k1 + 1.0))
+                     / (tf + k1 * (1.0 - b + b * dl / avgdl)), 6)
+
+    assert got[0][2] == want(1, 5)
+    assert got[1][2] == want(2, 5)
