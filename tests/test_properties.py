@@ -229,3 +229,83 @@ def test_turtle_compaction_expands_back(spark, local):
     else:
         pfx, _, rest = token.partition(":")
         assert _TURTLE_PREFIXES[pfx] + rest == iri
+
+
+# --- retrieval properties (operators/retrieval.py) -------------------------
+
+# token alphabet kept small so generated corpora share terms (df > 1)
+# but include unicode + mixed case to stress the lowercasing contract
+_words = st.sampled_from(["cat", "Cat", "dog", "fish", "the", "é", "中",
+                          "x1", "a"])
+_texts = st.one_of(
+    st.none(),
+    st.lists(_words, max_size=8).map(" ".join),
+)
+
+
+def _py_bm25(docs, qterms, k1=1.2, b=0.75):
+    import math
+
+    tok = {i: (t or "").lower().split() for i, t in docs}
+    n = len(tok)
+    total = sum(len(v) for v in tok.values())
+    avgdl = total / n if n else 0.0
+    qt = sorted({t.lower() for t in qterms if t and t.strip()})
+    dfreq = {t: sum(1 for v in tok.values() if t in v) for t in qt}
+    out = {}
+    for d, words in tok.items():
+        s, hits = 0.0, 0
+        for t in qt:
+            tf = words.count(t)
+            if tf == 0:
+                continue
+            hits += 1
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s = s + idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * len(words) / avgdl))
+        if hits:
+            out[d] = round(s, 6)
+    return out
+
+
+@given(texts=st.lists(_texts, min_size=1, max_size=10),
+       query=st.lists(_words, min_size=1, max_size=3))
+@settings(**_SETTINGS)
+def test_bm25_matches_mirror_property(spark, texts, query):
+    """bm25_topk over arbitrary small corpora (NULLs, empties, unicode,
+    mixed case, repeated terms) equals the sequential mirror on both
+    membership and score."""
+    from harvesting_extract_to_ttl_service_spark.operators.retrieval import (
+        bm25_topk,
+    )
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.score
+           for r in bm25_topk(df, query, k=len(docs) + 1).collect()}
+    assert got == _py_bm25(docs, query)
+
+
+@given(texts=st.lists(_texts, min_size=1, max_size=8),
+       phrase=st.lists(_words, min_size=1, max_size=3))
+@settings(**_SETTINGS)
+def test_phrase_counts_matches_scan_property(spark, texts, phrase):
+    """phrase_counts (positional intersection) equals a direct sliding-
+    window scan counting overlapping occurrences of the lowercased
+    phrase."""
+    from harvesting_extract_to_ttl_service_spark.operators.retrieval import (
+        phrase_counts,
+    )
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    p = [w.lower() for w in phrase]
+    want = {}
+    for i, t in docs:
+        toks = (t or "").lower().split()
+        c = sum(1 for j in range(len(toks) - len(p) + 1)
+                if toks[j:j + len(p)] == p)
+        if c:
+            want[i] = c
+    got = {r.id: r.phrase_tf for r in phrase_counts(df, phrase).collect()}
+    assert got == want
