@@ -330,12 +330,29 @@ def phrase_counts(df: DataFrame, phrase: list[str],
     individually ("a a a" contains "a a" twice — the positional-
     intersection convention); repeated phrase words need no special
     case, the same posting row just joins under two shifts."""
+    words = clean_phrase(phrase)
+    pp = positional_postings(df, text_col, id_col)
+    return phrase_intersect(pp, words)
+
+
+def clean_phrase(phrase: list[str]) -> list[str]:
+    """Phrase normalization: lowercase, drop empties, KEEP order and
+    repeats (unlike :func:`clean_query_terms` — a phrase is a sequence,
+    not a set)."""
     words = [w.lower() for w in phrase
              if w is not None and w.strip() != ""]
     if not words:
         raise ValueError("phrase_counts: empty phrase")
-    pp = positional_postings(df, text_col, id_col).filter(
-        F.col("term").isin(sorted(set(words))))
+    return words
+
+
+def phrase_intersect(pp: DataFrame, words: list[str]) -> DataFrame:
+    """The positional-intersection core over an existing positional-
+    postings frame ``(id, term, positions, dl, …)`` — shared verbatim by
+    the ad-hoc path (:func:`phrase_counts`) and the persisted-index path
+    (streaming/lexical_stream.phrase_search) so the two can never
+    drift. ``words`` must already be normalized (:func:`clean_phrase`)."""
+    pp = pp.filter(F.col("term").isin(sorted(set(words))))
     base = (pp.filter(F.col("term") == words[0])
             .select("id", F.col("positions").alias("acc"), "dl"))
     for i, w in enumerate(words[1:], 1):
@@ -347,6 +364,25 @@ def phrase_counts(df: DataFrame, phrase: list[str],
                 .drop("_p")
                 .filter(F.size("acc") > 0))
     return base.select("id", F.size("acc").alias("phrase_tf"), "dl")
+
+
+def score_phrase_counts(pc: DataFrame, stats: DataFrame, k: int,
+                        k1: float = DEFAULT_K1, b: float = DEFAULT_B,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Rank phrase matches ``(id, phrase_tf, dl)`` as one BM25 unit
+    against a one-row stats frame — the scoring tail shared by
+    :func:`phrase_topk` and the persisted-index twin. df = matching
+    document count, computed from the matches themselves."""
+    dfreq = pc.agg(F.count("*").alias("df"))
+    scored = (pc.withColumnRenamed("phrase_tf", "tf")
+              .crossJoin(F.broadcast(stats))
+              .crossJoin(F.broadcast(dfreq))
+              .select("id", F.col("tf").alias("phrase_tf"),
+                      F.round(bm25_contrib(k1, b), 6).alias("score")))
+    top = scored.orderBy(F.col("score").desc(), F.col("id")).limit(k)
+    return (_ranked(top, k, [F.col("score").desc(), F.col("id")])
+            .select(F.col("id").alias(id_col), "rank", "phrase_tf",
+                    "score"))
 
 
 def phrase_topk(df: DataFrame, phrase: list[str], k: int = 10,
@@ -361,13 +397,5 @@ def phrase_topk(df: DataFrame, phrase: list[str], k: int = 10,
     the scoring arithmetic is pinned to the same operand order the
     oracle states."""
     pc = phrase_counts(df, phrase, text_col, id_col)
-    dfreq = pc.agg(F.count("*").alias("df"))
-    scored = (pc.withColumnRenamed("phrase_tf", "tf")
-              .crossJoin(F.broadcast(corpus_stats(df, text_col)))
-              .crossJoin(F.broadcast(dfreq))
-              .select("id", F.col("tf").alias("phrase_tf"),
-                      F.round(bm25_contrib(k1, b), 6).alias("score")))
-    top = scored.orderBy(F.col("score").desc(), F.col("id")).limit(k)
-    return (_ranked(top, k, [F.col("score").desc(), F.col("id")])
-            .select(F.col("id").alias(id_col), "rank", "phrase_tf",
-                    "score"))
+    return score_phrase_counts(pc, corpus_stats(df, text_col), k,
+                               k1, b, id_col)

@@ -46,9 +46,13 @@ from harvesting_extract_to_ttl_service_spark.operators.retrieval import (
     DEFAULT_B,
     DEFAULT_K1,
     _ranked,
+    clean_phrase,
     clean_query_terms,
     corpus_stats,
+    phrase_intersect,
+    positional_postings,
     postings,
+    score_phrase_counts,
     score_postings,
 )
 from harvesting_extract_to_ttl_service_spark.streaming.dedup_stream import (
@@ -73,29 +77,52 @@ def term_bucket_py(term: str, n_buckets: int) -> int:
 
 
 def _check_bm25_sidecar(spark: SparkSession, index_dir: str,
-                        n_buckets: int) -> None:
+                        n_buckets: int,
+                        positional: bool = False) -> None:
     """Bucket count and tokenizer are the index's identity: postings
     bucketed mod a different n_buckets would silently miss every pruned
     term, and a different tokenizer changes tf/dl everywhere — both
-    refuse up front, like the IVF sidecar."""
+    refuse up front, like the IVF sidecar. ``positional`` is identity
+    too (mixed batches would leave phrase queries silently blind to the
+    non-positional ones); backfilled False for pre-upgrade indexes."""
     _check_sidecar_params(
         spark, index_dir,
-        {"n_buckets": n_buckets, "tokenizer": _TOKENIZER, "version": 1},
-        filename="_bm25_params.json")
+        {"n_buckets": n_buckets, "tokenizer": _TOKENIZER, "version": 1,
+         "positional": bool(positional)},
+        filename="_bm25_params.json",
+        defaults={"positional": False})
+
+
+def _sidecar_positional(spark: SparkSession, index_dir: str) -> bool:
+    """Read the index's positional flag (False for pre-upgrade
+    sidecars) so read paths adapt instead of making callers restate
+    it."""
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        _read_json_sidecar,
+    )
+
+    params = _read_json_sidecar(spark, f"{index_dir}/_bm25_params.json")
+    return bool(params.get("positional", False)) if params else False
 
 
 def bm25_index_batch(docs: DataFrame, batch_id: int, index_dir: str,
                      n_buckets: int = 64, text_col: str = "text",
-                     id_col: str = "doc_id") -> None:
+                     id_col: str = "doc_id",
+                     positional: bool = False) -> None:
     """Append one micro-batch of documents to the index: the posting
     table of THIS batch (explode + map-side-combinable groupBy — the
     only shuffle), partitioned by term bucket under ``batch=<id>``, plus
     the batch's one-row additive stats. Overwrite semantics per batch
-    directory = replay idempotence."""
+    directory = replay idempotence. ``positional=True`` stores each
+    term's token offsets too (operators/retrieval.positional_postings —
+    the price of stored phrase queries; sidecar-pinned, so positional
+    and flat batches can never mix in one index)."""
     spark = docs.sparkSession
-    _check_bm25_sidecar(spark, index_dir, n_buckets)
-    ps = (postings(docs, text_col, id_col)
-          .withColumn("bucket", term_bucket(F.col("term"), n_buckets)))
+    _check_bm25_sidecar(spark, index_dir, n_buckets,
+                        positional=positional)
+    base = (positional_postings(docs, text_col, id_col) if positional
+            else postings(docs, text_col, id_col))
+    ps = base.withColumn("bucket", term_bucket(F.col("term"), n_buckets))
     (ps.write.mode("overwrite").partitionBy("bucket")
      .parquet(f"{index_dir}/postings/batch={batch_id}"))
     (corpus_stats(docs, text_col).select("n_docs", "sum_dl")
@@ -115,8 +142,11 @@ def bm25_search(spark: SparkSession, index_dir: str,
     probed posting lists, not the index. N/avgdl are the exact integer
     sums of the per-batch stats rows; document frequency comes from the
     probed postings themselves. Scoring is operators/retrieval.
-    score_postings — identical to the ad-hoc path by construction."""
-    _check_bm25_sidecar(spark, index_dir, n_buckets)
+    score_postings — identical to the ad-hoc path by construction.
+    Works on flat AND positional indexes (the positions column just
+    rides along unused)."""
+    _check_bm25_sidecar(spark, index_dir, n_buckets,
+                        positional=_sidecar_positional(spark, index_dir))
     qt = clean_query_terms(query_terms)
     buckets = sorted({term_bucket_py(t, n_buckets) for t in qt})
     ps = (spark.read.option("basePath", f"{index_dir}/postings")
@@ -138,7 +168,8 @@ def bm25_search(spark: SparkSession, index_dir: str,
 def run_bm25_index_stream(docs_stream: DataFrame, index_dir: str,
                           checkpoint_dir: str, n_buckets: int = 64,
                           text_col: str = "text",
-                          id_col: str = "doc_id"):
+                          id_col: str = "doc_id",
+                          positional: bool = False):
     """Structured-Streaming ingest loop: every micro-batch lands as one
     replay-idempotent ``batch=<id>`` posting + stats pair. Exactly the
     ann_stream.run_ivf_index_stream shape — foreachBatch keyed on the
@@ -147,7 +178,7 @@ def run_bm25_index_stream(docs_stream: DataFrame, index_dir: str,
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         bm25_index_batch(batch_df, batch_id, index_dir,
                          n_buckets=n_buckets, text_col=text_col,
-                         id_col=id_col)
+                         id_col=id_col, positional=positional)
 
     return (docs_stream.writeStream.foreachBatch(_ingest)
             .option("checkpointLocation", checkpoint_dir)
@@ -228,7 +259,8 @@ def compact_bm25_index(spark: SparkSession, index_dir: str,
         del params["compacting"]
         _write_json_sidecar(spark, scar, params)
         return 0
-    _check_bm25_sidecar(spark, index_dir, n_buckets)
+    _check_bm25_sidecar(spark, index_dir, n_buckets,
+                        positional=bool(params.get("positional", False)))
 
     folded = [p for p in _batch_dirs("postings")
               if p.getName() != "batch=-1"]
@@ -251,3 +283,37 @@ def compact_bm25_index(spark: SparkSession, index_dir: str,
     _promote("stats")
     _write_json_sidecar(spark, scar, params)
     return len(folded)
+
+
+def phrase_search(spark: SparkSession, index_dir: str,
+                  phrase: list[str], k: int = 10,
+                  k1: float = DEFAULT_K1, b: float = DEFAULT_B,
+                  n_buckets: int = 64,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Exact-phrase BM25 top-k over a POSITIONAL index (built with
+    ``bm25_index_batch(positional=True)``): bucket-pruned scan of the
+    phrase words' posting lists, the shared shifted-offset intersection
+    (operators/retrieval.phrase_intersect), the shared one-unit scoring
+    tail (score_phrase_counts) — so stored results equal phrase_topk
+    over the ingested documents row for row. A flat index refuses up
+    front: without positions a phrase query would silently degrade to
+    an AND query."""
+    if not _sidecar_positional(spark, index_dir):
+        raise ValueError(
+            f"phrase_search: index at {index_dir} is not positional — "
+            f"rebuild it with bm25_index_batch(positional=True); a "
+            f"flat index cannot answer phrase queries")
+    _check_bm25_sidecar(spark, index_dir, n_buckets, positional=True)
+    words = clean_phrase(phrase)
+    buckets = sorted({term_bucket_py(t, n_buckets) for t in set(words)})
+    pp = (spark.read.option("basePath", f"{index_dir}/postings")
+          .parquet(f"{index_dir}/postings")
+          .filter(F.col("bucket").isin(buckets))
+          .filter(F.col("term").isin(sorted(set(words)))))
+    stats = (spark.read.parquet(f"{index_dir}/stats")
+             .agg(F.sum("n_docs").alias("n_docs"),
+                  F.sum("sum_dl").alias("sum_dl"))
+             .withColumn("avgdl", F.col("sum_dl").cast("double")
+                         / F.col("n_docs")))
+    pc = phrase_intersect(pp, words)
+    return score_phrase_counts(pc, stats, k, k1, b, id_col)

@@ -425,3 +425,65 @@ def test_phrase_topk_scores_as_one_bm25_unit(spark):
 
     assert got[0][2] == want(1, 5)
     assert got[1][2] == want(2, 5)
+
+
+def test_positional_index_phrase_parity_and_refusals(spark, tmp_path):
+    """A positional index answers phrase queries identically to the
+    ad-hoc phrase_topk over the ingested docs (multi-batch), still
+    serves plain BM25 identically to a flat index, survives compaction,
+    and the mode is index identity: flat indexes refuse phrase_search,
+    and positional/flat batches cannot mix."""
+    from harvesting_extract_to_ttl_service_spark.operators.retrieval import (
+        phrase_topk,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.lexical_stream import (  # noqa: E501
+        compact_bm25_index,
+        phrase_search,
+    )
+
+    docs = [(0, "hash join beats loop join"),
+            (1, "hash join hash join wins"),
+            (2, "hash only here"),
+            (3, "the cat sat"),
+            (4, None)]
+    pdir = str(tmp_path / "pos")
+    bm25_index_batch(spark.createDataFrame(docs[:2], D_SCHEMA), 0, pdir,
+                     n_buckets=8, positional=True)
+    bm25_index_batch(spark.createDataFrame(docs[2:], D_SCHEMA), 1, pdir,
+                     n_buckets=8, positional=True)
+    all_docs = spark.createDataFrame(docs, D_SCHEMA)
+    want = [tuple(r) for r in
+            phrase_topk(all_docs, ["hash", "join"], k=5).collect()]
+    got = [tuple(r) for r in
+           phrase_search(spark, pdir, ["hash", "join"], k=5,
+                         n_buckets=8).collect()]
+    assert got == want and len(want) == 2
+
+    # plain BM25 over the positional index == over a flat index
+    fdir = str(tmp_path / "flat")
+    bm25_index_batch(all_docs, 0, fdir, n_buckets=8)
+    bm_pos = [tuple(r) for r in
+              bm25_search(spark, pdir, ["hash", "cat"], k=5,
+                          n_buckets=8).collect()]
+    bm_flat = [tuple(r) for r in
+               bm25_search(spark, fdir, ["hash", "cat"], k=5,
+                           n_buckets=8).collect()]
+    assert bm_pos == bm_flat
+
+    # compaction preserves positions → phrase results unchanged
+    assert compact_bm25_index(spark, pdir, n_buckets=8) == 2
+    got2 = [tuple(r) for r in
+            phrase_search(spark, pdir, ["hash", "join"], k=5,
+                          n_buckets=8).collect()]
+    assert got2 == want
+
+    # a flat index refuses phrase queries instead of degrading to AND
+    with pytest.raises(ValueError, match="not positional"):
+        phrase_search(spark, fdir, ["hash", "join"], n_buckets=8)
+    # and the mode can't silently mix within one index
+    with pytest.raises(Exception, match="positional"):
+        bm25_index_batch(spark.createDataFrame(docs[:1], D_SCHEMA), 9,
+                         pdir, n_buckets=8, positional=False)
+    with pytest.raises(Exception, match="positional"):
+        bm25_index_batch(spark.createDataFrame(docs[:1], D_SCHEMA), 9,
+                         fdir, n_buckets=8, positional=True)
