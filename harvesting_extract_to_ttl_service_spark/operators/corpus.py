@@ -1004,6 +1004,7 @@ def filter_documents(docs: DataFrame, min_quality: float = 0.4,
                      lm_alpha: float = 0.5,
                      min_avg_bigram_logprob: float | None = None,
                      bigram_model_counts: DataFrame | None = None,
+                     bigram_alpha: float = 0.5,
                      strip_hot: DataFrame | None = None,
                      strip_window: int = 8,
                      redact: bool = False,
@@ -1027,7 +1028,10 @@ def filter_documents(docs: DataFrame, min_quality: float = 0.4,
     ``bigram_model_counts`` — catches in-vocabulary-but-scrambled text
     the unigram floor scores as fluent); documents with fewer than two
     tokens carry no bigram evidence and PASS this gate (anti-join on
-    failures, not semi-join on passes). Every signal is a per-document function of
+    failures, not semi-join on passes). The bigram gate smooths with
+    its OWN ``bigram_alpha`` (default 0.5) — the unigram ``lm_alpha``
+    is often tuned small for large vocabularies, which would silently
+    move every frozen bigram floor if shared. Every signal is a per-document function of
     the text (and the frozen model) alone — no cross-document state —
     which is exactly why the batch funnel (:func:`build_training_corpus`)
     and its streaming twin (streaming/corpus_stream.py) can share this
@@ -1211,7 +1215,7 @@ def filter_documents(docs: DataFrame, min_quality: float = 0.4,
 
         # anti-join on FAILURES: documents with < 2 tokens produce no
         # score row and must pass (no bigram evidence ≠ disfluent)
-        drop = (bigram_logprob(survivors, text_col, id_col, lm_alpha,
+        drop = (bigram_logprob(survivors, text_col, id_col, bigram_alpha,
                                model=bigram_model_counts)
                 .filter(F.col("avg_logprob") < min_avg_bigram_logprob)
                 .select(id_col))
@@ -1326,6 +1330,7 @@ def build_training_corpus(docs: DataFrame,
                           lm_alpha: float = 0.5,
                           min_avg_bigram_logprob: float | None = None,
                           bigram_model_counts: DataFrame | None = None,
+                          bigram_alpha: float = 0.5,
                           strip_hot: DataFrame | None = None,
                           strip_window: int = 8,
                           redact: bool = False,
@@ -1395,7 +1400,7 @@ def build_training_corpus(docs: DataFrame,
     survivors = filter_documents(
         docs, min_quality, langs, max_dup_line_ratio, max_top_bigram_ratio,
         max_pii_signals, min_avg_logprob, lm_counts, lm_alpha,
-        min_avg_bigram_logprob, bigram_model_counts,
+        min_avg_bigram_logprob, bigram_model_counts, bigram_alpha,
         strip_hot, strip_window, redact=redact, gopher=gopher,
         lid_model=lid_model, quality_model=quality_model,
         text_col=text_col, id_col=id_col)

@@ -122,11 +122,11 @@ def score_postings(ps: DataFrame, stats: DataFrame,
     the term-sorted contributions per document. Shared verbatim by the
     ad-hoc path (:func:`bm25_topk`) and the persisted-index path
     (streaming/lexical_stream.bm25_search) so the two can never drift.
-
-    ``group_cols`` defaults to ``["id"]``; the batched join passes
-    ``["query_id", "id"]`` (df must then be per-term ACROSS queries —
-    callers computing candidates per query pass a df table instead; see
-    :func:`bm25_topk_join`)."""
+    (:func:`bm25_topk_join` does NOT reuse this helper: its df is
+    computed once per term across queries and its max_df pruning sits
+    between the two joins, so it builds the same contribution + fold
+    chain inline and shares :func:`bm25_contrib`/:func:`fold_scores`
+    instead.)"""
     group_cols = group_cols or ["id"]
     dfreq = ps.groupBy("term").agg(F.count("*").alias("df"))
     scored = (ps.join(F.broadcast(dfreq), "term")
@@ -150,6 +150,19 @@ def fold_scores(scored: DataFrame, group_cols: list[str]) -> DataFrame:
                         lambda a, x: a + x["contrib"]), 6).alias("score")))
 
 
+def top_ranked(agg: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Shared top-k tail over a scored frame ``(id, n_terms_hit,
+    score)``: rounded-score ordering with id tiebreak, limit, rank —
+    used verbatim by the ad-hoc path (:func:`bm25_topk`) and the
+    persisted-index path (streaming/lexical_stream.bm25_search) so a
+    tiebreak or rounding change cannot land in one and break their
+    row-for-row parity."""
+    top = agg.orderBy(F.col("score").desc(), F.col("id")).limit(k)
+    return (_ranked(top, k, [F.col("score").desc(), F.col("id")])
+            .select(F.col("id").alias(id_col), "rank", "n_terms_hit",
+                    "score"))
+
+
 def _ranked(df: DataFrame, k: int, order_cols: list[Column],
             part_cols: list[str] | None = None) -> DataFrame:
     w = (Window.partitionBy(*part_cols) if part_cols
@@ -168,15 +181,19 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
     pushed-filter path once persisted); df/N/avgdl broadcast back; one
     groupBy(id) fold; top-k = orderBy(rounded score, id) + limit, rank
     assigned over the surviving ≤k rows (the unpartitioned window is k
-    rows by construction, never corpus-sized)."""
+    rows by construction, never corpus-sized).
+
+    Cost note: the ad-hoc path tokenizes the corpus TWICE per query —
+    once for the postings, once for the one-row stats — because
+    sharing the tokenized frame between the two subtrees would require
+    materializing it (corpus-sized) per query. This is the documented
+    rebuild-per-query path; amortizing both scans is exactly what the
+    persisted index (streaming/lexical_stream.py — postings AND
+    additive stats stored once) is for."""
     qt = clean_query_terms(query_terms)
     ps = postings(df, text_col, id_col).filter(F.col("term").isin(qt))
     agg = score_postings(ps, corpus_stats(df, text_col), k1, b)
-    top = (agg.orderBy(F.col("score").desc(), F.col("id"))
-           .limit(k))
-    return (_ranked(top, k, [F.col("score").desc(), F.col("id")])
-            .select(F.col("id").alias(id_col), "rank", "n_terms_hit",
-                    "score"))
+    return top_ranked(agg, k, id_col)
 
 
 def bm25_topk_join(queries: DataFrame, docs: DataFrame, k: int = 10,

@@ -289,6 +289,7 @@ def corpus_batch(docs: DataFrame, batch_id: int, corpus_dir: str,
                  lm_alpha: float = 0.5,
                  min_avg_bigram_logprob: float | None = None,
                  bigram_model_counts: DataFrame | None = None,
+                 bigram_alpha: float = 0.5,
                  strip_hot: DataFrame | None = None,
                  strip_window: int = 8,
                  redact: bool = False,
@@ -357,7 +358,7 @@ def corpus_batch(docs: DataFrame, batch_id: int, corpus_dir: str,
     filtered = filter_documents(
         docs, min_quality, langs, max_dup_line_ratio, max_top_bigram_ratio,
         max_pii_signals, min_avg_logprob, lm_counts, lm_alpha,
-        min_avg_bigram_logprob, bigram_model_counts,
+        min_avg_bigram_logprob, bigram_model_counts, bigram_alpha,
         strip_hot, strip_window, redact=redact, gopher=gopher,
         lid_model=lid_model, quality_model=quality_model,
         text_col=text_col, id_col=id_col)

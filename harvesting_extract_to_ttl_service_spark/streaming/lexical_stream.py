@@ -45,7 +45,6 @@ from harvesting_extract_to_ttl_service_spark.operators.dedup import (
 from harvesting_extract_to_ttl_service_spark.operators.retrieval import (
     DEFAULT_B,
     DEFAULT_K1,
-    _ranked,
     clean_phrase,
     clean_query_terms,
     corpus_stats,
@@ -54,6 +53,7 @@ from harvesting_extract_to_ttl_service_spark.operators.retrieval import (
     postings,
     score_phrase_counts,
     score_postings,
+    top_ranked,
 )
 from harvesting_extract_to_ttl_service_spark.streaming.dedup_stream import (
     _check_sidecar_params,
@@ -116,10 +116,29 @@ def bm25_index_batch(docs: DataFrame, batch_id: int, index_dir: str,
     directory = replay idempotence. ``positional=True`` stores each
     term's token offsets too (operators/retrieval.positional_postings —
     the price of stored phrase queries; sidecar-pinned, so positional
-    and flat batches can never mix in one index)."""
+    and flat batches can never mix in one index).
+
+    Replay contract: a batch id at or below the last compaction's
+    ``max_folded_batch`` (``_bm25_compaction.json``) REFUSES — its
+    rows already live in ``batch=-1``, so rewriting ``batch=<id>``
+    would double every tf and df the batch contributed. Replay
+    idempotence holds for batches not yet folded; compact at quiesced
+    moments (stream stopped, checkpoint committed)."""
     spark = docs.sparkSession
     _check_bm25_sidecar(spark, index_dir, n_buckets,
                         positional=positional)
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        _read_json_sidecar,
+    )
+
+    comp = _read_json_sidecar(spark, f"{index_dir}/_bm25_compaction.json")
+    if comp is not None and batch_id <= comp.get("max_folded_batch", -1):
+        raise ValueError(
+            f"bm25_index_batch: batch {batch_id} was already folded "
+            f"into batch=-1 by a compaction (max_folded_batch="
+            f"{comp['max_folded_batch']}) — replaying it would double "
+            f"its postings' tf/df; re-ingest under a fresh batch id "
+            f"only if the documents are genuinely new")
     base = (positional_postings(docs, text_col, id_col) if positional
             else postings(docs, text_col, id_col))
     ps = base.withColumn("bucket", term_bucket(F.col("term"), n_buckets))
@@ -128,6 +147,28 @@ def bm25_index_batch(docs: DataFrame, batch_id: int, index_dir: str,
     (corpus_stats(docs, text_col).select("n_docs", "sum_dl")
      .coalesce(1).write.mode("overwrite")
      .parquet(f"{index_dir}/stats/batch={batch_id}"))
+
+
+def _read_pruned_postings(spark: SparkSession, index_dir: str,
+                          terms_: list[str], n_buckets: int) -> DataFrame:
+    """The index read both search paths share: bucket IN-list from the
+    driver-side term hashes (directory pruning), then the term IN-list
+    (parquet pushed filter)."""
+    buckets = sorted({term_bucket_py(t, n_buckets) for t in terms_})
+    return (spark.read.option("basePath", f"{index_dir}/postings")
+            .parquet(f"{index_dir}/postings")
+            .filter(F.col("bucket").isin(buckets))
+            .filter(F.col("term").isin(terms_)))
+
+
+def _read_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
+    """One-row N/avgdl from the exact integer sums of the per-batch
+    stats rows — shared by both search paths."""
+    return (spark.read.parquet(f"{index_dir}/stats")
+            .agg(F.sum("n_docs").alias("n_docs"),
+                 F.sum("sum_dl").alias("sum_dl"))
+            .withColumn("avgdl", F.col("sum_dl").cast("double")
+                        / F.col("n_docs")))
 
 
 def bm25_search(spark: SparkSession, index_dir: str,
@@ -148,21 +189,9 @@ def bm25_search(spark: SparkSession, index_dir: str,
     _check_bm25_sidecar(spark, index_dir, n_buckets,
                         positional=_sidecar_positional(spark, index_dir))
     qt = clean_query_terms(query_terms)
-    buckets = sorted({term_bucket_py(t, n_buckets) for t in qt})
-    ps = (spark.read.option("basePath", f"{index_dir}/postings")
-          .parquet(f"{index_dir}/postings")
-          .filter(F.col("bucket").isin(buckets))
-          .filter(F.col("term").isin(qt)))
-    stats = (spark.read.parquet(f"{index_dir}/stats")
-             .agg(F.sum("n_docs").alias("n_docs"),
-                  F.sum("sum_dl").alias("sum_dl"))
-             .withColumn("avgdl", F.col("sum_dl").cast("double")
-                         / F.col("n_docs")))
-    agg = score_postings(ps, stats, k1, b)
-    top = agg.orderBy(F.col("score").desc(), F.col("id")).limit(k)
-    return (_ranked(top, k, [F.col("score").desc(), F.col("id")])
-            .select(F.col("id").alias(id_col), "rank", "n_terms_hit",
-                    "score"))
+    ps = _read_pruned_postings(spark, index_dir, qt, n_buckets)
+    agg = score_postings(ps, _read_index_stats(spark, index_dir), k1, b)
+    return top_ranked(agg, k, id_col)
 
 
 def run_bm25_index_stream(docs_stream: DataFrame, index_dir: str,
@@ -199,19 +228,34 @@ def compact_bm25_index(spark: SparkSession, index_dir: str,
     Crash safety is STRICTER than the IVF fold: a duplicated posting
     row would DOUBLE a term's tf and df (scores are sums, where the
     IVF top-k is per-id idempotent), so the write-new-then-delete-old
-    ordering is not enough. This job therefore (1) writes both
-    consolidated trees to underscore-hidden ``_compact_tmp_*``
-    directories first — hidden from every reader; (2) flips the
+    ordering is not enough. This job therefore (1) flips the
     ``_bm25_params.json`` sidecar to an in-progress marker
-    (``compacting: true``) so every search/ingest refuses LOUDLY
-    (retrain_ivf_index's discipline — the extra key can never match a
-    caller's expected params); (3) per side, deletes the folded batch
-    dirs and renames the hidden tmp to ``batch=-1``; (4) clears the
-    marker. At no point does a reader see postings twice. Recovery
-    from any crash is re-running this job: with the marker set it
-    NEVER recomputes from the (possibly partially deleted) batch dirs
-    — it only promotes the surviving complete tmps, side by side, then
-    clears the marker."""
+    (``compacting: true``) BEFORE anything else, so every search AND
+    every ingest refuses LOUDLY for the whole job (retrain_ivf_index's
+    discipline — and critically, a batch that arrives while the
+    consolidated trees are being written can neither be silently
+    dropped by the fold nor silently missed by it); (2) writes both
+    consolidated trees to underscore-hidden ``_compact_tmp_*``
+    directories — hidden from every reader, completeness marked by
+    Spark's own ``_SUCCESS`` file; (3) records the highest folded
+    batch id in ``_bm25_compaction.json``; (4) per side, deletes the
+    folded batch dirs and renames the tmp to ``batch=-1`` (a rename
+    the Hadoop FS rejects raises WITH the marker still set — never a
+    silently empty index); (5) clears the marker. At no point does a
+    reader see postings twice or a half-fold. Recovery from any crash
+    is re-running this job: incomplete tmps (no ``_SUCCESS``) mean no
+    delete has happened yet, so it restarts the fold from the intact
+    batch dirs; complete tmps are promoted as-is, never recomputed
+    from possibly-half-deleted batches.
+
+    The recorded ``max_folded_batch`` is the replay fence:
+    :func:`bm25_index_batch` refuses any ``batch_id`` at or below it,
+    because a source batch replayed AFTER its rows were folded into
+    ``batch=-1`` would write them a second time — the per-batch
+    replay-idempotence contract holds only for batches not yet
+    folded. Compact at a quiesced moment (stream stopped, checkpoint
+    committed); a post-compaction replay then fails loudly instead of
+    doubling df."""
     from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
         _read_json_sidecar,
         _write_json_sidecar,
@@ -227,6 +271,7 @@ def compact_bm25_index(spark: SparkSession, index_dir: str,
     side_tmp = {s: f"{index_dir}/_compact_tmp_{s}"
                 for s in ("postings", "stats")}
     scar = f"{index_dir}/_bm25_params.json"
+    comp_scar = f"{index_dir}/_bm25_compaction.json"
 
     def _batch_dirs(side: str) -> list:
         root = jpath(f"{index_dir}/{side}")
@@ -235,30 +280,92 @@ def compact_bm25_index(spark: SparkSession, index_dir: str,
         return [st.getPath() for st in fs.listStatus(root)
                 if st.getPath().getName().startswith("batch=")]
 
+    def _tmp_complete(side: str) -> bool:
+        return fs.exists(jpath(f"{side_tmp[side]}/_SUCCESS"))
+
     def _promote(side: str) -> None:
         tmp = jpath(side_tmp[side])
         if not fs.exists(tmp):
             return  # this side already promoted (resume after crash)
-        for b in _batch_dirs(side):
-            fs.delete(b, True)
-        fs.rename(tmp, jpath(side_final[side]))
+        for bdir in _batch_dirs(side):
+            fs.delete(bdir, True)
+        if not fs.rename(tmp, jpath(side_final[side])):
+            # Hadoop rename reports failure by RETURN VALUE; swallowing
+            # it here would clear the marker over an empty tree and
+            # every search would silently return nothing
+            raise IOError(
+                f"compact_bm25_index: rename {side_tmp[side]} → "
+                f"{side_final[side]} failed; compacting marker left "
+                f"set — re-run to resume")
+
+    def _write_and_promote(params: dict, folded_ids: list[int]) -> None:
+        prev = _read_json_sidecar(spark, comp_scar) or {}
+        _write_json_sidecar(
+            spark, comp_scar,
+            {"max_folded_batch": max([*folded_ids,
+                                      prev.get("max_folded_batch", -1)])})
+        _promote("postings")
+        _promote("stats")
+        clean = {k: v for k, v in params.items() if k != "compacting"}
+        _write_json_sidecar(spark, scar, clean)
+
+    def _fold(params: dict, folded: list) -> int:
+        folded_ids = [int(p.getName().split("=", 1)[1]) for p in folded]
+        ps = (spark.read.option("basePath", f"{index_dir}/postings")
+              .parquet(f"{index_dir}/postings").drop("batch"))
+        if target_partitions is not None:
+            ps = ps.repartition(target_partitions, F.col("bucket"))
+        (ps.write.mode("overwrite").partitionBy("bucket")
+         .parquet(side_tmp["postings"]))
+        (spark.read.parquet(f"{index_dir}/stats")
+         .agg(F.sum("n_docs").alias("n_docs"),
+              F.sum("sum_dl").alias("sum_dl"))
+         .coalesce(1).write.mode("overwrite")
+         .parquet(side_tmp["stats"]))
+        _write_and_promote(params, folded_ids)
+        return len(folded)
 
     params = _read_json_sidecar(spark, scar)
     if params is None:
         raise ValueError(f"compact_bm25_index: no index at {index_dir}")
     if params.get("compacting"):
-        # resume: promote whatever complete tmps survive, never rebuild
-        if not any(fs.exists(jpath(side_tmp[s])) for s in side_tmp) \
-                and not fs.exists(jpath(side_final["postings"])):
-            raise ValueError(
-                f"compact_bm25_index: {index_dir} is marked compacting "
-                f"but has neither tmp nor consolidated data — restore "
-                f"from the source stream")
-        _promote("postings")
-        _promote("stats")
-        del params["compacting"]
-        _write_json_sidecar(spark, scar, params)
-        return 0
+        # resume — decide from what survives, destructive steps only
+        # ever ran against COMPLETE tmps (the _SUCCESS gate):
+        if _tmp_complete("postings") and _tmp_complete("stats"):
+            # crash after the fold, before/midway through promotion
+            folded_ids = [
+                int(p.getName().split("=", 1)[1])
+                for p in _batch_dirs("postings")
+                if p.getName() != "batch=-1"]
+            _write_and_promote(params, folded_ids)
+            return 0
+        if (not fs.exists(jpath(side_tmp["postings"]))
+                and fs.exists(jpath(side_final["postings"]))):
+            # postings promoted; finish stats if pending, then clear
+            if fs.exists(jpath(side_tmp["stats"])):
+                if not _tmp_complete("stats"):
+                    raise ValueError(
+                        f"compact_bm25_index: {index_dir} has promoted "
+                        f"postings but an incomplete stats tmp — "
+                        f"inspect manually")
+                _promote("stats")
+            _write_json_sidecar(
+                spark, scar,
+                {k: v for k, v in params.items() if k != "compacting"})
+            return 0
+        folded = [p for p in _batch_dirs("postings")
+                  if p.getName() != "batch=-1"]
+        if folded:
+            # crash during the tmp writes: nothing was deleted (deletes
+            # are gated on complete tmps) — drop the partial tmps and
+            # restart the fold from the intact batch dirs
+            for s in side_tmp.values():
+                fs.delete(jpath(s), True)
+            return _fold(params, folded)
+        raise ValueError(
+            f"compact_bm25_index: {index_dir} is marked compacting "
+            f"but has neither tmp nor consolidated data — restore "
+            f"from the source stream")
     _check_bm25_sidecar(spark, index_dir, n_buckets,
                         positional=bool(params.get("positional", False)))
 
@@ -266,23 +373,11 @@ def compact_bm25_index(spark: SparkSession, index_dir: str,
               if p.getName() != "batch=-1"]
     if not folded:
         return 0
-    ps = (spark.read.option("basePath", f"{index_dir}/postings")
-          .parquet(f"{index_dir}/postings").drop("batch"))
-    if target_partitions is not None:
-        ps = ps.repartition(target_partitions, F.col("bucket"))
-    (ps.write.mode("overwrite").partitionBy("bucket")
-     .parquet(side_tmp["postings"]))
-    (spark.read.parquet(f"{index_dir}/stats")
-     .agg(F.sum("n_docs").alias("n_docs"),
-          F.sum("sum_dl").alias("sum_dl"))
-     .coalesce(1).write.mode("overwrite")
-     .parquet(side_tmp["stats"]))
-
+    # marker FIRST: from here until the final sidecar write, every
+    # ingest and search refuses — a batch landing mid-fold can neither
+    # be missed by the consolidated tree nor deleted unfolded
     _write_json_sidecar(spark, scar, {**params, "compacting": True})
-    _promote("postings")
-    _promote("stats")
-    _write_json_sidecar(spark, scar, params)
-    return len(folded)
+    return _fold(params, folded)
 
 
 def phrase_search(spark: SparkSession, index_dir: str,
@@ -305,15 +400,8 @@ def phrase_search(spark: SparkSession, index_dir: str,
             f"flat index cannot answer phrase queries")
     _check_bm25_sidecar(spark, index_dir, n_buckets, positional=True)
     words = clean_phrase(phrase)
-    buckets = sorted({term_bucket_py(t, n_buckets) for t in set(words)})
-    pp = (spark.read.option("basePath", f"{index_dir}/postings")
-          .parquet(f"{index_dir}/postings")
-          .filter(F.col("bucket").isin(buckets))
-          .filter(F.col("term").isin(sorted(set(words)))))
-    stats = (spark.read.parquet(f"{index_dir}/stats")
-             .agg(F.sum("n_docs").alias("n_docs"),
-                  F.sum("sum_dl").alias("sum_dl"))
-             .withColumn("avgdl", F.col("sum_dl").cast("double")
-                         / F.col("n_docs")))
+    pp = _read_pruned_postings(spark, index_dir, sorted(set(words)),
+                               n_buckets)
     pc = phrase_intersect(pp, words)
-    return score_phrase_counts(pc, stats, k, k1, b, id_col)
+    return score_phrase_counts(pc, _read_index_stats(spark, index_dir),
+                               k, k1, b, id_col)

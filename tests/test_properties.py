@@ -243,29 +243,14 @@ _texts = st.one_of(
 )
 
 
-def _py_bm25(docs, qterms, k1=1.2, b=0.75):
-    import math
+# the single sequential BM25 mirror lives next to the unit tests —
+# pytest's default rootdir-prepend import mode puts tests/ on sys.path
+from test_retrieval import _mirror_bm25  # noqa: E402
 
-    tok = {i: (t or "").lower().split() for i, t in docs}
-    n = len(tok)
-    total = sum(len(v) for v in tok.values())
-    avgdl = total / n if n else 0.0
-    qt = sorted({t.lower() for t in qterms if t and t.strip()})
-    dfreq = {t: sum(1 for v in tok.values() if t in v) for t in qt}
-    out = {}
-    for d, words in tok.items():
-        s, hits = 0.0, 0
-        for t in qt:
-            tf = words.count(t)
-            if tf == 0:
-                continue
-            hits += 1
-            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
-            s = s + idf * (tf * (k1 + 1.0)) / (
-                tf + k1 * (1.0 - b + b * len(words) / avgdl))
-        if hits:
-            out[d] = round(s, 6)
-    return out
+
+def _py_bm25(docs, qterms):
+    return {d: s for d, (_hits, s)
+            in _mirror_bm25(qterms, docs=docs).items()}
 
 
 @given(texts=st.lists(_texts, min_size=1, max_size=10),

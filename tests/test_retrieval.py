@@ -39,11 +39,13 @@ def _docs(spark):
     return spark.createDataFrame(DOCS, D_SCHEMA)
 
 
-def _mirror_bm25(query_terms, k1=1.2, b=0.75):
-    """Independent python BM25 over DOCS: Lucene idf, term-sorted left
-    fold, round-6 — the contract both the Spark path and the DuckDB
-    oracle state."""
-    tok = {i: (t or "").lower().split() for i, t in DOCS}
+def _mirror_bm25(query_terms, k1=1.2, b=0.75, docs=None):
+    """Independent python BM25 mirror (Lucene idf, term-sorted left
+    fold, round-6 — the contract the Spark path and the DuckDB oracle
+    both state). THE one sequential restatement of the scoring
+    contract: test_properties.py imports it too, so a contract change
+    has exactly one mirror to update."""
+    tok = {i: (t or "").lower().split() for i, t in (docs or DOCS)}
     n = len(tok)
     avgdl = sum(len(v) for v in tok.values()) / n
     qt = sorted({t.lower() for t in query_terms if t and t.strip()})
@@ -223,11 +225,19 @@ def test_index_search_prunes_at_the_scan(spark, tmp_path):
     point of persisting postings."""
     idir = str(tmp_path / "bm25p")
     bm25_index_batch(_docs(spark), 0, idir, n_buckets=8)
+    import re
+
     plan = (bm25_search(spark, idir, ["cat"], k=3, n_buckets=8)
             ._jdf.queryExecution().executedPlan().toString())
-    assert "term" in plan and "PushedFilters" in plan
-    assert f"bucket={term_bucket_py('cat', 8)}" in plan \
-        or "bucket IN" in plan or "bucket#" in plan
+    # the term equality must reach the parquet scan as a data filter
+    assert re.search(r"DataFilters: \[[^\]]*term#\d+ = cat", plan)
+    # and the driver-computed bucket must appear INSIDE a
+    # PartitionFilters list (directory pruning) — not merely as a
+    # column reference, which any plan touching `bucket` would show
+    want_bucket = term_bucket_py("cat", 8)
+    assert re.search(
+        rf"PartitionFilters: \[[^\]]*bucket#\d+ = {want_bucket}\)",
+        plan), plan[:2000]
     # the only nested-loop join is the documented one-row stats scalar
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "CartesianProduct" not in plan
@@ -487,3 +497,41 @@ def test_positional_index_phrase_parity_and_refusals(spark, tmp_path):
     with pytest.raises(Exception, match="positional"):
         bm25_index_batch(spark.createDataFrame(docs[:1], D_SCHEMA), 9,
                          fdir, n_buckets=8, positional=True)
+
+
+def test_compaction_replay_fence(spark, tmp_path):
+    """A batch id at or below max_folded_batch refuses to ingest after
+    compaction (its rows already live in batch=-1 — rewriting would
+    double tf/df); fresh batch ids keep working, and the fence
+    survives a second compaction."""
+    from harvesting_extract_to_ttl_service_spark.streaming.lexical_stream import (  # noqa: E501
+        compact_bm25_index,
+    )
+
+    idir = str(tmp_path / "fence")
+    bm25_index_batch(spark.createDataFrame(DOCS[:2], D_SCHEMA), 0, idir,
+                     n_buckets=8)
+    bm25_index_batch(spark.createDataFrame(DOCS[2:4], D_SCHEMA), 3, idir,
+                     n_buckets=8)
+    assert compact_bm25_index(spark, idir, n_buckets=8) == 2
+    # replaying a folded batch (or any id at/below the fence) refuses
+    for bad in (0, 3, 2):
+        with pytest.raises(ValueError, match="already folded"):
+            bm25_index_batch(spark.createDataFrame(DOCS[:1], D_SCHEMA),
+                             bad, idir, n_buckets=8)
+    # a fresh id works, replays idempotently pre-fold, and the fence
+    # advances with the next compaction
+    d5 = spark.createDataFrame(DOCS[4:], D_SCHEMA)
+    bm25_index_batch(d5, 5, idir, n_buckets=8)
+    bm25_index_batch(d5, 5, idir, n_buckets=8)  # pre-fold replay OK
+    want = [tuple(r) for r in
+            bm25_topk(_docs(spark), ["cat", "the"], k=6).collect()]
+    assert [tuple(r) for r in
+            bm25_search(spark, idir, ["cat", "the"], k=6,
+                        n_buckets=8).collect()] == want
+    assert compact_bm25_index(spark, idir, n_buckets=8) == 1
+    with pytest.raises(ValueError, match="already folded"):
+        bm25_index_batch(d5, 5, idir, n_buckets=8)
+    assert [tuple(r) for r in
+            bm25_search(spark, idir, ["cat", "the"], k=6,
+                        n_buckets=8).collect()] == want
