@@ -87,6 +87,102 @@ def corpus_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
                         / F.col("n_docs")))
 
 
+def bm25f_postings(df: DataFrame, field_weights: dict[str, float],
+                   id_col: str = "doc_id") -> DataFrame:
+    """Field-weighted inverted postings ``(id, term, tf, dl)`` — the
+    simple BM25F form (Robertson, Zaragoza & Taylor 2004): per
+    (document, term) the WEIGHTED term frequency ``tf = Σ_f w_f·tf_f``
+    and per document the weighted length ``dl = Σ_f w_f·len_f``, both
+    doubles, after which the ordinary BM25 saturation applies
+    unchanged — so :func:`score_postings` and :func:`bm25_contrib`
+    consume these rows verbatim. Document frequency downstream counts
+    a document once per term no matter how many fields matched (one
+    output row per (id, term) — standard BM25F idf).
+
+    Same cost class as :func:`postings`: one explode per field (the
+    field set is a handful of columns, not data-sized), one union, one
+    map-side-combinable groupBy. Each exploded token carries its
+    field's weight, so ``sum(w)`` IS ``Σ_f w_f·tf_f``.
+
+    Determinism note: the weighted sums are double additions; with
+    binary-representable weights (1.0, 2.0, 0.5, …) every partial sum
+    is exact and partition-order-independent — use such weights when
+    bit-reproducibility against an oracle matters (the catalog member
+    does). A document NULL/empty in every field yields no rows but
+    still counts in :func:`bm25f_corpus_stats`."""
+    fields = _checked_fields(field_weights)
+    wdl = _weighted_dl(fields)
+    parts = [
+        df.select(F.col(id_col).alias("id"), wdl.alias("dl"),
+                  F.explode(terms(F.col(name))).alias("term"),
+                  F.lit(float(w)).alias("w"))
+        for name, w in fields]
+    ex = parts[0]
+    for p in parts[1:]:
+        ex = ex.unionByName(p)
+    return ex.groupBy("id", "term").agg(
+        F.sum("w").alias("tf"), F.first("dl").alias("dl"))
+
+
+def bm25f_corpus_stats(df: DataFrame,
+                       field_weights: dict[str, float]) -> DataFrame:
+    """One-row weighted corpus statistics ``(n_docs, sum_dl, avgdl)``
+    over the field-weighted document lengths — the BM25F twin of
+    :func:`corpus_stats` (``sum_dl`` is a double here; exact and
+    order-independent when the weights are binary-representable, see
+    :func:`bm25f_postings`)."""
+    fields = _checked_fields(field_weights)
+    return (df.select(_weighted_dl(fields).alias("dl"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.coalesce(F.sum("dl"), F.lit(0.0)).alias("sum_dl"))
+            .withColumn("avgdl", F.col("sum_dl") / F.col("n_docs")))
+
+
+def _checked_fields(field_weights: dict[str, float]
+                    ) -> list[tuple[str, float]]:
+    """Normalize a field→weight dict to a name-sorted list (the pinned
+    union and fold order); refuse empty/invalid weights up front."""
+    if not field_weights:
+        raise ValueError("bm25f: field_weights must name at least one "
+                         "field")
+    fields = sorted((str(n), float(w)) for n, w in field_weights.items())
+    for name, w in fields:
+        if not (w > 0.0):
+            raise ValueError(f"bm25f: weight for field {name!r} must "
+                             f"be > 0, got {w}")
+    return fields
+
+
+def _weighted_dl(fields: list[tuple[str, float]]) -> Column:
+    """Σ_f w_f·len(tokens(field_f)) as one in-row expression — the
+    addition order is the pinned name-sorted field order, identical on
+    every row."""
+    out = None
+    for name, w in fields:
+        term_cnt = F.lit(float(w)) * F.size(terms(F.col(name)))
+        out = term_cnt if out is None else out + term_cnt
+    return out.cast("double")
+
+
+def bm25f_topk(df: DataFrame, query_terms: list[str],
+               field_weights: dict[str, float], k: int = 10,
+               k1: float = DEFAULT_K1, b: float = DEFAULT_B,
+               id_col: str = "doc_id") -> DataFrame:
+    """Field-weighted BM25 top-k (BM25F, simple form) →
+    ``(id_col, rank, n_terms_hit, score)``: weighted tf/dl from
+    :func:`bm25f_postings`, weighted avgdl from
+    :func:`bm25f_corpus_stats`, then exactly the single-field scoring
+    chain — same pushed term filter, same broadcast scalars, same
+    pinned fold, same rounded-rank tail. A ``{"text": 1.0}`` weighting
+    degenerates to :func:`bm25_topk` row for row."""
+    qt = clean_query_terms(query_terms)
+    ps = (bm25f_postings(df, field_weights, id_col)
+          .filter(F.col("term").isin(qt)))
+    agg = score_postings(ps, bm25f_corpus_stats(df, field_weights),
+                         k1, b)
+    return top_ranked(agg, k, id_col)
+
+
 def clean_query_terms(query_terms: list[str]) -> list[str]:
     """Query-side twin of :func:`terms`: lowercase, drop empties,
     distinct, sorted (the fold order every score uses)."""
@@ -363,16 +459,33 @@ def clean_phrase(phrase: list[str]) -> list[str]:
     return words
 
 
-def phrase_intersect(pp: DataFrame, words: list[str]) -> DataFrame:
+def phrase_intersect(pp: DataFrame, words: list[str],
+                     rarest_first: bool = True) -> DataFrame:
     """The positional-intersection core over an existing positional-
     postings frame ``(id, term, positions, dl, …)`` — shared verbatim by
     the ad-hoc path (:func:`phrase_counts`) and the persisted-index path
     (streaming/lexical_stream.phrase_search) so the two can never
-    drift. ``words`` must already be normalized (:func:`clean_phrase`)."""
+    drift. ``words`` must already be normalized (:func:`clean_phrase`).
+
+    ``rarest_first`` (default) orders the join chain by ascending
+    document frequency instead of phrase order — the standard
+    positional-index refinement: every intermediate is bounded by the
+    rarest word processed so far, so a 6-word quote whose third word is
+    rare costs rare-sized joins, not common-sized ones. The df counts
+    come from one tiny aggregate over the already term-filtered posting
+    lists (≤ phrase-length rows collected). Result-invariant: every
+    word ``i`` shifts its offsets by ``−i`` regardless of processing
+    order, so the running intersection is the same SET under any
+    order — only the intermediate sizes change (tests pin the parity,
+    SCALE.md the size drop). A phrase word absent from the corpus has
+    df 0 and sorts first, emptying the chain at its cheapest point."""
     pp = pp.filter(F.col("term").isin(sorted(set(words))))
-    base = (pp.filter(F.col("term") == words[0])
-            .select("id", F.col("positions").alias("acc"), "dl"))
-    for i, w in enumerate(words[1:], 1):
+    chain = _phrase_chain_order(pp, words, rarest_first)
+    i0, w0 = chain[0]
+    base = (pp.filter(F.col("term") == w0)
+            .select("id", F.transform(
+                "positions", lambda x: x - i0).alias("acc"), "dl"))
+    for i, w in chain[1:]:
         nxt = (pp.filter(F.col("term") == w)
                .select("id", F.transform(
                    "positions", lambda x: x - i).alias("_p")))
@@ -383,13 +496,36 @@ def phrase_intersect(pp: DataFrame, words: list[str]) -> DataFrame:
     return base.select("id", F.size("acc").alias("phrase_tf"), "dl")
 
 
+def _phrase_chain_order(pp: DataFrame, words: list[str],
+                        rarest_first: bool) -> list[tuple[int, str]]:
+    """Processing order for the phrase chain as (phrase-offset, word)
+    pairs: phrase order, or ascending df with the phrase offset as the
+    deterministic tiebreak (repeated words share one df). Exposed for
+    the chain-order tests."""
+    chain = list(enumerate(words))
+    if not rarest_first or len(words) <= 1:
+        return chain
+    dfs = {r["term"]: r["cnt"]
+           for r in pp.groupBy("term")
+           .agg(F.count("*").alias("cnt")).collect()}
+    return sorted(chain, key=lambda iw: (dfs.get(iw[1], 0), iw[0]))
+
+
 def score_phrase_counts(pc: DataFrame, stats: DataFrame, k: int,
                         k1: float = DEFAULT_K1, b: float = DEFAULT_B,
                         id_col: str = "doc_id") -> DataFrame:
     """Rank phrase matches ``(id, phrase_tf, dl)`` as one BM25 unit
     against a one-row stats frame — the scoring tail shared by
     :func:`phrase_topk` and the persisted-index twin. df = matching
-    document count, computed from the matches themselves."""
+    document count, computed from the matches themselves — the match
+    table is materialized once (phrase-bearing docs only, bounded) so
+    the df aggregate and the scoring pass don't each re-run the join
+    chain."""
+    from harvesting_extract_to_ttl_service_spark.operators.materialize import (
+        materialize,
+    )
+
+    pc = materialize(pc, "local_checkpoint")
     dfreq = pc.agg(F.count("*").alias("df"))
     scored = (pc.withColumnRenamed("phrase_tf", "tf")
               .crossJoin(F.broadcast(stats))

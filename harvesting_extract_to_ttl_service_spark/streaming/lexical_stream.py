@@ -1,5 +1,5 @@
 """Persistent incremental BM25 index: micro-batch posting ingest +
-stored-index search.
+stored-index search + read-transparent generational compaction.
 
 The ad-hoc path (operators/retrieval.bm25_topk) re-derives postings per
 query; at corpus scale the postings are the thing you persist. This module
@@ -11,20 +11,40 @@ directory-level:
 
     <index_dir>/postings/batch=<id>/bucket=<hash(term) % n_buckets>/…
     <index_dir>/stats/batch=<id>/…          (one row: n_docs, sum_dl)
-    <index_dir>/_bm25_params.json           (n_buckets, tokenizer, version)
+    <index_dir>/gen=<g>/postings/bucket=…   (consolidated generation g)
+    <index_dir>/gen=<g>/stats/…
+    <index_dir>/gen=<g>/_manifest.json      (written LAST = gen complete)
+    <index_dir>/_bm25_params.json           (n_buckets, tokenizer, …)
+    <index_dir>/_bm25_generation.json       ({generation, max_folded_batch}
+                                             — THE atomic read pointer)
+    <index_dir>/_bm25_compacting.json       (marker: refuses INGEST and a
+                                             second compactor; search is
+                                             unaffected)
 
 * ``bucket`` is the md5-derived portable term hash mod ``n_buckets`` —
   search computes the query terms' buckets driver-side and the bucket
   IN-list prunes whole directories before the term IN-list is even
   evaluated (which itself reaches the parquet scan as a pushed filter).
-* Corpus statistics are ADDITIVE integers per batch (doc count, token
-  sum), so N and avgdl over any set of batches are exact sums — no
-  rescan of the postings. Document ids must be unique across batches
-  (the corpus_stream remap discipline); re-ingesting a doc would double
-  its df.
-* A replayed batch overwrites its own ``batch=<id>`` directory with
-  byte-identical content (tokenization is deterministic), so crash/retry
-  of the writing job needs no coordination.
+* Corpus statistics are ADDITIVE per batch (doc count, token sum), so N
+  and avgdl over any set of batches are exact sums — no rescan of the
+  postings. Document ids must be unique across batches (the
+  corpus_stream remap discipline); re-ingesting a doc would double its
+  df.
+* **Batch visibility is atomic**: ingest writes the posting tree FIRST
+  and the batch's stats row SECOND, and every reader derives the
+  visible batch set from the stats directories that carry a
+  ``_SUCCESS`` marker — so a crash (or a concurrent search) between
+  the two writes sees NEITHER the postings nor the stats of the
+  half-committed batch, never postings whose docs are missing from
+  N/avgdl. A replayed batch overwrites both directories byte-identically
+  (tokenization is deterministic), so crash/retry of the writing job
+  needs no coordination.
+* **Compaction is read-transparent** (generation scheme): the fold
+  writes a consolidated tree under ``gen=<g+1>`` while searches keep
+  reading ``gen=<g>`` + the unfolded batch dirs — none of which the
+  fold touches — then flips the one-file ``_bm25_generation.json``
+  pointer and only afterwards deletes the superseded trees. A search
+  resolves the pointer once and reads a consistent snapshot throughout.
 
 Search calls operators/retrieval.score_postings — the SAME scoring code
 the ad-hoc path uses — so stored-index results equal bm25_topk over the
@@ -45,6 +65,8 @@ from harvesting_extract_to_ttl_service_spark.operators.dedup import (
 from harvesting_extract_to_ttl_service_spark.operators.retrieval import (
     DEFAULT_B,
     DEFAULT_K1,
+    bm25f_corpus_stats,
+    bm25f_postings,
     clean_phrase,
     clean_query_terms,
     corpus_stats,
@@ -76,99 +98,259 @@ def term_bucket_py(term: str, n_buckets: int) -> int:
         % n_buckets
 
 
+def _fields_key(field_weights: dict[str, float] | None):
+    """Sidecar form of the BM25F field convention: name-sorted
+    ``[[field, weight], …]`` (JSON-stable), or None for the plain
+    single-field index. Index identity — weighted and unweighted
+    postings, or two different weightings, can never mix."""
+    if not field_weights:
+        return None
+    return [[str(n), float(w)] for n, w in sorted(field_weights.items())]
+
+
 def _check_bm25_sidecar(spark: SparkSession, index_dir: str,
                         n_buckets: int,
-                        positional: bool = False) -> None:
+                        positional: bool = False,
+                        fields=None) -> None:
     """Bucket count and tokenizer are the index's identity: postings
     bucketed mod a different n_buckets would silently miss every pruned
     term, and a different tokenizer changes tf/dl everywhere — both
-    refuse up front, like the IVF sidecar. ``positional`` is identity
-    too (mixed batches would leave phrase queries silently blind to the
-    non-positional ones); backfilled False for pre-upgrade indexes."""
+    refuse up front, like the IVF sidecar. ``positional`` and the BM25F
+    ``fields`` convention are identity too (mixed batches would leave
+    phrase queries silently blind to non-positional batches, and
+    field-weighted tf/dl silently inconsistent); both backfilled for
+    pre-upgrade indexes."""
     _check_sidecar_params(
         spark, index_dir,
         {"n_buckets": n_buckets, "tokenizer": _TOKENIZER, "version": 1,
-         "positional": bool(positional)},
+         "positional": bool(positional), "fields": fields},
         filename="_bm25_params.json",
-        defaults={"positional": False})
+        defaults={"positional": False, "fields": None})
+
+
+def _read_params(spark: SparkSession, index_dir: str) -> dict | None:
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        _read_json_sidecar,
+    )
+
+    return _read_json_sidecar(spark, f"{index_dir}/_bm25_params.json")
 
 
 def _sidecar_positional(spark: SparkSession, index_dir: str) -> bool:
     """Read the index's positional flag (False for pre-upgrade
     sidecars) so read paths adapt instead of making callers restate
     it."""
+    params = _read_params(spark, index_dir)
+    return bool(params.get("positional", False)) if params else False
+
+
+# --- the read pointer ------------------------------------------------------
+
+
+def _pointer(spark: SparkSession, index_dir: str) -> tuple[int, int]:
+    """(generation, max_folded_batch): the index's one-file read
+    pointer. Generation −1 = no consolidated tree (all data lives in
+    batch dirs). Falls back to the pre-generation
+    ``_bm25_compaction.json`` fence for indexes last compacted by the
+    legacy batch=-1 fold."""
     from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
         _read_json_sidecar,
     )
 
-    params = _read_json_sidecar(spark, f"{index_dir}/_bm25_params.json")
-    return bool(params.get("positional", False)) if params else False
+    ptr = _read_json_sidecar(spark, f"{index_dir}/_bm25_generation.json")
+    if ptr is not None:
+        return int(ptr["generation"]), int(ptr["max_folded_batch"])
+    legacy = _read_json_sidecar(spark,
+                                f"{index_dir}/_bm25_compaction.json")
+    if legacy is not None:
+        return -1, int(legacy.get("max_folded_batch", -1))
+    return -1, -1
+
+
+def _visible_batch_ids(spark: SparkSession, index_dir: str,
+                       gen: int, fence: int) -> list[int]:
+    """Batch ids the current pointer makes readable: committed (their
+    stats directory carries ``_SUCCESS`` — the ingest commit point) and
+    not folded (id > fence). The legacy ``batch=-1`` consolidated dir
+    is visible only while no generation tree exists — once a
+    generational fold absorbed it, its rows live in ``gen=<g>``."""
+    from harvesting_extract_to_ttl_service_spark.sources.files import (
+        _hadoop_fs,
+    )
+
+    fs, _ = _hadoop_fs(spark, index_dir)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    root = jpath(f"{index_dir}/stats")
+    if not fs.exists(root):
+        return []
+    ids = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith("batch="):
+            continue
+        i = int(name.split("=", 1)[1])
+        if i > fence or (i == -1 and gen < 0):
+            if fs.exists(jpath(f"{index_dir}/stats/batch={i}/_SUCCESS")):
+                ids.append(i)
+    return sorted(ids)
+
+
+def _index_view(spark: SparkSession,
+                index_dir: str) -> tuple[int, int, list[int]]:
+    """Resolve the pointer and visible batch set ONCE per search, so
+    the postings read and the stats read of one query can never
+    straddle a concurrent pointer flip."""
+    gen, fence = _pointer(spark, index_dir)
+    return gen, fence, _visible_batch_ids(spark, index_dir, gen, fence)
+
+
+def _postings_frames(spark: SparkSession, index_dir: str,
+                     gen: int, vis: list[int]) -> DataFrame:
+    """Union of the readable posting trees: the consolidated
+    ``gen=<g>/postings`` (if any) plus the visible unfolded batch dirs,
+    read by EXPLICIT path so partition discovery never touches a
+    half-committed or superseded directory. Both sides keep ``bucket``
+    as a directory-level partition column under their own basePath."""
+    frames = []
+    if gen >= 0:
+        p = f"{index_dir}/gen={gen}/postings"
+        frames.append(spark.read.option("basePath", p).parquet(p))
+    if vis:
+        root = f"{index_dir}/postings"
+        paths = [f"{root}/batch={i}" for i in vis]
+        frames.append(spark.read.option("basePath", root)
+                      .parquet(*paths).drop("batch"))
+    if not frames:
+        raise ValueError(
+            f"bm25 index at {index_dir} has no readable data (no "
+            f"generation tree and no committed batches)")
+    out = frames[0]
+    for f2 in frames[1:]:
+        out = out.unionByName(f2)
+    return out
+
+
+def _read_pruned_postings(spark: SparkSession, index_dir: str,
+                          terms_: list[str], n_buckets: int,
+                          view: tuple[int, int, list[int]]) -> DataFrame:
+    """The index read both search paths share: bucket IN-list from the
+    driver-side term hashes (directory pruning on every tree in the
+    view), then the term IN-list (parquet pushed filter)."""
+    gen, _fence, vis = view
+    ps = _postings_frames(spark, index_dir, gen, vis)
+    buckets = sorted({term_bucket_py(t, n_buckets) for t in terms_})
+    return (ps.filter(F.col("bucket").isin(buckets))
+            .filter(F.col("term").isin(terms_)))
+
+
+def _read_index_stats(spark: SparkSession, index_dir: str,
+                      view: tuple[int, int, list[int]]) -> DataFrame:
+    """One-row N/avgdl from the exact additive sums of the generation
+    stats row plus the visible per-batch stats rows — the same view the
+    postings read resolved, so the two can never disagree about which
+    batches exist."""
+    gen, _fence, vis = view
+    frames = []
+    if gen >= 0:
+        frames.append(spark.read.parquet(f"{index_dir}/gen={gen}/stats")
+                      .select("n_docs", "sum_dl"))
+    if vis:
+        root = f"{index_dir}/stats"
+        frames.append(spark.read.option("basePath", root)
+                      .parquet(*[f"{root}/batch={i}" for i in vis])
+                      .select("n_docs", "sum_dl"))
+    if not frames:
+        raise ValueError(
+            f"bm25 index at {index_dir} has no readable stats")
+    out = frames[0]
+    for f2 in frames[1:]:
+        out = out.unionByName(f2)
+    return (out.agg(F.sum("n_docs").alias("n_docs"),
+                    F.sum("sum_dl").alias("sum_dl"))
+            .withColumn("avgdl", F.col("sum_dl").cast("double")
+                        / F.col("n_docs")))
+
+
+# --- ingest ----------------------------------------------------------------
 
 
 def bm25_index_batch(docs: DataFrame, batch_id: int, index_dir: str,
                      n_buckets: int = 64, text_col: str = "text",
                      id_col: str = "doc_id",
-                     positional: bool = False) -> None:
+                     positional: bool = False,
+                     field_weights: dict[str, float] | None = None
+                     ) -> None:
     """Append one micro-batch of documents to the index: the posting
     table of THIS batch (explode + map-side-combinable groupBy — the
     only shuffle), partitioned by term bucket under ``batch=<id>``, plus
     the batch's one-row additive stats. Overwrite semantics per batch
     directory = replay idempotence. ``positional=True`` stores each
     term's token offsets too (operators/retrieval.positional_postings —
-    the price of stored phrase queries; sidecar-pinned, so positional
-    and flat batches can never mix in one index).
+    the price of stored phrase queries). ``field_weights`` builds a
+    BM25F index instead (operators/retrieval.bm25f_postings — weighted
+    double tf/dl over the named columns; ``text_col`` is ignored). Both
+    are sidecar-pinned index identity, so positional/flat and
+    weighted/unweighted batches can never mix in one index; positional
+    BM25F is refused (token offsets are per-field, a cross-field phrase
+    position is not well defined).
 
-    Replay contract: a batch id at or below the last compaction's
-    ``max_folded_batch`` (``_bm25_compaction.json``) REFUSES — its
-    rows already live in ``batch=-1``, so rewriting ``batch=<id>``
-    would double every tf and df the batch contributed. Replay
-    idempotence holds for batches not yet folded; compact at quiesced
-    moments (stream stopped, checkpoint committed)."""
+    Commit protocol: the posting tree is written FIRST, the stats row
+    SECOND — and a batch is visible to searches only once its stats
+    directory carries ``_SUCCESS``, so a crash between the two writes
+    (or a search concurrent with this job) sees neither side of the
+    half-committed batch. Replaying the batch rewrites both directories
+    byte-identically.
+
+    Replay contract: a batch id at or below the index's
+    ``max_folded_batch`` pointer REFUSES — its rows already live in a
+    consolidated generation, so rewriting ``batch=<id>`` would double
+    every tf and df the batch contributed. Replay idempotence holds for
+    batches not yet folded. Ingest also refuses while a compaction is
+    marked in progress (``_bm25_compacting.json``): a batch landing
+    mid-fold could otherwise be silently missed by the fold yet fenced
+    off by its pointer flip. Searches run undisturbed through both."""
     spark = docs.sparkSession
+    if positional and field_weights:
+        raise ValueError(
+            "bm25_index_batch: positional=True cannot combine with "
+            "field_weights — token offsets are per-field, so a "
+            "cross-field phrase position is not well defined")
+    fields = _fields_key(field_weights)
     _check_bm25_sidecar(spark, index_dir, n_buckets,
-                        positional=positional)
+                        positional=positional, fields=fields)
     from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
         _read_json_sidecar,
     )
 
-    comp = _read_json_sidecar(spark, f"{index_dir}/_bm25_compaction.json")
-    if comp is not None and batch_id <= comp.get("max_folded_batch", -1):
+    if _read_json_sidecar(spark, f"{index_dir}/_bm25_compacting.json"):
+        raise ValueError(
+            f"bm25_index_batch: index at {index_dir} is compacting — "
+            f"a batch ingested mid-fold could be missed by the fold "
+            f"yet fenced by its pointer flip; re-run the batch after "
+            f"the compaction finishes (searches are unaffected)")
+    _gen, fence = _pointer(spark, index_dir)
+    if batch_id <= fence:
         raise ValueError(
             f"bm25_index_batch: batch {batch_id} was already folded "
-            f"into batch=-1 by a compaction (max_folded_batch="
-            f"{comp['max_folded_batch']}) — replaying it would double "
-            f"its postings' tf/df; re-ingest under a fresh batch id "
-            f"only if the documents are genuinely new")
-    base = (positional_postings(docs, text_col, id_col) if positional
-            else postings(docs, text_col, id_col))
+            f"into a consolidated generation (max_folded_batch="
+            f"{fence}) — replaying it would double its postings' "
+            f"tf/df; re-ingest under a fresh batch id only if the "
+            f"documents are genuinely new")
+    if field_weights:
+        base = bm25f_postings(docs, field_weights, id_col)
+        stats = bm25f_corpus_stats(docs, field_weights)
+    else:
+        base = (positional_postings(docs, text_col, id_col) if positional
+                else postings(docs, text_col, id_col))
+        stats = corpus_stats(docs, text_col)
     ps = base.withColumn("bucket", term_bucket(F.col("term"), n_buckets))
     (ps.write.mode("overwrite").partitionBy("bucket")
      .parquet(f"{index_dir}/postings/batch={batch_id}"))
-    (corpus_stats(docs, text_col).select("n_docs", "sum_dl")
+    # the batch's commit point: readers gate on this directory's
+    # _SUCCESS, so the postings above stay invisible until it lands
+    (stats.select("n_docs", "sum_dl")
      .coalesce(1).write.mode("overwrite")
      .parquet(f"{index_dir}/stats/batch={batch_id}"))
-
-
-def _read_pruned_postings(spark: SparkSession, index_dir: str,
-                          terms_: list[str], n_buckets: int) -> DataFrame:
-    """The index read both search paths share: bucket IN-list from the
-    driver-side term hashes (directory pruning), then the term IN-list
-    (parquet pushed filter)."""
-    buckets = sorted({term_bucket_py(t, n_buckets) for t in terms_})
-    return (spark.read.option("basePath", f"{index_dir}/postings")
-            .parquet(f"{index_dir}/postings")
-            .filter(F.col("bucket").isin(buckets))
-            .filter(F.col("term").isin(terms_)))
-
-
-def _read_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
-    """One-row N/avgdl from the exact integer sums of the per-batch
-    stats rows — shared by both search paths."""
-    return (spark.read.parquet(f"{index_dir}/stats")
-            .agg(F.sum("n_docs").alias("n_docs"),
-                 F.sum("sum_dl").alias("sum_dl"))
-            .withColumn("avgdl", F.col("sum_dl").cast("double")
-                        / F.col("n_docs")))
 
 
 def bm25_search(spark: SparkSession, index_dir: str,
@@ -180,17 +362,25 @@ def bm25_search(spark: SparkSession, index_dir: str,
     are computed driver-side; the bucket IN-list prunes partition
     directories and the term IN-list reaches the parquet scan as a
     pushed filter (tests pin both in the plan), so per-query I/O is the
-    probed posting lists, not the index. N/avgdl are the exact integer
-    sums of the per-batch stats rows; document frequency comes from the
-    probed postings themselves. Scoring is operators/retrieval.
-    score_postings — identical to the ad-hoc path by construction.
-    Works on flat AND positional indexes (the positions column just
-    rides along unused)."""
-    _check_bm25_sidecar(spark, index_dir, n_buckets,
-                        positional=_sidecar_positional(spark, index_dir))
+    probed posting lists, not the index. N/avgdl are the exact additive
+    sums of the generation + visible per-batch stats rows; document
+    frequency comes from the probed postings themselves. Scoring is
+    operators/retrieval.score_postings — identical to the ad-hoc path
+    by construction. Works on flat, positional AND BM25F indexes (the
+    positions column just rides along unused; BM25F tf/dl are already
+    weighted at ingest). Runs undisturbed during a compaction — the
+    pointer is resolved once, and the fold never touches the trees that
+    pointer names."""
+    params = _read_params(spark, index_dir)
+    _check_bm25_sidecar(
+        spark, index_dir, n_buckets,
+        positional=bool(params.get("positional")) if params else False,
+        fields=params.get("fields") if params else None)
     qt = clean_query_terms(query_terms)
-    ps = _read_pruned_postings(spark, index_dir, qt, n_buckets)
-    agg = score_postings(ps, _read_index_stats(spark, index_dir), k1, b)
+    view = _index_view(spark, index_dir)
+    ps = _read_pruned_postings(spark, index_dir, qt, n_buckets, view)
+    agg = score_postings(ps, _read_index_stats(spark, index_dir, view),
+                         k1, b)
     return top_ranked(agg, k, id_col)
 
 
@@ -198,7 +388,8 @@ def run_bm25_index_stream(docs_stream: DataFrame, index_dir: str,
                           checkpoint_dir: str, n_buckets: int = 64,
                           text_col: str = "text",
                           id_col: str = "doc_id",
-                          positional: bool = False):
+                          positional: bool = False,
+                          field_weights: dict[str, float] | None = None):
     """Structured-Streaming ingest loop: every micro-batch lands as one
     replay-idempotent ``batch=<id>`` posting + stats pair. Exactly the
     ann_stream.run_ivf_index_stream shape — foreachBatch keyed on the
@@ -207,7 +398,8 @@ def run_bm25_index_stream(docs_stream: DataFrame, index_dir: str,
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         bm25_index_batch(batch_df, batch_id, index_dir,
                          n_buckets=n_buckets, text_col=text_col,
-                         id_col=id_col, positional=positional)
+                         id_col=id_col, positional=positional,
+                         field_weights=field_weights)
 
     return (docs_stream.writeStream.foreachBatch(_ingest)
             .option("checkpointLocation", checkpoint_dir)
@@ -215,169 +407,186 @@ def run_bm25_index_stream(docs_stream: DataFrame, index_dir: str,
             .start())
 
 
+# --- generational compaction ----------------------------------------------
+
+
 def compact_bm25_index(spark: SparkSession, index_dir: str,
                        n_buckets: int = 64,
-                       target_partitions: int | None = None) -> int:
-    """Fold the per-batch posting/stats directories into one
-    ``batch=-1`` each, PRESERVING the bucket partitioning (dropping it
-    would turn every search back into a full scan) — the small-files
-    maintenance job a long-running ingest stream needs, exactly like
-    ann_stream.compact_ivf_index. Returns the number of posting batch
-    partitions folded (0 = nothing to do).
+                       target_partitions: int | None = None,
+                       retain_old: bool = False) -> int:
+    """Fold the per-batch posting/stats directories (plus the previous
+    consolidated generation) into a NEW generation directory, then flip
+    the one-file read pointer — the small-files maintenance job a
+    long-running ingest stream needs, **without taking the index
+    offline for reads**. Returns the number of batch partitions folded
+    (0 = nothing to do, or a resumed run that only had to finish a
+    previous fold's flip/cleanup).
 
-    Crash safety is STRICTER than the IVF fold: a duplicated posting
-    row would DOUBLE a term's tf and df (scores are sums, where the
-    IVF top-k is per-id idempotent), so the write-new-then-delete-old
-    ordering is not enough. This job therefore (1) flips the
-    ``_bm25_params.json`` sidecar to an in-progress marker
-    (``compacting: true``) BEFORE anything else, so every search AND
-    every ingest refuses LOUDLY for the whole job (retrain_ivf_index's
-    discipline — and critically, a batch that arrives while the
-    consolidated trees are being written can neither be silently
-    dropped by the fold nor silently missed by it); (2) writes both
-    consolidated trees to underscore-hidden ``_compact_tmp_*``
-    directories — hidden from every reader, completeness marked by
-    Spark's own ``_SUCCESS`` file; (3) records the highest folded
-    batch id in ``_bm25_compaction.json``; (4) per side, deletes the
-    folded batch dirs and renames the tmp to ``batch=-1`` (a rename
-    the Hadoop FS rejects raises WITH the marker still set — never a
-    silently empty index); (5) clears the marker. At no point does a
-    reader see postings twice or a half-fold. Recovery from any crash
-    is re-running this job: incomplete tmps (no ``_SUCCESS``) mean no
-    delete has happened yet, so it restarts the fold from the intact
-    batch dirs; complete tmps are promoted as-is, never recomputed
-    from possibly-half-deleted batches.
+    Read transparency: searches resolve ``_bm25_generation.json`` once
+    and then read ``gen=<g>`` + the unfolded batch dirs — trees this
+    job only ever ADDS alongside (the fold writes ``gen=<g+1>``, which
+    no pointer names yet) until the pointer atomically flips, after
+    which the superseded trees are deleted. A search that resolved the
+    OLD pointer and is still scanning when the deletes land fails
+    loudly (missing files), never silently wrong; pass
+    ``retain_old=True`` to defer all deletion to the NEXT compaction
+    (the grace-period pattern) if in-flight queries may outlive a fold.
+    Ingest IS refused for the duration (the ``_bm25_compacting.json``
+    marker): a batch landing mid-fold could be silently missed by the
+    fold yet fenced off by its pointer flip. One compactor at a time —
+    the marker also makes a second concurrent compactor resume/finish
+    the first's work rather than race it, but two folds genuinely
+    running simultaneously are the operator's responsibility to avoid.
 
-    The recorded ``max_folded_batch`` is the replay fence:
-    :func:`bm25_index_batch` refuses any ``batch_id`` at or below it,
-    because a source batch replayed AFTER its rows were folded into
-    ``batch=-1`` would write them a second time — the per-batch
-    replay-idempotence contract holds only for batches not yet
-    folded. Compact at a quiesced moment (stream stopped, checkpoint
-    committed); a post-compaction replay then fails loudly instead of
-    doubling df."""
+    Crash safety — duplicated postings would DOUBLE a term's tf and df,
+    so every window re-runs to a consistent state, and NOTHING is
+    deleted before the fold is durably complete:
+
+    1. marker up (ingest fenced);
+    2. fold written to ``gen=<g+1>/{postings,stats}`` — invisible,
+       no pointer names it;
+    3. ``gen=<g+1>/_manifest.json`` written LAST records the fold's
+       replay fence; its existence marks the generation complete;
+    4. pointer flip (one-file overwrite — THE commit point);
+    5. delete superseded trees (old gen + folded batch dirs, stats
+       side first so visibility drops before data does);
+    6. marker down.
+
+    Re-running this job resumes from any crash: a complete ``g+1``
+    manifest ⇒ flip + cleanup only (the fold is never recomputed from
+    possibly-deleted inputs); an incomplete ``gen=<g+1>`` ⇒ deleted
+    and refolded from the intact batch dirs (no delete has happened);
+    leftovers below the pointer ⇒ cleanup. The recorded
+    ``max_folded_batch`` is the replay fence: :func:`bm25_index_batch`
+    refuses any ``batch_id`` at or below it, because a source batch
+    replayed AFTER its rows were folded would write them a second
+    time. Quiesce the INGEST stream before compacting (checkpoint
+    committed) so post-fold replays fail loudly instead of doubling
+    df; searches need no quiescing."""
+    from harvesting_extract_to_ttl_service_spark.sources.files import (
+        _hadoop_fs,
+    )
     from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
         _read_json_sidecar,
         _write_json_sidecar,
     )
+
+    params = _read_params(spark, index_dir)
+    if params is None:
+        raise ValueError(f"compact_bm25_index: no index at {index_dir}")
+    _check_bm25_sidecar(spark, index_dir, n_buckets,
+                        positional=bool(params.get("positional", False)),
+                        fields=params.get("fields"))
+    fs, _ = _hadoop_fs(spark, index_dir)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    marker = f"{index_dir}/_bm25_compacting.json"
+    _write_json_sidecar(spark, marker, {"compacting": True})
+
+    def _done(n: int) -> int:
+        fs.delete(jpath(marker), False)
+        return n
+
+    gen, fence = _pointer(spark, index_dir)
+    nxt = gen + 1
+    man = _read_json_sidecar(spark,
+                             f"{index_dir}/gen={nxt}/_manifest.json")
+    if man is not None:
+        # a previous fold completed but crashed before/while flipping
+        # or cleaning up — finish its flip + cleanup, never refold
+        new_fence = int(man["max_folded_batch"])
+        _flip(spark, index_dir, nxt, new_fence)
+        if not retain_old:
+            _cleanup(spark, index_dir, nxt, new_fence)
+        return _done(0)
+    if fs.exists(jpath(f"{index_dir}/gen={nxt}")):
+        # a fold crashed mid-write: no manifest ⇒ no flip ⇒ no delete
+        # ever ran — drop the partial tree and refold from the intact
+        # batch dirs
+        fs.delete(jpath(f"{index_dir}/gen={nxt}"), True)
+    if not retain_old:
+        # leftovers of an EARLIER completed compaction whose cleanup
+        # crashed (or ran with retain_old): everything below the
+        # current pointer is superseded
+        _cleanup(spark, index_dir, gen, fence)
+
+    vis = _visible_batch_ids(spark, index_dir, gen, fence)
+    if not vis:
+        return _done(0)
+    new_fence = max([fence] + [i for i in vis if i >= 0])
+    src = _postings_frames(spark, index_dir, gen, vis)
+    if target_partitions is not None:
+        src = src.repartition(target_partitions, F.col("bucket"))
+    (src.write.mode("overwrite").partitionBy("bucket")
+     .parquet(f"{index_dir}/gen={nxt}/postings"))
+    stats = _read_index_stats(spark, index_dir, (gen, fence, vis))
+    (stats.select("n_docs", "sum_dl")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(f"{index_dir}/gen={nxt}/stats"))
+    _write_json_sidecar(
+        spark, f"{index_dir}/gen={nxt}/_manifest.json",
+        {"max_folded_batch": new_fence, "n_folded": len(vis)})
+    _flip(spark, index_dir, nxt, new_fence)
+    if not retain_old:
+        _cleanup(spark, index_dir, nxt, new_fence)
+    return _done(len(vis))
+
+
+def _flip(spark: SparkSession, index_dir: str, gen: int,
+          fence: int) -> None:
+    """The compaction's commit point: overwrite the one-file read
+    pointer. A reader that races the overwrite on a non-atomic
+    filesystem sees a torn JSON and fails loudly (parse error), never
+    a stale-generation/new-fence mix — both fields travel in the one
+    write."""
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        _write_json_sidecar,
+    )
+
+    _write_json_sidecar(spark, f"{index_dir}/_bm25_generation.json",
+                        {"generation": gen, "max_folded_batch": fence})
+
+
+def _cleanup(spark: SparkSession, index_dir: str, cur_gen: int,
+             fence: int) -> None:
+    """Delete everything the current pointer supersedes: generation
+    trees below ``cur_gen`` and batch dirs at or below the fence
+    (including the legacy ``batch=-1`` consolidated dir once a
+    generation absorbed it). Stats side first, so a batch's visibility
+    drops before its data does; idempotent, so a crashed cleanup just
+    re-runs."""
     from harvesting_extract_to_ttl_service_spark.sources.files import (
         _hadoop_fs,
     )
 
     fs, _ = _hadoop_fs(spark, index_dir)
     jpath = spark._jvm.org.apache.hadoop.fs.Path
-    side_final = {s: f"{index_dir}/{s}/batch=-1"
-                  for s in ("postings", "stats")}
-    side_tmp = {s: f"{index_dir}/_compact_tmp_{s}"
-                for s in ("postings", "stats")}
-    scar = f"{index_dir}/_bm25_params.json"
-    comp_scar = f"{index_dir}/_bm25_compaction.json"
+    root = jpath(index_dir)
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if name.startswith("gen="):
+                if int(name.split("=", 1)[1]) < cur_gen:
+                    fs.delete(st.getPath(), True)
+    stale = set()
+    for side in ("stats", "postings"):
+        sroot = jpath(f"{index_dir}/{side}")
+        if not fs.exists(sroot):
+            continue
+        for st in fs.listStatus(sroot):
+            name = st.getPath().getName()
+            if not name.startswith("batch="):
+                continue
+            i = int(name.split("=", 1)[1])
+            if i <= fence and (i >= 0 or cur_gen >= 0):
+                stale.add(i)
+    for i in sorted(stale):
+        for side in ("stats", "postings"):  # stats first: visibility
+            p = jpath(f"{index_dir}/{side}/batch={i}")
+            if fs.exists(p):
+                fs.delete(p, True)
 
-    def _batch_dirs(side: str) -> list:
-        root = jpath(f"{index_dir}/{side}")
-        if not fs.exists(root):
-            return []
-        return [st.getPath() for st in fs.listStatus(root)
-                if st.getPath().getName().startswith("batch=")]
 
-    def _tmp_complete(side: str) -> bool:
-        return fs.exists(jpath(f"{side_tmp[side]}/_SUCCESS"))
-
-    def _promote(side: str) -> None:
-        tmp = jpath(side_tmp[side])
-        if not fs.exists(tmp):
-            return  # this side already promoted (resume after crash)
-        for bdir in _batch_dirs(side):
-            fs.delete(bdir, True)
-        if not fs.rename(tmp, jpath(side_final[side])):
-            # Hadoop rename reports failure by RETURN VALUE; swallowing
-            # it here would clear the marker over an empty tree and
-            # every search would silently return nothing
-            raise IOError(
-                f"compact_bm25_index: rename {side_tmp[side]} → "
-                f"{side_final[side]} failed; compacting marker left "
-                f"set — re-run to resume")
-
-    def _write_and_promote(params: dict, folded_ids: list[int]) -> None:
-        prev = _read_json_sidecar(spark, comp_scar) or {}
-        _write_json_sidecar(
-            spark, comp_scar,
-            {"max_folded_batch": max([*folded_ids,
-                                      prev.get("max_folded_batch", -1)])})
-        _promote("postings")
-        _promote("stats")
-        clean = {k: v for k, v in params.items() if k != "compacting"}
-        _write_json_sidecar(spark, scar, clean)
-
-    def _fold(params: dict, folded: list) -> int:
-        folded_ids = [int(p.getName().split("=", 1)[1]) for p in folded]
-        ps = (spark.read.option("basePath", f"{index_dir}/postings")
-              .parquet(f"{index_dir}/postings").drop("batch"))
-        if target_partitions is not None:
-            ps = ps.repartition(target_partitions, F.col("bucket"))
-        (ps.write.mode("overwrite").partitionBy("bucket")
-         .parquet(side_tmp["postings"]))
-        (spark.read.parquet(f"{index_dir}/stats")
-         .agg(F.sum("n_docs").alias("n_docs"),
-              F.sum("sum_dl").alias("sum_dl"))
-         .coalesce(1).write.mode("overwrite")
-         .parquet(side_tmp["stats"]))
-        _write_and_promote(params, folded_ids)
-        return len(folded)
-
-    params = _read_json_sidecar(spark, scar)
-    if params is None:
-        raise ValueError(f"compact_bm25_index: no index at {index_dir}")
-    if params.get("compacting"):
-        # resume — decide from what survives, destructive steps only
-        # ever ran against COMPLETE tmps (the _SUCCESS gate):
-        if _tmp_complete("postings") and _tmp_complete("stats"):
-            # crash after the fold, before/midway through promotion
-            folded_ids = [
-                int(p.getName().split("=", 1)[1])
-                for p in _batch_dirs("postings")
-                if p.getName() != "batch=-1"]
-            _write_and_promote(params, folded_ids)
-            return 0
-        if (not fs.exists(jpath(side_tmp["postings"]))
-                and fs.exists(jpath(side_final["postings"]))):
-            # postings promoted; finish stats if pending, then clear
-            if fs.exists(jpath(side_tmp["stats"])):
-                if not _tmp_complete("stats"):
-                    raise ValueError(
-                        f"compact_bm25_index: {index_dir} has promoted "
-                        f"postings but an incomplete stats tmp — "
-                        f"inspect manually")
-                _promote("stats")
-            _write_json_sidecar(
-                spark, scar,
-                {k: v for k, v in params.items() if k != "compacting"})
-            return 0
-        folded = [p for p in _batch_dirs("postings")
-                  if p.getName() != "batch=-1"]
-        if folded:
-            # crash during the tmp writes: nothing was deleted (deletes
-            # are gated on complete tmps) — drop the partial tmps and
-            # restart the fold from the intact batch dirs
-            for s in side_tmp.values():
-                fs.delete(jpath(s), True)
-            return _fold(params, folded)
-        raise ValueError(
-            f"compact_bm25_index: {index_dir} is marked compacting "
-            f"but has neither tmp nor consolidated data — restore "
-            f"from the source stream")
-    _check_bm25_sidecar(spark, index_dir, n_buckets,
-                        positional=bool(params.get("positional", False)))
-
-    folded = [p for p in _batch_dirs("postings")
-              if p.getName() != "batch=-1"]
-    if not folded:
-        return 0
-    # marker FIRST: from here until the final sidecar write, every
-    # ingest and search refuses — a batch landing mid-fold can neither
-    # be missed by the consolidated tree nor deleted unfolded
-    _write_json_sidecar(spark, scar, {**params, "compacting": True})
-    return _fold(params, folded)
+# --- phrase + hybrid over the stored index --------------------------------
 
 
 def phrase_search(spark: SparkSession, index_dir: str,
@@ -388,7 +597,8 @@ def phrase_search(spark: SparkSession, index_dir: str,
     """Exact-phrase BM25 top-k over a POSITIONAL index (built with
     ``bm25_index_batch(positional=True)``): bucket-pruned scan of the
     phrase words' posting lists, the shared shifted-offset intersection
-    (operators/retrieval.phrase_intersect), the shared one-unit scoring
+    (operators/retrieval.phrase_intersect — rarest word first, its df
+    read from the same pruned postings), the shared one-unit scoring
     tail (score_phrase_counts) — so stored results equal phrase_topk
     over the ingested documents row for row. A flat index refuses up
     front: without positions a phrase query would silently degrade to
@@ -400,8 +610,57 @@ def phrase_search(spark: SparkSession, index_dir: str,
             f"flat index cannot answer phrase queries")
     _check_bm25_sidecar(spark, index_dir, n_buckets, positional=True)
     words = clean_phrase(phrase)
+    view = _index_view(spark, index_dir)
     pp = _read_pruned_postings(spark, index_dir, sorted(set(words)),
-                               n_buckets)
+                               n_buckets, view)
     pc = phrase_intersect(pp, words)
-    return score_phrase_counts(pc, _read_index_stats(spark, index_dir),
+    return score_phrase_counts(pc,
+                               _read_index_stats(spark, index_dir, view),
                                k, k1, b, id_col)
+
+
+def hybrid_search(spark: SparkSession, bm25_index_dir: str,
+                  ivf_index_dir: str, query_terms: list[str],
+                  query_vec: list[float],
+                  centroids: list[list[float]],
+                  k: int = 10, n_candidates: int = 50,
+                  n_probe: int = 2, rrf_k: int = 60,
+                  k1: float = DEFAULT_K1, b: float = DEFAULT_B,
+                  n_buckets: int = 64,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Hybrid lexical+semantic retrieval over PERSISTED indexes — the
+    at-scale deployment shape of operators/retrieval.hybrid_topk:
+    :func:`bm25_search` top-``n_candidates`` over the stored posting
+    index (bucket-pruned, term-pushed) fused by reciprocal rank with
+    ``ann_stream.ivf_search`` top-``n_candidates`` over the stored IVF
+    index (cell-pruned; document ids must agree between the two
+    stores) → ``(id_col, rank, n_sources, rrf_score)``. Fusion
+    consumes only (id, rank), so per-query I/O is both indexes'
+    pruned subtrees — neither corpus is rescanned. With ``n_probe`` =
+    the full cell count the vector side is exact and results match the
+    ad-hoc ``hybrid_topk`` row for row (the parity the tests pin);
+    smaller ``n_probe`` trades recall for scan-bytes exactly as
+    ivf_search documents."""
+    from harvesting_extract_to_ttl_service_spark.operators.retrieval import (
+        _ranked,
+        reciprocal_rank_fusion,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        ivf_search,
+    )
+
+    lex = bm25_search(spark, bm25_index_dir, query_terms,
+                      k=n_candidates, k1=k1, b=b, n_buckets=n_buckets,
+                      id_col=id_col)
+    sem = ivf_search(spark, ivf_index_dir, query_vec, centroids,
+                     k=n_candidates, n_probe=n_probe, id_col="vec_id")
+    sem = _ranked(sem, n_candidates,
+                  [F.col("cos_sim").desc(), F.col("vec_id")]).select(
+        F.col("vec_id").alias(id_col), "rank")
+    fused = reciprocal_rank_fusion(
+        [("lex", lex.select(id_col, "rank")), ("vec", sem)],
+        rrf_k=rrf_k, id_col=id_col)
+    top = (fused.orderBy(F.col("rrf_score").desc(), F.col(id_col))
+           .limit(k))
+    return (_ranked(top, k, [F.col("rrf_score").desc(), F.col(id_col)])
+            .select(id_col, "rank", "n_sources", "rrf_score"))
