@@ -2240,6 +2240,78 @@ def phrase_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                        k1=_BM25_K1, b=_BM25_B)
 
 
+_BM25F_TERMS = ("src3", "dup", "hash")  # src3 hits ONLY the source field
+_BM25F_W_SOURCE = 2.0
+_BM25F_W_TEXT = 1.0
+
+
+def _bm25f_oracle() -> str:
+    """Field-weighted BM25 (simple BM25F) restated end to end: weighted
+    tf = Σ_f w_f·tf_f and weighted dl = Σ_f w_f·len_f over (source×2,
+    text×1), df once per (doc, term) regardless of how many fields
+    matched, then the ordinary saturation/fold/rank chain. Weights are
+    binary-representable so every double sum is exact in both
+    engines."""
+    k1, k1p1, b = _bm25_consts()
+    ws = _WORDS.replace("lower(text)", "lower(source)")
+    wsrc = f"CAST({_BM25F_W_SOURCE!r} AS DOUBLE)"
+    wtxt = f"CAST({_BM25F_W_TEXT!r} AS DOUBLE)"
+    tlist = ", ".join(f"'{t}'" for t in sorted(_BM25F_TERMS))
+    return f"""
+WITH dw AS (
+  SELECT doc_id, {_WORDS} AS wt, {ws} AS wsf FROM documents
+), fl AS (
+  SELECT doc_id, {wsrc} * len(wsf) + {wtxt} * len(wt) AS dl, wt, wsf
+  FROM dw
+), st AS (
+  SELECT count(*) AS n_docs, sum(dl) / count(*) AS avgdl FROM fl
+), tok AS (
+  SELECT doc_id, dl, unnest(wsf) AS term, {wsrc} AS w FROM fl
+  UNION ALL
+  SELECT doc_id, dl, unnest(wt) AS term, {wtxt} AS w FROM fl
+), tf AS (
+  SELECT doc_id, term, sum(w) AS tf, min(dl) AS dl FROM tok
+  WHERE term IN ({tlist}) GROUP BY doc_id, term
+), dfq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), ctr AS (
+  SELECT t.doc_id, t.term,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (t.tf * {k1p1})
+           / (t.tf + {k1} * (1.0 - {b} + {b} * t.dl / s.avgdl)) AS c
+  FROM tf t JOIN dfq d USING (term) CROSS JOIN st s
+), sc AS (
+  SELECT doc_id, count(*) AS n_terms_hit, {_FOLD_C} AS score
+  FROM ctr GROUP BY doc_id
+)
+SELECT doc_id, rank, n_terms_hit, score FROM (
+  SELECT doc_id, n_terms_hit, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM sc)
+WHERE rank <= {_BM25_K}
+"""
+
+
+@member_sql(_bm25f_oracle())
+def bm25f_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-weighted BM25 top-10 (operators/retrieval.bm25f_topk,
+    simple BM25F): ``source`` weighted 2×, ``text`` 1× — the query
+    mixes a source-only term (src3), the rare text term (dup) and a
+    common text term (hash), so field weighting, weighted length
+    normalization and cross-field df all shape the ranking. The oracle
+    re-derives weighted tf/dl, the once-per-doc df, N/avgdl over
+    weighted lengths, and the pinned fold."""
+    from harvesting_extract_to_ttl_service_spark.operators.retrieval import (
+        bm25f_topk,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source",
+                                                   "text")
+    return bm25f_topk(docs, list(_BM25F_TERMS),
+                      {"source": _BM25F_W_SOURCE, "text": _BM25F_W_TEXT},
+                      k=_BM25_K, k1=_BM25_K1, b=_BM25_B)
+
+
 _ANN_MEMBERS = [
     ("temb", hashed_text_embedding_q, ["doc_id", "n_tokens"],
      ["e0", "e1", "e2"]),
@@ -2263,6 +2335,8 @@ _ANN_MEMBERS = [
     ("decon_sem", decontam_semantic_q, ["doc_id", "bench_id"],
      ["cos_sim"]),
     ("bm25", bm25_topk_q, ["doc_id", "rank", "n_terms_hit"], ["score"]),
+    ("bm25f", bm25f_topk_q, ["doc_id", "rank", "n_terms_hit"],
+     ["score"]),
     ("bm25j", bm25_join_q,
      ["query_id", "doc_id", "rank", "n_terms_hit"], ["score"]),
     ("rrf", hybrid_rrf_q, ["doc_id", "rank", "n_sources"],
@@ -2283,7 +2357,8 @@ def ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-ranked exact pairs, final scores). Round 12 adds the lexical
     retrieval members: bm25 (single-query top-k), bm25j (batched join
     with max_df skew pruning), rrf (BM25 ⊕ cosine reciprocal-rank
-    fusion — the hybrid retriever)."""
+    fusion — the hybrid retriever). Round 13 adds bm25f (field-weighted
+    BM25F over source×2 + text×1)."""
     return suite_df(spark, sf_dir, _ANN_MEMBERS)
 
 

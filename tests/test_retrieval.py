@@ -741,3 +741,247 @@ def test_compaction_replay_fence(spark, tmp_path):
     assert [tuple(r) for r in
             bm25_search(spark, idir, ["cat", "the"], k=6,
                         n_buckets=8).collect()] == want
+
+
+# --- BM25F field weighting -------------------------------------------------
+
+
+FDOCS = [(0, "spark engine", "the cat sat on the mat"),
+         (1, "cat manual", "the dog sat"),
+         (2, "dog tales", "cat cat cat dog"),
+         (3, None, None),
+         (4, "", "fish swim and CAT naps"),
+         (5, "fish", "")]
+F_SCHEMA = "doc_id long, title string, body string"
+F_WEIGHTS = {"title": 2.0, "body": 1.0}
+
+
+def _mirror_bm25f(query_terms, weights=None, docs=None, k1=1.2, b=0.75):
+    """Sequential simple-BM25F mirror: weighted tf/dl, one row per
+    (doc, term) for df no matter how many fields matched, term-sorted
+    fold, round-6."""
+    weights = weights or F_WEIGHTS
+    rows = docs or FDOCS
+    tok = {r[0]: {f: ((r[j + 1] or "").lower().split())
+                  for j, f in enumerate(["title", "body"])}
+           for r in rows}
+    wdl = {i: sum(w * len(tok[i][f]) for f, w in weights.items())
+           for i in tok}
+    n = len(tok)
+    avgdl = sum(wdl.values()) / n
+    qt = sorted({t.lower() for t in query_terms if t and t.strip()})
+    dfq = {t: sum(1 for i in tok
+                  if any(t in v for v in tok[i].values())) for t in qt}
+    out = {}
+    for i in tok:
+        s, hits = 0.0, 0
+        for t in qt:
+            tf = sum(w * tok[i][f].count(t) for f, w in weights.items())
+            if tf == 0:
+                continue
+            hits += 1
+            idf = math.log(1.0 + (n - dfq[t] + 0.5) / (dfq[t] + 0.5))
+            s = s + idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * wdl[i] / avgdl))
+        if hits:
+            out[i] = (hits, round(s, 6))
+    return out
+
+
+def test_bm25f_matches_python_mirror(spark):
+    from harvesting_extract_to_ttl_service_spark.operators.retrieval import (
+        bm25f_topk,
+    )
+
+    fdf = spark.createDataFrame(FDOCS, F_SCHEMA)
+    got = {r.doc_id: (r.n_terms_hit, r.score)
+           for r in bm25f_topk(fdf, ["cat", "dog", "absent"], F_WEIGHTS,
+                               k=10).collect()}
+    assert got == _mirror_bm25f(["cat", "dog", "absent"])
+    # doc 2 hits 'dog' in BOTH fields yet counts once per TERM (df and
+    # n_terms_hit are per (doc, term), not per field)
+    assert got[1][0] == 2 and got[2][0] == 2
+    assert 3 not in got and 4 in got  # all-NULL doc never ranks
+
+
+def test_bm25f_field_weight_changes_ranking(spark):
+    """With title weighted 2×, a title hit outranks a single body hit
+    of the same term; with flat weights the longer-field normalization
+    decides instead — the weighting is observable, not cosmetic."""
+    from harvesting_extract_to_ttl_service_spark.operators.retrieval import (
+        bm25f_topk,
+    )
+
+    rows = [(0, "cat", "filler words here"),
+            (1, "filler", "cat words here")]
+    fdf = spark.createDataFrame(rows, F_SCHEMA)
+    up = {r.doc_id: r.score
+          for r in bm25f_topk(fdf, ["cat"], {"title": 5.0, "body": 1.0},
+                              k=10).collect()}
+    assert up[0] > up[1]
+    flat = {r.doc_id: r.score
+            for r in bm25f_topk(fdf, ["cat"], {"title": 1.0, "body": 1.0},
+                                k=10).collect()}
+    assert flat[0] == flat[1]  # same weighted tf, dl → same score
+
+
+def test_bm25f_degenerates_to_bm25_on_one_field(spark):
+    from harvesting_extract_to_ttl_service_spark.operators.retrieval import (
+        bm25f_topk,
+    )
+
+    got = [(r.doc_id, r.rank, r.n_terms_hit, r.score) for r in
+           bm25f_topk(_docs(spark), ["cat", "dog"], {"text": 1.0},
+                      k=10).collect()]
+    want = [(r.doc_id, r.rank, r.n_terms_hit, r.score) for r in
+            bm25_topk(_docs(spark), ["cat", "dog"], k=10).collect()]
+    assert got == want
+
+
+def test_bm25f_refuses_bad_weights(spark):
+    from harvesting_extract_to_ttl_service_spark.operators.retrieval import (
+        bm25f_topk,
+    )
+
+    fdf = spark.createDataFrame(FDOCS, F_SCHEMA)
+    with pytest.raises(ValueError, match="at least one"):
+        bm25f_topk(fdf, ["cat"], {})
+    with pytest.raises(ValueError, match="must be > 0"):
+        bm25f_topk(fdf, ["cat"], {"title": 0.0})
+
+
+def test_bm25f_persisted_index_parity_and_identity(spark, tmp_path):
+    """A field-weighted persisted index scores identically to the
+    ad-hoc bm25f_topk across batches and through compaction; the field
+    convention is index identity (weighted and flat batches refuse to
+    mix, as do two different weightings), and positional BM25F is
+    refused."""
+    from harvesting_extract_to_ttl_service_spark.operators.retrieval import (
+        bm25f_topk,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.lexical_stream import (  # noqa: E501
+        compact_bm25_index,
+    )
+
+    fdf = spark.createDataFrame(FDOCS, F_SCHEMA)
+    idir = str(tmp_path / "bm25f")
+    bm25_index_batch(spark.createDataFrame(FDOCS[:3], F_SCHEMA), 0, idir,
+                     n_buckets=8, field_weights=F_WEIGHTS)
+    bm25_index_batch(spark.createDataFrame(FDOCS[3:], F_SCHEMA), 1, idir,
+                     n_buckets=8, field_weights=F_WEIGHTS)
+    want = [tuple(r) for r in
+            bm25f_topk(fdf, ["cat", "dog"], F_WEIGHTS, k=6).collect()]
+    got = [tuple(r) for r in
+           bm25_search(spark, idir, ["cat", "dog"], k=6,
+                       n_buckets=8).collect()]
+    assert got == want
+    assert compact_bm25_index(spark, idir, n_buckets=8) == 2
+    assert [tuple(r) for r in
+            bm25_search(spark, idir, ["cat", "dog"], k=6,
+                        n_buckets=8).collect()] == want
+
+    # identity refusals: flat batch into a weighted index, a different
+    # weighting, and positional+fields
+    with pytest.raises(Exception, match="fields"):
+        bm25_index_batch(_docs(spark), 5, idir, n_buckets=8)
+    with pytest.raises(Exception, match="fields"):
+        bm25_index_batch(spark.createDataFrame(FDOCS[:1], F_SCHEMA), 5,
+                         idir, n_buckets=8,
+                         field_weights={"title": 3.0, "body": 1.0})
+    with pytest.raises(ValueError, match="positional"):
+        bm25_index_batch(spark.createDataFrame(FDOCS[:1], F_SCHEMA), 5,
+                         idir, n_buckets=8, field_weights=F_WEIGHTS,
+                         positional=True)
+
+
+# --- rarest-first phrase chain ---------------------------------------------
+
+
+def test_phrase_rarest_first_order_and_parity(spark):
+    """The chain order is ascending df with phrase offset as tiebreak;
+    both orders produce the same matches and counts (the intersection
+    is a set under relative shifts), including with repeated words and
+    an absent word (df 0 sorts first → cheapest empty result)."""
+    from harvesting_extract_to_ttl_service_spark.operators.retrieval import (
+        _phrase_chain_order,
+        clean_phrase,
+        phrase_counts,
+        positional_postings,
+    )
+
+    rows = ([(i, "the common word everywhere") for i in range(20)]
+            + [(100, "the rare gem the common sight"),
+               (101, "rare gem the common word"),
+               (102, "a a b a a b")])
+    docs = spark.createDataFrame(rows, D_SCHEMA)
+    pp = positional_postings(docs)
+
+    words = clean_phrase(["the", "common", "gem"])
+    flt = pp.filter(F.col("term").isin(sorted(set(words))))
+    order = _phrase_chain_order(flt, words, rarest_first=True)
+    assert order[0] == (2, "gem")  # df 2 ≪ df 22/21
+    assert _phrase_chain_order(flt, words, rarest_first=False) == [
+        (0, "the"), (1, "common"), (2, "gem")]
+
+    from harvesting_extract_to_ttl_service_spark.operators.retrieval import (
+        phrase_intersect,
+    )
+
+    for phrase in (["the", "common"], ["the", "rare", "gem"],
+                   ["a", "a", "b"], ["gem", "zzz_absent"]):
+        fast = {r.id: r.phrase_tf
+                for r in phrase_counts(docs, phrase).collect()}
+        slow = {r.id: r.phrase_tf
+                for r in phrase_intersect(positional_postings(docs),
+                                          clean_phrase(phrase),
+                                          rarest_first=False)
+                .select("id", "phrase_tf").collect()}
+        assert fast == slow, phrase
+    # the absent-word phrase matches nothing, cheaply
+    assert phrase_counts(docs, ["gem", "zzz_absent"]).count() == 0
+
+
+def test_hybrid_search_stored_matches_adhoc(spark, tmp_path):
+    """hybrid_search over PERSISTED BM25 + IVF indexes equals the
+    ad-hoc hybrid_topk row for row when the vector side probes every
+    cell (exact) — the at-scale deployment shape is a drop-in."""
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        ivf_index_batch,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.lexical_stream import (  # noqa: E501
+        hybrid_search,
+    )
+
+    dim = 8
+    texts = ["the cat sat", "dog runs fast", "cat and dog", "fish swim",
+             "the mat is flat", "cat naps here", "spark joins tables",
+             "hash join wins"]
+    rows = [(i, texts[i % len(texts)] + f" tag{i}",
+             [1.0 if d == i % dim else 0.1 * ((i * 7 + d) % 5)
+              for d in range(dim)])
+            for i in range(32)]
+    docs = spark.createDataFrame([(i, t) for i, t, _ in rows], D_SCHEMA)
+    vecs = spark.createDataFrame([(i, v) for i, _, v in rows],
+                                 "vec_id long, embedding array<double>")
+    qvec = [1.0] + [0.05] * (dim - 1)
+    qterms = ["cat", "join"]
+
+    want = [tuple(r) for r in
+            hybrid_topk(docs, vecs, qterms, qvec, k=6,
+                        n_candidates=10).collect()]
+
+    cents = train_ivf_centroids(vecs, k=4, dim=dim)
+    bdir, vdir = str(tmp_path / "lex"), str(tmp_path / "ivf")
+    bm25_index_batch(docs.filter("doc_id < 16"), 0, bdir, n_buckets=8)
+    bm25_index_batch(docs.filter("doc_id >= 16"), 1, bdir, n_buckets=8)
+    ivf_index_batch(vecs.filter("vec_id < 16"), 0, vdir, cents)
+    ivf_index_batch(vecs.filter("vec_id >= 16"), 1, vdir, cents)
+
+    got = [tuple(r) for r in
+           hybrid_search(spark, bdir, vdir, qterms, qvec, cents, k=6,
+                         n_candidates=10, n_probe=len(cents),
+                         n_buckets=8).collect()]
+    assert got == want and len(got) == 6
