@@ -263,8 +263,8 @@ def train_bpe_merges(df: DataFrame, n_merges: int,
                      lowercase: bool = True,
                      min_pair_count: int = 2,
                      min_word_count: int = 1,
-                     materialize_mode: str = "local_checkpoint"
-                     ) -> list[tuple[str, str]]:
+                     materialize_mode: str = "local_checkpoint",
+                     batch_merges: int = 1) -> list[tuple[str, str]]:
     """Learn a BPE merge table FROM the corpus (Sennrich, Haddow &
     Birch 2016) — the training half of this module's import/encode
     path: the returned list is priority-ordered and directly
@@ -300,7 +300,31 @@ def train_bpe_merges(df: DataFrame, n_merges: int,
     Overlap counting matches the reference: "aaa" counts the (a, a)
     adjacency twice even though one application rewrites it to
     ``[aa, a]`` — counts are an upper bound on applications, for the
-    trainer a ranking signal only."""
+    trainer a ranking signal only.
+
+    ``batch_merges=j`` applies up to j merges per round — the standard
+    large-vocab trainer trick, cutting the driver-loop rounds (and
+    Spark jobs) by ~j×. Per round the top-ranked candidate pairs are
+    accepted greedily in rank order SKIPPING any candidate an earlier
+    acceptance could perturb: a candidate conflicts iff its LEFT
+    symbol equals an accepted pair's right or merged token, or its
+    RIGHT symbol equals an accepted pair's left or merged token
+    (rewriting ``[l, r] → [lr]`` destroys exactly the adjacencies
+    ``(x, l)`` and ``(r, y)`` and creates only ``lr``-adjacencies) —
+    so each accepted merge's measured count is still exactly its true
+    count at application time, and all j apply in ONE projection.
+    Equivalence statement: ``j=1`` reproduces
+    the sequential trainer merge for merge (same argmax, same
+    tiebreak — the tests pin it). For ``j>1`` the PRIORITY ORDER (and
+    in corner cases the merge set) may diverge from strict sequential
+    training: applying the round's top merge can create a brand-new
+    pair (e.g. ``(ab, c)`` after merging ``(a, b)``) whose count
+    exceeds the round's remaining candidates, which sequential
+    training would pick next but the batch has already passed over —
+    the accepted-merge counts are always honest, the inter-merge
+    ranking is the approximation (tests pin a constructed divergence).
+    Train with j=1 when merges.txt byte-parity matters; batch when
+    training >1k merges."""
     from harvesting_extract_to_ttl_service_spark.operators.materialize import (
         materialize,
     )
@@ -310,6 +334,9 @@ def train_bpe_merges(df: DataFrame, n_merges: int,
 
     if n_merges < 1:
         raise ValueError(f"train_bpe_merges: n_merges={n_merges}")
+    if batch_merges < 1:
+        raise ValueError(
+            f"train_bpe_merges: batch_merges={batch_merges}")
     text = F.col(text_col)
     if lowercase:
         text = F.lower(text)
@@ -329,18 +356,39 @@ def train_bpe_merges(df: DataFrame, n_merges: int,
                         F.element_at("s", i + 1).alias("p2")))
     ).otherwise(F.array().cast(
         "array<struct<p1:string,p2:string>>"))
-    for _ in range(n_merges):
+    while len(merges) < n_merges:
         syms = materialize(syms, materialize_mode)
-        best = (syms.select("c", F.explode(adj).alias("p"))
+        want = min(batch_merges, n_merges - len(merges))
+        # want=1 keeps the exact 1-row argmax of the sequential
+        # trainer; batching over-fetches ranked candidates so conflict
+        # pruning still fills the batch (bounded: ≤ 4j rows)
+        top_n = 1 if want == 1 else max(want * 4, 16)
+        cand = (syms.select("c", F.explode(adj).alias("p"))
                 .groupBy("p.p1", "p.p2").agg(F.sum("c").alias("n"))
                 .orderBy(F.col("n").desc(), "p1", "p2")
-                .limit(1).collect())
-        if not best or best[0].n < min_pair_count:
+                .limit(top_n).collect())
+        cand = [r for r in cand if r.n >= min_pair_count]
+        if not cand:
             break
-        p1, p2 = best[0].p1, best[0].p2
-        merges.append((p1, p2))
-        syms = syms.select("c", _apply_merge(F.col("s"), p1, p2)
-                           .alias("s"))
+        accepted: list[tuple[str, str]] = []
+        lefts: set[str] = set()
+        rights: set[str] = set()
+        mergeds: set[str] = set()
+        for r in cand:
+            if len(accepted) == want:
+                break
+            if (r.p1 in rights or r.p1 in mergeds
+                    or r.p2 in lefts or r.p2 in mergeds):
+                continue  # interacting pair — next round re-ranks it
+            accepted.append((r.p1, r.p2))
+            lefts.add(r.p1)
+            rights.add(r.p2)
+            mergeds.add(r.p1 + r.p2)
+        merges.extend(accepted)
+        col = F.col("s")
+        for p1, p2 in accepted:  # disjoint ⇒ order-independent
+            col = _apply_merge(col, p1, p2)
+        syms = syms.select("c", col.alias("s"))
     return merges
 
 

@@ -602,3 +602,98 @@ def test_train_save_load_count_roundtrip(spark, tmp_path):
 
     with pytest.raises(ValueError, match="round-trip"):
         save_bpe_merges(spark, [("a b", "c")], str(tmp_path / "bad.txt"))
+
+
+def test_train_bpe_batch_merges_j1_identical_and_valid_batches(spark):
+    """batch_merges=1 IS the sequential trainer (same argmax, same
+    tiebreak); batch_merges>1 learns a merge table whose accepted
+    pairs are mutually non-interacting per round, so every merge's
+    count was honest at application time — on a conflict-free corpus
+    the batched table equals the sequential one exactly."""
+    from harvesting_extract_to_ttl_service_spark.functions.tokenizer import (
+        train_bpe_merges,
+    )
+
+    corpus = ["the cat sat on the mat", "the dog and the cat",
+              "that hat is the cat hat"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string")
+    seq = train_bpe_merges(docs, 8)
+    assert train_bpe_merges(docs, 8, batch_merges=1) == seq
+
+    # conflict-free top pairs whose follow-up merges ((ab,p) etc.) rank
+    # BELOW the next candidate: the j=2 batch accepts the same two
+    # pairs sequential would pick, then the last round agrees too
+    dis = ["abp abp abp abp abp abq abq abq abr abr",
+           "cds cds cds cds cdt cdt cdu"]
+    ddocs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(dis)], "doc_id long, text string")
+    dseq = train_bpe_merges(ddocs, 3)
+    dbat = train_bpe_merges(ddocs, 3, batch_merges=2)
+    assert dbat == dseq == _mirror_train(dis, 3)
+    assert dseq[:2] == [("a", "b"), ("c", "d")]
+
+    with pytest.raises(ValueError, match="batch_merges"):
+        train_bpe_merges(docs, 4, batch_merges=0)
+
+
+def test_train_bpe_batch_merges_documented_divergence(spark):
+    """The documented j>1 approximation, pinned: sequential training
+    follows the newly created dominant pair ((ab,c) then (abc,</w>)),
+    while the batch had already accepted the round's non-interacting
+    runner-up ((c,</w>)) — a genuinely different merge PATH. Both
+    tables still compress the word to the same single token, and every
+    accepted count was honest at application time."""
+    from harvesting_extract_to_ttl_service_spark.functions.tokenizer import (
+        END_OF_WORD,
+        bpe_encode_word,
+        train_bpe_merges,
+    )
+
+    corpus = ["abc abc abc abc abc abc abc abc abc abc",
+              "de de de de de de"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string")
+    seq = train_bpe_merges(docs, 3)
+    bat = train_bpe_merges(docs, 3, batch_merges=2)
+    assert seq == [("a", "b"), ("ab", "c"), ("abc", END_OF_WORD)]
+    assert bat == [("a", "b"), ("c", END_OF_WORD), ("ab", "c" + END_OF_WORD)]
+    # different merge paths, same terminal encoding
+    for table in (seq, bat):
+        ranks = {p: i for i, p in enumerate(table)}
+        assert bpe_encode_word("abc", ranks) == ["abc" + END_OF_WORD]
+
+
+def test_train_bpe_batch_merges_cuts_rounds(spark):
+    """The point of batching: ceil(n/j) materialize rounds instead of
+    n — counted via the trainer's per-round lineage cut."""
+    import harvesting_extract_to_ttl_service_spark.operators.materialize as mat  # noqa: E501
+    from harvesting_extract_to_ttl_service_spark.functions.tokenizer import (
+        train_bpe_merges,
+    )
+
+    corpus = ["spark shuffles spark scans spark sorts",
+              "spark plans spark jobs maps spark"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string")
+
+    real = mat.materialize
+    calls = {"n": 0}
+
+    def counting(df, mode="local_checkpoint", eager=False):
+        calls["n"] += 1
+        return real(df, mode, eager)
+
+    mat.materialize = counting
+    try:
+        calls["n"] = 0
+        seq = train_bpe_merges(docs, 8)
+        seq_rounds = calls["n"]
+        calls["n"] = 0
+        bat = train_bpe_merges(docs, 8, batch_merges=4)
+        bat_rounds = calls["n"]
+    finally:
+        mat.materialize = real
+    assert len(seq) == len(bat) == 8
+    assert seq_rounds == 8
+    assert bat_rounds <= 4  # conflicts may cost a round, never more jobs
