@@ -83,6 +83,13 @@ from harvesting_extract_to_ttl_service_spark.streaming.dedup_stream import (
 
 _TOKENIZER = "lower_ws"  # lowercased whitespace tokens (retrieval.terms)
 
+# compaction output sizing: aim for parquet files of about this many
+# bytes per bucket split — the classic scan-friendly size, applied to
+# the INPUT byte total so positional indexes (whose positions arrays
+# make posting rows several times wider) automatically get
+# proportionally more splits than flat ones
+_COMPACT_TARGET_BYTES = 128 * 1024 * 1024
+
 
 def term_bucket(term: Column, n_buckets: int) -> Column:
     """Partition bucket of a term: md5-derived portable 32-bit hash mod
@@ -462,7 +469,18 @@ def compact_bm25_index(spark: SparkSession, index_dir: str,
     replayed AFTER its rows were folded would write them a second
     time. Quiesce the INGEST stream before compacting (checkpoint
     committed) so post-fold replays fail loudly instead of doubling
-    df; searches need no quiescing."""
+    df; searches need no quiescing.
+
+    Output sizing: with ``target_partitions=None`` (default) the fold
+    sizes itself from the INPUT byte total — one output file per
+    bucket while the average bucket fits ``_COMPACT_TARGET_BYTES``
+    (~128 MB), hash-splitting within buckets beyond that. Byte-based
+    sizing is what makes POSITIONAL indexes safe to compact: their
+    positions arrays make posting rows several times wider than flat
+    ones at the same document count (SCALE.md's possize probe
+    measures the ratio), and the split count scales with the bytes,
+    not the row count. Pass ``target_partitions`` to pin the shuffle
+    width explicitly instead."""
     from harvesting_extract_to_ttl_service_spark.sources.files import (
         _hadoop_fs,
     )
@@ -516,6 +534,28 @@ def compact_bm25_index(spark: SparkSession, index_dir: str,
     src = _postings_frames(spark, index_dir, gen, vis)
     if target_partitions is not None:
         src = src.repartition(target_partitions, F.col("bucket"))
+    else:
+        # auto-size the fold output from the INPUT bytes (so positional
+        # indexes, whose positions arrays make rows several times
+        # wider, automatically get more splits than flat ones at the
+        # same doc count): one file per bucket while a bucket fits
+        # ~128 MB, hash-split WITHIN buckets beyond that — search
+        # pruning stays directory-level either way
+        import math
+
+        total = 0
+        paths = [f"{index_dir}/gen={gen}/postings"] if gen >= 0 else []
+        paths += [f"{index_dir}/postings/batch={i}" for i in vis]
+        for p in paths:
+            total += fs.getContentSummary(jpath(p)).getLength()
+        splits = max(1, math.ceil(
+            total / n_buckets / _COMPACT_TARGET_BYTES))
+        if splits == 1:
+            src = src.repartition(n_buckets, F.col("bucket"))
+        else:
+            src = src.repartition(
+                n_buckets * splits, F.col("bucket"),
+                F.pmod(F.xxhash64(F.col("id")), F.lit(splits)))
     (src.write.mode("overwrite").partitionBy("bucket")
      .parquet(f"{index_dir}/gen={nxt}/postings"))
     stats = _read_index_stats(spark, index_dir, (gen, fence, vis))

@@ -26,6 +26,14 @@ Usage: python scale_probe.py [replicas ...]   (default: 1 2 5 10)
        python scale_probe.py finalize [replicas ...]
            finalize-artifact probe: seeded-epoch-shuffled training-shard
            write over N replicas — the quiesce-time job; expected linear.
+       python scale_probe.py possize [n]
+           positional-vs-flat BM25 index sizing: both modes indexed at
+           an n-times corpus, compacted with the byte-based auto-sizer;
+           reports MB, width ratio, folded file counts
+       python scale_probe.py phrasej [n]
+           rarest-first phrase-chain probe: first-join intermediate
+           rows under phrase order vs df order on a corpus with a
+           common lead word and a rare tail word
        python scale_probe.py span [replicas ...]
            shared-span probe: common_span_pairs (positional-shingle
            equi-join + diagonal islands) over N re-salted replicas with
@@ -789,6 +797,102 @@ def probe_bm25(spark, n: int, n_queries: int, tmp: str) -> dict:
     return res
 
 
+def probe_possize(spark, n: int, tmp: str) -> dict:
+    """Positional-vs-flat index sizing probe (round 13): the same n×
+    corpus indexed both ways, compacted with the byte-based
+    auto-sizing — reports index MB, the width ratio, and the folded
+    file counts (the auto-sizer gives the wider positional tree
+    proportionally more splits once buckets exceed the 128 MB
+    target; at fixture scale both land on one file per bucket)."""
+    import os as _os
+
+    from harvesting_extract_to_ttl_service_spark.streaming.lexical_stream import (  # noqa: E501
+        bm25_index_batch,
+        compact_bm25_index,
+    )
+
+    corpus = replicate_documents(spark, n).localCheckpoint(eager=True)
+    res = {"docs": corpus.count()}
+
+    def _mb(path):
+        return round(sum(
+            _os.path.getsize(_os.path.join(root, f))
+            for root, _, files in _os.walk(path) for f in files) / 1e6, 2)
+
+    def _files(path):
+        return sum(1 for root, _, files in _os.walk(path)
+                   for f in files if f.endswith(".parquet"))
+
+    for mode, positional in (("flat", False), ("pos", True)):
+        idir = f"{tmp}/possize_{mode}_{n}x"
+        t0 = time.time()
+        # two batches so the fold has real work
+        bm25_index_batch(corpus.filter("doc_id % 2 = 0"), 0, idir,
+                         n_buckets=64, positional=positional)
+        bm25_index_batch(corpus.filter("doc_id % 2 = 1"), 1, idir,
+                         n_buckets=64, positional=positional)
+        res[f"{mode}_build_s"] = round(time.time() - t0, 1)
+        res[f"{mode}_mb_raw"] = _mb(idir)
+        t0 = time.time()
+        compact_bm25_index(spark, idir, n_buckets=64)
+        res[f"{mode}_compact_s"] = round(time.time() - t0, 1)
+        res[f"{mode}_mb"] = _mb(idir)
+        res[f"{mode}_files"] = _files(f"{idir}/gen=0/postings")
+    res["width_ratio"] = round(res["pos_mb"] / res["flat_mb"], 2)
+    return res
+
+
+def probe_phrasej(spark, n: int, tmp: str) -> dict:
+    """Rarest-first phrase-chain probe (round 13): a corpus where the
+    phrase's FIRST word is everywhere and its LAST word is rare.
+    Measures the first join's intermediate row count under phrase
+    order vs df order (result rows are identical — the tests pin
+    that); the drop is the amount of join work the reorder deletes."""
+    from pyspark.sql import functions as _F
+
+    from harvesting_extract_to_ttl_service_spark.operators.retrieval import (
+        clean_phrase,
+        positional_postings,
+    )
+
+    corpus = replicate_documents(spark, n).localCheckpoint(eager=True)
+    # every doc gains the common lead-in; a ~0.5% slice gains the full
+    # rare-tailed phrase
+    docs = corpus.select(
+        "doc_id",
+        _F.when(_F.col("doc_id") % 199 == 0,
+                _F.concat_ws(" ", _F.lit("the common zebraword"),
+                             _F.col("text")))
+        .otherwise(_F.concat_ws(" ", _F.lit("the common filler"),
+                                _F.col("text"))).alias("text"))
+    words = clean_phrase(["the", "common", "zebraword"])
+    pp = (positional_postings(docs)
+          .filter(_F.col("term").isin(sorted(set(words))))
+          .localCheckpoint(eager=True))
+
+    def first_join_rows(chain):
+        (i0, w0), (i1, w1) = chain[0], chain[1]
+        base = (pp.filter(_F.col("term") == w0)
+                .select("id", _F.transform(
+                    "positions", lambda x: x - i0).alias("acc")))
+        nxt = (pp.filter(_F.col("term") == w1)
+               .select("id", _F.transform(
+                   "positions", lambda x: x - i1).alias("_p")))
+        return base.join(nxt, "id").count()
+
+    t0 = time.time()
+    rows_phrase = first_join_rows([(0, "the"), (1, "common")])
+    t_phrase = round(time.time() - t0, 1)
+    t0 = time.time()
+    rows_rare = first_join_rows([(2, "zebraword"), (0, "the")])
+    t_rare = round(time.time() - t0, 1)
+    return {"docs": docs.count(),
+            "first_join_rows_phrase_order": rows_phrase,
+            "first_join_rows_rarest_first": rows_rare,
+            "drop_ratio": round(rows_phrase / max(rows_rare, 1), 1),
+            "phrase_order_s": t_phrase, "rarest_first_s": t_rare}
+
+
 def main():
     args = sys.argv[1:]
     incremental = bool(args) and args[0] == "incr"
@@ -803,8 +907,11 @@ def main():
     pqres = bool(args) and args[0] == "pqres"
     demb = bool(args) and args[0] == "demb"
     finalize = bool(args) and args[0] == "finalize"
+    possize = bool(args) and args[0] == "possize"
+    phrasej = bool(args) and args[0] == "phrasej"
     if incremental or funnel or stream or ann or finalize or span \
-            or mih or imih or pq or pqres or demb or bm25:
+            or mih or imih or pq or pqres or demb or bm25 \
+            or possize or phrasej:
         args = args[1:]
     explicit = [int(x) for x in args]
     replicas = explicit or [1, 2, 5, 10]
@@ -822,6 +929,27 @@ def main():
             print(f"float index {r['index_mb']} MB | int8 index "
                   f"{r['q_index_mb']} MB (build {r['q_index_s']}s) | "
                   f"int8 loop_s={r['q_loop_s']} ({r['q_loop_rows']} rows)")
+            return
+        if possize:
+            n = explicit[0] if explicit else 5
+            r = probe_possize(spark, n, tmp)
+            print(f"docs={r['docs']}")
+            for mode in ("flat", "pos"):
+                print(f"{mode:>4}: build_s={r[f'{mode}_build_s']} "
+                      f"raw_mb={r[f'{mode}_mb_raw']} "
+                      f"compact_s={r[f'{mode}_compact_s']} "
+                      f"mb={r[f'{mode}_mb']} "
+                      f"files={r[f'{mode}_files']}")
+            print(f"positional/flat width ratio: {r['width_ratio']}")
+            return
+        if phrasej:
+            n = explicit[0] if explicit else 5
+            r = probe_phrasej(spark, n, tmp)
+            print(f"docs={r['docs']} | first-join rows: phrase order "
+                  f"{r['first_join_rows_phrase_order']} vs rarest "
+                  f"first {r['first_join_rows_rarest_first']} "
+                  f"(drop {r['drop_ratio']}x) | "
+                  f"{r['phrase_order_s']}s vs {r['rarest_first_s']}s")
             return
         if bm25:
             n = explicit[0] if explicit else 5
