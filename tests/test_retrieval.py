@@ -985,3 +985,51 @@ def test_hybrid_search_stored_matches_adhoc(spark, tmp_path):
                          n_candidates=10, n_probe=len(cents),
                          n_buckets=8).collect()]
     assert got == want and len(got) == 6
+
+
+def test_legacy_batch_minus1_index_reads_and_migrates(spark, tmp_path):
+    """A pre-generation index (consolidated ``batch=-1`` dir + the old
+    ``_bm25_compaction.json`` fence, no pointer file) still searches
+    correctly — batch=-1 visible, folded ids fenced — and the first
+    generational compaction absorbs it into gen=0 and retires the
+    legacy layout."""
+    import shutil
+
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        _read_json_sidecar,
+        _write_json_sidecar,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.lexical_stream import (  # noqa: E501
+        compact_bm25_index,
+    )
+
+    idir = str(tmp_path / "legacy")
+    # build the legacy on-disk state: batches 0/1 folded into batch=-1
+    # (simulated by renaming a real batch dir), fence=1, plus a live
+    # unfolded batch 2
+    bm25_index_batch(spark.createDataFrame(DOCS[:4], D_SCHEMA), 0, idir,
+                     n_buckets=8)
+    for side in ("postings", "stats"):
+        shutil.move(f"{idir}/{side}/batch=0", f"{idir}/{side}/batch=-1")
+    _write_json_sidecar(spark, f"{idir}/_bm25_compaction.json",
+                        {"max_folded_batch": 1})
+    bm25_index_batch(spark.createDataFrame(DOCS[4:], D_SCHEMA), 2, idir,
+                     n_buckets=8)
+    want = [tuple(r) for r in
+            bm25_topk(_docs(spark), ["cat", "the"], k=6).collect()]
+    assert [tuple(r) for r in
+            bm25_search(spark, idir, ["cat", "the"], k=6,
+                        n_buckets=8).collect()] == want
+    # the legacy fence refuses folded replays before any migration
+    with pytest.raises(ValueError, match="already folded"):
+        bm25_index_batch(spark.createDataFrame(DOCS[:1], D_SCHEMA), 1,
+                         idir, n_buckets=8)
+    # first generational compaction absorbs batch=-1 + batch 2
+    assert compact_bm25_index(spark, idir, n_buckets=8) == 2
+    assert _read_json_sidecar(
+        spark, f"{idir}/_bm25_generation.json") == {
+            "generation": 0, "max_folded_batch": 2}
+    assert not os.path.exists(f"{idir}/postings/batch=-1")
+    assert [tuple(r) for r in
+            bm25_search(spark, idir, ["cat", "the"], k=6,
+                        n_buckets=8).collect()] == want
