@@ -296,6 +296,7 @@ def bm25_topk_join(queries: DataFrame, docs: DataFrame, k: int = 10,
                    k1: float = DEFAULT_K1, b: float = DEFAULT_B,
                    max_df_ratio: float | None = None,
                    broadcast_queries: bool = True,
+                   query_tf: float | None = None,
                    qid_col: str = "query_id", qtext_col: str = "text",
                    text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
@@ -310,11 +311,35 @@ def bm25_topk_join(queries: DataFrame, docs: DataFrame, k: int = 10,
     fraction of documents before joining; a pruned term contributes
     nothing, exactly as if it were OOV). df is computed once per term
     (not per query) over the postings restricted to the union of query
-    terms."""
-    qterms = queries.select(
-        F.col(qid_col).alias("qid"),
-        F.explode(F.array_distinct(terms(F.col(qtext_col))))
-        .alias("term"))
+    terms.
+
+    ``query_tf=k3`` enables Robertson's query-side saturation for LONG
+    queries (document-as-query, more-like-this): each term's
+    contribution is weighted by ``(k3+1)·qtf/(k3+qtf)`` where qtf is
+    the term's count in the query text — ``k3=0`` degenerates to the
+    default (weight 1 for any qtf), large ``k3`` approaches raw qtf
+    weighting (Robertson & Walker's k3, classically 8–1000). The
+    weight rides the (qid, term) row through the same joins, so the
+    plan shape is unchanged; ``None`` (default) skips the query-side
+    groupBy entirely."""
+    if query_tf is None:
+        qterms = queries.select(
+            F.col(qid_col).alias("qid"),
+            F.explode(F.array_distinct(terms(F.col(qtext_col))))
+            .alias("term"))
+    else:
+        k3 = float(query_tf)
+        if k3 < 0.0:
+            raise ValueError(f"bm25_topk_join: query_tf={query_tf} "
+                             f"must be >= 0")
+        qterms = (queries.select(F.col(qid_col).alias("qid"),
+                                 F.explode(terms(F.col(qtext_col)))
+                                 .alias("term"))
+                  .groupBy("qid", "term")
+                  .agg(F.count("*").alias("qtf"))
+                  .select("qid", "term",
+                          ((F.col("qtf") * F.lit(k3 + 1.0))
+                           / (F.col("qtf") + F.lit(k3))).alias("wq")))
     ps = postings(docs, text_col, id_col)
     stats = corpus_stats(docs, text_col)
 
@@ -332,8 +357,11 @@ def bm25_topk_join(queries: DataFrame, docs: DataFrame, k: int = 10,
     cand = ps.join(F.broadcast(dfreq), "term")
     cand = (cand.join(F.broadcast(qterms), "term") if broadcast_queries
             else cand.repartition("term").join(qterms, "term"))
+    contrib = bm25_contrib(k1, b)
+    if query_tf is not None:
+        contrib = contrib * F.col("wq")
     scored = (cand.crossJoin(F.broadcast(stats))
-              .withColumn("contrib", bm25_contrib(k1, b)))
+              .withColumn("contrib", contrib))
     agg = fold_scores(scored, ["qid", "id"])
     out = _ranked(agg, k, [F.col("score").desc(), F.col("id")], ["qid"])
     return out.select(F.col("qid").alias(qid_col),

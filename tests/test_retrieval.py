@@ -1033,3 +1033,97 @@ def test_legacy_batch_minus1_index_reads_and_migrates(spark, tmp_path):
     assert [tuple(r) for r in
             bm25_search(spark, idir, ["cat", "the"], k=6,
                         n_buckets=8).collect()] == want
+
+
+def test_query_tf_saturation(spark):
+    """query_tf=k3 weights each term's contribution by Robertson's
+    (k3+1)·qtf/(k3+qtf): k3=0 is exactly the default distinct-term
+    scoring; k3=8 matches a hand mirror on a repeated-term query; the
+    shuffle path agrees with the broadcast path."""
+    docs = _docs(spark)
+    qdf = spark.createDataFrame([(0, "cat cat dog")],
+                                "query_id long, text string")
+    base = sorted(map(tuple, bm25_topk_join(qdf, docs, k=10).collect()))
+    zero = sorted(map(tuple, bm25_topk_join(qdf, docs, k=10,
+                                            query_tf=0.0).collect()))
+    assert zero == base
+
+    k1, b, k3 = 1.2, 0.75, 8.0
+    got = {r.doc_id: (r.n_terms_hit, r.score)
+           for r in bm25_topk_join(qdf, docs, k=10,
+                                   query_tf=k3).collect()}
+    # mirror: per-term BM25 contribution × the query-side saturation
+    tok = {i: (t or "").lower().split() for i, t in DOCS}
+    n = len(tok)
+    avgdl = sum(len(v) for v in tok.values()) / n
+    qtf = {"cat": 2, "dog": 1}
+    want = {}
+    for d, words in tok.items():
+        s, hits = 0.0, 0
+        for t in sorted(qtf):  # term-sorted fold order
+            tf = words.count(t)
+            if tf == 0:
+                continue
+            hits += 1
+            dfq = sum(1 for v in tok.values() if t in v)
+            idf = math.log(1.0 + (n - dfq + 0.5) / (dfq + 0.5))
+            c = idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * len(words) / avgdl))
+            s = s + c * (qtf[t] * (k3 + 1.0)) / (qtf[t] + k3)
+        if hits:
+            want[d] = (hits, round(s, 6))
+    assert got == want
+    # the doubled query term strictly outweighs the default scoring
+    # wherever 'cat' matches
+    base_scores = {r[1]: r[4] for r in base}
+    assert all(got[d][1] > base_scores[d] for d in got
+               if "cat" in tok[d])
+
+    shuf = {(r.doc_id, r.n_terms_hit, r.score)
+            for r in bm25_topk_join(qdf, docs, k=10, query_tf=k3,
+                                    broadcast_queries=False).collect()}
+    assert shuf == {(d, want[d][0], want[d][1]) for d in want}
+    with pytest.raises(ValueError, match="query_tf"):
+        bm25_topk_join(qdf, docs, query_tf=-1.0)
+
+
+def test_hybrid_search_plans_keep_both_prunings(spark, tmp_path):
+    """Through the RRF fusion, the lexical side still shows bucket
+    partition pruning + the term data filter, and the vector side
+    still shows ivf_cell partition pruning — neither index pruning is
+    lost to the union."""
+    import re
+
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        ivf_index_batch,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.lexical_stream import (  # noqa: E501
+        hybrid_search,
+    )
+
+    dim = 8
+    rows = [(i, "cat dog " + f"t{i}",
+             [1.0 if d == i % dim else 0.1 * ((i * 7 + d) % 5)
+              for d in range(dim)]) for i in range(24)]
+    docs = spark.createDataFrame([(i, t) for i, t, _ in rows], D_SCHEMA)
+    vecs = spark.createDataFrame([(i, v) for i, _, v in rows],
+                                 "vec_id long, embedding array<double>")
+    cents = train_ivf_centroids(vecs, k=4, dim=dim)
+    bdir, vdir = str(tmp_path / "lexp"), str(tmp_path / "ivfp")
+    bm25_index_batch(docs, 0, bdir, n_buckets=8)
+    ivf_index_batch(vecs, 0, vdir, cents)
+
+    plan = hybrid_search(spark, bdir, vdir, ["cat"],
+                         [1.0] + [0.05] * (dim - 1), cents, k=5,
+                         n_candidates=8, n_probe=2, n_buckets=8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    want_bucket = term_bucket_py("cat", 8)
+    assert re.search(
+        rf"PartitionFilters: \[[^\]]*bucket#\d+ = {want_bucket}\)", plan)
+    assert re.search(r"DataFilters: \[[^\]]*term#\d+ = cat", plan)
+    assert re.search(r"PartitionFilters: \[[^\]]*ivf_cell#\d+ IN", plan)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
