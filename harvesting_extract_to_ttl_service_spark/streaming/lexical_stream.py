@@ -17,8 +17,10 @@ directory-level:
     <index_dir>/_bm25_params.json           (n_buckets, tokenizer, …)
     <index_dir>/_bm25_generation.json       ({generation, max_folded_batch}
                                              — THE atomic read pointer)
-    <index_dir>/_bm25_compacting.json       (marker: refuses INGEST and a
-                                             second compactor; search is
+    <index_dir>/_bm25_compacting.json       (marker: refuses replays of
+                                             in-fold batch ids and a
+                                             second compactor; fresh
+                                             ingest and search are
                                              unaffected)
 
 * ``bucket`` is the md5-derived portable term hash mod ``n_buckets`` —
@@ -312,10 +314,12 @@ def bm25_index_batch(docs: DataFrame, batch_id: int, index_dir: str,
     ``max_folded_batch`` pointer REFUSES — its rows already live in a
     consolidated generation, so rewriting ``batch=<id>`` would double
     every tf and df the batch contributed. Replay idempotence holds for
-    batches not yet folded. Ingest also refuses while a compaction is
-    marked in progress (``_bm25_compacting.json``): a batch landing
-    mid-fold could otherwise be silently missed by the fold yet fenced
-    off by its pointer flip. Searches run undisturbed through both."""
+    batches not yet folded. While a compaction is marked in progress
+    (``_bm25_compacting.json``), only batch ids at or below the fold's
+    published ``folding_through`` snapshot refuse (rewriting a
+    directory the fold is scanning would silently lose rows in the
+    consolidated tree); fresh higher ids ingest normally and survive
+    the flip. Searches run undisturbed through everything."""
     spark = docs.sparkSession
     if positional and field_weights:
         raise ValueError(
@@ -329,12 +333,26 @@ def bm25_index_batch(docs: DataFrame, batch_id: int, index_dir: str,
         _read_json_sidecar,
     )
 
-    if _read_json_sidecar(spark, f"{index_dir}/_bm25_compacting.json"):
-        raise ValueError(
-            f"bm25_index_batch: index at {index_dir} is compacting — "
-            f"a batch ingested mid-fold could be missed by the fold "
-            f"yet fenced by its pointer flip; re-run the batch after "
-            f"the compaction finishes (searches are unaffected)")
+    marker = _read_json_sidecar(spark,
+                                f"{index_dir}/_bm25_compacting.json")
+    if marker:
+        # a running fold snapshots the batch set it will fold
+        # (folding_through); batches ABOVE the snapshot are untouched
+        # by the fold and stay above its replay fence, so fresh ingest
+        # keeps flowing through a multi-hour fold — only a replay of a
+        # batch the fold may be reading right now must refuse (the
+        # overwrite would race the fold's scan: silent data loss in
+        # the consolidated tree). A marker without the snapshot yet
+        # (the fold is still listing) refuses conservatively.
+        through = marker.get("folding_through")
+        if through is None or batch_id <= through:
+            raise ValueError(
+                f"bm25_index_batch: index at {index_dir} is compacting"
+                f" through batch {through} — batch {batch_id} is (or "
+                f"may be) part of the running fold, and rewriting it "
+                f"would race the fold's scan; re-run it after the "
+                f"compaction finishes (fresh higher batch ids and all "
+                f"searches are unaffected)")
     _gen, fence = _pointer(spark, index_dir)
     if batch_id <= fence:
         raise ValueError(
@@ -438,12 +456,16 @@ def compact_bm25_index(spark: SparkSession, index_dir: str,
     loudly (missing files), never silently wrong; pass
     ``retain_old=True`` to defer all deletion to the NEXT compaction
     (the grace-period pattern) if in-flight queries may outlive a fold.
-    Ingest IS refused for the duration (the ``_bm25_compacting.json``
-    marker): a batch landing mid-fold could be silently missed by the
-    fold yet fenced off by its pointer flip. One compactor at a time —
-    the marker also makes a second concurrent compactor resume/finish
-    the first's work rather than race it, but two folds genuinely
-    running simultaneously are the operator's responsibility to avoid.
+    Ingest is transparent too for FRESH batches: once the fold
+    publishes its snapshot (``folding_through`` in the
+    ``_bm25_compacting.json`` marker), only batch ids at or below the
+    snapshot refuse (a rewrite there would race the fold's scan of
+    that very directory); higher ids land normally, stay visible
+    through the flip (the new fence is the snapshot), and fold next
+    time. One compactor at a time — the marker also makes a second
+    concurrent compactor resume/finish the first's work rather than
+    race it, but two folds genuinely running simultaneously are the
+    operator's responsibility to avoid.
 
     Crash safety — duplicated postings would DOUBLE a term's tf and df,
     so every window re-runs to a consistent state, and NOTHING is
@@ -531,6 +553,12 @@ def compact_bm25_index(spark: SparkSession, index_dir: str,
     if not vis:
         return _done(0)
     new_fence = max([fence] + [i for i in vis if i >= 0])
+    # publish the fold's snapshot: ingest of batch ids ABOVE it may now
+    # proceed concurrently (the fold never reads them and the flip's
+    # fence won't cover them); ids at or below it keep refusing
+    _write_json_sidecar(spark, marker,
+                        {"compacting": True,
+                         "folding_through": new_fence})
     src = _postings_frames(spark, index_dir, gen, vis)
     if target_partitions is not None:
         src = src.repartition(target_partitions, F.col("bucket"))

@@ -1127,3 +1127,61 @@ def test_hybrid_search_plans_keep_both_prunings(spark, tmp_path):
     assert re.search(r"PartitionFilters: \[[^\]]*ivf_cell#\d+ IN", plan)
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_ingest_flows_during_compaction(spark, tmp_path, monkeypatch):
+    """Once the fold publishes its folding_through snapshot, FRESH
+    batch ids ingest normally mid-fold, are searchable immediately
+    (pre-flip view), survive the pointer flip (the new fence is the
+    snapshot), and fold next time; a replay of an in-fold id still
+    refuses (it would race the fold's scan of that directory)."""
+    import harvesting_extract_to_ttl_service_spark.streaming.lexical_stream as lx  # noqa: E501
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        _read_json_sidecar,
+    )
+
+    idir = str(tmp_path / "inflow")
+    bm25_index_batch(spark.createDataFrame(DOCS[:3], D_SCHEMA), 0, idir,
+                     n_buckets=8)
+    bm25_index_batch(spark.createDataFrame(DOCS[3:], D_SCHEMA), 1, idir,
+                     n_buckets=8)
+
+    def boom(*a, **kw):
+        raise RuntimeError("crash before flip")
+
+    monkeypatch.setattr(lx, "_flip", boom)
+    with pytest.raises(RuntimeError, match="crash before flip"):
+        lx.compact_bm25_index(spark, idir, n_buckets=8)
+    monkeypatch.undo()
+    # the paused fold published its snapshot
+    marker = _read_json_sidecar(spark, f"{idir}/_bm25_compacting.json")
+    assert marker == {"compacting": True, "folding_through": 1}
+
+    # a replay of an in-fold id refuses; a FRESH id lands and is
+    # immediately searchable in the pre-flip view
+    with pytest.raises(ValueError, match="compacting through"):
+        bm25_index_batch(spark.createDataFrame(DOCS[:1], D_SCHEMA), 1,
+                         idir, n_buckets=8)
+    fresh = [(40, "cat cameo"), (41, "the finale")]
+    bm25_index_batch(spark.createDataFrame(fresh, D_SCHEMA), 7, idir,
+                     n_buckets=8)
+    all_docs = spark.createDataFrame(DOCS + fresh, D_SCHEMA)
+    want = [tuple(r) for r in
+            bm25_topk(all_docs, ["cat", "the"], k=9).collect()]
+    assert [tuple(r) for r in
+            bm25_search(spark, idir, ["cat", "the"], k=9,
+                        n_buckets=8).collect()] == want
+
+    # resume finishes the fold; the mid-fold batch survives the flip
+    # (fence = snapshot 1 < 7) and folds on the NEXT compaction
+    assert lx.compact_bm25_index(spark, idir, n_buckets=8) == 0
+    assert _read_json_sidecar(
+        spark, f"{idir}/_bm25_generation.json") == {
+            "generation": 0, "max_folded_batch": 1}
+    assert [tuple(r) for r in
+            bm25_search(spark, idir, ["cat", "the"], k=9,
+                        n_buckets=8).collect()] == want
+    assert lx.compact_bm25_index(spark, idir, n_buckets=8) == 1
+    assert [tuple(r) for r in
+            bm25_search(spark, idir, ["cat", "the"], k=9,
+                        n_buckets=8).collect()] == want
