@@ -541,13 +541,16 @@ def _phrase_chain_order(pp: DataFrame, words: list[str],
 
 def score_phrase_counts(pc: DataFrame, stats: DataFrame, k: int,
                         k1: float = DEFAULT_K1, b: float = DEFAULT_B,
-                        id_col: str = "doc_id") -> DataFrame:
-    """Rank phrase matches ``(id, phrase_tf, dl)`` as one BM25 unit
+                        id_col: str = "doc_id",
+                        tf_name: str = "phrase_tf") -> DataFrame:
+    """Rank positional matches ``(id, <tf_name>, dl)`` as one BM25 unit
     against a one-row stats frame — the scoring tail shared by
-    :func:`phrase_topk` and the persisted-index twin. df = matching
-    document count, computed from the matches themselves — the match
-    table is materialized once (phrase-bearing docs only, bounded) so
-    the df aggregate and the scoring pass don't each re-run the join
+    :func:`phrase_topk`, :func:`proximity_topk` and their
+    persisted-index twins (``tf_name`` names the occurrence-count
+    column in both input and output). df = matching document count,
+    computed from the matches themselves — the match table is
+    materialized once (matching docs only, bounded) so the df
+    aggregate and the scoring pass don't each re-run the join
     chain."""
     from harvesting_extract_to_ttl_service_spark.operators.materialize import (
         materialize,
@@ -555,14 +558,14 @@ def score_phrase_counts(pc: DataFrame, stats: DataFrame, k: int,
 
     pc = materialize(pc, "local_checkpoint")
     dfreq = pc.agg(F.count("*").alias("df"))
-    scored = (pc.withColumnRenamed("phrase_tf", "tf")
+    scored = (pc.withColumnRenamed(tf_name, "tf")
               .crossJoin(F.broadcast(stats))
               .crossJoin(F.broadcast(dfreq))
-              .select("id", F.col("tf").alias("phrase_tf"),
+              .select("id", F.col("tf").alias(tf_name),
                       F.round(bm25_contrib(k1, b), 6).alias("score")))
     top = scored.orderBy(F.col("score").desc(), F.col("id")).limit(k)
     return (_ranked(top, k, [F.col("score").desc(), F.col("id")])
-            .select(F.col("id").alias(id_col), "rank", "phrase_tf",
+            .select(F.col("id").alias(id_col), "rank", tf_name,
                     "score"))
 
 
@@ -580,3 +583,94 @@ def phrase_topk(df: DataFrame, phrase: list[str], k: int = 10,
     pc = phrase_counts(df, phrase, text_col, id_col)
     return score_phrase_counts(pc, corpus_stats(df, text_col), k,
                                k1, b, id_col)
+
+
+def clean_prox_terms(terms_: list[str]) -> list[str]:
+    """Proximity-query normalization: lowercase, drop empties, keep the
+    FIRST term as the anchor (it defines the semantics — see
+    :func:`proximity_counts`) and dedupe the rest (NEAR is a set
+    condition; a repeated term adds nothing)."""
+    words = [t.lower() for t in terms_
+             if t is not None and t.strip() != ""]
+    if not words:
+        raise ValueError("proximity_counts: empty term list")
+    anchor = words[0]
+    seen, rest = {anchor}, []
+    for w in words[1:]:
+        if w not in seen:
+            seen.add(w)
+            rest.append(w)
+    return [anchor] + rest
+
+
+def proximity_intersect(pp: DataFrame, terms_: list[str],
+                        window: int,
+                        rarest_first: bool = True) -> DataFrame:
+    """The NEAR-operator core over a positional-postings frame
+    ``(id, term, positions, dl, …)`` — shared by the ad-hoc path
+    (:func:`proximity_counts`) and the persisted-index path
+    (streaming/lexical_stream.proximity_search). ``terms_`` must
+    already be normalized (:func:`clean_prox_terms`).
+
+    tf = the number of ANCHOR (first-term) occurrences that have every
+    other term within ``±window`` token offsets — well defined because
+    the anchor is fixed by the query, while the OTHER terms are pure
+    conjunctive filters over the anchor's position list, so their
+    processing order cannot change the result; ``rarest_first``
+    (default) orders them by ascending df exactly like
+    :func:`phrase_intersect`, pruning the intermediate earliest. Each
+    step is one id-keyed join of term-filtered posting lists plus one
+    nested higher-order filter (no UDF)."""
+    if window < 1:
+        raise ValueError(f"proximity_intersect: window={window} "
+                         f"must be >= 1")
+    anchor, others = terms_[0], terms_[1:]
+    pp = pp.filter(F.col("term").isin(sorted(set(terms_))))
+    base = (pp.filter(F.col("term") == anchor)
+            .select("id", F.col("positions").alias("acc"), "dl"))
+    chain = list(enumerate(others, 1))
+    if rarest_first and len(others) > 1:
+        dfs = {r["term"]: r["cnt"]
+               for r in pp.filter(F.col("term").isin(others))
+               .groupBy("term").agg(F.count("*").alias("cnt"))
+               .collect()}
+        chain.sort(key=lambda iw: (dfs.get(iw[1], 0), iw[0]))
+    for _i, t in chain:
+        nxt = (pp.filter(F.col("term") == t)
+               .select("id", F.col("positions").alias("_p")))
+        base = (base.join(nxt, "id")
+                .withColumn("acc", F.filter(
+                    "acc", lambda p: F.exists(
+                        "_p", lambda q: F.abs(q - p)
+                        <= F.lit(int(window)))))
+                .drop("_p")
+                .filter(F.size("acc") > 0))
+    return base.select("id", F.size("acc").alias("prox_tf"), "dl")
+
+
+def proximity_counts(df: DataFrame, terms_: list[str], window: int,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Documents where every query term occurs within ``±window``
+    tokens of the ANCHOR term (``terms_[0]``), with the qualifying
+    anchor-occurrence count: ``(id, prox_tf, dl)`` — the classic NEAR
+    operator over a positional index, the relaxation of
+    :func:`phrase_counts` for when order and adjacency don't matter
+    ("error" NEAR/5 "timeout")."""
+    words = clean_prox_terms(terms_)
+    pp = positional_postings(df, text_col, id_col)
+    return proximity_intersect(pp, words, window)
+
+
+def proximity_topk(df: DataFrame, terms_: list[str], window: int,
+                   k: int = 10, k1: float = DEFAULT_K1,
+                   b: float = DEFAULT_B, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """BM25 top-k treating the NEAR group as one indexing unit
+    (tf = qualifying anchor occurrences, df = documents where the
+    group co-occurs within the window) →
+    ``(id_col, rank, prox_tf, score)`` — the same one-unit scoring
+    tail as :func:`phrase_topk`."""
+    pc = proximity_counts(df, terms_, window, text_col, id_col)
+    return score_phrase_counts(pc, corpus_stats(df, text_col), k,
+                               k1, b, id_col, tf_name="prox_tf")

@@ -2312,6 +2312,73 @@ def bm25f_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                       k=_BM25_K, k1=_BM25_K1, b=_BM25_B)
 
 
+_PROX_TERMS = ("dup", "hash", "scan")  # anchor dup; NEAR/6 the others
+_PROX_WINDOW = 6
+
+
+def _prox_oracle() -> str:
+    """NEAR-operator restatement: tf = anchor ('dup') occurrences with
+    EVERY other term within ±window token offsets (1-based positions in
+    the oracle vs 0-based in Spark — differences cancel under the
+    |q−p| distance), df = matching docs, scored as one BM25 unit with
+    the same pinned operand order as the phrase member."""
+    k1, k1p1, b = _bm25_consts()
+    anchor, rest = _PROX_TERMS[0], _PROX_TERMS[1:]
+
+    def positions(t: str) -> str:
+        return f"list_filter(range(1, len(w) + 1), i -> w[i] = '{t}')"
+
+    conds = " AND ".join(
+        f"len(list_filter({positions(t)}, "
+        f"q -> abs(q - p) <= {_PROX_WINDOW})) > 0" for t in rest)
+    return f"""
+WITH dw AS (
+  SELECT doc_id, {_WORDS} AS w FROM documents
+), st AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(len(w)) AS DOUBLE) / count(*) AS avgdl
+  FROM dw
+), pm AS (
+  SELECT doc_id, dl, tf FROM (
+    SELECT doc_id, len(w) AS dl,
+           len(list_filter({positions(anchor)}, p -> {conds})) AS tf
+    FROM dw)
+  WHERE tf > 0
+), dfq AS (
+  SELECT count(*) AS dfp FROM pm
+), sc AS (
+  SELECT doc_id, tf AS prox_tf,
+         round(ln(1.0 + (s.n_docs - d.dfp + 0.5) / (d.dfp + 0.5))
+               * (tf * {k1p1})
+               / (tf + {k1} * (1.0 - {b} + {b} * dl / s.avgdl)),
+               6) AS score
+  FROM pm CROSS JOIN st s CROSS JOIN dfq d
+)
+SELECT doc_id, rank, prox_tf, score FROM (
+  SELECT doc_id, prox_tf, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM sc)
+WHERE rank <= {_BM25_K}
+"""
+
+
+@member_sql(_prox_oracle())
+def proximity_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-operator BM25 top-10 (operators/retrieval.proximity_topk):
+    anchor 'dup' with 'hash' AND 'scan' within ±6 token offsets —
+    positional postings, the anchor-window conjunction (other terms
+    rarest-first), qualifying anchor occurrences scored as one BM25
+    unit. The oracle re-derives positions, both window conditions,
+    the group df, and the score."""
+    from harvesting_extract_to_ttl_service_spark.operators.retrieval import (
+        proximity_topk,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return proximity_topk(docs, list(_PROX_TERMS), _PROX_WINDOW,
+                          k=_BM25_K, k1=_BM25_K1, b=_BM25_B)
+
+
 _ANN_MEMBERS = [
     ("temb", hashed_text_embedding_q, ["doc_id", "n_tokens"],
      ["e0", "e1", "e2"]),
@@ -2343,6 +2410,8 @@ _ANN_MEMBERS = [
      ["rrf_score"]),
     ("phrase", phrase_topk_q, ["doc_id", "rank", "phrase_tf"],
      ["score"]),
+    ("prox", proximity_topk_q, ["doc_id", "rank", "prox_tf"],
+     ["score"]),
 ]
 
 
@@ -2358,7 +2427,8 @@ def ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieval members: bm25 (single-query top-k), bm25j (batched join
     with max_df skew pruning), rrf (BM25 ⊕ cosine reciprocal-rank
     fusion — the hybrid retriever). Round 13 adds bm25f (field-weighted
-    BM25F over source×2 + text×1)."""
+    BM25F over source×2 + text×1) and prox (the NEAR operator: anchor
+    occurrences with every other term within a token window)."""
     return suite_df(spark, sf_dir, _ANN_MEMBERS)
 
 

@@ -687,6 +687,39 @@ def phrase_search(spark: SparkSession, index_dir: str,
                                k, k1, b, id_col)
 
 
+def proximity_search(spark: SparkSession, index_dir: str,
+                     terms_: list[str], window: int, k: int = 10,
+                     k1: float = DEFAULT_K1, b: float = DEFAULT_B,
+                     n_buckets: int = 64,
+                     id_col: str = "doc_id") -> DataFrame:
+    """NEAR-operator BM25 top-k over a POSITIONAL index: bucket-pruned
+    scan of the query terms' posting lists, the shared anchor-window
+    conjunction (operators/retrieval.proximity_intersect — other terms
+    rarest-first), the shared one-unit scoring tail — so stored
+    results equal proximity_topk over the ingested documents row for
+    row. A flat index refuses up front, exactly like
+    :func:`phrase_search`."""
+    if not _sidecar_positional(spark, index_dir):
+        raise ValueError(
+            f"proximity_search: index at {index_dir} is not positional"
+            f" — rebuild it with bm25_index_batch(positional=True); a "
+            f"flat index cannot answer proximity queries")
+    _check_bm25_sidecar(spark, index_dir, n_buckets, positional=True)
+    from harvesting_extract_to_ttl_service_spark.operators.retrieval import (
+        clean_prox_terms,
+        proximity_intersect,
+    )
+
+    words = clean_prox_terms(terms_)
+    view = _index_view(spark, index_dir)
+    pp = _read_pruned_postings(spark, index_dir, sorted(set(words)),
+                               n_buckets, view)
+    pc = proximity_intersect(pp, words, window)
+    return score_phrase_counts(pc,
+                               _read_index_stats(spark, index_dir, view),
+                               k, k1, b, id_col, tf_name="prox_tf")
+
+
 def hybrid_search(spark: SparkSession, bm25_index_dir: str,
                   ivf_index_dir: str, query_terms: list[str],
                   query_vec: list[float],

@@ -20,15 +20,16 @@ QUERIES = entry_mod.queries()
 # EXACT member-level count (not a suite-wide pass, which would let a
 # new member smuggle in an unintended nested-loop join). Every pinned
 # BNLJ is a bounded broadcast:
-#   ann_suite (8)    — self_topk: the documented exact all-pairs
+#   ann_suite (10)   — self_topk: the documented exact all-pairs
 #                      small-corpus baseline (the suite's other members
 #                      ARE the scale path), broadcast side bounded;
 #                      bm25 (1) + bm25f (1) + rrf's inner bm25 (1): the
 #                      one-row corpus-stats scalar cross-joined onto
 #                      the scored postings; bm25j (2): the same stats
 #                      row on the scored side plus on the max_df
-#                      pruning filter; phrase (2): the stats row and
-#                      the one-row phrase-df onto the matched docs.
+#                      pruning filter; phrase (2) + prox (2): the
+#                      stats row and the one-row group-df onto the
+#                      matched docs.
 #   corpus_suite (6) — one-row broadcast scalars cross-joined onto
 #                      bounded frames: mix (the mixture denominator),
 #                      lm (the corpus token total), lm2 (the bigram
@@ -37,7 +38,7 @@ QUERIES = entry_mod.queries()
 #                      buckets (the quantile-thresholds row).
 # A count BELOW the pin is also a failure: it means a member's shape
 # changed and this table is stale — re-derive it, don't loosen it.
-BNLJ_EXPECTED = {"ann_suite": 8, "corpus_suite": 6}
+BNLJ_EXPECTED = {"ann_suite": 10, "corpus_suite": 6}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

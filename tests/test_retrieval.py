@@ -1185,3 +1185,104 @@ def test_ingest_flows_during_compaction(spark, tmp_path, monkeypatch):
     assert [tuple(r) for r in
             bm25_search(spark, idir, ["cat", "the"], k=9,
                         n_buckets=8).collect()] == want
+
+
+# --- proximity (NEAR) ------------------------------------------------------
+
+
+def test_proximity_counts_mirror(spark):
+    """NEAR semantics vs a hand mirror: tf = anchor occurrences with
+    every other term within ±window; order and adjacency don't matter;
+    the other-terms chain order cannot change the result (pure
+    conjunctive filters over the anchor's positions)."""
+    from harvesting_extract_to_ttl_service_spark.operators.retrieval import (
+        clean_prox_terms,
+        positional_postings,
+        proximity_counts,
+        proximity_intersect,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "error at midnight then a timeout"),          # dist 5
+         (1, "timeout before the error"),                  # dist 3, order flipped
+         (2, "error alone here"),
+         (3, "timeout alone here"),
+         (4, "error error near timeout"),                  # two anchors, dists 3,1
+         (5, "error x x x x x x x x timeout"),             # dist 9 — outside
+         (6, None)],
+        D_SCHEMA)
+    got = {r.id: r.prox_tf
+           for r in proximity_counts(docs, ["error", "timeout"],
+                                     5).collect()}
+    assert got == {0: 1, 1: 1, 4: 2}
+    # three-term NEAR: all must be inside the window of the SAME anchor
+    docs3 = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha beta x x x x x x gamma")],
+        D_SCHEMA)
+    got3 = {r.id: r.prox_tf
+            for r in proximity_counts(docs3,
+                                      ["alpha", "beta", "gamma"],
+                                      3).collect()}
+    assert got3 == {0: 1}
+    # chain order independence: rarest_first off ≡ on
+    words = clean_prox_terms(["error", "timeout"])
+    pp = positional_postings(docs)
+    a = {r.id: r.prox_tf for r in
+         proximity_intersect(pp, words, 5, rarest_first=False).collect()}
+    assert a == got
+    with pytest.raises(ValueError, match="empty term"):
+        proximity_counts(docs, ["  "], 5)
+    with pytest.raises(ValueError, match="window"):
+        proximity_counts(docs, ["error", "timeout"], 0)
+
+
+def test_proximity_topk_scores_and_stored_parity(spark, tmp_path):
+    """proximity_topk scores the NEAR group as one BM25 unit (same
+    formula as the phrase member, hand-checked), and the positional
+    index answers identically across batches; a flat index refuses."""
+    from harvesting_extract_to_ttl_service_spark.operators.retrieval import (
+        proximity_topk,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.lexical_stream import (  # noqa: E501
+        proximity_search,
+    )
+
+    rows = [(0, "error at midnight then a timeout"),
+            (1, "timeout before the error"),
+            (2, "error alone here"),
+            (3, "error error near timeout"),
+            (4, "nothing at all")]
+    docs = spark.createDataFrame(rows, D_SCHEMA)
+    got = {r.doc_id: (r.rank, r.prox_tf, r.score)
+           for r in proximity_topk(docs, ["error", "timeout"], 5,
+                                   k=10).collect()}
+    assert set(got) == {0, 1, 3}
+    assert got[3][1] == 2  # both anchor occurrences qualify
+
+    k1, b = 1.2, 0.75
+    n, avgdl, dfp = 5, (6 + 4 + 3 + 4 + 3) / 5, 3
+    idf = math.log(1.0 + (n - dfp + 0.5) / (dfp + 0.5))
+
+    def want(tf, dl):
+        return round(idf * (tf * (k1 + 1.0))
+                     / (tf + k1 * (1.0 - b + b * dl / avgdl)), 6)
+
+    assert got[0][2] == want(1, 6)
+    assert got[3][2] == want(2, 4)
+
+    pdir = str(tmp_path / "proxidx")
+    bm25_index_batch(spark.createDataFrame(rows[:2], D_SCHEMA), 0, pdir,
+                     n_buckets=8, positional=True)
+    bm25_index_batch(spark.createDataFrame(rows[2:], D_SCHEMA), 1, pdir,
+                     n_buckets=8, positional=True)
+    stored = {r.doc_id: (r.rank, r.prox_tf, r.score)
+              for r in proximity_search(spark, pdir,
+                                        ["error", "timeout"], 5, k=10,
+                                        n_buckets=8).collect()}
+    assert stored == got
+
+    fdir = str(tmp_path / "proxflat")
+    bm25_index_batch(docs, 0, fdir, n_buckets=8)
+    with pytest.raises(ValueError, match="not positional"):
+        proximity_search(spark, fdir, ["error", "timeout"], 5,
+                         n_buckets=8)
