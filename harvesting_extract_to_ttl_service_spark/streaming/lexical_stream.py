@@ -687,6 +687,44 @@ def phrase_search(spark: SparkSession, index_dir: str,
                                k, k1, b, id_col)
 
 
+def bm25_index_stats(spark: SparkSession, index_dir: str) -> dict:
+    """Operational snapshot of a persisted index — the monitoring twin
+    of ann_stream's drift report: the read pointer (generation, replay
+    fence), the committed-but-unfolded batch ids (their COUNT is the
+    compaction-pressure signal: each unfolded batch is another
+    directory every search must union), the in-progress compaction
+    marker if any, the index identity (positional / fields / buckets),
+    and the exact corpus totals (N, Σdl, avgdl) from the additive
+    stats rows. One driver-side listing + one one-row aggregate — safe
+    to poll; never scans postings."""
+    params = _read_params(spark, index_dir)
+    if params is None:
+        raise ValueError(f"bm25_index_stats: no index at {index_dir}")
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        _read_json_sidecar,
+    )
+
+    gen, fence = _pointer(spark, index_dir)
+    vis = _visible_batch_ids(spark, index_dir, gen, fence)
+    marker = _read_json_sidecar(spark,
+                                f"{index_dir}/_bm25_compacting.json")
+    out = {"generation": gen, "max_folded_batch": fence,
+           "unfolded_batches": vis, "n_unfolded": len(vis),
+           "compacting": bool(marker),
+           "folding_through": (marker or {}).get("folding_through"),
+           "n_buckets": params.get("n_buckets"),
+           "positional": bool(params.get("positional", False)),
+           "fields": params.get("fields")}
+    if gen >= 0 or vis:
+        row = _read_index_stats(spark, index_dir,
+                                (gen, fence, vis)).head()
+        out.update(n_docs=row["n_docs"], sum_dl=row["sum_dl"],
+                   avgdl=row["avgdl"])
+    else:
+        out.update(n_docs=0, sum_dl=0, avgdl=None)
+    return out
+
+
 def proximity_search(spark: SparkSession, index_dir: str,
                      terms_: list[str], window: int, k: int = 10,
                      k1: float = DEFAULT_K1, b: float = DEFAULT_B,

@@ -1286,3 +1286,41 @@ def test_proximity_topk_scores_and_stored_parity(spark, tmp_path):
     with pytest.raises(ValueError, match="not positional"):
         proximity_search(spark, fdir, ["error", "timeout"], 5,
                          n_buckets=8)
+
+
+def test_bm25_index_stats_lifecycle(spark, tmp_path, monkeypatch):
+    """The monitoring snapshot tracks the index through its lifecycle:
+    unfolded batches accumulate (compaction pressure), a fold empties
+    them and advances the pointer, a paused fold reports compacting +
+    its snapshot, and the corpus totals stay exact throughout."""
+    import harvesting_extract_to_ttl_service_spark.streaming.lexical_stream as lx  # noqa: E501
+
+    idir = str(tmp_path / "statsidx")
+    with pytest.raises(ValueError, match="no index"):
+        lx.bm25_index_stats(spark, idir)
+    bm25_index_batch(spark.createDataFrame(DOCS[:3], D_SCHEMA), 0, idir,
+                     n_buckets=8)
+    bm25_index_batch(spark.createDataFrame(DOCS[3:], D_SCHEMA), 1, idir,
+                     n_buckets=8)
+    s = lx.bm25_index_stats(spark, idir)
+    assert (s["generation"], s["max_folded_batch"]) == (-1, -1)
+    assert s["unfolded_batches"] == [0, 1] and not s["compacting"]
+    assert (s["n_docs"], s["sum_dl"], s["avgdl"]) == (6, 18, 3.0)
+    assert s["n_buckets"] == 8 and not s["positional"]
+
+    def boom(*a, **kw):
+        raise RuntimeError("pause")
+
+    monkeypatch.setattr(lx, "_flip", boom)
+    with pytest.raises(RuntimeError):
+        lx.compact_bm25_index(spark, idir, n_buckets=8)
+    monkeypatch.undo()
+    s2 = lx.bm25_index_stats(spark, idir)
+    assert s2["compacting"] and s2["folding_through"] == 1
+    assert (s2["n_docs"], s2["sum_dl"]) == (6, 18)  # pre-flip view
+
+    lx.compact_bm25_index(spark, idir, n_buckets=8)
+    s3 = lx.bm25_index_stats(spark, idir)
+    assert (s3["generation"], s3["max_folded_batch"]) == (0, 1)
+    assert s3["unfolded_batches"] == [] and not s3["compacting"]
+    assert (s3["n_docs"], s3["sum_dl"], s3["avgdl"]) == (6, 18, 3.0)
