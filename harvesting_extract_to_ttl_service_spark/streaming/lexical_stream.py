@@ -553,6 +553,29 @@ def compact_bm25_index(spark: SparkSession, index_dir: str,
     if not vis:
         return _done(0)
     new_fence = max([fence] + [i for i in vis if i >= 0])
+    # stranded half-commits: a batch whose ingest crashed between the
+    # posting write and the stats commit is INVISIBLE (by design) — but
+    # if its id falls inside this fold's range, the flip would fence it
+    # as "already folded" and the cleanup would delete its postings:
+    # silent permanent loss of a batch that was never folded. Refuse
+    # loudly instead; the operator replays the batch (committing it) or
+    # deletes its postings dir, then re-runs the compaction.
+    proot = jpath(f"{index_dir}/postings")
+    posting_ids = [
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in (fs.listStatus(proot) if fs.exists(proot) else [])
+        if st.getPath().getName().startswith("batch=")]
+    stranded = sorted(i for i in posting_ids
+                      if fence < i <= new_fence and i not in set(vis))
+    if stranded:
+        fs.delete(jpath(marker), False)
+        raise ValueError(
+            f"compact_bm25_index: batch(es) {stranded} at {index_dir} "
+            f"have postings but no committed stats (an ingest crashed "
+            f"between its two writes) and fall inside this fold's "
+            f"range — folding would fence them unfolded. Replay each "
+            f"batch (bm25_index_batch commits it) or delete its "
+            f"postings/batch=<id> dir, then re-run the compaction")
     # publish the fold's snapshot: ingest of batch ids ABOVE it may now
     # proceed concurrently (the fold never reads them and the flip's
     # fence won't cover them); ids at or below it keep refusing

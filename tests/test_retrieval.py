@@ -1324,3 +1324,40 @@ def test_bm25_index_stats_lifecycle(spark, tmp_path, monkeypatch):
     assert (s3["generation"], s3["max_folded_batch"]) == (0, 1)
     assert s3["unfolded_batches"] == [] and not s3["compacting"]
     assert (s3["n_docs"], s3["sum_dl"], s3["avgdl"]) == (6, 18, 3.0)
+
+
+def test_compaction_refuses_to_fence_stranded_half_commits(spark,
+                                                           tmp_path):
+    """A batch whose ingest crashed between the posting write and the
+    stats commit is invisible — but a fold whose range covers its id
+    must REFUSE rather than fence it unfolded (the flip would turn an
+    uncommitted batch into a permanently lost one with a lying
+    'already folded' refusal). Replaying the batch clears the refusal;
+    so does deleting its postings dir."""
+    import shutil
+
+    idir = str(tmp_path / "strand")
+    bm25_index_batch(spark.createDataFrame(DOCS[:2], D_SCHEMA), 0, idir,
+                     n_buckets=8)
+    bm25_index_batch(spark.createDataFrame(DOCS[2:4], D_SCHEMA), 1, idir,
+                     n_buckets=8)
+    bm25_index_batch(spark.createDataFrame(DOCS[4:], D_SCHEMA), 2, idir,
+                     n_buckets=8)
+    # strand batch 1: postings on disk, stats commit gone
+    shutil.rmtree(f"{idir}/stats/batch=1")
+
+    import harvesting_extract_to_ttl_service_spark.streaming.lexical_stream as lx  # noqa: E501
+
+    with pytest.raises(ValueError, match=r"\[1\].*no committed stats"):
+        lx.compact_bm25_index(spark, idir, n_buckets=8)
+    # the refusal left no marker behind — ingest still works
+    assert not os.path.exists(f"{idir}/_bm25_compacting.json")
+    # replaying the stranded batch commits it; the fold then proceeds
+    bm25_index_batch(spark.createDataFrame(DOCS[2:4], D_SCHEMA), 1, idir,
+                     n_buckets=8)
+    assert lx.compact_bm25_index(spark, idir, n_buckets=8) == 3
+    want = [tuple(r) for r in
+            bm25_topk(_docs(spark), ["cat", "the"], k=6).collect()]
+    assert [tuple(r) for r in
+            bm25_search(spark, idir, ["cat", "the"], k=6,
+                        n_buckets=8).collect()] == want
