@@ -322,27 +322,53 @@ def bm25_topk_join(queries: DataFrame, docs: DataFrame, k: int = 10,
     weight rides the (qid, term) row through the same joins, so the
     plan shape is unchanged; ``None`` (default) skips the query-side
     groupBy entirely."""
+    qterms = query_terms_frame(queries, query_tf, qid_col, qtext_col)
+    ps = postings(docs, text_col, id_col)
+    stats = corpus_stats(docs, text_col)
+    return score_query_join(qterms, ps, stats, k, k1, b,
+                            max_df_ratio, broadcast_queries,
+                            query_tf is not None, qid_col, id_col)
+
+
+def query_terms_frame(queries: DataFrame, query_tf: float | None,
+                      qid_col: str = "query_id",
+                      qtext_col: str = "text") -> DataFrame:
+    """Tokenized query batch ``(qid, term[, wq])`` — distinct terms by
+    default; with ``query_tf=k3`` each row carries Robertson's
+    query-side saturation weight. Shared by :func:`bm25_topk_join` and
+    the persisted-index twin (streaming/lexical_stream.
+    bm25_search_batch) so the query-side convention can never drift."""
     if query_tf is None:
-        qterms = queries.select(
+        return queries.select(
             F.col(qid_col).alias("qid"),
             F.explode(F.array_distinct(terms(F.col(qtext_col))))
             .alias("term"))
-    else:
-        k3 = float(query_tf)
-        if k3 < 0.0:
-            raise ValueError(f"bm25_topk_join: query_tf={query_tf} "
-                             f"must be >= 0")
-        qterms = (queries.select(F.col(qid_col).alias("qid"),
-                                 F.explode(terms(F.col(qtext_col)))
-                                 .alias("term"))
-                  .groupBy("qid", "term")
-                  .agg(F.count("*").alias("qtf"))
-                  .select("qid", "term",
-                          ((F.col("qtf") * F.lit(k3 + 1.0))
-                           / (F.col("qtf") + F.lit(k3))).alias("wq")))
-    ps = postings(docs, text_col, id_col)
-    stats = corpus_stats(docs, text_col)
+    k3 = float(query_tf)
+    if k3 < 0.0:
+        raise ValueError(f"bm25 batched query: query_tf={query_tf} "
+                         f"must be >= 0")
+    return (queries.select(F.col(qid_col).alias("qid"),
+                           F.explode(terms(F.col(qtext_col)))
+                           .alias("term"))
+            .groupBy("qid", "term")
+            .agg(F.count("*").alias("qtf"))
+            .select("qid", "term",
+                    ((F.col("qtf") * F.lit(k3 + 1.0))
+                     / (F.col("qtf") + F.lit(k3))).alias("wq")))
 
+
+def score_query_join(qterms: DataFrame, ps: DataFrame,
+                     stats: DataFrame, k: int, k1: float, b: float,
+                     max_df_ratio: float | None,
+                     broadcast_queries: bool, weighted: bool,
+                     qid_col: str, id_col: str) -> DataFrame:
+    """The batched scoring core over a (possibly pre-filtered) posting
+    table — shared verbatim by the ad-hoc path (:func:`bm25_topk_join`)
+    and the persisted-index path (streaming/lexical_stream.
+    bm25_search_batch) so the two can never drift. df once per term
+    over the union of query terms, max_df pruning applied to the big
+    side BEFORE any query fan-out, query broadcast (or term-shuffle)
+    join, one-row stats broadcast, pinned per-(query, doc) fold."""
     uniq = qterms.select("term").distinct()
     dfreq = (ps.join(F.broadcast(uniq), "term")
              .groupBy("term").agg(F.count("*").alias("df")))
@@ -358,7 +384,7 @@ def bm25_topk_join(queries: DataFrame, docs: DataFrame, k: int = 10,
     cand = (cand.join(F.broadcast(qterms), "term") if broadcast_queries
             else cand.repartition("term").join(qterms, "term"))
     contrib = bm25_contrib(k1, b)
-    if query_tf is not None:
+    if weighted:
         contrib = contrib * F.col("wq")
     scored = (cand.crossJoin(F.broadcast(stats))
               .withColumn("contrib", contrib))

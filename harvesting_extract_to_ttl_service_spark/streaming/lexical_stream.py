@@ -409,6 +409,52 @@ def bm25_search(spark: SparkSession, index_dir: str,
     return top_ranked(agg, k, id_col)
 
 
+def bm25_search_batch(spark: SparkSession, queries: DataFrame,
+                      index_dir: str, k: int = 10,
+                      k1: float = DEFAULT_K1, b: float = DEFAULT_B,
+                      max_df_ratio: float | None = None,
+                      broadcast_queries: bool = True,
+                      query_tf: float | None = None,
+                      n_buckets: int = 64,
+                      qid_col: str = "query_id",
+                      qtext_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Batched BM25 over the PERSISTED index — the at-scale query
+    shape: all queries in ONE plan (the 3–4× loop-throughput win
+    SCALE.md's bm25 probe measures) over postings read once with the
+    union of the batch's terms driving the bucket directory pruning
+    and the pushed term filter. The query batch's distinct terms are
+    collected driver-side (bounded: the batch's vocabulary — query
+    batches are small next to the corpus; for corpus-sized "query"
+    sets use the dedup operators instead). Scoring is
+    operators/retrieval.score_query_join — the SAME core as the
+    ad-hoc bm25_topk_join (shared df convention, max_df pruning
+    before fan-out, query_tf saturation, pinned folds), so stored
+    results equal the ad-hoc join over the ingested batches row for
+    row (tests pin it). N/avgdl and per-query stats come from the
+    same resolved view as the postings, so a concurrent pointer flip
+    can't skew a batch mid-plan."""
+    from harvesting_extract_to_ttl_service_spark.operators.retrieval import (
+        query_terms_frame,
+        score_query_join,
+    )
+
+    params = _read_params(spark, index_dir)
+    _check_bm25_sidecar(
+        spark, index_dir, n_buckets,
+        positional=bool(params.get("positional")) if params else False,
+        fields=params.get("fields") if params else None)
+    qterms = query_terms_frame(queries, query_tf, qid_col, qtext_col)
+    uniq = sorted({r["term"] for r in
+                   qterms.select("term").distinct().collect()})
+    view = _index_view(spark, index_dir)
+    ps = _read_pruned_postings(spark, index_dir, uniq, n_buckets, view)
+    stats = _read_index_stats(spark, index_dir, view)
+    return score_query_join(qterms, ps, stats, k, k1, b,
+                            max_df_ratio, broadcast_queries,
+                            query_tf is not None, qid_col, id_col)
+
+
 def run_bm25_index_stream(docs_stream: DataFrame, index_dir: str,
                           checkpoint_dir: str, n_buckets: int = 64,
                           text_col: str = "text",

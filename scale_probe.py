@@ -794,6 +794,18 @@ def probe_bm25(spark, n: int, n_queries: int, tmp: str) -> dict:
     t0 = time.time()
     res["batched_rows"] = bm25_topk_join(queries, corpus, k=10).count()
     res["batched_s"] = round(time.time() - t0, 1)
+
+    # the at-scale query shape: ONE plan over the persisted index —
+    # batched-join economics AND the index's directory pruning, with
+    # no per-query posting rebuild
+    from harvesting_extract_to_ttl_service_spark.streaming.lexical_stream import (  # noqa: E501
+        bm25_search_batch,
+    )
+
+    t0 = time.time()
+    res["stored_batched_rows"] = bm25_search_batch(
+        spark, queries, idir, k=10, n_buckets=64).count()
+    res["stored_batched_s"] = round(time.time() - t0, 1)
     return res
 
 
@@ -960,7 +972,9 @@ def main():
             print(f"adhoc_s={r['adhoc_s']} ({r['adhoc_rows']} rows) | "
                   f"stored_s={r['stored_s']} ({r['stored_rows']} rows) | "
                   f"batched_s={r['batched_s']} "
-                  f"({r['batched_rows']} rows)")
+                  f"({r['batched_rows']} rows) | "
+                  f"stored_batched_s={r['stored_batched_s']} "
+                  f"({r['stored_batched_rows']} rows)")
             return
         if pq:
             n = explicit[0] if explicit else 10

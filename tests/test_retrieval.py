@@ -1361,3 +1361,53 @@ def test_compaction_refuses_to_fence_stranded_half_commits(spark,
     assert [tuple(r) for r in
             bm25_search(spark, idir, ["cat", "the"], k=6,
                         n_buckets=8).collect()] == want
+
+
+def test_bm25_search_batch_matches_adhoc_join(spark, tmp_path):
+    """Batched search over the persisted index equals bm25_topk_join
+    over the ingested batches row for row — including max_df pruning
+    and query_tf saturation — and the union of query terms still
+    prunes at the scan."""
+    import re
+
+    docs = _docs(spark)
+    idir = str(tmp_path / "bsb")
+    bm25_index_batch(spark.createDataFrame(DOCS[:3], D_SCHEMA), 0, idir,
+                     n_buckets=8)
+    bm25_index_batch(spark.createDataFrame(DOCS[3:], D_SCHEMA), 1, idir,
+                     n_buckets=8)
+    from harvesting_extract_to_ttl_service_spark.streaming.lexical_stream import (  # noqa: E501
+        bm25_search_batch,
+        compact_bm25_index,
+    )
+
+    qdf = spark.createDataFrame(
+        [(0, "cat dog"), (1, "fish the"), (2, "absent only"),
+         (3, "cat cat the")],
+        "query_id long, text string")
+    for kwargs in ({}, {"max_df_ratio": 0.4},
+                   {"query_tf": 8.0},
+                   {"broadcast_queries": False},
+                   {"query_tf": 8.0, "max_df_ratio": 0.4}):
+        want = sorted(map(tuple,
+                          bm25_topk_join(qdf, docs, k=4,
+                                         **kwargs).collect()))
+        got = sorted(map(tuple,
+                         bm25_search_batch(spark, qdf, idir, k=4,
+                                           n_buckets=8,
+                                           **kwargs).collect()))
+        assert got == want, kwargs
+
+    # parity survives compaction, and the scan still prunes
+    assert compact_bm25_index(spark, idir, n_buckets=8) == 2
+    got2 = sorted(map(tuple,
+                      bm25_search_batch(spark, qdf, idir, k=4,
+                                        n_buckets=8).collect()))
+    assert got2 == sorted(map(tuple,
+                              bm25_topk_join(qdf, docs, k=4).collect()))
+    plan = bm25_search_batch(spark, qdf, idir, k=4, n_buckets=8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*bucket#\d+ I[Nn]", plan)
+    assert re.search(r"DataFilters: \[[^\]]*term#\d+ IN", plan)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
