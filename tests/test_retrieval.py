@@ -1411,3 +1411,26 @@ def test_bm25_search_batch_matches_adhoc_join(spark, tmp_path):
     assert re.search(r"DataFilters: \[[^\]]*term#\d+ IN", plan)
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bm25_search_batch_over_bm25f_index(spark, tmp_path):
+    """The batched stored path composes with BM25F: a single-query
+    batch over a field-weighted index equals the per-query
+    bm25_search (same weighted postings, same df-from-probed-terms
+    convention), so the cross-feature matrix has no silent hole."""
+    from harvesting_extract_to_ttl_service_spark.streaming.lexical_stream import (  # noqa: E501
+        bm25_search_batch,
+    )
+
+    idir = str(tmp_path / "bsbf")
+    bm25_index_batch(spark.createDataFrame(FDOCS, F_SCHEMA), 0, idir,
+                     n_buckets=8, field_weights=F_WEIGHTS)
+    single = {(r.doc_id, r.n_terms_hit, r.score)
+              for r in bm25_search(spark, idir, ["cat", "dog"], k=6,
+                                   n_buckets=8).collect()}
+    qdf = spark.createDataFrame([(0, "cat dog")],
+                                "query_id long, text string")
+    batched = {(r.doc_id, r.n_terms_hit, r.score)
+               for r in bm25_search_batch(spark, qdf, idir, k=6,
+                                          n_buckets=8).collect()}
+    assert batched == single and len(single) > 0
