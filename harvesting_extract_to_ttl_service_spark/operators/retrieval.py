@@ -700,3 +700,51 @@ def proximity_topk(df: DataFrame, terms_: list[str], window: int,
     pc = proximity_counts(df, terms_, window, text_col, id_col)
     return score_phrase_counts(pc, corpus_stats(df, text_col), k,
                                k1, b, id_col, tf_name="prox_tf")
+
+
+def snippets(df: DataFrame, query_terms: list[str], width: int = 3,
+             max_snippets: int = 2, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Search-result snippets: for every document matching ANY query
+    term, up to ``max_snippets`` windows of ``±width`` tokens around
+    the earliest hits, each window re-joined to one string →
+    ``(id_col, n_matches, snips array<string>)``. Pure column
+    expressions end to end (token split, hit-position scan, window
+    slice, join) — no UDF, so snippet extraction rides the same scan
+    as the ranking that selected the documents. Windows are token-
+    aligned (the retrieval tokenizer lowercases, so snippets are
+    lowercase too — they echo what MATCHED, not the raw byte span);
+    overlapping hit windows are emitted per hit, not merged (the
+    classic cheap convention). Non-matching and NULL/empty documents
+    yield no rows."""
+    if width < 0:
+        raise ValueError(f"snippets: width={width} must be >= 0")
+    if max_snippets < 1:
+        raise ValueError(
+            f"snippets: max_snippets={max_snippets} must be >= 1")
+    qt = clean_query_terms(query_terms)
+    t = terms(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), t.alias("_t"))
+    # 0-based hit offsets; the size>0 guard matters because
+    # sequence(0, -1) DESCENDS rather than being empty
+    hits = F.when(
+        F.size("_t") > 0,
+        F.filter(F.sequence(F.lit(0), F.size("_t") - F.lit(1)),
+                 lambda i: F.element_at("_t", i + 1).isin(qt))
+    ).otherwise(F.array().cast("array<int>"))
+    base = base.select("id", "_t", hits.alias("_h"))
+    first = F.slice("_h", 1, max_snippets)
+    win = F.transform(
+        first,
+        lambda p: F.array_join(
+            F.slice("_t",
+                    F.greatest(p - F.lit(width), F.lit(0)) + F.lit(1),
+                    F.least(p + F.lit(width),
+                            F.size("_t") - F.lit(1))
+                    - F.greatest(p - F.lit(width), F.lit(0))
+                    + F.lit(1)),
+            " "))
+    return (base.filter(F.size("_h") > 0)
+            .select(F.col("id").alias(id_col),
+                    F.size("_h").alias("n_matches"),
+                    win.alias("snips")))

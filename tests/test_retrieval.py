@@ -1434,3 +1434,40 @@ def test_bm25_search_batch_over_bm25f_index(spark, tmp_path):
                for r in bm25_search_batch(spark, qdf, idir, k=6,
                                           n_buckets=8).collect()}
     assert batched == single and len(single) > 0
+
+
+def test_snippets_windows_and_edges(spark):
+    """Snippet windows clamp at both document edges, count every hit,
+    cap emission at max_snippets (earliest first), lowercase like the
+    tokenizer that matched, and skip NULL/empty/non-matching docs."""
+    from harvesting_extract_to_ttl_service_spark.operators.retrieval import (
+        snippets,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "the CAT sat on the mat while a cat napped by the cat"),
+         (1, "cat"),
+         (2, "no hits here"),
+         (3, None),
+         (4, "")],
+        D_SCHEMA)
+    got = {r.doc_id: (r.n_matches, r.snips)
+           for r in snippets(docs, ["CaT"], width=2,
+                             max_snippets=2).collect()}
+    # doc 0: hits at offsets 1, 9, 12 — 3 matches, first 2 emitted;
+    # the first window clamps at the left edge
+    assert got[0] == (3, ["the cat sat on",
+                          "while a cat napped by"])
+    # doc 1: single-token doc, window clamps to itself
+    assert got[1] == (1, ["cat"])
+    assert set(got) == {0, 1}
+
+    # width 0 = the bare matched tokens; max_snippets caps emission
+    bare = {r.doc_id: r.snips
+            for r in snippets(docs, ["cat"], width=0,
+                              max_snippets=3).collect()}
+    assert bare[0] == ["cat", "cat", "cat"]
+    with pytest.raises(ValueError, match="width"):
+        snippets(docs, ["cat"], width=-1)
+    with pytest.raises(ValueError, match="max_snippets"):
+        snippets(docs, ["cat"], max_snippets=0)
