@@ -129,6 +129,23 @@ def _check_bm25_sidecar(spark: SparkSession, index_dir: str,
     phrase queries silently blind to non-positional batches, and
     field-weighted tf/dl silently inconsistent); both backfilled for
     pre-upgrade indexes."""
+    stored = _read_params(spark, index_dir)
+    if stored and stored.get("compacting"):
+        # an index left mid-compaction by the PRE-GENERATION compactor
+        # (which flagged the params sidecar and staged _compact_tmp_*
+        # trees) has no automatic resume path in this version — fail
+        # with the manual recovery steps instead of a generic
+        # parameter-mismatch diff
+        raise ValueError(
+            f"bm25 index at {index_dir} was left mid-compaction by a "
+            f"pre-generation version (params sidecar has "
+            f"compacting=true). Manual recovery: if a COMPLETE "
+            f"_compact_tmp_* tree exists under the index, promote it "
+            f"(rename) to postings/batch=-1 [+ stats/batch=-1] and "
+            f"delete the batch dirs it folded; otherwise delete any "
+            f"_compact_tmp_* trees (the original batch dirs are "
+            f"intact). Then remove the 'compacting' key from "
+            f"_bm25_params.json and re-run compact_bm25_index")
     _check_sidecar_params(
         spark, index_dir,
         {"n_buckets": n_buckets, "tokenizer": _TOKENIZER, "version": 1,
@@ -307,8 +324,16 @@ def bm25_index_batch(docs: DataFrame, batch_id: int, index_dir: str,
     SECOND — and a batch is visible to searches only once its stats
     directory carries ``_SUCCESS``, so a crash between the two writes
     (or a search concurrent with this job) sees neither side of the
-    half-committed batch. Replaying the batch rewrites both directories
-    byte-identically.
+    half-committed batch. On a REPLAY of an already-committed batch the
+    old stats directory is deleted up front — visibility drops BEFORE
+    the posting overwrite begins, so a search concurrent with the
+    replay (crash/retry of the writing job) can never resolve the batch
+    as visible while its posting dir is half-rewritten; the replay then
+    re-commits both sides. Because the visibility gate IS the
+    ``_SUCCESS`` marker, ingest verifies the marker actually landed and
+    fails loudly on committers configured not to write one
+    (``mapreduce.fileoutputcommitter.marksuccessfuljobs=false``) —
+    otherwise every committed batch would be silently invisible.
 
     Replay contract: a batch id at or below the index's
     ``max_folded_batch`` pointer REFUSES — its rows already live in a
@@ -369,13 +394,39 @@ def bm25_index_batch(docs: DataFrame, batch_id: int, index_dir: str,
                 else postings(docs, text_col, id_col))
         stats = corpus_stats(docs, text_col)
     ps = base.withColumn("bucket", term_bucket(F.col("term"), n_buckets))
+    from harvesting_extract_to_ttl_service_spark.sources.files import (
+        _hadoop_fs,
+    )
+
+    fs, _ = _hadoop_fs(spark, index_dir)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    # REPLAY of a committed batch: drop its visibility FIRST (delete the
+    # stats dir) so no search can resolve the batch as visible while the
+    # posting overwrite below is mid-rewrite; a crash here leaves the
+    # batch invisible (a stranded posting dir the compaction guard names
+    # loudly) and the next replay re-commits it
+    fs.delete(jpath(f"{index_dir}/stats/batch={batch_id}"), True)
     (ps.write.mode("overwrite").partitionBy("bucket")
      .parquet(f"{index_dir}/postings/batch={batch_id}"))
-    # the batch's commit point: readers gate on this directory's
-    # _SUCCESS, so the postings above stay invisible until it lands
+    _commit_stats(stats, f"{index_dir}/stats/batch={batch_id}")
+    if not fs.exists(
+            jpath(f"{index_dir}/stats/batch={batch_id}/_SUCCESS")):
+        raise ValueError(
+            f"bm25_index_batch: the committer wrote "
+            f"{index_dir}/stats/batch={batch_id} WITHOUT a _SUCCESS "
+            f"marker — this index's visibility protocol gates readers "
+            f"on it, so every batch would be silently invisible. Set "
+            f"mapreduce.fileoutputcommitter.marksuccessfuljobs=true "
+            f"(it is the Hadoop default) and re-run the batch")
+
+
+def _commit_stats(stats: DataFrame, path: str) -> None:
+    """The batch's commit point: readers gate on this directory's
+    ``_SUCCESS``, so the postings written before it stay invisible
+    until it lands. Module-level so crash tests can inject a failure
+    between the two ingest writes."""
     (stats.select("n_docs", "sum_dl")
-     .coalesce(1).write.mode("overwrite")
-     .parquet(f"{index_dir}/stats/batch={batch_id}"))
+     .coalesce(1).write.mode("overwrite").parquet(path))
 
 
 def bm25_search(spark: SparkSession, index_dir: str,

@@ -1471,3 +1471,122 @@ def test_snippets_windows_and_edges(spark):
         snippets(docs, ["cat"], width=-1)
     with pytest.raises(ValueError, match="max_snippets"):
         snippets(docs, ["cat"], max_snippets=0)
+
+
+# --- round-14 ingest-protocol hardening -------------------------------------
+
+
+def test_replay_drops_visibility_before_rewriting_postings(
+        spark, tmp_path, monkeypatch):
+    """A REPLAY of an already-committed batch must drop the batch's
+    visibility (delete its stats dir) BEFORE overwriting the posting
+    tree — otherwise a search concurrent with the replay can resolve
+    the batch as visible while its postings are half-rewritten. Crash
+    the replay between the two writes and verify the on-disk state is
+    the designed-invisible one (postings present, stats gone), search
+    falls back to the other batches, compaction names the batch
+    stranded, and a full replay re-commits it."""
+    import harvesting_extract_to_ttl_service_spark.streaming.lexical_stream as lx  # noqa: E501
+
+    idir = str(tmp_path / "replayvis")
+    bm25_index_batch(spark.createDataFrame(DOCS[:3], D_SCHEMA), 0, idir,
+                     n_buckets=8)
+    bm25_index_batch(spark.createDataFrame(DOCS[3:], D_SCHEMA), 1, idir,
+                     n_buckets=8)
+    extra = [(20, "cat coda"), (21, "the epilogue")]
+    bm25_index_batch(spark.createDataFrame(extra, D_SCHEMA), 2, idir,
+                     n_buckets=8)
+    want_full = [tuple(r) for r in
+                 bm25_search(spark, idir, ["cat", "the"], k=8,
+                             n_buckets=8).collect()]
+    want_no_b1 = [tuple(r) for r in
+                  bm25_topk(spark.createDataFrame(DOCS[:3] + extra,
+                                                  D_SCHEMA),
+                            ["cat", "the"], k=8).collect()]
+
+    def boom(*a, **kw):
+        raise RuntimeError("crash between postings and stats")
+
+    monkeypatch.setattr(lx, "_commit_stats", boom)
+    with pytest.raises(RuntimeError, match="between postings"):
+        bm25_index_batch(spark.createDataFrame(DOCS[3:], D_SCHEMA), 1,
+                         idir, n_buckets=8)
+    monkeypatch.undo()
+    # the crash window left batch 1 INVISIBLE — stats dropped before
+    # the posting rewrite began, never visible-but-half-rewritten
+    assert not os.path.exists(f"{idir}/stats/batch=1")
+    assert os.path.exists(f"{idir}/postings/batch=1")
+    assert [tuple(r) for r in
+            bm25_search(spark, idir, ["cat", "the"], k=8,
+                        n_buckets=8).collect()] == want_no_b1
+    # the stranded guard refuses to fold past it (committed batch 2
+    # puts id 1 inside the fold range), naming the batch
+    from harvesting_extract_to_ttl_service_spark.streaming.lexical_stream import (  # noqa: E501
+        compact_bm25_index,
+    )
+
+    with pytest.raises(ValueError, match=r"\[1\].*no committed stats"):
+        compact_bm25_index(spark, idir, n_buckets=8)
+    # a completed replay re-commits the batch
+    bm25_index_batch(spark.createDataFrame(DOCS[3:], D_SCHEMA), 1, idir,
+                     n_buckets=8)
+    assert [tuple(r) for r in
+            bm25_search(spark, idir, ["cat", "the"], k=8,
+                        n_buckets=8).collect()] == want_full
+
+
+def test_ingest_refuses_committer_without_success_marker(
+        spark, tmp_path, monkeypatch):
+    """Readers gate batch visibility on the stats dir's _SUCCESS, so an
+    environment whose committer is configured not to write one
+    (mapreduce.fileoutputcommitter.marksuccessfuljobs=false) would make
+    every committed batch silently invisible — ingest must verify the
+    marker landed and fail LOUDLY naming the setting."""
+    import harvesting_extract_to_ttl_service_spark.streaming.lexical_stream as lx  # noqa: E501
+
+    idir = str(tmp_path / "nosuccess")
+    real = lx._commit_stats
+
+    def no_marker(stats, path):
+        real(stats, path)
+        os.remove(f"{path}/_SUCCESS")
+
+    monkeypatch.setattr(lx, "_commit_stats", no_marker)
+    with pytest.raises(ValueError, match="marksuccessfuljobs"):
+        bm25_index_batch(spark.createDataFrame(DOCS[:3], D_SCHEMA), 0,
+                         idir, n_buckets=8)
+
+
+def test_legacy_precompaction_state_fails_with_recovery_steps(
+        spark, tmp_path):
+    """An index left mid-compaction by the PRE-GENERATION compactor
+    (params sidecar flagged compacting=true, _compact_tmp_* staging
+    trees) must fail every entry point with a TARGETED error naming
+    the manual recovery steps — not a generic parameter diff — and
+    work again once the flag is cleared."""
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        _read_json_sidecar,
+        _write_json_sidecar,
+    )
+
+    idir = str(tmp_path / "legacyflag")
+    bm25_index_batch(spark.createDataFrame(DOCS[:3], D_SCHEMA), 0, idir,
+                     n_buckets=8)
+    params = _read_json_sidecar(spark, f"{idir}/_bm25_params.json")
+    _write_json_sidecar(spark, f"{idir}/_bm25_params.json",
+                        {**params, "compacting": True})
+    from harvesting_extract_to_ttl_service_spark.streaming.lexical_stream import (  # noqa: E501
+        compact_bm25_index,
+    )
+
+    for op in (lambda: bm25_search(spark, idir, ["cat"], n_buckets=8),
+               lambda: bm25_index_batch(
+                   spark.createDataFrame(DOCS[3:], D_SCHEMA), 1, idir,
+                   n_buckets=8),
+               lambda: compact_bm25_index(spark, idir, n_buckets=8)):
+        with pytest.raises(ValueError, match="_compact_tmp_"):
+            op()
+    # clearing the flag restores the index
+    _write_json_sidecar(spark, f"{idir}/_bm25_params.json", params)
+    assert bm25_search(spark, idir, ["cat"], k=3,
+                       n_buckets=8).count() > 0
