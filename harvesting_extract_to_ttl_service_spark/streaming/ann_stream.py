@@ -55,6 +55,10 @@ from harvesting_extract_to_ttl_service_spark.operators.similarity import (
 from harvesting_extract_to_ttl_service_spark.streaming.dedup_stream import (
     _check_sidecar_params,
 )
+from harvesting_extract_to_ttl_service_spark.streaming.generations import (
+    _read_json_sidecar,
+    _write_json_sidecar,
+)
 
 
 def _centroid_digest(centroids: list[list[float]]) -> str:
@@ -610,44 +614,6 @@ def run_ivf_index_stream(vecs_stream: DataFrame, index_dir: str,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
-
-
-def _read_json_sidecar(spark: SparkSession, path: str) -> dict | None:
-    """Hadoop-FS JSON read (the index may live on hdfs/s3a); None when
-    absent."""
-    from harvesting_extract_to_ttl_service_spark.sources.files import (
-        _hadoop_fs,
-    )
-
-    fs, _ = _hadoop_fs(spark, path)
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
-    if not fs.exists(jpath):
-        return None
-    stream = fs.open(jpath)
-    try:
-        buf = spark._jvm.java.io.BufferedReader(
-            spark._jvm.java.io.InputStreamReader(stream, "UTF-8"))
-        data = []
-        line = buf.readLine()
-        while line is not None:
-            data.append(line)
-            line = buf.readLine()
-    finally:
-        stream.close()
-    return json.loads("\n".join(data))
-
-
-def _write_json_sidecar(spark: SparkSession, path: str, d: dict) -> None:
-    from harvesting_extract_to_ttl_service_spark.sources.files import (
-        _hadoop_fs,
-    )
-
-    fs, _ = _hadoop_fs(spark, path)
-    out = fs.create(spark._jvm.org.apache.hadoop.fs.Path(path), True)
-    try:
-        out.write(json.dumps(d).encode())
-    finally:
-        out.close()
 
 
 def ivf_dispersion(vecs: DataFrame, centroids: list[list[float]],

@@ -11,17 +11,28 @@ directory-level:
 
     <index_dir>/postings/batch=<id>/bucket=<hash(term) % n_buckets>/…
     <index_dir>/stats/batch=<id>/…          (one row: n_docs, sum_dl)
-    <index_dir>/gen=<g>/postings/bucket=…   (consolidated generation g)
-    <index_dir>/gen=<g>/stats/…
-    <index_dir>/gen=<g>/_manifest.json      (written LAST = gen complete)
+    <index_dir>/gen=<g>/postings/seg=<s>/bucket=…   (generation g's
+                                             consolidated SEGMENTS —
+                                             a minor fold adds one,
+                                             a major fold merges all)
+    <index_dir>/gen=<g>/stats/seg=<s>/…     (one stats row per segment)
+    <index_dir>/gen=<g>/_manifest_seg=<s>.json  (written LAST = that
+                                             fold complete; records the
+                                             full post-flip pointer)
+    <index_dir>/tombstones/del=<d>/…        ((id, dl) of deleted docs —
+                                             anti-joined at read,
+                                             physically applied by a
+                                             major fold)
     <index_dir>/_bm25_params.json           (n_buckets, tokenizer, …)
-    <index_dir>/_bm25_generation.json       ({generation, max_folded_batch}
-                                             — THE atomic read pointer)
-    <index_dir>/_bm25_compacting.json       (marker: refuses replays of
-                                             in-fold batch ids and a
-                                             second compactor; fresh
-                                             ingest and search are
-                                             unaffected)
+    <index_dir>/_bm25_generation.json       ({generation, segments,
+                                             max_folded_batch,
+                                             applied_dels} — THE atomic
+                                             read pointer)
+    <index_dir>/_bm25_compacting.json       (lease marker: owner token +
+                                             expiring deadline + the
+                                             fold's folding_through
+                                             replay fence; fresh ingest
+                                             and search are unaffected)
 
 * ``bucket`` is the md5-derived portable term hash mod ``n_buckets`` —
   search computes the query terms' buckets driver-side and the bucket
@@ -41,21 +52,32 @@ directory-level:
   N/avgdl. A replayed batch overwrites both directories byte-identically
   (tokenization is deterministic), so crash/retry of the writing job
   needs no coordination.
-* **Compaction is read-transparent** (generation scheme): the fold
-  writes a consolidated tree under ``gen=<g+1>`` while searches keep
-  reading ``gen=<g>`` + the unfolded batch dirs — none of which the
-  fold touches — then flips the one-file ``_bm25_generation.json``
-  pointer and only afterwards deletes the superseded trees. A search
-  resolves the pointer once and reads a consistent snapshot throughout.
+* **Compaction is read-transparent AND O(new data)** (tiered
+  generation scheme): a minor fold writes the unfolded batch dirs into
+  one NEW segment of the current generation while searches keep
+  reading exactly the segment/batch trees the pointer names — none of
+  which the fold touches — then flips the one-file
+  ``_bm25_generation.json`` pointer and only afterwards deletes the
+  superseded trees; a major fold (``full=True`` / segment-count
+  threshold) merges everything into ``gen=<g+1>/seg=0`` and physically
+  applies the tombstones. A search resolves the pointer once and reads
+  a consistent snapshot throughout; one compactor at a time is
+  enforced by an expiring lease (streaming/generations.py).
+* **Deletion is logical-then-physical** (:func:`bm25_delete_docs`):
+  committed tombstone batches anti-join out of every probed posting
+  set (tf and df drop immediately) and subtract a signed one-row
+  correction from N/avgdl, so search-after-delete equals an index
+  rebuilt without the docs; a major fold applies them physically.
 
-Search calls operators/retrieval.score_postings — the SAME scoring code
-the ad-hoc path uses — so stored-index results equal bm25_topk over the
-union of the ingested batches row for row (tests/test_retrieval.py pins
-this)."""
+Search calls operators/retrieval.score_query_join — the SAME scoring
+core the ad-hoc batched path uses — so stored-index results equal
+bm25_topk / bm25_topk_join over the union of the ingested batches row
+for row (tests/test_retrieval.py pins this)."""
 
 from __future__ import annotations
 
 import hashlib
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -76,8 +98,6 @@ from harvesting_extract_to_ttl_service_spark.operators.retrieval import (
     positional_postings,
     postings,
     score_phrase_counts,
-    score_postings,
-    top_ranked,
 )
 from harvesting_extract_to_ttl_service_spark.streaming.dedup_stream import (
     _check_sidecar_params,
@@ -173,10 +193,31 @@ def _sidecar_positional(spark: SparkSession, index_dir: str) -> bool:
 # --- the read pointer ------------------------------------------------------
 
 
-def _pointer(spark: SparkSession, index_dir: str) -> tuple[int, int]:
-    """(generation, max_folded_batch): the index's one-file read
-    pointer. Generation −1 = no consolidated tree (all data lives in
-    batch dirs). Falls back to the pre-generation
+class _IndexView(NamedTuple):
+    """One search's resolved snapshot of the index: pointer state plus
+    the visible unfolded batch ids and unapplied tombstone ids — all
+    read ONCE per query so no two reads of one plan can straddle a
+    concurrent pointer flip. ``segments is None`` marks the legacy
+    pre-segment layout (a single flat tree directly under
+    ``gen=<g>/postings``)."""
+
+    gen: int
+    segments: list | None
+    fence: int
+    applied_dels: int
+    vis: list
+    dels: list
+
+
+def _pointer(spark: SparkSession,
+             index_dir: str) -> tuple[int, list | None, int, int]:
+    """(generation, segments, max_folded_batch, applied_dels): the
+    index's one-file read pointer. Generation −1 = no consolidated
+    tree (all data lives in batch dirs); ``segments`` None = a legacy
+    flat generation tree (pre-segment fold) or no tree at all;
+    ``applied_dels`` = the highest tombstone id a full fold has
+    physically applied (readers ignore those del dirs — they may
+    linger until cleanup). Falls back to the pre-generation
     ``_bm25_compaction.json`` fence for indexes last compacted by the
     legacy batch=-1 fold."""
     from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
@@ -185,12 +226,16 @@ def _pointer(spark: SparkSession, index_dir: str) -> tuple[int, int]:
 
     ptr = _read_json_sidecar(spark, f"{index_dir}/_bm25_generation.json")
     if ptr is not None:
-        return int(ptr["generation"]), int(ptr["max_folded_batch"])
+        segs = ptr.get("segments")
+        return (int(ptr["generation"]),
+                None if segs is None else sorted(int(s) for s in segs),
+                int(ptr["max_folded_batch"]),
+                int(ptr.get("applied_dels", -1)))
     legacy = _read_json_sidecar(spark,
                                 f"{index_dir}/_bm25_compaction.json")
     if legacy is not None:
-        return -1, int(legacy.get("max_folded_batch", -1))
-    return -1, -1
+        return -1, None, int(legacy.get("max_folded_batch", -1)), -1
+    return -1, None, -1, -1
 
 
 def _visible_batch_ids(spark: SparkSession, index_dir: str,
@@ -221,29 +266,65 @@ def _visible_batch_ids(spark: SparkSession, index_dir: str,
     return sorted(ids)
 
 
-def _index_view(spark: SparkSession,
-                index_dir: str) -> tuple[int, int, list[int]]:
-    """Resolve the pointer and visible batch set ONCE per search, so
-    the postings read and the stats read of one query can never
-    straddle a concurrent pointer flip."""
-    gen, fence = _pointer(spark, index_dir)
-    return gen, fence, _visible_batch_ids(spark, index_dir, gen, fence)
+def _visible_del_ids(spark: SparkSession, index_dir: str,
+                     applied: int) -> list[int]:
+    """Tombstone batch ids the current pointer makes active: committed
+    (``_SUCCESS``) and not yet physically applied by a full fold
+    (id > ``applied_dels``)."""
+    from harvesting_extract_to_ttl_service_spark.sources.files import (
+        _hadoop_fs,
+    )
+
+    fs, _ = _hadoop_fs(spark, index_dir)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    root = jpath(f"{index_dir}/tombstones")
+    if not fs.exists(root):
+        return []
+    ids = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith("del="):
+            continue
+        d = int(name.split("=", 1)[1])
+        if d > applied and fs.exists(
+                jpath(f"{index_dir}/tombstones/del={d}/_SUCCESS")):
+            ids.append(d)
+    return sorted(ids)
+
+
+def _index_view(spark: SparkSession, index_dir: str) -> _IndexView:
+    """Resolve the pointer, visible batch set and active tombstone set
+    ONCE per search, so no two reads of one query can straddle a
+    concurrent pointer flip."""
+    gen, segments, fence, applied = _pointer(spark, index_dir)
+    return _IndexView(
+        gen, segments, fence, applied,
+        _visible_batch_ids(spark, index_dir, gen, fence),
+        _visible_del_ids(spark, index_dir, applied))
 
 
 def _postings_frames(spark: SparkSession, index_dir: str,
-                     gen: int, vis: list[int]) -> DataFrame:
+                     view: _IndexView) -> DataFrame:
     """Union of the readable posting trees: the consolidated
-    ``gen=<g>/postings`` (if any) plus the visible unfolded batch dirs,
-    read by EXPLICIT path so partition discovery never touches a
-    half-committed or superseded directory. Both sides keep ``bucket``
-    as a directory-level partition column under their own basePath."""
+    generation's SEGMENTS named by the pointer (or the one flat legacy
+    tree) plus the visible unfolded batch dirs, read by EXPLICIT path
+    so partition discovery never touches a half-committed or
+    superseded directory. Every tree keeps ``bucket`` as a
+    directory-level partition column under its own basePath."""
     frames = []
-    if gen >= 0:
-        p = f"{index_dir}/gen={gen}/postings"
-        frames.append(spark.read.option("basePath", p).parquet(p))
-    if vis:
+    if view.gen >= 0:
+        if view.segments is None:
+            p = f"{index_dir}/gen={view.gen}/postings"
+            frames.append(spark.read.option("basePath", p).parquet(p))
+        elif view.segments:
+            root = f"{index_dir}/gen={view.gen}/postings"
+            frames.append(
+                spark.read.option("basePath", root)
+                .parquet(*[f"{root}/seg={s}" for s in view.segments])
+                .drop("seg"))
+    if view.vis:
         root = f"{index_dir}/postings"
-        paths = [f"{root}/batch={i}" for i in vis]
+        paths = [f"{root}/batch={i}" for i in view.vis]
         frames.append(spark.read.option("basePath", root)
                       .parquet(*paths).drop("batch"))
     if not frames:
@@ -256,34 +337,61 @@ def _postings_frames(spark: SparkSession, index_dir: str,
     return out
 
 
+def _tombstones(spark: SparkSession, index_dir: str,
+                view: _IndexView) -> DataFrame | None:
+    """The view's active tombstone rows ``(id, dl)`` (None when there
+    are none) — deleted doc ids with the document length they carried,
+    recorded at delete time so the stats correction never rescans
+    postings."""
+    if not view.dels:
+        return None
+    root = f"{index_dir}/tombstones"
+    return spark.read.parquet(
+        *[f"{root}/del={d}" for d in view.dels]).select("id", "dl")
+
+
 def _read_pruned_postings(spark: SparkSession, index_dir: str,
                           terms_: list[str], n_buckets: int,
-                          view: tuple[int, int, list[int]]) -> DataFrame:
-    """The index read both search paths share: bucket IN-list from the
+                          view: _IndexView) -> DataFrame:
+    """The index read every search path shares: bucket IN-list from the
     driver-side term hashes (directory pruning on every tree in the
-    view), then the term IN-list (parquet pushed filter)."""
-    gen, _fence, vis = view
-    ps = _postings_frames(spark, index_dir, gen, vis)
+    view), the term IN-list (parquet pushed filter), then the tombstone
+    anti-join (broadcast — deletion sets are small next to the corpus)
+    so deleted documents drop out of tf AND df before any scoring."""
+    ps = _postings_frames(spark, index_dir, view)
     buckets = sorted({term_bucket_py(t, n_buckets) for t in terms_})
-    return (ps.filter(F.col("bucket").isin(buckets))
-            .filter(F.col("term").isin(terms_)))
+    ps = (ps.filter(F.col("bucket").isin(buckets))
+          .filter(F.col("term").isin(terms_)))
+    tomb = _tombstones(spark, index_dir, view)
+    if tomb is not None:
+        ps = ps.join(F.broadcast(tomb.select("id")), "id", "left_anti")
+    return ps
 
 
 def _read_index_stats(spark: SparkSession, index_dir: str,
-                      view: tuple[int, int, list[int]]) -> DataFrame:
+                      view: _IndexView) -> DataFrame:
     """One-row N/avgdl from the exact additive sums of the generation
-    stats row plus the visible per-batch stats rows — the same view the
+    segments' stats rows plus the visible per-batch stats rows, MINUS
+    the active tombstones' one-row correction (−count, −Σdl — the
+    additive design runs on signed sums) — all from the same view the
     postings read resolved, so the two can never disagree about which
-    batches exist."""
-    gen, _fence, vis = view
+    batches, segments or deletes exist."""
     frames = []
-    if gen >= 0:
-        frames.append(spark.read.parquet(f"{index_dir}/gen={gen}/stats")
-                      .select("n_docs", "sum_dl"))
-    if vis:
+    if view.gen >= 0:
+        if view.segments is None:
+            frames.append(
+                spark.read.parquet(f"{index_dir}/gen={view.gen}/stats")
+                .select("n_docs", "sum_dl"))
+        elif view.segments:
+            root = f"{index_dir}/gen={view.gen}/stats"
+            frames.append(
+                spark.read.parquet(
+                    *[f"{root}/seg={s}" for s in view.segments])
+                .select("n_docs", "sum_dl"))
+    if view.vis:
         root = f"{index_dir}/stats"
         frames.append(spark.read.option("basePath", root)
-                      .parquet(*[f"{root}/batch={i}" for i in vis])
+                      .parquet(*[f"{root}/batch={i}" for i in view.vis])
                       .select("n_docs", "sum_dl"))
     if not frames:
         raise ValueError(
@@ -291,6 +399,12 @@ def _read_index_stats(spark: SparkSession, index_dir: str,
     out = frames[0]
     for f2 in frames[1:]:
         out = out.unionByName(f2)
+    tomb = _tombstones(spark, index_dir, view)
+    if tomb is not None:
+        corr = tomb.agg(
+            (-F.count("*")).alias("n_docs"),
+            (-F.coalesce(F.sum("dl"), F.lit(0))).alias("sum_dl"))
+        out = out.unionByName(corr)
     return (out.agg(F.sum("n_docs").alias("n_docs"),
                     F.sum("sum_dl").alias("sum_dl"))
             .withColumn("avgdl", F.col("sum_dl").cast("double")
@@ -378,7 +492,7 @@ def bm25_index_batch(docs: DataFrame, batch_id: int, index_dir: str,
                 f"would race the fold's scan; re-run it after the "
                 f"compaction finishes (fresh higher batch ids and all "
                 f"searches are unaffected)")
-    _gen, fence = _pointer(spark, index_dir)
+    _gen, _segs, fence, _applied = _pointer(spark, index_dir)
     if batch_id <= fence:
         raise ValueError(
             f"bm25_index_batch: batch {batch_id} was already folded "
@@ -439,25 +553,56 @@ def bm25_search(spark: SparkSession, index_dir: str,
     directories and the term IN-list reaches the parquet scan as a
     pushed filter (tests pin both in the plan), so per-query I/O is the
     probed posting lists, not the index. N/avgdl are the exact additive
-    sums of the generation + visible per-batch stats rows; document
-    frequency comes from the probed postings themselves. Scoring is
-    operators/retrieval.score_postings — identical to the ad-hoc path
-    by construction. Works on flat, positional AND BM25F indexes (the
-    positions column just rides along unused; BM25F tf/dl are already
-    weighted at ingest). Runs undisturbed during a compaction — the
-    pointer is resolved once, and the fold never touches the trees that
-    pointer names."""
+    sums of the generation + visible per-batch stats rows (tombstone-
+    corrected); document frequency comes from the probed postings
+    themselves. A single query IS a one-row batch: this routes through
+    the same scoring core as :func:`bm25_search_batch`
+    (operators/retrieval.score_query_join — the code the ad-hoc paths
+    share too), so there is exactly ONE stored-index scoring path; the
+    query-side frame is built directly from the cleaned terms, no
+    tokenizer round-trip. Works on flat, positional AND BM25F indexes
+    (the positions column just rides along unused; BM25F tf/dl are
+    already weighted at ingest). Runs undisturbed during a
+    compaction — the pointer is resolved once, and the fold never
+    touches the trees that pointer names."""
     params = _read_params(spark, index_dir)
     _check_bm25_sidecar(
         spark, index_dir, n_buckets,
         positional=bool(params.get("positional")) if params else False,
         fields=params.get("fields") if params else None)
     qt = clean_query_terms(query_terms)
+    qterms = spark.createDataFrame([(0, t) for t in qt],
+                                   "qid long, term string")
+    out = _stored_query_search(spark, index_dir, qterms, qt, k, k1, b,
+                               None, True, False, n_buckets,
+                               "qid", id_col)
+    return out.select(id_col, "rank", "n_terms_hit", "score")
+
+
+def _stored_query_search(spark: SparkSession, index_dir: str,
+                         qterms: DataFrame, uniq: list[str], k: int,
+                         k1: float, b: float,
+                         max_df_ratio: float | None,
+                         broadcast_queries: bool, weighted: bool,
+                         n_buckets: int, qid_col: str,
+                         id_col: str) -> DataFrame:
+    """The one stored-index BM25 scoring path (shared by
+    :func:`bm25_search` and :func:`bm25_search_batch`): resolve the
+    view once, read the bucket-pruned term-pushed tombstone-corrected
+    postings and the matching stats snapshot, score with
+    operators/retrieval.score_query_join — the SAME core the ad-hoc
+    batched join uses, so stored results equal the ad-hoc ones over
+    the ingested batches row for row."""
+    from harvesting_extract_to_ttl_service_spark.operators.retrieval import (
+        score_query_join,
+    )
+
     view = _index_view(spark, index_dir)
-    ps = _read_pruned_postings(spark, index_dir, qt, n_buckets, view)
-    agg = score_postings(ps, _read_index_stats(spark, index_dir, view),
-                         k1, b)
-    return top_ranked(agg, k, id_col)
+    ps = _read_pruned_postings(spark, index_dir, uniq, n_buckets, view)
+    stats = _read_index_stats(spark, index_dir, view)
+    return score_query_join(qterms, ps, stats, k, k1, b,
+                            max_df_ratio, broadcast_queries,
+                            weighted, qid_col, id_col)
 
 
 def bm25_search_batch(spark: SparkSession, queries: DataFrame,
@@ -487,7 +632,6 @@ def bm25_search_batch(spark: SparkSession, queries: DataFrame,
     can't skew a batch mid-plan."""
     from harvesting_extract_to_ttl_service_spark.operators.retrieval import (
         query_terms_frame,
-        score_query_join,
     )
 
     params = _read_params(spark, index_dir)
@@ -498,12 +642,10 @@ def bm25_search_batch(spark: SparkSession, queries: DataFrame,
     qterms = query_terms_frame(queries, query_tf, qid_col, qtext_col)
     uniq = sorted({r["term"] for r in
                    qterms.select("term").distinct().collect()})
-    view = _index_view(spark, index_dir)
-    ps = _read_pruned_postings(spark, index_dir, uniq, n_buckets, view)
-    stats = _read_index_stats(spark, index_dir, view)
-    return score_query_join(qterms, ps, stats, k, k1, b,
-                            max_df_ratio, broadcast_queries,
-                            query_tf is not None, qid_col, id_col)
+    return _stored_query_search(spark, index_dir, qterms, uniq, k, k1,
+                                b, max_df_ratio, broadcast_queries,
+                                query_tf is not None, n_buckets,
+                                qid_col, id_col)
 
 
 def run_bm25_index_stream(docs_stream: DataFrame, index_dir: str,
@@ -529,83 +671,220 @@ def run_bm25_index_stream(docs_stream: DataFrame, index_dir: str,
             .start())
 
 
+# --- document deletion (tombstones) ----------------------------------------
+
+
+def bm25_delete_docs(spark: SparkSession, index_dir: str,
+                     doc_ids: list, n_buckets: int = 64) -> int:
+    """Delete documents from the persisted index — the operation a real
+    pipeline hits early (dedup-after-ingest losers, takedowns, corpus
+    refreshes) that an append-only index cannot express. Logical-then-
+    physical, the LSM convention:
+
+    * This job writes one TOMBSTONE batch
+      ``<index_dir>/tombstones/del=<d>/`` holding ``(id, dl)`` — the
+      deleted doc ids plus the document length each carried, captured
+      NOW so the stats correction never needs the postings again.
+      Visibility is atomic exactly like ingest: readers honor a del dir
+      only once its ``_SUCCESS`` lands.
+    * Every search anti-joins the active tombstones out of the probed
+      postings (broadcast — deletion sets are small next to the
+      corpus), so tf AND df drop immediately, and subtracts the
+      tombstones' ``(−count, −Σdl)`` one-row correction from N/avgdl
+      (the additive stats design runs on signed sums) — so
+      search-after-delete equals an index REBUILT without the docs,
+      row for row (the parity the tests pin).
+    * A MAJOR compaction (``compact_bm25_index(full=True)`` or the
+      segment-threshold trigger) applies the deletes physically:
+      tombstoned postings drop out of the new generation, the folded
+      stats subtract them, and the pointer's ``applied_dels`` retires
+      the del dirs. MINOR folds leave tombstones logical.
+    * Replay fence interaction: a replayed source batch containing a
+      deleted doc rewrites its postings, but the tombstone still
+      anti-joins them — the doc is NOT resurrected (pinned by test).
+
+    Ids already tombstoned are skipped (a double delete must not
+    subtract twice); ids absent from the index contribute nothing (the
+    ``(id, dl)`` rows are harvested from the postings themselves — one
+    scan with a pushed id IN-filter; it reads all buckets, the
+    documented cost of deleting from a term-bucketed layout). Returns
+    the number of documents newly tombstoned. Refuses while a
+    compaction marker is up — a delete mid-fold could race the fold's
+    stats snapshot; re-run it after the fold."""
+    from harvesting_extract_to_ttl_service_spark.sources.files import (
+        _hadoop_fs,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.generations import (  # noqa: E501
+        _read_json_sidecar,
+    )
+
+    params = _read_params(spark, index_dir)
+    if params is None:
+        raise ValueError(f"bm25_delete_docs: no index at {index_dir}")
+    _check_bm25_sidecar(
+        spark, index_dir, n_buckets,
+        positional=bool(params.get("positional", False)),
+        fields=params.get("fields"))
+    if _read_json_sidecar(spark, f"{index_dir}/_bm25_compacting.json"):
+        raise ValueError(
+            f"bm25_delete_docs: index at {index_dir} is compacting — a "
+            f"delete landing mid-fold could race the fold's stats "
+            f"snapshot; re-run the delete after the compaction "
+            f"finishes (searches honor it immediately then)")
+    ids = list(dict.fromkeys(doc_ids))
+    if not ids:
+        return 0
+    view = _index_view(spark, index_dir)
+    tomb = _tombstones(spark, index_dir, view)
+    if tomb is not None:
+        already = {r["id"] for r in
+                   tomb.select("id").filter(F.col("id").isin(ids))
+                   .distinct().collect()}
+        ids = [i for i in ids if i not in already]
+        if not ids:
+            return 0
+    ps = _postings_frames(spark, index_dir, view)
+    doomed = (ps.filter(F.col("id").isin(ids))
+              .groupBy("id").agg(F.first("dl").alias("dl")))
+    fs, _ = _hadoop_fs(spark, index_dir)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    committed, uncommitted = [], []
+    troot = jpath(f"{index_dir}/tombstones")
+    if fs.exists(troot):
+        for st in fs.listStatus(troot):
+            name = st.getPath().getName()
+            if not name.startswith("del="):
+                continue
+            d = int(name.split("=", 1)[1])
+            if d <= view.applied_dels:
+                continue  # retired slot awaiting cleanup — never reuse
+            ok = fs.exists(
+                jpath(f"{index_dir}/tombstones/del={d}/_SUCCESS"))
+            (committed if ok else uncommitted).append(d)
+    # reuse the lowest uncommitted slot (a crashed delete retries into
+    # the same dir), else the next id — always ABOVE the pointer's
+    # applied_dels watermark (ids at or below it are invisible by
+    # definition: the watermark means "physically applied")
+    nxt = (min(uncommitted) if uncommitted
+           else (max(committed) + 1 if committed else 0))
+    nxt = max(nxt, view.applied_dels + 1)
+    out = f"{index_dir}/tombstones/del={nxt}"
+    doomed.coalesce(1).write.mode("overwrite").parquet(out)
+    if not fs.exists(jpath(f"{out}/_SUCCESS")):
+        raise ValueError(
+            f"bm25_delete_docs: the committer wrote {out} WITHOUT a "
+            f"_SUCCESS marker — readers gate tombstone visibility on "
+            f"it. Set mapreduce.fileoutputcommitter."
+            f"marksuccessfuljobs=true and re-run")
+    n = spark.read.parquet(out).count()
+    if n == 0:
+        # none of the ids exist in the index — retract the empty batch
+        fs.delete(jpath(out), True)
+    return n
+
+
 # --- generational compaction ----------------------------------------------
 
 
 def compact_bm25_index(spark: SparkSession, index_dir: str,
                        n_buckets: int = 64,
                        target_partitions: int | None = None,
-                       retain_old: bool = False) -> int:
-    """Fold the per-batch posting/stats directories (plus the previous
-    consolidated generation) into a NEW generation directory, then flip
-    the one-file read pointer — the small-files maintenance job a
-    long-running ingest stream needs, **without taking the index
-    offline for reads**. Returns the number of batch partitions folded
-    (0 = nothing to do, or a resumed run that only had to finish a
-    previous fold's flip/cleanup).
+                       retain_old: bool = False,
+                       full: bool = False, max_segments: int = 8,
+                       lease_seconds: float = 3600.0) -> int:
+    """Fold the per-batch posting/stats directories into the
+    consolidated generation tree, then flip the one-file read pointer —
+    the small-files maintenance job a long-running ingest stream needs,
+    without taking the index offline for reads OR rewriting the whole
+    index per run. Returns the number of batch partitions folded (0 =
+    nothing to do, or a resumed run that only had to finish a previous
+    fold's flip/cleanup).
+
+    **Tiered (segmented) folds — cost O(new data), not O(index).** A
+    generation holds multiple SEGMENT trees
+    (``gen=<g>/postings/seg=<s>/bucket=…`` plus one stats row per
+    segment). The default fold is MINOR: it merges ONLY the unfolded
+    batch dirs into one NEW segment of the current generation — the
+    existing segments are never read or rewritten, so fold bytes track
+    the new batches' bytes, not the index (SCALE.md's foldbytes probe
+    measures it). A MAJOR fold — ``full=True``, or automatic once the
+    segment count would exceed ``max_segments``, or forced as the
+    migration when the index still has the pre-segment flat layout —
+    merges all segments plus the batch dirs into ``seg=0`` of
+    generation ``g+1``, physically APPLIES the tombstones
+    (:func:`bm25_delete_docs`) and retires their del dirs. Search
+    unions the pointer's segment list exactly like it unions batch
+    dirs, so serving cost grows by one directory per segment, bounded
+    by ``max_segments``.
 
     Read transparency: searches resolve ``_bm25_generation.json`` once
-    and then read ``gen=<g>`` + the unfolded batch dirs — trees this
-    job only ever ADDS alongside (the fold writes ``gen=<g+1>``, which
-    no pointer names yet) until the pointer atomically flips, after
-    which the superseded trees are deleted. A search that resolved the
-    OLD pointer and is still scanning when the deletes land fails
-    loudly (missing files), never silently wrong; pass
-    ``retain_old=True`` to defer all deletion to the NEXT compaction
-    (the grace-period pattern) if in-flight queries may outlive a fold.
-    Ingest is transparent too for FRESH batches: once the fold
-    publishes its snapshot (``folding_through`` in the
-    ``_bm25_compacting.json`` marker), only batch ids at or below the
-    snapshot refuse (a rewrite there would race the fold's scan of
-    that very directory); higher ids land normally, stay visible
-    through the flip (the new fence is the snapshot), and fold next
-    time. One compactor at a time — the marker also makes a second
-    concurrent compactor resume/finish the first's work rather than
-    race it, but two folds genuinely running simultaneously are the
-    operator's responsibility to avoid.
+    and then read exactly the segment/batch trees it names — trees
+    this job only ever ADDS alongside (a fold writes a segment no
+    pointer names yet) until the pointer atomically flips, after which
+    the superseded trees are deleted. A search that resolved the OLD
+    pointer and is still scanning when the deletes land fails loudly
+    (missing files), never silently wrong; pass ``retain_old=True`` to
+    defer all deletion to the NEXT compaction (the grace-period
+    pattern) if in-flight queries may outlive a fold. Ingest is
+    transparent too for FRESH batches: once the fold publishes its
+    snapshot (``folding_through`` in the ``_bm25_compacting.json``
+    marker), only batch ids at or below the snapshot refuse (a rewrite
+    there would race the fold's scan of that very directory); higher
+    ids land normally, stay visible through the flip (the new fence is
+    the snapshot), and fold next time.
 
-    Crash safety — duplicated postings would DOUBLE a term's tf and df,
-    so every window re-runs to a consistent state, and NOTHING is
+    **Single-compactor lease** (streaming/generations.py): the marker
+    carries an owner token and an expiring deadline — a second
+    compactor REFUSES while the lease is live, may take over only
+    after expiry (resuming the dead fold's work through the normal
+    crash-recovery path below), and every holder re-verifies ownership
+    immediately before its pointer flip, so at most one fold ever
+    commits even if two acquired an expired lease's window.
+
+    Crash safety — duplicated postings would DOUBLE a term's tf and
+    df, so every window re-runs to a consistent state, and NOTHING is
     deleted before the fold is durably complete:
 
-    1. marker up (ingest fenced);
-    2. fold written to ``gen=<g+1>/{postings,stats}`` — invisible,
-       no pointer names it;
-    3. ``gen=<g+1>/_manifest.json`` written LAST records the fold's
-       replay fence; its existence marks the generation complete;
+    1. lease acquired (ingest replays fenced once the snapshot
+       publishes);
+    2. fold written to its target segment — invisible, no pointer
+       names it;
+    3. ``gen=<tg>/_manifest_seg=<ts>.json`` written LAST records the
+       complete post-flip pointer state; its existence marks the fold
+       complete;
     4. pointer flip (one-file overwrite — THE commit point);
-    5. delete superseded trees (old gen + folded batch dirs, stats
-       side first so visibility drops before data does);
-    6. marker down.
+    5. delete superseded trees (stats side first so a batch's
+       visibility drops before its data does);
+    6. lease released.
 
-    Re-running this job resumes from any crash: a complete ``g+1``
+    Re-running this job resumes from any crash: a complete target
     manifest ⇒ flip + cleanup only (the fold is never recomputed from
-    possibly-deleted inputs); an incomplete ``gen=<g+1>`` ⇒ deleted
-    and refolded from the intact batch dirs (no delete has happened);
+    possibly-deleted inputs); a manifest-less partial target ⇒ deleted
+    and refolded from the intact inputs (no delete has happened);
     leftovers below the pointer ⇒ cleanup. The recorded
     ``max_folded_batch`` is the replay fence: :func:`bm25_index_batch`
-    refuses any ``batch_id`` at or below it, because a source batch
-    replayed AFTER its rows were folded would write them a second
-    time. Quiesce the INGEST stream before compacting (checkpoint
-    committed) so post-fold replays fail loudly instead of doubling
-    df; searches need no quiescing.
+    refuses any ``batch_id`` at or below it. Quiesce the INGEST stream
+    before compacting (checkpoint committed) so post-fold replays fail
+    loudly instead of doubling df; searches need no quiescing.
 
     Output sizing: with ``target_partitions=None`` (default) the fold
-    sizes itself from the INPUT byte total — one output file per
-    bucket while the average bucket fits ``_COMPACT_TARGET_BYTES``
-    (~128 MB), hash-splitting within buckets beyond that. Byte-based
-    sizing is what makes POSITIONAL indexes safe to compact: their
-    positions arrays make posting rows several times wider than flat
-    ones at the same document count (SCALE.md's possize probe
-    measures the ratio), and the split count scales with the bytes,
-    not the row count. Pass ``target_partitions`` to pin the shuffle
-    width explicitly instead."""
+    sizes itself from the INPUT byte total — for a MINOR fold that is
+    the new batches' bytes only — one output file per bucket while the
+    average bucket fits ``_COMPACT_TARGET_BYTES`` (~128 MB),
+    hash-splitting within buckets beyond that (what makes POSITIONAL
+    indexes safe to compact: their wider rows earn proportionally more
+    splits). Pass ``target_partitions`` to pin the shuffle width
+    explicitly instead."""
     from harvesting_extract_to_ttl_service_spark.sources.files import (
         _hadoop_fs,
     )
-    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+    from harvesting_extract_to_ttl_service_spark.streaming.generations import (  # noqa: E501
         _read_json_sidecar,
         _write_json_sidecar,
+        acquire_lease,
+        check_lease,
+        refresh_lease,
+        release_lease,
     )
 
     params = _read_params(spark, index_dir)
@@ -617,37 +896,77 @@ def compact_bm25_index(spark: SparkSession, index_dir: str,
     fs, _ = _hadoop_fs(spark, index_dir)
     jpath = spark._jvm.org.apache.hadoop.fs.Path
     marker = f"{index_dir}/_bm25_compacting.json"
-    _write_json_sidecar(spark, marker, {"compacting": True})
+    owner = acquire_lease(spark, marker, lease_seconds,
+                          payload={"compacting": True})
 
     def _done(n: int) -> int:
-        fs.delete(jpath(marker), False)
+        release_lease(spark, marker, owner)
         return n
 
-    gen, fence = _pointer(spark, index_dir)
-    nxt = gen + 1
+    gen, segments, fence, applied = _pointer(spark, index_dir)
+
+    # resume a crashed fold that already completed its write: the
+    # legacy (pre-segment) single-tree manifest first, then the two
+    # segmented candidates — the pending minor (next segment of this
+    # generation) and the pending major (seg 0 of the next generation)
     man = _read_json_sidecar(spark,
-                             f"{index_dir}/gen={nxt}/_manifest.json")
+                             f"{index_dir}/gen={gen + 1}/_manifest.json")
     if man is not None:
-        # a previous fold completed but crashed before/while flipping
-        # or cleaning up — finish its flip + cleanup, never refold
-        new_fence = int(man["max_folded_batch"])
-        _flip(spark, index_dir, nxt, new_fence)
+        state = {"generation": gen + 1,
+                 "max_folded_batch": int(man["max_folded_batch"])}
+        check_lease(spark, marker, owner)
+        _flip(spark, index_dir, state)
         if not retain_old:
-            _cleanup(spark, index_dir, nxt, new_fence)
+            _cleanup(spark, index_dir, state)
         return _done(0)
-    if fs.exists(jpath(f"{index_dir}/gen={nxt}")):
-        # a fold crashed mid-write: no manifest ⇒ no flip ⇒ no delete
-        # ever ran — drop the partial tree and refold from the intact
-        # batch dirs
-        fs.delete(jpath(f"{index_dir}/gen={nxt}"), True)
+    candidates = []
+    if segments is not None:
+        candidates.append((gen, (max(segments) + 1) if segments else 0))
+    candidates.append((gen + 1 if gen >= 0 else 0, 0))
+    for tg, ts in candidates:
+        man = _read_json_sidecar(
+            spark, f"{index_dir}/gen={tg}/_manifest_seg={ts}.json")
+        if man is not None:
+            state = {k: man[k] for k in
+                     ("generation", "segments", "max_folded_batch",
+                      "applied_dels")}
+            check_lease(spark, marker, owner)
+            _flip(spark, index_dir, state)
+            if not retain_old:
+                _cleanup(spark, index_dir, state)
+            return _done(0)
+        # a fold crashed mid-write (target tree, no manifest): no flip
+        # => no delete ever ran — drop the partial output and refold
+        # from the intact inputs
+        if tg != gen:
+            if fs.exists(jpath(f"{index_dir}/gen={tg}")):
+                fs.delete(jpath(f"{index_dir}/gen={tg}"), True)
+        else:
+            for side in ("postings", "stats"):
+                p = jpath(f"{index_dir}/gen={tg}/{side}/seg={ts}")
+                if fs.exists(p):
+                    fs.delete(p, True)
     if not retain_old:
         # leftovers of an EARLIER completed compaction whose cleanup
         # crashed (or ran with retain_old): everything below the
         # current pointer is superseded
-        _cleanup(spark, index_dir, gen, fence)
+        _cleanup(spark, index_dir,
+                 {"generation": gen, "segments": segments,
+                  "max_folded_batch": fence, "applied_dels": applied})
 
     vis = _visible_batch_ids(spark, index_dir, gen, fence)
-    if not vis:
+    dels = _visible_del_ids(spark, index_dir, applied)
+    major = (full or gen < 0 or segments is None
+             or len(segments) + 1 > max_segments)
+    if major:
+        # never a gratuitous rewrite: a major no-ops when there is
+        # nothing at all to read, and (without full=True) when there
+        # is nothing NEW — no batches and no pending deletes
+        if gen < 0 and not vis:
+            return _done(0)
+        if not full and not vis and not dels:
+            return _done(0)
+    elif not vis:
         return _done(0)
     new_fence = max([fence] + [i for i in vis if i >= 0])
     # stranded half-commits: a batch whose ingest crashed between the
@@ -665,7 +984,7 @@ def compact_bm25_index(spark: SparkSession, index_dir: str,
     stranded = sorted(i for i in posting_ids
                       if fence < i <= new_fence and i not in set(vis))
     if stranded:
-        fs.delete(jpath(marker), False)
+        release_lease(spark, marker, owner)
         raise ValueError(
             f"compact_bm25_index: batch(es) {stranded} at {index_dir} "
             f"have postings but no committed stats (an ingest crashed "
@@ -676,10 +995,41 @@ def compact_bm25_index(spark: SparkSession, index_dir: str,
     # publish the fold's snapshot: ingest of batch ids ABOVE it may now
     # proceed concurrently (the fold never reads them and the flip's
     # fence won't cover them); ids at or below it keep refusing
-    _write_json_sidecar(spark, marker,
-                        {"compacting": True,
-                         "folding_through": new_fence})
-    src = _postings_frames(spark, index_dir, gen, vis)
+    refresh_lease(spark, marker, owner, lease_seconds,
+                  payload={"compacting": True,
+                           "folding_through": new_fence})
+    if major:
+        tg, ts = (gen + 1 if gen >= 0 else 0), 0
+        state = {"generation": tg, "segments": [0],
+                 "max_folded_batch": new_fence,
+                 "applied_dels": max([applied] + dels)}
+        src_view = _IndexView(gen, segments, fence, applied, vis, dels)
+        src = _postings_frames(spark, index_dir, src_view)
+        tomb = _tombstones(spark, index_dir, src_view)
+        if tomb is not None:
+            # the physical apply: tombstoned docs drop out of the new
+            # generation; the folded stats below already subtract them
+            src = src.join(F.broadcast(tomb.select("id")), "id",
+                           "left_anti")
+        in_paths = []
+        if gen >= 0:
+            if segments is None:
+                in_paths.append(f"{index_dir}/gen={gen}/postings")
+            else:
+                in_paths += [f"{index_dir}/gen={gen}/postings/seg={s}"
+                             for s in segments]
+    else:
+        tg, ts = gen, (max(segments) + 1) if segments else 0
+        state = {"generation": gen, "segments": sorted(segments + [ts]),
+                 "max_folded_batch": new_fence,
+                 "applied_dels": applied}
+        # MINOR: sources are the batch dirs ONLY — existing segments
+        # are never read, and tombstones stay logical (they keep
+        # anti-joining at read time until a major fold applies them)
+        src_view = _IndexView(-1, None, fence, applied, vis, [])
+        src = _postings_frames(spark, index_dir, src_view)
+        in_paths = []
+    in_paths += [f"{index_dir}/postings/batch={i}" for i in vis]
     if target_partitions is not None:
         src = src.repartition(target_partitions, F.col("bucket"))
     else:
@@ -692,9 +1042,7 @@ def compact_bm25_index(spark: SparkSession, index_dir: str,
         import math
 
         total = 0
-        paths = [f"{index_dir}/gen={gen}/postings"] if gen >= 0 else []
-        paths += [f"{index_dir}/postings/batch={i}" for i in vis]
-        for p in paths:
+        for p in in_paths:
             total += fs.getContentSummary(jpath(p)).getLength()
         splits = max(1, math.ceil(
             total / n_buckets / _COMPACT_TARGET_BYTES))
@@ -705,47 +1053,61 @@ def compact_bm25_index(spark: SparkSession, index_dir: str,
                 n_buckets * splits, F.col("bucket"),
                 F.pmod(F.xxhash64(F.col("id")), F.lit(splits)))
     (src.write.mode("overwrite").partitionBy("bucket")
-     .parquet(f"{index_dir}/gen={nxt}/postings"))
-    stats = _read_index_stats(spark, index_dir, (gen, fence, vis))
+     .parquet(f"{index_dir}/gen={tg}/postings/seg={ts}"))
+    stats = _read_index_stats(spark, index_dir, src_view)
     (stats.select("n_docs", "sum_dl")
      .coalesce(1).write.mode("overwrite")
-     .parquet(f"{index_dir}/gen={nxt}/stats"))
+     .parquet(f"{index_dir}/gen={tg}/stats/seg={ts}"))
     _write_json_sidecar(
-        spark, f"{index_dir}/gen={nxt}/_manifest.json",
-        {"max_folded_batch": new_fence, "n_folded": len(vis)})
-    _flip(spark, index_dir, nxt, new_fence)
+        spark, f"{index_dir}/gen={tg}/_manifest_seg={ts}.json",
+        {**state, "n_folded": len(vis)})
+    check_lease(spark, marker, owner)
+    _flip(spark, index_dir, state)
     if not retain_old:
-        _cleanup(spark, index_dir, nxt, new_fence)
+        _cleanup(spark, index_dir, state)
     return _done(len(vis))
 
 
-def _flip(spark: SparkSession, index_dir: str, gen: int,
-          fence: int) -> None:
+def _flip(spark: SparkSession, index_dir: str, state: dict) -> None:
     """The compaction's commit point: overwrite the one-file read
-    pointer. A reader that races the overwrite on a non-atomic
-    filesystem sees a torn JSON and fails loudly (parse error), never
-    a stale-generation/new-fence mix — both fields travel in the one
-    write."""
-    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+    pointer with the manifest's recorded state. A reader that races
+    the overwrite on a non-atomic filesystem sees a torn JSON and
+    fails loudly (parse error), never a stale-generation/new-fence
+    mix — all fields travel in the one write. A legacy (pre-segment)
+    resume passes a state without ``segments``: the pointer keeps the
+    legacy form so readers keep treating that tree as flat."""
+    from harvesting_extract_to_ttl_service_spark.streaming.generations import (  # noqa: E501
         _write_json_sidecar,
     )
 
-    _write_json_sidecar(spark, f"{index_dir}/_bm25_generation.json",
-                        {"generation": gen, "max_folded_batch": fence})
+    ptr = {"generation": int(state["generation"]),
+           "max_folded_batch": int(state["max_folded_batch"])}
+    if state.get("segments") is not None:
+        ptr["segments"] = [int(s) for s in state["segments"]]
+        ptr["applied_dels"] = int(state.get("applied_dels", -1))
+    _write_json_sidecar(spark, f"{index_dir}/_bm25_generation.json", ptr)
 
 
-def _cleanup(spark: SparkSession, index_dir: str, cur_gen: int,
-             fence: int) -> None:
-    """Delete everything the current pointer supersedes: generation
-    trees below ``cur_gen`` and batch dirs at or below the fence
-    (including the legacy ``batch=-1`` consolidated dir once a
-    generation absorbed it). Stats side first, so a batch's visibility
-    drops before its data does; idempotent, so a crashed cleanup just
+def _cleanup(spark: SparkSession, index_dir: str, state: dict) -> None:
+    """Delete everything the pointer state supersedes: generation
+    trees below ``generation``; segment trees of the current
+    generation the pointer doesn't name (crashed minor folds that
+    never flipped — any manifest-complete segment is flipped BEFORE
+    cleanup runs, so it is never garbage here); batch dirs at or below
+    the fence (stats side first, so a batch's visibility drops before
+    its data does — including the legacy ``batch=-1`` dir once a
+    generation absorbed it); and tombstone dirs at or below
+    ``applied_dels`` (their deletes are physically applied in the
+    current generation). Idempotent — a crashed cleanup just
     re-runs."""
     from harvesting_extract_to_ttl_service_spark.sources.files import (
         _hadoop_fs,
     )
 
+    cur_gen = int(state["generation"])
+    fence = int(state["max_folded_batch"])
+    segments = state.get("segments")
+    applied = int(state.get("applied_dels", -1))
     fs, _ = _hadoop_fs(spark, index_dir)
     jpath = spark._jvm.org.apache.hadoop.fs.Path
     root = jpath(index_dir)
@@ -754,6 +1116,17 @@ def _cleanup(spark: SparkSession, index_dir: str, cur_gen: int,
             name = st.getPath().getName()
             if name.startswith("gen="):
                 if int(name.split("=", 1)[1]) < cur_gen:
+                    fs.delete(st.getPath(), True)
+    if segments is not None and cur_gen >= 0:
+        keep = {int(s) for s in segments}
+        for side in ("postings", "stats"):
+            sroot = jpath(f"{index_dir}/gen={cur_gen}/{side}")
+            if not fs.exists(sroot):
+                continue
+            for st in fs.listStatus(sroot):
+                name = st.getPath().getName()
+                if name.startswith("seg=") \
+                        and int(name.split("=", 1)[1]) not in keep:
                     fs.delete(st.getPath(), True)
     stale = set()
     for side in ("stats", "postings"):
@@ -772,6 +1145,13 @@ def _cleanup(spark: SparkSession, index_dir: str, cur_gen: int,
             p = jpath(f"{index_dir}/{side}/batch={i}")
             if fs.exists(p):
                 fs.delete(p, True)
+    troot = jpath(f"{index_dir}/tombstones")
+    if fs.exists(troot):
+        for st in fs.listStatus(troot):
+            name = st.getPath().getName()
+            if name.startswith("del=") \
+                    and int(name.split("=", 1)[1]) <= applied:
+                fs.delete(st.getPath(), True)
 
 
 # --- phrase + hybrid over the stored index --------------------------------
@@ -824,20 +1204,25 @@ def bm25_index_stats(spark: SparkSession, index_dir: str) -> dict:
         _read_json_sidecar,
     )
 
-    gen, fence = _pointer(spark, index_dir)
-    vis = _visible_batch_ids(spark, index_dir, gen, fence)
+    view = _index_view(spark, index_dir)
     marker = _read_json_sidecar(spark,
                                 f"{index_dir}/_bm25_compacting.json")
-    out = {"generation": gen, "max_folded_batch": fence,
-           "unfolded_batches": vis, "n_unfolded": len(vis),
+    out = {"generation": view.gen,
+           "segments": view.segments,
+           "n_segments": (len(view.segments)
+                          if view.segments is not None
+                          else (1 if view.gen >= 0 else 0)),
+           "max_folded_batch": view.fence,
+           "unfolded_batches": view.vis, "n_unfolded": len(view.vis),
+           "pending_del_batches": view.dels,
+           "applied_dels": view.applied_dels,
            "compacting": bool(marker),
            "folding_through": (marker or {}).get("folding_through"),
            "n_buckets": params.get("n_buckets"),
            "positional": bool(params.get("positional", False)),
            "fields": params.get("fields")}
-    if gen >= 0 or vis:
-        row = _read_index_stats(spark, index_dir,
-                                (gen, fence, vis)).head()
+    if view.gen >= 0 or view.vis:
+        row = _read_index_stats(spark, index_dir, view).head()
         out.update(n_docs=row["n_docs"], sum_dl=row["sum_dl"],
                    avgdl=row["avgdl"])
     else:
