@@ -854,6 +854,64 @@ def probe_possize(spark, n: int, tmp: str) -> dict:
     return res
 
 
+def probe_foldbytes(spark, n: int, tmp: str) -> dict:
+    """Tiered-compaction write-amplification probe (round 14): a large
+    base corpus is fully folded once, then three SMALL batches arrive
+    and each is minor-folded. The claim under test: a minor fold's
+    write (the new segment) tracks the BATCH bytes, not the index
+    bytes — the pre-segment fold rewrote the whole consolidated tree
+    every run, O(index). Reports per-fold batch MB vs fold-output MB
+    vs total index MB across the 3 consecutive folds, plus the full
+    fold's cost for contrast."""
+    import os as _os
+
+    from pyspark.sql import functions as _F
+
+    from harvesting_extract_to_ttl_service_spark.streaming.lexical_stream import (  # noqa: E501
+        bm25_index_batch,
+        compact_bm25_index,
+    )
+
+    def _mb(path):
+        if not _os.path.isdir(path):
+            return 0.0
+        return round(sum(
+            _os.path.getsize(_os.path.join(root, f))
+            for root, _, files in _os.walk(path) for f in files) / 1e6, 2)
+
+    corpus = replicate_documents(spark, n).localCheckpoint(eager=True)
+    idir = f"{tmp}/foldbytes_{n}x"
+    bm25_index_batch(corpus, 0, idir, n_buckets=64)
+    t0 = time.time()
+    compact_bm25_index(spark, idir, n_buckets=64)
+    res = {"docs": corpus.count(),
+           "base_fold_s": round(time.time() - t0, 1),
+           "base_index_mb": _mb(f"{idir}/gen=0")}
+    maxid = corpus.agg(_F.max("doc_id")).first()[0]
+    folds = []
+    for i in range(1, 4):
+        batch = corpus.filter(_F.col("doc_id") % 53 == 0).select(
+            (_F.col("doc_id") + i * (maxid + 1)).alias("doc_id"),
+            "text")
+        bm25_index_batch(batch, i, idir, n_buckets=64)
+        batch_mb = _mb(f"{idir}/postings/batch={i}")
+        t0 = time.time()
+        compact_bm25_index(spark, idir, n_buckets=64, max_segments=16)
+        folds.append({
+            "batch_mb": batch_mb,
+            "fold_s": round(time.time() - t0, 1),
+            "fold_mb": _mb(f"{idir}/gen=0/postings/seg={i}"),
+            "index_mb": _mb(f"{idir}/gen=0")})
+    res["folds"] = folds
+    # contrast: the pre-segment behavior — one FULL fold of the same
+    # index rewrites everything
+    t0 = time.time()
+    compact_bm25_index(spark, idir, n_buckets=64, full=True)
+    res["full_fold_s"] = round(time.time() - t0, 1)
+    res["full_fold_mb"] = _mb(f"{idir}/gen=1")
+    return res
+
+
 def probe_phrasej(spark, n: int, tmp: str) -> dict:
     """Rarest-first phrase-chain probe (round 13): a corpus where the
     phrase's FIRST word is everywhere and its LAST word is rare.
@@ -921,9 +979,10 @@ def main():
     finalize = bool(args) and args[0] == "finalize"
     possize = bool(args) and args[0] == "possize"
     phrasej = bool(args) and args[0] == "phrasej"
+    foldbytes = bool(args) and args[0] == "foldbytes"
     if incremental or funnel or stream or ann or finalize or span \
             or mih or imih or pq or pqres or demb or bm25 \
-            or possize or phrasej:
+            or possize or phrasej or foldbytes:
         args = args[1:]
     explicit = [int(x) for x in args]
     replicas = explicit or [1, 2, 5, 10]
@@ -953,6 +1012,18 @@ def main():
                       f"mb={r[f'{mode}_mb']} "
                       f"files={r[f'{mode}_files']}")
             print(f"positional/flat width ratio: {r['width_ratio']}")
+            return
+        if foldbytes:
+            n = explicit[0] if explicit else 10
+            r = probe_foldbytes(spark, n, tmp)
+            print(f"docs={r['docs']} base_fold_s={r['base_fold_s']} "
+                  f"base_index_mb={r['base_index_mb']}")
+            for i, f in enumerate(r["folds"], 1):
+                print(f"minor fold {i}: batch_mb={f['batch_mb']} "
+                      f"fold_mb={f['fold_mb']} fold_s={f['fold_s']} "
+                      f"index_mb={f['index_mb']}")
+            print(f"full fold (contrast): mb={r['full_fold_mb']} "
+                  f"s={r['full_fold_s']}")
             return
         if phrasej:
             n = explicit[0] if explicit else 5
