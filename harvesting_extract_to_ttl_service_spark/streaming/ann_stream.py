@@ -20,11 +20,17 @@ probed cells' files. This module is that mode:
     filter is a partition-pruning predicate over the two-level
     ``batch=*/ivf_cell=<c>`` tree, so search I/O scales with the probed
     cells' share of the corpus, not the corpus.
-  * :func:`compact_ivf_index` — fold the per-batch partitions into
-    ``batch=-1`` PRESERVING the cell partitioning (the namenode-scale
-    motivation of :func:`.dedup_stream.compact_dedup_index`; a fold that
-    dropped the cell dirs would turn every search back into a full
-    scan).
+  * :func:`compact_ivf_index` — fold the per-batch partitions into the
+    generational segment tree (``gen=<g>/seg=<s>/ivf_cell=<c>``)
+    PRESERVING the cell partitioning (the namenode-scale motivation of
+    :func:`.dedup_stream.compact_dedup_index`; a fold that dropped the
+    cell dirs would turn every search back into a full scan). The fold
+    is the BM25 index's tiered read-transparent protocol: minor folds
+    cost O(new data), the pointer flip is atomic, searches run
+    undisturbed throughout, and one compactor at a time is enforced by
+    an expiring lease.
+  * :func:`ivf_delete_vecs` — tombstoned deletion: anti-joined out of
+    every search immediately, physically applied by a major fold.
 
 The centroid list is the index's identity: a search (or a later batch)
 against different centroids would probe the wrong cells and silently
@@ -43,6 +49,7 @@ from __future__ import annotations
 import hashlib
 import json
 import math
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -103,6 +110,135 @@ def _check_ivf_sidecar(spark: SparkSession, index_dir: str,
                   "pq_residual": False})
 
 
+# --- the read pointer (the BM25 index's generation discipline, ported) ------
+
+
+class _IvfView(NamedTuple):
+    """One search's resolved snapshot of the IVF index: pointer state
+    plus the visible unfolded batch ids and active tombstone ids — all
+    read once, so no two reads of one plan can straddle a concurrent
+    pointer flip. ``segments is None`` only while no generation tree
+    exists (IVF generations were born segmented)."""
+
+    gen: int
+    segments: list | None
+    fence: int
+    applied_dels: int
+    vis: list
+    dels: list
+
+
+def _ivf_pointer(spark: SparkSession,
+                 index_dir: str) -> tuple[int, list | None, int, int]:
+    """(generation, segments, max_folded_batch, applied_dels) from
+    ``_ivf_generation.json``; (−1, None, −1, −1) for a pre-generation
+    index (all data in batch dirs, legacy ``batch=-1`` included)."""
+    ptr = _read_json_sidecar(spark, f"{index_dir}/_ivf_generation.json")
+    if ptr is None:
+        return -1, None, -1, -1
+    segs = ptr.get("segments")
+    return (int(ptr["generation"]),
+            None if segs is None else sorted(int(s) for s in segs),
+            int(ptr["max_folded_batch"]),
+            int(ptr.get("applied_dels", -1)))
+
+
+def _ivf_visible_batches(spark: SparkSession, index_dir: str,
+                         gen: int, fence: int) -> list[int]:
+    """Committed (own ``_SUCCESS``) batch dirs the pointer makes
+    readable (id > fence; legacy ``batch=-1`` only while no generation
+    tree exists)."""
+    from harvesting_extract_to_ttl_service_spark.sources.files import (
+        _hadoop_fs,
+    )
+
+    fs, _ = _hadoop_fs(spark, index_dir)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    root = jpath(index_dir)
+    if not fs.exists(root):
+        return []
+    ids = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith("batch="):
+            continue
+        i = int(name.split("=", 1)[1])
+        if i > fence or (i == -1 and gen < 0):
+            if fs.exists(jpath(f"{index_dir}/batch={i}/_SUCCESS")):
+                ids.append(i)
+    return sorted(ids)
+
+
+def _ivf_visible_dels(spark: SparkSession, index_dir: str,
+                      applied: int) -> list[int]:
+    from harvesting_extract_to_ttl_service_spark.sources.files import (
+        _hadoop_fs,
+    )
+
+    fs, _ = _hadoop_fs(spark, index_dir)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    root = jpath(f"{index_dir}/tombstones")
+    if not fs.exists(root):
+        return []
+    ids = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith("del="):
+            continue
+        d = int(name.split("=", 1)[1])
+        if d > applied and fs.exists(
+                jpath(f"{index_dir}/tombstones/del={d}/_SUCCESS")):
+            ids.append(d)
+    return sorted(ids)
+
+
+def _ivf_view(spark: SparkSession, index_dir: str) -> _IvfView:
+    gen, segments, fence, applied = _ivf_pointer(spark, index_dir)
+    return _IvfView(
+        gen, segments, fence, applied,
+        _ivf_visible_batches(spark, index_dir, gen, fence),
+        _ivf_visible_dels(spark, index_dir, applied))
+
+
+def _ivf_frames(spark: SparkSession, index_dir: str,
+                view: _IvfView | None = None,
+                apply_dels: bool = True) -> DataFrame:
+    """Union of the readable index trees — the generation's segments
+    plus the visible unfolded batch dirs, read by EXPLICIT path so
+    partition discovery never touches a half-committed or superseded
+    directory; every tree keeps ``ivf_cell`` as a directory-level
+    partition column under its own basePath, so probe filters still
+    prune at the directory level. Active tombstones anti-join out
+    (broadcast) unless ``apply_dels=False`` (the fold's own read does
+    its apply explicitly)."""
+    view = view if view is not None else _ivf_view(spark, index_dir)
+    frames = []
+    if view.gen >= 0 and view.segments:
+        root = f"{index_dir}/gen={view.gen}"
+        frames.append(
+            spark.read.option("basePath", root)
+            .parquet(*[f"{root}/seg={s}" for s in view.segments])
+            .drop("seg"))
+    if view.vis:
+        frames.append(
+            spark.read.option("basePath", index_dir)
+            .parquet(*[f"{index_dir}/batch={i}" for i in view.vis])
+            .drop("batch"))
+    if not frames:
+        raise ValueError(
+            f"ivf index at {index_dir} has no readable data (no "
+            f"generation tree and no committed batches)")
+    out = frames[0]
+    for f2 in frames[1:]:
+        out = out.unionByName(f2)
+    if apply_dels and view.dels:
+        troot = f"{index_dir}/tombstones"
+        tomb = spark.read.parquet(
+            *[f"{troot}/del={d}" for d in view.dels]).select("id")
+        out = out.join(F.broadcast(tomb), "id", "left_anti")
+    return out
+
+
 def ivf_index_batch(vecs: DataFrame, batch_id: int, index_dir: str,
                     centroids: list[list[float]],
                     vec_col: str = "embedding",
@@ -147,6 +283,28 @@ def ivf_index_batch(vecs: DataFrame, batch_id: int, index_dir: str,
     _check_ivf_sidecar(spark, index_dir, centroids, quantized=quantize,
                        pq_codebooks=pq_codebooks,
                        pq_residual=pq_residual)
+    marker = _read_json_sidecar(spark,
+                                f"{index_dir}/_ivf_compacting.json")
+    if marker:
+        # same contract as the BM25 ingest fence: a replay of a batch
+        # the running fold may be scanning would race it (silent loss
+        # in the consolidated tree); fresh higher ids flow through
+        through = marker.get("folding_through")
+        if through is None or batch_id <= through:
+            raise ValueError(
+                f"ivf_index_batch: index at {index_dir} is compacting "
+                f"through batch {through} — batch {batch_id} is (or "
+                f"may be) part of the running fold; re-run it after "
+                f"the compaction finishes (fresh higher batch ids and "
+                f"all searches are unaffected)")
+    _gen, _segs, fence, _applied = _ivf_pointer(spark, index_dir)
+    if batch_id <= fence:
+        raise ValueError(
+            f"ivf_index_batch: batch {batch_id} was already folded "
+            f"into a consolidated generation (max_folded_batch="
+            f"{fence}) — replaying it would duplicate its vectors; "
+            f"re-ingest under a fresh batch id only if the vectors "
+            f"are genuinely new")
     assigned = ivf_assign(vecs.select(F.col(id_col).alias("id"),
                                       F.col(vec_col).alias("v")),
                           centroids, vec_col="v")
@@ -183,6 +341,19 @@ def ivf_index_batch(vecs: DataFrame, batch_id: int, index_dir: str,
         assigned = assigned.withColumn("vnorm", norm(F.col("v")))
     (assigned.write.mode("overwrite").partitionBy("ivf_cell")
      .parquet(f"{index_dir}/batch={batch_id}"))
+    from harvesting_extract_to_ttl_service_spark.sources.files import (
+        _hadoop_fs,
+    )
+
+    fs, _ = _hadoop_fs(spark, index_dir)
+    if not fs.exists(spark._jvm.org.apache.hadoop.fs.Path(
+            f"{index_dir}/batch={batch_id}/_SUCCESS")):
+        raise ValueError(
+            f"ivf_index_batch: the committer wrote "
+            f"{index_dir}/batch={batch_id} WITHOUT a _SUCCESS marker — "
+            f"readers gate batch visibility on it. Set "
+            f"mapreduce.fileoutputcommitter.marksuccessfuljobs=true "
+            f"(the Hadoop default) and re-run the batch")
 
 
 def ivf_search(spark: SparkSession, index_dir: str,
@@ -234,7 +405,7 @@ def ivf_search(spark: SparkSession, index_dir: str,
 
     probed = sorted(range(len(centroids)),
                     key=lambda i: (-_cos(query_vec, centroids[i]), i))[:n_probe]
-    idx = spark.read.option("basePath", index_dir).parquet(index_dir)
+    idx = _ivf_frames(spark, index_dir)
     idx = idx.filter(F.col("ivf_cell").isin(probed))
     if pq_codebooks is not None:
         from harvesting_extract_to_ttl_service_spark.operators.similarity import (
@@ -356,7 +527,7 @@ def ivf_search_batch(spark: SparkSession, index_dir: str,
                          F.element_at(cent, F.col("ivf_cell") + 1)))
     cells = sorted(r.ivf_cell for r in
                    q.select("ivf_cell").distinct().collect())
-    idx = (spark.read.option("basePath", index_dir).parquet(index_dir)
+    idx = (_ivf_frames(spark, index_dir)
            .filter(F.col("ivf_cell").isin(cells)))
     if pq_codebooks is not None:
         m, ksub, sub = _pq_shapes(pq_codebooks)
@@ -390,40 +561,274 @@ def ivf_search_batch(spark: SparkSession, index_dir: str,
     )
 
 
-def compact_ivf_index(spark: SparkSession, index_dir: str,
-                      target_partitions: int | None = None) -> int:
-    """Fold the per-batch index partitions into ``batch=-1``, PRESERVING
-    the ``ivf_cell`` partitioning (dropping it would turn every search
-    back into a full scan — the generic
-    :func:`.dedup_stream.compact_dedup_index` is NOT layout-safe here).
-    Same crash ordering as the generic fold: the consolidated partition
-    is written first, the folded batch dirs dropped after — a crash
-    between the two duplicates rows, which only duplicates search
-    candidates (the top-k is per-id idempotent), never loses them.
-    Returns the number of batch partitions folded."""
+def ivf_delete_vecs(spark: SparkSession, index_dir: str,
+                    vec_ids: list) -> int:
+    """Delete vectors from the persisted IVF index — the BM25 index's
+    tombstone discipline (streaming/lexical_stream.bm25_delete_docs)
+    without the stats side (cosine top-k has no corpus statistics to
+    correct): one committed tombstone batch
+    ``<index_dir>/tombstones/del=<d>/`` of ids, anti-joined out of
+    every search's candidate set (broadcast), physically applied and
+    retired by the next MAJOR fold or retrain via the pointer's
+    ``applied_dels`` watermark. A replayed source batch containing a
+    deleted vector does not resurrect it. Ids already tombstoned or
+    absent from the index are no-ops; returns the count newly
+    tombstoned. Refuses while a fold is marked in progress."""
     from harvesting_extract_to_ttl_service_spark.sources.files import (
         _hadoop_fs,
     )
 
-    idx = spark.read.option("basePath", index_dir).parquet(index_dir)
-    batches = [r.batch for r in idx.select("batch").distinct().collect()
-               if r.batch != -1]
-    if not batches:
+    if _read_json_sidecar(spark, f"{index_dir}/_ivf_params.json") \
+            is None:
+        raise ValueError(f"ivf_delete_vecs: no index at {index_dir}")
+    if _read_json_sidecar(spark, f"{index_dir}/_ivf_compacting.json"):
+        raise ValueError(
+            f"ivf_delete_vecs: index at {index_dir} is compacting — "
+            f"re-run the delete after the fold finishes")
+    ids = list(dict.fromkeys(vec_ids))
+    if not ids:
         return 0
-    out = idx.drop("batch")
-    if target_partitions is not None:
-        out = out.repartition(target_partitions, F.col("ivf_cell"))
+    view = _ivf_view(spark, index_dir)
+    if view.dels:
+        troot = f"{index_dir}/tombstones"
+        already = {r["id"] for r in
+                   spark.read.parquet(
+                       *[f"{troot}/del={d}" for d in view.dels])
+                   .select("id").filter(F.col("id").isin(ids))
+                   .distinct().collect()}
+        ids = [i for i in ids if i not in already]
+        if not ids:
+            return 0
+    present = (_ivf_frames(spark, index_dir, view, apply_dels=False)
+               .filter(F.col("id").isin(ids))
+               .select("id").distinct())
     fs, _ = _hadoop_fs(spark, index_dir)
     jpath = spark._jvm.org.apache.hadoop.fs.Path
-    tmp = f"{index_dir}/_compact_tmp"
-    out.write.mode("overwrite").partitionBy("ivf_cell").parquet(tmp)
-    (spark.read.option("basePath", tmp).parquet(tmp)
-     .write.mode("overwrite").partitionBy("ivf_cell")
-     .parquet(f"{index_dir}/batch=-1"))
-    for b in batches:
-        fs.delete(jpath(f"{index_dir}/batch={b}"), True)
-    fs.delete(jpath(tmp), True)
-    return len(batches)
+    committed, uncommitted = [], []
+    troot = jpath(f"{index_dir}/tombstones")
+    if fs.exists(troot):
+        for st in fs.listStatus(troot):
+            name = st.getPath().getName()
+            if not name.startswith("del="):
+                continue
+            d = int(name.split("=", 1)[1])
+            if d <= view.applied_dels:
+                continue  # retired slot awaiting cleanup — never reuse
+            ok = fs.exists(
+                jpath(f"{index_dir}/tombstones/del={d}/_SUCCESS"))
+            (committed if ok else uncommitted).append(d)
+    nxt = (min(uncommitted) if uncommitted
+           else (max(committed) + 1 if committed else 0))
+    nxt = max(nxt, view.applied_dels + 1)
+    out = f"{index_dir}/tombstones/del={nxt}"
+    present.coalesce(1).write.mode("overwrite").parquet(out)
+    if not fs.exists(jpath(f"{out}/_SUCCESS")):
+        raise ValueError(
+            f"ivf_delete_vecs: the committer wrote {out} WITHOUT a "
+            f"_SUCCESS marker — readers gate tombstone visibility on "
+            f"it. Set mapreduce.fileoutputcommitter."
+            f"marksuccessfuljobs=true and re-run")
+    n = spark.read.parquet(out).count()
+    if n == 0:
+        fs.delete(jpath(out), True)
+    return n
+
+
+def compact_ivf_index(spark: SparkSession, index_dir: str,
+                      target_partitions: int | None = None,
+                      retain_old: bool = False,
+                      full: bool = False, max_segments: int = 8,
+                      lease_seconds: float = 3600.0) -> int:
+    """Fold the per-batch index partitions into the consolidated
+    generation tree, PRESERVING the ``ivf_cell`` partitioning (dropping
+    it would turn every search back into a full scan — the generic
+    :func:`.dedup_stream.compact_dedup_index` is NOT layout-safe here).
+
+    This is the BM25 index's tiered generational protocol
+    (streaming/lexical_stream.compact_bm25_index) ported verbatim minus
+    the stats side: a MINOR fold (default) merges only the unfolded
+    batch dirs into one new segment ``gen=<g>/seg=<s>/ivf_cell=…`` —
+    O(new data); a MAJOR fold (``full=True`` / past ``max_segments``)
+    merges all segments + batches into ``seg=0`` of ``gen=<g+1>`` and
+    physically applies the :func:`ivf_delete_vecs` tombstones. Searches
+    resolve the one-file ``_ivf_generation.json`` pointer once and read
+    exactly the trees it names — the fold only ADDS until the pointer
+    atomically flips (manifest written LAST marks the fold complete),
+    after which the superseded trees are deleted (``retain_old=True``
+    defers that to the next run). Replaced the pre-generation in-place
+    ``batch=-1`` overwrite, which a concurrent search could race
+    (transiently missing candidates) and a crash between promote and
+    delete could double. One compactor at a time is enforced by the
+    expiring lease in ``_ivf_compacting.json``; a replay of a folded
+    batch refuses at the ``max_folded_batch`` fence, and fresh ingest
+    flows through a running fold once its ``folding_through`` snapshot
+    publishes. Returns the number of batch partitions folded."""
+    from harvesting_extract_to_ttl_service_spark.sources.files import (
+        _hadoop_fs,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.generations import (  # noqa: E501
+        acquire_lease,
+        check_lease,
+        refresh_lease,
+        release_lease,
+    )
+
+    fs, _ = _hadoop_fs(spark, index_dir)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    marker = f"{index_dir}/_ivf_compacting.json"
+    owner = acquire_lease(spark, marker, lease_seconds,
+                          payload={"compacting": True})
+
+    def _done(n: int) -> int:
+        release_lease(spark, marker, owner)
+        return n
+
+    gen, segments, fence, applied = _ivf_pointer(spark, index_dir)
+    candidates = []
+    if segments is not None:
+        candidates.append((gen, (max(segments) + 1) if segments else 0))
+    candidates.append((gen + 1 if gen >= 0 else 0, 0))
+    for tg, ts in candidates:
+        man = _read_json_sidecar(
+            spark, f"{index_dir}/gen={tg}/_manifest_seg={ts}.json")
+        if man is not None:
+            state = {k: man[k] for k in
+                     ("generation", "segments", "max_folded_batch",
+                      "applied_dels")}
+            check_lease(spark, marker, owner)
+            _ivf_flip(spark, index_dir, state)
+            if not retain_old:
+                _ivf_cleanup(spark, index_dir, state)
+            return _done(0)
+        if tg != gen:
+            if fs.exists(jpath(f"{index_dir}/gen={tg}")):
+                fs.delete(jpath(f"{index_dir}/gen={tg}"), True)
+        else:
+            p = jpath(f"{index_dir}/gen={tg}/seg={ts}")
+            if fs.exists(p):
+                fs.delete(p, True)
+    if not retain_old:
+        _ivf_cleanup(spark, index_dir,
+                     {"generation": gen, "segments": segments,
+                      "max_folded_batch": fence,
+                      "applied_dels": applied})
+
+    vis = _ivf_visible_batches(spark, index_dir, gen, fence)
+    dels = _ivf_visible_dels(spark, index_dir, applied)
+    major = (full or gen < 0 or segments is None
+             or len(segments) + 1 > max_segments)
+    if major:
+        if gen < 0 and not vis:
+            return _done(0)
+        if not full and not vis and not dels:
+            return _done(0)
+    elif not vis:
+        return _done(0)
+    new_fence = max([fence] + [i for i in vis if i >= 0])
+    # stranded guard (same reasoning as BM25): an uncommitted batch dir
+    # (no _SUCCESS — a crashed write) inside the fold's range would be
+    # fenced-then-deleted unfolded; refuse loudly instead
+    root = jpath(index_dir)
+    batch_ids = [
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in (fs.listStatus(root) if fs.exists(root) else [])
+        if st.getPath().getName().startswith("batch=")]
+    stranded = sorted(i for i in batch_ids
+                      if fence < i <= new_fence and i not in set(vis))
+    if stranded:
+        release_lease(spark, marker, owner)
+        raise ValueError(
+            f"compact_ivf_index: batch(es) {stranded} at {index_dir} "
+            f"have no _SUCCESS commit marker (a write crashed) and "
+            f"fall inside this fold's range — folding would fence "
+            f"them unfolded. Replay each batch (ivf_index_batch "
+            f"commits it) or delete its batch=<id> dir, then re-run")
+    refresh_lease(spark, marker, owner, lease_seconds,
+                  payload={"compacting": True,
+                           "folding_through": new_fence})
+    if major:
+        tg, ts = (gen + 1 if gen >= 0 else 0), 0
+        state = {"generation": tg, "segments": [0],
+                 "max_folded_batch": new_fence,
+                 "applied_dels": max([applied] + dels)}
+        src_view = _IvfView(gen, segments, fence, applied, vis, dels)
+        src = _ivf_frames(spark, index_dir, src_view, apply_dels=True)
+    else:
+        tg, ts = gen, (max(segments) + 1) if segments else 0
+        state = {"generation": gen, "segments": sorted(segments + [ts]),
+                 "max_folded_batch": new_fence,
+                 "applied_dels": applied}
+        src_view = _IvfView(-1, None, fence, applied, vis, [])
+        src = _ivf_frames(spark, index_dir, src_view, apply_dels=False)
+    if target_partitions is not None:
+        src = src.repartition(target_partitions, F.col("ivf_cell"))
+    (src.write.mode("overwrite").partitionBy("ivf_cell")
+     .parquet(f"{index_dir}/gen={tg}/seg={ts}"))
+    _write_json_sidecar(
+        spark, f"{index_dir}/gen={tg}/_manifest_seg={ts}.json",
+        {**state, "n_folded": len(vis)})
+    check_lease(spark, marker, owner)
+    _ivf_flip(spark, index_dir, state)
+    if not retain_old:
+        _ivf_cleanup(spark, index_dir, state)
+    return _done(len(vis))
+
+
+def _ivf_flip(spark: SparkSession, index_dir: str, state: dict) -> None:
+    """The fold's commit point — one-file pointer overwrite, all fields
+    in one write (torn read = loud parse error, never a mixed state)."""
+    _write_json_sidecar(
+        spark, f"{index_dir}/_ivf_generation.json",
+        {"generation": int(state["generation"]),
+         "segments": [int(s) for s in state["segments"]],
+         "max_folded_batch": int(state["max_folded_batch"]),
+         "applied_dels": int(state.get("applied_dels", -1))})
+
+
+def _ivf_cleanup(spark: SparkSession, index_dir: str,
+                 state: dict) -> None:
+    """Delete everything the pointer state supersedes: generations
+    below it, unnamed segments of the current generation, batch dirs
+    at or below the fence (the legacy ``batch=-1`` included once a
+    generation absorbed it), and applied tombstone dirs. Idempotent."""
+    from harvesting_extract_to_ttl_service_spark.sources.files import (
+        _hadoop_fs,
+    )
+
+    cur_gen = int(state["generation"])
+    fence = int(state["max_folded_batch"])
+    segments = state.get("segments")
+    applied = int(state.get("applied_dels", -1))
+    fs, _ = _hadoop_fs(spark, index_dir)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    root = jpath(index_dir)
+    if not fs.exists(root):
+        return
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("gen=") \
+                and int(name.split("=", 1)[1]) < cur_gen:
+            fs.delete(st.getPath(), True)
+        elif name.startswith("batch="):
+            i = int(name.split("=", 1)[1])
+            if i <= fence and (i >= 0 or cur_gen >= 0):
+                fs.delete(st.getPath(), True)
+    if segments is not None and cur_gen >= 0:
+        keep = {int(s) for s in segments}
+        groot = jpath(f"{index_dir}/gen={cur_gen}")
+        if fs.exists(groot):
+            for st in fs.listStatus(groot):
+                name = st.getPath().getName()
+                if name.startswith("seg=") \
+                        and int(name.split("=", 1)[1]) not in keep:
+                    fs.delete(st.getPath(), True)
+    troot = jpath(f"{index_dir}/tombstones")
+    if fs.exists(troot):
+        for st in fs.listStatus(troot):
+            name = st.getPath().getName()
+            if name.startswith("del=") \
+                    and int(name.split("=", 1)[1]) <= applied:
+                fs.delete(st.getPath(), True)
 
 
 def retrain_ivf_index(spark: SparkSession, index_dir: str,
@@ -438,13 +843,16 @@ def retrain_ivf_index(spark: SparkSession, index_dir: str,
     drifted away from the original training sample keeps paying
     boundary-recall losses forever. This job re-trains k-means over the
     ACCUMULATED index, rewrites it layout-preservingly under the new
-    cells (one consolidated ``batch=-1``, still partitioned by
-    ``ivf_cell`` — searches keep partition-pruning), re-pins the
-    sidecar to the new digest, and returns the new centroids for the
-    caller to resume :func:`ivf_index_batch` / :func:`ivf_search`
-    with. ``k`` defaults to the index's current cell count; quantized
-    indexes retrain on the dequantized vectors (same lossy floats
-    every component consumes) and keep their stored codes byte-wise.
+    cells as a NEW GENERATION (``gen=<g+1>/seg=0``, still partitioned
+    by ``ivf_cell`` — searches keep partition-pruning, and a search
+    concurrent with the retrain reads a complete old snapshot until
+    the atomic pointer flip), re-pins the sidecar to the new digest,
+    and returns the new centroids for the caller to resume
+    :func:`ivf_index_batch` / :func:`ivf_search` with. ``k`` defaults
+    to the index's current cell count; quantized indexes retrain on
+    the dequantized vectors (same lossy floats every component
+    consumes) and keep their stored codes byte-wise; active tombstones
+    are applied and retired by the rewrite.
 
     Crash safety — LOUD, never silent: the sidecar flips to an
     in-progress marker (``retraining: true``) BEFORE any data moves,
@@ -455,8 +863,8 @@ def retrain_ivf_index(spark: SparkSession, index_dir: str,
     probing wrong cells; recovery is re-running this job, which is
     idempotent over the surviving rows: cell assignments are
     recomputed FROM THE VECTORS (the stored ivf_cell is never
-    trusted), and duplicate ids from a crash between the batch=-1
-    write and the old-batch deletes collapse via dropDuplicates(id).
+    trusted), duplicate ids collapse via dropDuplicates(id), and the
+    generational write deletes nothing before its pointer flip.
 
     Replay note: after a retrain, a replayed source batch would write
     ``batch=<id>`` rows ASSIGNED UNDER THE NEW CENTROIDS (assignment
@@ -528,9 +936,22 @@ def retrain_ivf_index(spark: SparkSession, index_dir: str,
         raise ValueError(f"index at {index_dir} is not "
                          f"product-quantized — drop pq_codebooks")
     k = k if k is not None else params["k"]
+    # the retrain IS a maintenance fold: hold the compactor lease so a
+    # concurrent compact_ivf_index can't race the generational rewrite
+    from harvesting_extract_to_ttl_service_spark.streaming.generations import (  # noqa: E501
+        acquire_lease,
+        check_lease,
+        release_lease,
+    )
 
-    idx = (spark.read.option("basePath", index_dir).parquet(index_dir)
-           .drop("batch", "ivf_cell").dropDuplicates(["id"]))
+    marker = f"{index_dir}/_ivf_compacting.json"
+    lease_owner = acquire_lease(spark, marker, 3600.0,
+                                payload={"compacting": True,
+                                         "retraining": True})
+
+    view = _ivf_view(spark, index_dir)
+    idx = (_ivf_frames(spark, index_dir, view)  # tombstones applied
+           .drop("ivf_cell").dropDuplicates(["id"]))
     if pq_codebooks is not None:
         # reconstruct x̂ = concat of the coded sub-centroids — the same
         # lossy floats every ADC search scores, so recentering sees the
@@ -571,19 +992,27 @@ def retrain_ivf_index(spark: SparkSession, index_dir: str,
     if target_partitions is not None:
         reassigned = reassigned.repartition(target_partitions,
                                             F.col("ivf_cell"))
-    batches = [r.batch for r in
-               (spark.read.option("basePath", index_dir)
-                .parquet(index_dir).select("batch").distinct().collect())]
-    tmp = f"{index_dir}/_retrain_tmp"
-    reassigned.write.mode("overwrite").partitionBy("ivf_cell").parquet(tmp)
-    (spark.read.option("basePath", tmp).parquet(tmp)
-     .write.mode("overwrite").partitionBy("ivf_cell")
-     .parquet(f"{index_dir}/batch=-1"))
-    for b in batches:
-        if b != -1:
-            fs.delete(jpath(f"{index_dir}/batch={b}"), True)
-    fs.delete(jpath(tmp), True)
+    # generational rewrite (the compact_ivf_index protocol): the new
+    # assignment lands as gen=<g+1>/seg=0 — invisible until the pointer
+    # flips — so a search concurrent with the retrain reads a complete
+    # OLD snapshot throughout, and the crash window between flip and
+    # cleanup only leaves superseded (pointer-excluded) trees behind.
+    # The retraining-marked sidecar above keeps every window LOUD.
+    nxt = view.gen + 1 if view.gen >= 0 else 0
+    new_fence = max([view.fence] + [i for i in view.vis if i >= 0])
+    state = {"generation": nxt, "segments": [0],
+             "max_folded_batch": new_fence,
+             "applied_dels": max([view.applied_dels] + view.dels)}
+    (reassigned.write.mode("overwrite").partitionBy("ivf_cell")
+     .parquet(f"{index_dir}/gen={nxt}/seg=0"))
+    _write_json_sidecar(
+        spark, f"{index_dir}/gen={nxt}/_manifest_seg=0.json",
+        {**state, "n_folded": len(view.vis), "retrained": True})
+    check_lease(spark, marker, lease_owner)
+    _ivf_flip(spark, index_dir, state)
+    _ivf_cleanup(spark, index_dir, state)
     _write_sidecar(new_params)
+    release_lease(spark, marker, lease_owner)
     return centroids
 
 
@@ -716,7 +1145,7 @@ def ivf_drift_report(spark: SparkSession, index_dir: str,
             f"ivf_drift_report: the drift baseline was recorded for "
             f"centroids {trained['centroids_md5']}, the index now "
             f"pins {want} — re-record after retraining")
-    idx = spark.read.option("basePath", index_dir).parquet(index_dir)
+    idx = _ivf_frames(spark, index_dir)
     if params["pq_md5"] is not None:
         if pq_codebooks is None or _pq_digest(pq_codebooks) \
                 != params["pq_md5"]:

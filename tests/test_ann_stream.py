@@ -148,9 +148,17 @@ def test_quantized_ivf_index_search_and_mode_pinning(spark, tmp_path,
 
 def test_ivf_compact_preserves_cells_and_results(spark, tmp_path,
                                                  centroids):
-    """Compaction folds batch partitions into batch=-1 while KEEPING the
-    ivf_cell directory level (the pruning the index exists for), search
-    results unchanged, and a post-compaction batch still appends."""
+    """Compaction folds batch partitions into the generational segment
+    tree while KEEPING the ivf_cell directory level (the pruning the
+    index exists for), search results unchanged, post-compaction
+    batches still append, a replay of a folded batch refuses at the
+    fence, and the next fold is MINOR (a new segment — the existing
+    one untouched)."""
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        _ivf_frames,
+        _read_json_sidecar,
+    )
+
     idir = str(tmp_path / "ivf")
     ivf_index_batch(_vecs(spark, range(0, 24)), 0, idir, centroids)
     ivf_index_batch(_vecs(spark, range(24, 48)), 1, idir, centroids)
@@ -161,13 +169,33 @@ def test_ivf_compact_preserves_cells_and_results(spark, tmp_path,
     assert compact_ivf_index(spark, idir) == 2
     assert [tuple(r) for r in ivf_search(
         spark, idir, query, centroids, k=4).collect()] == before
-    # the folded partition keeps per-cell directories
-    cells = [d for d in os.listdir(f"{idir}/batch=-1")
+    # the folded segment keeps per-cell directories
+    cells = [d for d in os.listdir(f"{idir}/gen=0/seg=0")
              if d.startswith("ivf_cell=")]
     assert cells
+    assert _read_json_sidecar(spark, f"{idir}/_ivf_generation.json") \
+        == {"generation": 0, "segments": [0],
+            "max_folded_batch": 1, "applied_dels": -1}
+    # a replay of a folded batch refuses at the fence
+    with pytest.raises(ValueError, match="already folded"):
+        ivf_index_batch(_vecs(spark, range(0, 24)), 1, idir, centroids)
 
     ivf_index_batch(_vecs(spark, range(48, 56)), 2, idir, centroids)
-    assert spark.read.option("basePath", idir).parquet(idir).count() == 56
+    assert _ivf_frames(spark, idir).count() == 56
+    # the second fold is MINOR: seg=1 appears, seg=0 untouched
+    import time as _time
+
+    mtime0 = os.path.getmtime(f"{idir}/gen=0/seg=0")
+    _time.sleep(0.01)
+    assert compact_ivf_index(spark, idir) == 1
+    assert _read_json_sidecar(spark, f"{idir}/_ivf_generation.json") \
+        == {"generation": 0, "segments": [0, 1],
+            "max_folded_batch": 2, "applied_dels": -1}
+    assert os.path.getmtime(f"{idir}/gen=0/seg=0") == mtime0
+    assert [tuple(r) for r in ivf_search(
+        spark, idir, query, centroids, k=4).collect()] == \
+        [tuple(r) for r in ivf_topk(
+            _vecs(spark, range(56)), query, centroids, k=4).collect()]
 
 
 def test_retrain_ivf_index_recenters_and_repins(spark, tmp_path,
@@ -202,15 +230,17 @@ def test_retrain_ivf_index_recenters_and_repins(spark, tmp_path,
     # the old centroids can never probe this index again
     with pytest.raises(ValueError, match="built with"):
         ivf_search(spark, idir, query, centroids, k=5)
-    # layout: one consolidated batch, still cell-partitioned
-    assert sorted(d for d in os.listdir(idir)
-                  if d.startswith("batch=")) == ["batch=-1"]
+    # layout: one consolidated generation segment, still cell-partitioned
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        _ivf_frames,
+    )
+
+    assert not any(d.startswith("batch=") for d in os.listdir(idir))
     assert any(d.startswith("ivf_cell=")
-               for d in os.listdir(f"{idir}/batch=-1"))
+               for d in os.listdir(f"{idir}/gen=0/seg=0"))
     # ingest resumes under the new digest; the old one refuses
     ivf_index_batch(_vecs(spark, range(96, 104)), 2, idir, new_cents)
-    assert spark.read.option("basePath", idir).parquet(idir) \
-        .count() == 104
+    assert _ivf_frames(spark, idir).count() == 104
     with pytest.raises(ValueError, match="built with"):
         ivf_index_batch(_vecs(spark, range(104, 108)), 3, idir,
                         centroids)
@@ -242,6 +272,9 @@ def test_retrain_ivf_index_crash_marker_and_recovery(spark, tmp_path,
     dup = spark.read.option("basePath", idir).parquet(idir).drop("batch")
     dup.write.mode("overwrite").partitionBy("ivf_cell") \
         .parquet(f"{idir}/batch=-1")
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        _ivf_frames,
+    )
 
     query = [1.0] + [0.05] * (DIM - 1)
     with pytest.raises(ValueError, match="built with"):
@@ -250,7 +283,7 @@ def test_retrain_ivf_index_crash_marker_and_recovery(spark, tmp_path,
         ivf_index_batch(_vecs(spark, range(32, 40)), 1, idir, centroids)
 
     new_cents = retrain_ivf_index(spark, idir)
-    idx = spark.read.option("basePath", idir).parquet(idir)
+    idx = _ivf_frames(spark, idir)
     assert idx.count() == 32                       # duplicates collapsed
     got = [tuple(r) for r in ivf_search(
         spark, idir, query, new_cents, k=5, n_probe=2).collect()]
@@ -272,13 +305,17 @@ def test_retrain_ivf_index_quantized_keeps_codes(spark, tmp_path,
     idir = str(tmp_path / "ivf")
     ivf_index_batch(_vecs(spark, range(0, 48)), 0, idir, centroids,
                     quantize=True)
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        _ivf_frames,
+    )
+
     before = {r.id: (list(r.codes), r.scale) for r in
-              spark.read.option("basePath", idir).parquet(idir)
+              _ivf_frames(spark, idir)
               .select("id", "codes", "scale").collect()}
 
     new_cents = retrain_ivf_index(spark, idir)
     after = {r.id: (list(r.codes), r.scale) for r in
-             spark.read.option("basePath", idir).parquet(idir)
+             _ivf_frames(spark, idir)
              .select("id", "codes", "scale").collect()}
     assert after == before
 
@@ -385,8 +422,12 @@ def test_ivf_pq_index_search_and_mode_pinning(spark, tmp_path,
     with pytest.raises(ValueError, match="digest"):
         retrain_ivf_index(spark, idir, pq_codebooks=other)
     new_cents = retrain_ivf_index(spark, idir, pq_codebooks=books)
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        _ivf_frames,
+    )
+
     after = {r.id: list(r.codes) for r in
-             spark.read.option("basePath", idir).parquet(idir).collect()}
+             _ivf_frames(spark, idir).collect()}
     assert after == before
     got2 = ivf_search(spark, idir, query, new_cents, k=5, n_probe=2,
                       pq_codebooks=books).collect()
@@ -633,9 +674,13 @@ def test_ivf_drift_monitor(spark, tmp_path, centroids):
     new_cents = retrain_ivf_index(spark, idir)
     with pytest.raises(ValueError, match="re-record"):
         ivf_drift_report(spark, idir, new_cents)
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        _ivf_frames,
+    )
+
     record_ivf_dispersion(
         spark, idir, new_cents,
-        spark.read.option("basePath", idir).parquet(idir)
+        _ivf_frames(spark, idir)
         .select(F.col("v").alias("embedding")))
     rep3 = ivf_drift_report(spark, idir, new_cents)
     assert not rep3["drifted"], rep3   # baseline == current by design
@@ -652,3 +697,158 @@ def test_ivf_drift_monitor(spark, tmp_path, centroids):
     record_ivf_dispersion(spark, idir3, centroids, train)
     repq = ivf_drift_report(spark, idir3, centroids)
     assert not repq["drifted"] and 0.5 < repq["mean_ratio"] < 1.5
+
+
+# --- round-14: generational protocol (crash windows, lease, tombstones) -----
+
+
+def test_ivf_search_during_fold_and_crash_resume(spark, tmp_path,
+                                                 centroids, monkeypatch):
+    """The BM25 crash-window suite ported to IVF: searches DURING a
+    paused fold read the intact pre-flip view; fresh ingest flows once
+    the snapshot publishes while in-fold replays refuse; resume
+    finishes the flip without refolding; post-flip/pre-cleanup crashes
+    leave only pointer-excluded trees; and the replay fence survives."""
+    import harvesting_extract_to_ttl_service_spark.streaming.ann_stream as ax  # noqa: E501
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        _ivf_frames,
+        _read_json_sidecar,
+    )
+
+    idir = str(tmp_path / "ivfcrash")
+    ivf_index_batch(_vecs(spark, range(0, 24)), 0, idir, centroids)
+    ivf_index_batch(_vecs(spark, range(24, 48)), 1, idir, centroids)
+    query = [0.2] * DIM
+
+    def boom(*a, **kw):
+        raise RuntimeError("crash before flip")
+
+    # window: fold written + manifest down, flip never ran
+    monkeypatch.setattr(ax, "_ivf_flip", boom)
+    with pytest.raises(RuntimeError, match="crash before flip"):
+        compact_ivf_index(spark, idir, lease_seconds=0.0)
+    monkeypatch.undo()
+    marker = _read_json_sidecar(spark, f"{idir}/_ivf_compacting.json")
+    assert marker["folding_through"] == 1
+    # search during the window: pre-flip view, correct results
+    assert [tuple(r) for r in ivf_search(
+        spark, idir, query, centroids, k=4).collect()] == \
+        [tuple(r) for r in ivf_topk(
+            _vecs(spark, range(48)), query, centroids, k=4).collect()]
+    # in-fold replay refuses; fresh ingest flows and is searchable
+    with pytest.raises(ValueError, match="compacting through"):
+        ivf_index_batch(_vecs(spark, range(0, 24)), 1, idir, centroids)
+    ivf_index_batch(_vecs(spark, range(48, 56)), 7, idir, centroids)
+    assert _ivf_frames(spark, idir).count() == 56
+    # resume = flip + cleanup only; the mid-fold batch survives
+    assert compact_ivf_index(spark, idir) == 0
+    assert _read_json_sidecar(spark, f"{idir}/_ivf_generation.json") \
+        == {"generation": 0, "segments": [0],
+            "max_folded_batch": 1, "applied_dels": -1}
+    assert _ivf_frames(spark, idir).count() == 56
+    with pytest.raises(ValueError, match="already folded"):
+        ivf_index_batch(_vecs(spark, range(0, 24)), 1, idir, centroids)
+
+    # window: crash after flip, before cleanup — stale trees are
+    # pointer-excluded, resume sweeps them
+    real_cleanup = ax._ivf_cleanup
+    calls = {"n": 0}
+
+    def no_cleanup(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("crash before cleanup")
+        return real_cleanup(*a, **kw)
+
+    monkeypatch.setattr(ax, "_ivf_cleanup", no_cleanup)
+    with pytest.raises(RuntimeError, match="crash before cleanup"):
+        compact_ivf_index(spark, idir, lease_seconds=0.0)
+    monkeypatch.undo()
+    assert os.path.exists(f"{idir}/batch=7")
+    assert _ivf_frames(spark, idir).count() == 56  # not doubled
+    assert compact_ivf_index(spark, idir) == 0
+    assert not os.path.exists(f"{idir}/batch=7")
+    assert _ivf_frames(spark, idir).count() == 56
+
+    # a second compactor refuses while a lease is live
+    import time as _time
+
+    from harvesting_extract_to_ttl_service_spark.streaming.generations import (  # noqa: E501
+        _write_json_sidecar,
+    )
+
+    _write_json_sidecar(spark, f"{idir}/_ivf_compacting.json",
+                        {"compacting": True, "owner": "other",
+                         "deadline": _time.time() + 3600})
+    with pytest.raises(ValueError, match="held by owner other"):
+        compact_ivf_index(spark, idir)
+    _write_json_sidecar(spark, f"{idir}/_ivf_compacting.json",
+                        {"compacting": True, "owner": "other",
+                         "deadline": _time.time() - 1})
+    assert compact_ivf_index(spark, idir) == 0  # takeover, nothing to do
+
+
+def test_ivf_delete_vecs_matches_rebuild_and_survives_folds(
+        spark, tmp_path, centroids):
+    """Tombstoned vectors drop out of single and batched search exactly
+    like a rebuild without them; a minor fold keeps them logical, a
+    major fold applies them physically and retires the del dirs; a
+    replayed batch does not resurrect a deleted vector; double deletes
+    and unknown ids are no-ops."""
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        _ivf_frames,
+        _read_json_sidecar,
+        ivf_delete_vecs,
+        ivf_search_batch,
+    )
+
+    idir = str(tmp_path / "ivfdel")
+    ivf_index_batch(_vecs(spark, range(0, 24)), 0, idir, centroids)
+    ivf_index_batch(_vecs(spark, range(24, 48)), 1, idir, centroids)
+    # establish a generation first so the later fold is MINOR
+    assert compact_ivf_index(spark, idir) == 2
+    query = [0.2] * DIM
+    top = [r.vec_id for r in ivf_search(
+        spark, idir, query, centroids, k=4).collect()]
+    victims = top[:2]
+    assert ivf_delete_vecs(spark, idir, victims) == 2
+    kept_ids = [i for i in range(48) if i not in victims]
+    want = [tuple(r) for r in ivf_topk(
+        _vecs(spark, kept_ids), query, centroids, k=4).collect()]
+    assert [tuple(r) for r in ivf_search(
+        spark, idir, query, centroids, k=4).collect()] == want
+    # batched search honors the tombstones too
+    qdf = spark.createDataFrame([(0, query)],
+                                "query_id long, embedding array<double>")
+    got_b = {(r.query_id, r.vec_id) for r in ivf_search_batch(
+        spark, idir, qdf, centroids, k=4).collect()}
+    assert got_b == {(0, t[0]) for t in want}
+    # double delete + unknown id: no-ops
+    assert ivf_delete_vecs(spark, idir, victims + [9999]) == 0
+
+    # minor fold: tombstone stays pending, results unchanged
+    ivf_index_batch(_vecs(spark, range(48, 56)), 5, idir, centroids)
+    assert compact_ivf_index(spark, idir) == 1
+    assert compact_ivf_index(spark, idir) == 0
+    assert os.path.exists(f"{idir}/tombstones/del=0")
+    want2 = [tuple(r) for r in ivf_topk(
+        _vecs(spark, [i for i in range(56) if i not in victims]),
+        query, centroids, k=4).collect()]
+    assert [tuple(r) for r in ivf_search(
+        spark, idir, query, centroids, k=4).collect()] == want2
+
+    # major fold applies: del dir retired, rows physically gone
+    assert compact_ivf_index(spark, idir, full=True) == 0
+    assert not os.path.exists(f"{idir}/tombstones/del=0")
+    ptr = _read_json_sidecar(spark, f"{idir}/_ivf_generation.json")
+    assert ptr["applied_dels"] == 0
+    idx = _ivf_frames(spark, idir)
+    assert idx.filter(idx.id.isin(victims)).count() == 0
+    assert [tuple(r) for r in ivf_search(
+        spark, idir, query, centroids, k=4).collect()] == want2
+
+    # replay-resurrection: delete from an unfolded batch, replay it
+    ivf_index_batch(_vecs(spark, range(56, 60)), 9, idir, centroids)
+    assert ivf_delete_vecs(spark, idir, [57]) == 1
+    ivf_index_batch(_vecs(spark, range(56, 60)), 9, idir, centroids)
+    assert _ivf_frames(spark, idir).filter("id = 57").count() == 0
