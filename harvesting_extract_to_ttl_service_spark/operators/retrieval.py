@@ -702,37 +702,37 @@ def proximity_topk(df: DataFrame, terms_: list[str], window: int,
                                k1, b, id_col, tf_name="prox_tf")
 
 
-def snippets(df: DataFrame, query_terms: list[str], width: int = 3,
-             max_snippets: int = 2, text_col: str = "text",
-             id_col: str = "doc_id") -> DataFrame:
-    """Search-result snippets: for every document matching ANY query
-    term, up to ``max_snippets`` windows of ``±width`` tokens around
-    the earliest hits, each window re-joined to one string →
-    ``(id_col, n_matches, snips array<string>)``. Pure column
-    expressions end to end (token split, hit-position scan, window
-    slice, join) — no UDF, so snippet extraction rides the same scan
-    as the ranking that selected the documents. Windows are token-
-    aligned (the retrieval tokenizer lowercases, so snippets are
-    lowercase too — they echo what MATCHED, not the raw byte span);
-    overlapping hit windows are emitted per hit, not merged (the
-    classic cheap convention). Non-matching and NULL/empty documents
-    yield no rows."""
+def raw_tokens(text: Column) -> Column:
+    """Whitespace tokens of the ORIGINAL text — no lowercasing, NULL-
+    safe. Same token boundaries as :func:`terms` (lowercasing never
+    changes whitespace), so a raw window slice aligns token-for-token
+    with a hit scan that matched case-insensitively."""
+    return F.coalesce(tokens(text), F.array().cast("array<string>"))
+
+
+def _snippet_frame(base: DataFrame, width: int,
+                   max_snippets: int) -> DataFrame:
+    """The per-row snippet core over a frame carrying ``_t`` (token
+    array) and ``_qt`` (LOWERCASE query-term array — per row, so a
+    batched caller can give every result row its own query's terms):
+    0-based hit offsets where ``lower(token) ∈ _qt``, up to
+    ``max_snippets`` windows of ``±width`` tokens re-joined to
+    strings. Adds ``n_matches`` and ``snips``, drops the scratch
+    columns. Pure column expressions — no UDF."""
     if width < 0:
         raise ValueError(f"snippets: width={width} must be >= 0")
     if max_snippets < 1:
         raise ValueError(
             f"snippets: max_snippets={max_snippets} must be >= 1")
-    qt = clean_query_terms(query_terms)
-    t = terms(F.col(text_col))
-    base = df.select(F.col(id_col).alias("id"), t.alias("_t"))
-    # 0-based hit offsets; the size>0 guard matters because
-    # sequence(0, -1) DESCENDS rather than being empty
+    # the size>0 guard matters because sequence(0, -1) DESCENDS rather
+    # than being empty
     hits = F.when(
         F.size("_t") > 0,
         F.filter(F.sequence(F.lit(0), F.size("_t") - F.lit(1)),
-                 lambda i: F.element_at("_t", i + 1).isin(qt))
+                 lambda i: F.array_contains(
+                     F.col("_qt"), F.lower(F.element_at("_t", i + 1))))
     ).otherwise(F.array().cast("array<int>"))
-    base = base.select("id", "_t", hits.alias("_h"))
+    base = base.withColumn("_h", hits)
     first = F.slice("_h", 1, max_snippets)
     win = F.transform(
         first,
@@ -744,7 +744,38 @@ def snippets(df: DataFrame, query_terms: list[str], width: int = 3,
                     - F.greatest(p - F.lit(width), F.lit(0))
                     + F.lit(1)),
             " "))
-    return (base.filter(F.size("_h") > 0)
-            .select(F.col("id").alias(id_col),
-                    F.size("_h").alias("n_matches"),
-                    win.alias("snips")))
+    return (base.withColumn("n_matches", F.size("_h"))
+            .withColumn("snips", win)
+            .drop("_t", "_qt", "_h"))
+
+
+def snippets(df: DataFrame, query_terms: list[str], width: int = 3,
+             max_snippets: int = 2, text_col: str = "text",
+             id_col: str = "doc_id", raw: bool = False) -> DataFrame:
+    """Search-result snippets: for every document matching ANY query
+    term, up to ``max_snippets`` windows of ``±width`` tokens around
+    the earliest hits, each window re-joined to one string →
+    ``(id_col, n_matches, snips array<string>)``. Pure column
+    expressions end to end (token split, hit-position scan, window
+    slice, join) — no UDF, so snippet extraction rides the same scan
+    as the ranking that selected the documents. Windows are token-
+    aligned; overlapping hit windows are emitted per hit, not merged
+    (the classic cheap convention). Non-matching and NULL/empty
+    documents yield no rows.
+
+    ``raw=False`` (default) slices the retrieval tokenizer's view —
+    lowercase tokens, echoing exactly what MATCHED. ``raw=True``
+    slices the ORIGINAL text split on the same whitespace boundaries
+    (user-displayable casing) while the hit scan still matches
+    case-insensitively — hit offsets and ``n_matches`` are identical
+    between the two modes (the tests pin it), only the echoed casing
+    differs."""
+    qt = clean_query_terms(query_terms)
+    tok = raw_tokens(F.col(text_col)) if raw else terms(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("id"), tok.alias("_t"),
+        F.array(*[F.lit(t) for t in qt]).cast("array<string>")
+        .alias("_qt"))
+    return (_snippet_frame(base, width, max_snippets)
+            .filter(F.col("n_matches") > 0)
+            .select(F.col("id").alias(id_col), "n_matches", "snips"))

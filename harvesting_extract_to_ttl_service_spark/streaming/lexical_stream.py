@@ -648,6 +648,72 @@ def bm25_search_batch(spark: SparkSession, queries: DataFrame,
                                 qid_col, id_col)
 
 
+def search_with_snippets(spark: SparkSession, queries: DataFrame,
+                         index_dir: str, docs: DataFrame, k: int = 10,
+                         width: int = 3, max_snippets: int = 2,
+                         raw: bool = False,
+                         k1: float = DEFAULT_K1, b: float = DEFAULT_B,
+                         max_df_ratio: float | None = None,
+                         broadcast_queries: bool = True,
+                         query_tf: float | None = None,
+                         n_buckets: int = 64,
+                         qid_col: str = "query_id",
+                         qtext_col: str = "text",
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Batched stored-index search WITH display snippets, one plan:
+    :func:`bm25_search_batch` top-k per query, joined back to the
+    document table for up to ``max_snippets`` ``±width``-token windows
+    around each result's earliest hits →
+    ``(qid_col, id_col, rank, n_terms_hit, score, n_matches, snips)``.
+
+    The join-back is the only corpus touch snippets add: the ≤ k·|Q|
+    result rows (already carrying each query's term array) BROADCAST
+    into one scan of ``docs`` — the tests pin exactly one scan of the
+    document source in the plan. Each result row's hits are scanned
+    against ITS OWN query's terms (operators/retrieval._snippet_frame —
+    the same pure-column core the standalone ``snippets`` operator
+    uses), so a multi-query batch never cross-matches terms.
+
+    ``raw=False`` echoes the retrieval tokenizer's lowercase tokens
+    (exactly what matched); ``raw=True`` slices the ORIGINAL text on
+    the same whitespace boundaries — user-displayable casing — while
+    hits still match case-insensitively, so ``n_matches`` and the hit
+    offsets are identical between modes. Every scored result matches
+    ≥1 term by construction, so no rows are filtered here; passing a
+    ``docs`` frame that is missing a result's document would surface
+    as a dropped row (the inner join), loudly visible against the
+    search's own output."""
+    from harvesting_extract_to_ttl_service_spark.operators.retrieval import (
+        _snippet_frame,
+        query_terms_frame,
+        raw_tokens,
+        terms,
+    )
+
+    res = bm25_search_batch(
+        spark, queries, index_dir, k=k, k1=k1, b=b,
+        max_df_ratio=max_df_ratio,
+        broadcast_queries=broadcast_queries, query_tf=query_tf,
+        n_buckets=n_buckets, qid_col=qid_col, qtext_col=qtext_col,
+        id_col=id_col)
+    qt = (query_terms_frame(queries, None, qid_col, qtext_col)
+          .groupBy("qid").agg(F.collect_set("term").alias("_qt")))
+    hits = (res.select(F.col(qid_col).alias("qid"),
+                       F.col(id_col).alias("id"),
+                       "rank", "n_terms_hit", "score")
+            .join(F.broadcast(qt), "qid"))
+    tok = (raw_tokens(F.col(text_col)) if raw
+           else terms(F.col(text_col)))
+    d = docs.select(F.col(id_col).alias("id"), tok.alias("_t"))
+    base = d.join(F.broadcast(hits), "id")
+    out = _snippet_frame(base, width, max_snippets)
+    return out.select(F.col("qid").alias(qid_col),
+                      F.col("id").alias(id_col),
+                      "rank", "n_terms_hit", "score",
+                      "n_matches", "snips")
+
+
 def run_bm25_index_stream(docs_stream: DataFrame, index_dir: str,
                           checkpoint_dir: str, n_buckets: int = 64,
                           text_col: str = "text",

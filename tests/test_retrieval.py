@@ -1928,3 +1928,90 @@ def test_delete_docs_refusals_and_positional(spark, tmp_path):
                          "deadline": time.time() + 60})
     with pytest.raises(ValueError, match="compacting"):
         bm25_delete_docs(spark, pdir, [2], n_buckets=8)
+
+
+# --- snippet integration ------------------------------------------------------
+
+
+def test_snippets_raw_mode_hit_parity(spark):
+    """raw=True slices the ORIGINAL casing while matching
+    case-insensitively: hit counts and window boundaries equal the
+    lowercase mode token for token; only the echoed casing differs."""
+    from harvesting_extract_to_ttl_service_spark.operators.retrieval import (
+        snippets,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "The CAT sat on the Mat while a Cat napped"),
+         (1, "CAT"),
+         (2, "no feline here"),
+         (3, None)],
+        D_SCHEMA)
+    low = {r.doc_id: (r.n_matches, r.snips)
+           for r in snippets(docs, ["cat"], width=2,
+                             max_snippets=2).collect()}
+    rawm = {r.doc_id: (r.n_matches, r.snips)
+            for r in snippets(docs, ["cat"], width=2, max_snippets=2,
+                              raw=True).collect()}
+    assert set(low) == set(rawm) == {0, 1}
+    for d in low:
+        assert low[d][0] == rawm[d][0]
+        assert [s.lower() for s in rawm[d][1]] == low[d][1]
+    # the raw mode echoes the original casing
+    assert rawm[0][1][0] == "The CAT sat on"
+    assert rawm[1][1] == ["CAT"]
+
+
+def test_search_with_snippets_one_plan_one_corpus_scan(spark, tmp_path):
+    """search_with_snippets = bm25_search_batch rows + per-result
+    snippets in the same plan: scores/ranks identical to the plain
+    batched search, every result row carries >=1 match, each row's
+    snippets window ITS OWN query's terms, and the document source is
+    scanned exactly once (the join-back — no extra corpus scan)."""
+    from harvesting_extract_to_ttl_service_spark.streaming.lexical_stream import (  # noqa: E501
+        bm25_search_batch,
+        search_with_snippets,
+    )
+
+    ddir = str(tmp_path / "docsrc")
+    _docs(spark).write.parquet(ddir)
+    docs = spark.read.parquet(ddir)
+    idir = str(tmp_path / "snipidx")
+    bm25_index_batch(docs, 0, idir, n_buckets=8)
+    qdf = spark.createDataFrame([(0, "cat"), (1, "dog fish")],
+                                "query_id long, text string")
+
+    got = search_with_snippets(spark, qdf, idir, docs, k=5,
+                               width=1, n_buckets=8)
+    rows = got.collect()
+    plain = {(r.query_id, r.doc_id): (r.rank, r.n_terms_hit, r.score)
+             for r in bm25_search_batch(spark, qdf, idir, k=5,
+                                        n_buckets=8).collect()}
+    assert {(r.query_id, r.doc_id): (r.rank, r.n_terms_hit, r.score)
+            for r in rows} == plain
+    assert all(r.n_matches >= 1 for r in rows)
+    # per-query isolation: query 0's snippets window 'cat' hits only
+    for r in rows:
+        want_terms = {"cat"} if r.query_id == 0 else {"dog", "fish"}
+        for s in r.snips:
+            assert want_terms & set(s.split()), (r, s)
+    # exactly ONE scan of the document source in the executed plan (the
+    # doc table's read schema appears in no other scan; plan paths are
+    # truncated, so count the schema not the path; AQE re-prints the
+    # initial plan below the final one — count the final section only)
+    plan = (got._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert plan.count("struct<doc_id:bigint,text:string>") == 1, plan
+    assert "BatchEvalPython" not in plan
+
+    # raw mode: same hits, original casing (doc 5 has 'CAT')
+    raw_rows = {(r.query_id, r.doc_id): r.snips
+                for r in search_with_snippets(
+                    spark, qdf, idir, docs, k=5, width=1,
+                    raw=True, n_buckets=8).collect()}
+    low_rows = {(r.query_id, r.doc_id): r.snips for r in rows}
+    assert set(raw_rows) == set(low_rows)
+    for key, snips in raw_rows.items():
+        assert [s.lower() for s in snips] == low_rows[key]
+    assert any("CAT" in s for snips in raw_rows.values()
+               for s in snips)
