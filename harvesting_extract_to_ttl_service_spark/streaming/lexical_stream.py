@@ -1255,14 +1255,17 @@ def phrase_search(spark: SparkSession, index_dir: str,
 
 def bm25_index_stats(spark: SparkSession, index_dir: str) -> dict:
     """Operational snapshot of a persisted index — the monitoring twin
-    of ann_stream's drift report: the read pointer (generation, replay
-    fence), the committed-but-unfolded batch ids (their COUNT is the
-    compaction-pressure signal: each unfolded batch is another
-    directory every search must union), the in-progress compaction
-    marker if any, the index identity (positional / fields / buckets),
-    and the exact corpus totals (N, Σdl, avgdl) from the additive
-    stats rows. One driver-side listing + one one-row aggregate — safe
-    to poll; never scans postings."""
+    of ann_stream's drift report: the read pointer (generation, its
+    segment list, replay fence, applied-tombstone watermark), the
+    committed-but-unfolded batch ids and pending tombstone batch ids
+    (their counts are the two maintenance-pressure signals: each is
+    another directory every search must union/anti-join — a minor fold
+    clears batches, a MAJOR fold clears tombstones), the in-progress
+    compaction marker if any, the index identity (positional / fields
+    / buckets), and the exact LOGICAL corpus totals (N, Σdl, avgdl —
+    tombstone corrections applied) from the additive stats rows. One
+    driver-side listing + one one-row aggregate — safe to poll; never
+    scans postings."""
     params = _read_params(spark, index_dir)
     if params is None:
         raise ValueError(f"bm25_index_stats: no index at {index_dir}")
