@@ -418,7 +418,18 @@ def compact_dedup_index(spark: SparkSession, index_dir: str,
     redundant-but-harmless) ``batch=<id>`` directory. Returns the number
     of row-partitions compacted away. Run it from maintenance, not from
     inside the stream — it rewrites history partitions the stream only
-    ever appends to."""
+    ever appends to.
+
+    Deliberately IN-PLACE, unlike the BM25/IVF generational folds
+    (streaming/lexical_stream.py, streaming/ann_stream.py): those
+    indexes serve EXTERNAL searches that cannot be quiesced, so their
+    folds must be read-transparent; this table's only readers are the
+    stream's own batches (quiesced by this function's contract) and
+    maintenance jobs, duplicates from a crash are harmless (pairs
+    dedupe downstream), and rows are never lost (the consolidated
+    write lands before any delete). If external readers ever need to
+    race this fold, port the generational pointer scheme — it exists
+    in-repo."""
     idx = spark.read.option("basePath", index_dir).parquet(index_dir)
     batches = [r.batch for r in idx.select("batch").distinct().collect()
                if r.batch != -1]

@@ -719,17 +719,43 @@ def run_bm25_index_stream(docs_stream: DataFrame, index_dir: str,
                           text_col: str = "text",
                           id_col: str = "doc_id",
                           positional: bool = False,
-                          field_weights: dict[str, float] | None = None):
+                          field_weights: dict[str, float] | None = None,
+                          compact_every: int | None = None,
+                          max_segments: int = 8):
     """Structured-Streaming ingest loop: every micro-batch lands as one
     replay-idempotent ``batch=<id>`` posting + stats pair. Exactly the
     ann_stream.run_ivf_index_stream shape — foreachBatch keyed on the
     engine's batch id, so a restarted query rewrites its in-flight batch
-    byte-identically instead of duplicating it."""
+    byte-identically instead of duplicating it.
+
+    ``compact_every=n`` makes the stream SELF-MAINTAINING: whenever the
+    committed-but-unfolded batch count (excluding the current batch)
+    reaches ``n``, the ingest callback runs a fold bounded to
+    ``max_batch = batch_id - 1``. That bound is what makes in-stream
+    compaction replay-safe: foreachBatch guarantees every batch below
+    the current one is checkpoint-committed (it will never replay), while
+    the CURRENT batch may replay after a crash — bounded out of the
+    fold, its replay stays above the new fence instead of refusing.
+    Searches are undisturbed throughout (the fold is read-transparent),
+    and minor folds keep the in-stream pause O(new data). A leftover
+    lease from a crashed MAINTENANCE fold makes the batch fail loudly
+    (the operator resolves the dead fold) rather than race it."""
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         bm25_index_batch(batch_df, batch_id, index_dir,
                          n_buckets=n_buckets, text_col=text_col,
                          id_col=id_col, positional=positional,
                          field_weights=field_weights)
+        if compact_every is None:
+            return
+        spark = batch_df.sparkSession
+        gen, _segs, fence, _applied = _pointer(spark, index_dir)
+        eligible = [i for i in
+                    _visible_batch_ids(spark, index_dir, gen, fence)
+                    if i < batch_id]
+        if len(eligible) >= compact_every:
+            compact_bm25_index(spark, index_dir, n_buckets=n_buckets,
+                               max_segments=max_segments,
+                               max_batch=batch_id - 1)
 
     return (docs_stream.writeStream.foreachBatch(_ingest)
             .option("checkpointLocation", checkpoint_dir)
@@ -857,7 +883,8 @@ def compact_bm25_index(spark: SparkSession, index_dir: str,
                        target_partitions: int | None = None,
                        retain_old: bool = False,
                        full: bool = False, max_segments: int = 8,
-                       lease_seconds: float = 3600.0) -> int:
+                       lease_seconds: float = 3600.0,
+                       max_batch: int | None = None) -> int:
     """Fold the per-batch posting/stats directories into the
     consolidated generation tree, then flip the one-file read pointer —
     the small-files maintenance job a long-running ingest stream needs,
@@ -940,7 +967,16 @@ def compact_bm25_index(spark: SparkSession, index_dir: str,
     hash-splitting within buckets beyond that (what makes POSITIONAL
     indexes safe to compact: their wider rows earn proportionally more
     splits). Pass ``target_partitions`` to pin the shuffle width
-    explicitly instead."""
+    explicitly instead.
+
+    ``max_batch`` bounds the fold to batch ids AT OR BELOW it — the
+    key that makes IN-STREAM auto-compaction replay-safe
+    (:func:`run_bm25_index_stream` with ``compact_every``): the
+    stream's CURRENT batch may be replayed after a restart (its
+    checkpoint not yet committed), so the in-stream fold passes
+    ``max_batch=batch_id-1`` and the replay stays above the new
+    fence. Quiescing is only required for batches the fold actually
+    covers."""
     from harvesting_extract_to_ttl_service_spark.sources.files import (
         _hadoop_fs,
     )
@@ -1021,6 +1057,8 @@ def compact_bm25_index(spark: SparkSession, index_dir: str,
                   "max_folded_batch": fence, "applied_dels": applied})
 
     vis = _visible_batch_ids(spark, index_dir, gen, fence)
+    if max_batch is not None:
+        vis = [i for i in vis if i <= max_batch]
     dels = _visible_del_ids(spark, index_dir, applied)
     major = (full or gen < 0 or segments is None
              or len(segments) + 1 > max_segments)

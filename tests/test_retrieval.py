@@ -2015,3 +2015,73 @@ def test_search_with_snippets_one_plan_one_corpus_scan(spark, tmp_path):
         assert [s.lower() for s in snips] == low_rows[key]
     assert any("CAT" in s for snips in raw_rows.values()
                for s in snips)
+
+
+# --- in-stream auto-compaction ------------------------------------------------
+
+
+def test_compact_max_batch_bound_keeps_replay_safe(spark, tmp_path):
+    """max_batch bounds the fold: batches above it stay unfolded AND
+    replayable — the property in-stream auto-compaction relies on (the
+    current batch may replay after a restart)."""
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        _read_json_sidecar,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.lexical_stream import (  # noqa: E501
+        compact_bm25_index,
+    )
+
+    idir = str(tmp_path / "maxb")
+    for i, sl in enumerate((DOCS[:2], DOCS[2:4], DOCS[4:])):
+        bm25_index_batch(spark.createDataFrame(sl, D_SCHEMA), i, idir,
+                         n_buckets=8)
+    assert compact_bm25_index(spark, idir, n_buckets=8,
+                              max_batch=1) == 2
+    ptr = _read_json_sidecar(spark, f"{idir}/_bm25_generation.json")
+    assert ptr["max_folded_batch"] == 1
+    assert os.path.exists(f"{idir}/postings/batch=2")
+    # the bounded-out batch replays fine (it is above the fence)
+    bm25_index_batch(spark.createDataFrame(DOCS[4:], D_SCHEMA), 2, idir,
+                     n_buckets=8)
+    want = [tuple(r) for r in
+            bm25_topk(_docs(spark), ["cat", "the"], k=6).collect()]
+    assert [tuple(r) for r in
+            bm25_search(spark, idir, ["cat", "the"], k=6,
+                        n_buckets=8).collect()] == want
+
+
+def test_stream_ingest_with_auto_compaction(spark, tmp_path):
+    """A self-maintaining ingest stream: with compact_every=2 and one
+    file per micro-batch, folds fire as committed batches accumulate,
+    the final index is mostly consolidated (only the tail batches
+    unfolded), and search equals the ad-hoc path over everything —
+    through the folds, with no manual maintenance call."""
+    from harvesting_extract_to_ttl_service_spark.streaming.lexical_stream import (  # noqa: E501
+        bm25_index_stats,
+    )
+
+    sdir = str(tmp_path / "src")
+    idir = str(tmp_path / "autoidx")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(sdir)
+    groups = [DOCS[:2], DOCS[2:4], DOCS[4:],
+              [(10, "cat finale"), (11, "the end")]]
+    for i, g in enumerate(groups):
+        with open(f"{sdir}/b{i}.json", "w") as f:
+            for di, t in g:
+                f.write(json.dumps({"doc_id": di, "text": t}) + "\n")
+    st = (spark.readStream.schema(D_SCHEMA)
+          .option("maxFilesPerTrigger", 1).json(sdir))
+    q = run_bm25_index_stream(st, idir, ckpt, n_buckets=8,
+                              compact_every=2)
+    q.awaitTermination(180)
+    s = bm25_index_stats(spark, idir)
+    assert s["generation"] >= 0          # at least one fold fired
+    assert s["n_unfolded"] <= 2          # only the tail stayed unfolded
+    assert not s["compacting"]
+    all_docs = spark.createDataFrame(DOCS + groups[3], D_SCHEMA)
+    want = [tuple(r) for r in
+            bm25_topk(all_docs, ["cat", "the"], k=8).collect()]
+    assert [tuple(r) for r in
+            bm25_search(spark, idir, ["cat", "the"], k=8,
+                        n_buckets=8).collect()] == want
