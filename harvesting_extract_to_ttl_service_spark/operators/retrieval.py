@@ -398,7 +398,8 @@ def score_query_join(qterms: DataFrame, ps: DataFrame,
 def reciprocal_rank_fusion(rankings: list[tuple[str, DataFrame]],
                            rrf_k: int = DEFAULT_RRF_K,
                            id_col: str = "doc_id",
-                           rank_col: str = "rank") -> DataFrame:
+                           rank_col: str = "rank",
+                           qid_col: str | None = None) -> DataFrame:
     """Reciprocal-rank fusion over named rankings:
     ``rrf_score(d) = Σ_sources 1/(rrf_k + rank_source(d))`` →
     ``(id_col, n_sources, rrf_score)``. Rank-only fusion needs no score
@@ -406,28 +407,40 @@ def reciprocal_rank_fusion(rankings: list[tuple[str, DataFrame]],
     the standard hybrid combiner. Each input must hold one row per id;
     ids missing from a source simply contribute nothing. The fold is
     pinned in source-name order (sorted struct list), so the double is
-    reproducible no matter how the union's partitions land."""
+    reproducible no matter how the union's partitions land.
+
+    ``qid_col`` names a per-QUERY grouping column present in every
+    input (batched hybrid retrieval): fusion then runs per (query, id)
+    and the column rides through the output — per query identical to
+    fusing that query's rankings alone."""
     names = [n for n, _ in rankings]
     if len(set(names)) != len(names):
         raise ValueError(f"reciprocal_rank_fusion: duplicate source "
                          f"names {names}")
     tagged = None
     for name, r in rankings:
-        d = r.select(F.lit(name).alias("src"),
-                     F.col(id_col).alias("id"),
-                     F.col(rank_col).cast("long").alias("rank"))
+        cols = [F.lit(name).alias("src"),
+                F.col(id_col).alias("id"),
+                F.col(rank_col).cast("long").alias("rank")]
+        if qid_col is not None:
+            cols.insert(0, F.col(qid_col).alias("qid"))
+        d = r.select(*cols)
         tagged = d if tagged is None else tagged.unionByName(d)
     assert tagged is not None
-    return (tagged.groupBy("id")
-            .agg(F.sort_array(
-                F.collect_list(F.struct("src", "rank"))).alias("_r"))
-            .select(F.col("id").alias(id_col),
-                    F.size("_r").alias("n_sources"),
-                    F.round(F.aggregate(
-                        "_r", F.lit(0.0),
-                        lambda a, x: a + F.lit(1.0)
-                        / (F.lit(rrf_k) + x["rank"])), 6)
-                    .alias("rrf_score")))
+    keys = (["qid"] if qid_col is not None else []) + ["id"]
+    out = (tagged.groupBy(*keys)
+           .agg(F.sort_array(
+               F.collect_list(F.struct("src", "rank"))).alias("_r")))
+    head = ([F.col("qid").alias(qid_col)]
+            if qid_col is not None else [])
+    return out.select(
+        *head, F.col("id").alias(id_col),
+        F.size("_r").alias("n_sources"),
+        F.round(F.aggregate(
+            "_r", F.lit(0.0),
+            lambda a, x: a + F.lit(1.0)
+            / (F.lit(rrf_k) + x["rank"])), 6)
+        .alias("rrf_score"))
 
 
 def hybrid_topk(docs: DataFrame, vecs: DataFrame,

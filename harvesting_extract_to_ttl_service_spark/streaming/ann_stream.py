@@ -638,7 +638,8 @@ def compact_ivf_index(spark: SparkSession, index_dir: str,
                       target_partitions: int | None = None,
                       retain_old: bool = False,
                       full: bool = False, max_segments: int = 8,
-                      lease_seconds: float = 3600.0) -> int:
+                      lease_seconds: float = 3600.0,
+                      max_batch: int | None = None) -> int:
     """Fold the per-batch index partitions into the consolidated
     generation tree, PRESERVING the ``ivf_cell`` partitioning (dropping
     it would turn every search back into a full scan — the generic
@@ -662,7 +663,11 @@ def compact_ivf_index(spark: SparkSession, index_dir: str,
     expiring lease in ``_ivf_compacting.json``; a replay of a folded
     batch refuses at the ``max_folded_batch`` fence, and fresh ingest
     flows through a running fold once its ``folding_through`` snapshot
-    publishes. Returns the number of batch partitions folded."""
+    publishes. ``max_batch`` bounds the fold to ids at or below it —
+    what makes in-stream auto-compaction replay-safe
+    (:func:`run_ivf_index_stream` with ``compact_every``; see the BM25
+    twin's docstring for the reasoning). Returns the number of batch
+    partitions folded."""
     from harvesting_extract_to_ttl_service_spark.sources.files import (
         _hadoop_fs,
     )
@@ -714,6 +719,8 @@ def compact_ivf_index(spark: SparkSession, index_dir: str,
                       "applied_dels": applied})
 
     vis = _ivf_visible_batches(spark, index_dir, gen, fence)
+    if max_batch is not None:
+        vis = [i for i in vis if i <= max_batch]
     dels = _ivf_visible_dels(spark, index_dir, applied)
     major = (full or gen < 0 or segments is None
              or len(segments) + 1 > max_segments)
@@ -1023,15 +1030,32 @@ def run_ivf_index_stream(vecs_stream: DataFrame, index_dir: str,
                          trigger_available_now: bool = True,
                          on_batch=None, quantize: bool = False,
                          pq_codebooks: list[list[list[float]]] | None
-                         = None, pq_residual: bool = False):
+                         = None, pq_residual: bool = False,
+                         compact_every: int | None = None,
+                         max_segments: int = 8):
     """Attach the IVF indexer to a streaming vector source — same
-    checkpoint + batch=<id> replay contract as the dedup streams."""
+    checkpoint + batch=<id> replay contract as the dedup streams.
+    ``compact_every=n`` makes the stream self-maintaining exactly like
+    the BM25 twin (lexical_stream.run_bm25_index_stream): once ``n``
+    committed batches below the current one accumulate, the callback
+    runs a minor fold bounded to ``max_batch = batch_id - 1`` — the
+    current batch may replay after a crash, so it is never folded from
+    inside the stream; searches are undisturbed throughout."""
 
     def batch_fn(df: DataFrame, batch_id: int) -> None:
         ivf_index_batch(df, batch_id, index_dir, centroids, vec_col,
                         id_col, quantize=quantize,
                         pq_codebooks=pq_codebooks,
                         pq_residual=pq_residual)
+        if compact_every is not None:
+            spark = df.sparkSession
+            gen, _segs, fence, _ad = _ivf_pointer(spark, index_dir)
+            eligible = [i for i in _ivf_visible_batches(
+                spark, index_dir, gen, fence) if i < batch_id]
+            if len(eligible) >= compact_every:
+                compact_ivf_index(spark, index_dir,
+                                  max_segments=max_segments,
+                                  max_batch=batch_id - 1)
         if on_batch is not None:
             on_batch(batch_id)
 

@@ -875,6 +875,47 @@ def bm25_delete_docs(spark: SparkSession, index_dir: str,
     return n
 
 
+def delete_dedup_losers(spark: SparkSession, labels: DataFrame,
+                        bm25_index_dir: str | None = None,
+                        ivf_index_dir: str | None = None,
+                        id_col: str = "id",
+                        component_col: str = "component",
+                        n_buckets: int = 64) -> dict:
+    """The dedup→deletion bridge — the pipeline step the tombstones
+    exist for: ``connected_components`` (operators/dedup.py) labels
+    every document with its duplicate group's canonical (minimum)
+    member id; every id that is NOT its own component is a LOSER the
+    keep-one policy discards. This collects the losers and tombstones
+    them out of the persisted BM25 and/or IVF indexes
+    (:func:`bm25_delete_docs` / ann_stream.ivf_delete_vecs), so
+    dedup-after-ingest actually removes the duplicates from SEARCH —
+    the gap an append-only index cannot close. Returns
+    ``{"losers": n, "bm25_deleted": …, "ivf_deleted": …}`` (the
+    deleted counts can be lower: ids already tombstoned or never
+    indexed are no-ops, so re-running after adding batches is safe).
+
+    The loser id set is collected driver-side — bounded by the
+    duplicate count, the same small-relative-to-corpus assumption the
+    tombstone anti-join broadcasts under. A corpus that is MOSTLY
+    duplicates should be rebuilt from the keep-one survivors instead
+    of deleted down (the docstring contract of bm25_delete_docs)."""
+    losers = [r["id"] for r in
+              labels.filter(F.col(id_col) != F.col(component_col))
+              .select(F.col(id_col).alias("id")).collect()]
+    out = {"losers": len(losers)}
+    if bm25_index_dir is not None:
+        out["bm25_deleted"] = bm25_delete_docs(
+            spark, bm25_index_dir, losers, n_buckets=n_buckets)
+    if ivf_index_dir is not None:
+        from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (  # noqa: E501
+            ivf_delete_vecs,
+        )
+
+        out["ivf_deleted"] = ivf_delete_vecs(spark, ivf_index_dir,
+                                             losers)
+    return out
+
+
 # --- generational compaction ----------------------------------------------
 
 
@@ -1415,3 +1456,55 @@ def hybrid_search(spark: SparkSession, bm25_index_dir: str,
            .limit(k))
     return (_ranked(top, k, [F.col("rrf_score").desc(), F.col(id_col)])
             .select(id_col, "rank", "n_sources", "rrf_score"))
+
+
+def hybrid_search_batch(spark: SparkSession, queries: DataFrame,
+                        bm25_index_dir: str, ivf_index_dir: str,
+                        centroids: list[list[float]],
+                        k: int = 10, n_candidates: int = 50,
+                        n_probe: int = 2, rrf_k: int = 60,
+                        k1: float = DEFAULT_K1, b: float = DEFAULT_B,
+                        n_buckets: int = 64,
+                        qid_col: str = "query_id",
+                        qtext_col: str = "text",
+                        qvec_col: str = "embedding",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Batched hybrid retrieval over the PERSISTED indexes — the
+    at-scale serving shape of :func:`hybrid_search`: ONE lexical plan
+    for the whole query batch (:func:`bm25_search_batch` — term-union
+    bucket pruning) fused per query with ONE semantic plan
+    (ann_stream.ivf_search_batch — probed-cell-union partition
+    pruning) by reciprocal rank →
+    ``(qid_col, id_col, rank, n_sources, rrf_score)``. ``queries``
+    carries BOTH the text and the embedding column (ids must agree
+    between the two stores). Per query the rows equal
+    :func:`hybrid_search` with the same parameters (the parity the
+    tests pin): both sides' batched operators are row-identical to
+    their single-query twins, and the per-(query, id) RRF fold is the
+    same pinned source-ordered sum."""
+    from harvesting_extract_to_ttl_service_spark.operators.retrieval import (
+        _ranked,
+        reciprocal_rank_fusion,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        ivf_search_batch,
+    )
+
+    lex = bm25_search_batch(
+        spark, queries, bm25_index_dir, k=n_candidates, k1=k1, b=b,
+        n_buckets=n_buckets, qid_col=qid_col, qtext_col=qtext_col,
+        id_col=id_col)
+    sem = ivf_search_batch(
+        spark, ivf_index_dir, queries, centroids, k=n_candidates,
+        n_probe=n_probe, q_vec_col=qvec_col, q_id_col=qid_col,
+        id_col="vec_id")
+    fused = reciprocal_rank_fusion(
+        [("lex", lex.select(qid_col, id_col, "rank")),
+         ("vec", sem.select(F.col(qid_col),
+                            F.col("vec_id").alias(id_col), "rank"))],
+        rrf_k=rrf_k, id_col=id_col, qid_col=qid_col)
+    return (_ranked(fused, k,
+                    [F.col("rrf_score").desc(), F.col(id_col)],
+                    [qid_col])
+            .select(qid_col, id_col, "rank", "n_sources",
+                    "rrf_score"))

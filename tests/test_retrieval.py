@@ -2085,3 +2085,120 @@ def test_stream_ingest_with_auto_compaction(spark, tmp_path):
     assert [tuple(r) for r in
             bm25_search(spark, idir, ["cat", "the"], k=8,
                         n_buckets=8).collect()] == want
+
+
+# --- dedup→deletion bridge + batched hybrid ----------------------------------
+
+
+def test_delete_dedup_losers_bridge(spark, tmp_path):
+    """connected_components labels → delete_dedup_losers tombstones the
+    keep-one losers out of BOTH persisted indexes: searches afterwards
+    equal indexes rebuilt from the winners only, and a re-run is a
+    no-op."""
+    from harvesting_extract_to_ttl_service_spark.operators.dedup import (
+        connected_components,
+    )
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        ivf_index_batch,
+        ivf_search,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.lexical_stream import (  # noqa: E501
+        delete_dedup_losers,
+    )
+
+    docs = [(0, "the cat sat on the mat"),
+            (1, "the cat sat on the mat"),   # dup of 0 → loser
+            (2, "dogs bark loudly"),
+            (3, "dogs bark loudly"),          # dup of 2 → loser
+            (4, "fish swim")]
+    dim = 4
+    vecs = [(i, [1.0 if d == i % dim else 0.2 for d in range(dim)])
+            for i, _ in docs]
+    ddf = spark.createDataFrame(docs, D_SCHEMA)
+    vdf = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    bdir, vdir = str(tmp_path / "bb"), str(tmp_path / "vv")
+    bm25_index_batch(ddf, 0, bdir, n_buckets=8)
+    cents = train_ivf_centroids(vdf, k=2, dim=dim)
+    ivf_index_batch(vdf, 0, vdir, cents)
+
+    pairs = spark.createDataFrame([(0, 1), (2, 3)],
+                                  "id_a long, id_b long")
+    labels = connected_components(
+        pairs, ddf.select(F.col("doc_id").alias("id")))
+    out = delete_dedup_losers(spark, labels, bm25_index_dir=bdir,
+                              ivf_index_dir=vdir, n_buckets=8)
+    assert out == {"losers": 2, "bm25_deleted": 2, "ivf_deleted": 2}
+
+    winners = [d for d in docs if d[0] not in (1, 3)]
+    rb = str(tmp_path / "rb")
+    bm25_index_batch(spark.createDataFrame(winners, D_SCHEMA), 0, rb,
+                     n_buckets=8)
+    assert [tuple(r) for r in
+            bm25_search(spark, bdir, ["cat", "dogs"], k=5,
+                        n_buckets=8).collect()] == \
+        [tuple(r) for r in
+         bm25_search(spark, rb, ["cat", "dogs"], k=5,
+                     n_buckets=8).collect()]
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    kept_vecs = vdf.filter(~F.col("vec_id").isin([1, 3]))
+    q = [1.0, 0.2, 0.2, 0.2]
+    assert [tuple(r) for r in
+            ivf_search(spark, vdir, q, cents, k=3,
+                       n_probe=2).collect()] == \
+        [tuple(r) for r in
+         ivf_topk(kept_vecs, q, cents, k=3, n_probe=2).collect()]
+    # idempotent re-run
+    assert delete_dedup_losers(spark, labels, bm25_index_dir=bdir,
+                               ivf_index_dir=vdir, n_buckets=8) == {
+        "losers": 2, "bm25_deleted": 0, "ivf_deleted": 0}
+
+
+def test_hybrid_search_batch_matches_single(spark, tmp_path):
+    """Per query, the batched hybrid over the persisted indexes equals
+    hybrid_search with the same parameters — both retriever sides and
+    the RRF fold are the pinned single-query paths."""
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        ivf_index_batch,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.lexical_stream import (  # noqa: E501
+        hybrid_search,
+        hybrid_search_batch,
+    )
+
+    dim = 8
+    rows = [(i, f"cat dog t{i} {'fish' if i % 3 == 0 else 'bird'}",
+             [1.0 if d == i % dim else 0.1 * ((i * 7 + d) % 5)
+              for d in range(dim)]) for i in range(30)]
+    docs = spark.createDataFrame([(i, t) for i, t, _ in rows], D_SCHEMA)
+    vecs = spark.createDataFrame([(i, v) for i, _, v in rows],
+                                 "vec_id long, embedding array<double>")
+    cents = train_ivf_centroids(vecs, k=4, dim=dim)
+    bdir, vdir = str(tmp_path / "hb"), str(tmp_path / "hv")
+    bm25_index_batch(docs, 0, bdir, n_buckets=8)
+    ivf_index_batch(vecs, 0, vdir, cents)
+
+    queries = [("cat fish", [1.0] + [0.05] * (dim - 1)),
+               ("dog bird", [0.1, 1.0] + [0.05] * (dim - 2))]
+    qdf = spark.createDataFrame(
+        [(qi, t, v) for qi, (t, v) in enumerate(queries)],
+        "query_id long, text string, embedding array<double>")
+    batched = hybrid_search_batch(
+        spark, qdf, bdir, vdir, cents, k=6, n_candidates=8, n_probe=2,
+        n_buckets=8)
+    got = {qi: sorted((r.doc_id, r.rank, r.n_sources, r.rrf_score)
+                      for r in batched.collect() if r.query_id == qi)
+           for qi in range(len(queries))}
+    for qi, (t, v) in enumerate(queries):
+        want = sorted(tuple(r) for r in hybrid_search(
+            spark, bdir, vdir, t.split(), v, cents, k=6,
+            n_candidates=8, n_probe=2, n_buckets=8).collect())
+        assert got[qi] == want, qi
