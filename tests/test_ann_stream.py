@@ -852,3 +852,42 @@ def test_ivf_delete_vecs_matches_rebuild_and_survives_folds(
     assert ivf_delete_vecs(spark, idir, [57]) == 1
     ivf_index_batch(_vecs(spark, range(56, 60)), 9, idir, centroids)
     assert _ivf_frames(spark, idir).filter("id = 57").count() == 0
+
+
+def test_ivf_stream_with_auto_compaction(spark, tmp_path, centroids):
+    """Self-maintaining IVF ingest: with compact_every=2 and one file
+    per micro-batch, folds fire as committed batches accumulate and
+    search equals the batch operator over everything at the end — no
+    manual maintenance call."""
+    import json as _json
+
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        _ivf_pointer,
+        _ivf_visible_batches,
+    )
+
+    sdir = str(tmp_path / "src")
+    idir = str(tmp_path / "autoivf")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(sdir)
+    all_rows = [(i, [1.0 if d == i % DIM else 0.1 * ((i * 7 + d) % 5)
+                     for d in range(DIM)]) for i in range(40)]
+    for b in range(4):
+        with open(f"{sdir}/b{b}.json", "w") as f:
+            for i, v in all_rows[b * 10:(b + 1) * 10]:
+                f.write(_json.dumps({"vec_id": i, "embedding": v})
+                        + "\n")
+    st = (spark.readStream.schema(V_SCHEMA)
+          .option("maxFilesPerTrigger", 1).json(sdir))
+    q = run_ivf_index_stream(st, idir, ckpt, centroids,
+                             compact_every=2)
+    q.awaitTermination(180)
+    gen, _segs, fence, _ad = _ivf_pointer(spark, idir)
+    assert gen >= 0                      # at least one fold fired
+    assert len(_ivf_visible_batches(spark, idir, gen, fence)) <= 2
+    query = [0.2] * DIM
+    assert [tuple(r) for r in ivf_search(
+        spark, idir, query, centroids, k=5, n_probe=2).collect()] == \
+        [tuple(r) for r in ivf_topk(
+            _vecs(spark, range(40)), query, centroids, k=5,
+            n_probe=2).collect()]
