@@ -357,21 +357,46 @@ def query_terms_frame(queries: DataFrame, query_tf: float | None,
                      / (F.col("qtf") + F.lit(k3))).alias("wq")))
 
 
-def score_query_join(qterms: DataFrame, ps: DataFrame,
-                     stats: DataFrame, k: int, k1: float, b: float,
-                     max_df_ratio: float | None,
-                     broadcast_queries: bool, weighted: bool,
-                     qid_col: str, id_col: str) -> DataFrame:
-    """The batched scoring core over a (possibly pre-filtered) posting
-    table — shared verbatim by the ad-hoc path (:func:`bm25_topk_join`)
-    and the persisted-index path (streaming/lexical_stream.
-    bm25_search_batch) so the two can never drift. df once per term
-    over the union of query terms, max_df pruning applied to the big
-    side BEFORE any query fan-out, query broadcast (or term-shuffle)
-    join, one-row stats broadcast, pinned per-(query, doc) fold."""
-    uniq = qterms.select("term").distinct()
-    dfreq = (ps.join(F.broadcast(uniq), "term")
-             .groupBy("term").agg(F.count("*").alias("df")))
+def score_query_candidates(qterms: DataFrame | None, ps: DataFrame,
+                           stats: DataFrame, k1: float, b: float,
+                           max_df_ratio: float | None,
+                           broadcast_queries: bool, weighted: bool,
+                           ps_prefiltered: bool = False,
+                           single_query: bool = False) -> DataFrame:
+    """THE query-scoring core — every batched/stored BM25 path ends
+    here, so the df convention, max_df pruning point, contribution
+    arithmetic and per-(query, doc) fold can never drift between
+    them: df once per term over the union of query terms, max_df
+    pruning applied to the big side BEFORE any query fan-out, query
+    broadcast (or term-shuffle) join, one-row stats broadcast, pinned
+    fold → ``(qid, id, n_terms_hit, score)``. The top-k TAIL is the
+    caller's: per-query window for batches (:func:`score_query_join`),
+    plain orderBy+limit for a single query (the stored single-query
+    path — a per-qid window would pay a shuffle for one partition).
+
+    ``ps_prefiltered=True`` declares the posting table ALREADY
+    restricted to the query terms (the stored-index read pushes the
+    term IN-list into the scan), so the df aggregate skips the
+    restriction join — one less broadcast per query.
+    ``single_query=True`` (requires prefiltered + unweighted, with
+    ``qterms=None``) additionally skips the query fan-out join — a
+    single unweighted query's term set IS the prefilter, so every
+    surviving posting row is a candidate with weight 1 and a constant
+    qid rides in as a literal; the stored single-query path's plan is
+    then the minimal one (scan → df broadcast → stats broadcast →
+    fold) with zero per-query query-side jobs."""
+    if single_query:
+        if not ps_prefiltered or weighted or qterms is not None:
+            raise ValueError(
+                "score_query_candidates: single_query=True requires "
+                "ps_prefiltered=True, weighted=False and qterms=None "
+                "— the prefilter IS the query")
+    if ps_prefiltered:
+        dfreq = ps.groupBy("term").agg(F.count("*").alias("df"))
+    else:
+        uniq = qterms.select("term").distinct()
+        dfreq = (ps.join(F.broadcast(uniq), "term")
+                 .groupBy("term").agg(F.count("*").alias("df")))
     if max_df_ratio is not None:
         dfreq = (dfreq.crossJoin(F.broadcast(stats.select("n_docs")))
                  .filter(F.col("df")
@@ -381,14 +406,33 @@ def score_query_join(qterms: DataFrame, ps: DataFrame,
     # postings→dfreq first also APPLIES the max_df pruning to the big side
     # before any query fan-out
     cand = ps.join(F.broadcast(dfreq), "term")
-    cand = (cand.join(F.broadcast(qterms), "term") if broadcast_queries
-            else cand.repartition("term").join(qterms, "term"))
+    if single_query:
+        cand = cand.withColumn("qid", F.lit(0).cast("long"))
+    else:
+        cand = (cand.join(F.broadcast(qterms), "term")
+                if broadcast_queries
+                else cand.repartition("term").join(qterms, "term"))
     contrib = bm25_contrib(k1, b)
     if weighted:
         contrib = contrib * F.col("wq")
     scored = (cand.crossJoin(F.broadcast(stats))
               .withColumn("contrib", contrib))
-    agg = fold_scores(scored, ["qid", "id"])
+    return fold_scores(scored, ["qid", "id"])
+
+
+def score_query_join(qterms: DataFrame, ps: DataFrame,
+                     stats: DataFrame, k: int, k1: float, b: float,
+                     max_df_ratio: float | None,
+                     broadcast_queries: bool, weighted: bool,
+                     qid_col: str, id_col: str,
+                     ps_prefiltered: bool = False) -> DataFrame:
+    """Batched top-k per query over :func:`score_query_candidates` —
+    shared verbatim by the ad-hoc path (:func:`bm25_topk_join`) and
+    the persisted-index path (streaming/lexical_stream.
+    bm25_search_batch)."""
+    agg = score_query_candidates(qterms, ps, stats, k1, b,
+                                 max_df_ratio, broadcast_queries,
+                                 weighted, ps_prefiltered)
     out = _ranked(agg, k, [F.col("score").desc(), F.col("id")], ["qid"])
     return out.select(F.col("qid").alias(qid_col),
                       F.col("id").alias(id_col),

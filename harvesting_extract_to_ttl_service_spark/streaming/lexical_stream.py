@@ -557,10 +557,13 @@ def bm25_search(spark: SparkSession, index_dir: str,
     corrected); document frequency comes from the probed postings
     themselves. A single query IS a one-row batch: this routes through
     the same scoring core as :func:`bm25_search_batch`
-    (operators/retrieval.score_query_join — the code the ad-hoc paths
-    share too), so there is exactly ONE stored-index scoring path; the
-    query-side frame is built directly from the cleaned terms, no
-    tokenizer round-trip. Works on flat, positional AND BM25F indexes
+    (operators/retrieval.score_query_candidates — the df convention,
+    contribution arithmetic and pinned fold the ad-hoc batched join
+    shares too), so there is exactly ONE stored-index scoring path;
+    only the top-k TAIL differs (plain orderBy+limit — a per-query
+    window would pay a shuffle for one partition), and the query-side
+    frame is built directly from the cleaned terms, no tokenizer
+    round-trip. Works on flat, positional AND BM25F indexes
     (the positions column just rides along unused; BM25F tf/dl are
     already weighted at ingest). Runs undisturbed during a
     compaction — the pointer is resolved once, and the fold never
@@ -570,39 +573,34 @@ def bm25_search(spark: SparkSession, index_dir: str,
         spark, index_dir, n_buckets,
         positional=bool(params.get("positional")) if params else False,
         fields=params.get("fields") if params else None)
-    qt = clean_query_terms(query_terms)
-    qterms = spark.createDataFrame([(0, t) for t in qt],
-                                   "qid long, term string")
-    out = _stored_query_search(spark, index_dir, qterms, qt, k, k1, b,
-                               None, True, False, n_buckets,
-                               "qid", id_col)
-    return out.select(id_col, "rank", "n_terms_hit", "score")
-
-
-def _stored_query_search(spark: SparkSession, index_dir: str,
-                         qterms: DataFrame, uniq: list[str], k: int,
-                         k1: float, b: float,
-                         max_df_ratio: float | None,
-                         broadcast_queries: bool, weighted: bool,
-                         n_buckets: int, qid_col: str,
-                         id_col: str) -> DataFrame:
-    """The one stored-index BM25 scoring path (shared by
-    :func:`bm25_search` and :func:`bm25_search_batch`): resolve the
-    view once, read the bucket-pruned term-pushed tombstone-corrected
-    postings and the matching stats snapshot, score with
-    operators/retrieval.score_query_join — the SAME core the ad-hoc
-    batched join uses, so stored results equal the ad-hoc ones over
-    the ingested batches row for row."""
     from harvesting_extract_to_ttl_service_spark.operators.retrieval import (
-        score_query_join,
+        score_query_candidates,
+        top_ranked,
     )
 
+    qt = clean_query_terms(query_terms)
+    ps, stats = _stored_query_inputs(spark, index_dir, qt, n_buckets)
+    # single unweighted query: the prefilter IS the query — no query
+    # frame, no fan-out join, constant qid; plain orderBy+limit tail
+    # (shared top_ranked) instead of a one-partition window shuffle
+    agg = score_query_candidates(None, ps, stats, k1, b, None, True,
+                                 False, ps_prefiltered=True,
+                                 single_query=True)
+    return top_ranked(agg.drop("qid"), k, id_col)
+
+
+def _stored_query_inputs(spark: SparkSession, index_dir: str,
+                         uniq: list[str],
+                         n_buckets: int) -> tuple[DataFrame, DataFrame]:
+    """The shared stored-index read: resolve the view ONCE, return the
+    bucket-pruned term-pushed tombstone-corrected postings and the
+    matching stats snapshot — the inputs every stored search hands to
+    operators/retrieval.score_query_candidates (the one scoring core,
+    shared with the ad-hoc batched join, so stored results equal the
+    ad-hoc ones over the ingested batches row for row)."""
     view = _index_view(spark, index_dir)
     ps = _read_pruned_postings(spark, index_dir, uniq, n_buckets, view)
-    stats = _read_index_stats(spark, index_dir, view)
-    return score_query_join(qterms, ps, stats, k, k1, b,
-                            max_df_ratio, broadcast_queries,
-                            weighted, qid_col, id_col)
+    return ps, _read_index_stats(spark, index_dir, view)
 
 
 def bm25_search_batch(spark: SparkSession, queries: DataFrame,
@@ -639,13 +637,18 @@ def bm25_search_batch(spark: SparkSession, queries: DataFrame,
         spark, index_dir, n_buckets,
         positional=bool(params.get("positional")) if params else False,
         fields=params.get("fields") if params else None)
+    from harvesting_extract_to_ttl_service_spark.operators.retrieval import (
+        score_query_join,
+    )
+
     qterms = query_terms_frame(queries, query_tf, qid_col, qtext_col)
     uniq = sorted({r["term"] for r in
                    qterms.select("term").distinct().collect()})
-    return _stored_query_search(spark, index_dir, qterms, uniq, k, k1,
-                                b, max_df_ratio, broadcast_queries,
-                                query_tf is not None, n_buckets,
-                                qid_col, id_col)
+    ps, stats = _stored_query_inputs(spark, index_dir, uniq, n_buckets)
+    return score_query_join(qterms, ps, stats, k, k1, b,
+                            max_df_ratio, broadcast_queries,
+                            query_tf is not None, qid_col, id_col,
+                            ps_prefiltered=True)
 
 
 def search_with_snippets(spark: SparkSession, queries: DataFrame,
