@@ -232,10 +232,21 @@ def _ivf_frames(spark: SparkSession, index_dir: str,
     for f2 in frames[1:]:
         out = out.unionByName(f2)
     if apply_dels and view.dels:
+        from harvesting_extract_to_ttl_service_spark.streaming.lexical_stream import (  # noqa: E501
+            _dels_bytes,
+            _size_conf_bytes,
+        )
+
         troot = f"{index_dir}/tombstones"
         tomb = spark.read.parquet(
             *[f"{troot}/del={d}" for d in view.dels]).select("id")
-        out = out.join(F.broadcast(tomb), "id", "left_anti")
+        # broadcast below the autoBroadcastJoinThreshold (the common
+        # case), shuffle anti-join beyond it — the size signal is the
+        # del dirs' byte total from the listing, no count job
+        if _dels_bytes(spark, index_dir, view.dels) \
+                <= _size_conf_bytes(spark):
+            tomb = F.broadcast(tomb)
+        out = out.join(tomb, "id", "left_anti")
     return out
 
 
@@ -291,12 +302,14 @@ def ivf_index_batch(vecs: DataFrame, batch_id: int, index_dir: str,
         # in the consolidated tree); fresh higher ids flow through
         through = marker.get("folding_through")
         if through is None or batch_id <= through:
+            kind = ("deleting" if marker.get("deleting")
+                    else f"compacting through batch {through}")
             raise ValueError(
-                f"ivf_index_batch: index at {index_dir} is compacting "
-                f"through batch {through} — batch {batch_id} is (or "
-                f"may be) part of the running fold; re-run it after "
-                f"the compaction finishes (fresh higher batch ids and "
-                f"all searches are unaffected)")
+                f"ivf_index_batch: index at {index_dir} is {kind} — "
+                f"batch {batch_id} is (or may be) inside the running "
+                f"maintenance job's scan; re-run it after the job "
+                f"finishes (fresh higher batch ids and all searches "
+                f"are unaffected)")
     _gen, _segs, fence, _applied = _ivf_pointer(spark, index_dir)
     if batch_id <= fence:
         raise ValueError(
@@ -562,76 +575,135 @@ def ivf_search_batch(spark: SparkSession, index_dir: str,
 
 
 def ivf_delete_vecs(spark: SparkSession, index_dir: str,
-                    vec_ids: list) -> int:
+                    vec_ids: list, lease_seconds: float = 600.0,
+                    steal_legacy: bool = False) -> int:
     """Delete vectors from the persisted IVF index — the BM25 index's
     tombstone discipline (streaming/lexical_stream.bm25_delete_docs)
     without the stats side (cosine top-k has no corpus statistics to
     correct): one committed tombstone batch
     ``<index_dir>/tombstones/del=<d>/`` of ids, anti-joined out of
-    every search's candidate set (broadcast), physically applied and
-    retired by the next MAJOR fold or retrain via the pointer's
-    ``applied_dels`` watermark. A replayed source batch containing a
-    deleted vector does not resurrect it. Ids already tombstoned or
-    absent from the index are no-ops; returns the count newly
-    tombstoned. Refuses while a fold is marked in progress."""
+    every search's candidate set (broadcast while small, shuffle
+    anti-join once the del batches outgrow the
+    autoBroadcastJoinThreshold), physically applied and retired by the
+    next MAJOR fold or retrain via the pointer's ``applied_dels``
+    watermark. A replayed source batch containing a deleted vector
+    does not resurrect it. Ids already tombstoned or absent from the
+    index are no-ops; returns the count newly tombstoned. Deletes hold
+    the SAME expiring maintenance lease as the compactor
+    (``_ivf_compacting.json``, payload ``deleting``): a delete
+    mid-fold could race the fold, and two concurrent deletes could
+    pick the same ``del=<d>`` slot and silently lose the first
+    writer's tombstones — the lease excludes both. The id list is
+    driver-side — bounded by the deletion set; for corpus-scale sets
+    use :func:`ivf_delete_vecs_df`."""
+    ids = list(dict.fromkeys(vec_ids))
+    if not ids:
+        return 0
+    return _ivf_delete(spark, index_dir, ids, None, lease_seconds,
+                       steal_legacy)
+
+
+def ivf_delete_vecs_df(spark: SparkSession, index_dir: str,
+                       ids_df: DataFrame, id_col: str = "id",
+                       lease_seconds: float = 600.0,
+                       steal_legacy: bool = False) -> int:
+    """DataFrame-native twin of :func:`ivf_delete_vecs` — the
+    corpus-scale deletion path: the doomed id set stays distributed
+    end to end (no driver-side collect, no forced broadcast), so mass
+    dedup losers numbering in the hundreds of millions write their
+    tombstone batch as one shuffle job, and search-side anti-joins
+    switch to shuffle automatically past the broadcast threshold.
+    Same lease, slot, visibility and double-delete semantics as the
+    list form; returns the count newly tombstoned."""
+    return _ivf_delete(
+        spark, index_dir, None,
+        ids_df.select(F.col(id_col).alias("id")).distinct(),
+        lease_seconds, steal_legacy)
+
+
+def _ivf_delete(spark: SparkSession, index_dir: str,
+                ids: list | None, ids_df: DataFrame | None,
+                lease_seconds: float, steal_legacy: bool) -> int:
+    """Shared tombstone-write core of :func:`ivf_delete_vecs` (pushed
+    IN-filter fast path) and :func:`ivf_delete_vecs_df` (distributed
+    joins)."""
     from harvesting_extract_to_ttl_service_spark.sources.files import (
         _hadoop_fs,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.generations import (  # noqa: E501
+        acquire_lease,
+        release_lease,
     )
 
     if _read_json_sidecar(spark, f"{index_dir}/_ivf_params.json") \
             is None:
         raise ValueError(f"ivf_delete_vecs: no index at {index_dir}")
-    if _read_json_sidecar(spark, f"{index_dir}/_ivf_compacting.json"):
-        raise ValueError(
-            f"ivf_delete_vecs: index at {index_dir} is compacting — "
-            f"re-run the delete after the fold finishes")
-    ids = list(dict.fromkeys(vec_ids))
-    if not ids:
-        return 0
-    view = _ivf_view(spark, index_dir)
-    if view.dels:
-        troot = f"{index_dir}/tombstones"
-        already = {r["id"] for r in
-                   spark.read.parquet(
-                       *[f"{troot}/del={d}" for d in view.dels])
-                   .select("id").filter(F.col("id").isin(ids))
-                   .distinct().collect()}
-        ids = [i for i in ids if i not in already]
-        if not ids:
-            return 0
-    present = (_ivf_frames(spark, index_dir, view, apply_dels=False)
-               .filter(F.col("id").isin(ids))
-               .select("id").distinct())
-    fs, _ = _hadoop_fs(spark, index_dir)
-    jpath = spark._jvm.org.apache.hadoop.fs.Path
-    committed, uncommitted = [], []
-    troot = jpath(f"{index_dir}/tombstones")
-    if fs.exists(troot):
-        for st in fs.listStatus(troot):
-            name = st.getPath().getName()
-            if not name.startswith("del="):
-                continue
-            d = int(name.split("=", 1)[1])
-            if d <= view.applied_dels:
-                continue  # retired slot awaiting cleanup — never reuse
-            ok = fs.exists(
-                jpath(f"{index_dir}/tombstones/del={d}/_SUCCESS"))
-            (committed if ok else uncommitted).append(d)
-    nxt = (min(uncommitted) if uncommitted
-           else (max(committed) + 1 if committed else 0))
-    nxt = max(nxt, view.applied_dels + 1)
-    out = f"{index_dir}/tombstones/del={nxt}"
-    present.coalesce(1).write.mode("overwrite").parquet(out)
-    if not fs.exists(jpath(f"{out}/_SUCCESS")):
-        raise ValueError(
-            f"ivf_delete_vecs: the committer wrote {out} WITHOUT a "
-            f"_SUCCESS marker — readers gate tombstone visibility on "
-            f"it. Set mapreduce.fileoutputcommitter."
-            f"marksuccessfuljobs=true and re-run")
-    n = spark.read.parquet(out).count()
-    if n == 0:
-        fs.delete(jpath(out), True)
-    return n
+    marker = f"{index_dir}/_ivf_compacting.json"
+    owner = acquire_lease(spark, marker, lease_seconds,
+                          payload={"deleting": True},
+                          steal_legacy=steal_legacy)
+    try:
+        view = _ivf_view(spark, index_dir)
+        if view.dels:
+            troot = f"{index_dir}/tombstones"
+            tomb = spark.read.parquet(
+                *[f"{troot}/del={d}" for d in view.dels]).select("id")
+            if ids is not None:
+                already = {r["id"] for r in
+                           tomb.filter(F.col("id").isin(ids))
+                           .distinct().collect()}
+                ids = [i for i in ids if i not in already]
+                if not ids:
+                    return 0
+            else:
+                ids_df = ids_df.join(tomb, "id", "left_anti")
+        if ids is not None:
+            present = (_ivf_frames(spark, index_dir, view,
+                                   apply_dels=False)
+                       .filter(F.col("id").isin(ids))
+                       .select("id").distinct())
+        else:
+            present = (_ivf_frames(spark, index_dir, view,
+                                   apply_dels=False)
+                       .select("id")
+                       .join(ids_df, "id", "left_semi").distinct())
+        fs, _ = _hadoop_fs(spark, index_dir)
+        jpath = spark._jvm.org.apache.hadoop.fs.Path
+        committed, uncommitted = [], []
+        troot = jpath(f"{index_dir}/tombstones")
+        if fs.exists(troot):
+            for st in fs.listStatus(troot):
+                name = st.getPath().getName()
+                if not name.startswith("del="):
+                    continue
+                d = int(name.split("=", 1)[1])
+                if d <= view.applied_dels:
+                    continue  # retired slot awaiting cleanup — never
+                    # reuse
+                ok = fs.exists(
+                    jpath(f"{index_dir}/tombstones/del={d}/_SUCCESS"))
+                (committed if ok else uncommitted).append(d)
+        # slot uniqueness is lease-guaranteed: no other delete can run
+        # between this listing and the write below
+        nxt = (min(uncommitted) if uncommitted
+               else (max(committed) + 1 if committed else 0))
+        nxt = max(nxt, view.applied_dels + 1)
+        out = f"{index_dir}/tombstones/del={nxt}"
+        if ids is not None:
+            present = present.coalesce(1)  # tiny by contract
+        present.write.mode("overwrite").parquet(out)
+        if not fs.exists(jpath(f"{out}/_SUCCESS")):
+            raise ValueError(
+                f"ivf_delete_vecs: the committer wrote {out} WITHOUT a "
+                f"_SUCCESS marker — readers gate tombstone visibility "
+                f"on it. Set mapreduce.fileoutputcommitter."
+                f"marksuccessfuljobs=true and re-run")
+        n = spark.read.parquet(out).count()
+        if n == 0:
+            fs.delete(jpath(out), True)
+        return n
+    finally:
+        release_lease(spark, marker, owner)
 
 
 def compact_ivf_index(spark: SparkSession, index_dir: str,
@@ -639,7 +711,8 @@ def compact_ivf_index(spark: SparkSession, index_dir: str,
                       retain_old: bool = False,
                       full: bool = False, max_segments: int = 8,
                       lease_seconds: float = 3600.0,
-                      max_batch: int | None = None) -> int:
+                      max_batch: int | None = None,
+                      steal_legacy: bool = False) -> int:
     """Fold the per-batch index partitions into the consolidated
     generation tree, PRESERVING the ``ivf_cell`` partitioning (dropping
     it would turn every search back into a full scan — the generic
@@ -649,9 +722,19 @@ def compact_ivf_index(spark: SparkSession, index_dir: str,
     (streaming/lexical_stream.compact_bm25_index) ported verbatim minus
     the stats side: a MINOR fold (default) merges only the unfolded
     batch dirs into one new segment ``gen=<g>/seg=<s>/ivf_cell=…`` —
-    O(new data); a MAJOR fold (``full=True`` / past ``max_segments``)
-    merges all segments + batches into ``seg=0`` of ``gen=<g+1>`` and
-    physically applies the :func:`ivf_delete_vecs` tombstones. Searches
+    O(new data); past ``max_segments`` the fold turns TIERED
+    (size-tiered merging): the smallest half of the segments by
+    on-disk bytes merge with the batch dirs into one new segment of
+    the same generation, the large half untouched — no fold is ever
+    O(index) unless asked for (the N^(1/k) ladder the BM25 twin's
+    docstring derives); a MAJOR fold (``full=True`` only, or the
+    pre-segment migration) merges all segments + batches into
+    ``seg=0`` of ``gen=<g+1>`` and physically applies the
+    :func:`ivf_delete_vecs` tombstones (tiered/minor folds leave them
+    logical). Bulk output lands in an owner-unique staging dir
+    promoted only after a fresh ownership check (generations.
+    promote_staged), so a zombie fold that lost its lease mid-write
+    can never land files in the directory a takeover flips. Searches
     resolve the one-file ``_ivf_generation.json`` pointer once and read
     exactly the trees it names — the fold only ADDS until the pointer
     atomically flips (manifest written LAST marks the fold complete),
@@ -674,15 +757,19 @@ def compact_ivf_index(spark: SparkSession, index_dir: str,
     from harvesting_extract_to_ttl_service_spark.streaming.generations import (  # noqa: E501
         acquire_lease,
         check_lease,
+        promote_staged,
         refresh_lease,
         release_lease,
+        staging_path,
+        sweep_staging,
     )
 
     fs, _ = _hadoop_fs(spark, index_dir)
     jpath = spark._jvm.org.apache.hadoop.fs.Path
     marker = f"{index_dir}/_ivf_compacting.json"
     owner = acquire_lease(spark, marker, lease_seconds,
-                          payload={"compacting": True})
+                          payload={"compacting": True},
+                          steal_legacy=steal_legacy)
 
     def _done(n: int) -> int:
         release_lease(spark, marker, owner)
@@ -712,6 +799,9 @@ def compact_ivf_index(spark: SparkSession, index_dir: str,
             p = jpath(f"{index_dir}/gen={tg}/seg={ts}")
             if fs.exists(p):
                 fs.delete(p, True)
+    # dead fold attempts that never promoted (owner-unique _stage_*)
+    sweep_staging(spark, *[f"{index_dir}/gen={tg}"
+                           for tg, _ts in candidates])
     if not retain_old:
         _ivf_cleanup(spark, index_dir,
                      {"generation": gen, "segments": segments,
@@ -722,8 +812,9 @@ def compact_ivf_index(spark: SparkSession, index_dir: str,
     if max_batch is not None:
         vis = [i for i in vis if i <= max_batch]
     dels = _ivf_visible_dels(spark, index_dir, applied)
-    major = (full or gen < 0 or segments is None
-             or len(segments) + 1 > max_segments)
+    major = full or gen < 0 or segments is None
+    tiered = (not major) and bool(segments) \
+        and len(segments) + 1 > max_segments
     if major:
         if gen < 0 and not vis:
             return _done(0)
@@ -753,6 +844,7 @@ def compact_ivf_index(spark: SparkSession, index_dir: str,
     refresh_lease(spark, marker, owner, lease_seconds,
                   payload={"compacting": True,
                            "folding_through": new_fence})
+    merged: list[int] = []
     if major:
         tg, ts = (gen + 1 if gen >= 0 else 0), 0
         state = {"generation": tg, "segments": [0],
@@ -762,18 +854,34 @@ def compact_ivf_index(spark: SparkSession, index_dir: str,
         src = _ivf_frames(spark, index_dir, src_view, apply_dels=True)
     else:
         tg, ts = gen, (max(segments) + 1) if segments else 0
-        state = {"generation": gen, "segments": sorted(segments + [ts]),
+        if tiered:
+            # size-tiered merge candidates: the smallest HALF of the
+            # segments by on-disk bytes (ties by id) merge with the
+            # batch dirs; the large half is never read or rewritten
+            sizes = {s: fs.getContentSummary(jpath(
+                f"{index_dir}/gen={gen}/seg={s}")).getLength()
+                for s in segments}
+            order = sorted(segments, key=lambda s: (sizes[s], s))
+            m = max(len(segments) + 1 - max_segments,
+                    math.ceil(len(segments) / 2))
+            merged = sorted(order[:m])
+        keep = [s for s in segments if s not in set(merged)]
+        state = {"generation": gen, "segments": sorted(keep + [ts]),
                  "max_folded_batch": new_fence,
                  "applied_dels": applied}
-        src_view = _IvfView(-1, None, fence, applied, vis, [])
+        src_view = _IvfView(gen, merged, fence, applied, vis, [])
         src = _ivf_frames(spark, index_dir, src_view, apply_dels=False)
     if target_partitions is not None:
         src = src.repartition(target_partitions, F.col("ivf_cell"))
-    (src.write.mode("overwrite").partitionBy("ivf_cell")
-     .parquet(f"{index_dir}/gen={tg}/seg={ts}"))
+    # owner-unique staging, promoted only after a fresh ownership check
+    stage = staging_path(f"{index_dir}/gen={tg}", ts, owner)
+    (src.write.mode("overwrite").partitionBy("ivf_cell").parquet(stage))
+    promote_staged(spark, marker, owner,
+                   [(stage, f"{index_dir}/gen={tg}/seg={ts}")])
+    check_lease(spark, marker, owner)
     _write_json_sidecar(
         spark, f"{index_dir}/gen={tg}/_manifest_seg={ts}.json",
-        {**state, "n_folded": len(vis)})
+        {**state, "n_folded": len(vis), "merged_segments": merged})
     check_lease(spark, marker, owner)
     _ivf_flip(spark, index_dir, state)
     if not retain_old:
@@ -826,7 +934,9 @@ def _ivf_cleanup(spark: SparkSession, index_dir: str,
         if fs.exists(groot):
             for st in fs.listStatus(groot):
                 name = st.getPath().getName()
-                if name.startswith("seg=") \
+                if name.startswith("_stage_"):
+                    fs.delete(st.getPath(), True)  # dead fold attempt
+                elif name.startswith("seg=") \
                         and int(name.split("=", 1)[1]) not in keep:
                     fs.delete(st.getPath(), True)
     troot = jpath(f"{index_dir}/tombstones")
@@ -842,8 +952,10 @@ def retrain_ivf_index(spark: SparkSession, index_dir: str,
                       k: int | None = None, max_iter: int = 10,
                       tol: float = 1e-4,
                       target_partitions: int | None = None,
-                      pq_codebooks: list[list[list[float]]] | None = None
-                      ) -> list[list[float]]:
+                      pq_codebooks: list[list[list[float]]] | None = None,
+                      lease_seconds: float = 3600.0,
+                      max_batch: int | None = None,
+                      steal_legacy: bool = False) -> list[list[float]]:
     """IVF maintenance: re-center a DRIFTED index. Centroids are
     digest-frozen by design (a mid-stream change would make search
     recall batch-dependent), so a stream whose vector distribution has
@@ -871,17 +983,18 @@ def retrain_ivf_index(spark: SparkSession, index_dir: str,
     idempotent over the surviving rows: cell assignments are
     recomputed FROM THE VECTORS (the stored ivf_cell is never
     trusted), duplicate ids collapse via dropDuplicates(id), and the
-    generational write deletes nothing before its pointer flip.
+    generational write deletes nothing before its pointer flip. A
+    retrain that FAILS (as opposed to a killed driver) releases its
+    maintenance lease on the way out, so the re-run works immediately
+    instead of waiting out ``lease_seconds``; ``max_batch`` bounds the
+    rewrite to batch ids at or below it (the in-stream replay
+    discipline — see compact_ivf_index).
 
     Replay note: after a retrain, a replayed source batch would write
     ``batch=<id>`` rows ASSIGNED UNDER THE NEW CENTROIDS (assignment
     is a pure function of vector and pinned centroids), which is
     exactly what the consolidated rows already are — the
     replay-idempotence contract survives the re-centering."""
-    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
-        dequantize_int8,
-        train_ivf_centroids,
-    )
     from harvesting_extract_to_ttl_service_spark.sources.files import (
         _hadoop_fs,
     )
@@ -952,11 +1065,52 @@ def retrain_ivf_index(spark: SparkSession, index_dir: str,
     )
 
     marker = f"{index_dir}/_ivf_compacting.json"
-    lease_owner = acquire_lease(spark, marker, 3600.0,
+    lease_owner = acquire_lease(spark, marker, lease_seconds,
                                 payload={"compacting": True,
-                                         "retraining": True})
+                                         "retraining": True},
+                                steal_legacy=steal_legacy)
+    try:
+        return _retrain_ivf_locked(
+            spark, index_dir, k, max_iter, tol, target_partitions,
+            pq_codebooks, max_batch, marker, lease_owner, fs, side,
+            params)
+    except BaseException:
+        # a FAILED retrain releases its lease so the documented
+        # recovery — "re-run this job" — works immediately instead of
+        # waiting out the lease; the retraining-marked sidecar keeps
+        # every crash window loud regardless
+        release_lease(spark, marker, lease_owner)
+        raise
 
+
+def _retrain_ivf_locked(spark, index_dir, k, max_iter, tol,
+                        target_partitions, pq_codebooks, max_batch,
+                        marker, lease_owner, fs, side, params
+                        ) -> list[list[float]]:
+    """Body of :func:`retrain_ivf_index` run under the maintenance
+    lease (released by the caller on any failure)."""
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        dequantize_int8,
+        train_ivf_centroids,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.generations import (  # noqa: E501
+        check_lease,
+        promote_staged,
+        release_lease,
+        staging_path,
+        sweep_staging,
+    )
+
+    quantized = params["quantized"]
+    k = k if k is not None else params["k"]
     view = _ivf_view(spark, index_dir)
+    if max_batch is not None:
+        # the in-stream discipline (run_ivf_index_stream): the CURRENT
+        # batch may replay after a crash, so it stays above the new
+        # fence — bounded out of the rewrite exactly like compact's
+        # max_batch
+        view = view._replace(
+            vis=[i for i in view.vis if i <= max_batch])
     idx = (_ivf_frames(spark, index_dir, view)  # tombstones applied
            .drop("ivf_cell").dropDuplicates(["id"]))
     if pq_codebooks is not None:
@@ -1010,8 +1164,15 @@ def retrain_ivf_index(spark: SparkSession, index_dir: str,
     state = {"generation": nxt, "segments": [0],
              "max_folded_batch": new_fence,
              "applied_dels": max([view.applied_dels] + view.dels)}
+    # owner-unique staging, promoted after a fresh ownership check —
+    # the same zombie-proof publish the compactors use
+    sweep_staging(spark, f"{index_dir}/gen={nxt}")
+    stage = staging_path(f"{index_dir}/gen={nxt}", 0, lease_owner)
     (reassigned.write.mode("overwrite").partitionBy("ivf_cell")
-     .parquet(f"{index_dir}/gen={nxt}/seg=0"))
+     .parquet(stage))
+    promote_staged(spark, marker, lease_owner,
+                   [(stage, f"{index_dir}/gen={nxt}/seg=0")])
+    check_lease(spark, marker, lease_owner)
     _write_json_sidecar(
         spark, f"{index_dir}/gen={nxt}/_manifest_seg=0.json",
         {**state, "n_folded": len(view.vis), "retrained": True})
@@ -1032,7 +1193,10 @@ def run_ivf_index_stream(vecs_stream: DataFrame, index_dir: str,
                          pq_codebooks: list[list[list[float]]] | None
                          = None, pq_residual: bool = False,
                          compact_every: int | None = None,
-                         max_segments: int = 8):
+                         max_segments: int = 8,
+                         retrain_on_drift: float | None = None,
+                         drift_check_every: int = 1,
+                         on_retrain=None):
     """Attach the IVF indexer to a streaming vector source — same
     checkpoint + batch=<id> replay contract as the dedup streams.
     ``compact_every=n`` makes the stream self-maintaining exactly like
@@ -1040,15 +1204,45 @@ def run_ivf_index_stream(vecs_stream: DataFrame, index_dir: str,
     committed batches below the current one accumulate, the callback
     runs a minor fold bounded to ``max_batch = batch_id - 1`` — the
     current batch may replay after a crash, so it is never folded from
-    inside the stream; searches are undisturbed throughout."""
+    inside the stream; searches are undisturbed throughout.
+
+    ``retrain_on_drift=r`` closes the drift loop the same way: every
+    ``drift_check_every`` batches the callback runs
+    :func:`ivf_drift_report` against the recorded training baseline
+    (``record_ivf_dispersion`` must have been run — the report fails
+    loudly otherwise), and when either dispersion ratio exceeds ``r``
+    it calls the generational :func:`retrain_ivf_index` bounded to
+    ``max_batch = batch_id - 1`` (the same replay discipline), then
+    REWRITES the current batch under the new centroids (it was
+    assigned under the old ones moments ago; its id is above the new
+    fence, so the overwrite is the normal replay path) and re-records
+    the drift baseline from the retrained index's own vectors — so
+    the next report measures against the new geometry and a
+    stationary stream never retrains twice. Searches run undisturbed
+    throughout (the retrain is a read-transparent generational
+    rewrite). FLOAT indexes only: a quantized/PQ stream refuses up
+    front (re-recording the baseline needs the raw vectors).
+    ``on_retrain(batch_id, new_centroids)`` is called after each
+    retrain — a restarted stream must be handed the CURRENT centroids
+    (read ``_ivf_params.json`` or keep the callback's last value);
+    starting it with the stale list fails loudly on the digest pin."""
+    if retrain_on_drift is not None and (quantize
+                                         or pq_codebooks is not None):
+        raise ValueError(
+            "run_ivf_index_stream: retrain_on_drift requires a FLOAT "
+            "index — re-recording the drift baseline after a retrain "
+            "needs the raw vectors, which quantized/PQ indexes do not "
+            "store; run drift reports + retrains out of band instead")
+    state = {"centroids": centroids}
 
     def batch_fn(df: DataFrame, batch_id: int) -> None:
-        ivf_index_batch(df, batch_id, index_dir, centroids, vec_col,
+        cents = state["centroids"]
+        ivf_index_batch(df, batch_id, index_dir, cents, vec_col,
                         id_col, quantize=quantize,
                         pq_codebooks=pq_codebooks,
                         pq_residual=pq_residual)
+        spark = df.sparkSession
         if compact_every is not None:
-            spark = df.sparkSession
             gen, _segs, fence, _ad = _ivf_pointer(spark, index_dir)
             eligible = [i for i in _ivf_visible_batches(
                 spark, index_dir, gen, fence) if i < batch_id]
@@ -1056,6 +1250,34 @@ def run_ivf_index_stream(vecs_stream: DataFrame, index_dir: str,
                 compact_ivf_index(spark, index_dir,
                                   max_segments=max_segments,
                                   max_batch=batch_id - 1)
+        if retrain_on_drift is not None \
+                and (batch_id + 1) % drift_check_every == 0:
+            gen, _segs, fence, _ad = _ivf_pointer(spark, index_dir)
+            eligible = [i for i in _ivf_visible_batches(
+                spark, index_dir, gen, fence) if i < batch_id]
+            # the retrain is bounded to batch_id-1, so it needs at
+            # least one covered batch (or a generation tree) to
+            # rewrite — batch 0 alone can only be measured, not folded
+            if gen >= 0 or eligible:
+                rep = ivf_drift_report(spark, index_dir, cents,
+                                       ratio_threshold=retrain_on_drift)
+                if rep["drifted"]:
+                    new_c = retrain_ivf_index(spark, index_dir,
+                                              max_batch=batch_id - 1)
+                    # the current batch was assigned under the OLD
+                    # centroids and sits above the new fence: rewrite
+                    # it under the new ones (the normal replay path)
+                    ivf_index_batch(df, batch_id, index_dir, new_c,
+                                    vec_col, id_col)
+                    state["centroids"] = new_c
+                    # re-pin the baseline to the new geometry from the
+                    # retrained index's own vectors
+                    idxv = (_ivf_frames(spark, index_dir)
+                            .select(F.col("v").alias("embedding")))
+                    record_ivf_dispersion(spark, index_dir, new_c,
+                                          idxv)
+                    if on_retrain is not None:
+                        on_retrain(batch_id, new_c)
         if on_batch is not None:
             on_batch(batch_id)
 

@@ -14,6 +14,16 @@ it; what the lease guarantees is that at most one fold COMMITS: every
 holder re-verifies ownership (:func:`check_lease`) immediately before
 its pointer flip and aborts loudly if the lease was taken, and
 :func:`release_lease` only removes a marker the caller still owns.
+Long-running holders additionally write all bulk output to
+OWNER-UNIQUE staging directories promoted (renamed) only after a
+fresh ownership check, so a zombie whose lease expired mid-write can
+never land task files inside a directory a takeover run will flip.
+
+Clock-skew assumption: lease deadlines are wall-clock times written
+by one driver and compared by another, so cross-machine clock skew
+silently shortens (or lengthens) the exclusion window — size
+``lease_seconds`` with your fleet's worst-case skew as margin (NTP
+keeps this in the low seconds; leases are minutes-to-hours).
 
 Used by streaming/lexical_stream.py (the BM25 index) and
 streaming/ann_stream.py (the IVF index)."""
@@ -77,19 +87,31 @@ def _delete_path(spark: SparkSession, path: str,
 
 def acquire_lease(spark: SparkSession, marker_path: str,
                   lease_seconds: float,
-                  payload: dict | None = None) -> str:
+                  payload: dict | None = None,
+                  steal_legacy: bool = False) -> str:
     """Take the maintenance lease at ``marker_path`` and return the
     owner token. A LIVE lease held by someone else refuses loudly. An
-    expired lease — or a bare pre-lease marker with no deadline (the
-    pre-upgrade ``{"compacting": true}`` form) — is taken over: the
-    previous holder is presumed dead and its partial work is resumed by
-    the fold's normal crash-recovery logic. ``payload`` keys (e.g.
+    expired lease is taken over: the previous holder is presumed dead
+    and its partial work is resumed by the fold's normal crash-recovery
+    logic. A bare pre-lease marker with no deadline (the pre-upgrade
+    ``{"compacting": true}`` form) REFUSES by default — during a
+    mixed-version rollout the pre-upgrade compactor that wrote it may
+    be genuinely still running, and there is no deadline to say
+    otherwise; pass ``steal_legacy=True`` only after verifying no
+    pre-upgrade job is alive. ``payload`` keys (e.g.
     ``compacting``/``folding_through``) ride in the same marker file so
     ingest keeps reading them from the one place it always has."""
     now = time.time()
     cur = _read_json_sidecar(spark, marker_path)
     if cur is not None:
         deadline = cur.get("deadline")
+        if deadline is None and not steal_legacy:
+            raise ValueError(
+                f"maintenance marker at {marker_path} has no lease "
+                f"deadline — it was written by a pre-lease version, "
+                f"and the job that wrote it may still be running. "
+                f"Verify no pre-upgrade maintenance job is alive, then "
+                f"re-run with steal_legacy=True to take it over")
         if deadline is not None and float(deadline) > now:
             raise ValueError(
                 f"maintenance lease at {marker_path} is held by owner "
@@ -133,6 +155,66 @@ def refresh_lease(spark: SparkSession, marker_path: str, owner: str,
         spark, marker_path,
         {**(payload or {}), "owner": owner,
          "deadline": time.time() + float(lease_seconds)})
+
+
+def staging_path(parent: str, ts: int, owner: str) -> str:
+    """Owner-unique staging directory for a fold's bulk output: the
+    fold WRITES here and only RENAMES to ``seg=<ts>`` after a fresh
+    ownership check (:func:`promote_staged`), so a zombie compactor
+    whose lease expired mid-write commits its task files into ITS OWN
+    staging dir — never into the directory a takeover run will flip.
+    The leading underscore keeps Hadoop/Spark listings from ever
+    treating it as data."""
+    return f"{parent}/_stage_seg={ts}_{owner}"
+
+
+def sweep_staging(spark: SparkSession, *parents: str) -> None:
+    """Delete stale ``_stage_*`` directories under each parent — dead
+    fold attempts whose owner lost the lease (or crashed) before
+    promoting. Safe while a zombie is still writing to one: the
+    zombie's later write may recreate garbage there, but it can never
+    promote (its pre-rename ownership check fails), and the next sweep
+    removes it again. Only the current lease holder calls this."""
+    from harvesting_extract_to_ttl_service_spark.sources.files import (
+        _hadoop_fs,
+    )
+
+    for parent in parents:
+        fs, _ = _hadoop_fs(spark, parent)
+        p = spark._jvm.org.apache.hadoop.fs.Path(parent)
+        if not fs.exists(p):
+            continue
+        for st in fs.listStatus(p):
+            if st.getPath().getName().startswith("_stage_"):
+                fs.delete(st.getPath(), True)
+
+
+def promote_staged(spark: SparkSession, marker_path: str, owner: str,
+                   renames: list[tuple[str, str]]) -> None:
+    """Atomically-enough publish a fold's staged output: verify the
+    caller STILL owns the lease, then rename each ``(staged, final)``
+    pair into place. A holder that lost its lease aborts here — its
+    staging dirs become garbage the next holder's sweep removes — so
+    a takeover's final directories can never receive a zombie's
+    files. The residual window is one marker read before a
+    millisecond-scale rename, the same read-then-write window the
+    lease's docstring already documents."""
+    from harvesting_extract_to_ttl_service_spark.sources.files import (
+        _hadoop_fs,
+    )
+
+    check_lease(spark, marker_path, owner)
+    for src, dst in renames:
+        fs, _ = _hadoop_fs(spark, src)
+        jpath = spark._jvm.org.apache.hadoop.fs.Path
+        d = jpath(dst)
+        if fs.exists(d):
+            fs.delete(d, True)
+        if not fs.rename(jpath(src), d):
+            raise ValueError(
+                f"promote_staged: rename {src} -> {dst} failed — the "
+                f"filesystem refused the move; the staged output is "
+                f"intact, re-run the fold to retry")
 
 
 def release_lease(spark: SparkSession, marker_path: str,

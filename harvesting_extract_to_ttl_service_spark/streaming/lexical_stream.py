@@ -52,17 +52,21 @@ directory-level:
   N/avgdl. A replayed batch overwrites both directories byte-identically
   (tokenization is deterministic), so crash/retry of the writing job
   needs no coordination.
-* **Compaction is read-transparent AND O(new data)** (tiered
-  generation scheme): a minor fold writes the unfolded batch dirs into
-  one NEW segment of the current generation while searches keep
-  reading exactly the segment/batch trees the pointer names — none of
-  which the fold touches — then flips the one-file
+* **Compaction is read-transparent AND never O(index) unless asked**
+  (size-tiered generation scheme): a minor fold writes the unfolded
+  batch dirs into one NEW segment of the current generation while
+  searches keep reading exactly the segment/batch trees the pointer
+  names — none of which the fold touches — then flips the one-file
   ``_bm25_generation.json`` pointer and only afterwards deletes the
-  superseded trees; a major fold (``full=True`` / segment-count
-  threshold) merges everything into ``gen=<g+1>/seg=0`` and physically
-  applies the tombstones. A search resolves the pointer once and reads
-  a consistent snapshot throughout; one compactor at a time is
-  enforced by an expiring lease (streaming/generations.py).
+  superseded trees; past the segment-count threshold the fold turns
+  TIERED (the smallest half of the segments merge with the batches,
+  the large half untouched); only ``full=True`` merges everything
+  into ``gen=<g+1>/seg=0`` and physically applies the tombstones. A
+  search resolves the pointer once and reads a consistent snapshot
+  throughout; one compactor at a time is enforced by an expiring
+  lease (streaming/generations.py), and every fold's bulk output is
+  written to an owner-unique staging dir promoted only after a fresh
+  ownership check.
 * **Deletion is logical-then-physical** (:func:`bm25_delete_docs`):
   committed tombstone batches anti-join out of every probed posting
   set (tf and df drop immediately) and subtract a signed one-row
@@ -199,7 +203,10 @@ class _IndexView(NamedTuple):
     read ONCE per query so no two reads of one plan can straddle a
     concurrent pointer flip. ``segments is None`` marks the legacy
     pre-segment layout (a single flat tree directly under
-    ``gen=<g>/postings``)."""
+    ``gen=<g>/postings``). ``seg_stats`` is the pointer's per-segment
+    ``(n_docs, sum_dl)`` snapshot (None on pre-snapshot pointers) —
+    when it covers every named segment, :func:`_read_index_stats`
+    skips the segment-stats parquet read entirely."""
 
     gen: int
     segments: list | None
@@ -207,19 +214,30 @@ class _IndexView(NamedTuple):
     applied_dels: int
     vis: list
     dels: list
+    seg_stats: dict | None
 
 
-def _pointer(spark: SparkSession,
-             index_dir: str) -> tuple[int, list | None, int, int]:
-    """(generation, segments, max_folded_batch, applied_dels): the
-    index's one-file read pointer. Generation −1 = no consolidated
-    tree (all data lives in batch dirs); ``segments`` None = a legacy
-    flat generation tree (pre-segment fold) or no tree at all;
-    ``applied_dels`` = the highest tombstone id a full fold has
+def _parse_seg_stats(raw) -> dict | None:
+    """Pointer/manifest form ``{"<seg>": [n_docs, sum_dl], …}`` →
+    ``{seg: (n, dl)}``; None when the snapshot is absent (pre-upgrade
+    pointers fall back to the segment stats parquet)."""
+    if raw is None:
+        return None
+    return {int(k): (int(v[0]), int(v[1])) for k, v in raw.items()}
+
+
+def _pointer(spark: SparkSession, index_dir: str
+             ) -> tuple[int, list | None, int, int, dict | None]:
+    """(generation, segments, max_folded_batch, applied_dels,
+    seg_stats): the index's one-file read pointer. Generation −1 = no
+    consolidated tree (all data lives in batch dirs); ``segments``
+    None = a legacy flat generation tree (pre-segment fold) or no tree
+    at all; ``applied_dels`` = the highest tombstone id a full fold has
     physically applied (readers ignore those del dirs — they may
-    linger until cleanup). Falls back to the pre-generation
-    ``_bm25_compaction.json`` fence for indexes last compacted by the
-    legacy batch=-1 fold."""
+    linger until cleanup); ``seg_stats`` = the fold-time cumulative
+    stats snapshot per segment (None on pre-snapshot pointers). Falls
+    back to the pre-generation ``_bm25_compaction.json`` fence for
+    indexes last compacted by the legacy batch=-1 fold."""
     from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
         _read_json_sidecar,
     )
@@ -230,12 +248,13 @@ def _pointer(spark: SparkSession,
         return (int(ptr["generation"]),
                 None if segs is None else sorted(int(s) for s in segs),
                 int(ptr["max_folded_batch"]),
-                int(ptr.get("applied_dels", -1)))
+                int(ptr.get("applied_dels", -1)),
+                _parse_seg_stats(ptr.get("seg_stats")))
     legacy = _read_json_sidecar(spark,
                                 f"{index_dir}/_bm25_compaction.json")
     if legacy is not None:
-        return -1, None, int(legacy.get("max_folded_batch", -1)), -1
-    return -1, None, -1, -1
+        return -1, None, int(legacy.get("max_folded_batch", -1)), -1, None
+    return -1, None, -1, -1, None
 
 
 def _visible_batch_ids(spark: SparkSession, index_dir: str,
@@ -296,11 +315,11 @@ def _index_view(spark: SparkSession, index_dir: str) -> _IndexView:
     """Resolve the pointer, visible batch set and active tombstone set
     ONCE per search, so no two reads of one query can straddle a
     concurrent pointer flip."""
-    gen, segments, fence, applied = _pointer(spark, index_dir)
+    gen, segments, fence, applied, seg_stats = _pointer(spark, index_dir)
     return _IndexView(
         gen, segments, fence, applied,
         _visible_batch_ids(spark, index_dir, gen, fence),
-        _visible_del_ids(spark, index_dir, applied))
+        _visible_del_ids(spark, index_dir, applied), seg_stats)
 
 
 def _postings_frames(spark: SparkSession, index_dir: str,
@@ -350,21 +369,75 @@ def _tombstones(spark: SparkSession, index_dir: str,
         *[f"{root}/del={d}" for d in view.dels]).select("id", "dl")
 
 
+def _size_conf_bytes(spark: SparkSession) -> int:
+    """``spark.sql.autoBroadcastJoinThreshold`` as bytes (−1 = never
+    broadcast) — the same knob Spark's planner keys broadcast
+    decisions on, so the tombstone join's mode matches what the
+    cluster is sized for. Accepts the numeric and suffixed (k/m/g[b])
+    forms the conf takes."""
+    raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
+                             "10485760")).strip().lower()
+    mult = 1
+    for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                   ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                   ("b", 1)):
+        if raw.endswith(suf):
+            raw, mult = raw[:-len(suf)], m
+            break
+    try:
+        return int(float(raw) * mult)
+    except ValueError:
+        return 10485760
+
+
+def _dels_bytes(spark: SparkSession, index_dir: str,
+                dels: list[int]) -> int:
+    """Total on-disk bytes of the active tombstone batches — one
+    driver-side content summary per del dir (a listing, no data job) —
+    the size signal the anti-join mode switches on."""
+    from harvesting_extract_to_ttl_service_spark.sources.files import (
+        _hadoop_fs,
+    )
+
+    fs, _ = _hadoop_fs(spark, index_dir)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    return sum(fs.getContentSummary(
+        jpath(f"{index_dir}/tombstones/del={d}")).getLength()
+        for d in dels)
+
+
+def _anti_join_dels(df: DataFrame, spark: SparkSession, index_dir: str,
+                    view: _IndexView, tomb_ids: DataFrame) -> DataFrame:
+    """Anti-join the active tombstone ids out of ``df`` — BROADCAST
+    while the del batches' bytes sit under the session's
+    autoBroadcastJoinThreshold (the common case: deletion sets small
+    next to the corpus), shuffle anti-join beyond it (mass dedup of a
+    near-dup-heavy crawl can tombstone hundreds of millions of ids — a
+    forced broadcast would OOM every executor). The size signal is the
+    del dirs' byte total from the filesystem listing — no count job."""
+    if _dels_bytes(spark, index_dir, view.dels) \
+            <= _size_conf_bytes(spark):
+        tomb_ids = F.broadcast(tomb_ids)
+    return df.join(tomb_ids, "id", "left_anti")
+
+
 def _read_pruned_postings(spark: SparkSession, index_dir: str,
                           terms_: list[str], n_buckets: int,
                           view: _IndexView) -> DataFrame:
     """The index read every search path shares: bucket IN-list from the
     driver-side term hashes (directory pruning on every tree in the
     view), the term IN-list (parquet pushed filter), then the tombstone
-    anti-join (broadcast — deletion sets are small next to the corpus)
-    so deleted documents drop out of tf AND df before any scoring."""
+    anti-join (broadcast below the autoBroadcastJoinThreshold, shuffle
+    anti-join above — :func:`_anti_join_dels`) so deleted documents
+    drop out of tf AND df before any scoring."""
     ps = _postings_frames(spark, index_dir, view)
     buckets = sorted({term_bucket_py(t, n_buckets) for t in terms_})
     ps = (ps.filter(F.col("bucket").isin(buckets))
           .filter(F.col("term").isin(terms_)))
     tomb = _tombstones(spark, index_dir, view)
     if tomb is not None:
-        ps = ps.join(F.broadcast(tomb.select("id")), "id", "left_anti")
+        ps = _anti_join_dels(ps, spark, index_dir, view,
+                             tomb.select("id"))
     return ps
 
 
@@ -383,11 +456,25 @@ def _read_index_stats(spark: SparkSession, index_dir: str,
                 spark.read.parquet(f"{index_dir}/gen={view.gen}/stats")
                 .select("n_docs", "sum_dl"))
         elif view.segments:
-            root = f"{index_dir}/gen={view.gen}/stats"
-            frames.append(
-                spark.read.parquet(
-                    *[f"{root}/seg={s}" for s in view.segments])
-                .select("n_docs", "sum_dl"))
+            snap = view.seg_stats
+            if snap is not None and all(s in snap
+                                        for s in view.segments):
+                # the pointer carries every segment's fold-time
+                # (n_docs, sum_dl) snapshot: the segment contribution
+                # is a driver-side sum — parquet is read only for the
+                # unfolded batches (usually a handful), shaving the
+                # per-search fixed cost of one scan per segment
+                n = sum(snap[s][0] for s in view.segments)
+                dl = sum(snap[s][1] for s in view.segments)
+                frames.append(spark.range(1).select(
+                    F.lit(n).cast("long").alias("n_docs"),
+                    F.lit(dl).cast("long").alias("sum_dl")))
+            else:
+                root = f"{index_dir}/gen={view.gen}/stats"
+                frames.append(
+                    spark.read.parquet(
+                        *[f"{root}/seg={s}" for s in view.segments])
+                    .select("n_docs", "sum_dl"))
     if view.vis:
         root = f"{index_dir}/stats"
         frames.append(spark.read.option("basePath", root)
@@ -482,17 +569,20 @@ def bm25_index_batch(docs: DataFrame, batch_id: int, index_dir: str,
         # batch the fold may be reading right now must refuse (the
         # overwrite would race the fold's scan: silent data loss in
         # the consolidated tree). A marker without the snapshot yet
-        # (the fold is still listing) refuses conservatively.
+        # (the fold is still listing — or a DELETE holds the lease,
+        # whose postings harvest a replay could equally race) refuses
+        # conservatively.
         through = marker.get("folding_through")
         if through is None or batch_id <= through:
+            kind = ("deleting" if marker.get("deleting")
+                    else f"compacting through batch {through}")
             raise ValueError(
-                f"bm25_index_batch: index at {index_dir} is compacting"
-                f" through batch {through} — batch {batch_id} is (or "
-                f"may be) part of the running fold, and rewriting it "
-                f"would race the fold's scan; re-run it after the "
-                f"compaction finishes (fresh higher batch ids and all "
-                f"searches are unaffected)")
-    _gen, _segs, fence, _applied = _pointer(spark, index_dir)
+                f"bm25_index_batch: index at {index_dir} is {kind} — "
+                f"batch {batch_id} is (or may be) inside the running "
+                f"maintenance job's scan, and rewriting it would race "
+                f"that scan; re-run it after the job finishes (fresh "
+                f"higher batch ids and all searches are unaffected)")
+    _gen, _segs, fence, _applied, _snap = _pointer(spark, index_dir)
     if batch_id <= fence:
         raise ValueError(
             f"bm25_index_batch: batch {batch_id} was already folded "
@@ -751,7 +841,7 @@ def run_bm25_index_stream(docs_stream: DataFrame, index_dir: str,
         if compact_every is None:
             return
         spark = batch_df.sparkSession
-        gen, _segs, fence, _applied = _pointer(spark, index_dir)
+        gen, _segs, fence, _applied, _snap = _pointer(spark, index_dir)
         eligible = [i for i in
                     _visible_batch_ids(spark, index_dir, gen, fence)
                     if i < batch_id]
@@ -770,7 +860,9 @@ def run_bm25_index_stream(docs_stream: DataFrame, index_dir: str,
 
 
 def bm25_delete_docs(spark: SparkSession, index_dir: str,
-                     doc_ids: list, n_buckets: int = 64) -> int:
+                     doc_ids: list, n_buckets: int = 64,
+                     lease_seconds: float = 600.0,
+                     steal_legacy: bool = False) -> int:
     """Delete documents from the persisted index — the operation a real
     pipeline hits early (dedup-after-ingest losers, takedowns, corpus
     refreshes) that an append-only index cannot express. Logical-then-
@@ -789,11 +881,13 @@ def bm25_delete_docs(spark: SparkSession, index_dir: str,
       (the additive stats design runs on signed sums) — so
       search-after-delete equals an index REBUILT without the docs,
       row for row (the parity the tests pin).
-    * A MAJOR compaction (``compact_bm25_index(full=True)`` or the
-      segment-threshold trigger) applies the deletes physically:
-      tombstoned postings drop out of the new generation, the folded
-      stats subtract them, and the pointer's ``applied_dels`` retires
-      the del dirs. MINOR folds leave tombstones logical.
+    * A FULL compaction (``compact_bm25_index(full=True)``) applies
+      the deletes physically: tombstoned postings drop out of the new
+      generation, the folded stats subtract them, and the pointer's
+      ``applied_dels`` retires the del dirs. MINOR and TIERED folds
+      leave tombstones logical (a partial merge cannot apply a
+      tombstone whose postings may also live in an untouched
+      segment).
     * Replay fence interaction: a replayed source batch containing a
       deleted doc rewrites its postings, but the tombstone still
       anti-joins them — the doc is NOT resurrected (pinned by test).
@@ -803,14 +897,61 @@ def bm25_delete_docs(spark: SparkSession, index_dir: str,
     ``(id, dl)`` rows are harvested from the postings themselves — one
     scan with a pushed id IN-filter; it reads all buckets, the
     documented cost of deleting from a term-bucketed layout). Returns
-    the number of documents newly tombstoned. Refuses while a
-    compaction marker is up — a delete mid-fold could race the fold's
-    stats snapshot; re-run it after the fold."""
+    the number of documents newly tombstoned. Deletes hold the SAME
+    expiring maintenance lease as the compactor
+    (``_bm25_compacting.json``, payload ``deleting``): a delete
+    mid-fold could race the fold's stats snapshot, and two concurrent
+    deletes could pick the same ``del=<d>`` slot and silently lose the
+    first writer's tombstones — the lease excludes both. Ingest
+    refuses while a delete holds the marker (it has no
+    ``folding_through`` snapshot, the conservative branch); deletes
+    are seconds, not hours, so ``lease_seconds`` defaults short. The
+    id list is driver-side — bounded by the deletion set; for
+    corpus-scale deletion sets use :func:`bm25_delete_docs_df`."""
+    ids = list(dict.fromkeys(doc_ids))
+    if not ids:
+        return 0
+    return _delete_docs(spark, index_dir, ids, None, n_buckets,
+                        lease_seconds, steal_legacy)
+
+
+def bm25_delete_docs_df(spark: SparkSession, index_dir: str,
+                        ids_df: DataFrame, id_col: str = "id",
+                        n_buckets: int = 64,
+                        lease_seconds: float = 600.0,
+                        steal_legacy: bool = False) -> int:
+    """DataFrame-native twin of :func:`bm25_delete_docs` — the
+    corpus-scale deletion path: the doomed id set stays distributed
+    end to end (no driver-side collect, no forced broadcast), so a
+    deletion set of hundreds of millions of ids (mass dedup of a
+    near-dup-heavy crawl) writes its tombstone batch as one shuffle
+    job. The already-tombstoned dedup and the postings harvest are
+    plain joins Spark's planner (AQE) sizes itself; search-side
+    anti-joins switch from broadcast to shuffle automatically once the
+    del batches outgrow the autoBroadcastJoinThreshold
+    (:func:`_anti_join_dels`). Same lease, slot, visibility and
+    double-delete semantics as the list form; returns the count newly
+    tombstoned."""
+    return _delete_docs(
+        spark, index_dir, None,
+        ids_df.select(F.col(id_col).alias("id")).distinct(),
+        n_buckets, lease_seconds, steal_legacy)
+
+
+def _delete_docs(spark: SparkSession, index_dir: str,
+                 ids: list | None, ids_df: DataFrame | None,
+                 n_buckets: int, lease_seconds: float,
+                 steal_legacy: bool) -> int:
+    """Shared tombstone-write core of :func:`bm25_delete_docs` (pushed
+    IN-filter fast path for small driver-side lists) and
+    :func:`bm25_delete_docs_df` (distributed joins for corpus-scale
+    sets)."""
     from harvesting_extract_to_ttl_service_spark.sources.files import (
         _hadoop_fs,
     )
     from harvesting_extract_to_ttl_service_spark.streaming.generations import (  # noqa: E501
-        _read_json_sidecar,
+        acquire_lease,
+        release_lease,
     )
 
     params = _read_params(spark, index_dir)
@@ -820,62 +961,74 @@ def bm25_delete_docs(spark: SparkSession, index_dir: str,
         spark, index_dir, n_buckets,
         positional=bool(params.get("positional", False)),
         fields=params.get("fields"))
-    if _read_json_sidecar(spark, f"{index_dir}/_bm25_compacting.json"):
-        raise ValueError(
-            f"bm25_delete_docs: index at {index_dir} is compacting — a "
-            f"delete landing mid-fold could race the fold's stats "
-            f"snapshot; re-run the delete after the compaction "
-            f"finishes (searches honor it immediately then)")
-    ids = list(dict.fromkeys(doc_ids))
-    if not ids:
-        return 0
-    view = _index_view(spark, index_dir)
-    tomb = _tombstones(spark, index_dir, view)
-    if tomb is not None:
-        already = {r["id"] for r in
-                   tomb.select("id").filter(F.col("id").isin(ids))
-                   .distinct().collect()}
-        ids = [i for i in ids if i not in already]
-        if not ids:
-            return 0
-    ps = _postings_frames(spark, index_dir, view)
-    doomed = (ps.filter(F.col("id").isin(ids))
-              .groupBy("id").agg(F.first("dl").alias("dl")))
-    fs, _ = _hadoop_fs(spark, index_dir)
-    jpath = spark._jvm.org.apache.hadoop.fs.Path
-    committed, uncommitted = [], []
-    troot = jpath(f"{index_dir}/tombstones")
-    if fs.exists(troot):
-        for st in fs.listStatus(troot):
-            name = st.getPath().getName()
-            if not name.startswith("del="):
-                continue
-            d = int(name.split("=", 1)[1])
-            if d <= view.applied_dels:
-                continue  # retired slot awaiting cleanup — never reuse
-            ok = fs.exists(
-                jpath(f"{index_dir}/tombstones/del={d}/_SUCCESS"))
-            (committed if ok else uncommitted).append(d)
-    # reuse the lowest uncommitted slot (a crashed delete retries into
-    # the same dir), else the next id — always ABOVE the pointer's
-    # applied_dels watermark (ids at or below it are invisible by
-    # definition: the watermark means "physically applied")
-    nxt = (min(uncommitted) if uncommitted
-           else (max(committed) + 1 if committed else 0))
-    nxt = max(nxt, view.applied_dels + 1)
-    out = f"{index_dir}/tombstones/del={nxt}"
-    doomed.coalesce(1).write.mode("overwrite").parquet(out)
-    if not fs.exists(jpath(f"{out}/_SUCCESS")):
-        raise ValueError(
-            f"bm25_delete_docs: the committer wrote {out} WITHOUT a "
-            f"_SUCCESS marker — readers gate tombstone visibility on "
-            f"it. Set mapreduce.fileoutputcommitter."
-            f"marksuccessfuljobs=true and re-run")
-    n = spark.read.parquet(out).count()
-    if n == 0:
-        # none of the ids exist in the index — retract the empty batch
-        fs.delete(jpath(out), True)
-    return n
+    marker = f"{index_dir}/_bm25_compacting.json"
+    owner = acquire_lease(spark, marker, lease_seconds,
+                          payload={"deleting": True},
+                          steal_legacy=steal_legacy)
+    try:
+        view = _index_view(spark, index_dir)
+        tomb = _tombstones(spark, index_dir, view)
+        if ids is not None:
+            if tomb is not None:
+                already = {r["id"] for r in
+                           tomb.select("id").filter(F.col("id").isin(ids))
+                           .distinct().collect()}
+                ids = [i for i in ids if i not in already]
+                if not ids:
+                    return 0
+            ps = _postings_frames(spark, index_dir, view)
+            doomed = (ps.filter(F.col("id").isin(ids))
+                      .groupBy("id").agg(F.first("dl").alias("dl")))
+        else:
+            if tomb is not None:
+                ids_df = _anti_join_dels(ids_df, spark, index_dir,
+                                         view, tomb.select("id"))
+            ps = _postings_frames(spark, index_dir, view)
+            doomed = (ps.join(ids_df, "id", "left_semi")
+                      .groupBy("id").agg(F.first("dl").alias("dl")))
+        fs, _ = _hadoop_fs(spark, index_dir)
+        jpath = spark._jvm.org.apache.hadoop.fs.Path
+        committed, uncommitted = [], []
+        troot = jpath(f"{index_dir}/tombstones")
+        if fs.exists(troot):
+            for st in fs.listStatus(troot):
+                name = st.getPath().getName()
+                if not name.startswith("del="):
+                    continue
+                d = int(name.split("=", 1)[1])
+                if d <= view.applied_dels:
+                    continue  # retired slot awaiting cleanup — never
+                    # reuse
+                ok = fs.exists(
+                    jpath(f"{index_dir}/tombstones/del={d}/_SUCCESS"))
+                (committed if ok else uncommitted).append(d)
+        # reuse the lowest uncommitted slot (a crashed delete retries
+        # into the same dir), else the next id — always ABOVE the
+        # pointer's applied_dels watermark (ids at or below it are
+        # invisible by definition: the watermark means "physically
+        # applied"). Slot uniqueness is lease-guaranteed: no other
+        # delete can run between this listing and the write below
+        nxt = (min(uncommitted) if uncommitted
+               else (max(committed) + 1 if committed else 0))
+        nxt = max(nxt, view.applied_dels + 1)
+        out = f"{index_dir}/tombstones/del={nxt}"
+        if ids is not None:
+            doomed = doomed.coalesce(1)  # tiny by contract
+        doomed.write.mode("overwrite").parquet(out)
+        if not fs.exists(jpath(f"{out}/_SUCCESS")):
+            raise ValueError(
+                f"bm25_delete_docs: the committer wrote {out} WITHOUT "
+                f"a _SUCCESS marker — readers gate tombstone "
+                f"visibility on it. Set mapreduce.fileoutputcommitter."
+                f"marksuccessfuljobs=true and re-run")
+        n = spark.read.parquet(out).count()
+        if n == 0:
+            # none of the ids exist in the index — retract the empty
+            # batch
+            fs.delete(jpath(out), True)
+        return n
+    finally:
+        release_lease(spark, marker, owner)
 
 
 def delete_dedup_losers(spark: SparkSession, labels: DataFrame,
@@ -897,25 +1050,30 @@ def delete_dedup_losers(spark: SparkSession, labels: DataFrame,
     deleted counts can be lower: ids already tombstoned or never
     indexed are no-ops, so re-running after adding batches is safe).
 
-    The loser id set is collected driver-side — bounded by the
-    duplicate count, the same small-relative-to-corpus assumption the
-    tombstone anti-join broadcasts under. A corpus that is MOSTLY
-    duplicates should be rebuilt from the keep-one survivors instead
-    of deleted down (the docstring contract of bm25_delete_docs)."""
-    losers = [r["id"] for r in
-              labels.filter(F.col(id_col) != F.col(component_col))
-              .select(F.col(id_col).alias("id")).collect()]
-    out = {"losers": len(losers)}
+    The loser id set stays DISTRIBUTED end to end — it flows through
+    :func:`bm25_delete_docs_df` / ``ann_stream.ivf_delete_vecs_df``
+    as a DataFrame (no driver-side collect), so mass dedup of a
+    near-dup-heavy crawl whose losers number in the hundreds of
+    millions still deletes in one shuffle job per index; search-side
+    tombstone anti-joins switch from broadcast to shuffle once the
+    del batches outgrow the autoBroadcastJoinThreshold. The only
+    driver-side number is the loser COUNT in the return value. A
+    corpus that is MOSTLY duplicates is still better rebuilt from the
+    keep-one survivors than deleted down (less tombstone mass for
+    every later search to subtract)."""
+    losers = (labels.filter(F.col(id_col) != F.col(component_col))
+              .select(F.col(id_col).alias("id")).distinct())
+    out = {"losers": losers.count()}
     if bm25_index_dir is not None:
-        out["bm25_deleted"] = bm25_delete_docs(
+        out["bm25_deleted"] = bm25_delete_docs_df(
             spark, bm25_index_dir, losers, n_buckets=n_buckets)
     if ivf_index_dir is not None:
         from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (  # noqa: E501
-            ivf_delete_vecs,
+            ivf_delete_vecs_df,
         )
 
-        out["ivf_deleted"] = ivf_delete_vecs(spark, ivf_index_dir,
-                                             losers)
+        out["ivf_deleted"] = ivf_delete_vecs_df(spark, ivf_index_dir,
+                                                losers)
     return out
 
 
@@ -928,7 +1086,8 @@ def compact_bm25_index(spark: SparkSession, index_dir: str,
                        retain_old: bool = False,
                        full: bool = False, max_segments: int = 8,
                        lease_seconds: float = 3600.0,
-                       max_batch: int | None = None) -> int:
+                       max_batch: int | None = None,
+                       steal_legacy: bool = False) -> int:
     """Fold the per-batch posting/stats directories into the
     consolidated generation tree, then flip the one-file read pointer —
     the small-files maintenance job a long-running ingest stream needs,
@@ -937,22 +1096,33 @@ def compact_bm25_index(spark: SparkSession, index_dir: str,
     nothing to do, or a resumed run that only had to finish a previous
     fold's flip/cleanup).
 
-    **Tiered (segmented) folds — cost O(new data), not O(index).** A
-    generation holds multiple SEGMENT trees
+    **Tiered (segmented) folds — no fold is ever O(index) unless
+    asked for.** A generation holds multiple SEGMENT trees
     (``gen=<g>/postings/seg=<s>/bucket=…`` plus one stats row per
     segment). The default fold is MINOR: it merges ONLY the unfolded
     batch dirs into one NEW segment of the current generation — the
     existing segments are never read or rewritten, so fold bytes track
     the new batches' bytes, not the index (SCALE.md's foldbytes probe
-    measures it). A MAJOR fold — ``full=True``, or automatic once the
-    segment count would exceed ``max_segments``, or forced as the
-    migration when the index still has the pre-segment flat layout —
-    merges all segments plus the batch dirs into ``seg=0`` of
+    measures it). Once the segment count would exceed ``max_segments``
+    the fold turns TIERED (size-tiered merging, the LSM convention):
+    it merges the smallest half of the existing segments — by on-disk
+    byte size, the classic merge-candidate policy — together with the
+    batch dirs into one new segment of the SAME generation; the large
+    segments are never touched, so fold cost tracks the small tier,
+    not the index (with the count capped at a constant ``k`` segments
+    this is the theoretically optimal ladder: amortized write
+    amplification grows only as N^(1/k), vs a full rewrite every
+    crossing before). A MAJOR fold — ``full=True`` only, or forced as
+    the migration when the index still has the pre-segment flat
+    layout — merges all segments plus the batch dirs into ``seg=0`` of
     generation ``g+1``, physically APPLIES the tombstones
-    (:func:`bm25_delete_docs`) and retires their del dirs. Search
-    unions the pointer's segment list exactly like it unions batch
-    dirs, so serving cost grows by one directory per segment, bounded
-    by ``max_segments``.
+    (:func:`bm25_delete_docs`) and retires their del dirs; tiered and
+    minor folds leave tombstones logical (a partial merge cannot apply
+    a tombstone whose postings may also live in an untouched segment
+    without splitting its stats correction). Search unions the
+    pointer's segment list exactly like it unions batch dirs, so
+    serving cost grows by one directory per segment, bounded by
+    ``max_segments``.
 
     Read transparency: searches resolve ``_bm25_generation.json`` once
     and then read exactly the segment/batch trees it names — trees
@@ -984,11 +1154,16 @@ def compact_bm25_index(spark: SparkSession, index_dir: str,
 
     1. lease acquired (ingest replays fenced once the snapshot
        publishes);
-    2. fold written to its target segment — invisible, no pointer
-       names it;
-    3. ``gen=<tg>/_manifest_seg=<ts>.json`` written LAST records the
-       complete post-flip pointer state; its existence marks the fold
-       complete;
+    2. fold written to an OWNER-UNIQUE staging dir
+       (``_stage_seg=<ts>_<owner>`` — generations.staging_path), then
+       PROMOTED (renamed) to its target segment only after a fresh
+       ownership check, so a zombie fold whose lease expired mid-write
+       can never land task files inside the directory a takeover run
+       will flip (its stage dir is garbage the next holder sweeps);
+       the promoted segment is still invisible — no pointer names it;
+    3. ``gen=<tg>/_manifest_seg=<ts>.json`` written LAST (behind one
+       more ownership check) records the complete post-flip pointer
+       state; its existence marks the fold complete;
     4. pointer flip (one-file overwrite — THE commit point);
     5. delete superseded trees (stats side first so a batch's
        visibility drops before its data does);
@@ -1029,8 +1204,11 @@ def compact_bm25_index(spark: SparkSession, index_dir: str,
         _write_json_sidecar,
         acquire_lease,
         check_lease,
+        promote_staged,
         refresh_lease,
         release_lease,
+        staging_path,
+        sweep_staging,
     )
 
     params = _read_params(spark, index_dir)
@@ -1043,18 +1221,20 @@ def compact_bm25_index(spark: SparkSession, index_dir: str,
     jpath = spark._jvm.org.apache.hadoop.fs.Path
     marker = f"{index_dir}/_bm25_compacting.json"
     owner = acquire_lease(spark, marker, lease_seconds,
-                          payload={"compacting": True})
+                          payload={"compacting": True},
+                          steal_legacy=steal_legacy)
 
     def _done(n: int) -> int:
         release_lease(spark, marker, owner)
         return n
 
-    gen, segments, fence, applied = _pointer(spark, index_dir)
+    gen, segments, fence, applied, snap = _pointer(spark, index_dir)
 
     # resume a crashed fold that already completed its write: the
     # legacy (pre-segment) single-tree manifest first, then the two
-    # segmented candidates — the pending minor (next segment of this
-    # generation) and the pending major (seg 0 of the next generation)
+    # segmented candidates — the pending minor/tiered (next segment of
+    # this generation) and the pending major (seg 0 of the next
+    # generation)
     man = _read_json_sidecar(spark,
                              f"{index_dir}/gen={gen + 1}/_manifest.json")
     if man is not None:
@@ -1076,6 +1256,7 @@ def compact_bm25_index(spark: SparkSession, index_dir: str,
             state = {k: man[k] for k in
                      ("generation", "segments", "max_folded_batch",
                       "applied_dels")}
+            state["seg_stats"] = man.get("seg_stats")
             check_lease(spark, marker, owner)
             _flip(spark, index_dir, state)
             if not retain_old:
@@ -1092,6 +1273,12 @@ def compact_bm25_index(spark: SparkSession, index_dir: str,
                 p = jpath(f"{index_dir}/gen={tg}/{side}/seg={ts}")
                 if fs.exists(p):
                     fs.delete(p, True)
+    # dead fold attempts that never promoted: owner-unique _stage_*
+    # dirs under either candidate generation's postings/stats parents
+    sweep_staging(spark,
+                  *[f"{index_dir}/gen={tg}/{side}"
+                    for tg, _ts in candidates
+                    for side in ("postings", "stats")])
     if not retain_old:
         # leftovers of an EARLIER completed compaction whose cleanup
         # crashed (or ran with retain_old): everything below the
@@ -1104,8 +1291,9 @@ def compact_bm25_index(spark: SparkSession, index_dir: str,
     if max_batch is not None:
         vis = [i for i in vis if i <= max_batch]
     dels = _visible_del_ids(spark, index_dir, applied)
-    major = (full or gen < 0 or segments is None
-             or len(segments) + 1 > max_segments)
+    major = full or gen < 0 or segments is None
+    tiered = (not major) and bool(segments) \
+        and len(segments) + 1 > max_segments
     if major:
         # never a gratuitous rewrite: a major no-ops when there is
         # nothing at all to read, and (without full=True) when there
@@ -1146,19 +1334,23 @@ def compact_bm25_index(spark: SparkSession, index_dir: str,
     refresh_lease(spark, marker, owner, lease_seconds,
                   payload={"compacting": True,
                            "folding_through": new_fence})
+    import math
+
+    merged: list[int] = []
     if major:
         tg, ts = (gen + 1 if gen >= 0 else 0), 0
         state = {"generation": tg, "segments": [0],
                  "max_folded_batch": new_fence,
                  "applied_dels": max([applied] + dels)}
-        src_view = _IndexView(gen, segments, fence, applied, vis, dels)
+        src_view = _IndexView(gen, segments, fence, applied, vis, dels,
+                              snap)
         src = _postings_frames(spark, index_dir, src_view)
         tomb = _tombstones(spark, index_dir, src_view)
         if tomb is not None:
             # the physical apply: tombstoned docs drop out of the new
             # generation; the folded stats below already subtract them
-            src = src.join(F.broadcast(tomb.select("id")), "id",
-                           "left_anti")
+            src = _anti_join_dels(src, spark, index_dir, src_view,
+                                  tomb.select("id"))
         in_paths = []
         if gen >= 0:
             if segments is None:
@@ -1168,15 +1360,36 @@ def compact_bm25_index(spark: SparkSession, index_dir: str,
                              for s in segments]
     else:
         tg, ts = gen, (max(segments) + 1) if segments else 0
-        state = {"generation": gen, "segments": sorted(segments + [ts]),
+        if tiered:
+            # size-tiered merge candidates: the smallest HALF of the
+            # existing segments by on-disk bytes (ties by id) merge
+            # with the batch dirs into the one new segment — the large
+            # half is never read or rewritten, so no fold is O(index);
+            # the max() guard keeps the post-fold count legal even if
+            # a hand-edited pointer exceeds max_segments
+            sizes = {s: fs.getContentSummary(jpath(
+                f"{index_dir}/gen={gen}/postings/seg={s}")).getLength()
+                for s in segments}
+            order = sorted(segments, key=lambda s: (sizes[s], s))
+            m = max(len(segments) + 1 - max_segments,
+                    math.ceil(len(segments) / 2))
+            merged = sorted(order[:m])
+        keep = [s for s in segments if s not in set(merged)]
+        state = {"generation": gen, "segments": sorted(keep + [ts]),
                  "max_folded_batch": new_fence,
                  "applied_dels": applied}
-        # MINOR: sources are the batch dirs ONLY — existing segments
-        # are never read, and tombstones stay logical (they keep
-        # anti-joining at read time until a major fold applies them)
-        src_view = _IndexView(-1, None, fence, applied, vis, [])
+        # MINOR: sources are the batch dirs ONLY; TIERED adds the
+        # merge candidates. Either way the surviving segments are
+        # never read, and tombstones stay logical (they keep
+        # anti-joining at read time until a FULL fold applies them —
+        # a partial merge can't apply a tombstone whose postings may
+        # also live in an untouched segment without splitting its
+        # stats correction)
+        src_view = _IndexView(gen, merged, fence, applied, vis, [],
+                              snap)
         src = _postings_frames(spark, index_dir, src_view)
-        in_paths = []
+        in_paths = [f"{index_dir}/gen={gen}/postings/seg={s}"
+                    for s in merged]
     in_paths += [f"{index_dir}/postings/batch={i}" for i in vis]
     if target_partitions is not None:
         src = src.repartition(target_partitions, F.col("bucket"))
@@ -1187,8 +1400,6 @@ def compact_bm25_index(spark: SparkSession, index_dir: str,
         # same doc count): one file per bucket while a bucket fits
         # ~128 MB, hash-split WITHIN buckets beyond that — search
         # pruning stays directory-level either way
-        import math
-
         total = 0
         for p in in_paths:
             total += fs.getContentSummary(jpath(p)).getLength()
@@ -1200,15 +1411,42 @@ def compact_bm25_index(spark: SparkSession, index_dir: str,
             src = src.repartition(
                 n_buckets * splits, F.col("bucket"),
                 F.pmod(F.xxhash64(F.col("id")), F.lit(splits)))
-    (src.write.mode("overwrite").partitionBy("bucket")
-     .parquet(f"{index_dir}/gen={tg}/postings/seg={ts}"))
-    stats = _read_index_stats(spark, index_dir, src_view)
-    (stats.select("n_docs", "sum_dl")
-     .coalesce(1).write.mode("overwrite")
-     .parquet(f"{index_dir}/gen={tg}/stats/seg={ts}"))
+    # the new segment's one additive stats row, collected once (one
+    # row — bounded) so the pointer's seg_stats snapshot can carry it
+    srow = (_read_index_stats(spark, index_dir, src_view)
+            .select("n_docs", "sum_dl").head())
+    seg_n, seg_dl = int(srow["n_docs"] or 0), int(srow["sum_dl"] or 0)
+    # per-segment stats snapshot for the flip state: survivors from
+    # the old pointer's snapshot when present (else one tiny parquet
+    # read each — the one-time migration for pre-snapshot pointers),
+    # plus the new segment's fresh row
+    seg_snapshot: dict[int, tuple[int, int]] = {}
+    for s in state["segments"]:
+        if s == ts:
+            seg_snapshot[s] = (seg_n, seg_dl)
+        elif snap is not None and s in snap:
+            seg_snapshot[s] = snap[s]
+        else:
+            r = (spark.read.parquet(f"{index_dir}/gen={gen}/stats/seg={s}")
+                 .agg(F.sum("n_docs"), F.sum("sum_dl")).head())
+            seg_snapshot[s] = (int(r[0] or 0), int(r[1] or 0))
+    state["seg_stats"] = {str(s): [v[0], v[1]]
+                          for s, v in seg_snapshot.items()}
+    # bulk output lands in owner-unique staging, promoted only after a
+    # fresh ownership check — a zombie that lost the lease mid-write
+    # aborts at promote and its stage dirs are swept by the next holder
+    stage_p = staging_path(f"{index_dir}/gen={tg}/postings", ts, owner)
+    stage_s = staging_path(f"{index_dir}/gen={tg}/stats", ts, owner)
+    (src.write.mode("overwrite").partitionBy("bucket").parquet(stage_p))
+    (spark.createDataFrame([(seg_n, seg_dl)], "n_docs long, sum_dl long")
+     .coalesce(1).write.mode("overwrite").parquet(stage_s))
+    promote_staged(spark, marker, owner, [
+        (stage_p, f"{index_dir}/gen={tg}/postings/seg={ts}"),
+        (stage_s, f"{index_dir}/gen={tg}/stats/seg={ts}")])
+    check_lease(spark, marker, owner)
     _write_json_sidecar(
         spark, f"{index_dir}/gen={tg}/_manifest_seg={ts}.json",
-        {**state, "n_folded": len(vis)})
+        {**state, "n_folded": len(vis), "merged_segments": merged})
     check_lease(spark, marker, owner)
     _flip(spark, index_dir, state)
     if not retain_old:
@@ -1233,6 +1471,8 @@ def _flip(spark: SparkSession, index_dir: str, state: dict) -> None:
     if state.get("segments") is not None:
         ptr["segments"] = [int(s) for s in state["segments"]]
         ptr["applied_dels"] = int(state.get("applied_dels", -1))
+        if state.get("seg_stats") is not None:
+            ptr["seg_stats"] = state["seg_stats"]
     _write_json_sidecar(spark, f"{index_dir}/_bm25_generation.json", ptr)
 
 
@@ -1273,7 +1513,9 @@ def _cleanup(spark: SparkSession, index_dir: str, state: dict) -> None:
                 continue
             for st in fs.listStatus(sroot):
                 name = st.getPath().getName()
-                if name.startswith("seg=") \
+                if name.startswith("_stage_"):
+                    fs.delete(st.getPath(), True)  # dead fold attempt
+                elif name.startswith("seg=") \
                         and int(name.split("=", 1)[1]) not in keep:
                     fs.delete(st.getPath(), True)
     stale = set()
@@ -1316,9 +1558,14 @@ def phrase_search(spark: SparkSession, index_dir: str,
     (operators/retrieval.phrase_intersect — rarest word first, its df
     read from the same pruned postings), the shared one-unit scoring
     tail (score_phrase_counts) — so stored results equal phrase_topk
-    over the ingested documents row for row. A flat index refuses up
-    front: without positions a phrase query would silently degrade to
-    an AND query."""
+    over the ingested documents row for row. The dfs that order the
+    chain are computed AFTER the tombstone anti-join
+    (:func:`_read_pruned_postings` applies it before this function
+    ever aggregates), so deletions inform the join order too — stale
+    df would only reorder joins (result-safe), but the pin removes
+    even that drift (tests assert the post-delete dfs). A flat index
+    refuses up front: without positions a phrase query would silently
+    degrade to an AND query."""
     if not _sidecar_positional(spark, index_dir):
         raise ValueError(
             f"phrase_search: index at {index_dir} is not positional — "
@@ -1367,7 +1614,9 @@ def bm25_index_stats(spark: SparkSession, index_dir: str) -> dict:
            "unfolded_batches": view.vis, "n_unfolded": len(view.vis),
            "pending_del_batches": view.dels,
            "applied_dels": view.applied_dels,
-           "compacting": bool(marker),
+           "compacting": bool(marker) and not (marker or {}).get(
+               "deleting"),
+           "deleting": bool((marker or {}).get("deleting")),
            "folding_through": (marker or {}).get("folding_through"),
            "n_buckets": params.get("n_buckets"),
            "positional": bool(params.get("positional", False)),
@@ -1391,8 +1640,10 @@ def proximity_search(spark: SparkSession, index_dir: str,
     conjunction (operators/retrieval.proximity_intersect — other terms
     rarest-first), the shared one-unit scoring tail — so stored
     results equal proximity_topk over the ingested documents row for
-    row. A flat index refuses up front, exactly like
-    :func:`phrase_search`."""
+    row. As in :func:`phrase_search`, the rarest-first ordering reads
+    df from the tombstone-anti-joined postings (the anti-join sits
+    below the df aggregation). A flat index refuses up front, exactly
+    like :func:`phrase_search`."""
     if not _sidecar_positional(spark, index_dir):
         raise ValueError(
             f"proximity_search: index at {index_dir} is not positional"

@@ -912,6 +912,57 @@ def probe_foldbytes(spark, n: int, tmp: str) -> dict:
     return res
 
 
+def probe_tieredbytes(spark, n: int, tmp: str) -> dict:
+    """Size-tiered merge probe (round 15): equal-size batches stream
+    into a BM25 index with ``max_segments=4`` — every fold past the
+    threshold is a TIERED merge of the smallest half of the segments,
+    never the whole index. The claim under test: fold cost at each
+    threshold crossing stays bounded (tracks the small tier) while
+    the index keeps growing — the pre-tiered behavior merged
+    EVERYTHING into the next generation at every crossing, O(index).
+    Reports per-fold new-segment MB vs total index MB vs segment
+    count across ≥3 crossings."""
+    import os as _os
+
+    from pyspark.sql import functions as _F
+
+    from harvesting_extract_to_ttl_service_spark.streaming.lexical_stream import (  # noqa: E501
+        _pointer,
+        bm25_index_batch,
+        compact_bm25_index,
+    )
+
+    def _mb(path):
+        if not _os.path.isdir(path):
+            return 0.0
+        return round(sum(
+            _os.path.getsize(_os.path.join(root, f))
+            for root, _, files in _os.walk(path) for f in files) / 1e6, 2)
+
+    corpus = replicate_documents(spark, n).localCheckpoint(eager=True)
+    idir = f"{tmp}/tieredbytes_{n}x"
+    n_slices = 12
+    folds = []
+    for i in range(n_slices):
+        batch = corpus.filter(_F.col("doc_id") % n_slices == i).select(
+            (_F.col("doc_id") * n_slices + i).alias("doc_id"), "text")
+        bm25_index_batch(batch, i, idir, n_buckets=64)
+        before = set((_pointer(spark, idir)[1]) or [])
+        t0 = time.time()
+        compact_bm25_index(spark, idir, n_buckets=64, max_segments=4)
+        _g, segs, _f, _a, _s = _pointer(spark, idir)
+        new_seg = max(set(segs) - before) if set(segs) - before else None
+        folds.append({
+            "fold": i,
+            "tiered": len(before) + 1 > 4,
+            "fold_s": round(time.time() - t0, 1),
+            "fold_mb": (_mb(f"{idir}/gen=0/postings/seg={new_seg}")
+                        if new_seg is not None else 0.0),
+            "index_mb": _mb(f"{idir}/gen=0"),
+            "n_segments": len(segs)})
+    return {"docs": corpus.count(), "folds": folds}
+
+
 def probe_phrasej(spark, n: int, tmp: str) -> dict:
     """Rarest-first phrase-chain probe (round 13): a corpus where the
     phrase's FIRST word is everywhere and its LAST word is rare.
@@ -980,9 +1031,10 @@ def main():
     possize = bool(args) and args[0] == "possize"
     phrasej = bool(args) and args[0] == "phrasej"
     foldbytes = bool(args) and args[0] == "foldbytes"
+    tieredbytes = bool(args) and args[0] == "tieredbytes"
     if incremental or funnel or stream or ann or finalize or span \
             or mih or imih or pq or pqres or demb or bm25 \
-            or possize or phrasej or foldbytes:
+            or possize or phrasej or foldbytes or tieredbytes:
         args = args[1:]
     explicit = [int(x) for x in args]
     replicas = explicit or [1, 2, 5, 10]
@@ -1024,6 +1076,17 @@ def main():
                       f"index_mb={f['index_mb']}")
             print(f"full fold (contrast): mb={r['full_fold_mb']} "
                   f"s={r['full_fold_s']}")
+            return
+        if tieredbytes:
+            n = explicit[0] if explicit else 10
+            r = probe_tieredbytes(spark, n, tmp)
+            print(f"docs={r['docs']} (12 equal batches, max_segments=4)")
+            for f in r["folds"]:
+                kind = "TIERED" if f["tiered"] else "minor "
+                print(f"fold {f['fold']:>2} {kind}: "
+                      f"fold_mb={f['fold_mb']} fold_s={f['fold_s']} "
+                      f"index_mb={f['index_mb']} "
+                      f"segs={f['n_segments']}")
             return
         if phrasej:
             n = explicit[0] if explicit else 5

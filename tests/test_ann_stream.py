@@ -891,3 +891,177 @@ def test_ivf_stream_with_auto_compaction(spark, tmp_path, centroids):
         [tuple(r) for r in ivf_topk(
             _vecs(spark, range(40)), query, centroids, k=5,
             n_probe=2).collect()]
+
+
+# --- round-15: tiered merges, df-native deletion, drift-triggered retrain ----
+
+
+def test_ivf_tiered_fold_keeps_generation(spark, tmp_path, centroids):
+    """Past max_segments the IVF fold turns TIERED: the smallest half
+    of the segments merge with the batches into one new segment of the
+    SAME generation (no automatic O(index) merge), parity holds, and
+    full=True still merges everything into gen+1."""
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        _read_json_sidecar,
+    )
+
+    idir = str(tmp_path / "ivftiered")
+    for i in range(3):
+        ivf_index_batch(_vecs(spark, range(i * 16, (i + 1) * 16)), i,
+                        idir, centroids)
+        assert compact_ivf_index(spark, idir, max_segments=2) == 1
+    ptr = _read_json_sidecar(spark, f"{idir}/_ivf_generation.json")
+    assert ptr["generation"] == 0
+    assert len(ptr["segments"]) == 2 and 2 in ptr["segments"]
+    survivor = [s for s in ptr["segments"] if s != 2][0]
+    merged = [s for s in (0, 1) if s != survivor][0]
+    assert os.path.exists(f"{idir}/gen=0/seg={survivor}")
+    assert not os.path.exists(f"{idir}/gen=0/seg={merged}")
+    query = [0.2] * DIM
+    want = [tuple(r) for r in ivf_topk(
+        _vecs(spark, range(48)), query, centroids, k=5,
+        n_probe=2).collect()]
+    assert [tuple(r) for r in ivf_search(
+        spark, idir, query, centroids, k=5,
+        n_probe=2).collect()] == want
+    assert compact_ivf_index(spark, idir, full=True) == 0
+    ptr2 = _read_json_sidecar(spark, f"{idir}/_ivf_generation.json")
+    assert ptr2["generation"] == 1 and ptr2["segments"] == [0]
+    assert not os.path.exists(f"{idir}/gen=0")
+    assert [tuple(r) for r in ivf_search(
+        spark, idir, query, centroids, k=5,
+        n_probe=2).collect()] == want
+
+
+def test_ivf_delete_vecs_df_matches_list(spark, tmp_path, centroids):
+    """The DataFrame-native vector delete equals the list form (same
+    tombstones, same search-after-delete results), double df-deletes
+    are no-ops, and a live maintenance lease excludes a second
+    deleter (the del-slot race)."""
+    import time
+
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        ivf_delete_vecs_df,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.generations import (
+        _write_json_sidecar,
+    )
+
+    idir = str(tmp_path / "ivfdfdel")
+    ivf_index_batch(_vecs(spark, range(0, 24)), 0, idir, centroids)
+    ivf_index_batch(_vecs(spark, range(24, 48)), 1, idir, centroids)
+    ids_df = spark.createDataFrame([(3,), (7,), (3,), (9999,)],
+                                   "id long")
+    assert ivf_delete_vecs_df(spark, idir, ids_df) == 2
+    query = [0.2] * DIM
+    kept = [i for i in range(48) if i not in (3, 7)]
+    want = [tuple(r) for r in ivf_topk(
+        _vecs(spark, kept), query, centroids, k=4).collect()]
+    assert [tuple(r) for r in ivf_search(
+        spark, idir, query, centroids, k=4).collect()] == want
+    assert ivf_delete_vecs_df(spark, idir, ids_df) == 0
+
+    marker = f"{idir}/_ivf_compacting.json"
+    _write_json_sidecar(spark, marker,
+                        {"deleting": True, "owner": "other",
+                         "deadline": time.time() + 60})
+    with pytest.raises(ValueError, match="held by owner other"):
+        ivf_delete_vecs_df(spark, idir, ids_df)
+    with pytest.raises(ValueError, match="deleting"):
+        ivf_index_batch(_vecs(spark, range(48, 50)), 2, idir, centroids)
+    os.unlink(marker)
+
+
+def test_ivf_stream_drift_triggered_retrain(spark, tmp_path, centroids):
+    """The self-maintaining drift loop: a stationary stream NEVER
+    retrains; an injected distribution shift triggers EXACTLY ONE
+    retrain (bounded to already-committed batches, current batch
+    rewritten under the new centroids, baseline re-recorded); searches
+    work throughout; a further batch of the now-known distribution
+    does not retrain again."""
+    import json as _json
+
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        _ivf_frames,
+        _read_json_sidecar,
+        record_ivf_dispersion,
+    )
+
+    sdir = str(tmp_path / "src")
+    idir = str(tmp_path / "driftidx")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(sdir)
+
+    def write_file(name, rows):
+        with open(f"{sdir}/{name}", "w") as f:
+            for i, v in rows:
+                f.write(_json.dumps({"vec_id": i, "embedding": v})
+                        + "\n")
+
+    def stat_rows(ids):
+        return [(i, [1.0 if d == i % DIM else 0.1 * ((i * 7 + d) % 5)
+                     for d in range(DIM)]) for i in ids]
+
+    def drift_rows(ids):
+        return [(i, [-3.0 if d == i % DIM else -0.4 - 0.05 * d
+                     for d in range(DIM)]) for i in ids]
+
+    def run(cents, **kw):
+        st = (spark.readStream.schema(V_SCHEMA)
+              .option("maxFilesPerTrigger", 1).json(sdir))
+        q = run_ivf_index_stream(st, idir, ckpt, cents, **kw)
+        q.awaitTermination(180)
+
+    # phase 1: two stationary batches, no drift policy yet
+    write_file("b0.json", stat_rows(range(0, 16)))
+    write_file("b1.json", stat_rows(range(16, 32)))
+    run(centroids)
+    record_ivf_dispersion(spark, idir, centroids,
+                          _vecs(spark, range(32)))
+
+    retrains = []
+
+    def on_retrain(batch_id, cents):
+        retrains.append((batch_id, cents))
+
+    # phase 2: one more STATIONARY batch under the drift policy — no
+    # retrain fires
+    write_file("b2.json", stat_rows(range(32, 48)))
+    run(centroids, retrain_on_drift=1.5, on_retrain=on_retrain)
+    assert retrains == []
+
+    # phase 3: a DRIFTED batch — exactly one retrain
+    write_file("b3.json", drift_rows(range(100, 132)))
+    run(centroids, retrain_on_drift=1.5, on_retrain=on_retrain)
+    assert len(retrains) == 1
+    batch_id, new_c = retrains[0]
+    # sidecar re-pinned: old centroids refuse, new ones serve ALL rows
+    with pytest.raises(ValueError, match="silently missed"):
+        ivf_search(spark, idir, [0.2] * DIM, centroids, k=4).collect()
+    all_rows = (stat_rows(range(48))
+                + drift_rows(range(100, 132)))
+    assert _ivf_frames(spark, idir).count() == len(all_rows)
+    query = [0.2] * DIM
+    want = [tuple(r) for r in ivf_topk(
+        spark.createDataFrame(all_rows, V_SCHEMA), query, new_c, k=5,
+        n_probe=len(new_c)).collect()]
+    assert [tuple(r) for r in ivf_search(
+        spark, idir, query, new_c, k=5,
+        n_probe=len(new_c)).collect()] == want
+    # baseline was re-recorded against the new geometry
+    drift = _read_json_sidecar(spark, f"{idir}/_ivf_drift.json")
+    assert drift["centroids_md5"] == _read_json_sidecar(
+        spark, f"{idir}/_ivf_params.json")["centroids_md5"]
+
+    # phase 4: another batch of the SAME (formerly drifted)
+    # distribution — the re-recorded baseline absorbs it, no retrain
+    write_file("b4.json", drift_rows(range(200, 216)))
+    run(new_c, retrain_on_drift=1.5, on_retrain=on_retrain)
+    assert len(retrains) == 1
+    assert _ivf_frames(spark, idir).count() == len(all_rows) + 16
+
+    # refusal: drift policy on a quantized stream is refused up front
+    with pytest.raises(ValueError, match="FLOAT"):
+        run_ivf_index_stream(
+            spark.readStream.schema(V_SCHEMA).json(sdir), idir, ckpt,
+            new_c, quantize=True, retrain_on_drift=1.5)

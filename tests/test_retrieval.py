@@ -39,6 +39,22 @@ def _docs(spark):
     return spark.createDataFrame(DOCS, D_SCHEMA)
 
 
+def _gen_ptr(spark, idir):
+    """The index's read pointer MINUS the per-segment stats snapshot
+    (asserted separately where it matters) — keeps the protocol
+    assertions exact without restating every segment's (n_docs,
+    sum_dl) pair."""
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        _read_json_sidecar,
+    )
+
+    p = _read_json_sidecar(spark, idir + "/_bm25_generation.json")
+    if p is not None:
+        p = dict(p)
+        p.pop("seg_stats", None)
+    return p
+
+
 def _mirror_bm25(query_terms, k1=1.2, b=0.75, docs=None):
     """Independent python BM25 mirror (Lucene idf, term-sorted left
     fold, round-6 — the contract the Spark path and the DuckDB oracle
@@ -309,14 +325,13 @@ def test_compact_bm25_index_parity_and_marker(spark, tmp_path):
     # all batch dirs folded into gen=0/seg=0; pointer names it
     assert not any(n.startswith("batch=")
                    for n in os.listdir(f"{idir}/postings"))
-    ptr = _read_json_sidecar(spark, f"{idir}/_bm25_generation.json")
+    ptr = _gen_ptr(spark, idir)
     assert ptr == {"generation": 0, "segments": [0],
                    "max_folded_batch": 2, "applied_dels": -1}
     assert os.path.exists(f"{idir}/gen=0/postings/seg=0")
     # already compact → no-op, pointer unchanged
     assert compact_bm25_index(spark, idir, n_buckets=8) == 0
-    assert _read_json_sidecar(
-        spark, f"{idir}/_bm25_generation.json") == ptr
+    assert _gen_ptr(spark, idir) == ptr
 
     # ingest continues after compaction; the next fold is MINOR: it
     # reads ONLY the new batch (O(new data)), adds segment 1 beside
@@ -325,7 +340,7 @@ def test_compact_bm25_index_parity_and_marker(spark, tmp_path):
     bm25_index_batch(spark.createDataFrame(extra, D_SCHEMA), 7, idir,
                      n_buckets=8)
     assert compact_bm25_index(spark, idir, n_buckets=8) == 1
-    ptr2 = _read_json_sidecar(spark, f"{idir}/_bm25_generation.json")
+    ptr2 = _gen_ptr(spark, idir)
     assert ptr2 == {"generation": 0, "segments": [0, 1],
                     "max_folded_batch": 7, "applied_dels": -1}
     assert os.path.exists(f"{idir}/gen=0/postings/seg=0")
@@ -342,8 +357,7 @@ def test_compact_bm25_index_parity_and_marker(spark, tmp_path):
     # the old generation; results unchanged
     assert compact_bm25_index(spark, idir, n_buckets=8, full=True) == 0
     assert not os.path.exists(f"{idir}/gen=0")
-    assert _read_json_sidecar(
-        spark, f"{idir}/_bm25_generation.json") == {
+    assert _gen_ptr(spark, idir) == {
             "generation": 1, "segments": [0],
             "max_folded_batch": 7, "applied_dels": -1}
     assert [tuple(r) for r in
@@ -351,7 +365,9 @@ def test_compact_bm25_index_parity_and_marker(spark, tmp_path):
                         n_buckets=8).collect()] == want2
 
     # marker protocol: ingest refuses while compacting, search does
-    # NOT; a resume run (nothing to do) clears the marker
+    # NOT; a resume run (nothing to do) clears the marker. A BARE
+    # pre-lease marker (no deadline — the mixed-version rollout case)
+    # refuses takeover unless steal_legacy says the old job is dead
     marker = f"{idir}/_bm25_compacting.json"
     _write_json_sidecar(spark, marker, {"compacting": True})
     with pytest.raises(Exception, match="compacting"):
@@ -360,7 +376,10 @@ def test_compact_bm25_index_parity_and_marker(spark, tmp_path):
     assert [tuple(r) for r in
             bm25_search(spark, idir, ["cat", "the"], k=6,
                         n_buckets=8).collect()] == want2
-    assert compact_bm25_index(spark, idir, n_buckets=8) == 0
+    with pytest.raises(ValueError, match="steal_legacy"):
+        compact_bm25_index(spark, idir, n_buckets=8)
+    assert compact_bm25_index(spark, idir, n_buckets=8,
+                              steal_legacy=True) == 0
     assert not os.path.exists(marker)
     assert [tuple(r) for r in
             bm25_search(spark, idir, ["cat", "the"], k=6,
@@ -385,8 +404,13 @@ def test_compact_bm25_marker_only_resume_is_safe_noop(spark, tmp_path):
             bm25_search(spark, idir, ["cat"], k=5, n_buckets=8).collect()]
     _write_json_sidecar(spark, f"{idir}/_bm25_compacting.json",
                         {"compacting": True})
-    # crash window 1: marker up, nothing else happened → fold proceeds
-    assert compact_bm25_index(spark, idir, n_buckets=8) == 1
+    # crash window 1: bare pre-lease marker, nothing else happened —
+    # takeover refuses by default (the pre-upgrade writer may still
+    # be running), proceeds under steal_legacy
+    with pytest.raises(ValueError, match="steal_legacy"):
+        compact_bm25_index(spark, idir, n_buckets=8)
+    assert compact_bm25_index(spark, idir, n_buckets=8,
+                              steal_legacy=True) == 1
     assert not os.path.exists(f"{idir}/_bm25_compacting.json")
     assert [tuple(r) for r in
             bm25_search(spark, idir, ["cat"], k=5,
@@ -429,8 +453,12 @@ def test_compact_bm25_crash_resume_every_window(spark, tmp_path,
     assert [tuple(r) for r in
             bm25_search(spark, idir, ["cat", "the"], k=6,
                         n_buckets=8).collect()] == want
-    # resume: partial tree dropped, refolded from intact batch dirs
-    assert lx.compact_bm25_index(spark, idir, n_buckets=8) == 2
+    # resume: the bare pre-lease marker refuses without steal_legacy;
+    # with it, the partial tree drops and the batch dirs refold
+    with pytest.raises(ValueError, match="steal_legacy"):
+        lx.compact_bm25_index(spark, idir, n_buckets=8)
+    assert lx.compact_bm25_index(spark, idir, n_buckets=8,
+                                 steal_legacy=True) == 2
     assert [tuple(r) for r in
             bm25_search(spark, idir, ["cat", "the"], k=6,
                         n_buckets=8).collect()] == want
@@ -459,15 +487,13 @@ def test_compact_bm25_crash_resume_every_window(spark, tmp_path,
     # search is correct NOW
     assert _read_json_sidecar(
         spark, f"{idir}/gen=0/_manifest_seg=1.json") is not None
-    assert _read_json_sidecar(
-        spark, f"{idir}/_bm25_generation.json")["segments"] == [0]
+    assert _gen_ptr(spark, idir)["segments"] == [0]
     assert [tuple(r) for r in
             bm25_search(spark, idir, ["cat", "the"], k=8,
                         n_buckets=8).collect()] == want2
     # resume finishes flip + cleanup WITHOUT refolding, parity holds
     assert lx.compact_bm25_index(spark, idir, n_buckets=8) == 0
-    assert _read_json_sidecar(
-        spark, f"{idir}/_bm25_generation.json") == {
+    assert _gen_ptr(spark, idir) == {
             "generation": 0, "segments": [0, 1],
             "max_folded_batch": 5, "applied_dels": -1}
     assert [tuple(r) for r in
@@ -508,8 +534,7 @@ def test_compact_bm25_crash_resume_every_window(spark, tmp_path,
     # only the segments (fence 9 excludes them) — scores are correct,
     # not doubled
     assert os.path.exists(f"{idir}/postings/batch=9")
-    assert _read_json_sidecar(
-        spark, f"{idir}/_bm25_generation.json") == {
+    assert _gen_ptr(spark, idir) == {
             "generation": 0, "segments": [0, 1, 2],
             "max_folded_batch": 9, "applied_dels": -1}
     assert [tuple(r) for r in
@@ -1053,8 +1078,7 @@ def test_legacy_batch_minus1_index_reads_and_migrates(spark, tmp_path):
                          idir, n_buckets=8)
     # first generational compaction absorbs batch=-1 + batch 2
     assert compact_bm25_index(spark, idir, n_buckets=8) == 2
-    assert _read_json_sidecar(
-        spark, f"{idir}/_bm25_generation.json") == {
+    assert _gen_ptr(spark, idir) == {
             "generation": 0, "segments": [0],
             "max_folded_batch": 2, "applied_dels": -1}
     assert not os.path.exists(f"{idir}/postings/batch=-1")
@@ -1209,8 +1233,7 @@ def test_ingest_flows_during_compaction(spark, tmp_path, monkeypatch):
     # resume finishes the fold; the mid-fold batch survives the flip
     # (fence = snapshot 1 < 7) and folds on the NEXT compaction
     assert lx.compact_bm25_index(spark, idir, n_buckets=8) == 0
-    assert _read_json_sidecar(
-        spark, f"{idir}/_bm25_generation.json") == {
+    assert _gen_ptr(spark, idir) == {
             "generation": 0, "segments": [0],
             "max_folded_batch": 1, "applied_dels": -1}
     assert [tuple(r) for r in
@@ -1685,11 +1708,12 @@ def test_compactor_lease_excludes_second_compactor(spark, tmp_path,
 
     def steal_then_check(spark_, marker_path, owner):
         # call 1 is refresh_lease's check (publishing the snapshot);
-        # call 2 is the pre-FLIP ownership check — steal right before
-        # it, simulating a takeover between the manifest write and the
-        # flip
+        # call 2 is promote_staged's pre-rename check; call 3 guards
+        # the manifest write; call 4 is the pre-FLIP ownership check —
+        # steal right before it, simulating a takeover between the
+        # manifest write and the flip
         calls["n"] += 1
-        if calls["n"] == 2:
+        if calls["n"] == 4:
             _write_json_sidecar(spark_, marker_path,
                                 {"compacting": True, "owner": "thief",
                                  "deadline": time.time() + 3600})
@@ -1701,7 +1725,7 @@ def test_compactor_lease_excludes_second_compactor(spark, tmp_path,
     monkeypatch.undo()
     del real_check
     # no flip happened: the pointer still excludes batch 4's fold
-    ptr = _read_json_sidecar(spark, f"{idir}/_bm25_generation.json")
+    ptr = _gen_ptr(spark, idir)
     assert ptr["max_folded_batch"] == 0
     # the thief owns the marker now; the loser didn't delete it
     assert _read_json_sidecar(spark, marker)["owner"] == "thief"
@@ -1718,14 +1742,16 @@ def test_compactor_lease_excludes_second_compactor(spark, tmp_path,
                         {"compacting": True, "owner": "thief",
                          "deadline": time.time() - 1})
     assert lx.compact_bm25_index(spark, idir, n_buckets=8) == 0
-    assert _read_json_sidecar(
-        spark, f"{idir}/_bm25_generation.json")["max_folded_batch"] == 4
+    assert _gen_ptr(spark, idir)["max_folded_batch"] == 4
 
 
-def test_segment_threshold_triggers_major_fold(spark, tmp_path):
+def test_segment_threshold_triggers_tiered_fold(spark, tmp_path):
     """Minor folds accumulate segments; once the count would exceed
-    max_segments the fold turns MAJOR automatically — everything
-    merges into seg=0 of the next generation and parity holds."""
+    max_segments the fold turns TIERED — the smallest half of the
+    segments merge with the batches into one new segment of the SAME
+    generation, the large half untouched (no automatic O(index) merge
+    anymore); only full=True merges everything into gen+1 and that
+    stays available."""
     from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
         _read_json_sidecar,
     )
@@ -1741,13 +1767,35 @@ def test_segment_threshold_triggers_major_fold(spark, tmp_path):
         assert compact_bm25_index(spark, idir, n_buckets=8,
                                   max_segments=2) == 1
     # folds 1+2 were minor (segments [0], then [0, 1]); fold 3 would
-    # make 3 segments > max_segments=2 → major into gen=1
-    ptr = _read_json_sidecar(spark, f"{idir}/_bm25_generation.json")
-    assert ptr == {"generation": 1, "segments": [0],
-                   "max_folded_batch": 2, "applied_dels": -1}
-    assert not os.path.exists(f"{idir}/gen=0")
+    # make 3 segments > max_segments=2 → TIERED: the smaller of
+    # {0, 1} merges with batch 2 into seg 2, generation stays 0
+    ptr = _gen_ptr(spark, idir)
+    assert ptr["generation"] == 0
+    assert ptr["max_folded_batch"] == 2
+    assert len(ptr["segments"]) == 2 and 2 in ptr["segments"]
+    survivor = [s for s in ptr["segments"] if s != 2][0]
+    merged = [s for s in (0, 1) if s != survivor][0]
+    assert os.path.exists(f"{idir}/gen=0/postings/seg={survivor}")
+    assert os.path.exists(f"{idir}/gen=0/postings/seg=2")
+    # the merged source segment is gone after cleanup
+    assert not os.path.exists(f"{idir}/gen=0/postings/seg={merged}")
+    # the pointer's seg_stats snapshot names every live segment and
+    # sums to the corpus totals
+    raw = _read_json_sidecar(spark, f"{idir}/_bm25_generation.json")
+    snap = raw["seg_stats"]
+    assert set(snap) == {str(s) for s in ptr["segments"]}
+    assert sum(v[0] for v in snap.values()) == len(DOCS)
     want = [tuple(r) for r in
             bm25_topk(_docs(spark), ["cat", "the"], k=6).collect()]
+    assert [tuple(r) for r in
+            bm25_search(spark, idir, ["cat", "the"], k=6,
+                        n_buckets=8).collect()] == want
+    # full=True is still the everything-merge into the next generation
+    assert compact_bm25_index(spark, idir, n_buckets=8, full=True) == 0
+    assert _gen_ptr(spark, idir) == {
+        "generation": 1, "segments": [0],
+        "max_folded_batch": 2, "applied_dels": -1}
+    assert not os.path.exists(f"{idir}/gen=0")
     assert [tuple(r) for r in
             bm25_search(spark, idir, ["cat", "the"], k=6,
                         n_buckets=8).collect()] == want
@@ -1855,7 +1903,7 @@ def test_delete_docs_survive_folds_and_replay(spark, tmp_path):
     # MAJOR fold applies the delete physically and retires the del dir
     assert compact_bm25_index(spark, idir, n_buckets=8, full=True) == 0
     assert not os.path.exists(f"{idir}/tombstones/del=0")
-    ptr = _read_json_sidecar(spark, f"{idir}/_bm25_generation.json")
+    ptr = _gen_ptr(spark, idir)
     assert ptr["applied_dels"] == 0
     assert [tuple(r) for r in
             bm25_search(spark, idir, ["cat", "the"], k=7,
@@ -2037,7 +2085,7 @@ def test_compact_max_batch_bound_keeps_replay_safe(spark, tmp_path):
                          n_buckets=8)
     assert compact_bm25_index(spark, idir, n_buckets=8,
                               max_batch=1) == 2
-    ptr = _read_json_sidecar(spark, f"{idir}/_bm25_generation.json")
+    ptr = _gen_ptr(spark, idir)
     assert ptr["max_folded_batch"] == 1
     assert os.path.exists(f"{idir}/postings/batch=2")
     # the bounded-out batch replays fine (it is above the fence)
@@ -2202,3 +2250,308 @@ def test_hybrid_search_batch_matches_single(spark, tmp_path):
             spark, bdir, vdir, t.split(), v, cents, k=6,
             n_candidates=8, n_probe=2, n_buckets=8).collect())
         assert got[qi] == want, qi
+
+
+# --- round-15: tiered merges, staged promotes, df-native deletion ------------
+
+
+def test_tiered_fold_crash_windows_and_parity(spark, tmp_path,
+                                              monkeypatch):
+    """The crash-window suite for a PARTIAL-SEGMENT-SET (tiered) merge:
+    crash before the flip leaves the pointer naming the old segments
+    (all intact — search correct); resume finishes the flip WITHOUT
+    refolding; the merged source segments are swept only after the
+    flip; parity holds throughout."""
+    import harvesting_extract_to_ttl_service_spark.streaming.lexical_stream as lx  # noqa: E501
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        _read_json_sidecar,
+    )
+
+    idir = str(tmp_path / "tieredcrash")
+    groups = [DOCS[:2], DOCS[2:4]]
+    for i, g in enumerate(groups):
+        bm25_index_batch(spark.createDataFrame(g, D_SCHEMA), i, idir,
+                         n_buckets=8)
+        assert lx.compact_bm25_index(spark, idir, n_buckets=8,
+                                     max_segments=2) == 1
+    assert _gen_ptr(spark, idir)["segments"] == [0, 1]
+    bm25_index_batch(spark.createDataFrame(DOCS[4:], D_SCHEMA), 2, idir,
+                     n_buckets=8)
+    want = [tuple(r) for r in
+            bm25_topk(_docs(spark), ["cat", "the"], k=6).collect()]
+
+    def boom(*a, **kw):
+        raise RuntimeError("crash before flip")
+
+    monkeypatch.setattr(lx, "_flip", boom)
+    with pytest.raises(RuntimeError, match="crash before flip"):
+        lx.compact_bm25_index(spark, idir, n_buckets=8, max_segments=2,
+                              lease_seconds=0.0)
+    monkeypatch.undo()
+    # the tiered manifest is down; the pointer still names the OLD
+    # segments, both intact — search is correct NOW
+    man = _read_json_sidecar(spark,
+                             f"{idir}/gen=0/_manifest_seg=2.json")
+    assert man is not None and man["merged_segments"] != []
+    assert _gen_ptr(spark, idir)["segments"] == [0, 1]
+    assert os.path.exists(f"{idir}/gen=0/postings/seg=0")
+    assert os.path.exists(f"{idir}/gen=0/postings/seg=1")
+    assert [tuple(r) for r in
+            bm25_search(spark, idir, ["cat", "the"], k=6,
+                        n_buckets=8).collect()] == want
+    # resume = flip + cleanup only, never a refold
+    assert lx.compact_bm25_index(spark, idir, n_buckets=8,
+                                 max_segments=2) == 0
+    ptr = _gen_ptr(spark, idir)
+    assert ptr["generation"] == 0 and 2 in ptr["segments"]
+    assert len(ptr["segments"]) == 2
+    merged = man["merged_segments"]
+    for s in merged:
+        assert not os.path.exists(f"{idir}/gen=0/postings/seg={s}")
+    assert [tuple(r) for r in
+            bm25_search(spark, idir, ["cat", "the"], k=6,
+                        n_buckets=8).collect()] == want
+
+
+def test_fold_staging_abort_when_lease_stolen(spark, tmp_path,
+                                              monkeypatch):
+    """A fold that loses its lease before PROMOTING aborts with the
+    final segment directory untouched — its output is stranded in the
+    owner-unique staging dir (the zombie-write fix), and the next
+    holder's sweep removes it before refolding."""
+    import glob
+    import time
+
+    import harvesting_extract_to_ttl_service_spark.streaming.lexical_stream as lx  # noqa: E501
+    from harvesting_extract_to_ttl_service_spark.streaming import (
+        generations,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.generations import (
+        _write_json_sidecar,
+    )
+
+    idir = str(tmp_path / "stagesteal")
+    bm25_index_batch(_docs(spark), 0, idir, n_buckets=8)
+    assert lx.compact_bm25_index(spark, idir, n_buckets=8) == 1
+    bm25_index_batch(spark.createDataFrame(
+        [(10, "cat encore")], D_SCHEMA), 3, idir, n_buckets=8)
+    want = [tuple(r) for r in
+            bm25_topk(spark.createDataFrame(DOCS + [(10, "cat encore")],
+                                            D_SCHEMA),
+                      ["cat", "the"], k=7).collect()]
+
+    real = generations.check_lease
+    calls = {"n": 0}
+
+    def steal_before_promote(spark_, marker_path, owner):
+        # call 1 = refresh_lease's check; call 2 = promote_staged's
+        # pre-rename check — steal right before it (the zombie whose
+        # lease expired during the long segment write)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            _write_json_sidecar(spark_, marker_path,
+                                {"compacting": True, "owner": "thief",
+                                 "deadline": time.time() + 3600})
+        return real(spark_, marker_path, owner)
+
+    monkeypatch.setattr(generations, "check_lease", steal_before_promote)
+    with pytest.raises(ValueError, match="lease.*was lost"):
+        lx.compact_bm25_index(spark, idir, n_buckets=8)
+    monkeypatch.undo()
+    # nothing promoted: no final seg=1, no manifest — the attempt sits
+    # in the owner-unique staging dir; search unaffected
+    assert not os.path.exists(f"{idir}/gen=0/postings/seg=1")
+    stages = glob.glob(f"{idir}/gen=0/postings/_stage_seg=1_*")
+    assert stages, "staged output should be stranded, not promoted"
+    assert [tuple(r) for r in
+            bm25_search(spark, idir, ["cat", "the"], k=7,
+                        n_buckets=8).collect()] == want
+    # the thief's lease expires; the next fold sweeps the stale staging
+    # dir and refolds to parity
+    _write_json_sidecar(spark, f"{idir}/_bm25_compacting.json",
+                        {"compacting": True, "owner": "thief",
+                         "deadline": time.time() - 1})
+    assert lx.compact_bm25_index(spark, idir, n_buckets=8) == 1
+    assert not glob.glob(f"{idir}/gen=0/postings/_stage_seg=*")
+    assert os.path.exists(f"{idir}/gen=0/postings/seg=1")
+    assert [tuple(r) for r in
+            bm25_search(spark, idir, ["cat", "the"], k=7,
+                        n_buckets=8).collect()] == want
+
+
+def test_delete_docs_df_matches_list_and_lease_excludes(spark,
+                                                        tmp_path):
+    """The DataFrame-native delete equals the list form (same
+    tombstones, same search-after-delete parity), double df-deletes
+    are no-ops, and the maintenance lease excludes concurrent
+    deleters/compactors in both directions — closing the del-slot
+    race."""
+    import time
+
+    from harvesting_extract_to_ttl_service_spark.streaming.generations import (
+        _write_json_sidecar,
+    )
+    from harvesting_extract_to_ttl_service_spark.streaming.lexical_stream import (  # noqa: E501
+        bm25_delete_docs_df,
+        bm25_index_stats,
+    )
+
+    idir = str(tmp_path / "dfdel")
+    bm25_index_batch(spark.createDataFrame(DOCS[:3], D_SCHEMA), 0, idir,
+                     n_buckets=8)
+    bm25_index_batch(spark.createDataFrame(DOCS[3:], D_SCHEMA), 1, idir,
+                     n_buckets=8)
+    ids_df = spark.createDataFrame(
+        [(1,), (5,), (1,), (9999,)], "id long")  # dup + unknown
+    assert bm25_delete_docs_df(spark, idir, ids_df, n_buckets=8) == 2
+    rdir = str(tmp_path / "dfdel_rebuilt")
+    kept = [d for d in DOCS if d[0] not in (1, 5)]
+    bm25_index_batch(spark.createDataFrame(kept, D_SCHEMA), 0, rdir,
+                     n_buckets=8)
+    for q in (["cat", "the"], ["dog"], ["fish", "swim"]):
+        assert [tuple(r) for r in
+                bm25_search(spark, idir, q, k=6,
+                            n_buckets=8).collect()] == \
+            [tuple(r) for r in
+             bm25_search(spark, rdir, q, k=6,
+                         n_buckets=8).collect()], q
+    s, sr = bm25_index_stats(spark, idir), bm25_index_stats(spark, rdir)
+    assert (s["n_docs"], s["sum_dl"]) == (sr["n_docs"], sr["sum_dl"])
+    # re-deleting the same frame is a no-op (no double subtraction)
+    assert bm25_delete_docs_df(spark, idir, ids_df, n_buckets=8) == 0
+
+    # a live maintenance lease excludes a delete (slot race closed)…
+    marker = f"{idir}/_bm25_compacting.json"
+    _write_json_sidecar(spark, marker,
+                        {"deleting": True, "owner": "other-deleter",
+                         "deadline": time.time() + 60})
+    with pytest.raises(ValueError, match="held by owner other-deleter"):
+        bm25_delete_docs_df(spark, idir, ids_df, n_buckets=8)
+    # …and ingest refuses while a delete holds the marker (its
+    # postings harvest could race a replay's overwrite)
+    with pytest.raises(ValueError, match="deleting"):
+        bm25_index_batch(spark.createDataFrame([(50, "late")], D_SCHEMA),
+                         9, idir, n_buckets=8)
+    os.unlink(marker)
+
+
+def test_big_deletion_set_switches_to_shuffle_anti_join(spark,
+                                                        tmp_path):
+    """Once the tombstone batches outgrow
+    spark.sql.autoBroadcastJoinThreshold the search-side anti-join
+    switches from broadcast to a shuffle join (a forced broadcast of a
+    hundreds-of-millions-id deletion set would OOM every executor);
+    results are identical either way."""
+    idir = str(tmp_path / "bigdel")
+    docs = [(i, f"cat number {i} sat") for i in range(200)]
+    bm25_index_batch(spark.createDataFrame(docs, D_SCHEMA), 0, idir,
+                     n_buckets=8)
+    ids_df = spark.range(0, 100).select(F.col("id"))
+    from harvesting_extract_to_ttl_service_spark.streaming.lexical_stream import (  # noqa: E501
+        bm25_delete_docs_df,
+    )
+
+    assert bm25_delete_docs_df(spark, idir, ids_df, n_buckets=8) == 100
+    want = [tuple(r) for r in
+            bm25_search(spark, idir, ["cat"], k=5,
+                        n_buckets=8).collect()]
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+        got_df = bm25_search(spark, idir, ["cat"], k=5, n_buckets=8)
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        # the tombstone anti-join is NOT a broadcast join under the
+        # tiny threshold
+        anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+        assert anti and all("Broadcast" not in ln for ln in anti), plan
+        assert [tuple(r) for r in got_df.collect()] == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # and with the normal threshold the small-set case still broadcasts
+    plan2 = (bm25_search(spark, idir, ["cat"], k=5, n_buckets=8)
+             ._jdf.queryExecution().executedPlan().toString())
+    anti2 = [ln for ln in plan2.splitlines() if "LeftAnti" in ln]
+    assert anti2 and any("Broadcast" in ln for ln in anti2), plan2
+
+
+def test_seg_stats_snapshot_serves_stats_without_parquet(spark,
+                                                         tmp_path):
+    """The pointer's fold-time seg_stats snapshot IS the segment-stats
+    source: with every segment's stats parquet physically removed the
+    search still scores correctly (only unfolded batches read stats
+    from disk); a pre-snapshot pointer (seg_stats stripped) falls back
+    to the parquet path."""
+    import json as _json
+
+    from harvesting_extract_to_ttl_service_spark.streaming.lexical_stream import (  # noqa: E501
+        bm25_index_stats,
+        compact_bm25_index,
+    )
+
+    idir = str(tmp_path / "snapstats")
+    bm25_index_batch(spark.createDataFrame(DOCS[:3], D_SCHEMA), 0, idir,
+                     n_buckets=8)
+    assert compact_bm25_index(spark, idir, n_buckets=8) == 1
+    bm25_index_batch(spark.createDataFrame(DOCS[3:], D_SCHEMA), 1, idir,
+                     n_buckets=8)
+    assert compact_bm25_index(spark, idir, n_buckets=8) == 1
+    bm25_index_batch(spark.createDataFrame(
+        [(20, "cat encore")], D_SCHEMA), 5, idir, n_buckets=8)
+    all_docs = spark.createDataFrame(DOCS + [(20, "cat encore")],
+                                     D_SCHEMA)
+    want = [tuple(r) for r in
+            bm25_topk(all_docs, ["cat", "the"], k=7).collect()]
+    # remove BOTH segments' stats parquet: the snapshot must carry it
+    import shutil
+
+    for s in (0, 1):
+        shutil.rmtree(f"{idir}/gen=0/stats/seg={s}")
+    assert [tuple(r) for r in
+            bm25_search(spark, idir, ["cat", "the"], k=7,
+                        n_buckets=8).collect()] == want
+    st = bm25_index_stats(spark, idir)
+    assert st["n_docs"] == 7
+    # strip seg_stats from the pointer (the pre-snapshot form): the
+    # parquet fallback engages — and with the parquet gone it fails
+    # LOUDLY, proving the fast path above really served from the
+    # snapshot
+    pfile = f"{idir}/_bm25_generation.json"
+    ptr = _json.loads(open(pfile).read())
+    ptr.pop("seg_stats")
+    crc = f"{idir}/._bm25_generation.json.crc"
+    os.path.exists(crc) and os.unlink(crc)
+    with open(pfile, "w") as fh:
+        fh.write(_json.dumps(ptr))
+    with pytest.raises(Exception):
+        bm25_search(spark, idir, ["cat", "the"], k=7,
+                    n_buckets=8).collect()
+
+
+def test_phrase_chain_df_computed_after_tombstone_anti_join(spark,
+                                                            tmp_path):
+    """The rarest-first chain ordering for phrase/proximity reads df
+    from the SAME pruned-postings frame the tombstone anti-join
+    already filtered — deleting docs changes the dfs the chain sees
+    (stale df would only reorder joins, result-safe, but the pin
+    documents the ordering input too)."""
+    from harvesting_extract_to_ttl_service_spark.streaming.lexical_stream import (  # noqa: E501
+        _index_view,
+        _read_pruned_postings,
+        bm25_delete_docs,
+    )
+
+    docs = [(0, "alpha beta"), (1, "alpha beta"), (2, "alpha beta"),
+            (3, "alpha only"), (4, "beta solo here"),
+            (5, "more beta words")]
+    idir = str(tmp_path / "dfchain")
+    bm25_index_batch(spark.createDataFrame(docs, D_SCHEMA), 0, idir,
+                     n_buckets=8, positional=True)
+    # delete docs 0-2: alpha's df goes 4→1 and beta's 5→2 — the chain
+    # input must see the POST-delete dfs
+    assert bm25_delete_docs(spark, idir, [0, 1, 2], n_buckets=8) == 3
+    view = _index_view(spark, idir)
+    pp = _read_pruned_postings(spark, idir, ["alpha", "beta"], 8, view)
+    dfs = {r["term"]: r["df"] for r in
+           pp.groupBy("term").agg(
+               F.countDistinct("id").alias("df")).collect()}
+    assert dfs == {"alpha": 1, "beta": 2}
