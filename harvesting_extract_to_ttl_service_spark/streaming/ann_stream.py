@@ -939,6 +939,12 @@ def _ivf_cleanup(spark: SparkSession, index_dir: str,
                 elif name.startswith("seg=") \
                         and int(name.split("=", 1)[1]) not in keep:
                     fs.delete(st.getPath(), True)
+                elif name.startswith("_manifest_seg=") \
+                        and int(name[len("_manifest_seg="):]
+                                .split(".", 1)[0]) not in keep:
+                    # spent manifest of a merged-away segment (only
+                    # read between its write and its flip) — litter
+                    fs.delete(st.getPath(), False)
     troot = jpath(f"{index_dir}/tombstones")
     if fs.exists(troot):
         for st in fs.listStatus(troot):

@@ -1518,6 +1518,17 @@ def _cleanup(spark: SparkSession, index_dir: str, state: dict) -> None:
                 elif name.startswith("seg=") \
                         and int(name.split("=", 1)[1]) not in keep:
                     fs.delete(st.getPath(), True)
+        # manifests of merged-away segments: spent (a manifest is only
+        # read between its write and its flip, and future fold targets
+        # always use a fresh higher id) — plain litter
+        groot = jpath(f"{index_dir}/gen={cur_gen}")
+        if fs.exists(groot):
+            for st in fs.listStatus(groot):
+                name = st.getPath().getName()
+                if name.startswith("_manifest_seg=") \
+                        and int(name[len("_manifest_seg="):]
+                                .split(".", 1)[0]) not in keep:
+                    fs.delete(st.getPath(), False)
     stale = set()
     for side in ("stats", "postings"):
         sroot = jpath(f"{index_dir}/{side}")
