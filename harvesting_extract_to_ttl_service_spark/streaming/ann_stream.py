@@ -1297,6 +1297,51 @@ def run_ivf_index_stream(vecs_stream: DataFrame, index_dir: str,
     return writer.start()
 
 
+def ivf_index_stats(spark: SparkSession, index_dir: str) -> dict:
+    """Operational snapshot of a persisted IVF index — the pointer
+    (generation, segments, replay fence, applied-tombstone watermark),
+    the committed-but-unfolded batch ids and pending tombstone ids
+    (the two maintenance-pressure signals: each is another directory
+    every search unions/anti-joins), the pending tombstones' byte
+    total (the same size the search anti-join switches
+    broadcast/shuffle on, and the signal for scheduling a ``full=True``
+    fold — the only fold that applies tombstones physically), the
+    in-progress maintenance marker if any, and the index identity
+    (k, dim, mode flags). Driver-side listings only — safe to poll,
+    never scans vectors. The BM25 twin is
+    lexical_stream.bm25_index_stats; the drift/recall monitor is
+    :func:`ivf_drift_report`."""
+    from harvesting_extract_to_ttl_service_spark.streaming.lexical_stream import (  # noqa: E501
+        _dels_bytes,
+    )
+
+    params = _read_json_sidecar(spark, f"{index_dir}/_ivf_params.json")
+    if params is None:
+        raise ValueError(f"ivf_index_stats: no index at {index_dir}")
+    view = _ivf_view(spark, index_dir)
+    marker = _read_json_sidecar(spark,
+                                f"{index_dir}/_ivf_compacting.json")
+    return {"generation": view.gen,
+            "segments": view.segments,
+            "n_segments": (len(view.segments)
+                           if view.segments is not None else 0),
+            "max_folded_batch": view.fence,
+            "unfolded_batches": view.vis, "n_unfolded": len(view.vis),
+            "pending_del_batches": view.dels,
+            "pending_del_bytes": _dels_bytes(spark, index_dir,
+                                             view.dels),
+            "applied_dels": view.applied_dels,
+            "compacting": bool(marker) and not (marker or {}).get(
+                "deleting"),
+            "deleting": bool((marker or {}).get("deleting")),
+            "retraining": bool((marker or {}).get("retraining")),
+            "folding_through": (marker or {}).get("folding_through"),
+            "k": params.get("k"), "dim": params.get("dim"),
+            "quantized": bool(params.get("quantized", False)),
+            "pq": params.get("pq_md5") is not None,
+            "pq_residual": bool(params.get("pq_residual", False))}
+
+
 def ivf_dispersion(vecs: DataFrame, centroids: list[list[float]],
                    vec_col: str = "embedding") -> dict:
     """Cosine dispersion of a vector set around its assigned centroids:

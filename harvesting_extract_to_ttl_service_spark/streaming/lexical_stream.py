@@ -1624,6 +1624,12 @@ def bm25_index_stats(spark: SparkSession, index_dir: str) -> dict:
            "max_folded_batch": view.fence,
            "unfolded_batches": view.vis, "n_unfolded": len(view.vis),
            "pending_del_batches": view.dels,
+           # the size signal for scheduling a full=True fold (the only
+           # fold that applies tombstones physically) and the same
+           # byte total the search anti-join switches broadcast/shuffle
+           # on
+           "pending_del_bytes": _dels_bytes(spark, index_dir,
+                                            view.dels),
            "applied_dels": view.applied_dels,
            "compacting": bool(marker) and not (marker or {}).get(
                "deleting"),

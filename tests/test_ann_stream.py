@@ -1065,3 +1065,39 @@ def test_ivf_stream_drift_triggered_retrain(spark, tmp_path, centroids):
         run_ivf_index_stream(
             spark.readStream.schema(V_SCHEMA).json(sdir), idir, ckpt,
             new_c, quantize=True, retrain_on_drift=1.5)
+
+
+def test_ivf_index_stats_lifecycle(spark, tmp_path, centroids):
+    """The IVF monitoring snapshot (bm25_index_stats' twin) tracks the
+    pointer, batch/tombstone pressure (with the del byte total), and
+    the index identity through ingest → fold → delete."""
+    from harvesting_extract_to_ttl_service_spark.streaming.ann_stream import (
+        ivf_delete_vecs,
+        ivf_index_stats,
+    )
+
+    idir = str(tmp_path / "ivfstats")
+    with pytest.raises(ValueError, match="no index"):
+        ivf_index_stats(spark, idir)
+    ivf_index_batch(_vecs(spark, range(0, 24)), 0, idir, centroids)
+    ivf_index_batch(_vecs(spark, range(24, 48)), 1, idir, centroids)
+    s = ivf_index_stats(spark, idir)
+    assert (s["generation"], s["max_folded_batch"]) == (-1, -1)
+    assert s["unfolded_batches"] == [0, 1]
+    assert s["pending_del_batches"] == [] and s["pending_del_bytes"] == 0
+    assert s["k"] == 4 and s["dim"] == DIM and not s["quantized"]
+    assert not s["compacting"] and not s["deleting"]
+
+    assert compact_ivf_index(spark, idir) == 2
+    ivf_delete_vecs(spark, idir, [3, 5])
+    s2 = ivf_index_stats(spark, idir)
+    assert (s2["generation"], s2["segments"]) == (0, [0])
+    assert s2["unfolded_batches"] == []
+    assert s2["pending_del_batches"] == [0]
+    assert s2["pending_del_bytes"] > 0
+    assert s2["applied_dels"] == -1
+
+    assert compact_ivf_index(spark, idir, full=True) == 0
+    s3 = ivf_index_stats(spark, idir)
+    assert s3["pending_del_batches"] == [] and s3["applied_dels"] == 0
+    assert s3["pending_del_bytes"] == 0
