@@ -963,6 +963,59 @@ def probe_tieredbytes(spark, n: int, tmp: str) -> dict:
     return {"docs": corpus.count(), "folds": folds}
 
 
+def probe_statsnap(spark, n: int, tmp: str) -> dict:
+    """Pointer stats-snapshot probe (round 15): per-search fixed cost
+    of the stored BM25 path on a many-segment index, WITH the
+    pointer's per-segment (n_docs, sum_dl) snapshot vs the
+    pre-snapshot pointer form (seg_stats stripped → stats parquet
+    read per segment per search). The snapshot removes one small
+    parquet scan per segment from every query's critical path."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as _F
+
+    from harvesting_extract_to_ttl_service_spark.streaming.lexical_stream import (  # noqa: E501
+        bm25_index_batch,
+        bm25_search,
+        compact_bm25_index,
+    )
+
+    corpus = replicate_documents(spark, n).localCheckpoint(eager=True)
+    idir = f"{tmp}/statsnap_{n}x"
+    for i in range(8):
+        batch = corpus.filter(_F.col("doc_id") % 8 == i).select(
+            (_F.col("doc_id") * 8 + i).alias("doc_id"), "text")
+        bm25_index_batch(batch, i, idir, n_buckets=64)
+        compact_bm25_index(spark, idir, n_buckets=64, max_segments=16)
+
+    queries = [["government", "data"], ["policy", "report"],
+               ["public", "record"], ["health", "service"],
+               ["school", "budget"]]
+
+    def run_all():
+        t0 = time.time()
+        for q in queries:
+            bm25_search(spark, idir, q, k=10, n_buckets=64).collect()
+        return round((time.time() - t0) / len(queries), 3)
+
+    run_all()  # warm
+    with_snap = run_all()
+    pfile = f"{idir}/_bm25_generation.json"
+    ptr = _json.loads(open(pfile).read())
+    ptr.pop("seg_stats")
+    crc = f"{idir}/._bm25_generation.json.crc"
+    _os.path.exists(crc) and _os.unlink(crc)
+    with open(pfile, "w") as fh:
+        fh.write(_json.dumps(ptr))
+    run_all()  # warm
+    without = run_all()
+    return {"docs": corpus.count(), "segments": 8,
+            "per_query_s_with_snapshot": with_snap,
+            "per_query_s_without": without,
+            "saved_s": round(without - with_snap, 3)}
+
+
 def probe_phrasej(spark, n: int, tmp: str) -> dict:
     """Rarest-first phrase-chain probe (round 13): a corpus where the
     phrase's FIRST word is everywhere and its LAST word is rare.
@@ -1032,9 +1085,11 @@ def main():
     phrasej = bool(args) and args[0] == "phrasej"
     foldbytes = bool(args) and args[0] == "foldbytes"
     tieredbytes = bool(args) and args[0] == "tieredbytes"
+    statsnap = bool(args) and args[0] == "statsnap"
     if incremental or funnel or stream or ann or finalize or span \
             or mih or imih or pq or pqres or demb or bm25 \
-            or possize or phrasej or foldbytes or tieredbytes:
+            or possize or phrasej or foldbytes or tieredbytes \
+            or statsnap:
         args = args[1:]
     explicit = [int(x) for x in args]
     replicas = explicit or [1, 2, 5, 10]
@@ -1076,6 +1131,15 @@ def main():
                       f"index_mb={f['index_mb']}")
             print(f"full fold (contrast): mb={r['full_fold_mb']} "
                   f"s={r['full_fold_s']}")
+            return
+        if statsnap:
+            n = explicit[0] if explicit else 10
+            r = probe_statsnap(spark, n, tmp)
+            print(f"docs={r['docs']} segments={r['segments']} | "
+                  f"per-query with snapshot "
+                  f"{r['per_query_s_with_snapshot']}s vs without "
+                  f"{r['per_query_s_without']}s "
+                  f"(saved {r['saved_s']}s/query)")
             return
         if tieredbytes:
             n = explicit[0] if explicit else 10

@@ -2555,3 +2555,46 @@ def test_phrase_chain_df_computed_after_tombstone_anti_join(spark,
            pp.groupBy("term").agg(
                F.countDistinct("id").alias("df")).collect()}
     assert dfs == {"alpha": 1, "beta": 2}
+
+
+def test_stream_auto_compaction_crosses_tiered_threshold(spark,
+                                                         tmp_path):
+    """In-stream auto-compaction composes with size-tiered merging: a
+    stream whose folds cross max_segments repeatedly keeps the
+    generation (no automatic full merge), keeps the segment count at
+    the cap, and serves the ad-hoc answer at the end — the
+    self-maintaining loop never pays O(index)."""
+    from harvesting_extract_to_ttl_service_spark.streaming.lexical_stream import (  # noqa: E501
+        bm25_index_stats,
+    )
+
+    sdir = str(tmp_path / "src")
+    idir = str(tmp_path / "tieredstream")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(sdir)
+    extra = [(10, "cat encore"), (11, "the end"), (12, "dog final"),
+             (13, "fish coda")]
+    groups = [DOCS[:2], DOCS[2:4], DOCS[4:],
+              extra[:1], extra[1:2], extra[2:3], extra[3:]]
+    for i, g in enumerate(groups):
+        with open(f"{sdir}/b{i}.json", "w") as f:
+            for di, t in g:
+                f.write(json.dumps({"doc_id": di, "text": t}) + "\n")
+    st = (spark.readStream.schema(D_SCHEMA)
+          .option("maxFilesPerTrigger", 1).json(sdir))
+    q = run_bm25_index_stream(st, idir, ckpt, n_buckets=8,
+                              compact_every=1, max_segments=2)
+    q.awaitTermination(240)
+    s = bm25_index_stats(spark, idir)
+    # 6 in-stream folds (batches 0..5 fold; the final batch stays
+    # unfolded by the max_batch bound): several threshold crossings,
+    # yet the generation never advanced and the cap held
+    assert s["generation"] == 0
+    assert s["n_segments"] <= 2
+    assert s["n_unfolded"] <= 1
+    all_docs = spark.createDataFrame(DOCS + extra, D_SCHEMA)
+    want = [tuple(r) for r in
+            bm25_topk(all_docs, ["cat", "the"], k=10).collect()]
+    assert [tuple(r) for r in
+            bm25_search(spark, idir, ["cat", "the"], k=10,
+                        n_buckets=8).collect()] == want
