@@ -202,7 +202,8 @@ def _ivf_view(spark: SparkSession, index_dir: str) -> _IvfView:
 
 def _ivf_frames(spark: SparkSession, index_dir: str,
                 view: _IvfView | None = None,
-                apply_dels: bool = True) -> DataFrame:
+                apply_dels: bool = True,
+                cells: list[int] | None = None) -> DataFrame:
     """Union of the readable index trees — the generation's segments
     plus the visible unfolded batch dirs, read by EXPLICIT path so
     partition discovery never touches a half-committed or superseded
@@ -210,19 +211,57 @@ def _ivf_frames(spark: SparkSession, index_dir: str,
     partition column under its own basePath, so probe filters still
     prune at the directory level. Active tombstones anti-join out
     (broadcast) unless ``apply_dels=False`` (the fold's own read does
-    its apply explicitly)."""
+    its apply explicitly).
+
+    ``cells`` (the search's driver-ranked probe list) prunes the file
+    LISTING itself: Spark's file index enumerates every directory
+    under the given paths before partition filters trim them, so a
+    search passing only tree roots lists segments×k cell dirs per
+    query. With ``cells`` the read names the probed
+    ``…/ivf_cell=<c>`` leaf dirs explicitly (existence-checked —
+    partitionBy writes only non-empty cells), so per-query driver
+    cost tracks n_probe, not the index layout. Maintenance paths
+    (folds, deletes, retrain, drift) pass None."""
+    from harvesting_extract_to_ttl_service_spark.sources.files import (
+        _hadoop_fs,
+    )
+
     view = view if view is not None else _ivf_view(spark, index_dir)
+    fs, _ = _hadoop_fs(spark, index_dir)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+
+    def _cell_paths(parents: list[str]) -> list[str] | None:
+        # one listStatus per parent (not one exists() per pair), so
+        # object-store RPC count tracks the tree count, not n_probe
+        if cells is None:
+            return None
+        want = {f"ivf_cell={c}" for c in cells}
+        out = []
+        for p in parents:
+            pp = jpath(p)
+            if not fs.exists(pp):
+                continue
+            for st in fs.listStatus(pp):
+                name = st.getPath().getName()
+                if name in want:
+                    out.append(f"{p}/{name}")
+        return out or None
+
     frames = []
     if view.gen >= 0 and view.segments:
         root = f"{index_dir}/gen={view.gen}"
+        parents = [f"{root}/seg={s}" for s in view.segments]
+        sub = _cell_paths(parents)
         frames.append(
             spark.read.option("basePath", root)
-            .parquet(*[f"{root}/seg={s}" for s in view.segments])
+            .parquet(*(sub or parents))
             .drop("seg"))
     if view.vis:
+        parents = [f"{index_dir}/batch={i}" for i in view.vis]
+        sub = _cell_paths(parents)
         frames.append(
             spark.read.option("basePath", index_dir)
-            .parquet(*[f"{index_dir}/batch={i}" for i in view.vis])
+            .parquet(*(sub or parents))
             .drop("batch"))
     if not frames:
         raise ValueError(
@@ -418,7 +457,7 @@ def ivf_search(spark: SparkSession, index_dir: str,
 
     probed = sorted(range(len(centroids)),
                     key=lambda i: (-_cos(query_vec, centroids[i]), i))[:n_probe]
-    idx = _ivf_frames(spark, index_dir)
+    idx = _ivf_frames(spark, index_dir, cells=probed)
     idx = idx.filter(F.col("ivf_cell").isin(probed))
     if pq_codebooks is not None:
         from harvesting_extract_to_ttl_service_spark.operators.similarity import (
@@ -540,7 +579,7 @@ def ivf_search_batch(spark: SparkSession, index_dir: str,
                          F.element_at(cent, F.col("ivf_cell") + 1)))
     cells = sorted(r.ivf_cell for r in
                    q.select("ivf_cell").distinct().collect())
-    idx = (_ivf_frames(spark, index_dir)
+    idx = (_ivf_frames(spark, index_dir, cells=cells)
            .filter(F.col("ivf_cell").isin(cells)))
     if pq_codebooks is not None:
         m, ksub, sub = _pq_shapes(pq_codebooks)

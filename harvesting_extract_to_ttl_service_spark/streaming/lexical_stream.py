@@ -323,29 +323,75 @@ def _index_view(spark: SparkSession, index_dir: str) -> _IndexView:
 
 
 def _postings_frames(spark: SparkSession, index_dir: str,
-                     view: _IndexView) -> DataFrame:
+                     view: _IndexView,
+                     buckets: list[int] | None = None) -> DataFrame:
     """Union of the readable posting trees: the consolidated
     generation's SEGMENTS named by the pointer (or the one flat legacy
     tree) plus the visible unfolded batch dirs, read by EXPLICIT path
     so partition discovery never touches a half-committed or
     superseded directory. Every tree keeps ``bucket`` as a
-    directory-level partition column under its own basePath."""
+    directory-level partition column under its own basePath.
+
+    ``buckets`` (the query's driver-side term-hash list) prunes the
+    LISTING itself: Spark's file index enumerates every directory
+    under the given paths BEFORE partition-filter pruning trims them,
+    so a search that passed only tree roots would list
+    segments×n_buckets directories per query — at a large-corpus
+    config (4096 buckets, 8 segments) that is ~32k directory listings
+    to read 2-8 posting lists. With ``buckets`` the read names the
+    probed ``…/bucket=<b>`` leaf dirs explicitly (existence-checked —
+    partitionBy writes only non-empty buckets), so listing cost
+    tracks the query, not the index layout. Maintenance paths (folds,
+    deletes) pass None and read whole trees."""
+    from harvesting_extract_to_ttl_service_spark.sources.files import (
+        _hadoop_fs,
+    )
+
+    fs, _ = _hadoop_fs(spark, index_dir)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+
+    def _bucket_paths(parents: list[str]) -> list[str] | None:
+        """Probed-bucket leaf dirs that exist under the parents; None
+        = caller should read the whole parents (no bucket pruning
+        requested, or nothing matched — the unpruned read then yields
+        0 rows after the term filter, keeping 'no readable data'
+        strictly about an EMPTY index). One listStatus per parent —
+        not one exists() per (parent, bucket) — so object-store RPC
+        count tracks the tree count, not the query's term count."""
+        if buckets is None:
+            return None
+        want = {f"bucket={b}" for b in buckets}
+        out = []
+        for p in parents:
+            pp = jpath(p)
+            if not fs.exists(pp):
+                continue
+            for st in fs.listStatus(pp):
+                name = st.getPath().getName()
+                if name in want:
+                    out.append(f"{p}/{name}")
+        return out or None
+
     frames = []
     if view.gen >= 0:
         if view.segments is None:
             p = f"{index_dir}/gen={view.gen}/postings"
-            frames.append(spark.read.option("basePath", p).parquet(p))
+            sub = _bucket_paths([p])
+            frames.append(spark.read.option("basePath", p)
+                          .parquet(*(sub or [p])))
         elif view.segments:
             root = f"{index_dir}/gen={view.gen}/postings"
+            parents = [f"{root}/seg={s}" for s in view.segments]
+            sub = _bucket_paths(parents)
             frames.append(
                 spark.read.option("basePath", root)
-                .parquet(*[f"{root}/seg={s}" for s in view.segments])
-                .drop("seg"))
+                .parquet(*(sub or parents)).drop("seg"))
     if view.vis:
         root = f"{index_dir}/postings"
-        paths = [f"{root}/batch={i}" for i in view.vis]
+        parents = [f"{root}/batch={i}" for i in view.vis]
+        sub = _bucket_paths(parents)
         frames.append(spark.read.option("basePath", root)
-                      .parquet(*paths).drop("batch"))
+                      .parquet(*(sub or parents)).drop("batch"))
     if not frames:
         raise ValueError(
             f"bm25 index at {index_dir} has no readable data (no "
@@ -429,9 +475,12 @@ def _read_pruned_postings(spark: SparkSession, index_dir: str,
     view), the term IN-list (parquet pushed filter), then the tombstone
     anti-join (broadcast below the autoBroadcastJoinThreshold, shuffle
     anti-join above — :func:`_anti_join_dels`) so deleted documents
-    drop out of tf AND df before any scoring."""
-    ps = _postings_frames(spark, index_dir, view)
+    drop out of tf AND df before any scoring. The bucket list prunes
+    the file LISTING too (passed into :func:`_postings_frames`), so
+    per-query driver cost tracks the probed buckets, not
+    segments×n_buckets directories."""
     buckets = sorted({term_bucket_py(t, n_buckets) for t in terms_})
+    ps = _postings_frames(spark, index_dir, view, buckets=buckets)
     ps = (ps.filter(F.col("bucket").isin(buckets))
           .filter(F.col("term").isin(terms_)))
     tomb = _tombstones(spark, index_dir, view)
