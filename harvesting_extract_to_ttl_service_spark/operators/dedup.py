@@ -94,7 +94,24 @@ def _pin_join_parallelism(df: DataFrame, *cols: str) -> DataFrame:
     knob production already sizes to the cluster; platforms that set it
     to a non-numeric sentinel (e.g. ``'auto'`` under vendor AQE
     defaults) fall back to ``sparkContext.defaultParallelism`` instead
-    of failing at plan time."""
+    of failing at plan time.
+
+    Pin ONE side of a MATERIALIZED self-join (the probe/left side), not
+    both (round 15, measured 2.87 s → 2.14 s on the sf0.1 MinHash tail):
+    one REPARTITION_BY_NUM in the join's stage group already stops AQE
+    from coalescing ANY side (CoalesceShufflePartitions only fires when
+    every shuffle in the group is coalescible), a sort-merge join adds
+    its own ENSURE_REQUIREMENTS exchange on the bare side (same shuffle
+    count either way, same key+count partitioning), and when the table
+    is small enough that the planner broadcasts it, the bare side feeds
+    BroadcastExchange directly — a pin there is a pure-overhead shuffle
+    under the broadcast. Keep the bare frame as the RIGHT side: at equal
+    stats the planner builds right, so the broadcast lands on the
+    un-pinned side. Only do this on a MATERIALIZED frame — for an
+    unmaterialized self-join the identical pinned exchanges are exactly
+    what lets AQE reuse the shared subtree's shuffle stage
+    (text.common_span_pairs relies on that), and dropping one pin there
+    would recompute the whole subtree on the bare side."""
     raw = df.sparkSession.conf.get("spark.sql.shuffle.partitions", None)
     try:
         n = int(raw)
@@ -394,8 +411,9 @@ def _banded_pairs(df: DataFrame, text_col: str, id_col: str,
     # planner duplicates it, and for the fault-tolerance tradeoff of each
     # mode). Measured 1.22× at sf0.1 (2.31 s → 1.90 s).
     banded = materialize(banded, materialize_mode)
-    banded = _pin_join_parallelism(banded, "band", "band_hash")
-    a = banded.alias("a")
+    # one-sided pin (see _pin_join_parallelism): probe side pinned, bare
+    # side free to feed a BroadcastExchange without a wasted shuffle
+    a = _pin_join_parallelism(banded, "band", "band_hash").alias("a")
     b = banded.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -521,7 +539,7 @@ def incremental_minhash_pairs(new_docs: DataFrame, index: DataFrame,
         & (F.col("a.id") != F.col("b.id")))
     pinned = _pin_join_parallelism(newb, "band", "band_hash")
     vs_self = carry(
-        pinned.alias("a"), pinned.alias("b"),
+        pinned.alias("a"), newb.alias("b"),
         (F.col("a.band") == F.col("b.band"))
         & (F.col("a.band_hash") == F.col("b.band_hash"))
         & (F.col("a.id") < F.col("b.id")))
@@ -751,8 +769,8 @@ def hamming_neardup_pairs(sh: DataFrame, bits: int = 60,
     # per-bit SUM aggregation (the expensive stage) runs once per
     # self-join side. Mode tradeoffs: operators/materialize.py.
     blocked = materialize(blocked, materialize_mode)
-    blocked = _pin_join_parallelism(blocked, "blk", "blk_val")
-    a = blocked.alias("a")
+    # one-sided pin (see _pin_join_parallelism)
+    a = _pin_join_parallelism(blocked, "blk", "blk_val").alias("a")
     b = blocked.alias("b")
     return (
         a.join(b, (F.col("a.blk") == F.col("b.blk"))
@@ -879,8 +897,8 @@ def hamming_banded_pairs(sh: DataFrame, bits: int = 60,
     serialization hazard), distinct after the verify."""
     tabled = hamming_banded_index(sh, bits, n_tables, bits_per_table, seed)
     tabled = materialize(tabled, materialize_mode)
-    tabled = _pin_join_parallelism(tabled, "tbl", "key")
-    a = tabled.alias("a")
+    # one-sided pin (see _pin_join_parallelism)
+    a = _pin_join_parallelism(tabled, "tbl", "key").alias("a")
     b = tabled.alias("b")
     return (
         a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
@@ -977,8 +995,9 @@ def incremental_hamming_pairs(new_sh: DataFrame, index: DataFrame,
             F.greatest("a.id", "b.id").alias("id_b"),
             F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
             .alias("hamming")))
+    # one-sided pin (see _pin_join_parallelism)
     a = _pin_join_parallelism(new_tab, "tbl", "key").alias("a")
-    b = _pin_join_parallelism(new_tab, "tbl", "key").alias("b")
+    b = new_tab.alias("b")
     vs_self = (
         a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
                & (F.col("a.key") == F.col("b.key"))

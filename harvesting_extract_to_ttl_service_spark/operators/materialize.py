@@ -31,9 +31,44 @@ fault-tolerance/speed tradeoff the caller owns:
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 MATERIALIZE_MODES = ("local_checkpoint", "checkpoint", "persist", "none")
+
+
+def codegen_barrier(df: DataFrame, label: str = "barrier") -> DataFrame:
+    """Split the whole-stage-codegen unit at this point WITHOUT
+    materializing anything (round 15).
+
+    Why it exists: Janino refuses generated methods over 64 KB. A plan
+    that fuses two expression-heavy operators — e.g. the import
+    pipeline's triage filter (the full validity + repair when-chains)
+    and the downstream valid-projection (the same chains, re-inlined by
+    CollapseProject/predicate pushdown) — into ONE codegen unit exceeds
+    the limit, logs ``ERROR CodeGenerator: Failed to compile`` three
+    times per action, and silently falls back to INTERPRETED evaluation
+    for the entire fused stage (the verify-skill gotcha). Each half
+    compiles fine on its own (triage_dirty_literals carries the same
+    24-parser chain in one unit without issue).
+
+    Mechanism: ``observe()`` inserts a CollectMetrics node, which does
+    not implement CodegenSupport, so codegen restarts above it — two
+    smaller units instead of one oversized one — while rows stream
+    through untouched (the observed metric is one ``count(1)`` per
+    partition; no shuffle, no buffering, works under foreachBatch).
+    Unlike :func:`materialize` modes this is free at any scale.
+
+    Measured on import_pipeline_e2e at sf0.1 (min of 4, interleaved):
+    3.89 s with the doomed compiles + interpreted fallback → 2.79 s
+    with the barrier, 0 compile failures, byte-identical output.
+
+    The observation name is uniqued per call so two pipeline instances
+    composed into one query can't collide."""
+    return df.observe(f"_{label}_{uuid.uuid4().hex[:8]}",
+                      F.count(F.lit(1)).alias("rows"))
 
 
 def materialize(df: DataFrame, mode: str = "local_checkpoint",

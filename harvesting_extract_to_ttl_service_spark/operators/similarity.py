@@ -336,13 +336,15 @@ def lsh_blocked_pairs(df: DataFrame, threshold: float, dim: int,
         probe = b.withColumn("_probe", F.explode(F.array(*[
             F.col("bucket").bitwiseXOR(F.lit(m))
             for m in probe_masks(n_planes, probe_bits)])))
+        # one-sided pin (see dedup._pin_join_parallelism): the exploded
+        # probe side carries the pin; the bare side can broadcast free
         a = _pin_join_parallelism(probe, "_probe").alias("a")
-        c = _pin_join_parallelism(b, "bucket").alias("c")
+        c = b.alias("c")
         cond = ((F.col("a._probe") == F.col("c.bucket"))
                 & (F.col("a.id") < F.col("c.id")))
     else:
-        b = _pin_join_parallelism(b, "bucket")
-        a, c = b.alias("a"), b.alias("c")
+        a = _pin_join_parallelism(b, "bucket").alias("a")
+        c = b.alias("c")
         cond = ((F.col("a.bucket") == F.col("c.bucket"))
                 & (F.col("a.id") < F.col("c.id")))
     return (
@@ -521,8 +523,9 @@ def cluster_neardup_pairs(df: DataFrame, centroids: list[list[float]],
     if n_probe > 1:
         probe = b.withColumn(
             "ivf_cell", F.explode(_probe_cells("v", centroids, n_probe)))
+        # one-sided pin (see dedup._pin_join_parallelism)
         a = _pin_join_parallelism(probe, "ivf_cell").alias("a")
-        c = _pin_join_parallelism(b, "ivf_cell").alias("c")
+        c = b.alias("c")
         # symmetric probing needs both directions (a's probe list may
         # cover c's primary but not vice versa), so the join keys id
         # inequality and least/greatest + distinct canonicalize the pair
@@ -531,8 +534,8 @@ def cluster_neardup_pairs(df: DataFrame, centroids: list[list[float]],
         pair_ids = [F.least(F.col("a.id"), F.col("c.id")).alias("id_a"),
                     F.greatest(F.col("a.id"), F.col("c.id")).alias("id_b")]
     else:
-        b = _pin_join_parallelism(b, "ivf_cell")
-        a, c = b.alias("a"), b.alias("c")
+        a = _pin_join_parallelism(b, "ivf_cell").alias("a")
+        c = b.alias("c")
         cond = ((F.col("a.ivf_cell") == F.col("c.ivf_cell"))
                 & (F.col("a.id") < F.col("c.id")))
         pair_ids = [F.col("a.id").alias("id_a"), F.col("c.id").alias("id_b")]

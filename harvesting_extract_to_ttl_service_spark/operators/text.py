@@ -297,6 +297,11 @@ def common_span_pairs(df: DataFrame, text_col: str = "text",
                .agg(F.count_distinct("id").alias("_df"))
                .filter(F.col("_df") > max_df).select("hash"))
         sp = sp.join(hot, "hash", "left_anti")
+    # BOTH sides pinned deliberately (unlike the materialized self-joins,
+    # which pin one side — dedup._pin_join_parallelism): sp is NOT
+    # materialized here, and the two identical REPARTITION exchanges are
+    # what lets AQE reuse the shingle_positions shuffle stage across the
+    # join sides — dropping one pin would recompute that subtree.
     a = _pin_join_parallelism(sp, "hash").select(
         F.col("id").alias("id_a"), F.col("pos").alias("pa"), "hash")
     b = _pin_join_parallelism(sp, "hash").select(

@@ -324,8 +324,12 @@ def triage(df: DataFrame, compat: bool = False,
     One projection — Catalyst folds the whole thing into a single
     whole-stage-codegen stage over the scan. Over a parquet-backed triple
     table (the at-scale path) the stage compiles well inside the JVM 64 KB
-    method limit; only the fully-fused corner case of text-decode + triage
-    + select-every-column in one plan falls back to interpreted eval.
+    method limit. The fully-fused composition of extract + triage + the
+    valid-projection (which re-inlines these chains) DOES overflow the
+    limit and used to fall back to interpreted eval for the whole stage;
+    the import pipeline now splits the codegen unit after triage
+    (operators/materialize.codegen_barrier) so both halves compile —
+    compositions of comparable width should do the same.
     """
     parse_ok = F.col("parse_ok") if "parse_ok" in df.columns else None
     valid = is_valid_triple(F.col("subject"), F.col("object_type"),

@@ -36,6 +36,7 @@ from harvesting_extract_to_ttl_service_spark.operators.extract import (
     spill_html_content,
 )
 from harvesting_extract_to_ttl_service_spark.operators.materialize import (
+    codegen_barrier,
     materialize,
 )
 from harvesting_extract_to_ttl_service_spark.operators.relational import (
@@ -272,9 +273,13 @@ def run_import_pipeline(control: DataFrame, page_bodies: DataFrame,
         extracted.filter(F.col("error").isNotNull())
         .select("task_uri", "page_uri", "error"),
         materialize_mode))
-    triaged = _memo(lambda: triage(
+    # codegen_barrier: the triage chains fused with the valid-projection's
+    # re-inlined copies overflow Janino's 64 KB method limit and drop the
+    # whole stage to interpreted eval (operators/materialize.py) — split
+    # the codegen unit here so both halves compile.
+    triaged = _memo(lambda: codegen_barrier(triage(
         extracted.filter(F.col("error").isNull()),
-        compat=compat, compat_tz=compat_tz))
+        compat=compat, compat_tz=compat_tz), "triage"))
 
     # valid/invalid/corrected keep the (task, page) keys for partitioning
     keys = ("task_uri", "page_uri")

@@ -590,8 +590,9 @@ def embedding_dedup_batch(vecs: DataFrame, batch_id: int, index_dir: str,
             index.alias("b"),
             (F.col("a._probe") == F.col("b.bucket"))
             & (F.col("a.id") != F.col("b.id"))))
+        # one-sided pin (see dedup._pin_join_parallelism)
         a_self = _pin_join_parallelism(probe_new, "_probe")
-        b_self = _pin_join_parallelism(newb, "bucket")
+        b_self = newb
         vs_self = pair_cols(a_self.alias("a").join(
             b_self.alias("b"),
             (F.col("a._probe") == F.col("b.bucket"))
