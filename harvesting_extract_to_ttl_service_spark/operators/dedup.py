@@ -364,9 +364,13 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     recovery — pass 'checkpoint' or 'persist' on a real cluster with
     preemptible executors.
     """
-    return _banded_pairs(df, text_col, id_col, num_hashes, bands,
-                         shingle_n, materialize_mode
-                         ).select("id_a", "id_b").distinct()
+    if materialize_mode == "none":
+        return _banded_pairs(df, text_col, id_col, num_hashes, bands,
+                             shingle_n, materialize_mode
+                             ).select("id_a", "id_b").distinct()
+    cand, _ = _sig_and_candidates(df, text_col, id_col, num_hashes, bands,
+                                  shingle_n, materialize_mode)
+    return cand
 
 
 def minhash_band_index(df: DataFrame, text_col: str = "text",
@@ -381,17 +385,65 @@ def minhash_band_index(df: DataFrame, text_col: str = "text",
     against it with :func:`incremental_minhash_pairs` — the corpus text is
     never re-tokenized. Storage is bands × (num_hashes+3) small columns
     per doc (≈ bands × num_hashes × 8 bytes), ~0.1-1% of a text corpus."""
-    rows_per_band = num_hashes // bands
     sig = minhash_signature_table(df, text_col, id_col, num_hashes, shingle_n)
     return sig.select(
         "id", *[f"m{i}" for i in range(num_hashes)],
-        F.posexplode(F.array(*[
-            F.md5(F.concat_ws(",", *[
-                F.col(f"m{b * rows_per_band + r}").cast("string")
-                for r in range(rows_per_band)]))
-            for b in range(bands)
-        ])).alias("band", "band_hash"),
+        F.posexplode(F.array(*_band_hash_cols(num_hashes, bands)))
+        .alias("band", "band_hash"),
     )
+
+
+def _band_hash_cols(num_hashes: int, bands: int) -> list[Column]:
+    """The per-band md5 key expressions over flat signature columns —
+    shared by :func:`minhash_band_index` and the slim candidate join so
+    the band hashes are bit-identical wherever they are derived."""
+    rows_per_band = num_hashes // bands
+    return [
+        F.md5(F.concat_ws(",", *[
+            F.col(f"m{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)]))
+        for b in range(bands)
+    ]
+
+
+def _sig_and_candidates(df: DataFrame, text_col: str, id_col: str,
+                        num_hashes: int, bands: int, shingle_n: int,
+                        materialize_mode: str,
+                        ) -> tuple[DataFrame, DataFrame]:
+    """Materialize the NARROW signature table (one row per doc,
+    ``num_hashes``+1 columns) and self-join a slim ``(id, band,
+    band_hash)`` projection of it for candidate pairs. Returns
+    ``(distinct (id_a, id_b) pairs, materialized signature table)`` so
+    the caller can re-attach signatures to the (much smaller) pair set.
+
+    Round 16, guide §2.3/§5: the previous shape materialized the full
+    BANDED table — ``bands`` rows per doc, each carrying all signature
+    columns (8× duplicated signatures at the defaults) — and dragged
+    2·num_hashes signature columns through the join and the distinct.
+    Cutting the plan at the signature table instead stores 1 row per doc,
+    joins 3-column rows, and dedups bare pairs before anything wide is
+    attached (measured min-of-6 interleaved at sf0.1: 2.20 s → 2.06 s;
+    at scale the distinct's exchange shrinks by the full signature
+    width). Requires a real materialization — the 'none' fallback keeps
+    the carry-the-signatures shape (see the callers)."""
+    sig = materialize(
+        minhash_signature_table(df, text_col, id_col, num_hashes, shingle_n),
+        materialize_mode)
+    slim = sig.select(
+        "id", F.posexplode(F.array(*_band_hash_cols(num_hashes, bands)))
+        .alias("band", "band_hash"))
+    # one-sided pin (see _pin_join_parallelism): probe side pinned, bare
+    # side free to feed a BroadcastExchange without a wasted shuffle
+    a = _pin_join_parallelism(slim, "band", "band_hash").alias("a")
+    b = slim.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return cand, sig
 
 
 def _banded_pairs(df: DataFrame, text_col: str, id_col: str,
@@ -399,22 +451,17 @@ def _banded_pairs(df: DataFrame, text_col: str, id_col: str,
                   materialize_mode: str = "local_checkpoint") -> DataFrame:
     """Band-collision pairs with both flat signatures carried through the
     join (columns ``id_a, id_b, a.m*, b.m*``; one row per colliding band).
-    Carrying the num_hashes×8-byte signatures widens the shuffle slightly
-    but avoids two extra signature joins (and two full signature
-    recomputations) downstream. Fully flat-column (2.4× over the
-    array-based formulation at sf0.1)."""
+    Since round 16 this is only the ``materialize_mode='none'`` path: with
+    no cut, BOTH self-join sides repartition on the same (keys, count) —
+    identical pinned exchanges are what lets AQE reuse the banded
+    subtree's shuffle stage across the sides, so the expensive signature
+    aggregation runs once, and carrying the signatures through the join
+    avoids two more full recomputations at the re-attach joins.
+    Materialized modes use :func:`_sig_and_candidates` instead."""
     banded = minhash_band_index(df, text_col, id_col, num_hashes, bands,
                                 shingle_n)
-    # Materialize the banded table ONCE before the self-join — without
-    # this cut the shingle→signature aggregation (the most expensive
-    # stage) runs twice per job (see operators/materialize.py for why the
-    # planner duplicates it, and for the fault-tolerance tradeoff of each
-    # mode). Measured 1.22× at sf0.1 (2.31 s → 1.90 s).
-    banded = materialize(banded, materialize_mode)
-    # one-sided pin (see _pin_join_parallelism): probe side pinned, bare
-    # side free to feed a BroadcastExchange without a wasted shuffle
     a = _pin_join_parallelism(banded, "band", "band_hash").alias("a")
-    b = banded.alias("b")
+    b = _pin_join_parallelism(banded, "band", "band_hash").alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.band_hash") == F.col("b.band_hash"))
@@ -432,21 +479,42 @@ def minhash_similarity(df: DataFrame, text_col: str = "text",
                        materialize_mode: str = "local_checkpoint",
                        ) -> DataFrame:
     """Candidate pairs + estimated Jaccard (fraction of agreeing MinHash
-    rows), filtered to ``threshold``. The estimate is computed directly on
-    the signatures carried through the band join — no re-join back to the
-    signature table; the distinct collapses multi-band collisions after
-    the (deterministic) estimate is attached."""
+    rows), filtered to ``threshold``.
+
+    Materialized modes (round 16): the distinct candidate pairs come from
+    the slim band join (:func:`_sig_and_candidates`) and the signatures
+    re-attach to the PAIR set — two joins against the materialized
+    signature table, which at any realistic duplicate mass is orders of
+    magnitude smaller than dragging 2·num_hashes signature columns
+    through the band join and its distinct. With ``'none'`` (no cut) the
+    signatures stay carried through the join — re-attaching would
+    recompute the full signature aggregation twice more."""
+    if materialize_mode == "none":
+        agree = F.lit(0)
+        for i in range(num_hashes):
+            agree = agree + (F.col(f"am{i}") == F.col(f"bm{i}")).cast("int")
+        return (
+            _banded_pairs(df, text_col, id_col, num_hashes, bands, shingle_n,
+                          materialize_mode)
+            .select("id_a", "id_b",
+                    (agree / F.lit(num_hashes)).alias("est_jaccard"))
+            # threshold before the distinct: commutes (est is a pure
+            # function of the row), shrinks the dedup exchange (§2.3)
+            .filter(F.col("est_jaccard") >= threshold)
+            .distinct()
+        )
+    cand, sig = _sig_and_candidates(df, text_col, id_col, num_hashes, bands,
+                                    shingle_n, materialize_mode)
     agree = F.lit(0)
     for i in range(num_hashes):
-        agree = agree + (F.col(f"am{i}") == F.col(f"bm{i}")).cast("int")
-    est = (
-        _banded_pairs(df, text_col, id_col, num_hashes, bands, shingle_n,
-                      materialize_mode)
+        agree = agree + (F.col(f"sa.m{i}") == F.col(f"sb.m{i}")).cast("int")
+    return (
+        cand.join(sig.alias("sa"), F.col("id_a") == F.col("sa.id"))
+        .join(sig.alias("sb"), F.col("id_b") == F.col("sb.id"))
         .select("id_a", "id_b",
                 (agree / F.lit(num_hashes)).alias("est_jaccard"))
-        .distinct()
+        .filter(F.col("est_jaccard") >= threshold)
     )
-    return est.filter(F.col("est_jaccard") >= threshold)
 
 
 def incremental_minhash_pairs(new_docs: DataFrame, index: DataFrame,
@@ -511,12 +579,14 @@ def incremental_minhash_pairs(new_docs: DataFrame, index: DataFrame,
         agree = agree + (F.col(f"am{i}") == F.col(f"bm{i}")).cast("int")
 
     def pairs_of(joined: DataFrame) -> DataFrame:
-        est = (
+        return (
             joined.select("id_a", "id_b",
                           (agree / F.lit(num_hashes)).alias("est_jaccard"))
+            # threshold before the distinct: commutes (est is a pure
+            # function of the row), shrinks the dedup exchange (§2.3)
+            .filter(F.col("est_jaccard") >= threshold)
             .distinct()
         )
-        return est.filter(F.col("est_jaccard") >= threshold)
 
     def carry(a: DataFrame, b: DataFrame, cond) -> DataFrame:
         return a.join(b, cond).select(
@@ -538,8 +608,15 @@ def incremental_minhash_pairs(new_docs: DataFrame, index: DataFrame,
         & (F.col("a.band_hash") == F.col("b.band_hash"))
         & (F.col("a.id") != F.col("b.id")))
     pinned = _pin_join_parallelism(newb, "band", "band_hash")
+    # one-sided pin only when the frame is actually materialized (mode
+    # != 'none', or the caller handed us its own materialized new_index);
+    # an unmaterialized self-join needs BOTH sides pinned identically so
+    # AQE reuses the shared subtree's shuffle stage instead of
+    # recomputing the signature aggregation on the bare side
+    self_b = (newb if new_index is not None or materialize_mode != "none"
+              else _pin_join_parallelism(newb, "band", "band_hash"))
     vs_self = carry(
-        pinned.alias("a"), newb.alias("b"),
+        pinned.alias("a"), self_b.alias("b"),
         (F.col("a.band") == F.col("b.band"))
         & (F.col("a.band_hash") == F.col("b.band_hash"))
         & (F.col("a.id") < F.col("b.id")))
@@ -758,20 +835,32 @@ def hamming_neardup_pairs(sh: DataFrame, bits: int = 60,
     base, rem = divmod(bits, blocks)
     sizes = [base + 1 if i < rem else base for i in range(blocks)]
     offsets = [sum(sizes[:i]) for i in range(blocks)]
-    blocked = sh.select(
-        "id", "sh",
-        F.posexplode(F.array(*[
-            F.shiftright("sh", offsets[i]).bitwiseAND((1 << sizes[i]) - 1)
-            for i in range(blocks)
-        ])).alias("blk", "blk_val"),
-    )
-    # Same single-computation cut as _banded_pairs: without it the
-    # per-bit SUM aggregation (the expensive stage) runs once per
-    # self-join side. Mode tradeoffs: operators/materialize.py.
-    blocked = materialize(blocked, materialize_mode)
-    # one-sided pin (see _pin_join_parallelism)
-    a = _pin_join_parallelism(blocked, "blk", "blk_val").alias("a")
-    b = blocked.alias("b")
+
+    def blocked_of(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            "id", "sh",
+            F.posexplode(F.array(*[
+                F.shiftright("sh", offsets[i]).bitwiseAND((1 << sizes[i]) - 1)
+                for i in range(blocks)
+            ])).alias("blk", "blk_val"),
+        )
+
+    # Round 16 (guide §2.3/§5): cut the plan at the NARROW (id, sh) table
+    # — 2 columns, one row per doc — instead of the blocked table (blocks
+    # rows per doc); the per-block posexplode is a trivial projection each
+    # join side re-derives from the materialized blocks. Under 'none' (no
+    # cut) a single blocked subtree feeds both sides through identical
+    # pinned exchanges so AQE reuses the shuffle stage — the expensive
+    # per-bit aggregation still runs once.
+    if materialize_mode == "none":
+        blocked = blocked_of(sh)
+        a = _pin_join_parallelism(blocked, "blk", "blk_val").alias("a")
+        b = _pin_join_parallelism(blocked, "blk", "blk_val").alias("b")
+    else:
+        cut = materialize(sh.select("id", "sh"), materialize_mode)
+        # one-sided pin (see _pin_join_parallelism)
+        a = _pin_join_parallelism(blocked_of(cut), "blk", "blk_val").alias("a")
+        b = blocked_of(cut).alias("b")
     return (
         a.join(b, (F.col("a.blk") == F.col("b.blk"))
                & (F.col("a.blk_val") == F.col("b.blk_val"))
@@ -779,8 +868,12 @@ def hamming_neardup_pairs(sh: DataFrame, bits: int = 60,
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                 F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
                 .alias("hamming"))
-        .distinct()
+        # filter BEFORE the distinct: candidate collisions are quadratic
+        # in bucket load (328k rows at sf0.1 radius 6) while true pairs
+        # are rare (992) — the exact-verify predicate commutes with
+        # distinct and shrinks its exchange ~330× (guide §2.3).
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -895,11 +988,23 @@ def hamming_banded_pairs(sh: DataFrame, bits: int = 60,
     materialization cut feeding both self-join sides, pinned reduce
     parallelism on the (table, key) join (the measured AQE
     serialization hazard), distinct after the verify."""
-    tabled = hamming_banded_index(sh, bits, n_tables, bits_per_table, seed)
-    tabled = materialize(tabled, materialize_mode)
-    # one-sided pin (see _pin_join_parallelism)
-    a = _pin_join_parallelism(tabled, "tbl", "key").alias("a")
-    b = tabled.alias("b")
+    # Same round-16 shape as hamming_neardup_pairs: cut at the narrow
+    # (id, sh) table (the n_tables-way key explode re-derives cheaply per
+    # side); under 'none' both sides pin the same keyed exchange so AQE
+    # reuses the single shuffle stage.
+    if materialize_mode == "none":
+        tabled = hamming_banded_index(sh, bits, n_tables, bits_per_table,
+                                      seed)
+        a = _pin_join_parallelism(tabled, "tbl", "key").alias("a")
+        b = _pin_join_parallelism(tabled, "tbl", "key").alias("b")
+    else:
+        cut = materialize(sh.select("id", "sh"), materialize_mode)
+        tabled = hamming_banded_index(cut, bits, n_tables, bits_per_table,
+                                      seed)
+        # one-sided pin (see _pin_join_parallelism)
+        a = _pin_join_parallelism(tabled, "tbl", "key").alias("a")
+        b = hamming_banded_index(cut, bits, n_tables, bits_per_table,
+                                 seed).alias("b")
     return (
         a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
                & (F.col("a.key") == F.col("b.key"))
@@ -907,8 +1012,11 @@ def hamming_banded_pairs(sh: DataFrame, bits: int = 60,
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                 F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
                 .alias("hamming"))
-        .distinct()
+        # exact-verify filter before the distinct — collisions are
+        # quadratic in bucket load, survivors are the true-pair mass
+        # (guide §2.3); identical result set either way.
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -995,9 +1103,12 @@ def incremental_hamming_pairs(new_sh: DataFrame, index: DataFrame,
             F.greatest("a.id", "b.id").alias("id_b"),
             F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
             .alias("hamming")))
-    # one-sided pin (see _pin_join_parallelism)
+    # one-sided pin when the frame is materialized; both sides under an
+    # unmaterialized 'none' (AQE exchange-stage reuse — see the MinHash
+    # twin above)
     a = _pin_join_parallelism(new_tab, "tbl", "key").alias("a")
-    b = new_tab.alias("b")
+    b = (new_tab if new_index is not None or materialize_mode != "none"
+         else _pin_join_parallelism(new_tab, "tbl", "key")).alias("b")
     vs_self = (
         a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
                & (F.col("a.key") == F.col("b.key"))
@@ -1005,6 +1116,8 @@ def incremental_hamming_pairs(new_sh: DataFrame, index: DataFrame,
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                 F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
                 .alias("hamming")))
+    # exact-verify filter before the distinct (§2.3): collisions are
+    # quadratic in bucket load, survivors are the true-pair mass.
     return (vs_index.unionByName(vs_self)
-            .distinct()
-            .filter(F.col("hamming") <= max_hamming))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())

@@ -31,7 +31,7 @@ fault-tolerance/speed tradeoff the caller owns:
 
 from __future__ import annotations
 
-import uuid
+import itertools
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -65,10 +65,16 @@ def codegen_barrier(df: DataFrame, label: str = "barrier") -> DataFrame:
     3.89 s with the doomed compiles + interpreted fallback → 2.79 s
     with the barrier, 0 compile failures, byte-identical output.
 
-    The observation name is uniqued per call so two pipeline instances
-    composed into one query can't collide."""
-    return df.observe(f"_{label}_{uuid.uuid4().hex[:8]}",
+    The observation name is uniqued per call (a deterministic
+    per-process counter, NOT uuid4: plans of logically identical queries
+    stay byte-comparable across runs — golden-plan diffs, plan-string
+    pins — while two pipeline instances composed into one query still
+    can't collide)."""
+    return df.observe(f"_{label}_{next(_BARRIER_IDS)}",
                       F.count(F.lit(1)).alias("rows"))
+
+
+_BARRIER_IDS = itertools.count()
 
 
 def materialize(df: DataFrame, mode: str = "local_checkpoint",

@@ -52,6 +52,28 @@ def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     )
 
 
+def cosine_topk_df(df: DataFrame, query: DataFrame, k: int = 10,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   query_vec_col: str = "embedding") -> DataFrame:
+    """:func:`cosine_topk` with the query vector coming from a ONE-ROW
+    DataFrame instead of a driver-side list: a broadcast cross join (a
+    bounded one-row BroadcastNestedLoopJoin — the repo's pinned scalar
+    pattern) attaches the vector to every row, so there is no
+    ``collect()``/``head()`` round-trip in the query path and the whole
+    top-k is a single job (round 16, guide §5). Values are bit-identical
+    to the literal path — :func:`dot`/:func:`norm` cast both sides to
+    double before any arithmetic."""
+    q = query.select(F.col(query_vec_col).alias("_qv"))
+    return (
+        df.crossJoin(F.broadcast(q))
+        .select(F.col(id_col),
+                F.round(cosine(F.col(vec_col), F.col("_qv")), 6)
+                .alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def cosine_self_join_topk(df: DataFrame, k: int = 5, vec_col: str = "embedding",
                           id_col: str = "vec_id") -> DataFrame:
     """All-pairs exact top-k neighbours per vector — DELIBERATELY O(n²):
@@ -332,19 +354,26 @@ def lsh_blocked_pairs(df: DataFrame, threshold: float, dim: int,
         _pin_join_parallelism,
     )
 
+    # one-sided pin on a MATERIALIZED frame (the bare side can broadcast
+    # free); under 'none' both sides pin the same (keys, count) exchange
+    # so AQE reuses the unmaterialized subtree's shuffle stage instead of
+    # recomputing it on the bare side (round 16, the dedup.py rule)
+    pin_bare = materialize_mode == "none"
     if probe_bits:
         probe = b.withColumn("_probe", F.explode(F.array(*[
             F.col("bucket").bitwiseXOR(F.lit(m))
             for m in probe_masks(n_planes, probe_bits)])))
-        # one-sided pin (see dedup._pin_join_parallelism): the exploded
-        # probe side carries the pin; the bare side can broadcast free
         a = _pin_join_parallelism(probe, "_probe").alias("a")
-        c = b.alias("c")
+        # NB: probe/bare key DIFFER here (_probe vs bucket) — under
+        # 'none' the bare side pins on its own join key; the exchanges
+        # are not identical (no AQE reuse), but the bucket subtree is
+        # at least not coalesced to one task
+        c = (_pin_join_parallelism(b, "bucket") if pin_bare else b).alias("c")
         cond = ((F.col("a._probe") == F.col("c.bucket"))
                 & (F.col("a.id") < F.col("c.id")))
     else:
         a = _pin_join_parallelism(b, "bucket").alias("a")
-        c = b.alias("c")
+        c = (_pin_join_parallelism(b, "bucket") if pin_bare else b).alias("c")
         cond = ((F.col("a.bucket") == F.col("c.bucket"))
                 & (F.col("a.id") < F.col("c.id")))
     return (
@@ -520,12 +549,16 @@ def cluster_neardup_pairs(df: DataFrame, centroids: list[list[float]],
         _pin_join_parallelism,
     )
 
+    # same pin rule as lsh_blocked_pairs: one-sided on a materialized
+    # frame, both sides under 'none' (AQE exchange-stage reuse)
+    pin_bare = materialize_mode == "none"
     if n_probe > 1:
         probe = b.withColumn(
             "ivf_cell", F.explode(_probe_cells("v", centroids, n_probe)))
         # one-sided pin (see dedup._pin_join_parallelism)
         a = _pin_join_parallelism(probe, "ivf_cell").alias("a")
-        c = b.alias("c")
+        c = (_pin_join_parallelism(b, "ivf_cell") if pin_bare else b
+             ).alias("c")
         # symmetric probing needs both directions (a's probe list may
         # cover c's primary but not vice versa), so the join keys id
         # inequality and least/greatest + distinct canonicalize the pair
@@ -535,7 +568,8 @@ def cluster_neardup_pairs(df: DataFrame, centroids: list[list[float]],
                     F.greatest(F.col("a.id"), F.col("c.id")).alias("id_b")]
     else:
         a = _pin_join_parallelism(b, "ivf_cell").alias("a")
-        c = b.alias("c")
+        c = (_pin_join_parallelism(b, "ivf_cell") if pin_bare else b
+             ).alias("c")
         cond = ((F.col("a.ivf_cell") == F.col("c.ivf_cell"))
                 & (F.col("a.id") < F.col("c.id")))
         pair_ids = [F.col("a.id").alias("id_a"), F.col("c.id").alias("id_b")]

@@ -310,10 +310,18 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_session",
         F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)))
     sess = flagged.withColumn("session_id", F.sum("new_session").over(wrun))
+    # count_distinct(session_id) == max(session_id), provably: session_id
+    # is a running sum of 0/1 flags whose first value per user is 1 (the
+    # lag is NULL), so per user its image is exactly {1..K} — and K (the
+    # max) is the total flag sum, invariant under ts-tie orderings. max()
+    # is a plain aggregate (map-side partial, no distinct expansion), so
+    # the groupBy reuses the window's user_id partitioning with no extra
+    # pass (round 16, guide §2.4; oracle stays count(DISTINCT ...) and
+    # hashes identical).
     return (
         sess.groupBy("user_id")
-        .agg(F.count_distinct("session_id").alias("n_sessions"),
-             F.round(F.count("*") / F.count_distinct("session_id"), 4)
+        .agg(F.max("session_id").alias("n_sessions"),
+             F.round(F.count("*") / F.max("session_id"), 4)
              .alias("avg_events_per_session"))
     )
 

@@ -775,10 +775,17 @@ LIMIT 10
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-10 vs the vec_id=0 embedding. The
     fold runs in double precision in identical order in both engines, so
-    even unrounded values are bit-equal."""
+    even unrounded values are bit-equal. The query vector attaches via a
+    one-row broadcast cross join (cosine_topk_df) — no driver
+    ``head()`` round-trip, ONE job per run instead of two (round 16,
+    guide §5; mirrors the oracle's ``FROM embeddings e, q``)."""
+    from harvesting_extract_to_ttl_service_spark.operators.similarity import (
+        cosine_topk_df,
+    )
+
     emb = load(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return cosine_topk(emb.filter(F.col("vec_id") != 0), list(qvec), k=10)
+    q = emb.filter(F.col("vec_id") == 0).select("embedding")
+    return cosine_topk_df(emb.filter(F.col("vec_id") != 0), q, k=10)
 
 
 # The embeddings fixture is 64-dimensional at every SF; the oracle SQL is

@@ -590,9 +590,13 @@ def embedding_dedup_batch(vecs: DataFrame, batch_id: int, index_dir: str,
             index.alias("b"),
             (F.col("a._probe") == F.col("b.bucket"))
             & (F.col("a.id") != F.col("b.id"))))
-        # one-sided pin (see dedup._pin_join_parallelism)
+        # one-sided pin on a materialized frame; under 'none' the bare
+        # side pins its own join key too (dedup._pin_join_parallelism:
+        # an unmaterialized bare side would recompute the bucket/norm
+        # subtree or coalesce to one task)
         a_self = _pin_join_parallelism(probe_new, "_probe")
-        b_self = newb
+        b_self = (_pin_join_parallelism(newb, "bucket")
+                  if materialize_mode == "none" else newb)
         vs_self = pair_cols(a_self.alias("a").join(
             b_self.alias("b"),
             (F.col("a._probe") == F.col("b.bucket"))

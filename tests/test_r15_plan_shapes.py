@@ -41,11 +41,12 @@ def test_minhash_self_join_pins_one_side(docs):
     )
 
     plan = _plan(minhash_similarity(docs, threshold=0.3))
+    # exactly one user repartition (the probe-side pin); the bare side
+    # must never carry a second REPARTITION under its exchange. (The
+    # former BroadcastHashJoin assertion was dropped per the r15 advice:
+    # it coupled this pin test to autoBroadcastJoinThreshold defaults
+    # and fixture size — the join strategy is the planner's call.)
     assert plan.count("REPARTITION_BY_NUM") == 1, plan
-    # at fixture scale the bare side must broadcast with no wasted
-    # repartition under it: exactly one shuffle exchange plus the
-    # distinct's, never a second REPARTITION
-    assert "BroadcastHashJoin" in plan
 
 
 def test_simhash_self_join_pins_one_side(docs):
