@@ -11,6 +11,12 @@ directory-level:
 
     <index_dir>/postings/batch=<id>/bucket=<hash(term) % n_buckets>/…
     <index_dir>/stats/batch=<id>/…          (one row: n_docs, sum_dl)
+    <index_dir>/doclens/batch=<id>/…        ((id, dl) doc-keyed sidecar —
+                                             deletes harvest doomed
+                                             docs' lengths here instead
+                                             of scanning every term
+                                             bucket; folds write the
+                                             twin gen=<g>/doclens/seg=<s>)
     <index_dir>/gen=<g>/postings/seg=<s>/bucket=…   (generation g's
                                              consolidated SEGMENTS —
                                              a minor fold adds one,
@@ -402,6 +408,40 @@ def _postings_frames(spark: SparkSession, index_dir: str,
     return out
 
 
+def _doclens_frames(spark: SparkSession, index_dir: str,
+                    view: _IndexView) -> DataFrame | None:
+    """The view's doc-keyed ``(id, dl)`` sidecar — the round-16 delete
+    fast path. Ingest writes ``doclens/batch=<i>`` next to each posting
+    batch and every fold derives ``gen=<g>/doclens/seg=<s>`` from the
+    segment it just wrote, so a delete harvests the doomed docs'
+    lengths from one tiny doc-keyed tree per batch/segment instead of
+    scanning EVERY term bucket of the whole index (O(index) work per
+    delete batch — the documented cost of the term-bucketed layout
+    that this sidecar removes). Returns None when any visible tree
+    lacks its sidecar (an index ingested before round 16): the caller
+    falls back to the postings scan, and the index self-heals as folds
+    rewrite segments."""
+    from harvesting_extract_to_ttl_service_spark.sources.files import (
+        _hadoop_fs,
+    )
+
+    fs, _ = _hadoop_fs(spark, index_dir)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    paths = []
+    if view.gen >= 0:
+        if view.segments is None:
+            # legacy flat generation tree — predates the sidecar
+            return None
+        paths += [f"{index_dir}/gen={view.gen}/doclens/seg={s}"
+                  for s in view.segments]
+    paths += [f"{index_dir}/doclens/batch={i}" for i in view.vis]
+    if not paths:
+        return None
+    if not all(fs.exists(jpath(p)) for p in paths):
+        return None
+    return spark.read.parquet(*paths).select("id", "dl")
+
+
 def _tombstones(spark: SparkSession, index_dir: str,
                 view: _IndexView) -> DataFrame | None:
     """The view's active tombstone rows ``(id, dl)`` (None when there
@@ -661,6 +701,17 @@ def bm25_index_batch(docs: DataFrame, batch_id: int, index_dir: str,
     fs.delete(jpath(f"{index_dir}/stats/batch={batch_id}"), True)
     (ps.write.mode("overwrite").partitionBy("bucket")
      .parquet(f"{index_dir}/postings/batch={batch_id}"))
+    # doc-keyed (id, dl) sidecar (round 16): derived by reading BACK the
+    # postings just written — no recompute of the tokenize/explode
+    # subtree, and the values cannot diverge from what the postings
+    # carry. Deletes harvest doomed docs' lengths from this one tiny
+    # tree instead of scanning every term bucket (_doclens_frames).
+    # Written before the stats commit, so its visibility rides the same
+    # _SUCCESS gate; a replay overwrites it with the rest.
+    (spark.read.parquet(f"{index_dir}/postings/batch={batch_id}")
+     .groupBy("id").agg(F.first("dl").alias("dl"))
+     .write.mode("overwrite")
+     .parquet(f"{index_dir}/doclens/batch={batch_id}"))
     _commit_stats(stats, f"{index_dir}/stats/batch={batch_id}")
     if not fs.exists(
             jpath(f"{index_dir}/stats/batch={batch_id}/_SUCCESS")):
@@ -943,9 +994,10 @@ def bm25_delete_docs(spark: SparkSession, index_dir: str,
 
     Ids already tombstoned are skipped (a double delete must not
     subtract twice); ids absent from the index contribute nothing (the
-    ``(id, dl)`` rows are harvested from the postings themselves — one
-    scan with a pushed id IN-filter; it reads all buckets, the
-    documented cost of deleting from a term-bucketed layout). Returns
+    ``(id, dl)`` rows are harvested from the doc-keyed ``doclens``
+    sidecar with a pushed id IN-filter — one tiny tree per
+    batch/segment, never the term buckets; a pre-sidecar index falls
+    back to the full postings scan until its folds rewrite it). Returns
     the number of documents newly tombstoned. Deletes hold the SAME
     expiring maintenance lease as the compactor
     (``_bm25_compacting.json``, payload ``deleting``): a delete
@@ -1017,6 +1069,15 @@ def _delete_docs(spark: SparkSession, index_dir: str,
     try:
         view = _index_view(spark, index_dir)
         tomb = _tombstones(spark, index_dir, view)
+        # round 16: harvest (id, dl) from the doc-keyed doclens sidecar
+        # when every visible tree carries one — a delete batch then
+        # touches one doc-keyed row per document instead of scanning
+        # every term bucket of the whole index. Indexes ingested before
+        # the sidecar fall back to the postings scan (and self-heal as
+        # folds rewrite their segments).
+        dls = _doclens_frames(spark, index_dir, view)
+        src = dls if dls is not None else _postings_frames(
+            spark, index_dir, view)
         if ids is not None:
             if tomb is not None:
                 already = {r["id"] for r in
@@ -1025,15 +1086,13 @@ def _delete_docs(spark: SparkSession, index_dir: str,
                 ids = [i for i in ids if i not in already]
                 if not ids:
                     return 0
-            ps = _postings_frames(spark, index_dir, view)
-            doomed = (ps.filter(F.col("id").isin(ids))
+            doomed = (src.filter(F.col("id").isin(ids))
                       .groupBy("id").agg(F.first("dl").alias("dl")))
         else:
             if tomb is not None:
                 ids_df = _anti_join_dels(ids_df, spark, index_dir,
                                          view, tomb.select("id"))
-            ps = _postings_frames(spark, index_dir, view)
-            doomed = (ps.join(ids_df, "id", "left_semi")
+            doomed = (src.join(ids_df, "id", "left_semi")
                       .groupBy("id").agg(F.first("dl").alias("dl")))
         fs, _ = _hadoop_fs(spark, index_dir)
         jpath = spark._jvm.org.apache.hadoop.fs.Path
@@ -1318,7 +1377,7 @@ def compact_bm25_index(spark: SparkSession, index_dir: str,
             if fs.exists(jpath(f"{index_dir}/gen={tg}")):
                 fs.delete(jpath(f"{index_dir}/gen={tg}"), True)
         else:
-            for side in ("postings", "stats"):
+            for side in ("postings", "stats", "doclens"):
                 p = jpath(f"{index_dir}/gen={tg}/{side}/seg={ts}")
                 if fs.exists(p):
                     fs.delete(p, True)
@@ -1327,7 +1386,7 @@ def compact_bm25_index(spark: SparkSession, index_dir: str,
     sweep_staging(spark,
                   *[f"{index_dir}/gen={tg}/{side}"
                     for tg, _ts in candidates
-                    for side in ("postings", "stats")])
+                    for side in ("postings", "stats", "doclens")])
     if not retain_old:
         # leftovers of an EARLIER completed compaction whose cleanup
         # crashed (or ran with retain_old): everything below the
@@ -1486,12 +1545,22 @@ def compact_bm25_index(spark: SparkSession, index_dir: str,
     # aborts at promote and its stage dirs are swept by the next holder
     stage_p = staging_path(f"{index_dir}/gen={tg}/postings", ts, owner)
     stage_s = staging_path(f"{index_dir}/gen={tg}/stats", ts, owner)
+    stage_d = staging_path(f"{index_dir}/gen={tg}/doclens", ts, owner)
     (src.write.mode("overwrite").partitionBy("bucket").parquet(stage_p))
     (spark.createDataFrame([(seg_n, seg_dl)], "n_docs long, sum_dl long")
      .coalesce(1).write.mode("overwrite").parquet(stage_s))
+    # the segment's doc-keyed (id, dl) sidecar (round 16): derived from
+    # the STAGED postings just written — a 2-column pruned read of
+    # exactly the fold's output, so a major fold's physical tombstone
+    # apply is reflected for free, and a legacy index (no batch
+    # sidecars) self-heals as folds rewrite segments
+    (spark.read.parquet(stage_p)
+     .groupBy("id").agg(F.first("dl").alias("dl"))
+     .write.mode("overwrite").parquet(stage_d))
     promote_staged(spark, marker, owner, [
         (stage_p, f"{index_dir}/gen={tg}/postings/seg={ts}"),
-        (stage_s, f"{index_dir}/gen={tg}/stats/seg={ts}")])
+        (stage_s, f"{index_dir}/gen={tg}/stats/seg={ts}"),
+        (stage_d, f"{index_dir}/gen={tg}/doclens/seg={ts}")])
     check_lease(spark, marker, owner)
     _write_json_sidecar(
         spark, f"{index_dir}/gen={tg}/_manifest_seg={ts}.json",
@@ -1556,7 +1625,7 @@ def _cleanup(spark: SparkSession, index_dir: str, state: dict) -> None:
                     fs.delete(st.getPath(), True)
     if segments is not None and cur_gen >= 0:
         keep = {int(s) for s in segments}
-        for side in ("postings", "stats"):
+        for side in ("postings", "stats", "doclens"):
             sroot = jpath(f"{index_dir}/gen={cur_gen}/{side}")
             if not fs.exists(sroot):
                 continue
@@ -1591,7 +1660,8 @@ def _cleanup(spark: SparkSession, index_dir: str, state: dict) -> None:
             if i <= fence and (i >= 0 or cur_gen >= 0):
                 stale.add(i)
     for i in sorted(stale):
-        for side in ("stats", "postings"):  # stats first: visibility
+        for side in ("stats", "doclens", "postings"):  # stats first:
+            # visibility drops before any data side does
             p = jpath(f"{index_dir}/{side}/batch={i}")
             if fs.exists(p):
                 fs.delete(p, True)
