@@ -664,9 +664,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         sizes = exploded.groupBy("id").agg(F.count("*").alias("n_sh"))
     else:
         sizes = sh.select("id", F.size("sh").alias("n_sh"))
-    joined_side = _pin_join_parallelism(exploded, "g")
-    a = joined_side.alias("a")
-    b = joined_side.alias("b")
+    # pin rule (see _pin_join_parallelism): one side on a materialized
+    # frame (the bare side may feed a broadcast shuffle-free), both
+    # sides under 'none' so AQE reuses the shared subtree's exchange
+    a = _pin_join_parallelism(exploded, "g").alias("a")
+    b = (_pin_join_parallelism(exploded, "g")
+         if materialize_mode == "none" else exploded).alias("b")
     inter = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))

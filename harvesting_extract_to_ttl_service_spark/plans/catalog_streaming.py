@@ -273,6 +273,7 @@ def streaming_task_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = _tracked_mkdtemp(prefix="page_results_")
     batch = _page_results(spark, sf_dir)
     batch.write.mode("overwrite").parquet(staged)
+    n_staged = batch.count()
     stream = spark.readStream.schema(batch.schema).parquet(staged)
 
     name = "q" + uuid.uuid4().hex
@@ -281,7 +282,34 @@ def streaming_task_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
              .queryName(name).outputMode("append")
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
-    query.awaitTermination(300)
+    # A ProcessingTimeTimeout stateful query NEVER self-terminates — the
+    # engine keeps firing empty micro-batches forever so state timers
+    # can flush ('stale' rows), and `noNewData` never latches, so both
+    # awaitTermination(N) and processAllAvailable() block to their
+    # limit. The old fixed `awaitTermination(300)` burned a hard 300 s
+    # per call and then LEAKED the running query, whose /tmp checkpoint
+    # churn threw state-store errors for the rest of the session
+    # (measured: 377 zero-row batches). Instead: poll the progress feed
+    # until the staged rows are committed (progress is reported after a
+    # batch commits), then stop. The returned rows are identical: timer
+    # flushes emit only 'stale' rows, which the busy filter always
+    # excluded (round 16).
+    import time as _time
+
+    try:
+        deadline = _time.monotonic() + 300
+        while _time.monotonic() < deadline:
+            done = sum(int(p["numInputRows"])
+                       for p in query.recentProgress)
+            if done >= n_staged:
+                break
+            _time.sleep(0.2)
+        else:
+            raise TimeoutError(
+                f"streaming_task_progress: only {done}/{n_staged} rows "
+                f"committed within 300s")
+    finally:
+        query.stop()
     return spark.table(name).filter(F.col("status") == "busy")
 
 

@@ -27,6 +27,12 @@ quantized IVF = float IVF exactly (0.41 / 0.67 at n_probe 1 / 2) with
 identical per-cell candidate counts — per-vector symmetric int8 costs
 zero measured recall at 16 dims."""
 
+import pytest
+
+# recall-statistics panels (monotone-knob and codebook-quality soaks, ~6 min)
+# — excluded from the default fast tier (pytest.ini)
+pytestmark = pytest.mark.slow
+
 import math
 
 import pytest

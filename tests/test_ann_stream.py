@@ -2,6 +2,11 @@
 with the batch operator, replay idempotence, cell partition pruning,
 centroid pinning, and layout-preserving compaction."""
 
+import pytest
+
+# streaming index soaks — excluded from the default fast tier (pytest.ini)
+pytestmark = pytest.mark.slow
+
 import os
 
 import pytest

@@ -5,6 +5,11 @@ catalog entry (plans/catalog_corpus.py); these tests pin the operator
 CONTRACTS — pure-function membership, budget conservation, offset
 arithmetic — on a small explicit frame."""
 
+import pytest
+
+# batch-vs-stream funnel soaks — excluded from the default fast tier (pytest.ini)
+pytestmark = pytest.mark.slow
+
 import math
 
 import pytest

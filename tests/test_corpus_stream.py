@@ -2,6 +2,11 @@
 parity on a split stream, replay idempotence, and the end-to-end
 Structured Streaming loop."""
 
+import pytest
+
+# streaming replay/compaction soaks (~13 min) — excluded from the default fast tier (pytest.ini)
+pytestmark = pytest.mark.slow
+
 import json
 import os
 

@@ -2,6 +2,11 @@
 pair emission, index growth, cross-batch duplicate detection, and replay
 idempotence of the batch=<id> overwrite layout."""
 
+import pytest
+
+# streaming dedup replay soaks — excluded from the default fast tier (pytest.ini)
+pytestmark = pytest.mark.slow
+
 import json
 import os
 

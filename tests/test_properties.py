@@ -4,6 +4,7 @@ partition invariants / repair idempotence over generated dirty batches."""
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+import pytest
 from pyspark.sql import functions as F
 
 from harvesting_extract_to_ttl_service_spark.functions.ntriples import (
@@ -75,6 +76,7 @@ _dirty_objects = st.one_of(
 
 @given(objs=st.lists(_dirty_objects, min_size=1, max_size=60))
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_triage_partition_invariants(spark, objs):
     rows = [
         (f"http://s/{i}", "http://p", v, "literal", dt, None, None)

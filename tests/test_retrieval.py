@@ -4,6 +4,11 @@ batched ≡ single-query, skew pruning, RRF fusion math, stored-index ≡
 ad-hoc parity, replay idempotence, sidecar refusal, and the pruning
 predicates actually reaching the parquet scan."""
 
+import pytest
+
+# index fold/lease/crash soaks (~10 min; the fast tier keeps test_bm25_doclens.py for the delete path) — excluded from the default fast tier (pytest.ini)
+pytestmark = pytest.mark.slow
+
 import json
 import math
 import os

@@ -6,6 +6,7 @@ per centroid — a quadratic expression-tree blowup)."""
 import math
 import time
 
+import pytest
 from pyspark.sql import functions as F
 
 from harvesting_extract_to_ttl_service_spark.operators.similarity import (
@@ -254,6 +255,7 @@ def test_ivf_cell_partitioned_layout_prunes(spark, tmp_path):
     assert probed.select("ivf_cell").distinct().count() <= 2
 
 
+@pytest.mark.slow
 def test_drop_embedding_neardups_keep_one(spark, sf_dir):
     from harvesting_extract_to_ttl_service_spark.operators.similarity import (
         drop_embedding_neardups,
@@ -420,6 +422,7 @@ def test_cluster_neardup_multiprobe_superset_and_unique(spark, sf_dir):
         assert cell[a] != cell[b]  # the recovered pairs cross a boundary
 
 
+@pytest.mark.slow
 def test_drop_cluster_neardups_keep_one(spark, sf_dir):
     """Keep-one semantics equal a python union-find over the same pairs
     (the drop_embedding_neardups contract, cluster-blocked)."""

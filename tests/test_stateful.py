@@ -1,6 +1,7 @@
 """Custom stateful streaming operator (applyInPandasWithState): streaming
 per-task progress must converge to the batch aggregate on bounded input."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from harvesting_extract_to_ttl_service_spark.streaming.stateful import (
@@ -20,6 +21,7 @@ def _page_results(spark, tmp_path):
     return stream, batch
 
 
+@pytest.mark.slow
 def test_task_progress_stateful(spark, tmp_path):
     stream, batch = _page_results(spark, tmp_path)
     q = (task_progress(stream).writeStream.format("memory")

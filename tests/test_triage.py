@@ -2,6 +2,7 @@
 (FIXTURES.md §B4), asserting validateTriple.js + fixTriple.js semantics,
 plus the triage partition invariants and fix-idempotence property."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from harvesting_extract_to_ttl_service_spark.operators.triage import (
@@ -141,6 +142,7 @@ def test_triage_invariants(spark):
     assert corrected.exceptAll(invalid).count() == 0
 
 
+@pytest.mark.slow
 def test_fix_idempotent(spark):
     """A repaired triple must validate (validate∘fix property)."""
     t = triage(_df(spark))
